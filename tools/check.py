@@ -1,0 +1,142 @@
+"""Local replica of the driver's DuckDB-oracle correctness gate.
+
+Runs every ``queries()`` entry (or a named subset) at sf0.01, runs its
+``oracle_sql()`` twin in DuckDB over the same parquet files, and
+compares row count, sorted column names, and order-insensitive values
+with *exact* equality — strictly stronger than the driver's value-hash,
+so a local pass predicts a driver pass.
+
+Usage:
+    python tools/check.py                 # all queries
+    python tools/check.py q_agg_groupby   # subset
+    SF_DIR=/root/testdata/sf0.001 python tools/check.py
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+import traceback
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import duckdb  # noqa: E402
+import pandas as pd  # noqa: E402
+
+from ukis_kafka_spark import api  # noqa: E402
+from ukis_kafka_spark.plans import get_spark  # noqa: E402
+from ukis_kafka_spark.sources import TABLES  # noqa: E402
+
+SF_DIR = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
+
+
+def _norm_cell(v):
+    """Normalize one value to a hashable, engine-neutral form."""
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)  # exact: shortest repr round-trips the double
+    if isinstance(v, pd.Timestamp):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm_cell(x) for x in v)
+    if hasattr(v, "tolist"):  # numpy scalars/arrays
+        return _norm_cell(v.tolist())
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).hex()
+    import decimal
+
+    if isinstance(v, decimal.Decimal):
+        return str(v.normalize())
+    return v
+
+
+def _norm_df(df: pd.DataFrame):
+    cols = sorted(df.columns)
+    rows = []
+    for t in df[cols].itertuples(index=False, name=None):
+        rows.append(tuple(_norm_cell(v) for v in t))
+    rows.sort(key=lambda r: tuple(str(x) for x in r))
+    return cols, rows
+
+
+def _diff_sample(a_rows, b_rows, n=4):
+    sa, sb = set(a_rows), set(b_rows)
+    only_a = list(sa - sb)[:n]
+    only_b = list(sb - sa)[:n]
+    out = []
+    if only_a:
+        out.append(f"  spark-only: {only_a}")
+    if only_b:
+        out.append(f"  oracle-only: {only_b}")
+    return "\n".join(out)
+
+
+def main() -> int:
+    names = sys.argv[1:]
+    qs = api.queries()
+    oracles = api.oracle_sql()
+    if not names:
+        names = sorted(qs)
+    unknown = [n for n in names if n not in qs]
+    if unknown:
+        print(f"unknown queries: {unknown}", file=sys.stderr)
+        return 2
+
+    spark = get_spark("check")
+    con = duckdb.connect()
+    for t in TABLES:
+        path = f"{SF_DIR}/{t}.parquet"
+        if os.path.exists(path):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+
+    n_fail = 0
+    for name in names:
+        t0 = time.time()
+        try:
+            sdf = qs[name](spark, SF_DIR).toPandas()
+        except Exception:
+            print(f"FAIL  {name}: spark raised\n{traceback.format_exc()}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(f"rows  {name}: {len(sdf)} rows (rows-only check) [{time.time()-t0:.1f}s]")
+            continue
+        try:
+            odf = con.execute(oracles[name]).fetchdf()
+        except Exception:
+            print(f"FAIL  {name}: duckdb raised\n{traceback.format_exc()}")
+            n_fail += 1
+            continue
+        s_cols, s_rows = _norm_df(sdf)
+        o_cols, o_rows = _norm_df(odf)
+        dt = time.time() - t0
+        if s_cols != o_cols:
+            print(f"FAIL  {name}: columns differ spark={s_cols} oracle={o_cols}")
+            n_fail += 1
+        elif len(s_rows) != len(o_rows):
+            print(f"FAIL  {name}: rowcount spark={len(s_rows)} oracle={len(o_rows)}")
+            print(_diff_sample(s_rows, o_rows))
+            n_fail += 1
+        elif s_rows != o_rows:
+            bad = sum(1 for a, b in zip(s_rows, o_rows) if a != b)
+            print(f"FAIL  {name}: {bad}/{len(s_rows)} rows differ")
+            print(_diff_sample(s_rows, o_rows))
+            n_fail += 1
+        else:
+            print(f"ok    {name}: {len(s_rows)} rows hash-identical [{dt:.1f}s]")
+
+    missing_oracle = [n for n in names if n not in oracles]
+    if missing_oracle:
+        print(f"note: rows-only (no oracle): {missing_oracle}")
+    print(f"\n{len(names) - n_fail}/{len(names)} passed")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,50 @@
+"""Query registry: the single source of truth for the engine's declared
+operator inventory (SURVEY.md §2.2).
+
+Every operator registers itself with :func:`query`; the driver-facing
+``__spark_entry__.queries()`` / ``oracle_sql()`` are thin views over
+``QUERIES`` / ``ORACLE``.  A registered callable takes
+``(spark, sf_dir)`` and returns a DataFrame; its oracle is the
+equivalent DuckDB SQL (omitted for non-SQL-expressible operators,
+which the driver then checks rows-only).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLE: dict[str, str] = {}
+
+
+def _tune(spark: SparkSession) -> None:
+    """Runtime confs every query depends on for oracle hash-parity.
+
+    The driver owns the SparkSession, so these must be applied at call
+    time (they are all runtime-settable).
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+
+
+def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn]:
+    """Register ``fn`` under ``name``; optionally attach its DuckDB twin."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _tune(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        QUERIES[name] = wrapped
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
