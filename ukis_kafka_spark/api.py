@@ -12,7 +12,15 @@ from pyspark.sql import DataFrame, SparkSession
 
 # Import for registration side effects — every module below registers
 # its queries/oracles with ukis_kafka_spark.registry.
-from .operators import aggregates  # noqa: F401
+from .operators import (  # noqa: F401
+    aggregates,
+    filters,
+    joins,
+    scans,
+    setops,
+    sorts,
+    windows,
+)
 
 from .registry import ORACLE, QUERIES
 

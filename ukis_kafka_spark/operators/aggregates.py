@@ -13,9 +13,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.hashsafe import (
+    DEC,
     exact_avg,
+    exact_sum,
     money_sum,
     oracle_exact_avg,
+    oracle_exact_sum,
     oracle_money_sum,
 )
 from ..registry import query
@@ -65,4 +68,227 @@ def q_agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
             exact_avg("l_discount").alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
+    )
+
+
+@query(
+    "q_agg_global",
+    oracle=f"""
+SELECT
+  {oracle_money_sum('l_quantity')} AS total_qty,
+  {oracle_exact_avg('l_extendedprice')} AS avg_price,
+  MIN(l_extendedprice) AS min_price,
+  MAX(l_extendedprice) AS max_price,
+  COUNT(*) AS n_rows
+FROM lineitem
+""",
+)
+def q_agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-wide aggregate — partial + final agg, no group keys."""
+    return load_table(spark, sf_dir, "lineitem").agg(
+        money_sum("l_quantity").alias("total_qty"),
+        exact_avg("l_extendedprice").alias("avg_price"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query(
+    "q_agg_having",
+    oracle=f"""
+SELECT o_custkey, COUNT(*) AS n_orders, {oracle_money_sum('o_totalprice')} AS spend
+FROM orders
+GROUP BY o_custkey
+HAVING COUNT(*) >= 12
+""",
+)
+def q_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            money_sum("o_totalprice").alias("spend"),
+        )
+        .where(F.col("n_orders") >= 12)
+    )
+
+
+@query(
+    "q_agg_distinct",
+    oracle=f"""
+SELECT l_returnflag,
+       COUNT(DISTINCT l_suppkey) AS n_supp,
+       CAST(CAST(SUM(DISTINCT CAST(l_quantity AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS sum_dist_qty
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT/SUM(DISTINCT). The distinct sum runs over decimals so the
+    result is order-independent (set summation in exact space)."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count_distinct(F.col("l_suppkey")).alias("n_supp"),
+            F.sum_distinct(F.col("l_quantity").cast(DEC)).cast("double").alias("sum_dist_qty"),
+        )
+    )
+
+
+@query("q_agg_approx_cd")  # approximate: HLL sketches differ across engines → rows-only + unit bound
+def q_agg_approx_cd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct of users per event_type (HLL). Checked by a
+    bounded-relative-error unit test against the exact count, not by
+    hash (sketch internals are engine-specific by design)."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", 0.02).alias("approx_users"))
+    )
+
+
+@query(
+    "q_agg_rollup",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus, {oracle_money_sum('l_quantity')} AS sum_qty, COUNT(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+)
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(money_sum("l_quantity").alias("sum_qty"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "q_agg_cube",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus, {oracle_money_sum('l_quantity')} AS sum_qty, COUNT(*) AS n
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+)
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(money_sum("l_quantity").alias("sum_qty"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "q_agg_gsets",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus, {oracle_money_sum('l_quantity')} AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+""",
+)
+def q_agg_gsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS via the SQL frontend (not expressible in the
+    DataFrame API without union tricks)."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        f"""
+        SELECT l_returnflag, l_linestatus,
+               CAST({oracle_exact_sum('l_quantity')} AS DOUBLE) AS sum_qty
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+        """
+    )
+
+
+@query(
+    "q_agg_filtered",
+    oracle=f"""
+SELECT l_linestatus,
+       {oracle_money_sum("CASE WHEN l_returnflag = 'R' THEN l_extendedprice ELSE 0 END")} AS returned_value,
+       COUNT(CASE WHEN l_quantity > 25 THEN 1 END) AS n_bulk
+FROM lineitem
+GROUP BY l_linestatus
+""",
+)
+def q_agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_linestatus")
+        .agg(
+            money_sum(
+                F.when(F.col("l_returnflag") == "R", F.col("l_extendedprice")).otherwise(F.lit(0.0))
+            ).alias("returned_value"),
+            F.count(F.when(F.col("l_quantity") > 25, F.lit(1))).alias("n_bulk"),
+        )
+    )
+
+
+def _oracle_stats_sql() -> str:
+    # Engine-neutral moments: stddev/var/corr from exact decimal sums of
+    # x, x², y, y², xy — double arithmetic on identical aggregates is
+    # bit-identical, unlike the engines' native streaming estimators.
+    sx = "CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)"
+    sxx = "CAST(CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE)"
+    sy = "CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)"
+    syy = "CAST(CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE)"
+    sxy = "CAST(CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE)"
+    n = "CAST(COUNT(*) AS DOUBLE)"
+    return f"""
+SELECT l_returnflag,
+       ({sxx} - {sx} * {sx} / {n}) / ({n} - 1) AS var_price,
+       SQRT(({sxx} - {sx} * {sx} / {n}) / ({n} - 1)) AS std_price,
+       ({sxy} - {sx} * {sy} / {n})
+         / SQRT(({sxx} - {sx} * {sx} / {n}) * ({syy} - {sy} * {sy} / {n})) AS corr_price_qty
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@query("q_agg_stats", oracle=_oracle_stats_sql())
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample variance / stddev / correlation from exact decimal moment
+    sums (single aggregation pass; see oracle builder for why not the
+    native stddev_samp/corr: their streaming merge order makes the last
+    double bits engine-specific)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_extendedprice")
+    y = F.col("l_quantity")
+    dec8 = "decimal(38,8)"
+    agg = l.groupBy("l_returnflag").agg(
+        exact_sum(x).cast("double").alias("sx"),
+        F.sum((x * x).cast(dec8)).cast("double").alias("sxx"),
+        exact_sum(y).cast("double").alias("sy"),
+        F.sum((y * y).cast(dec8)).cast("double").alias("syy"),
+        F.sum((x * y).cast(dec8)).cast("double").alias("sxy"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+    )
+    var = (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / (F.col("n") - 1)
+    cov_num = F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")
+    var_y_num = F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")
+    var_x_num = F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")
+    return agg.select(
+        "l_returnflag",
+        var.alias("var_price"),
+        F.sqrt(var).alias("std_price"),
+        (cov_num / F.sqrt(var_x_num * var_y_num)).alias("corr_price_qty"),
+    )
+
+
+@query(
+    "q_agg_collect",
+    oracle="""
+SELECT o_orderstatus, list(DISTINCT o_orderpriority ORDER BY o_orderpriority) AS priorities
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.sort_array(F.collect_set("o_orderpriority")).alias("priorities"))
     )

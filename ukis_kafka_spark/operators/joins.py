@@ -1,0 +1,265 @@
+"""Join operators (SURVEY.md §2.2 "Joins").
+
+Scale notes baked into each query:
+- Dim tables (region/nation/supplier) are always broadcast — at 100 TB
+  the fact side never shuffles for those joins.
+- Fact⋈fact equi joins rely on Catalyst's sort-merge/shuffle-hash
+  choice + AQE; keys here (orderkey/custkey) are near-uniform so no
+  salting is needed, and AQE skew-join covers residual skew.
+- The as-of join deliberately avoids a join blow-up: it is a
+  union + last-non-null window, O(n log n) per user partition instead
+  of O(events × purchases).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashsafe import DEC
+from ..registry import query
+from ..sources import load_table
+
+
+@query(
+    "q_join_inner",
+    oracle="""
+SELECT o.o_orderkey, o.o_totalprice, c.c_custkey, c.c_name, c.c_mktsegment
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE o.o_totalprice > 100000
+""",
+)
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 100000)
+    c = load_table(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "o_totalprice", "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@query(
+    "q_join_left",
+    oracle="""
+SELECT c.c_custkey, c.c_mktsegment, o.o_orderkey, o.o_totalprice
+FROM customer c
+LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 250000) o
+  ON o.o_custkey = c.c_custkey
+""",
+)
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 250000)
+    return c.join(o, o.o_custkey == c.c_custkey, "left").select(
+        "c_custkey", "c_mktsegment", "o_orderkey", "o_totalprice"
+    )
+
+
+@query(
+    "q_join_right",
+    oracle="""
+SELECT c.c_custkey, c.c_mktsegment, o.o_orderkey, o.o_totalprice
+FROM (SELECT * FROM orders WHERE o_totalprice > 250000) o
+RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+""",
+)
+def q_join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 250000)
+    c = load_table(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "right").select(
+        "c_custkey", "c_mktsegment", "o_orderkey", "o_totalprice"
+    )
+
+
+@query(
+    "q_join_full",
+    oracle="""
+SELECT a.user_id AS click_user, a.n_click, b.user_id AS buy_user, b.n_buy
+FROM (SELECT user_id, count(*) AS n_click FROM events WHERE event_type = 'click' AND value > 95 GROUP BY user_id) a
+FULL JOIN (SELECT user_id, count(*) AS n_buy FROM events WHERE event_type = 'purchase' AND value > 95 GROUP BY user_id) b
+  ON a.user_id = b.user_id
+""",
+)
+def q_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").where(F.col("value") > 95)
+    a = (
+        e.where(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_click"))
+        .select(F.col("user_id").alias("click_user"), "n_click")
+    )
+    b = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_buy"))
+        .select(F.col("user_id").alias("buy_user"), "n_buy")
+    )
+    return a.join(b, a.click_user == b.buy_user, "full")
+
+
+@query(
+    "q_join_semi",
+    oracle="""
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+""",
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 300000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@query(
+    "q_join_anti",
+    oracle="""
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+""",
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 300000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@query(
+    "q_join_broadcast",
+    oracle="""
+SELECT r.r_name, count(*) AS n_nations
+FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+""",
+)
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit broadcast hint on the small dim — at scale the fact side
+    streams map-side with zero shuffle for the join."""
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("n_nations"))
+    )
+
+
+@query(
+    "q_join_multikey",
+    oracle="""
+SELECT e.event_id, e.user_id, e.event_type, g.n_same
+FROM events e
+JOIN (SELECT user_id, event_type, count(*) AS n_same FROM events GROUP BY user_id, event_type) g
+  ON e.user_id = g.user_id AND e.event_type = g.event_type
+WHERE e.value > 99
+""",
+)
+def q_join_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    g = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n_same"))
+    return (
+        e.where(F.col("value") > 99)
+        .join(g, ["user_id", "event_type"])
+        .select("event_id", "user_id", "event_type", "n_same")
+    )
+
+
+@query(
+    "q_join_theta_range",
+    oracle="""
+SELECT o.o_orderkey, b.band_name
+FROM orders o
+JOIN (VALUES ('low', 0.0, 50000.0), ('mid', 50000.0, 150000.0), ('high', 150000.0, 300000.0)) b(band_name, lo, hi)
+  ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+WHERE o.o_orderstatus = 'F'
+""",
+)
+def q_join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi band join. The band side is 3 rows, so Spark plans a
+    BroadcastNestedLoopJoin — the correct strategy: the fact side
+    streams once with no shuffle."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 50000.0), ("mid", 50000.0, 150000.0), ("high", 150000.0, 300000.0)],
+        "band_name string, lo double, hi double",
+    )
+    return o.join(
+        F.broadcast(bands),
+        (o.o_totalprice >= bands.lo) & (o.o_totalprice < bands.hi),
+    ).select("o_orderkey", "band_name")
+
+
+@query(
+    "q_join_asof",
+    oracle="""
+SELECT e.event_id, e.user_id, p.value AS last_purchase_value
+FROM events e
+ASOF JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+  ON e.user_id = p.user_id AND e.ts >= p.ts
+""",
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event gets the value of the latest preceding
+    (<= ts) purchase by the same user.
+
+    Spark has no batch as-of join, and a join + filter blows up
+    O(events × purchases). Scalable re-expression: union the purchase
+    rows as markers into the event stream, then take
+    last(marker, ignorenulls) over (user, ts, is_marker-first) — one
+    shuffle by user_id, O(n log n) per partition, no blow-up. Events
+    with no preceding purchase drop out (inner as-of semantics).
+    """
+    e = load_table(spark, sf_dir, "events")
+    probe = e.select("event_id", "user_id", "ts", F.lit(None).cast("double").alias("pval"), F.lit(1).alias("is_probe"))
+    marker = (
+        e.where(F.col("event_type") == "purchase")
+        .select(F.lit(None).cast("long").alias("event_id"), "user_id", "ts", F.col("value").alias("pval"), F.lit(0).alias("is_probe"))
+    )
+    # Markers sort before probes at equal ts (is_probe asc) so ts-equal
+    # purchases are visible to the probe (>= semantics).
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("is_probe").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        probe.unionByName(marker)
+        .withColumn("last_purchase_value", F.last("pval", ignorenulls=True).over(w))
+        .where((F.col("is_probe") == 1) & F.col("last_purchase_value").isNotNull())
+        .select("event_id", "user_id", "last_purchase_value")
+    )
+
+
+@query(
+    "q_join_cross",
+    oracle="""
+SELECT r.r_name, s.s_suppkey FROM region r CROSS JOIN supplier s
+""",
+)
+def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load_table(spark, sf_dir, "region")
+    s = load_table(spark, sf_dir, "supplier")
+    return r.crossJoin(s).select("r_name", "s_suppkey")
+
+
+@query(
+    "q_subq_scalar",
+    oracle="""
+SELECT p_partkey, p_retailprice
+FROM part
+WHERE p_retailprice > (
+  SELECT CAST(CAST(SUM(CAST(p_retailprice AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) / COUNT(*)
+  FROM part)
+""",
+)
+def q_subq_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery, hand-decorrelated: 1-row aggregate cross-joined
+    (broadcast) against the table — the plan Catalyst itself produces
+    for an uncorrelated scalar subquery."""
+    p = load_table(spark, sf_dir, "part")
+    avg_df = p.agg(
+        (F.sum(F.col("p_retailprice").cast(DEC)).cast("double") / F.count(F.lit(1))).alias("thr")
+    )
+    return (
+        p.crossJoin(F.broadcast(avg_df))
+        .where(F.col("p_retailprice") > F.col("thr"))
+        .select("p_partkey", "p_retailprice")
+    )

@@ -1,0 +1,186 @@
+"""Window-function operators (SURVEY.md §2.2 "Window functions").
+
+Determinism rules used throughout:
+- every ORDER BY carries a unique-key tiebreak (o_orderkey/event_id),
+- event-time ordering uses ``event_id`` (verified ts-monotone in the
+  corpus; same-user events are seconds apart, so the ns-vs-µs
+  precision mismatch between DuckDB and Spark can never flip an order),
+- frame sums run over exact decimals (hashsafe rules).
+
+Scale: one shuffle on the partition key per window spec; Spark chains
+same-spec window functions into a single Window exec.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashsafe import DEC
+from ..registry import query
+from ..sources import load_table
+
+
+@query(
+    "q_win_rank",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice,
+       rank()       OVER w AS rnk,
+       dense_rank() OVER w AS drnk,
+       row_number() OVER w AS rn
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
+""",
+)
+def q_win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.row_number().over(w).alias("rn"),
+    )
+
+
+@query(
+    "q_win_lag_lead",
+    oracle="""
+SELECT event_id, user_id, value,
+       lag(value)  OVER w AS prev_value,
+       lead(value) OVER w AS next_value,
+       value - lag(value) OVER w AS delta
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+""",
+)
+def q_win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    v = F.col("value")
+    return load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "value",
+        F.lag(v).over(w).alias("prev_value"),
+        F.lead(v).over(w).alias("next_value"),
+        (v - F.lag(v).over(w)).alias("delta"),
+    )
+
+
+@query(
+    "q_win_running",
+    oracle="""
+SELECT event_id, user_id,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(28,10))) OVER (
+         PARTITION BY user_id ORDER BY event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE) AS running_value
+FROM events
+""",
+)
+def q_win_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum per user — exact decimal prefix sums, so every prefix
+    is identical across engines, not just the total."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast(DEC)).over(w).cast("double").alias("running_value"),
+    )
+
+
+@query(
+    "q_win_moving",
+    oracle="""
+SELECT event_id, user_id,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(28,10))) OVER w AS VARCHAR) AS DOUBLE)
+         / COUNT(*) OVER w AS moving_avg
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+""",
+)
+def q_win_moving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving average over a 4-row frame: exact decimal frame sum divided
+    by the frame count (native avg() would round engine-specifically)."""
+    w = Window.partitionBy("user_id").orderBy("event_id").rowsBetween(-3, 0)
+    return load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        (F.sum(F.col("value").cast(DEC)).over(w).cast("double") / F.count(F.lit(1)).over(w)).alias(
+            "moving_avg"
+        ),
+    )
+
+
+@query(
+    "q_win_range_frame",
+    oracle="""
+SELECT o_orderkey, o_orderstatus, o_totalprice,
+       COUNT(*) OVER (
+         PARTITION BY o_orderstatus ORDER BY o_totalprice
+         RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW) AS n_in_band,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,10))) OVER (
+         PARTITION BY o_orderstatus ORDER BY o_totalprice
+         RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE) AS band_sum
+FROM orders
+""",
+)
+def q_win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over a numeric order key: all orders of the same
+    status within 1k price below the current row. Frame membership is
+    a double comparison — identical in both engines — and the frame
+    aggregate is order-insensitive by the range definition.
+
+    Uses the SQL frontend: PySpark's ``rangeBetween`` only accepts
+    integral boundaries, while RANGE over a double key needs a double
+    offset.
+
+    Scale note: Spark's bounded-RANGE frame aggregation is O(rows x
+    frame width) (no incremental eviction, measured 11s->0.5s for
+    10000->100 band at sf0.1), so wide bands over dense keys should be
+    re-expressed as a bucketed self-join; the declared band keeps
+    frames narrow."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_rf")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_orderstatus, o_totalprice,
+               COUNT(*) OVER w AS n_in_band,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(28,10))) OVER w AS DOUBLE) AS band_sum
+        FROM orders_rf
+        WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice
+                     RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW)
+        """
+    )
+
+
+@query(
+    "q_win_ntile_firstlast",
+    oracle="""
+SELECT c_custkey, c_mktsegment, c_acctbal,
+       ntile(4) OVER w AS quartile,
+       first_value(c_custkey) OVER w AS richest_cust,
+       last_value(c_custkey) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS poorest_cust
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC)
+""",
+)
+def q_win_ntile_firstlast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.ntile(4).over(w).alias("quartile"),
+        F.first("c_custkey").over(w).alias("richest_cust"),
+        F.last("c_custkey").over(w_full).alias("poorest_cust"),
+    )

@@ -30,6 +30,9 @@ def _tune(spark: SparkSession) -> None:
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    # events.ts is TIMESTAMP(NANOS) in parquet, which Spark 4 refuses by
+    # default; read as long and convert in sources.load_table.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
 
 def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn]:
