@@ -12,6 +12,10 @@ from pyspark.sql import DataFrame, SparkSession
 
 # Import for registration side effects — every module below registers
 # its queries/oracles with ukis_kafka_spark.registry.
+from .functions import scalars, udfs  # noqa: F401
+from .ml import dedup, similarity, text  # noqa: F401
+from .spatial import geo  # noqa: F401
+from .streaming import batch_windows  # noqa: F401
 from .operators import (  # noqa: F401
     aggregates,
     filters,

@@ -1,0 +1,138 @@
+"""UDF / UDAF / UDTF surface (SURVEY.md §2.2 "UDF surface").
+
+These queries deliberately cross the Python boundary — that is what
+they test. Everything else in the engine stays JVM-side; the patterns
+here are the sanctioned escape hatches, ordered by preference:
+
+1. ``pandas_udf`` (Arrow-batched, vectorized) — the default slow path.
+2. ``applyInPandas`` / GROUPED_AGG for custom per-group aggregation.
+3. Row-at-a-time ``udf`` — parity demo only; never in a hot path.
+4. Python UDTF (Spark 4) — table-valued expansion.
+
+Determinism notes: the grouped UDAF uses ``math.fsum`` over
+exactly-representable integer products, so its result is
+order-independent and matches the SQL twin bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf, udf
+
+from ..registry import query
+from ..sources import load_table
+
+
+@udf(returnType=T.StringType())
+def _price_band_py(price: float) -> str:
+    if price is None:
+        return None
+    if price > 200000:
+        return "high"
+    if price > 100000:
+        return "mid"
+    return "low"
+
+
+@query(
+    "u_py_udf",
+    oracle="""
+SELECT o_orderkey,
+       CASE WHEN o_totalprice > 200000 THEN 'high'
+            WHEN o_totalprice > 100000 THEN 'mid'
+            ELSE 'low' END AS band
+FROM orders
+""",
+)
+def u_py_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python UDF (parity surface; ~10-100x slower than
+    the built-in CASE — kept out of every other query)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select("o_orderkey", _price_band_py(F.col("o_totalprice")).alias("band"))
+
+
+@pandas_udf(T.DoubleType())
+def _capped_fee_pandas(price: pd.Series) -> pd.Series:
+    # vectorized; per-element IEEE ops → engine-deterministic
+    return (price * 0.01).clip(upper=500.0)
+
+
+@query(
+    "u_pandas_udf",
+    oracle="""
+SELECT o_orderkey, least(o_totalprice * 0.01, 500.0) AS fee
+FROM orders
+""",
+)
+def u_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched Series→Series pandas UDF, same semantics as the
+    SQL LEAST twin."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select("o_orderkey", _capped_fee_pandas(F.col("o_totalprice")).alias("fee"))
+
+
+@pandas_udf(T.DoubleType())
+def _weighted_avg_qty(qty: pd.Series, weight: pd.Series) -> float:
+    # GROUPED_AGG. fsum = exactly-rounded sum → order-independent; the
+    # products are integers (exact doubles), so this equals the SQL
+    # SUM(x*w)/SUM(w) twin bit-for-bit.
+    num = math.fsum((qty * weight).tolist())
+    den = math.fsum(weight.tolist())
+    return num / den if den else None
+
+
+@query(
+    "u_grouped_udaf",
+    oracle="""
+SELECT l_returnflag, SUM(l_quantity * l_linenumber) / SUM(l_linenumber) AS w_avg_qty
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def u_grouped_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom weighted-average UDAF via GROUPED_AGG pandas_udf."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        _weighted_avg_qty(F.col("l_quantity"), F.col("l_linenumber").cast("double")).alias(
+            "w_avg_qty"
+        )
+    )
+
+
+@query(
+    "u_udtf",
+    oracle="""
+SELECT d.doc_id, t.tok, t.pos
+FROM documents d,
+     (SELECT unnest(string_split(d.text, ' ')) AS tok,
+             generate_subscripts(string_split(d.text, ' '), 1) AS pos) t
+WHERE d.doc_id < 50
+""",
+)
+def u_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4): explode a document into (doc_id, token,
+    1-based position) rows. The lateral-join shape is the same the
+    posexplode fast path would produce; the UDTF exists to cover the
+    table-function surface."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, tok string, pos int")
+    class Tokenize:
+        def eval(self, doc_id: int, text: str):
+            if text is None:
+                return
+            for i, tok in enumerate(text.split(" ")):
+                yield doc_id, tok, i + 1
+
+    spark.udtf.register("tokenize_docs", Tokenize)
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    d.createOrReplaceTempView("docs_udtf")
+    return spark.sql(
+        "SELECT t.doc_id, t.tok, t.pos FROM docs_udtf d, LATERAL tokenize_docs(d.doc_id, d.text) t"
+    )

@@ -1,0 +1,242 @@
+"""Deduplication operators over ``documents`` (training-data-pipeline
+suite: exact, MinHash+LSH, SimHash, n-gram Jaccard).
+
+Scale design (the whole point of these):
+- exact dedup = hash aggregate on the text (or a digest of it at
+  100 TB: group on xxhash64(text) then resolve collisions) — one
+  shuffle, no pairwise anything.
+- near-dup never enumerates O(n²) pairs: MinHash signatures are
+  banded and only same-bucket candidates join (LSH), so the join is
+  |buckets| × small-bucket², and SimHash pairs only meet via 16-bit
+  band equality. Candidate verification is exact and cheap.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..registry import query
+from ..sources import load_table
+
+# MinHash parameters: 12 hashes = 4 bands × 3 rows. Small because the
+# corpus's planted duplicates are near-identical; raise for fuzzier
+# thresholds. Affine hashers over the 31-bit Mersenne prime so that
+# h*a+b stays < 2^62 (Spark 4 runs ANSI mode: long overflow throws).
+_P = (1 << 31) - 1
+_N_HASH = 12
+_BANDS = 4
+_ROWS = _N_HASH // _BANDS
+# fixed odd constants (deterministic across runs — no RNG at plan time)
+_AS = [(2 * i * 0x9E3779B1 + 1) % _P for i in range(1, _N_HASH + 1)]
+_BS = [(i * 0x85EBCA77 + 7) % _P for i in range(1, _N_HASH + 1)]
+
+
+def _shingles(text_col: F.Column, k: int = 3) -> F.Column:
+    """Distinct k-token shingles of a space-tokenized text, via
+    higher-order functions only (no explode → no row blow-up)."""
+    toks = F.split(text_col, " ")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i, k), " "))
+    )
+
+
+@query(
+    "m_exact_dedup",
+    oracle="""
+SELECT min(doc_id) AS keep_id, count(*) AS n_copies, min(n_chars) AS n_chars
+FROM documents
+GROUP BY text
+""",
+)
+def m_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: keep the smallest doc_id per identical text.
+    One hash aggregate; at 100 TB group on xxhash64(text) first so the
+    shuffle carries 8-byte keys instead of documents."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("text").agg(
+        F.min("doc_id").alias("keep_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min("n_chars").alias("n_chars"),
+    ).drop("text")
+
+
+@query("m_near_dedup")  # rows-only: minhash uses engine-specific xxhash64
+def m_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-duplicate pairs.
+
+    Pipeline: 3-token shingles → 12 minhashes (affine hashers over
+    xxhash64) → 4 bands × 3 rows → explode bands → self-join on
+    (band_idx, band_signature) → exact Jaccard verify ≥ 0.6.
+
+    The only explode is per-band (4 rows/doc); candidate pairs are
+    bucket-local, so no O(n²) stage exists. Verified by a
+    planted-duplicate unit test + a hypothesis Jaccard-estimate bound.
+    """
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = d.select("doc_id", _shingles(F.col("text")).alias("sh"))
+
+    def minhash(i: int) -> F.Column:
+        return F.array_min(
+            F.transform(
+                F.col("sh"),
+                lambda s: (F.abs(F.xxhash64(s)) % _P * _AS[i] + _BS[i]) % _P,
+            )
+        )
+
+    sig = sh.select(
+        "doc_id",
+        "sh",
+        F.array(*[minhash(i) for i in range(_N_HASH)]).alias("sig"),
+    )
+    bands = sig.select(
+        "doc_id",
+        "sh",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "_",
+                        *[F.element_at(F.col("sig"), b * _ROWS + r + 1) for r in range(_ROWS)],
+                    )
+                    for b in range(_BANDS)
+                ]
+            )
+        ).alias("band_idx", "band_sig"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        cand.withColumn("jaccard", inter.cast("double") / union)
+        .where(F.col("jaccard") >= 0.6)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+@query("m_simhash")  # rows-only: bit votes ride on engine-specific token hashes
+def m_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-64 near-duplicate pairs: per-token md5-derived 64-bit
+    hash → per-bit majority vote → fingerprint → candidate pairs share
+    one of four 16-bit bands → Hamming distance ≤ 3 via bit_count.
+
+    The bit vote is a vectorized numpy kernel behind an Arrow-batched
+    pandas UDF (a 64-lane JVM array fold is interpreted, not
+    codegen'd — measured 147 s vs ~2 s at sf0.1). Banding, the
+    self-join, and the Hamming filter stay JVM-side."""
+    import hashlib
+
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(T.LongType())
+    def simhash64(text: pd.Series) -> pd.Series:
+        out = np.empty(len(text), dtype=np.int64)
+        for i, t in enumerate(text):
+            toks = set(t.split(" ")) if t else set()
+            if not toks:
+                out[i] = 0
+                continue
+            hs = np.frombuffer(
+                b"".join(hashlib.md5(tok.encode()).digest()[:8] for tok in toks),
+                dtype=np.uint64,
+            )
+            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int32)
+            votes = (2 * bits - 1).sum(axis=0)
+            fp = np.uint64(0)
+            for b in np.nonzero(votes > 0)[0]:
+                fp |= np.uint64(1) << np.uint64(b)
+            out[i] = np.int64(fp & np.uint64(0x7FFFFFFFFFFFFFFF))  # keep sign bit clear
+        return pd.Series(out)
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sims = d.select("doc_id", simhash64(F.col("text")).alias("simhash"))
+    banded = sims.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), b * 16).bitwiseAND(F.lit(0xFFFF).cast("long"))
+                    for b in range(4)
+                ]
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .where(ham <= 3)
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+@query(
+    "m_ngram_jaccard",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM documents
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM toks a JOIN toks b ON a.tok = b.tok AND b.doc_id = a.doc_id + 1
+  GROUP BY a.doc_id, b.doc_id
+), sizes AS (
+  SELECT doc_id, count(DISTINCT tok) AS n FROM toks GROUP BY doc_id
+)
+SELECT p.id_a, p.id_b,
+       CAST(p.n_inter AS DOUBLE) / (sa.n + sb.n - p.n_inter) AS jaccard
+FROM pairs p JOIN sizes sa ON sa.doc_id = p.id_a JOIN sizes sb ON sb.doc_id = p.id_b
+WHERE p.n_inter > 0
+""",
+)
+def m_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-set Jaccard similarity of adjacent doc_id pairs (a
+    deterministic, linear-size pair set — the operator under test is
+    the set-similarity kernel, not pair enumeration)."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.array_distinct(F.split("text", " ")).alias("toks"))
+    a = t.alias("a")
+    b = t.select((F.col("doc_id") - 1).alias("join_id"), F.col("doc_id").alias("id_b"), F.col("toks").alias("toks_b"))
+    inter = F.size(F.array_intersect(F.col("toks"), F.col("toks_b")))
+    union = F.size(F.array_union(F.col("toks"), F.col("toks_b")))
+    return (
+        a.join(b, F.col("doc_id") == F.col("join_id"))
+        .where(inter > 0)
+        .select(
+            F.col("doc_id").alias("id_a"),
+            "id_b",
+            (inter.cast("double") / union).alias("jaccard"),
+        )
+    )

@@ -1,0 +1,254 @@
+"""Similarity search over ``embeddings`` (training-data-pipeline
+suite: brute-force cosine top-k baseline, kNN label vote, LSH-bucketed
+ANN as the scale path).
+
+Determinism: the pair kernels emit cosine rounded to 6 dp. GEMM
+(numpy/BLAS), Spark's sequential ``aggregate`` fold, and DuckDB's
+``list_reduce`` all approximate the true 64-term sum within ~1e-15
+relative, so at the 1e-6 grid they agree; ordering/threshold decisions
+use the rounded value + id tiebreaks, so both engines select the same
+rows. The kNN query keeps the JVM fold (broadcast query block — tiny).
+
+Scale design: the blocked-GEMM kernel ships each vector once per
+block-pair and does the O(n²·d) arithmetic in BLAS — no pair rows
+exist before the filter. The LSH variant buckets by random-hyperplane
+signs so candidates are bucket-local; at 100 TB, block-pairs are
+pruned by LSH/IVF before the GEMM stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources import load_table
+
+_DIM = 64
+
+
+def _as_double(arr: Column) -> Column:
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Sequential left-fold dot product in double precision."""
+    return F.aggregate(
+        F.zip_with(_as_double(a), _as_double(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(arr: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(arr, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+_ORACLE_DOT = (
+    "list_reduce(list_transform(range(1, {dim1}), "
+    "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y)"
+).format(dim1=_DIM + 1)
+_ORACLE_NORM_A = (
+    "sqrt(list_reduce(list_transform(a.embedding, "
+    "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))"
+)
+_ORACLE_NORM_B = (
+    "sqrt(list_reduce(list_transform(b.embedding, "
+    "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))"
+)
+
+def _blocked_cosine_pairs(e: DataFrame, block: int = 1024) -> DataFrame:
+    """All (id_a < id_b) vector pairs with cosine similarity, computed
+    block-wise: vectors are shipped once per block-pair and each block
+    pair is one float64 GEMM inside an Arrow-batched applyInPandas.
+
+    This is the 100 TB shape: pair rows never materialize — only the
+    O(n²/B²) block-pair keys do, each carrying O(B·d) data, and the
+    n² arithmetic happens in BLAS. (A per-pair array fold is an
+    interpreted expression per element: measured 33 s → ~2 s at sf0.1.)
+    Emits cos_sim rounded Spark-side to 6 dp; at that grid GEMM,
+    sequential-fold, and DuckDB list_reduce agree bit-for-bit.
+    """
+    import numpy as np
+
+    v = e.select("vec_id", "embedding", F.floor(F.col("vec_id") / block).alias("blk"))
+    blocks = v.select("blk").distinct()
+    bp = (
+        blocks.alias("x")
+        .crossJoin(blocks.alias("y"))
+        .where(F.col("x.blk") <= F.col("y.blk"))
+        .select(F.col("x.blk").alias("ba"), F.col("y.blk").alias("bb"))
+    )
+    a_side = (
+        v.join(F.broadcast(bp), v.blk == bp.ba)
+        .select("ba", "bb", F.lit(0).alias("side"), "vec_id", "embedding")
+    )
+    b_side = (
+        v.join(F.broadcast(bp), v.blk == bp.bb)
+        .select("ba", "bb", F.lit(1).alias("side"), "vec_id", "embedding")
+    )
+
+    def gemm(pdf):
+        import pandas as pd
+
+        a = pdf[pdf.side == 0]
+        b = pdf[pdf.side == 1]
+        A = np.stack(a.embedding.to_numpy()).astype(np.float64)
+        B = np.stack(b.embedding.to_numpy()).astype(np.float64)
+        cos = (A @ B.T) / np.outer(
+            np.sqrt((A * A).sum(axis=1)), np.sqrt((B * B).sum(axis=1))
+        )
+        ia = a.vec_id.to_numpy()
+        ib = b.vec_id.to_numpy()
+        ii, jj = np.meshgrid(np.arange(len(ia)), np.arange(len(ib)), indexing="ij")
+        keep = ia[ii] < ib[jj]
+        return pd.DataFrame(
+            {"id_a": ia[ii][keep], "id_b": ib[jj][keep], "cos_sim": cos[keep]}
+        )
+
+    pairs = (
+        a_side.unionByName(b_side)
+        .groupBy("ba", "bb")
+        .applyInPandas(gemm, "id_a long, id_b long, cos_sim double")
+    )
+    return pairs.select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
+
+
+
+@query(
+    "m_cosine_topk",
+    oracle=f"""
+SELECT id_a, id_b, round(cos_sim, 6) AS cos_sim FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         {_ORACLE_DOT} / ({_ORACLE_NORM_A} * {_ORACLE_NORM_B}) AS cos_sim
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+)
+ORDER BY round(cos_sim, 6) DESC, id_a ASC, id_b ASC
+LIMIT 20
+""",
+)
+def m_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most-similar embedding pairs via the blocked-GEMM pair
+    kernel; TakeOrderedAndProject keeps the top-k without a global
+    sort. Ordering is on the 6 dp-rounded value with id tiebreaks, so
+    both engines select identical pairs."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return (
+        _blocked_cosine_pairs(e)
+        .orderBy(F.col("cos_sim").desc(), F.col("id_a").asc(), F.col("id_b").asc())
+        .limit(20)
+    )
+
+
+@query(
+    "m_knn_label",
+    oracle=f"""
+WITH sims AS (
+  SELECT a.vec_id AS qid, b.label,
+         row_number() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY {_ORACLE_DOT} / ({_ORACLE_NORM_A} * {_ORACLE_NORM_B}) DESC, b.vec_id ASC) AS rn
+  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+  WHERE a.vec_id < 20
+)
+SELECT qid, label AS knn_label FROM (
+  SELECT qid, label, count(*) AS votes,
+         row_number() OVER (PARTITION BY qid ORDER BY count(*) DESC, label ASC) AS r
+  FROM sims WHERE rn <= 5 GROUP BY qid, label
+) WHERE r = 1
+""",
+)
+def m_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-NN majority label for the first 20 vectors (query block ⋈
+    corpus). The query side is a broadcast block — the pattern that
+    scales by iterating blocks instead of materializing n² pairs."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = (
+        e.where(F.col("vec_id") < 20)
+        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("emb_q"))
+        .withColumn("nrm_q", _norm(F.col("emb_q")))
+    )
+    c = e.select("vec_id", "label", "embedding").withColumn("nrm_c", _norm(F.col("embedding")))
+    pairs = F.broadcast(q).join(c, F.col("vec_id") != F.col("qid"))
+    cos = _dot(F.col("emb_q"), F.col("embedding")) / (F.col("nrm_q") * F.col("nrm_c"))
+    w_rank = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+    top5 = (
+        pairs.select("qid", "vec_id", "label", cos.alias("cos_sim"))
+        .withColumn("rn", F.row_number().over(w_rank))
+        .where(F.col("rn") <= 5)
+    )
+    w_vote = Window.partitionBy("qid").orderBy(F.col("votes").desc(), F.col("label").asc())
+    return (
+        top5.groupBy("qid", "label")
+        .agg(F.count(F.lit(1)).alias("votes"))
+        .withColumn("r", F.row_number().over(w_vote))
+        .where(F.col("r") == 1)
+        .select("qid", F.col("label").alias("knn_label"))
+    )
+
+
+@query("m_ann_lsh")  # rows-only: hyperplane constants make results heuristic by design
+def m_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN via random-hyperplane LSH: 8 sign bits from fixed
+    pseudo-random hyperplanes → bucket → pairs only within a bucket.
+    The scale path for m_cosine_topk: candidate count collapses from
+    n² to Σ bucket². A unit test checks recall ≥ 0.5 of the true
+    top-20 on the corpus (planted structure makes real neighbors
+    collide)."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # deterministic "hyperplanes": h_k[i] = ((k*131 + i*31) % 17) - 8
+    def plane_dot(k: int) -> Column:
+        return F.aggregate(
+            F.zip_with(
+                _as_double(F.col("embedding")),
+                F.sequence(F.lit(0), F.lit(_DIM - 1)),
+                lambda x, i: x * (((F.lit(k) * 131 + i * 31) % 17) - 8).cast("double"),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    sig = F.concat_ws(
+        "", *[F.when(plane_dot(k) >= 0, "1").otherwise("0") for k in range(8)]
+    )
+    buck = e.withColumn("bucket", sig).withColumn("nrm", _norm(F.col("embedding")))
+    a = buck.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"), F.col("bucket").alias("bucket_a"),
+    )
+    b = buck.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"), F.col("bucket").alias("bucket_b"),
+    )
+    pairs = a.join(b, (F.col("bucket_a") == F.col("bucket_b")) & (F.col("id_a") < F.col("id_b")))
+    cos = _dot(F.col("emb_a"), F.col("emb_b")) / (F.col("nrm_a") * F.col("nrm_b"))
+    return (
+        pairs.select("id_a", "id_b", cos.alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col("id_a").asc(), F.col("id_b").asc())
+        .limit(20)
+    )
+
+
+@query(
+    "m_embed_dup",
+    oracle=f"""
+SELECT id_a, id_b, round(cos_sim, 6) AS cos_sim FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         {_ORACLE_DOT} / ({_ORACLE_NORM_A} * {_ORACLE_NORM_B}) AS cos_sim
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+)
+WHERE round(cos_sim, 6) >= 0.99
+""",
+)
+def m_embed_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos ≥ 0.99) — the
+    embedding-space member of the dedup suite, on the blocked-GEMM
+    pair kernel."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return _blocked_cosine_pairs(e).where(F.col("cos_sim") >= 0.99)

@@ -1,0 +1,193 @@
+"""Text-analysis operators over the ``documents`` corpus
+(SURVEY.md §2.2 "LLM-pipeline extensions" + the training-data-pipeline
+text suite: token counting, quality scoring, language-ID heuristic,
+document fingerprinting).
+
+Everything here is built-in-function only (split / explode /
+higher-order folds) — token-level processing stays JVM-side and
+parallelizes per-document with no shuffle until the final aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashsafe import DEC
+from ..registry import query
+from ..sources import load_table
+
+MOD = 1_000_000_007
+
+
+@query(
+    "m_text_stats",
+    oracle="""
+SELECT doc_id, lang,
+       len(string_split(text, ' ')) AS n_tokens,
+       CAST(n_chars - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+         / len(string_split(text, ' ')) AS avg_tok_len
+FROM documents
+""",
+)
+def m_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token count + average token length. For
+    single-space-joined text, sum(token lengths) = n_chars - (n-1), so
+    the average is integer arithmetic + one division → deterministic."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.col("text"), " "))
+    return d.select(
+        "doc_id",
+        "lang",
+        n_tok.alias("n_tokens"),
+        ((F.col("n_chars") - (n_tok - 1)).cast("double") / n_tok).alias("avg_tok_len"),
+    )
+
+
+@query(
+    "m_term_freq",
+    oracle="""
+SELECT source, tok, n FROM (
+  SELECT source, tok, count(*) AS n,
+         row_number() OVER (PARTITION BY source ORDER BY count(*) DESC, tok ASC) AS rn
+  FROM (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY source, tok
+) WHERE rn <= 5
+""",
+)
+def m_term_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 terms per source: explode → count → per-group top-k.
+    Map-side partial aggregation keeps the exploded shuffle small."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.col("n").desc(), F.col("tok").asc())
+    return (
+        d.select("source", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select("source", "tok", "n")
+    )
+
+
+_LANGS = ["de", "en", "es", "fr", "zh"]
+
+
+@query(
+    "m_pivot_lang",
+    oracle="""
+SELECT source,
+       COUNT(CASE WHEN lang = 'de' THEN 1 END) AS de,
+       COUNT(CASE WHEN lang = 'en' THEN 1 END) AS en,
+       COUNT(CASE WHEN lang = 'es' THEN 1 END) AS es,
+       COUNT(CASE WHEN lang = 'fr' THEN 1 END) AS fr,
+       COUNT(CASE WHEN lang = 'zh' THEN 1 END) AS zh
+FROM documents
+GROUP BY source
+""",
+)
+def m_pivot_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docs count pivot lang × source. Pinning the pivot values keeps
+    the plan a single pass (no extra distinct-values job) — the right
+    shape at scale."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("source").pivot("lang", _LANGS).count().na.fill(0, _LANGS)
+
+
+@query(
+    "m_lang_id",
+    oracle="""
+SELECT doc_id, lang,
+       CASE WHEN contains(text, 'stream') OR contains(text, 'window') THEN 'en'
+            WHEN contains(text, 'join') THEN 'de'
+            WHEN len(string_split(text, ' ')) % 2 = 0 THEN 'es'
+            ELSE 'fr' END AS lang_pred
+FROM documents
+""",
+)
+def m_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (marker-token n-gram rule). The corpus text
+    is synthetic, so the rule is a deterministic stand-in: the point is
+    the operator shape (cheap per-row classify, no shuffle), not
+    linguistic accuracy — swap the rule for a real n-gram profile table
+    + broadcast join on real data."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        "lang",
+        F.when(t.contains("stream") | t.contains("window"), "en")
+        .when(t.contains("join"), "de")
+        .when(F.size(F.split(t, " ")) % 2 == 0, "es")
+        .otherwise("fr")
+        .alias("lang_pred"),
+    )
+
+
+@query(
+    "m_quality_score",
+    oracle="""
+SELECT doc_id,
+       n_tokens,
+       stop_hits,
+       CAST(stop_hits AS DOUBLE) / n_tokens AS stopword_ratio,
+       0.5 * least(n_tokens, 50) / 50.0 + 0.5 * (CAST(stop_hits AS DOUBLE) / n_tokens) AS quality
+FROM (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_tokens,
+         len(list_filter(string_split(text, ' '),
+             t -> t IN ('spark', 'join', 'filter', 'window'))) AS stop_hits
+  FROM documents
+)
+""",
+)
+def m_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score: length saturation + stopword ratio.
+    Pure integer counting + a fixed double formula → deterministic."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    stop = F.size(
+        F.filter(toks, lambda t: t.isin("spark", "join", "filter", "window"))
+    )
+    n = F.size(toks)
+    return d.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        stop.alias("stop_hits"),
+        (stop.cast("double") / n).alias("stopword_ratio"),
+        (
+            F.lit(0.5) * F.least(n, F.lit(50)) / 50.0
+            + F.lit(0.5) * (stop.cast("double") / n)
+        ).alias("quality"),
+    )
+
+
+@query(
+    "m_fingerprint",
+    oracle=f"""
+SELECT doc_id,
+       list_reduce(
+         list_transform(string_split(text, ' '),
+                        t -> CAST(ascii(t) * 131 + length(t) AS BIGINT)),
+         (a, b) -> (a * 31 + b) % {MOD}) AS fp
+FROM documents
+""",
+)
+def m_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling-hash document fingerprint, computed as a
+    sequential fold over token values — order-sensitive by design
+    (captures token order, unlike a bag-of-words hash) yet engine-pure:
+    integer arithmetic mod 1e9+7 only.
+
+    Fold-alignment note: DuckDB's list_reduce has no initial
+    accumulator (starts at the first element); Spark's aggregate starts
+    at 0, and (0*31 + v1) % MOD = v1, so both folds are identical."""
+    d = load_table(spark, sf_dir, "documents")
+    vals = F.transform(
+        F.split(F.col("text"), " "),
+        lambda t: (F.ascii(t) * 131 + F.length(t)).cast("long"),
+    )
+    fp = F.aggregate(
+        vals, F.lit(0).cast("long"), lambda acc, v: (acc * 31 + v) % F.lit(MOD).cast("long")
+    )
+    return d.select("doc_id", fp.alias("fp"))

@@ -1,0 +1,199 @@
+"""Spatial operators (SURVEY.md §2.2 "Spatial", reference parity
+R4–R6: spatial filtering, geometry validation, reprojection).
+
+The corpus has no geometry column, so each query derives deterministic
+lon/lat from existing numerics *inside the query* (documented formula,
+reproduced in the oracle SQL):
+
+    lon = value * 3.6 - 180        (value ∈ [0,100) → lon ∈ [-180,180))
+    lat = (user_id * 7 % 180) - 90 (integer arithmetic → exact)
+
+Everything except point-in-polygon and the WKB codec is plain column
+math inside whole-stage codegen. Transcendentals (sin/cos/ln/atan2)
+are emitted rounded to 4 dp (km) / 2 dp (m): JVM Math and libm differ
+by ~1 ULP, which near-pole derivative blow-up amplifies to ~1e-10
+relative — far below these grids, far above anything physical.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from ..registry import query
+from ..sources import load_table
+
+_LON = "(value * 3.6 - 180)"
+_LAT = "((user_id * 7 % 180) - 90)"
+
+
+def _lon() -> Column:
+    return F.col("value") * 3.6 - 180
+
+
+def _lat() -> Column:
+    return (F.col("user_id") * 7 % 180 - 90).cast("double")
+
+
+@query(
+    "g_bbox_filter",
+    oracle=f"""
+SELECT event_id, {_LON} AS lon, CAST({_LAT} AS DOUBLE) AS lat
+FROM events
+WHERE {_LON} BETWEEN -10 AND 40 AND {_LAT} BETWEEN 35 AND 70
+""",
+)
+def g_bbox_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounding-box point filter (roughly Europe). Plain BETWEEN on
+    derived coordinates — pushes to the scan like any predicate; with a
+    grid-cell partition column this becomes partition pruning at scale."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.select("event_id", _lon().alias("lon"), _lat().alias("lat"))
+        .where(F.col("lon").between(-10, 40) & F.col("lat").between(35, 70))
+    )
+
+
+@query(
+    "g_haversine",
+    oracle=f"""
+SELECT event_id,
+       round(2 * 6371.0088 * asin(sqrt(
+         pow(sin(radians(({_LAT}) - 52.52) / 2), 2)
+         + cos(radians({_LAT})) * cos(radians(52.52))
+           * pow(sin(radians(({_LON}) - 13.405) / 2), 2)
+       )), 4) AS dist_berlin_km
+FROM events
+WHERE event_type = 'purchase'
+""",
+)
+def g_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Great-circle distance to Berlin (13.405 E, 52.52 N), haversine
+    formula in column expressions."""
+    e = load_table(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    lat1 = F.radians(_lat())
+    lat2 = F.radians(F.lit(52.52))
+    dlat = F.radians(_lat() - F.lit(52.52))
+    dlon = F.radians(_lon() - F.lit(13.405))
+    a = F.pow(F.sin(dlat / 2), 2) + F.cos(lat1) * F.cos(lat2) * F.pow(F.sin(dlon / 2), 2)
+    dist = F.lit(2 * 6371.0088) * F.asin(F.sqrt(a))
+    return e.select("event_id", F.round(dist, 4).alias("dist_berlin_km"))
+
+
+@query(
+    "g_bbox_join",
+    oracle=f"""
+SELECT e.event_id, z.zone_name
+FROM events e
+JOIN (VALUES ('europe', -10.0, 40.0, 35.0, 70.0),
+             ('n_america', -130.0, -60.0, 25.0, 55.0),
+             ('east_asia', 100.0, 150.0, 20.0, 50.0)) z(zone_name, lon_min, lon_max, lat_min, lat_max)
+  ON {_LON} BETWEEN z.lon_min AND z.lon_max
+ AND {_LAT} BETWEEN z.lat_min AND z.lat_max
+""",
+)
+def g_bbox_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bbox-overlap theta join of points against a broadcast zone table
+    (BroadcastNestedLoop — the right plan for a tiny dim; at scale, add
+    a grid-cell equi-key to both sides to make it an equi join)."""
+    e = load_table(spark, sf_dir, "events")
+    zones = spark.createDataFrame(
+        [
+            ("europe", -10.0, 40.0, 35.0, 70.0),
+            ("n_america", -130.0, -60.0, 25.0, 55.0),
+            ("east_asia", 100.0, 150.0, 20.0, 50.0),
+        ],
+        "zone_name string, lon_min double, lon_max double, lat_min double, lat_max double",
+    )
+    pts = e.select("event_id", _lon().alias("lon"), _lat().alias("lat"))
+    return pts.join(
+        F.broadcast(zones),
+        F.col("lon").between(F.col("lon_min"), F.col("lon_max"))
+        & F.col("lat").between(F.col("lat_min"), F.col("lat_max")),
+    ).select("event_id", "zone_name")
+
+
+@query(
+    "g_reproject",
+    oracle=f"""
+SELECT event_id,
+       round(6378137.0 * radians({_LON}), 2) AS mercator_x,
+       round(6378137.0 * ln(tan(pi() / 4 + radians({_LAT}) / 2)), 2) + 0.0 AS mercator_y
+FROM events
+WHERE {_LAT} BETWEEN -85 AND 85
+""",
+)
+def g_reproject(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EPSG:4326 → EPSG:3857 (Web-Mercator) reprojection as exact
+    column math (R6 parity: the reference shells out to PostGIS for
+    this; sphere-Mercator needs no library)."""
+    e = load_table(spark, sf_dir, "events")
+    x = F.lit(6378137.0) * F.radians(_lon())
+    y = F.lit(6378137.0) * F.log(F.tan(F.lit(3.141592653589793) / 4 + F.radians(_lat()) / 2))
+    return (
+        e.where(_lat().between(-85, 85))
+        # + 0.0 collapses IEEE -0.0 to 0.0 (engines disagree on the
+        # sign of round()'s zero at lat = 0)
+        .select(
+            "event_id",
+            F.round(x, 2).alias("mercator_x"),
+            (F.round(y, 2) + F.lit(0.0)).alias("mercator_y"),
+        )
+    )
+
+
+# A deterministic test polygon (star-shaped, with a hole) for
+# point-in-polygon: shell + hole rings in lon/lat space.
+_SHELL = ((-20.0, 30.0), (50.0, 30.0), (50.0, 75.0), (-20.0, 75.0), (-20.0, 30.0))
+_HOLE = ((0.0, 45.0), (20.0, 45.0), (20.0, 60.0), (0.0, 60.0), (0.0, 45.0))
+
+
+@pandas_udf(T.BooleanType())
+def _pip_udf(lon: pd.Series, lat: pd.Series) -> pd.Series:
+    from .wkb import point_in_polygon
+
+    rings = (_SHELL, _HOLE)
+    return pd.Series([point_in_polygon(x, y, rings) for x, y in zip(lon, lat)])
+
+
+@query("g_point_in_poly")  # rows-only: ray casting is not reasonably SQL-expressible
+def g_point_in_poly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-polygon (ray casting, polygon with a hole) as an
+    Arrow-batched pandas UDF — the sanctioned slow path; golden-point
+    unit tests pin the geometry semantics."""
+    e = load_table(spark, sf_dir, "events")
+    pts = e.select("event_id", _lon().alias("lon"), _lat().alias("lat"))
+    return pts.withColumn("in_poly", _pip_udf(F.col("lon"), F.col("lat"))).where(
+        F.col("in_poly")
+    )
+
+
+@query("g_wkb_serde")  # rows-only: binary round-trip, hypothesis-tested in unit suite
+def g_wkb_serde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WKB encode/decode round-trip over BinaryType columns (R2/R3
+    envelope parity): derive a point per event, encode to WKB in one
+    pandas UDF, decode in another, assert the coordinates survive."""
+    from .wkb import decode_wkb, encode_wkb
+
+    @pandas_udf(T.BinaryType())
+    def to_wkb(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        return pd.Series(
+            [encode_wkb(("POINT", (x, y))) for x, y in zip(lon, lat)], dtype=object
+        )
+
+    @pandas_udf(T.DoubleType())
+    def wkb_lon(b: pd.Series) -> pd.Series:
+        return pd.Series([decode_wkb(v)[1][0] for v in b])
+
+    e = load_table(spark, sf_dir, "events")
+    pts = e.select("event_id", _lon().alias("lon"), _lat().alias("lat"))
+    return (
+        pts.withColumn("wkb", to_wkb(F.col("lon"), F.col("lat")))
+        .withColumn("lon_rt", wkb_lon(F.col("wkb")))
+        .select("event_id", "lon", "lon_rt", F.octet_length("wkb").alias("wkb_len"))
+        .where(F.col("lon") == F.col("lon_rt"))  # exact round-trip
+    )
