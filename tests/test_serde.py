@@ -1,0 +1,84 @@
+"""Property tests for the WKB codec and the msgpack-subset envelope
+(SURVEY.md §5: serialization round-trips are the reference's own test
+center of gravity)."""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ukis_kafka_spark.sources.envelope import make_envelope, packb, read_envelope, unpackb
+from ukis_kafka_spark.spatial.wkb import decode_wkb, encode_wkb, point_in_polygon
+
+finite = st.floats(allow_nan=False, allow_infinity=False, width=64)
+coord = st.tuples(finite, finite)
+ring = st.lists(coord, min_size=3, max_size=8).map(lambda pts: tuple(pts + [pts[0]]))
+
+
+@given(coord)
+def test_wkb_point_roundtrip(pt):
+    assert decode_wkb(encode_wkb(("POINT", pt))) == ("POINT", pt)
+
+
+@given(st.lists(coord, min_size=2, max_size=20).map(tuple))
+def test_wkb_linestring_roundtrip(pts):
+    assert decode_wkb(encode_wkb(("LINESTRING", pts))) == ("LINESTRING", pts)
+
+
+@given(st.lists(ring, min_size=1, max_size=4).map(tuple))
+def test_wkb_polygon_roundtrip(rings):
+    assert decode_wkb(encode_wkb(("POLYGON", rings))) == ("POLYGON", rings)
+
+
+@given(st.lists(coord, min_size=1, max_size=6).map(tuple))
+def test_wkb_multipoint_roundtrip(pts):
+    assert decode_wkb(encode_wkb(("MULTIPOINT", pts))) == ("MULTIPOINT", pts)
+
+
+scalar = st.one_of(
+    st.none(),
+    st.booleans(),
+    st.integers(min_value=-(2**63), max_value=2**63 - 1),
+    finite,
+    st.text(max_size=40),
+    st.binary(max_size=40),
+)
+
+
+@settings(max_examples=200)
+@given(st.dictionaries(st.text(max_size=12), scalar, max_size=8))
+def test_msgpack_map_roundtrip(d):
+    out = unpackb(packb(d))
+    assert set(out) == set(d)
+    for k, v in d.items():
+        got = out[k]
+        if isinstance(v, float) and isinstance(got, float):
+            assert math.isnan(got) if math.isnan(v) else got == v
+        else:
+            assert got == v
+
+
+@given(st.lists(scalar, max_size=10))
+def test_msgpack_array_roundtrip(a):
+    out = unpackb(packb(a))
+    assert len(out) == len(a)
+
+
+def test_envelope_roundtrip():
+    wkb = encode_wkb(("POINT", (13.405, 52.52)))
+    env = read_envelope(make_envelope(wkb, {"name": "berlin", "pop": 3600000}, layer="cities"))
+    assert env["props"]["name"] == "berlin"
+    assert env["meta"]["layer"] == "cities"
+    assert decode_wkb(env["geom"]) == ("POINT", (13.405, 52.52))
+
+
+def test_point_in_polygon_goldens():
+    square = (((0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0), (0.0, 0.0)),)
+    assert point_in_polygon(5, 5, square)
+    assert not point_in_polygon(15, 5, square)
+    assert not point_in_polygon(-1, -1, square)
+    with_hole = square + (((4.0, 4.0), (6.0, 4.0), (6.0, 6.0), (4.0, 6.0), (4.0, 4.0)),)
+    assert not point_in_polygon(5, 5, with_hole)  # inside the hole
+    assert point_in_polygon(2, 2, with_hole)  # shell minus hole

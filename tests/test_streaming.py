@@ -1,0 +1,75 @@
+"""Streaming-semantics tests (SURVEY.md §5 item 4): incremental ==
+batch for windowed aggregation, and watermark late-drop behavior —
+the semantics the DuckDB oracle cannot express."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from ukis_kafka_spark import api
+from ukis_kafka_spark.sources import load_table
+
+from .conftest import SF_SMOKE
+
+
+def _rows(df, *cols):
+    return {tuple(r[c] for c in cols) for r in df.collect()}
+
+
+def test_stateful_count_equals_batch(spark):
+    stream_result = api.queries()["s_stateful_count"](spark, SF_SMOKE)
+    batch = (
+        load_table(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    assert _rows(stream_result, "user_id", "n_events") == _rows(batch, "user_id", "n_events")
+
+
+def test_watermark_drops_late_chunk(spark):
+    """The late-injection replay (earliest chunk arrives last) must
+    produce strictly fewer counted events than the in-order replay."""
+    on_time = api.queries()["s_tumble_watermark"](spark, SF_SMOKE)
+    with_late = api.queries()["s_watermark_late"](spark, SF_SMOKE)
+    n_on_time = on_time.agg(F.sum("n")).collect()[0][0]
+    n_with_late = with_late.agg(F.sum("n")).collect()[0][0]
+    assert n_with_late < n_on_time, (
+        f"late rows were not dropped: {n_with_late} >= {n_on_time}"
+    )
+
+
+def test_stream_join_equals_batch_range_join(spark):
+    stream_result = api.queries()["s_stream_join"](spark, SF_SMOKE)
+    e = load_table(spark, SF_SMOKE, "events")
+    c = e.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("cts")
+    )
+    p = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("pu"),
+        F.col("ts").alias("pts"),
+    )
+    batch = c.join(
+        p,
+        (F.col("user_id") == F.col("pu"))
+        & (F.col("pts") >= F.col("cts"))
+        & (F.col("pts") <= F.col("cts") + F.expr("INTERVAL 1 HOUR")),
+    ).select("click_id", "purchase_id", "user_id")
+    assert _rows(stream_result, "click_id", "purchase_id") == _rows(
+        batch, "click_id", "purchase_id"
+    )
+
+
+def test_upsert_parquet_semantics(spark, tmp_path):
+    from ukis_kafka_spark.sinks.files import upsert_parquet
+
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    path = str(tmp_path / "t")
+    base.write.parquet(path)
+    updates = spark.createDataFrame([(2, "B"), (3, "c")], "k long, v string")
+    upsert_parquet(spark, spark.read.parquet(path), updates, ["k"], path)
+    got = {(r["k"], r["v"]) for r in spark.read.parquet(path).collect()}
+    assert got == {(1, "a"), (2, "B"), (3, "c")}
+    # idempotency: re-applying the same updates changes nothing
+    upsert_parquet(spark, spark.read.parquet(path), updates, ["k"], path)
+    assert {(r["k"], r["v"]) for r in spark.read.parquet(path).collect()} == got

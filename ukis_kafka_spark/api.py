@@ -13,9 +13,10 @@ from pyspark.sql import DataFrame, SparkSession
 # Import for registration side effects — every module below registers
 # its queries/oracles with ukis_kafka_spark.registry.
 from .functions import scalars, udfs  # noqa: F401
-from .ml import dedup, similarity, text  # noqa: F401
+from .ml import dedup, multimodal, similarity, text  # noqa: F401
+from .sinks import files as sink_files  # noqa: F401
 from .spatial import geo  # noqa: F401
-from .streaming import batch_windows  # noqa: F401
+from .streaming import batch_windows, jobs  # noqa: F401
 from .operators import (  # noqa: F401
     aggregates,
     filters,

@@ -193,43 +193,77 @@ def m_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LSH_TABLES = 6
+_LSH_BITS = 4
+
+
+def _hyperplane(table: int, bit: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane (xorshift-mixed), fixed at
+    plan time — no RNG state anywhere in the plan."""
+    vals = []
+    x = (table * 2654435761 + bit * 40503 + 12345) & 0xFFFFFFFF
+    for _ in range(_DIM):
+        x ^= (x << 13) & 0xFFFFFFFF
+        x ^= x >> 17
+        x ^= (x << 5) & 0xFFFFFFFF
+        vals.append((x % 2001 - 1000) / 1000.0)
+    return vals
+
+
 @query("m_ann_lsh")  # rows-only: hyperplane constants make results heuristic by design
 def m_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate NN via random-hyperplane LSH: 8 sign bits from fixed
-    pseudo-random hyperplanes → bucket → pairs only within a bucket.
-    The scale path for m_cosine_topk: candidate count collapses from
-    n² to Σ bucket². A unit test checks recall ≥ 0.5 of the true
-    top-20 on the corpus (planted structure makes real neighbors
-    collide)."""
+    """Approximate NN via random-hyperplane LSH, 6 tables × 4 sign bits
+    (multi-probe union: P[neighbors collide in ≥1 table] ≈ 0.9 for
+    cos ≈ 0.75 pairs, vs ≈ 0.1 for one 8-bit table). Candidate pairs
+    are bucket-local — the scale path that collapses n² to Σ bucket²;
+    a unit test checks recall ≥ 0.5 of brute-force top-20."""
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    # deterministic "hyperplanes": h_k[i] = ((k*131 + i*31) % 17) - 8
-    def plane_dot(k: int) -> Column:
+
+    def plane_dot(table: int, bit: int) -> Column:
+        w = _hyperplane(table, bit)
         return F.aggregate(
             F.zip_with(
                 _as_double(F.col("embedding")),
-                F.sequence(F.lit(0), F.lit(_DIM - 1)),
-                lambda x, i: x * (((F.lit(k) * 131 + i * 31) % 17) - 8).cast("double"),
+                F.array(*[F.lit(v) for v in w]),
+                lambda x, wv: x * wv,
             ),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
 
-    sig = F.concat_ws(
-        "", *[F.when(plane_dot(k) >= 0, "1").otherwise("0") for k in range(8)]
+    sigs = F.array(
+        *[
+            F.concat_ws(
+                "",
+                *[F.when(plane_dot(t, k) >= 0, "1").otherwise("0") for k in range(_LSH_BITS)],
+            )
+            for t in range(_LSH_TABLES)
+        ]
     )
-    buck = e.withColumn("bucket", sig).withColumn("nrm", _norm(F.col("embedding")))
+    buck = (
+        e.withColumn("nrm", _norm(F.col("embedding")))
+        .select("vec_id", "embedding", "nrm", F.posexplode(sigs).alias("table_id", "bucket"))
+    )
     a = buck.select(
-        F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"),
-        F.col("nrm").alias("nrm_a"), F.col("bucket").alias("bucket_a"),
+        F.col("table_id").alias("ta"), F.col("bucket").alias("bucket_a"),
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"), F.col("nrm").alias("nrm_a"),
     )
     b = buck.select(
-        F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b"),
-        F.col("nrm").alias("nrm_b"), F.col("bucket").alias("bucket_b"),
+        F.col("table_id").alias("tb"), F.col("bucket").alias("bucket_b"),
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b"), F.col("nrm").alias("nrm_b"),
     )
-    pairs = a.join(b, (F.col("bucket_a") == F.col("bucket_b")) & (F.col("id_a") < F.col("id_b")))
+    pairs = (
+        a.join(
+            b,
+            (F.col("ta") == F.col("tb"))
+            & (F.col("bucket_a") == F.col("bucket_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
     cos = _dot(F.col("emb_a"), F.col("emb_b")) / (F.col("nrm_a") * F.col("nrm_b"))
     return (
-        pairs.select("id_a", "id_b", cos.alias("cos_sim"))
+        pairs.select("id_a", "id_b", F.round(cos, 6).alias("cos_sim"))
         .orderBy(F.col("cos_sim").desc(), F.col("id_a").asc(), F.col("id_b").asc())
         .limit(20)
     )

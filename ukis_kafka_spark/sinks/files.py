@@ -1,0 +1,139 @@
+"""File & upsert sinks (SURVEY.md §2.2 "Scans / sources / sinks",
+reference parity R7/R8: PostGIS upsert sink + partitioned filesystem
+sink).
+
+``upsert_parquet`` is the offline stand-in for MERGE INTO (Delta/JDBC
+in production): last-writer-wins by key, atomic directory swap. The
+queries run the real sinks against repo-local scratch space and
+oracle-check what a reader sees afterwards — sink correctness is
+judged by read-back, not by write success.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources import load_table
+
+_SCRATCH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), ".tmp"
+)
+
+
+def _scratch_dir() -> str:
+    os.makedirs(_SCRATCH, exist_ok=True)
+    return tempfile.mkdtemp(prefix="sink_", dir=_SCRATCH)
+
+
+def upsert_parquet(
+    spark: SparkSession, base: DataFrame, updates: DataFrame, keys: list[str], path: str
+) -> None:
+    """MERGE-by-key into a parquet target: rows from ``updates`` win
+    over ``base`` on key collision, new keys are inserted.
+
+    Implementation: tag priority → union → keep rank-1 per key →
+    write to a fresh directory → atomic swap. At scale this becomes
+    Delta ``MERGE INTO`` (or JDBC upsert for the PostGIS-parity path);
+    the dataflow shape — one shuffle on the key — is identical."""
+    tagged = base.withColumn("_prio", F.lit(1)).unionByName(
+        updates.withColumn("_prio", F.lit(0))
+    )
+    w = Window.partitionBy(*keys).orderBy(F.col("_prio").asc())
+    merged = (
+        tagged.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_prio", "_rn")
+    )
+    tmp = path + "._new"
+    merged.write.mode("overwrite").parquet(tmp)
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.rename(tmp, path)
+
+
+@query(
+    "sink_parquet_part",
+    oracle="""
+SELECT l_returnflag, l_linestatus, count(*) AS n
+FROM lineitem
+WHERE l_quantity >= 30
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def sink_parquet_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned parquet sink (R8): write filtered lineitem
+    partitioned by (returnflag, linestatus), then prove partition
+    integrity by aggregating the *read-back* — which also exercises
+    partition-directory discovery and pruning on the read side."""
+    work = _scratch_dir()
+    try:
+        out = os.path.join(work, "part_sink")
+        (
+            load_table(spark, sf_dir, "lineitem")
+            .where(F.col("l_quantity") >= 30)
+            .write.mode("overwrite")
+            .partitionBy("l_returnflag", "l_linestatus")
+            .parquet(out)
+        )
+        back = spark.read.parquet(out)
+        return (
+            back.groupBy("l_returnflag", "l_linestatus")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .localCheckpoint()  # materialize before scratch cleanup
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "sink_upsert",
+    oracle="""
+SELECT c_custkey, c_acctbal, c_mktsegment FROM (
+  SELECT c_custkey, c_acctbal + 100.0 AS c_acctbal, 'UPGRADED' AS c_mktsegment
+  FROM customer WHERE c_mktsegment = 'BUILDING'
+  UNION ALL
+  SELECT c_custkey, c_acctbal, c_mktsegment
+  FROM customer WHERE c_mktsegment <> 'BUILDING'
+  UNION ALL
+  SELECT 9000000 + r AS c_custkey, CAST(r AS DOUBLE), 'NEW'
+  FROM range(1, 11) t(r)
+)
+""",
+)
+def sink_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed upsert sink (R7): update every BUILDING customer, insert
+    10 new keys, read the merged table back. The oracle states the
+    expected post-merge table directly."""
+    work = _scratch_dir()
+    try:
+        target = os.path.join(work, "upsert_target")
+        c = load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_acctbal", "c_mktsegment"
+        )
+        updates_existing = c.where(F.col("c_mktsegment") == "BUILDING").select(
+            "c_custkey",
+            (F.col("c_acctbal") + 100.0).alias("c_acctbal"),
+            F.lit("UPGRADED").alias("c_mktsegment"),
+        )
+        updates_new = spark.range(1, 11).select(
+            (F.col("id") + 9000000).alias("c_custkey"),
+            F.col("id").cast("double").alias("c_acctbal"),
+            F.lit("NEW").alias("c_mktsegment"),
+        )
+        c.write.mode("overwrite").parquet(target)
+        upsert_parquet(
+            spark,
+            spark.read.parquet(target),
+            updates_existing.unionByName(updates_new),
+            ["c_custkey"],
+            target,
+        )
+        return spark.read.parquet(target).localCheckpoint()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

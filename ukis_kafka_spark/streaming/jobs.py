@@ -1,0 +1,325 @@
+"""Structured Streaming operators (SURVEY.md §2.2 "Streaming",
+reference identity: Kafka consume → transform → sink).
+
+Each ``s_*`` query below runs a *real* streaming job: the ``events``
+table is replayed as a timestamp-ordered file stream (micro-batch per
+chunk, ``availableNow`` trigger), results land in a memory sink, and
+the function returns the final table as a batch DataFrame — so the
+driver's oracle check exercises genuine streaming state machinery
+(watermarks, streaming dedup, stream-stream join state) end-to-end.
+
+Offline stand-in note: ``spark.readStream.format("kafka")`` is the
+production source; a file stream delivers the same (value: binary)
+rows without a broker. ``src_kafka_shape`` runs the full wire path:
+feature → msgpack envelope bytes → stream → decode → aggregate.
+
+Scratch space lives under the repo (.tmp/, gitignored) and is removed
+after each run.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources import load_table
+
+_SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), ".tmp")
+
+_EVENT_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+)
+
+
+def _scratch_dir() -> str:
+    os.makedirs(_SCRATCH, exist_ok=True)
+    return tempfile.mkdtemp(prefix="stream_", dir=_SCRATCH)
+
+
+def replay_events_as_stream(
+    spark: SparkSession, sf_dir: str, work: str, n_chunks: int = 8, shuffle_chunk: int | None = None
+) -> DataFrame:
+    """Write events as n timestamp-ordered parquet chunks and open them
+    as a file stream, one chunk per micro-batch (maxFilesPerTrigger=1).
+
+    ``shuffle_chunk``: if set, that chunk is written *last* in file
+    order while holding the *earliest* timestamps — the late-data
+    injection used by the watermark tests."""
+    e = load_table(spark, sf_dir, "events").orderBy("ts")
+    rows = e.count()
+    per = (rows + n_chunks - 1) // n_chunks
+    chunked = e.withColumn(
+        "chunk", F.floor((F.row_number().over(Window.orderBy("ts")) - 1) / per)
+    )
+    src = os.path.join(work, "src")
+    os.makedirs(src, exist_ok=True)
+    base_mtime = 1_700_000_000
+    for i in range(n_chunks):
+        part = chunked.where(F.col("chunk") == i).drop("chunk")
+        # FileStreamSource orders by *modification time*: pin mtimes so
+        # arrival order is exactly what the harness dictates
+        order = n_chunks + 1 if i == shuffle_chunk else i
+        part.coalesce(1).write.mode("overwrite").parquet(os.path.join(work, f"stage_{i}"))
+        stage = os.path.join(work, f"stage_{i}")
+        pf = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
+        dst = os.path.join(src, f"chunk_{order:03d}_{i}.parquet")
+        shutil.move(os.path.join(stage, pf), dst)
+        os.utime(dst, (base_mtime + order * 60, base_mtime + order * 60))
+    return (
+        spark.readStream.schema(_EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+
+def run_to_memory(stream_df: DataFrame, work: str, mode: str = "append") -> DataFrame:
+    """Run a streaming DataFrame to completion (availableNow) into a
+    memory sink; return the final table as a batch DataFrame."""
+    name = "mem_" + uuid.uuid4().hex[:12]
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", os.path.join(work, "ckpt_" + name))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
+
+
+def _with_scratch(fn):
+    work = _scratch_dir()
+    try:
+        return fn(work)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "s_stateful_count",
+    oracle="""
+SELECT user_id, count(*) AS n_events
+FROM events
+GROUP BY user_id
+""",
+)
+def s_stateful_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-user counts as a streaming job (complete mode —
+    unbounded keyed state, the streaming twin of groupBy().count()).
+    The final state must equal the batch aggregate exactly."""
+
+    def go(work: str) -> DataFrame:
+        stream = replay_events_as_stream(spark, sf_dir, work)
+        counts = stream.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+        return run_to_memory(counts, work, mode="complete").localCheckpoint()
+
+    return _with_scratch(go)
+
+
+@query(
+    "s_dedup_watermark",
+    oracle="""
+SELECT event_type, count(DISTINCT event_id) AS n
+FROM events
+GROUP BY event_type
+""",
+)
+def s_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup by event_id within a 10-minute watermark
+    (R9 parity: at-least-once Kafka delivery needs idempotent sinks;
+    dropDuplicatesWithinWatermark makes the pipeline itself
+    exactly-once-per-key). Fed in ts order the watermark never drops a
+    live row, so the result equals batch COUNT(DISTINCT)."""
+
+    def go(work: str) -> DataFrame:
+        stream = replay_events_as_stream(spark, sf_dir, work)
+        deduped = (
+            stream.withWatermark("ts", "10 minutes")
+            .dropDuplicatesWithinWatermark(["event_id"])
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        return run_to_memory(deduped, work, mode="complete").localCheckpoint()
+
+    return _with_scratch(go)
+
+
+@query(
+    "s_tumble_watermark",
+    oracle="""
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start, count(*) AS n
+FROM events
+GROUP BY 1
+HAVING hour_start + 3600 <= (SELECT CAST(epoch(max(ts)) AS BIGINT) - 600 FROM events)
+""",
+)
+def s_tumble_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window counts in append mode — a window only
+    emits once the watermark (max event time − 10 min) passes its end,
+    so the stream's final, still-open window is withheld. The oracle
+    applies the same closure rule (HAVING end ≤ final watermark)."""
+
+    def go(work: str) -> DataFrame:
+        stream = replay_events_as_stream(spark, sf_dir, work)
+        agg = (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.unix_timestamp(F.col("w.start")).alias("hour_start"), "n")
+        )
+        return run_to_memory(agg, work, mode="append").localCheckpoint()
+
+    return _with_scratch(go)
+
+
+@query("s_watermark_late")  # rows-only: the dropped-late-row count is harness-defined
+def s_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data semantics: the earliest chunk of events arrives LAST
+    (after the watermark has advanced past it), so a 10-minute
+    watermark drops those rows from the append-mode windowed count.
+    The unit test asserts the drop; here the query returns the
+    windows that did emit."""
+
+    def go(work: str) -> DataFrame:
+        stream = replay_events_as_stream(spark, sf_dir, work, n_chunks=8, shuffle_chunk=0)
+        agg = (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.unix_timestamp(F.col("w.start")).alias("hour_start"), "n")
+        )
+        return run_to_memory(agg, work, mode="append").localCheckpoint()
+
+    return _with_scratch(go)
+
+
+@query(
+    "s_stream_join",
+    oracle="""
+SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+""",
+)
+def s_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with event-time bound: each click joins
+    purchases by the same user within the following hour. Watermarks on
+    both sides + the time-range condition let Spark bound the join
+    state (the batch twin is the same range join).
+
+    Timestamps are compared at their native precision but never
+    emitted (ns-vs-µs parity), so only ids/user survive to the output.
+    """
+
+    def go(work: str) -> DataFrame:
+        stream = replay_events_as_stream(spark, sf_dir, work)
+        clicks = (
+            stream.where(F.col("event_type") == "click")
+            .select(
+                F.col("event_id").alias("click_id"),
+                F.col("user_id"),
+                F.col("ts").alias("click_ts"),
+            )
+            .withWatermark("click_ts", "10 minutes")
+        )
+        purchases = (
+            stream.where(F.col("event_type") == "purchase")
+            .select(
+                F.col("event_id").alias("purchase_id"),
+                F.col("user_id").alias("p_user_id"),
+                F.col("ts").alias("p_ts"),
+            )
+            .withWatermark("p_ts", "10 minutes")
+        )
+        joined = clicks.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user_id"))
+            & (F.col("p_ts") >= F.col("click_ts"))
+            & (F.col("p_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+            "inner",
+        ).select("click_id", "purchase_id", "user_id")
+        return run_to_memory(joined, work, mode="append").localCheckpoint()
+
+    return _with_scratch(go)
+
+
+@query(
+    "src_kafka_shape",
+    oracle="""
+SELECT event_type, count(*) AS n,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS value_sum
+FROM events
+GROUP BY event_type
+""",
+)
+def src_kafka_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full wire-path parity with the reference's Kafka pipeline
+    (R2→R3):every event becomes a WKB point + properties inside a msgpack
+    envelope (binary `value` column, exactly the Kafka message shape),
+    the envelopes are replayed as a stream, decoded back with
+    mapInPandas, and aggregated. Result must equal aggregating the
+    original table directly."""
+    from ..sources.envelope import make_envelope, read_envelope
+    from ..spatial.wkb import decode_wkb, encode_wkb
+
+    def go(work: str) -> DataFrame:
+        e = load_table(spark, sf_dir, "events")
+
+        def encode_part(iter_pdf):
+            for pdf in iter_pdf:
+                vals = []
+                for r in pdf.itertuples(index=False):
+                    wkb = encode_wkb(("POINT", (r.value * 3.6 - 180, (r.user_id * 7 % 180) - 90)))
+                    vals.append(
+                        make_envelope(
+                            wkb,
+                            {
+                                "event_id": int(r.event_id),
+                                "event_type": r.event_type,
+                                "value": float(r.value),
+                            },
+                            layer="events",
+                        )
+                    )
+                yield pd.DataFrame({"value": pd.Series(vals, dtype=object)})
+
+        wire = e.mapInPandas(encode_part, "value binary")
+        src = os.path.join(work, "wire")
+        wire.write.mode("overwrite").parquet(src)
+
+        stream = (
+            spark.readStream.schema("value binary").option("maxFilesPerTrigger", 4).parquet(src)
+        )
+
+        def decode_part(iter_pdf):
+            for pdf in iter_pdf:
+                ids, types, values = [], [], []
+                for buf in pdf["value"]:
+                    env = read_envelope(bytes(buf))
+                    decode_wkb(env["geom"])  # geometry integrity check
+                    ids.append(env["props"]["event_id"])
+                    types.append(env["props"]["event_type"])
+                    values.append(env["props"]["value"])
+                yield pd.DataFrame(
+                    {"event_id": ids, "event_type": types, "value": values}
+                )
+
+        decoded = stream.mapInPandas(decode_part, "event_id long, event_type string, value double")
+        agg = decoded.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(28,10)")).cast("double").alias("value_sum"),
+        )
+        return run_to_memory(agg, work, mode="complete").localCheckpoint()
+
+    return _with_scratch(go)
