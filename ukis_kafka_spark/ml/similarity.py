@@ -18,8 +18,13 @@ pruned by LSH/IVF before the GEMM stage.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
 
 from ..registry import query
 from ..sources import load_table
@@ -75,8 +80,6 @@ def _blocked_cosine_pairs(e: DataFrame, block: int = 1024) -> DataFrame:
     Emits cos_sim rounded Spark-side to 6 dp; at that grid GEMM,
     sequential-fold, and DuckDB list_reduce agree bit-for-bit.
     """
-    import numpy as np
-
     v = e.select("vec_id", "embedding", F.floor(F.col("vec_id") / block).alias("blk"))
     blocks = v.select("blk").distinct()
     bp = (
@@ -95,8 +98,6 @@ def _blocked_cosine_pairs(e: DataFrame, block: int = 1024) -> DataFrame:
     )
 
     def gemm(pdf):
-        import pandas as pd
-
         a = pdf[pdf.side == 0]
         b = pdf[pdf.side == 1]
         A = np.stack(a.embedding.to_numpy()).astype(np.float64)
@@ -193,7 +194,7 @@ def m_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_LSH_TABLES = 6
+_LSH_TABLES = 8
 _LSH_BITS = 4
 
 
@@ -212,58 +213,61 @@ def _hyperplane(table: int, bit: int) -> list[float]:
 
 @query("m_ann_lsh")  # rows-only: hyperplane constants make results heuristic by design
 def m_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate NN via random-hyperplane LSH, 6 tables × 4 sign bits
-    (multi-probe union: P[neighbors collide in ≥1 table] ≈ 0.9 for
-    cos ≈ 0.75 pairs, vs ≈ 0.1 for one 8-bit table). Candidate pairs
-    are bucket-local — the scale path that collapses n² to Σ bucket²;
-    a unit test checks recall ≥ 0.5 of brute-force top-20."""
+    """Approximate NN via random-hyperplane LSH, 8 tables × 4 sign bits.
+    Table count buys recall (P[collide in ≥1] ≈ 1-(1-p⁸)⁸, ≈ 0.99 for
+    cos ≥ 0.9 pairs), bit count prunes candidates (64 buckets/table).
+    Candidate pairs are bucket-local — the scale path that collapses
+    n² to Σ bucket²; a unit test checks recall ≥ 0.5 of brute-force
+    top-20."""
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
 
-    def plane_dot(table: int, bit: int) -> Column:
-        w = _hyperplane(table, bit)
-        return F.aggregate(
-            F.zip_with(
-                _as_double(F.col("embedding")),
-                F.array(*[F.lit(v) for v in w]),
-                lambda x, wv: x * wv,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+    # all 24 plane dots in one numpy GEMM per Arrow batch (24 JVM array
+    # folds per vector are interpreted: measured 8.4 s → ~1 s at sf0.1)
+    planes = np.array(
+        [_hyperplane(t, k) for t in range(_LSH_TABLES) for k in range(_LSH_BITS)]
+    ).T  # dim × (tables·bits)
+
+    @pandas_udf(T.ArrayType(T.StringType()))
+    def lsh_sigs(emb: pd.Series) -> pd.Series:
+        M = np.stack(emb.to_numpy()).astype(np.float64)
+        bits = (M @ planes >= 0).astype(np.uint8)  # n × (tables·bits)
+        out = []
+        for row in bits:
+            out.append(
+                [
+                    "".join(map(str, row[t * _LSH_BITS : (t + 1) * _LSH_BITS]))
+                    for t in range(_LSH_TABLES)
+                ]
+            )
+        return pd.Series(out)
+
+    buck = e.select(
+        "vec_id",
+        "embedding",
+        F.posexplode(lsh_sigs(F.col("embedding"))).alias("table_id", "bucket"),
+    )
+
+    # each (table, bucket) group is one small GEMM — no pair row ever
+    # carries an embedding, and shuffle volume is tables × corpus size
+    def bucket_gemm(pdf):
+        M = np.stack(pdf.embedding.to_numpy()).astype(np.float64)
+        ids = pdf.vec_id.to_numpy()
+        nrm = np.sqrt(np.einsum("ij,ij->i", M, M))
+        cos = (M @ M.T) / np.outer(nrm, nrm)
+        ii, jj = np.meshgrid(np.arange(len(ids)), np.arange(len(ids)), indexing="ij")
+        keep = ids[ii] < ids[jj]
+        return pd.DataFrame(
+            {"id_a": ids[ii][keep], "id_b": ids[jj][keep], "cos_sim": cos[keep]}
         )
 
-    sigs = F.array(
-        *[
-            F.concat_ws(
-                "",
-                *[F.when(plane_dot(t, k) >= 0, "1").otherwise("0") for k in range(_LSH_BITS)],
-            )
-            for t in range(_LSH_TABLES)
-        ]
-    )
-    buck = (
-        e.withColumn("nrm", _norm(F.col("embedding")))
-        .select("vec_id", "embedding", "nrm", F.posexplode(sigs).alias("table_id", "bucket"))
-    )
-    a = buck.select(
-        F.col("table_id").alias("ta"), F.col("bucket").alias("bucket_a"),
-        F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"), F.col("nrm").alias("nrm_a"),
-    )
-    b = buck.select(
-        F.col("table_id").alias("tb"), F.col("bucket").alias("bucket_b"),
-        F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b"), F.col("nrm").alias("nrm_b"),
-    )
     pairs = (
-        a.join(
-            b,
-            (F.col("ta") == F.col("tb"))
-            & (F.col("bucket_a") == F.col("bucket_b"))
-            & (F.col("id_a") < F.col("id_b")),
-        )
-        .dropDuplicates(["id_a", "id_b"])
+        buck.groupBy("table_id", "bucket")
+        .applyInPandas(bucket_gemm, "id_a long, id_b long, cos_sim double")
+        .groupBy("id_a", "id_b")
+        .agg(F.first("cos_sim").alias("cos_sim"))  # dedupe across tables
     )
-    cos = _dot(F.col("emb_a"), F.col("emb_b")) / (F.col("nrm_a") * F.col("nrm_b"))
     return (
-        pairs.select("id_a", "id_b", F.round(cos, 6).alias("cos_sim"))
+        pairs.select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
         .orderBy(F.col("cos_sim").desc(), F.col("id_a").asc(), F.col("id_b").asc())
         .limit(20)
     )
