@@ -1,0 +1,56 @@
+"""End-to-end test of the reference-parity CLI: GeoJSON → envelope
+topic dir → partitioned file sink / keyed upsert table (the
+producer/consumer lifecycle of SURVEY.md §3.1, offline)."""
+
+from __future__ import annotations
+
+import json
+
+from ukis_kafka_spark import cli
+
+
+def _write_geojson(path, n=5, start=0):
+    fc = {
+        "type": "FeatureCollection",
+        "features": [
+            {
+                "type": "Feature",
+                "geometry": {"type": "Point", "coordinates": [10.0 + i, 50.0 + i]},
+                "properties": {"fid": start + i, "name": f"feat{start + i}"},
+            }
+            for i in range(n)
+        ],
+    }
+    path.write_text(json.dumps(fc))
+
+
+def test_cli_produce_consume_roundtrip(spark, tmp_path):
+    gj = tmp_path / "in.geojson"
+    _write_geojson(gj, n=5)
+    topic = str(tmp_path / "topic")
+    out = str(tmp_path / "sink")
+    table = str(tmp_path / "table")
+
+    assert cli.main(["produce", "--geojson", str(gj), "--topic-dir", topic, "--layer", "pts"]) == 0
+    assert cli.main(["consume-files", "--topic-dir", topic, "--out", out]) == 0
+
+    feats = spark.read.parquet(out)
+    rows = feats.collect()
+    assert len(rows) == 5
+    assert {r["layer"] for r in rows} == {"pts"}
+    assert {r["geom_type"] for r in rows} == {"POINT"}
+    props = sorted(json.loads(r["props_json"])["fid"] for r in rows)
+    assert props == [0, 1, 2, 3, 4]
+
+    # upsert twice: second delivery of the same messages must be a no-op
+    assert cli.main(["consume-upsert", "--topic-dir", topic, "--table", table]) == 0
+    n1 = spark.read.parquet(table).count()
+    assert cli.main(["consume-upsert", "--topic-dir", topic, "--table", table]) == 0
+    assert spark.read.parquet(table).count() == n1 == 5
+
+    # a second batch with overlapping keys: only the new key is added
+    gj2 = tmp_path / "in2.geojson"
+    _write_geojson(gj2, n=2, start=4)  # fids 4 (dup) and 5 (new)
+    assert cli.main(["produce", "--geojson", str(gj2), "--topic-dir", topic, "--layer", "pts"]) == 0
+    assert cli.main(["consume-upsert", "--topic-dir", topic, "--table", table]) == 0
+    assert spark.read.parquet(table).count() == 6

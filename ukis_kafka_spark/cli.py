@@ -1,0 +1,165 @@
+"""Console entry points — reference parity for ukis_kafka's three
+CLIs (SURVEY.md §3.1: producer vector-file→Kafka, consumer
+Kafka→PostGIS, consumer Kafka→filesystem), re-based on Spark.
+
+Offline, a "topic" is a directory of parquet files holding the binary
+``value`` column (the exact Kafka message shape); with a broker, swap
+the directory for ``format("kafka")`` via sources.kafka.
+
+    python -m ukis_kafka_spark.cli produce  --geojson in.geojson --topic-dir /x/topic --layer roads
+    python -m ukis_kafka_spark.cli consume-files  --topic-dir /x/topic --out /x/sink --partition-by layer
+    python -m ukis_kafka_spark.cli consume-upsert --topic-dir /x/topic --table /x/table --key fid
+
+The producer reads GeoJSON with the stdlib (the reference uses OGR;
+GeoJSON is the library-free common denominator), converts geometries
+to WKB with the pure-Python codec, and wraps each feature in the
+msgpack envelope. Consumers decode with mapInPandas and run the R7/R8
+sinks.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import pandas as pd
+
+
+def _geojson_geom_to_wkb(geom: dict) -> bytes:
+    from .spatial.wkb import encode_wkb
+
+    t = geom["type"].upper()
+    c = geom["coordinates"]
+    if t == "POINT":
+        return encode_wkb(("POINT", tuple(c)))
+    if t == "LINESTRING":
+        return encode_wkb(("LINESTRING", tuple(tuple(p) for p in c)))
+    if t == "POLYGON":
+        return encode_wkb(("POLYGON", tuple(tuple(tuple(p) for p in ring) for ring in c)))
+    if t == "MULTIPOINT":
+        return encode_wkb(("MULTIPOINT", tuple(tuple(p) for p in c)))
+    if t == "MULTILINESTRING":
+        return encode_wkb(("MULTILINESTRING", tuple(tuple(tuple(p) for p in ls) for ls in c)))
+    if t == "MULTIPOLYGON":
+        return encode_wkb(
+            ("MULTIPOLYGON", tuple(tuple(tuple(tuple(p) for p in ring) for ring in poly) for poly in c))
+        )
+    raise ValueError(f"unsupported GeoJSON geometry type: {t}")
+
+
+def cmd_produce(args: argparse.Namespace) -> int:
+    """R1+R2: vector file → feature envelopes → topic dir."""
+    from .plans import get_spark
+    from .sources.envelope import make_envelope
+
+    with open(args.geojson) as fh:
+        fc = json.load(fh)
+    feats = fc["features"] if fc.get("type") == "FeatureCollection" else [fc]
+    envelopes = []
+    for f in feats:
+        props = {k: v for k, v in (f.get("properties") or {}).items()}
+        envelopes.append(
+            make_envelope(_geojson_geom_to_wkb(f["geometry"]), props, layer=args.layer, srid=args.srid)
+        )
+    spark = get_spark("cli-produce")
+    df = spark.createDataFrame(
+        pd.DataFrame({"value": pd.Series(envelopes, dtype=object)}), schema="value binary"
+    )
+    df.write.mode("append").parquet(args.topic_dir)
+    print(f"produced {len(envelopes)} features to {args.topic_dir}")
+    return 0
+
+
+def _decoded_features(spark, topic_dir: str):
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from .sources.envelope import read_envelope
+    from .spatial.wkb import decode_wkb
+
+    raw = spark.read.parquet(topic_dir)
+
+    def decode(iter_pdf):
+        for pdf in iter_pdf:
+            out = {"layer": [], "srid": [], "geom_type": [], "wkb": [], "props_json": []}
+            for buf in pdf["value"]:
+                env = read_envelope(bytes(buf))
+                gtype, _ = decode_wkb(env["geom"])
+                out["layer"].append(env["meta"]["layer"])
+                out["srid"].append(env["meta"].get("srid", 4326))
+                out["geom_type"].append(gtype)
+                out["wkb"].append(env["geom"])
+                out["props_json"].append(json.dumps(env["props"], sort_keys=True))
+            yield pd.DataFrame(out)
+
+    return raw.mapInPandas(
+        decode, "layer string, srid int, geom_type string, wkb binary, props_json string"
+    )
+
+
+def cmd_consume_files(args: argparse.Namespace) -> int:
+    """R8: topic → partitioned filesystem sink."""
+    from .plans import get_spark
+
+    spark = get_spark("cli-consume-files")
+    feats = _decoded_features(spark, args.topic_dir)
+    writer = feats.write.mode("overwrite")
+    if args.partition_by:
+        writer = writer.partitionBy(*args.partition_by.split(","))
+    writer.parquet(args.out)
+    print(f"wrote {feats.count()} features to {args.out}")
+    return 0
+
+
+def cmd_consume_upsert(args: argparse.Namespace) -> int:
+    """R7+R9: topic → keyed upsert (idempotent re-delivery)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from .plans import get_spark
+    from .sinks.files import upsert_parquet
+
+    spark = get_spark("cli-consume-upsert")
+    feats = _decoded_features(spark, args.topic_dir).withColumn(
+        "fid", F.get_json_object("props_json", f"$.{args.key}")
+    )
+    if os.path.exists(args.table):
+        base = spark.read.parquet(args.table)
+    else:
+        feats.limit(0).write.parquet(args.table)
+        base = spark.read.parquet(args.table)
+    upsert_parquet(spark, base, feats, ["fid"], args.table)
+    print(f"upserted into {args.table}; now {spark.read.parquet(args.table).count()} rows")
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="ukis_kafka_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pp = sub.add_parser("produce", help="GeoJSON file → envelope topic dir (R1+R2)")
+    pp.add_argument("--geojson", required=True)
+    pp.add_argument("--topic-dir", required=True)
+    pp.add_argument("--layer", default="default")
+    pp.add_argument("--srid", type=int, default=4326)
+    pp.set_defaults(fn=cmd_produce)
+
+    pf = sub.add_parser("consume-files", help="topic dir → partitioned files (R8)")
+    pf.add_argument("--topic-dir", required=True)
+    pf.add_argument("--out", required=True)
+    pf.add_argument("--partition-by", default="layer")
+    pf.set_defaults(fn=cmd_consume_files)
+
+    pu = sub.add_parser("consume-upsert", help="topic dir → keyed upsert table (R7+R9)")
+    pu.add_argument("--topic-dir", required=True)
+    pu.add_argument("--table", required=True)
+    pu.add_argument("--key", default="fid")
+    pu.set_defaults(fn=cmd_consume_upsert)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -337,3 +337,58 @@ def src_kafka_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         return run_to_memory(agg, work, mode="complete").localCheckpoint()
 
     return _with_scratch(go)
+
+
+@query(
+    "s_custom_state",
+    oracle="""
+SELECT user_id, count(*) AS n_events,
+       CAST(CAST(MAX(CAST(value AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS max_value
+FROM events
+GROUP BY user_id
+""",
+)
+def s_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState (arbitrary
+    per-key state; the Spark 4 transformWithStateInPandas API needs
+    protobuf, absent offline — the dataflow is identical): per-user
+    running (count, max) kept in explicit GroupState, updated rows
+    emitted every micro-batch. Both outputs are monotone, so the final
+    state is the per-user MAX over all emitted updates — which must
+    equal the batch aggregate."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def running_stats(key, pdfs, state: GroupState):
+        n, mx = state.get if state.exists else (0, None)
+        for pdf in pdfs:
+            n += len(pdf)
+            batch_max = float(pdf["value"].max())
+            mx = batch_max if mx is None else max(mx, batch_max)
+        state.update((n, mx))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "max_value": [mx]})
+
+    def go(work: str) -> DataFrame:
+        stream = replay_events_as_stream(spark, sf_dir, work)
+        updates = (
+            stream.select("user_id", "value")
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                running_stats,
+                outputStructType="user_id long, n_events long, max_value double",
+                stateStructType="n long, mx double",
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+        )
+        mem = run_to_memory(updates, work, mode="update")
+        # counts/maxes are monotone across updates -> final state per user
+        return (
+            mem.groupBy("user_id")
+            .agg(
+                F.max("n_events").alias("n_events"),
+                F.max("max_value").alias("max_value"),
+            )
+            .localCheckpoint()
+        )
+
+    return _with_scratch(go)
