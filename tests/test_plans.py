@@ -76,3 +76,47 @@ def test_no_python_udf_in_relational_core(spark):
 def test_whole_stage_codegen_active(spark, name):
     plan = _formatted_plan(spark, name)
     assert "codegen id" in plan, f"{name} runs without whole-stage codegen"
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Both sides bucketed on the join key ⇒ SortMergeJoin with zero
+    Exchange — the co-located-join strategy for repeated fact⋈fact
+    joins at scale (broadcast disabled to force the comparison)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ukis_kafka_spark.sources import load_table
+
+    from .conftest import SF_SMOKE
+
+    load_table(spark, SF_SMOKE, "orders").write.bucketBy(8, "o_custkey").sortBy(
+        "o_custkey"
+    ).mode("overwrite").format("parquet").option(
+        "path", os.path.join(str(tmp_path), "ob")
+    ).saveAsTable("ob_plan_test")
+    load_table(spark, SF_SMOKE, "customer").write.bucketBy(8, "c_custkey").sortBy(
+        "c_custkey"
+    ).mode("overwrite").format("parquet").option(
+        "path", os.path.join(str(tmp_path), "cb")
+    ).saveAsTable("cb_plan_test")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        o = spark.table("ob_plan_test")
+        c = spark.table("cb_plan_test")
+        plan = (
+            o.join(c, o.o_custkey == c.c_custkey)
+            .select("o_orderkey", "c_mktsegment")
+            ._jdf.queryExecution()
+            .explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+            )
+        )
+        assert "SortMergeJoin" in plan
+        assert "Bucketed: true" in plan
+        assert "Exchange" not in plan, "bucketed join still shuffles"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS ob_plan_test")
+        spark.sql("DROP TABLE IF EXISTS cb_plan_test")

@@ -263,3 +263,65 @@ def q_subq_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("p_retailprice") > F.col("thr"))
         .select("p_partkey", "p_retailprice")
     )
+
+
+@query(
+    "q_join_bucketed",
+    oracle="""
+SELECT o.o_orderkey, o.o_totalprice, c.c_mktsegment
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE o.o_totalprice > 200000
+""",
+)
+def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located (bucketed) join: both sides bucketed by the join key
+    into the same bucket count, so the join runs with NO shuffle of
+    either side — the strategy for repeated fact⋈fact joins at 100 TB,
+    where sort-merge exchanges dominate. The plan is asserted
+    shuffle-free on the fact side in tests/test_plans.py.
+
+    Buckets are written to a repo-local warehouse per run (a real
+    deployment buckets once at ingest and joins many times)."""
+    import os
+    import shutil
+    import tempfile
+
+    scratch_root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), ".tmp"
+    )
+    os.makedirs(scratch_root, exist_ok=True)
+    work = tempfile.mkdtemp(prefix="bucketed_", dir=scratch_root)
+    # external tables (explicit path) — the static warehouse dir is untouched
+    suffix = os.path.basename(work).split("_")[-1]
+    t_orders, t_cust = f"orders_b_{suffix}", f"customer_b_{suffix}"
+    try:
+        (
+            load_table(spark, sf_dir, "orders")
+            .where(F.col("o_totalprice") > 200000)
+            .write.bucketBy(8, "o_custkey")
+            .sortBy("o_custkey")
+            .mode("overwrite")
+            .format("parquet")
+            .option("path", os.path.join(work, t_orders))
+            .saveAsTable(t_orders)
+        )
+        (
+            load_table(spark, sf_dir, "customer")
+            .write.bucketBy(8, "c_custkey")
+            .sortBy("c_custkey")
+            .mode("overwrite")
+            .format("parquet")
+            .option("path", os.path.join(work, t_cust))
+            .saveAsTable(t_cust)
+        )
+        o = spark.table(t_orders)
+        c = spark.table(t_cust)
+        return (
+            o.join(c, o.o_custkey == c.c_custkey)
+            .select("o_orderkey", "o_totalprice", "c_mktsegment")
+            .localCheckpoint()
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t_orders}")
+        spark.sql(f"DROP TABLE IF EXISTS {t_cust}")
+        shutil.rmtree(work, ignore_errors=True)
