@@ -191,3 +191,33 @@ def m_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         vals, F.lit(0).cast("long"), lambda acc, v: (acc * 31 + v) % F.lit(MOD).cast("long")
     )
     return d.select("doc_id", fp.alias("fp"))
+
+
+_BPE_ISH = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+@query(
+    "m_token_count",
+    oracle=f"""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS ws_tokens,
+       len(regexp_extract_all(text, '{_BPE_ISH}')) AS bpe_ish_tokens,
+       CAST(len(regexp_extract_all(text, '{_BPE_ISH}')) AS DOUBLE)
+         / len(string_split(text, ' ')) AS fertility
+FROM documents
+""",
+)
+def m_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace words and a BPE-ish regex
+    segmentation (letter runs / digit runs / single punctuation) —
+    plus their ratio (the "fertility" a tokenizer-cost estimate needs).
+    Pure JVM regex, one pass, no shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.size(F.split(F.col("text"), " "))
+    bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(_BPE_ISH), 0))
+    return d.select(
+        "doc_id",
+        ws.alias("ws_tokens"),
+        bpe.alias("bpe_ish_tokens"),
+        (bpe.cast("double") / ws).alias("fertility"),
+    )

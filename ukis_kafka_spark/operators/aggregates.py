@@ -292,3 +292,28 @@ def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus")
         .agg(F.sort_array(F.collect_set("o_orderpriority")).alias("priorities"))
     )
+
+
+@query(
+    "q_agg_percentile",
+    oracle="""
+SELECT l_returnflag,
+       quantile_cont(l_extendedprice, 0.5) AS median_price,
+       quantile_cont(l_extendedprice, 0.9) AS p90_price,
+       quantile_cont(l_quantity, 0.25) AS p25_qty
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles (probe-verified: Spark's percentile
+    and DuckDB's quantile_cont share the a + (b-a)·frac interpolation
+    over the sorted values, bit-for-bit). Spark evaluates this as a
+    sort-based aggregate; at 100 TB prefer approx_percentile (t-digest)
+    — excluded here because sketches never hash-match."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("median_price"),
+        F.expr("percentile(l_extendedprice, 0.9)").alias("p90_price"),
+        F.expr("percentile(l_quantity, 0.25)").alias("p25_qty"),
+    )
