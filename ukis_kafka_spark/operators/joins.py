@@ -325,3 +325,83 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sql(f"DROP TABLE IF EXISTS {t_orders}")
         spark.sql(f"DROP TABLE IF EXISTS {t_cust}")
         shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "q_join_salted",
+    oracle="""
+SELECT e.event_id, e.user_id, u.user_total
+FROM events e
+JOIN (SELECT user_id, CAST(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS user_total
+      FROM events GROUP BY user_id) u
+  ON e.user_id = u.user_id
+WHERE e.event_type = 'error'
+""",
+)
+def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated equi join via explicit salting: the (potentially
+    hot-keyed) fact side appends salt = event_id % 8 to its key; the
+    dim side is exploded 8× with every salt value. A hot key's rows
+    then spread across 8 reducers instead of one. Results are
+    oracle-identical to the plain join — salting is a physical rewrite
+    only. (AQE's skew-join split handles this automatically for
+    sort-merge joins; the explicit form is for aggregation-free paths
+    and demonstrates the technique.)"""
+    n_salt = 8
+    e = load_table(spark, sf_dir, "events")
+    fact = e.where(F.col("event_type") == "error").withColumn(
+        "salt", (F.col("event_id") % n_salt).cast("int")
+    )
+    dim = (
+        e.groupBy("user_id")
+        .agg(F.sum(F.col("value").cast(DEC)).cast("double").alias("user_total"))
+        .withColumn("salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)])))
+        .withColumnRenamed("user_id", "d_user_id")
+    )
+    return fact.join(
+        dim, (fact.user_id == dim.d_user_id) & (fact.salt == dim.salt)
+    ).select("event_id", "user_id", "user_total")
+
+
+@query(
+    "q_sql_q3",
+    oracle="""
+SELECT l.l_orderkey,
+       CAST(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS revenue,
+       CAST(CAST(o.o_orderdate AS DATE) AS VARCHAR) AS orderdate,
+       o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+)
+def q_sql_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style shipping-priority query through the SQL frontend
+    (the engine exposes both APIs; this one goes parser → Catalyst).
+    3-table join with selective pushed filters, exact-decimal revenue,
+    top-10 without global sort."""
+    for t in ("customer", "orders", "lineitem"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"{t}_q3")
+    return spark.sql(
+        """
+        SELECT l.l_orderkey,
+               CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,10))) AS DOUBLE) AS revenue,
+               CAST(CAST(o.o_orderdate AS DATE) AS STRING) AS orderdate,
+               o.o_orderpriority
+        FROM customer_q3 c
+        JOIN orders_q3 o ON c.c_custkey = o.o_custkey
+        JOIN lineitem_q3 l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+          AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+        GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+        """
+    )

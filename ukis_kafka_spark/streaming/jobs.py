@@ -368,7 +368,9 @@ def s_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "max_value": [mx]})
 
     def go(work: str) -> DataFrame:
-        stream = replay_events_as_stream(spark, sf_dir, work)
+        # 4 micro-batches: each batch pays a Python state-worker round
+        # per partition, the dominant cost of this operator
+        stream = replay_events_as_stream(spark, sf_dir, work, n_chunks=4)
         updates = (
             stream.select("user_id", "value")
             .groupBy("user_id")
