@@ -394,3 +394,54 @@ def s_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return _with_scratch(go)
+
+
+@query(
+    "s_session_stream",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) >= 1800
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), numbered AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+  FROM flagged
+), sessions AS (
+  SELECT user_id,
+         CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+         CAST(floor(epoch(max(ts))) AS BIGINT) AS session_last,
+         count(*) AS n_events
+  FROM numbered GROUP BY user_id, session_no
+)
+SELECT user_id, session_start, n_events FROM sessions
+WHERE session_last + 1800 + 600 <= (SELECT CAST(floor(epoch(max(ts))) AS BIGINT) FROM events)
+""",
+)
+def s_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min gap) per user under streaming with a
+    10-min watermark, append mode: a session emits once the watermark
+    passes its end (last event + gap). The oracle replays the same
+    closure rule over the gaps-and-islands batch twin — only sessions
+    whose end + gap + delay precede the final watermark appear.
+    Real streaming session-merge state; in-order replay keeps it
+    deterministic."""
+
+    def go(work: str) -> DataFrame:
+        stream = replay_events_as_stream(spark, sf_dir, work)
+        agg = (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                "user_id",
+                F.unix_timestamp(F.col("w.start")).alias("session_start"),
+                "n_events",
+            )
+        )
+        return run_to_memory(agg, work, mode="append").localCheckpoint()
+
+    return _with_scratch(go)
