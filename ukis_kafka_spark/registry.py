@@ -22,6 +22,40 @@ QUERIES: dict[str, QueryFn] = {}
 ORACLE: dict[str, str] = {}
 
 
+def _ship_package(spark: SparkSession) -> None:
+    """Make ``ukis_kafka_spark`` importable inside Python workers.
+
+    Worker processes do not inherit the driver's sys.path, so any
+    pandas UDF / mapInPandas closure that references the package (WKB
+    codec, envelope, multimodal decode) would fail when the driver runs
+    from a different cwd. Shipping the package zip via addPyFile puts
+    it on every worker's path regardless of launch directory."""
+    if getattr(spark, "_ukis_pkg_shipped", False):
+        return
+    import os
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    scratch = os.path.join(os.path.dirname(pkg_dir), ".tmp")
+    os.makedirs(scratch, exist_ok=True)
+    zpath = os.path.join(scratch, "ukis_kafka_spark_pkg.zip")
+    newest_src = max(
+        os.path.getmtime(os.path.join(root, f))
+        for root, _, files in os.walk(pkg_dir)
+        for f in files
+        if f.endswith(".py")
+    )
+    if not os.path.exists(zpath) or os.path.getmtime(zpath) < newest_src:
+        with zipfile.ZipFile(zpath, "w") as z:
+            for root, _, files in os.walk(pkg_dir):
+                for f in sorted(files):
+                    if f.endswith(".py"):
+                        full = os.path.join(root, f)
+                        z.write(full, os.path.relpath(full, os.path.dirname(pkg_dir)))
+    spark.sparkContext.addPyFile(zpath)
+    spark._ukis_pkg_shipped = True
+
+
 def _tune(spark: SparkSession) -> None:
     """Runtime confs every query depends on for oracle hash-parity.
 
@@ -33,6 +67,7 @@ def _tune(spark: SparkSession) -> None:
     # events.ts is TIMESTAMP(NANOS) in parquet, which Spark 4 refuses by
     # default; read as long and convert in sources.load_table.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    _ship_package(spark)
 
 
 def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn]:
