@@ -107,3 +107,15 @@ def test_multimodal_stub_raises_on_real_formats():
         decode_image(b"\x89PNG...", "png")
     feats = decode_image(b"\x01\x02\x03", "raw")
     assert feats["n_bytes"] == 3 and feats["mean_pixel"] == 2.0
+
+
+def test_ivf_ann_recall(spark):
+    truth = {
+        (r["id_a"], r["id_b"])
+        for r in api.queries()["m_cosine_topk"](spark, SF_SMOKE).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"]) for r in api.queries()["m_ann_ivf"](spark, SF_SMOKE).collect()
+    }
+    recall = len(truth & approx) / len(truth)
+    assert recall >= 0.5, f"IVF recall {recall:.2f} of brute-force top-20"

@@ -184,3 +184,27 @@ def q_win_ntile_firstlast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("c_custkey").over(w).alias("richest_cust"),
         F.last("c_custkey").over(w_full).alias("poorest_cust"),
     )
+
+
+@query(
+    "q_win_pctrank",
+    oracle="""
+SELECT o_orderkey, o_orderstatus,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume
+FROM orders
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice ASC, o_orderkey ASC)
+""",
+)
+def q_win_pctrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist — ratios of integer rank counts, so the
+    doubles are identical across engines without rounding."""
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    return load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
