@@ -155,7 +155,7 @@ def s_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     live row, so the result equals batch COUNT(DISTINCT)."""
 
     def go(work: str) -> DataFrame:
-        stream = replay_events_as_stream(spark, sf_dir, work)
+        stream = replay_events_as_stream(spark, sf_dir, work, n_chunks=4)
         deduped = (
             stream.withWatermark("ts", "10 minutes")
             .dropDuplicatesWithinWatermark(["event_id"])
@@ -237,7 +237,7 @@ def s_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 
     def go(work: str) -> DataFrame:
-        stream = replay_events_as_stream(spark, sf_dir, work)
+        stream = replay_events_as_stream(spark, sf_dir, work, n_chunks=4)
         clicks = (
             stream.where(F.col("event_type") == "click")
             .select(
