@@ -82,3 +82,22 @@ def test_point_in_polygon_goldens():
     with_hole = square + (((4.0, 4.0), (6.0, 4.0), (6.0, 6.0), (4.0, 6.0), (4.0, 4.0)),)
     assert not point_in_polygon(5, 5, with_hole)  # inside the hole
     assert point_in_polygon(2, 2, with_hole)  # shell minus hole
+
+
+def test_wkb_validation_verdicts():
+    from ukis_kafka_spark.spatial.wkb import encode_wkb, validate_wkb
+
+    good_pt = encode_wkb(("POINT", (1.0, 2.0)))
+    assert validate_wkb(good_pt) is None
+    assert "undecodable" in validate_wkb(good_pt[:9])
+    assert "undecodable" in validate_wkb(b"\x01\xff\x00\x00\x00")
+    line1 = encode_wkb(("LINESTRING", ((0.0, 0.0),)))
+    assert "2 points" in validate_wkb(line1)
+    open_ring = encode_wkb(("POLYGON", (((0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (2.0, 2.0)),)))
+    assert "unclosed" in validate_wkb(open_ring)
+    tiny_ring = encode_wkb(("POLYGON", (((0.0, 0.0), (1.0, 0.0), (0.0, 0.0)),)))
+    assert "< 4 points" in validate_wkb(tiny_ring)
+    good_poly = encode_wkb(
+        ("POLYGON", (((0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 0.0)),))
+    )
+    assert validate_wkb(good_poly) is None

@@ -197,3 +197,35 @@ def g_wkb_serde(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "lon", "lon_rt", F.octet_length("wkb").alias("wkb_len"))
         .where(F.col("lon") == F.col("lon_rt"))  # exact round-trip
     )
+
+
+@query("g_geom_valid")  # rows-only: validation verdicts are codec-defined
+def g_geom_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometry validation (reference stage R5: drop/repair invalid
+    features before the sink). Each event's derived point is WKB-encoded
+    and then *corrupted for every third event* (truncated buffer), so
+    the validator sees a realistic mix; invalid rows are dropped exactly
+    like the reference's handler chain does. Unit tests cover the
+    validator verdicts on crafted geometries."""
+    from .wkb import encode_wkb, validate_wkb
+
+    @pandas_udf(T.BinaryType())
+    def maybe_broken_wkb(event_id: pd.Series, lon: pd.Series, lat: pd.Series) -> pd.Series:
+        out = []
+        for e, x, y in zip(event_id, lon, lat):
+            buf = encode_wkb(("POINT", (x, y)))
+            out.append(buf[:9] if e % 3 == 0 else buf)  # truncate → invalid
+        return pd.Series(out, dtype=object)
+
+    @pandas_udf(T.BooleanType())
+    def is_valid(wkb: pd.Series) -> pd.Series:
+        return pd.Series([validate_wkb(bytes(b)) is None for b in wkb])
+
+    e = load_table(spark, sf_dir, "events")
+    pts = e.select("event_id", _lon().alias("lon"), _lat().alias("lat"))
+    return (
+        pts.withColumn("wkb", maybe_broken_wkb(F.col("event_id"), F.col("lon"), F.col("lat")))
+        .withColumn("valid", is_valid(F.col("wkb")))
+        .where(F.col("valid"))
+        .select("event_id", "lon", "lat")
+    )

@@ -130,3 +130,32 @@ def point_in_polygon(x: float, y: float, rings) -> bool:
                 inside = not inside
             j = i
     return inside
+
+
+def validate_wkb(buf: bytes) -> str | None:
+    """Validate WKB bytes (R5 parity). Returns None when valid, else a
+    reason string. Checks: decodability, polygon ring closure, and
+    minimum point counts (line ≥ 2, ring ≥ 4)."""
+    try:
+        geom = decode_wkb(buf)
+    except (ValueError, IndexError, struct.error) as exc:
+        return f"undecodable: {exc}"
+
+    def check(gtype: str, body) -> str | None:
+        if gtype == "LINESTRING" and len(body) < 2:
+            return "linestring with < 2 points"
+        if gtype == "POLYGON":
+            for ring in body:
+                if len(ring) < 4:
+                    return "ring with < 4 points"
+                if ring[0] != ring[-1]:
+                    return "unclosed ring"
+        if gtype.startswith("MULTI"):
+            base = gtype[5:]
+            for member in body:
+                reason = check(base, member)
+                if reason:
+                    return reason
+        return None
+
+    return check(*geom)
