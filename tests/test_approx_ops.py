@@ -119,3 +119,29 @@ def test_ivf_ann_recall(spark):
     }
     recall = len(truth & approx) / len(truth)
     assert recall >= 0.5, f"IVF recall {recall:.2f} of brute-force top-20"
+
+
+def test_connected_components_on_planted_clusters(spark):
+    from ukis_kafka_spark.ml.dedup import connected_components
+
+    # two triangles + one chain + an isolated pair
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (20, 21)],
+        "id_a long, id_b long",
+    )
+    comp = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_dedup_clusters_planted(spark, planted_docs):
+    rows = api.queries()["m_dedup_clusters"](spark, planted_docs).collect()
+    by_doc = {r["doc_id"]: r for r in rows}
+    # each planted pair (i, i+1000) must share a cluster with survivor i
+    hits = 0
+    for i in range(40):
+        if i in by_doc and (i + 1000) in by_doc:
+            a, b = by_doc[i], by_doc[i + 1000]
+            if a["cluster_id"] == b["cluster_id"]:
+                hits += 1
+                assert a["is_survivor"] and not b["is_survivor"]
+    assert hits >= 30

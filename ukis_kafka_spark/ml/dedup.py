@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..registry import query
+from ..registry import QUERIES, query
 from ..sources import load_table
 
 # MinHash parameters: 12 hashes = 4 bands × 3 rows. Small because the
@@ -249,4 +249,69 @@ def m_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             "id_b",
             (inter.cast("double") / union).alias("jaccard"),
         )
+    )
+
+
+def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components over an undirected edge list
+    (id_a, id_b) via iterative min-label propagation: every node
+    repeatedly adopts the smallest label in its neighborhood until no
+    label changes. Converges in O(diameter) joins — near-dup graphs
+    are unions of small cliques, so 2-3 iterations in practice; each
+    iteration is one shuffle on the node id.
+
+    Returns (node, component) where component = min doc_id reachable.
+    """
+    sym = (
+        edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+    )
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+    )
+    for _ in range(max_iter):
+        # each node's candidate label: min over its own and neighbors'
+        neighbor_min = (
+            sym.join(labels, sym.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
+                ).alias("component"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels.localCheckpoint()  # truncate the iterative lineage
+        if changed == 0:
+            break
+    return labels
+
+
+@query("m_dedup_clusters")  # rows-only: built on the minhash candidate graph
+def m_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate cluster resolution — the step after pair finding
+    in a real dedup pipeline: MinHash pairs → connected components →
+    keep the smallest doc_id per cluster. Emits every clustered doc
+    with its cluster id and survivor flag; unit-tested on planted
+    multi-doc clusters."""
+    pairs = QUERIES["m_near_dedup"](spark, sf_dir).select("id_a", "id_b")
+    comp = connected_components(pairs)
+    return comp.select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        (F.col("node") == F.col("component")).alias("is_survivor"),
     )
