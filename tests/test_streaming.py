@@ -73,3 +73,29 @@ def test_upsert_parquet_semantics(spark, tmp_path):
     # idempotency: re-applying the same updates changes nothing
     upsert_parquet(spark, spark.read.parquet(path), updates, ["k"], path)
     assert {(r["k"], r["v"]) for r in spark.read.parquet(path).collect()} == got
+
+
+def test_postgis_sink_sql_generation(spark):
+    from pyspark.sql import types as T
+
+    from ukis_kafka_spark.sinks.postgis import create_table_ddl, upsert_sql
+
+    schema = T.StructType(
+        [
+            T.StructField("fid", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("area", T.DoubleType()),
+            T.StructField("geom", T.BinaryType()),
+        ]
+    )
+    ddl = create_table_ddl(schema, "features", ["fid"], geom_col="geom")
+    assert '"fid" BIGINT' in ddl and '"name" TEXT' in ddl
+    assert '"geom" GEOMETRY' in ddl
+    assert "PRIMARY KEY (\"fid\")" in ddl
+    assert ddl.startswith("CREATE TABLE IF NOT EXISTS")
+
+    sql = upsert_sql(schema, "features", ["fid"], geom_col="geom")
+    assert "ST_GeomFromWKB(%s, 4326)" in sql
+    assert 'ON CONFLICT ("fid") DO UPDATE' in sql
+    assert '"name" = EXCLUDED."name"' in sql
+    assert '"fid" = EXCLUDED' not in sql  # keys never updated
