@@ -266,6 +266,7 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
+        .localCheckpoint()  # materialize once: every iteration re-reads the edges
     )
     labels = (
         sym.select(F.col("src").alias("node"))

@@ -51,3 +51,26 @@ def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     a, b = _ab(spark, sf_dir)
     return a.subtract(b)  # EXCEPT DISTINCT semantics, matching SQL EXCEPT
+
+
+@query(
+    "q_unpivot",
+    oracle="""
+SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS val
+FROM lineitem WHERE l_orderkey % 20 = 0
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_extendedprice' AS measure, l_extendedprice AS val
+FROM lineitem WHERE l_orderkey % 20 = 0
+""",
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape (unpivot/melt) — the inverse of m_pivot_lang.
+    Plans as a generate/expand over each row: no shuffle, output is
+    rows × measures."""
+    l = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 20 == 0)
+    return l.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_extendedprice"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    )
