@@ -145,3 +145,19 @@ def test_dedup_clusters_planted(spark, planted_docs):
                 hits += 1
                 assert a["is_survivor"] and not b["is_survivor"]
     assert hits >= 30
+
+
+def test_approx_quantile_bound(spark):
+    rows = api.queries()["q_agg_approx_quantile"](spark, SF_SMOKE).collect()
+    exact = {
+        r["l_returnflag"]: (r["p50"], r["p90"])
+        for r in api.queries()["q_agg_percentile"](spark, SF_SMOKE)
+        .selectExpr("l_returnflag", "median_price AS p50", "p90_price AS p90")
+        .collect()
+    }
+    assert rows
+    for r in rows:
+        a50, a90 = r["approx_p"]
+        e50, e90 = exact[r["l_returnflag"]]
+        assert abs(a50 - e50) / e50 < 0.05
+        assert abs(a90 - e90) / e90 < 0.05

@@ -54,3 +54,18 @@ def test_cli_produce_consume_roundtrip(spark, tmp_path):
     assert cli.main(["produce", "--geojson", str(gj2), "--topic-dir", topic, "--layer", "pts"]) == 0
     assert cli.main(["consume-upsert", "--topic-dir", topic, "--table", table]) == 0
     assert spark.read.parquet(table).count() == 6
+
+
+def test_pipeline_demo_runs(spark):
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, "examples/pipeline_demo.py"],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-500:]
+    assert "pipeline_demo OK" in r.stdout

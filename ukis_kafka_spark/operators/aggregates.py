@@ -317,3 +317,15 @@ def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(l_extendedprice, 0.9)").alias("p90_price"),
         F.expr("percentile(l_quantity, 0.25)").alias("p25_qty"),
     )
+
+
+@query("q_agg_approx_quantile")  # approximate: t-digest internals are engine-specific
+def q_agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile over prices per returnflag — the sketch-based
+    scale path for q_agg_percentile (single pass, mergeable state, no
+    sort). Bounded-error unit test vs the exact percentile; never
+    hash-checked (sketches differ across engines by design)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.expr("approx_percentile(l_extendedprice, array(0.5, 0.9), 1000)").alias("approx_p")
+    )
