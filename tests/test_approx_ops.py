@@ -57,18 +57,16 @@ def planted_docs(spark, tmp_path_factory):
 
 
 def test_minhash_finds_planted_pairs(spark, planted_docs):
-    pairs = {
-        (r["id_a"], r["id_b"])
-        for r in api.queries()["m_near_dedup"](spark, planted_docs).collect()
-    }
+    rows = api.queries()["m_near_dedup"](spark, planted_docs).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in rows}
     planted = {(i, i + 1000) for i in range(40)}
     found = planted & pairs
-    # 29/30 shingles shared → Jaccard ≈ 0.83 → P(band match) high; LSH
-    # is probabilistic per-pair but 12 hashes × 4 bands finds nearly all
+    # planted pairs share ~97/100 shingles → Jaccard ≈ 0.94 → LSH finds
+    # nearly all of them with 12 hashes × 4 bands
     assert len(found) >= 30, f"only {len(found)}/40 planted pairs found"
-    # no wildly-dissimilar pair should pass the exact-Jaccard verify
-    for a, b in pairs:
-        assert (a, b) in planted or abs(a - b) != 1000 or True
+    # the exact-Jaccard verify stage must hold for every emitted pair
+    for r in rows:
+        assert r["jaccard"] >= 0.6, f"pair {(r['id_a'], r['id_b'])} below verify threshold"
 
 
 def test_simhash_finds_planted_pairs(spark, planted_docs):

@@ -14,7 +14,6 @@ Usage:
 
 from __future__ import annotations
 
-import math
 import os
 import sys
 import time
@@ -24,45 +23,13 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 import duckdb  # noqa: E402
-import pandas as pd  # noqa: E402
 
+from tests.util import norm_df as _norm_df  # noqa: E402
 from ukis_kafka_spark import api  # noqa: E402
 from ukis_kafka_spark.plans import get_spark  # noqa: E402
 from ukis_kafka_spark.sources import TABLES  # noqa: E402
 
 SF_DIR = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
-
-
-def _norm_cell(v):
-    """Normalize one value to a hashable, engine-neutral form."""
-    if v is None:
-        return None
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return repr(v)  # exact: shortest repr round-trips the double
-    if isinstance(v, pd.Timestamp):
-        return v.isoformat()
-    if isinstance(v, (list, tuple)):
-        return tuple(_norm_cell(x) for x in v)
-    if hasattr(v, "tolist"):  # numpy scalars/arrays
-        return _norm_cell(v.tolist())
-    if isinstance(v, (bytes, bytearray)):
-        return bytes(v).hex()
-    import decimal
-
-    if isinstance(v, decimal.Decimal):
-        return str(v.normalize())
-    return v
-
-
-def _norm_df(df: pd.DataFrame):
-    cols = sorted(df.columns)
-    rows = []
-    for t in df[cols].itertuples(index=False, name=None):
-        rows.append(tuple(_norm_cell(v) for v in t))
-    rows.sort(key=lambda r: tuple(str(x) for x in r))
-    return cols, rows
 
 
 def _diff_sample(a_rows, b_rows, n=4):

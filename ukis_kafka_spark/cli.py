@@ -107,7 +107,7 @@ def cmd_consume_files(args: argparse.Namespace) -> int:
     if args.partition_by:
         writer = writer.partitionBy(*args.partition_by.split(","))
     writer.parquet(args.out)
-    print(f"wrote {feats.count()} features to {args.out}")
+    print(f"wrote {spark.read.parquet(args.out).count()} features to {args.out}")
     return 0
 
 
@@ -124,6 +124,12 @@ def cmd_consume_upsert(args: argparse.Namespace) -> int:
     feats = _decoded_features(spark, args.topic_dir).withColumn(
         "fid", F.get_json_object("props_json", f"$.{args.key}")
     )
+    # keyless features cannot be upserted idempotently; dropping them is
+    # explicit (a NULL key would otherwise collapse them into one row)
+    n_keyless = feats.where(F.col("fid").isNull()).count()
+    if n_keyless:
+        print(f"warning: dropping {n_keyless} features without a '{args.key}' property")
+        feats = feats.where(F.col("fid").isNotNull())
     if os.path.exists(args.table):
         base = spark.read.parquet(args.table)
     else:

@@ -273,6 +273,7 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         .distinct()
         .withColumn("component", F.col("node"))
     )
+    converged = False
     for _ in range(max_iter):
         # each node's candidate label: min over its own and neighbors'
         neighbor_min = (
@@ -298,7 +299,13 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         )
         labels = new_labels.localCheckpoint()  # truncate the iterative lineage
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} iterations "
+            "(component diameter exceeds max_iter) — raise max_iter"
+        )
     return labels
 
 

@@ -53,7 +53,7 @@ def create_table_ddl(
     cols = []
     for f in schema.fields:
         if f.name == geom_col:
-            cols.append(f'"{f.name}" GEOMETRY')
+            cols.append(f'"{f.name}" GEOMETRY(GEOMETRY, {srid})')
         else:
             cols.append(f'"{f.name}" {pg_type(f.dataType)}')
     pk = ", ".join(f'"{c}"' for c in key_cols)
@@ -79,9 +79,10 @@ def upsert_sql(
     updates = ", ".join(
         f'"{n}" = EXCLUDED."{n}"' for n in names if n not in key_cols
     )
+    action = f"DO UPDATE SET {updates}" if updates else "DO NOTHING"
     return (
         f'INSERT INTO "{table}" ({collist}) VALUES ({params})\n'
-        f"ON CONFLICT ({conflict}) DO UPDATE SET {updates}"
+        f"ON CONFLICT ({conflict}) {action}"
     )
 
 
@@ -92,8 +93,9 @@ def postgis_batch_writer(
     geom_col: str | None = None,
     srid: int = 4326,
 ):
-    """foreachBatch callback: executes the DDL once, then upserts every
-    row of the micro-batch in one transaction per partition. Use as
+    """foreachBatch callback: executes the DDL once on the driver, then
+    upserts every row of the micro-batch in one transaction per
+    partition. Use as
 
         stream.writeStream.foreachBatch(
             postgis_batch_writer("features", ["fid"], psycopg2_connect, "geom")
@@ -105,16 +107,24 @@ def postgis_batch_writer(
         ddl = create_table_ddl(schema, table, key_cols, geom_col, srid)
         sql = upsert_sql(schema, table, key_cols, geom_col, srid)
 
+        # DDL runs once, on the driver: concurrent CREATE TABLE IF NOT
+        # EXISTS from partitions races inside Postgres
+        conn = connection_factory()
+        try:
+            with conn:
+                conn.cursor().execute(ddl)
+        finally:
+            conn.close()
+
         def write_partition(rows):
-            conn = connection_factory()
+            pconn = connection_factory()
             try:
-                with conn:
-                    cur = conn.cursor()
-                    cur.execute(ddl)
+                with pconn:
+                    cur = pconn.cursor()
                     for row in rows:
                         cur.execute(sql, tuple(row))
             finally:
-                conn.close()
+                pconn.close()
 
         batch_df.rdd.foreachPartition(write_partition)
 

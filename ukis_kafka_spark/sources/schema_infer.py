@@ -47,7 +47,9 @@ def infer_props_schema(df: DataFrame, props_col: str = "props_json", sample: int
                 kinds.add("string")
     out: dict[str, str] = {}
     for k, kinds in seen.items():
-        if kinds <= {"boolean"}:
+        if not kinds:  # only nulls observed: widest type, never narrow
+            out[k] = "string"
+        elif kinds <= {"boolean"}:
             out[k] = "boolean"
         elif kinds <= {"bigint"}:
             out[k] = "bigint"

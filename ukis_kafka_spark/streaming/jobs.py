@@ -173,7 +173,7 @@ def s_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start, count(*) AS n
 FROM events
 GROUP BY 1
-HAVING hour_start + 3600 <= (SELECT CAST(epoch(max(ts)) AS BIGINT) - 600 FROM events)
+HAVING hour_start + 3600 <= (SELECT CAST(floor(epoch(max(ts))) AS BIGINT) - 600 FROM events)
 """,
 )
 def s_tumble_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -413,12 +413,12 @@ WITH flagged AS (
 ), sessions AS (
   SELECT user_id,
          CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
-         CAST(floor(epoch(max(ts))) AS BIGINT) AS session_last,
+         epoch(max(ts)) AS session_last_exact,
          count(*) AS n_events
   FROM numbered GROUP BY user_id, session_no
 )
 SELECT user_id, session_start, n_events FROM sessions
-WHERE session_last + 1800 + 600 <= (SELECT CAST(floor(epoch(max(ts))) AS BIGINT) FROM events)
+WHERE session_last_exact + 1800 + 600 <= (SELECT epoch(max(ts)) FROM events)
 """,
 )
 def s_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
