@@ -306,3 +306,34 @@ def q_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("42.5").cast("double").alias("lit_dbl"),
         (F.col("o_orderstatus") == "O").cast("int").alias("is_open_int"),
     )
+
+
+@query(
+    "q_array_predicates",
+    oracle="""
+SELECT vec_id,
+       len(list_filter(embedding, x -> x > 0.4)) > 0 AS has_large,
+       len(list_filter(embedding, x -> NOT (x > -10))) = 0 AS all_above_neg10,
+       len(list_filter(embedding, x -> x < 0)) AS n_negative,
+       CAST(list_max(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS DOUBLE) AS max_elem,
+       list_position(list_transform(embedding, x -> x > 0.4), true) AS first_large_pos
+FROM embeddings
+""",
+)
+def q_array_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array predicates: exists / forall / filter-count /
+    max / first-match position — all JVM-side lambdas over the
+    embedding arrays. float32 comparisons against float literals are
+    exact widenings, so verdicts match across engines."""
+    e = load_table(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    return e.select(
+        "vec_id",
+        F.exists(emb, lambda x: x > 0.4).alias("has_large"),
+        F.forall(emb, lambda x: x > -10).alias("all_above_neg10"),
+        F.size(F.filter(emb, lambda x: x < 0)).alias("n_negative"),
+        F.array_max(F.transform(emb, lambda x: x.cast("double"))).alias("max_elem"),
+        F.array_position(
+            F.transform(emb, lambda x: x > 0.4), F.lit(True)
+        ).alias("first_large_pos"),
+    )
