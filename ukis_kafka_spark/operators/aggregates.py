@@ -329,3 +329,27 @@ def q_agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return l.groupBy("l_returnflag").agg(
         F.expr("approx_percentile(l_extendedprice, array(0.5, 0.9), 1000)").alias("approx_p")
     )
+
+
+@query(
+    "q_agg_stringagg",
+    oracle="""
+SELECT o_orderstatus,
+       string_agg(DISTINCT o_orderpriority, '|' ORDER BY o_orderpriority) AS priorities_csv
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+def q_agg_stringagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG/STRING_AGG semantics) as
+    sort_array(collect_set) + array_join — deterministic because the
+    order is pinned, unlike a bare collect_list."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.array_join(F.sort_array(F.collect_set("o_orderpriority")), "|").alias(
+                "priorities_csv"
+            )
+        )
+    )
