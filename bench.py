@@ -5,6 +5,12 @@ Runs every registered query at ``$SPARK_GRAFT_SF_DIR`` (default
 JSON line: {"metric": ..., "value": N, "unit": "sec", "queries":
 {name: sec, ...}, "sf": ...}.
 
+The driver keeps only the last 2000 characters of stdout (observed in
+BENCH_r01: the full 105-query line overflowed and parsed as null), so
+the printed line caps itself at ~1900 chars: per-query times are
+included in priority order until the budget is hit and the full table
+is always written to BENCH_FULL.json next to this script.
+
 Each query is forced end-to-end with the noop sink (full execution,
 no driver-side collect). The flagship runs once untimed first to warm
 the JVM/codegen caches.
@@ -50,17 +56,37 @@ def main() -> None:
         times[name] = round(time.time() - t0, 3)
 
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": sf_num,
-            }
-        )
-    )
+    full = {
+        "metric": "total_query_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf_num,
+    }
+    with open(os.path.join(REPO, "BENCH_FULL.json"), "w") as f:
+        json.dump(full, f, indent=1, sort_keys=True)
+
+    # Compact single-line summary, capped so the driver's 2000-char
+    # stdout tail always contains (and can parse) the whole line.
+    compact = lambda p: json.dumps(p, separators=(",", ":"))  # noqa: E731
+    payload = {
+        "metric": "total_query_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": {},
+        "sf": sf_num,
+        "n_queries": len(times),
+        "omitted": 0,
+        "full": "BENCH_FULL.json",
+    }
+    for name in qs:  # api.queries() is priority-ordered
+        if name not in times:
+            continue
+        payload["queries"][name] = times[name]
+        if len(compact(payload)) > 1900:
+            del payload["queries"][name]
+    payload["omitted"] = len(times) - len(payload["queries"])
+    print(compact(payload))
 
 
 if __name__ == "__main__":

@@ -33,6 +33,7 @@ from ukis_kafka_spark.sources import load_table  # noqa: E402
 def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     spark = get_spark("pipeline-demo")
     spark.sparkContext.setLogLevel("ERROR")
+    os.makedirs(os.path.join(REPO, ".tmp"), exist_ok=True)
     out = tempfile.mkdtemp(prefix="demo_", dir=os.path.join(REPO, ".tmp"))
     try:
         queries = api.queries()

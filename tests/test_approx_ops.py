@@ -91,11 +91,15 @@ def test_lsh_ann_recall(spark):
 
 
 def test_map_ops_semantics(spark):
+    import json
+
     rows = api.queries()["q_map_ops"](spark, SF_SMOKE).limit(50).collect()
     assert rows
     for r in rows:
-        assert r["type_from_map"] == r["attrs"]["type"]
-        assert sorted(r["attr_keys"]) == ["type", "user"]
+        attrs = json.loads(r["attrs_json"])
+        assert r["type_from_map"] == attrs["type"]
+        assert r["attr_keys"] == "type,user"
+        assert r["n_keys"] == 2 == len(attrs)
 
 
 def test_multimodal_stub_raises_on_real_formats():

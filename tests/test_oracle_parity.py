@@ -23,3 +23,17 @@ def test_query_matches_oracle(spark, duck_smoke, name):
         assert sdf.count() >= 0  # rows-only: must at least execute
         return
     assert_parity(sdf, duck_smoke, oracles[name], name)
+
+
+def test_priority_ordering_is_exact_and_complete():
+    """queries() must lead with _PRIORITY verbatim (the driver's
+    correctness gate reads the first N entries in dict order) and still
+    expose every registered query exactly once."""
+    from ukis_kafka_spark.api import _PRIORITY, QUERIES
+
+    missing = [n for n in _PRIORITY if n not in QUERIES]
+    assert not missing, f"_PRIORITY names not in registry: {missing}"
+    assert len(set(_PRIORITY)) == len(_PRIORITY), "duplicate in _PRIORITY"
+    ordered = list(api.queries())
+    assert ordered[: len(_PRIORITY)] == _PRIORITY
+    assert set(ordered) == set(QUERIES) and len(ordered) == len(QUERIES)

@@ -4,6 +4,8 @@ the semantics the DuckDB oracle cannot express."""
 
 from __future__ import annotations
 
+import os
+
 import pyspark.sql.functions as F
 
 from ukis_kafka_spark import api
@@ -73,6 +75,42 @@ def test_upsert_parquet_semantics(spark, tmp_path):
     # idempotency: re-applying the same updates changes nothing
     upsert_parquet(spark, spark.read.parquet(path), updates, ["k"], path)
     assert {(r["k"], r["v"]) for r in spark.read.parquet(path).collect()} == got
+
+
+def test_upsert_parquet_seq_col_last_write_wins(spark, tmp_path):
+    """Duplicate keys within one update batch resolve by highest
+    seq_col (Kafka offset-order re-delivery), deterministically."""
+    from ukis_kafka_spark.sinks.files import upsert_parquet
+
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    path = str(tmp_path / "t")
+    base.write.parquet(path)
+    updates = spark.createDataFrame(
+        [(2, "first", 10), (2, "last", 30), (2, "mid", 20), (3, "c", 11)],
+        "k long, v string, off long",
+    )
+    upsert_parquet(spark, spark.read.parquet(path), updates, ["k"], path, seq_col="off")
+    got = {(r["k"], r["v"]) for r in spark.read.parquet(path).collect()}
+    assert got == {(1, "a"), (2, "last"), (3, "c")}
+    # seq column must not leak into the merged table
+    assert set(spark.read.parquet(path).columns) == {"k", "v"}
+
+
+def test_upsert_parquet_crash_safe_swap_leaves_no_debris(spark, tmp_path):
+    from ukis_kafka_spark.sinks.files import upsert_parquet
+
+    base = spark.createDataFrame([(1, "a")], "k long, v string")
+    path = str(tmp_path / "t")
+    base.write.parquet(path)
+    upsert_parquet(
+        spark,
+        spark.read.parquet(path),
+        spark.createDataFrame([(1, "A")], "k long, v string"),
+        ["k"],
+        path,
+    )
+    assert not os.path.exists(path + "._old") and not os.path.exists(path + "._new")
+    assert {(r["k"], r["v"]) for r in spark.read.parquet(path).collect()} == {(1, "A")}
 
 
 def test_postgis_sink_sql_generation(spark):

@@ -63,8 +63,21 @@ def cmd_produce(args: argparse.Namespace) -> int:
             make_envelope(_geojson_geom_to_wkb(f["geometry"]), props, layer=args.layer, srid=args.srid)
         )
     spark = get_spark("cli-produce")
+    # monotonic per-message offset (Kafka-offset parity): continue from
+    # the existing topic size so re-delivered keys keep produce order
+    import os
+
+    base_off = 0
+    if os.path.isdir(args.topic_dir):
+        base_off = spark.read.parquet(args.topic_dir).count()
     df = spark.createDataFrame(
-        pd.DataFrame({"value": pd.Series(envelopes, dtype=object)}), schema="value binary"
+        pd.DataFrame(
+            {
+                "value": pd.Series(envelopes, dtype=object),
+                "offset": range(base_off, base_off + len(envelopes)),
+            }
+        ),
+        schema="value binary, offset long",
     )
     df.write.mode("append").parquet(args.topic_dir)
     print(f"produced {len(envelopes)} features to {args.topic_dir}")
@@ -78,6 +91,10 @@ def _decoded_features(spark, topic_dir: str):
     from .spatial.wkb import decode_wkb
 
     raw = spark.read.parquet(topic_dir)
+    from pyspark.sql import functions as F2
+
+    if "offset" not in raw.columns:  # pre-offset topic dirs remain readable
+        raw = raw.withColumn("offset", F2.lit(-1).cast("long"))
 
     def decode(iter_pdf):
         for pdf in iter_pdf:
@@ -90,10 +107,12 @@ def _decoded_features(spark, topic_dir: str):
                 out["geom_type"].append(gtype)
                 out["wkb"].append(env["geom"])
                 out["props_json"].append(json.dumps(env["props"], sort_keys=True))
+            out["offset"] = list(pdf["offset"])
             yield pd.DataFrame(out)
 
     return raw.mapInPandas(
-        decode, "layer string, srid int, geom_type string, wkb binary, props_json string"
+        decode,
+        "layer string, srid int, geom_type string, wkb binary, props_json string, offset long",
     )
 
 
@@ -133,9 +152,11 @@ def cmd_consume_upsert(args: argparse.Namespace) -> int:
     if os.path.exists(args.table):
         base = spark.read.parquet(args.table)
     else:
-        feats.limit(0).write.parquet(args.table)
+        feats.drop("offset").limit(0).write.parquet(args.table)
         base = spark.read.parquet(args.table)
-    upsert_parquet(spark, base, feats, ["fid"], args.table)
+    # offset-order last-write-wins: re-delivered same-key messages in
+    # one batch resolve to the latest produce, like the reference consumer
+    upsert_parquet(spark, base, feats, ["fid"], args.table, seq_col="offset")
     print(f"upserted into {args.table}; now {spark.read.parquet(args.table).count()} rows")
     return 0
 

@@ -261,11 +261,28 @@ def q_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_map_ops")  # rows-only: map value-hash parity across engines is fragile
+@query(
+    "q_map_ops",
+    oracle="""
+SELECT event_id,
+       '{"type":"' || event_type || '","user":"' || CAST(user_id AS VARCHAR) || '"}'
+         AS attrs_json,
+       event_type AS type_from_map,
+       'type,user' AS attr_keys,
+       2 AS n_keys
+FROM events
+""",
+)
 def q_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Build a map from key/value arrays, look values up. Rows-only by
-    design (map ordering/encoding is engine-specific); a unit test pins
-    the semantics."""
+    """Build a map from key/value arrays, look values up, serialize.
+
+    The map itself is exercised Spark-side (map_from_arrays,
+    element_at, map_keys, size) but the *output* columns are scalar
+    projections of it — raw MapType/ArrayType columns are not sortable
+    by pandas-based harnesses (round-1 driver crash), and to_json gives
+    a deterministic encoding both engines can state exactly. Map
+    insertion order is preserved by Spark's to_json/map_keys, so the
+    oracle can spell the literal JSON."""
     e = load_table(spark, sf_dir, "events")
     m = F.map_from_arrays(
         F.array(F.lit("type"), F.lit("user")),
@@ -273,9 +290,10 @@ def q_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return e.select(
         "event_id",
-        m.alias("attrs"),
+        F.to_json(m).alias("attrs_json"),
         F.element_at(m, "type").alias("type_from_map"),
-        F.map_keys(m).alias("attr_keys"),
+        F.array_join(F.map_keys(m), ",").alias("attr_keys"),
+        F.size(m).alias("n_keys"),
     )
 
 

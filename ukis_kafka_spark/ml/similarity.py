@@ -276,10 +276,18 @@ def m_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "m_embed_dup",
     oracle=f"""
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000000 AS vec_id,
+         list_concat([CAST(CAST(embedding[1] AS DOUBLE) + 0.1 AS REAL)], embedding[2:])
+           AS embedding
+  FROM embeddings WHERE vec_id % 100 = 0
+)
 SELECT id_a, id_b, round(cos_sim, 6) AS cos_sim FROM (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          {_ORACLE_DOT} / ({_ORACLE_NORM_A} * {_ORACLE_NORM_B}) AS cos_sim
-  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
 )
 WHERE round(cos_sim, 6) >= 0.99
 """,
@@ -287,9 +295,25 @@ WHERE round(cos_sim, 6) >= 0.99
 def m_embed_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cos ≥ 0.99) — the
     embedding-space member of the dedup suite, on the blocked-GEMM
-    pair kernel."""
+    pair kernel.
+
+    The synthetic corpus is random gaussian (max pairwise cosine ≈0.5
+    at sf0.01), so a 0.99 threshold over the raw table is vacuously
+    empty — it would certify nothing. The query therefore plants
+    deterministic near-duplicates in-flight: every 100th vector gets a
+    clone (vec_id+10M) whose first component is nudged by +0.1 in
+    float32; each clone pairs with its original at cos ≈0.995, and the
+    kernel + threshold must recover exactly that pair set."""
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    return _blocked_cosine_pairs(e).where(F.col("cos_sim") >= 0.99)
+    clones = e.where(F.col("vec_id") % 100 == 0).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"),
+        F.concat(
+            F.array((F.element_at("embedding", 1).cast("double") + 0.1).cast("float")),
+            F.slice("embedding", 2, _DIM - 1),
+        ).alias("embedding"),
+    )
+    corpus = e.unionByName(clones)
+    return _blocked_cosine_pairs(corpus).where(F.col("cos_sim") >= 0.99)
 
 
 _IVF_LISTS = 16

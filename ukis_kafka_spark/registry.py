@@ -46,12 +46,25 @@ def _ship_package(spark: SparkSession) -> None:
         if f.endswith(".py")
     )
     if not os.path.exists(zpath) or os.path.getmtime(zpath) < newest_src:
-        with zipfile.ZipFile(zpath, "w") as z:
-            for root, _, files in os.walk(pkg_dir):
-                for f in sorted(files):
-                    if f.endswith(".py"):
-                        full = os.path.join(root, f)
-                        z.write(full, os.path.relpath(full, os.path.dirname(pkg_dir)))
+        # build in a process-unique temp file and os.replace() it in:
+        # concurrent drivers (pytest + tools/check.py) must never
+        # addPyFile a half-written archive
+        import tempfile
+
+        fd, tmp = tempfile.mkstemp(suffix=".zip", dir=scratch)
+        os.close(fd)
+        try:
+            with zipfile.ZipFile(tmp, "w") as z:
+                for root, _, files in os.walk(pkg_dir):
+                    for f in sorted(files):
+                        if f.endswith(".py"):
+                            full = os.path.join(root, f)
+                            z.write(full, os.path.relpath(full, os.path.dirname(pkg_dir)))
+            os.replace(tmp, zpath)
+        except BaseException:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+            raise
     spark.sparkContext.addPyFile(zpath)
     spark._ukis_pkg_shipped = True
 

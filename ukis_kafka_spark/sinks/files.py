@@ -3,7 +3,7 @@ reference parity R7/R8: PostGIS upsert sink + partitioned filesystem
 sink).
 
 ``upsert_parquet`` is the offline stand-in for MERGE INTO (Delta/JDBC
-in production): last-writer-wins by key, atomic directory swap. The
+in production): last-writer-wins by key, crash-safe directory swap. The
 queries run the real sinks against repo-local scratch space and
 oracle-check what a reader sees afterwards — sink correctness is
 judged by read-back, not by write success.
@@ -32,15 +32,36 @@ def _scratch_dir() -> str:
 
 
 def upsert_parquet(
-    spark: SparkSession, base: DataFrame, updates: DataFrame, keys: list[str], path: str
+    spark: SparkSession,
+    base: DataFrame,
+    updates: DataFrame,
+    keys: list[str],
+    path: str,
+    seq_col: str | None = None,
 ) -> None:
     """MERGE-by-key into a parquet target: rows from ``updates`` win
     over ``base`` on key collision, new keys are inserted.
 
+    Duplicate keys *within* ``updates``: pass ``seq_col`` naming a
+    monotonic source-order column (the Kafka offset in the consumer
+    path) and the highest-sequence row wins — the reference consumer's
+    offset-order last-write-wins. Without ``seq_col``, updates must be
+    key-unique; ties would otherwise pick an arbitrary row.
+
     Implementation: tag priority → union → keep rank-1 per key →
-    write to a fresh directory → atomic swap. At scale this becomes
-    Delta ``MERGE INTO`` (or JDBC upsert for the PostGIS-parity path);
-    the dataflow shape — one shuffle on the key — is identical."""
+    write to a fresh directory → two-rename swap. The swap is not
+    atomic for concurrent readers (that needs a metastore / Delta log);
+    it is crash-safe: the previous table survives at ``path + '._old'``
+    until the new one is in place, so no crash point loses data, and
+    the target is absent only for the duration of one directory rename
+    (never a recursive delete)."""
+    if seq_col is not None:
+        w_u = Window.partitionBy(*keys).orderBy(F.col(seq_col).desc())
+        updates = (
+            updates.withColumn("_urn", F.row_number().over(w_u))
+            .where(F.col("_urn") == 1)
+            .drop("_urn", seq_col)
+        )
     tagged = base.withColumn("_prio", F.lit(1)).unionByName(
         updates.withColumn("_prio", F.lit(0))
     )
@@ -50,11 +71,14 @@ def upsert_parquet(
         .where(F.col("_rn") == 1)
         .drop("_prio", "_rn")
     )
-    tmp = path + "._new"
+    tmp, old = path + "._new", path + "._old"
     merged.write.mode("overwrite").parquet(tmp)
+    if os.path.exists(old):
+        shutil.rmtree(old)
     if os.path.exists(path):
-        shutil.rmtree(path)
+        os.rename(path, old)
     os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
 
 
 @query(
