@@ -44,36 +44,96 @@ def _scratch_dir() -> str:
     return tempfile.mkdtemp(prefix="stream_", dir=_SCRATCH)
 
 
+def _cache_publish(build_fn, digest_key: tuple) -> str:
+    """Build-once on-disk cache for replay inputs: run ``build_fn`` into
+    a temp dir, atomically rename it to the content-keyed cache path.
+    Losing a publish race is fine — the winner's identical dir is used.
+    The expensive chunking/encode Spark jobs run once per (corpus,
+    params), not once per streaming query (they were ~40% of the s_*
+    bench cost at sf0.1)."""
+    import hashlib
+
+    cache_root = os.path.join(_SCRATCH, "replay_cache")
+    os.makedirs(cache_root, exist_ok=True)
+    digest = hashlib.sha256(repr(digest_key).encode()).hexdigest()[:16]
+    final = os.path.join(cache_root, digest)
+    if not os.path.isdir(final):
+        build = tempfile.mkdtemp(prefix="build_", dir=cache_root)
+        try:
+            build_fn(build)
+            try:
+                os.rename(build, final)
+            except OSError:
+                if not os.path.isdir(final):  # not a lost race: real failure
+                    raise
+        finally:
+            shutil.rmtree(build, ignore_errors=True)
+    return final
+
+
+def _table_fingerprint(sf_dir: str, table: str = "events") -> tuple:
+    st = os.stat(os.path.join(sf_dir, f"{table}.parquet"))
+    return (os.path.abspath(sf_dir), table, st.st_size, st.st_mtime_ns)
+
+
+def _replay_chunk_cache(
+    spark: SparkSession, sf_dir: str, n_chunks: int, shuffle_chunk: int | None
+) -> str:
+    """Chunked replay corpus (cached): events as n timestamp-ordered
+    parquet chunks with pinned mtimes — FileStreamSource orders files by
+    *modification time*, so mtime dictates arrival order."""
+
+    def build(into: str) -> None:
+        e = load_table(spark, sf_dir, "events").orderBy("ts")
+        rows = e.count()
+        per = (rows + n_chunks - 1) // n_chunks
+        chunked = e.withColumn(
+            "chunk", F.floor((F.row_number().over(Window.orderBy("ts")) - 1) / per)
+        )
+        base_mtime = 1_700_000_000
+        # single job: one file per chunk via partitioned write, then
+        # rename into stream-order names with pinned mtimes
+        stage = os.path.join(into, "stage")
+        chunked.repartition(n_chunks, "chunk").write.mode("overwrite").partitionBy(
+            "chunk"
+        ).parquet(stage)
+        for i in range(n_chunks):
+            order = n_chunks + 1 if i == shuffle_chunk else i
+            cdir = os.path.join(stage, f"chunk={i}")
+            pf = [f for f in os.listdir(cdir) if f.endswith(".parquet")][0]
+            dst = os.path.join(into, f"chunk_{order:03d}_{i}.parquet")
+            shutil.move(os.path.join(cdir, pf), dst)
+            os.utime(dst, (base_mtime + order * 60, base_mtime + order * 60))
+        shutil.rmtree(stage, ignore_errors=True)
+
+    key = ("replay", _table_fingerprint(sf_dir), n_chunks, shuffle_chunk)
+    return _cache_publish(build, key)
+
+
 def replay_events_as_stream(
     spark: SparkSession, sf_dir: str, work: str, n_chunks: int = 8, shuffle_chunk: int | None = None
 ) -> DataFrame:
-    """Write events as n timestamp-ordered parquet chunks and open them
-    as a file stream, one chunk per micro-batch (maxFilesPerTrigger=1).
+    """Open events as a file stream of n timestamp-ordered chunks, one
+    chunk per micro-batch (maxFilesPerTrigger=1).
 
-    ``shuffle_chunk``: if set, that chunk is written *last* in file
-    order while holding the *earliest* timestamps — the late-data
-    injection used by the watermark tests."""
-    e = load_table(spark, sf_dir, "events").orderBy("ts")
-    rows = e.count()
-    per = (rows + n_chunks - 1) // n_chunks
-    chunked = e.withColumn(
-        "chunk", F.floor((F.row_number().over(Window.orderBy("ts")) - 1) / per)
-    )
+    ``shuffle_chunk``: if set, that chunk is delivered *last* while
+    holding the *earliest* timestamps — the late-data injection used by
+    the watermark tests.
+
+    The chunk files come from the shared build-once cache and are
+    hardlinked (mtime lives on the inode, so arrival order is
+    preserved) into ``work/src`` — each query keeps a private stream
+    directory it may mutate (the checkpoint-recovery test withholds and
+    re-delivers files) without touching the cache."""
+    cache = _replay_chunk_cache(spark, sf_dir, n_chunks, shuffle_chunk)
     src = os.path.join(work, "src")
     os.makedirs(src, exist_ok=True)
-    base_mtime = 1_700_000_000
-    # single job: one file per chunk via partitioned write, then move
-    # files into the stream dir with pinned mtimes (FileStreamSource
-    # orders by *modification time*, so mtime dictates arrival order)
-    stage = os.path.join(work, "stage")
-    chunked.repartition(n_chunks, "chunk").write.mode("overwrite").partitionBy("chunk").parquet(stage)
-    for i in range(n_chunks):
-        order = n_chunks + 1 if i == shuffle_chunk else i
-        cdir = os.path.join(stage, f"chunk={i}")
-        pf = [f for f in os.listdir(cdir) if f.endswith(".parquet")][0]
-        dst = os.path.join(src, f"chunk_{order:03d}_{i}.parquet")
-        shutil.move(os.path.join(cdir, pf), dst)
-        os.utime(dst, (base_mtime + order * 60, base_mtime + order * 60))
+    for f in sorted(os.listdir(cache)):
+        dst = os.path.join(src, f)
+        try:
+            os.link(os.path.join(cache, f), dst)
+        except OSError:  # cross-device scratch: fall back to a copy
+            shutil.copy2(os.path.join(cache, f), dst)
     return (
         spark.readStream.schema(_EVENT_SCHEMA)
         .option("maxFilesPerTrigger", 1)
@@ -132,7 +192,9 @@ def s_stateful_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     The final state must equal the batch aggregate exactly."""
 
     def go(work: str) -> DataFrame:
-        stream = replay_events_as_stream(spark, sf_dir, work)
+        # 4 micro-batches: complete-mode totals are chunk-count-invariant
+        # and each extra micro-batch is a full state checkpoint cycle
+        stream = replay_events_as_stream(spark, sf_dir, work, n_chunks=4)
         counts = stream.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
         return run_to_memory(counts, work, mode="complete").localCheckpoint()
 
@@ -183,7 +245,9 @@ def s_tumble_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     applies the same closure rule (HAVING end ≤ final watermark)."""
 
     def go(work: str) -> DataFrame:
-        stream = replay_events_as_stream(spark, sf_dir, work)
+        # 4 micro-batches: the emitted set depends only on the *final*
+        # watermark (in-order replay), not on batch granularity
+        stream = replay_events_as_stream(spark, sf_dir, work, n_chunks=4)
         agg = (
             stream.withWatermark("ts", "10 minutes")
             .groupBy(F.window("ts", "1 hour").alias("w"))
@@ -287,7 +351,7 @@ def src_kafka_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.envelope import make_envelope, read_envelope
     from ..spatial.wkb import decode_wkb, encode_wkb
 
-    def go(work: str) -> DataFrame:
+    def build_wire(into: str) -> None:
         e = load_table(spark, sf_dir, "events")
 
         def encode_part(iter_pdf):
@@ -308,10 +372,17 @@ def src_kafka_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
                 yield pd.DataFrame({"value": pd.Series(vals, dtype=object)})
 
-        wire = e.mapInPandas(encode_part, "value binary")
-        src = os.path.join(work, "wire")
-        wire.write.mode("overwrite").parquet(src)
+        e.mapInPandas(encode_part, "value binary").write.mode("overwrite").parquet(
+            os.path.join(into, "wire")
+        )
 
+    def go(work: str) -> DataFrame:
+        # per-row Python envelope encode is the dominant cost (~3.3 s at
+        # sf0.1) and the corpus is pure function of the input table —
+        # build once, stream from the shared cache (read-only here)
+        src = os.path.join(
+            _cache_publish(build_wire, ("wire", _table_fingerprint(sf_dir))), "wire"
+        )
         stream = (
             spark.readStream.schema("value binary").option("maxFilesPerTrigger", 4).parquet(src)
         )
@@ -431,7 +502,8 @@ def s_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic."""
 
     def go(work: str) -> DataFrame:
-        stream = replay_events_as_stream(spark, sf_dir, work)
+        # 4 micro-batches — same final-watermark closure rule as above
+        stream = replay_events_as_stream(spark, sf_dir, work, n_chunks=4)
         agg = (
             stream.withWatermark("ts", "10 minutes")
             .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
