@@ -69,3 +69,45 @@ def test_pipeline_demo_runs(spark):
     )
     assert r.returncode == 0, r.stderr[-500:]
     assert "pipeline_demo OK" in r.stdout
+
+
+def test_cli_produce_wkt_consume_roundtrip(spark, tmp_path):
+    csv_path = tmp_path / "in.csv"
+    csv_path.write_text(
+        "WKT,fid,name,height\n"
+        '"POINT (10.5 50.25)",0,alpha,12.5\n'
+        '"LINESTRING (0 0, 1 1, 2 0)",1,beta,7\n'
+        '"POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))",2,gamma,true\n'
+    )
+    topic = str(tmp_path / "topic")
+    out = str(tmp_path / "sink")
+
+    assert cli.main(["produce-wkt", "--csv", str(csv_path), "--topic-dir", topic,
+                     "--layer", "wkt_layer"]) == 0
+    assert cli.main(["consume-files", "--topic-dir", topic, "--out", out]) == 0
+
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 3
+    assert {r["layer"] for r in rows} == {"wkt_layer"}
+    by_fid = {json.loads(r["props_json"])["fid"]: r for r in rows}
+    assert by_fid[0]["geom_type"] == "POINT"
+    assert by_fid[1]["geom_type"] == "LINESTRING"
+    assert by_fid[2]["geom_type"] == "POLYGON"
+    # CSV prop typing: int fid, float/int/bool coercion
+    assert json.loads(by_fid[0]["props_json"])["height"] == 12.5
+    assert json.loads(by_fid[1]["props_json"])["height"] == 7
+    assert json.loads(by_fid[2]["props_json"])["height"] is True
+
+    # geometry bytes survive: decode the WKB back to coordinates
+    from ukis_kafka_spark.spatial.wkb import decode_wkb
+
+    gtype, body = decode_wkb(bytes(by_fid[0]["wkb"]))
+    assert (gtype, body) == ("POINT", (10.5, 50.25))
+
+
+def test_cli_produce_wkt_missing_column(tmp_path, capsys):
+    csv_path = tmp_path / "in.csv"
+    csv_path.write_text("geomwkt,fid\n\"POINT (1 2)\",0\n")
+    rc = cli.main(["produce-wkt", "--csv", str(csv_path),
+                   "--topic-dir", str(tmp_path / "t")])
+    assert rc == 2

@@ -101,3 +101,55 @@ def test_wkb_validation_verdicts():
         ("POLYGON", (((0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 0.0)),))
     )
     assert validate_wkb(good_poly) is None
+
+
+# --- WKT codec (text twin of the WKB round-trips above) ---
+
+from ukis_kafka_spark.spatial.wkt import format_wkt, parse_wkt  # noqa: E402
+
+
+@given(coord)
+def test_wkt_point_roundtrip(pt):
+    assert parse_wkt(format_wkt(("POINT", pt))) == ("POINT", pt)
+
+
+@given(st.lists(coord, min_size=2, max_size=20).map(tuple))
+def test_wkt_linestring_roundtrip(pts):
+    assert parse_wkt(format_wkt(("LINESTRING", pts))) == ("LINESTRING", pts)
+
+
+@given(st.lists(ring, min_size=1, max_size=4).map(tuple))
+def test_wkt_polygon_roundtrip(rings):
+    assert parse_wkt(format_wkt(("POLYGON", rings))) == ("POLYGON", rings)
+
+
+@given(st.lists(coord, min_size=1, max_size=6).map(tuple))
+def test_wkt_multipoint_roundtrip(pts):
+    assert parse_wkt(format_wkt(("MULTIPOINT", pts))) == ("MULTIPOINT", pts)
+
+
+@given(st.lists(st.lists(ring, min_size=1, max_size=3).map(tuple), min_size=1, max_size=3).map(tuple))
+def test_wkt_multipolygon_roundtrip(polys):
+    assert parse_wkt(format_wkt(("MULTIPOLYGON", polys))) == ("MULTIPOLYGON", polys)
+
+
+@given(st.lists(coord, min_size=1, max_size=6).map(tuple))
+def test_wkt_wkb_cross_codec(pts):
+    """WKT text and WKB bytes describe the same geometry model."""
+    geom = ("MULTIPOINT", pts)
+    assert decode_wkb(encode_wkb(parse_wkt(format_wkt(geom)))) == geom
+
+
+def test_wkt_accepts_both_multipoint_spellings():
+    modern = parse_wkt("MULTIPOINT ((1 2), (3 4))")
+    legacy = parse_wkt("MULTIPOINT (1 2, 3 4)")
+    assert modern == legacy == ("MULTIPOINT", ((1.0, 2.0), (3.0, 4.0)))
+
+
+def test_wkt_rejects_malformed():
+    import pytest
+
+    for bad in ("", "POINT", "POINT (1)", "POINT (1 2", "CIRCLE (0 0)",
+                "POINT EMPTY", "POINT (1 2) extra"):
+        with pytest.raises(ValueError):
+            parse_wkt(bad)

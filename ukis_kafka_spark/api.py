@@ -61,6 +61,9 @@ _PRIORITY = [
     "q_agg_percentile", "q_agg_approx_quantile",
     "src_kafka_shape", "s_watermark_late", "s_stream_join",
     "s_custom_state", "s_session_stream",
+    # round-2 additions (no driver row yet)
+    "q_sql_q6", "q_grouping_id", "q_distinct_on", "m_tfidf",
+    "g_wkt_roundtrip",
 ]
 
 

@@ -7,6 +7,7 @@ Offline, a "topic" is a directory of parquet files holding the binary
 the directory for ``format("kafka")`` via sources.kafka.
 
     python -m ukis_kafka_spark.cli produce  --geojson in.geojson --topic-dir /x/topic --layer roads
+    python -m ukis_kafka_spark.cli produce-wkt --csv in.csv --wkt-col WKT --topic-dir /x/topic --layer roads
     python -m ukis_kafka_spark.cli consume-files  --topic-dir /x/topic --out /x/sink --partition-by layer
     python -m ukis_kafka_spark.cli consume-upsert --topic-dir /x/topic --table /x/table --key fid
 
@@ -62,14 +63,22 @@ def cmd_produce(args: argparse.Namespace) -> int:
         envelopes.append(
             make_envelope(_geojson_geom_to_wkb(f["geometry"]), props, layer=args.layer, srid=args.srid)
         )
-    spark = get_spark("cli-produce")
-    # monotonic per-message offset (Kafka-offset parity): continue from
-    # the existing topic size so re-delivered keys keep produce order
+    _publish_envelopes(envelopes, args.topic_dir)
+    return 0
+
+
+def _publish_envelopes(envelopes: list[bytes], topic_dir: str) -> None:
+    """Append envelopes to the topic dir with monotonic per-message
+    offsets (Kafka-offset parity): continue from the existing topic
+    size so re-delivered keys keep produce order."""
     import os
 
+    from .plans import get_spark
+
+    spark = get_spark("cli-produce")
     base_off = 0
-    if os.path.isdir(args.topic_dir):
-        base_off = spark.read.parquet(args.topic_dir).count()
+    if os.path.isdir(topic_dir):
+        base_off = spark.read.parquet(topic_dir).count()
     df = spark.createDataFrame(
         pd.DataFrame(
             {
@@ -79,8 +88,46 @@ def cmd_produce(args: argparse.Namespace) -> int:
         ),
         schema="value binary, offset long",
     )
-    df.write.mode("append").parquet(args.topic_dir)
-    print(f"produced {len(envelopes)} features to {args.topic_dir}")
+    df.write.mode("append").parquet(topic_dir)
+    print(f"produced {len(envelopes)} features to {topic_dir}")
+
+
+def _coerce_prop(v: str):
+    """CSV cells are untyped text; recover ints/floats/bools the way an
+    OGR field-type scan would (strings stay strings)."""
+    for cast in (int, float):
+        try:
+            return cast(v)
+        except ValueError:
+            pass
+    if v.lower() in ("true", "false"):
+        return v.lower() == "true"
+    return v
+
+
+def cmd_produce_wkt(args: argparse.Namespace) -> int:
+    """R1+R2 (second ingestion format): CSV-with-WKT → envelope topic.
+
+    ``ogr2ogr -f CSV -lco GEOMETRY=AS_WKT`` can emit this from any OGR
+    layer (Shapefile/GPKG/...), so this closes the multi-format
+    ingestion gap without OGR itself being importable offline."""
+    import csv
+
+    from .sources.envelope import make_envelope
+    from .spatial.wkb import encode_wkb
+    from .spatial.wkt import parse_wkt
+
+    envelopes = []
+    with open(args.csv, newline="") as fh:
+        reader = csv.DictReader(fh)
+        if args.wkt_col not in (reader.fieldnames or []):
+            print(f"error: no column {args.wkt_col!r} in {args.csv}", file=sys.stderr)
+            return 2
+        for row in reader:
+            wkb = encode_wkb(parse_wkt(row[args.wkt_col]))
+            props = {k: _coerce_prop(v) for k, v in row.items() if k != args.wkt_col}
+            envelopes.append(make_envelope(wkb, props, layer=args.layer, srid=args.srid))
+    _publish_envelopes(envelopes, args.topic_dir)
     return 0
 
 
@@ -171,6 +218,14 @@ def main(argv: list[str] | None = None) -> int:
     pp.add_argument("--layer", default="default")
     pp.add_argument("--srid", type=int, default=4326)
     pp.set_defaults(fn=cmd_produce)
+
+    pw = sub.add_parser("produce-wkt", help="CSV with WKT column → envelope topic dir (R1+R2)")
+    pw.add_argument("--csv", required=True)
+    pw.add_argument("--topic-dir", required=True)
+    pw.add_argument("--wkt-col", default="WKT")
+    pw.add_argument("--layer", default="default")
+    pw.add_argument("--srid", type=int, default=4326)
+    pw.set_defaults(fn=cmd_produce_wkt)
 
     pf = sub.add_parser("consume-files", help="topic dir → partitioned files (R8)")
     pf.add_argument("--topic-dir", required=True)

@@ -335,13 +335,16 @@ def m_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     checks recall ≥ 0.5 of brute-force top-20."""
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
 
-    # deterministic "centroids": the 16 evenly-spaced vectors by id
-    # (stand-in for a k-means fit; vec_ids are dense from 0)
-    n = e.count()
-    step = max(n // _IVF_LISTS, 1)
+    # deterministic "centroids": the 16 vectors with the smallest
+    # xxhash64(vec_id) — a pseudo-random, scale-independent corpus
+    # sample fetched by one TakeOrdered pass (top-16 heap per
+    # partition, 16-row merge on the driver; no count() pre-pass).
+    # Stand-in for a k-means fit, which at 100 TB replaces this sample
+    # while the assignment/probing dataflow below is unchanged.
     cent_rows = (
-        e.where((F.col("vec_id") % step == 0) & (F.col("vec_id") / step < _IVF_LISTS))
-        .orderBy("vec_id")
+        e.select("vec_id", "embedding", F.xxhash64("vec_id").alias("h"))
+        .orderBy("h", "vec_id")
+        .limit(_IVF_LISTS)
         .collect()
     )
     centroids = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in cent_rows])

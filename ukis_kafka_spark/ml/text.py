@@ -220,3 +220,60 @@ def m_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         bpe.alias("bpe_ish_tokens"),
         (bpe.cast("double") / ws).alias("fertility"),
     )
+
+
+@query(
+    "m_tfidf",
+    oracle="""
+WITH tf AS (
+  SELECT doc_id, tok, count(*) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY doc_id, tok
+), df AS (
+  SELECT tok, count(*) AS df FROM tf GROUP BY tok
+), n AS (
+  SELECT count(*) AS n_docs FROM documents
+)
+SELECT doc_id, tok, tf, score FROM (
+  SELECT tf.doc_id, tf.tok, tf.tf,
+         round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 4) + 0.0 AS score,
+         row_number() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 4) DESC,
+                    tf.tok ASC) AS rn
+  FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n
+) WHERE rn <= 3
+""",
+)
+def m_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 terms per document by TF-IDF: explode → per-(doc,term)
+    counts → vocabulary document-frequency join → score → per-doc
+    top-k. Two hash aggregates and one key join, all shuffling at most
+    |doc×distinct-term| rows — the linear LLM-pipeline shape (no
+    all-pairs stage). The corpus size enters the plan as a broadcast
+    1-row aggregate, not a driver-side collect.
+
+    Determinism: JVM ln and libm ln differ ~1 ULP, so the score is
+    rounded to a 4 dp grid *before* ranking and ties break on the
+    token (CLAUDE.md transcendental rule); `+ 0.0` kills -0.0."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n = d.select(F.count(F.lit(1)).alias("n_docs"))
+    score = (
+        F.round(F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 4)
+        + 0.0
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("tok").asc())
+    return (
+        tf.join(df, "tok")
+        .crossJoin(F.broadcast(n))
+        .withColumn("score", score)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("doc_id", "tok", "tf", "score")
+    )

@@ -353,3 +353,59 @@ def q_agg_stringagg(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+@query(
+    "q_sql_q6",
+    oracle=f"""
+SELECT {oracle_money_sum('l_extendedprice * l_discount')} AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount BETWEEN 0.02 AND 0.04
+  AND l_quantity < 24
+""",
+)
+def q_sql_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-style forecast-revenue query through the SQL frontend:
+    the canonical pushdown showcase — every predicate reaches the
+    parquet scan, the aggregate is a single partial+final global sum,
+    and nothing shuffles but one row per partition."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_q6")
+    return spark.sql(
+        f"""
+        SELECT CAST({oracle_exact_sum('l_extendedprice * l_discount')} AS DOUBLE) AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem_q6
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+          AND l_discount BETWEEN 0.02 AND 0.04
+          AND l_quantity < 24
+        """
+    )
+
+
+@query(
+    "q_grouping_id",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(grouping(l_returnflag) AS INTEGER) AS g_flag,
+       CAST(grouping(l_linestatus) AS INTEGER) AS g_status,
+       CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       {oracle_money_sum('l_quantity')} AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+)
+def q_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup with GROUPING()/GROUPING_ID() indicator columns — the
+    standard way to tell a real NULL group key from a subtotal row
+    (both engines implement the same SQL-standard bit encoding)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("int").alias("g_flag"),
+        F.grouping("l_linestatus").cast("int").alias("g_status"),
+        F.grouping_id().alias("gid"),
+        money_sum("l_quantity").alias("sum_qty"),
+    )

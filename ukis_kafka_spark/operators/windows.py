@@ -208,3 +208,37 @@ def q_win_pctrank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cume"),
     )
+
+
+@query(
+    "q_distinct_on",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_orderdate_s, o_totalprice FROM (
+  SELECT o_custkey, o_orderkey,
+         CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_orderdate_s,
+         o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM orders
+) WHERE rn = 1
+""",
+)
+def q_distinct_on(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest order per customer — the DISTINCT ON / argmax pattern via
+    row_number with a deterministic (date, key) tiebreak. One shuffle
+    on the partition key; at scale this is the standard dedup-to-latest
+    shape (same plan as a max-by self-join but single-pass)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").cast("string").alias("o_orderdate_s"),
+            "o_totalprice",
+        )
+    )

@@ -229,3 +229,40 @@ def g_geom_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("valid"))
         .select("event_id", "lon", "lat")
     )
+
+
+@query(
+    "g_wkt_roundtrip",
+    oracle=f"""
+SELECT event_id, 'POINT' AS gtype, {_LON} AS lon, CAST({_LAT} AS DOUBLE) AS lat
+FROM events
+WHERE event_id % 10 = 0
+""",
+)
+def g_wkt_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WKT ingestion parity (reference R1 via `ogr2ogr ... AS_WKT`
+    CSVs): JVM doubles → WKT text → parse → WKB encode → WKB decode →
+    doubles, all inside one Arrow-batched mapInPandas. repr/float is a
+    lossless pair for IEEE doubles and both engines compute lon with
+    the same IEEE mul/sub, so the round-tripped coordinates hash-match
+    the oracle's direct arithmetic exactly."""
+    e = load_table(spark, sf_dir, "events").where(F.col("event_id") % 10 == 0)
+    src = e.select("event_id", _lon().alias("lon0"), _lat().alias("lat0"))
+
+    def rt(iter_pdf):
+        from ..spatial.wkb import decode_wkb, encode_wkb
+        from ..spatial.wkt import format_wkt, parse_wkt
+
+        for pdf in iter_pdf:
+            types, lons, lats = [], [], []
+            for r in pdf.itertuples(index=False):
+                wkt = format_wkt(("POINT", (r.lon0, r.lat0)))
+                gtype, (x, y) = decode_wkb(encode_wkb(parse_wkt(wkt)))
+                types.append(gtype)
+                lons.append(x)
+                lats.append(y)
+            yield pd.DataFrame(
+                {"event_id": pdf.event_id, "gtype": types, "lon": lons, "lat": lats}
+            )
+
+    return src.mapInPandas(rt, "event_id long, gtype string, lon double, lat double")
