@@ -63,7 +63,8 @@ _PRIORITY = [
     "s_custom_state", "s_session_stream",
     # round-2 additions (no driver row yet)
     "q_sql_q6", "q_grouping_id", "q_distinct_on", "m_tfidf",
-    "g_wkt_roundtrip",
+    "g_wkt_roundtrip", "q_exists_subquery", "q_not_exists_subquery",
+    "m_doc_len_hist", "m_embed_norm_stats", "s_foreach_upsert",
 ]
 
 

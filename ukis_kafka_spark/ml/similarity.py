@@ -389,3 +389,35 @@ def m_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cos_sim").desc(), F.col("id_a").asc(), F.col("id_b").asc())
         .limit(20)
     )
+
+
+@query(
+    "m_embed_norm_stats",
+    oracle=f"""
+SELECT label,
+       count(*) AS n,
+       CAST(CAST(SUM(CAST(round({_ORACLE_NORM_A.replace('a.embedding', 'embedding')}, 6)
+                     AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS norm_sum,
+       min(round({_ORACLE_NORM_A.replace('a.embedding', 'embedding')}, 6)) AS norm_min,
+       max(round({_ORACLE_NORM_A.replace('a.embedding', 'embedding')}, 6)) AS norm_max
+FROM embeddings
+GROUP BY label
+""",
+)
+def m_embed_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding-norm distribution — the sanity scan a
+    training pipeline runs before cosine math (zero / exploding norms
+    break normalization). One JVM fold per row (sequential, matching
+    DuckDB's list_reduce term-for-term), rounded to the 6 dp grid
+    before the exact-decimal sum so the aggregate is order-free."""
+    e = load_table(spark, sf_dir, "embeddings")
+    nrm = F.round(_norm(F.col("embedding")), 6)
+    return (
+        e.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(nrm.cast("decimal(28,10)")).cast("double").alias("norm_sum"),
+            F.min(nrm).alias("norm_min"),
+            F.max(nrm).alias("norm_max"),
+        )
+    )

@@ -277,3 +277,32 @@ def m_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 3)
         .select("doc_id", "tok", "tf", "score")
     )
+
+
+@query(
+    "m_doc_len_hist",
+    oracle="""
+WITH n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT CAST(floor(n_chars / 100) AS BIGINT) * 100 AS bucket_lo,
+       count(*) AS n,
+       CAST(count(*) AS DOUBLE) / any_value(n.n_docs) AS frac
+FROM documents CROSS JOIN n
+GROUP BY 1
+""",
+)
+def m_doc_len_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length histogram (100-char buckets) with corpus
+    fractions — the distribution check every curation pipeline runs
+    before/after filtering. Fixed-width buckets keep it one hash
+    aggregate (no min/max pre-pass); the corpus size joins in as a
+    broadcast 1-row aggregate, and frac is a ratio of exact integers."""
+    d = load_table(spark, sf_dir, "documents")
+    n = d.select(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        d.crossJoin(F.broadcast(n))
+        .groupBy((F.floor(F.col("n_chars") / 100).cast("long") * 100).alias("bucket_lo"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.count(F.lit(1)).cast("double") / F.any_value(F.col("n_docs"))).alias("frac"),
+        )
+    )

@@ -405,3 +405,55 @@ def q_sql_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         LIMIT 10
         """
     )
+
+
+@query(
+    "q_exists_subquery",
+    oracle="""
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+""",
+)
+def q_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS through the SQL frontend: Catalyst must
+    decorrelate it into a left-semi hash join (same physical shape as
+    q_join_semi, but arriving via the subquery rewrite path — the form
+    analysts actually write)."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_ex")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_ex")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name, c_mktsegment
+        FROM customer_ex c
+        WHERE EXISTS (SELECT 1 FROM orders_ex o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+        """
+    )
+
+
+@query(
+    "q_not_exists_subquery",
+    oracle="""
+SELECT p_partkey, p_brand, p_retailprice
+FROM part p
+WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_partkey = p.p_partkey AND l.l_quantity > 40)
+""",
+)
+def q_not_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated NOT EXISTS → anti-join decorrelation (the null-safe
+    way to spell "parts never ordered in bulk"; NOT IN would silently
+    return nothing on a NULL key, so the engine surface steers users to
+    this form)."""
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("part_nex")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_nex")
+    return spark.sql(
+        """
+        SELECT p_partkey, p_brand, p_retailprice
+        FROM part_nex p
+        WHERE NOT EXISTS (SELECT 1 FROM lineitem_nex l
+                          WHERE l.l_partkey = p.p_partkey AND l.l_quantity > 40)
+        """
+    )

@@ -517,3 +517,65 @@ def s_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         return run_to_memory(agg, work, mode="append").localCheckpoint()
 
     return _with_scratch(go)
+
+
+@query(
+    "s_foreach_upsert",
+    oracle="""
+SELECT user_id, event_id AS last_event_id, event_type AS last_type, value AS last_value
+FROM (
+  SELECT user_id, event_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+""",
+)
+def s_foreach_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming → keyed upsert sink via foreachBatch — the reference's
+    R7/R9 consume-upsert loop as a Structured Streaming job: each
+    micro-batch reduces to its per-user latest event (event_id is
+    verified ts-monotone) and MERGEs into the target; re-delivered keys
+    resolve last-write-wins, so after in-order replay the table equals
+    the batch per-user-latest. Exercises the real sink path the
+    PostGIS/Delta writer uses, end to end, with an exact oracle."""
+    from ..sinks.files import upsert_parquet
+
+    def go(work: str) -> DataFrame:
+        stream = replay_events_as_stream(spark, sf_dir, work, n_chunks=4)
+        target = os.path.join(work, "target")
+        sel = stream.select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_type"),
+            F.col("value").alias("last_value"),
+        )
+
+        def handle(batch_df, batch_id):
+            w = Window.partitionBy("user_id").orderBy(F.col("last_event_id").desc())
+            latest = (
+                batch_df.withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+            if os.path.exists(target):
+                upsert_parquet(
+                    spark, spark.read.parquet(target), latest, ["user_id"], target
+                )
+            else:
+                latest.write.parquet(target)
+
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            q = (
+                sel.writeStream.foreachBatch(handle)
+                .option("checkpointLocation", os.path.join(work, "ckpt_upsert"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        return spark.read.parquet(target).localCheckpoint()
+
+    return _with_scratch(go)
