@@ -120,3 +120,40 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS ob_plan_test")
         spark.sql("DROP TABLE IF EXISTS cb_plan_test")
+
+
+def test_exists_subquery_decorrelates_to_semi_join(spark):
+    plan = _formatted_plan(spark, "q_exists_subquery")
+    assert "LeftSemi" in plan, "EXISTS did not decorrelate to a semi join"
+    assert "BroadcastHashJoin" in plan
+
+
+def test_not_exists_subquery_decorrelates_to_anti_join(spark):
+    plan = _formatted_plan(spark, "q_not_exists_subquery")
+    assert "LeftAnti" in plan, "NOT EXISTS did not decorrelate to an anti join"
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q6_pushes_every_predicate(spark):
+    plan = _formatted_plan(spark, "q_sql_q6")
+    for pushed in (
+        "GreaterThanOrEqual(l_shipdate",
+        "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount",
+        "LessThanOrEqual(l_discount",
+        "LessThan(l_quantity",
+    ):
+        assert pushed in plan, f"{pushed} not pushed to the parquet scan"
+    import re
+
+    # formatted mode lists each node twice (tree + detail); count detail headers
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    assert n_exchanges <= 1, "global agg needs only the single-partition exchange"
+
+
+@pytest.mark.parametrize("name", ["q_distinct_on", "q_topk_per_group"])
+def test_per_group_topk_uses_window_group_limit(spark, name):
+    # rank<=k filters must prune per-partition *before* the shuffle
+    # (WindowGroupLimit partial), not sort whole groups post-exchange
+    plan = _formatted_plan(spark, name)
+    assert "WindowGroupLimit" in plan, f"{name} shuffles unpruned groups"
