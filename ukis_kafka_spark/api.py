@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from .functions import scalars, udfs  # noqa: F401
 from .ml import dedup, multimodal, similarity, text  # noqa: F401
 from .sinks import files as sink_files  # noqa: F401
+from .sources import jsonl as src_jsonl  # noqa: F401
 from .spatial import geo  # noqa: F401
 from .streaming import batch_windows, jobs  # noqa: F401
 from .operators import (  # noqa: F401
@@ -65,6 +66,7 @@ _PRIORITY = [
     "q_sql_q6", "q_grouping_id", "q_distinct_on", "m_tfidf",
     "g_wkt_roundtrip", "q_exists_subquery", "q_not_exists_subquery",
     "m_doc_len_hist", "m_embed_norm_stats", "s_foreach_upsert",
+    "m_decontaminate", "src_jsonl_roundtrip",
 ]
 
 

@@ -306,3 +306,58 @@ def m_doc_len_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count(F.lit(1)).cast("double") / F.any_value(F.col("n_docs"))).alias("frac"),
         )
     )
+
+
+@query(
+    "m_decontaminate",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+         tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS gram
+  FROM toks
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  QUALIFY lead(tok, 2) OVER w IS NOT NULL
+), bench AS (
+  SELECT DISTINCT gram FROM grams WHERE doc_id < 5
+)
+SELECT g.doc_id, count(DISTINCT g.gram) AS n_hits
+FROM grams g JOIN bench b ON g.gram = b.gram
+WHERE g.doc_id >= 5
+GROUP BY g.doc_id
+""",
+)
+def m_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any
+    token trigram with a benchmark set (here: docs 0-4, built
+    in-query). The scale shape is the real one — benchmark n-grams are
+    a small broadcast side, corpus n-grams stream through an exploded
+    projection, and the join emits only hits. Trigrams come from
+    lead() windows over positioned tokens (identical construction in
+    the oracle), so the hit set is exact."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    grams = (
+        toks.select(
+            "doc_id",
+            F.concat_ws(
+                " ", F.col("tok"), F.lead("tok", 1).over(w), F.lead("tok", 2).over(w)
+            ).alias("gram"),
+            F.lead("tok", 2).over(w).alias("_g2"),
+        )
+        .where(F.col("_g2").isNotNull())
+        .drop("_g2")
+    )
+    bench = grams.where(F.col("doc_id") < 5).select("gram").distinct()
+    return (
+        grams.where(F.col("doc_id") >= 5)
+        .join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.count_distinct(F.col("gram")).alias("n_hits"))
+    )

@@ -1,0 +1,63 @@
+"""JSONL source-format parity (reference R1 theme: the producer reads
+many vector formats; this proves the engine's *tabular* multi-format
+story): the events table re-materialized as JSON Lines, read back
+through Spark's JSON source with an explicit schema, and aggregated —
+the result must equal aggregating the parquet original.
+
+The JSONL copy is a pure function of the input table, so it lives in
+the same build-once cache the streaming replay uses (one write per
+corpus, not one per run).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources import load_table
+from ..streaming.jobs import _cache_publish, _table_fingerprint
+
+_JSON_SCHEMA = "event_id long, user_id long, event_type string, value double"
+
+
+@query(
+    "src_jsonl_roundtrip",
+    oracle="""
+SELECT event_type,
+       count(*) AS n,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS value_sum,
+       min(event_id) AS min_id,
+       max(event_id) AS max_id
+FROM events
+GROUP BY event_type
+""",
+)
+def src_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet → JSONL text → JSON source → aggregate. Jackson emits
+    shortest-repr doubles and parses them back exactly (lossless for
+    IEEE doubles), and the value sum goes through the exact-decimal
+    route, so the JSON path must reproduce the parquet numbers
+    bit-for-bit. ts is excluded (nanosecond timestamps do not survive
+    JSON's millisecond text form — documented precision boundary)."""
+
+    def build(into: str) -> None:
+        (
+            load_table(spark, sf_dir, "events")
+            .select("event_id", "user_id", "event_type", "value")
+            .write.mode("overwrite")
+            .json(os.path.join(into, "jsonl"))
+        )
+
+    src = os.path.join(
+        _cache_publish(build, ("jsonl", _table_fingerprint(sf_dir))), "jsonl"
+    )
+    back = spark.read.schema(_JSON_SCHEMA).json(src)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(28,10)")).cast("double").alias("value_sum"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+    )
