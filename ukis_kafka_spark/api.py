@@ -66,7 +66,7 @@ _PRIORITY = [
     "q_sql_q6", "q_grouping_id", "q_distinct_on", "m_tfidf",
     "g_wkt_roundtrip", "q_exists_subquery", "q_not_exists_subquery",
     "m_doc_len_hist", "m_embed_norm_stats", "s_foreach_upsert",
-    "m_decontaminate", "src_jsonl_roundtrip",
+    "m_decontaminate", "src_jsonl_roundtrip", "m_frame_sample",
 ]
 
 

@@ -290,6 +290,11 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
                 ).alias("component"),
             )
         )
+        # checkpoint FIRST (truncates the iterative lineage), then run
+        # the convergence probe against the materialized result — the
+        # probe-then-checkpoint order would execute the whole join
+        # pipeline twice per iteration
+        new_labels = new_labels.localCheckpoint()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
@@ -297,7 +302,7 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
             .limit(1)
             .count()
         )
-        labels = new_labels.localCheckpoint()  # truncate the iterative lineage
+        labels = new_labels
         if changed == 0:
             converged = True
             break

@@ -109,3 +109,63 @@ def m_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(
         extract, "doc_id long, n_bytes int, checksum long, mean_pixel double"
     )
+
+
+_FRAME_BYTES = 16
+_FRAME_STRIDE = 4  # keep every 4th frame
+
+
+@query(
+    "m_frame_sample",
+    oracle=f"""
+SELECT d.doc_id,
+       CAST(g.range * {_FRAME_STRIDE} AS BIGINT) AS frame_idx,
+       CAST(g.range * {_FRAME_STRIDE} * {_FRAME_BYTES} AS BIGINT) AS byte_off,
+       CAST(least({_FRAME_BYTES},
+                  octet_length(encode(d.text)) - g.range * {_FRAME_STRIDE} * {_FRAME_BYTES})
+            AS INTEGER) AS frame_len,
+       hex(encode(substring(d.text,
+                     CAST(g.range * {_FRAME_STRIDE} * {_FRAME_BYTES} + 1 AS INTEGER),
+                     CAST(least(4, octet_length(encode(d.text))
+                                   - g.range * {_FRAME_STRIDE} * {_FRAME_BYTES}) AS INTEGER))))
+         AS head_hex  -- corpus text is ASCII: char slicing == byte slicing (DuckDB 1.0 substring can't take BLOB)
+FROM documents d CROSS JOIN range(0, 256) g
+WHERE g.range * {_FRAME_STRIDE} * {_FRAME_BYTES} < octet_length(encode(d.text))
+""",
+)
+def m_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling over an opaque binary column: the
+    payload is cut into fixed {16}-byte "frames" and every 4th frame is
+    emitted as its own row (offset, length, head bytes) — the exact
+    mapInPandas fan-out plumbing a real ffmpeg frame sampler plugs
+    into (multiple output rows per input row, Arrow-batched, no
+    driver involvement). The byte slicing is deterministic, so the
+    oracle reproduces every sampled frame from the utf-8 payload."""
+    d = with_payload(load_table(spark, sf_dir, "documents"))
+
+    def sample(iter_pdf):
+        for pdf in iter_pdf:
+            doc_ids, idxs, offs, lens, heads = [], [], [], [], []
+            for doc_id, payload in zip(pdf.doc_id, pdf.payload):
+                buf = bytes(payload)
+                for i in range(0, (len(buf) + _FRAME_BYTES - 1) // _FRAME_BYTES, _FRAME_STRIDE):
+                    off = i * _FRAME_BYTES
+                    frame = buf[off : off + _FRAME_BYTES]
+                    doc_ids.append(doc_id)
+                    idxs.append(i)
+                    offs.append(off)
+                    lens.append(len(frame))
+                    heads.append(frame[:4].hex().upper())
+            yield pd.DataFrame(
+                {
+                    "doc_id": doc_ids,
+                    "frame_idx": idxs,
+                    "byte_off": offs,
+                    "frame_len": lens,
+                    "head_hex": heads,
+                }
+            )
+
+    return d.mapInPandas(
+        sample, "doc_id long, frame_idx long, byte_off long, frame_len int, head_hex string"
+    )
