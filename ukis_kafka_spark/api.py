@@ -16,6 +16,7 @@ from .functions import scalars, udfs  # noqa: F401
 from .ml import dedup, multimodal, similarity, text  # noqa: F401
 from .sinks import files as sink_files  # noqa: F401
 from .sources import jsonl as src_jsonl  # noqa: F401
+from .sources import props as src_props  # noqa: F401
 from .spatial import geo  # noqa: F401
 from .streaming import batch_windows, jobs  # noqa: F401
 from .operators import (  # noqa: F401
@@ -67,6 +68,7 @@ _PRIORITY = [
     "g_wkt_roundtrip", "q_exists_subquery", "q_not_exists_subquery",
     "m_doc_len_hist", "m_embed_norm_stats", "s_foreach_upsert",
     "m_decontaminate", "src_jsonl_roundtrip", "m_frame_sample",
+    "src_props_infer",
 ]
 
 
