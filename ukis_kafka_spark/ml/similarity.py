@@ -68,17 +68,31 @@ _ORACLE_NORM_B = (
     "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))"
 )
 
-def _blocked_cosine_pairs(e: DataFrame, block: int = 1024) -> DataFrame:
-    """All (id_a < id_b) vector pairs with cosine similarity, computed
+def _blocked_cosine_pairs(
+    e: DataFrame,
+    block: int = 1024,
+    min_cos: float | None = None,
+    local_topk: int | None = None,
+) -> DataFrame:
+    """(id_a < id_b) vector pairs with cosine similarity, computed
     block-wise: vectors are shipped once per block-pair and each block
     pair is one float64 GEMM inside an Arrow-batched applyInPandas.
 
-    This is the 100 TB shape: pair rows never materialize — only the
-    O(n²/B²) block-pair keys do, each carrying O(B·d) data, and the
-    n² arithmetic happens in BLAS. (A per-pair array fold is an
-    interpreted expression per element: measured 33 s → ~2 s at sf0.1.)
-    Emits cos_sim rounded Spark-side to 6 dp; at that grid GEMM,
-    sequential-fold, and DuckDB list_reduce agree bit-for-bit.
+    Pruning happens INSIDE the kernel, so pair rows leave a block-pair
+    task only if they can matter downstream:
+    - ``min_cos``: emit only pairs with cos ≥ min_cos − 1e-9 (the
+      margin keeps rounding-boundary rows; the caller re-applies the
+      exact rounded threshold).
+    - ``local_topk``: emit each block-pair's top (k + 64) by raw cos —
+      a global top-k row is necessarily in its own block-pair's top-k,
+      and the +64 slack covers id-tiebreak reordering among pairs tied
+      at the emitted 6 dp grid.
+    At 100 TB this is the difference between shuffling O(n²) pair rows
+    and shuffling O(blocks² · k) (top-k) or just the match set
+    (threshold). (A per-pair array fold instead of BLAS was measured
+    33 s → ~2 s at sf0.1.) Emits cos_sim rounded Spark-side to 6 dp;
+    at that grid GEMM, sequential-fold, and DuckDB list_reduce agree
+    bit-for-bit.
     """
     v = e.select("vec_id", "embedding", F.floor(F.col("vec_id") / block).alias("blk"))
     blocks = v.select("blk").distinct()
@@ -109,9 +123,14 @@ def _blocked_cosine_pairs(e: DataFrame, block: int = 1024) -> DataFrame:
         ib = b.vec_id.to_numpy()
         ii, jj = np.meshgrid(np.arange(len(ia)), np.arange(len(ib)), indexing="ij")
         keep = ia[ii] < ib[jj]
-        return pd.DataFrame(
-            {"id_a": ia[ii][keep], "id_b": ib[jj][keep], "cos_sim": cos[keep]}
-        )
+        id_a, id_b, c = ia[ii][keep], ib[jj][keep], cos[keep]
+        if min_cos is not None:
+            m = c >= min_cos - 1e-9
+            id_a, id_b, c = id_a[m], id_b[m], c[m]
+        if local_topk is not None and len(c) > local_topk + 64:
+            part = np.argpartition(-c, local_topk + 64)[: local_topk + 64]
+            id_a, id_b, c = id_a[part], id_b[part], c[part]
+        return pd.DataFrame({"id_a": id_a, "id_b": id_b, "cos_sim": c})
 
     pairs = (
         a_side.unionByName(b_side)
@@ -141,7 +160,7 @@ def m_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines select identical pairs."""
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return (
-        _blocked_cosine_pairs(e)
+        _blocked_cosine_pairs(e, local_topk=20)
         .orderBy(F.col("cos_sim").desc(), F.col("id_a").asc(), F.col("id_b").asc())
         .limit(20)
     )
@@ -313,7 +332,7 @@ def m_embed_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("embedding"),
     )
     corpus = e.unionByName(clones)
-    return _blocked_cosine_pairs(corpus).where(F.col("cos_sim") >= 0.99)
+    return _blocked_cosine_pairs(corpus, min_cos=0.99).where(F.col("cos_sim") >= 0.99)
 
 
 _IVF_LISTS = 16
