@@ -68,7 +68,7 @@ _PRIORITY = [
     "g_wkt_roundtrip", "q_exists_subquery", "q_not_exists_subquery",
     "m_doc_len_hist", "m_embed_norm_stats", "s_foreach_upsert",
     "m_decontaminate", "src_jsonl_roundtrip", "m_frame_sample",
-    "src_props_infer",
+    "src_props_infer", "m_subsample", "m_class_balance",
 ]
 
 

@@ -328,3 +328,59 @@ def m_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("component").alias("cluster_id"),
         (F.col("node") == F.col("component")).alias("is_survivor"),
     )
+
+
+_SUB_A = 2654435761  # Knuth multiplicative constant
+_SUB_M = 1_000_003
+
+
+@query(
+    "m_subsample",
+    oracle=f"""
+SELECT doc_id, lang, (doc_id * {_SUB_A} % {_SUB_M}) % 10 AS bucket
+FROM documents
+WHERE (doc_id * {_SUB_A} % {_SUB_M}) % 10 < 3
+""",
+)
+def m_subsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 30% corpus subsample by multiplicative hash of the
+    key — the reproducible sampling a training pipeline needs (same
+    subset on every run/engine, unlike TABLESAMPLE or rand()). Pure
+    integer arithmetic (doc_id·A stays < 2^63 at any corpus size the
+    bigint id space allows) pushed into the scan filter."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (F.col("doc_id") * F.lit(_SUB_A) % _SUB_M) % 10
+    return d.select("doc_id", "lang", bucket.alias("bucket")).where(bucket < 3)
+
+
+@query(
+    "m_class_balance",
+    oracle="""
+WITH counts AS (
+  SELECT lang, count(*) AS n FROM documents GROUP BY lang
+), mx AS (SELECT max(n) AS max_n FROM counts)
+SELECT lang, n,
+       CAST(mx.max_n AS DOUBLE) / n AS upsample_factor,
+       CAST(n AS DOUBLE) / (SELECT sum(n) FROM counts) AS frac
+FROM counts CROSS JOIN mx
+""",
+)
+def m_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balance audit + resampling factors per language: the
+    largest class defines the upsample target. Two tiny broadcast
+    1-row aggregates over the per-class counts; every emitted double
+    is a ratio of exact integers."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    mx = counts.select(F.max("n").alias("max_n"))
+    tot = counts.select(F.sum("n").alias("tot_n"))
+    return (
+        counts.crossJoin(F.broadcast(mx))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "n",
+            (F.col("max_n").cast("double") / F.col("n")).alias("upsample_factor"),
+            (F.col("n").cast("double") / F.col("tot_n")).alias("frac"),
+        )
+    )
