@@ -104,6 +104,14 @@ def m_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         return pd.Series(out)
 
     sig = sh.select("doc_id", "sh", minhash_sig(F.col("sh")).alias("sig"))
+    # The shingle arrays ride through the band self-join. Measured
+    # head-to-head at sf0.1: banding ids only and re-joining shingles
+    # onto the candidate pairs is ~35% SLOWER here, because the
+    # un-persisted shingle lineage recomputes once per re-join. At
+    # 100 TB the trade flips: you persist (doc_id, sh, sig) once —
+    # signatures are the pipeline's working table — band-join the
+    # 8-byte ids, and re-join shingles for candidates only, so the
+    # exploded shuffle never carries document-sized arrays.
     bands = sig.select(
         "doc_id",
         "sh",
