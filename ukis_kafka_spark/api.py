@@ -69,6 +69,7 @@ _PRIORITY = [
     "m_doc_len_hist", "m_embed_norm_stats", "s_foreach_upsert",
     "m_decontaminate", "src_jsonl_roundtrip", "m_frame_sample",
     "src_props_infer", "m_subsample", "m_class_balance",
+    "q_variant", "q_lateral_topn", "src_csv_roundtrip",
 ]
 
 

@@ -355,3 +355,30 @@ def q_array_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(emb, lambda x: x > 0.4), F.lit(True)
         ).alias("first_large_pos"),
     )
+
+
+@query(
+    "q_variant",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+       json_extract_string(props, '$.missing') AS missing
+FROM events
+WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) % 3 = 0
+""",
+)
+def q_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT type: parse the JSON property bag into a
+    variant column once, then extract typed fields with
+    try_variant_get — the open-schema path that beats per-field JSON
+    string parsing when many fields are read (one parse, binary-encoded
+    access). Missing paths yield NULL (try_ semantics), matching the
+    oracle's json_extract behavior."""
+    e = load_table(spark, sf_dir, "events")
+    v = e.select("event_id", F.parse_json(F.col("props")).alias("v"))
+    out = v.select(
+        "event_id",
+        F.try_variant_get("v", "$.k", "bigint").alias("k"),
+        F.try_variant_get("v", "$.missing", "string").alias("missing"),
+    )
+    return out.where(F.col("k") % 3 == 0)

@@ -457,3 +457,35 @@ def q_not_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
                           WHERE l.l_partkey = p.p_partkey AND l.l_quantity > 40)
         """
     )
+
+
+@query(
+    "q_lateral_topn",
+    oracle="""
+SELECT c.c_custkey, l.o_orderkey, l.o_totalprice
+FROM customer c, LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2
+) l
+WHERE c.c_mktsegment = 'MACHINERY'
+""",
+)
+def q_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-row ORDER BY + LIMIT (top-2
+    orders per machinery customer) — the row-generating join form both
+    engines support natively; Catalyst decorrelates it into a window
+    top-k over the join, so no per-customer re-scan happens at scale."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_lat")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_lat")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, l.o_orderkey, l.o_totalprice
+        FROM customer_lat c, LATERAL (
+          SELECT o_orderkey, o_totalprice FROM orders_lat o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2
+        ) l
+        WHERE c.c_mktsegment = 'MACHINERY'
+        """
+    )

@@ -1,10 +1,11 @@
-"""JSONL source-format parity (reference R1 theme: the producer reads
-many vector formats; this proves the engine's *tabular* multi-format
-story): the events table re-materialized as JSON Lines, read back
-through Spark's JSON source with an explicit schema, and aggregated —
-the result must equal aggregating the parquet original.
+"""Text source-format parity — JSONL and CSV (reference R1 theme: the
+producer reads many vector formats; this proves the engine's *tabular*
+multi-format story): the events table re-materialized as JSON Lines /
+CSV, read back through the corresponding Spark source with an explicit
+schema, and aggregated — the result must equal aggregating the parquet
+original.
 
-The JSONL copy is a pure function of the input table, so it lives in
+The text copies are pure functions of the input table, so they live in
 the same build-once cache the streaming replay uses (one write per
 corpus, not one per run).
 """
@@ -55,6 +56,48 @@ def src_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         _cache_publish(build, ("jsonl", _table_fingerprint(sf_dir))), "jsonl"
     )
     back = spark.read.schema(_JSON_SCHEMA).json(src)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(28,10)")).cast("double").alias("value_sum"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+    )
+
+
+@query(
+    "src_csv_roundtrip",
+    oracle="""
+SELECT event_type,
+       count(*) AS n,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS value_sum,
+       min(event_id) AS min_id,
+       max(event_id) AS max_id
+FROM events
+GROUP BY event_type
+""",
+)
+def src_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet → CSV text (header, quoted strings) → CSV source →
+    aggregate. Same lossless-double + exact-decimal argument as the
+    JSONL twin; additionally exercises CSV quoting (the props JSON blob
+    round-trips inside a quoted field) and header-driven column order.
+    """
+
+    def build(into: str) -> None:
+        (
+            load_table(spark, sf_dir, "events")
+            .select("event_id", "user_id", "event_type", "value", "props")
+            .write.mode("overwrite")
+            .option("header", "true")
+            .csv(os.path.join(into, "csv"))
+        )
+
+    src = os.path.join(
+        _cache_publish(build, ("csv", _table_fingerprint(sf_dir))), "csv"
+    )
+    back = spark.read.schema(
+        "event_id long, user_id long, event_type string, value double, props string"
+    ).option("header", "true").csv(src)
     return back.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("value").cast("decimal(28,10)")).cast("double").alias("value_sum"),
