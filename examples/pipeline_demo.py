@@ -7,8 +7,9 @@ Stages (all lazy until the sinks):
 1. ingest   — documents + events tables (stand-ins for OGR layers)
 2. quality  — token stats, quality score, language-ID
 3. dedup    — exact + MinHash near-dup clusters; keep survivors
-4. features — geometry derivation, envelope round-trip sample
-5. sink     — partitioned parquet + keyed upsert table
+4. curate   — benchmark decontamination + class-balance audit
+5. features — text stats for the survivors
+6. sink     — partitioned parquet + keyed upsert table
 """
 
 from __future__ import annotations
@@ -50,10 +51,20 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
         kept = docs.join(good, "doc_id", "left_semi").join(dropped, "doc_id", "left_anti")
         print(f"dedup: dropped {dropped.count()} near-duplicates; kept {kept.count()} docs")
 
-        # 4. features: text stats for the survivors
+        # 4. curate: drop benchmark-contaminated docs, audit class balance
+        contaminated = queries["m_decontaminate"](spark, sf_dir).select("doc_id")
+        kept = kept.join(contaminated, "doc_id", "left_anti")
+        balance = queries["m_class_balance"](spark, sf_dir).orderBy("lang").collect()
+        print(
+            f"curate: dropped {contaminated.count()} benchmark-contaminated docs; "
+            "class balance "
+            + ", ".join(f"{r['lang']}:{r['n']}(x{r['upsample_factor']:.2f})" for r in balance)
+        )
+
+        # 5. features: text stats for the survivors
         stats = queries["m_text_stats"](spark, sf_dir).join(kept.select("doc_id"), "doc_id")
 
-        # 5. sinks: partitioned corpus + upsertable stats table
+        # 6. sinks: partitioned corpus + upsertable stats table
         kept.write.mode("overwrite").partitionBy("lang").parquet(os.path.join(out, "corpus"))
         stats_path = os.path.join(out, "doc_stats")
         stats.write.mode("overwrite").parquet(stats_path)
