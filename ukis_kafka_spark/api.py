@@ -70,6 +70,7 @@ _PRIORITY = [
     "m_decontaminate", "src_jsonl_roundtrip", "m_frame_sample",
     "src_props_infer", "m_subsample", "m_class_balance",
     "q_variant", "q_lateral_topn", "src_csv_roundtrip",
+    "q_agg_mode", "q_agg_percentile_disc", "s_static_join",
 ]
 
 

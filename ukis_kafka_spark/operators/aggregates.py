@@ -409,3 +409,88 @@ def q_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.grouping_id().alias("gid"),
         money_sum("l_quantity").alias("sum_qty"),
     )
+
+
+@query(
+    "q_agg_mode",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority AS mode_priority, n FROM (
+  SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+         row_number() OVER (PARTITION BY o_orderstatus
+                            ORDER BY count(*) DESC, o_orderpriority ASC) AS rn
+  FROM orders GROUP BY o_orderstatus, o_orderpriority
+) WHERE rn = 1
+""",
+)
+def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mode (most frequent value) per group, spelled as count + ranked
+    pick with a deterministic tiebreak — engine-native MODE() functions
+    break ties arbitrarily, so the portable form is the only
+    hash-checkable one. Two hash aggregates, top-1 pruned before the
+    shuffle (WindowGroupLimit)."""
+    o = load_table(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("n").desc(), F.col("o_orderpriority").asc()
+    )
+    return (
+        o.groupBy("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("o_orderstatus", F.col("o_orderpriority").alias("mode_priority"), "n")
+    )
+
+
+@query(
+    "q_agg_percentile_disc",
+    oracle="""
+WITH ranked AS (
+  SELECT l_returnflag, l_extendedprice,
+         row_number() OVER (PARTITION BY l_returnflag
+                            ORDER BY l_extendedprice ASC, l_orderkey ASC,
+                                     l_linenumber ASC) AS rn,
+         count(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM lineitem
+)
+SELECT l_returnflag,
+       max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN l_extendedprice END)
+         AS p50_disc,
+       max(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN l_extendedprice END)
+         AS p90_disc
+FROM ranked GROUP BY l_returnflag
+""",
+)
+def q_agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete percentile (PERCENTILE_DISC semantics: the smallest
+    actual value with cumulative rank ≥ p), built from row_number +
+    one conditional aggregate so both engines pick the identical row —
+    native implementations differ in interpolation and tie handling.
+    Like q_agg_percentile this is the exact-sort family (the at-scale
+    path is q_agg_approx_quantile's sketch)."""
+    from pyspark.sql import Window
+
+    l = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("l_extendedprice").asc(), F.col("l_orderkey").asc(), F.col("l_linenumber").asc()
+    )
+    wn = Window.partitionBy("l_returnflag")
+    ranked = l.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    return ranked.groupBy("l_returnflag").agg(
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(0.5 * F.col("n")).cast("long"), F.col("l_extendedprice")
+            )
+        ).alias("p50_disc"),
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(0.9 * F.col("n")).cast("long"), F.col("l_extendedprice")
+            )
+        ).alias("p90_disc"),
+    )

@@ -579,3 +579,49 @@ def s_foreach_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.read.parquet(target).localCheckpoint()
 
     return _with_scratch(go)
+
+
+_TYPE_WEIGHTS = [
+    ("click", 1.0),
+    ("view", 0.5),
+    ("purchase", 10.0),
+    ("signup", 5.0),
+    ("error", 0.0),
+]
+
+
+@query(
+    "s_static_join",
+    oracle="""
+SELECT e.event_type,
+       count(*) AS n,
+       CAST(CAST(SUM(CAST(e.value * CASE e.event_type
+              WHEN 'click' THEN 1.0 WHEN 'view' THEN 0.5
+              WHEN 'purchase' THEN 10.0 WHEN 'signup' THEN 5.0
+              ELSE 0.0 END AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)
+         AS weighted_value
+FROM events e
+GROUP BY e.event_type
+""",
+)
+def s_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream enriches against a static
+    dimension (event-type weights) with a plain broadcast hash join per
+    micro-batch — no streaming state at all, the pattern for joining a
+    stream to reference/dimension data at scale. The weighted sum runs
+    through the exact-decimal route, so the final table equals the
+    batch twin bit-for-bit."""
+    dim = spark.createDataFrame(_TYPE_WEIGHTS, "event_type string, weight double")
+
+    def go(work: str) -> DataFrame:
+        stream = replay_events_as_stream(spark, sf_dir, work, n_chunks=4)
+        enriched = stream.join(F.broadcast(dim), "event_type")
+        agg = enriched.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("value") * F.col("weight")).cast("decimal(28,10)"))
+            .cast("double")
+            .alias("weighted_value"),
+        )
+        return run_to_memory(agg, work, mode="complete").localCheckpoint()
+
+    return _with_scratch(go)
