@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 # Import for registration side effects — every module below registers
 # its queries/oracles with ukis_kafka_spark.registry.
 from .functions import scalars, udfs  # noqa: F401
-from .ml import dedup, multimodal, similarity, text  # noqa: F401
+from .ml import dedup, graph, multimodal, similarity, text  # noqa: F401
 from .sinks import files as sink_files  # noqa: F401
 from .sources import jsonl as src_jsonl  # noqa: F401
 from .sources import props as src_props  # noqa: F401
@@ -71,6 +71,7 @@ _PRIORITY = [
     "src_props_infer", "m_subsample", "m_class_balance",
     "q_variant", "q_lateral_topn", "src_csv_roundtrip",
     "q_agg_mode", "q_agg_percentile_disc", "s_static_join",
+    "m_graph_pagerank",
 ]
 
 

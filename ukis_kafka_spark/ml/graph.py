@@ -1,0 +1,105 @@
+"""Iterative graph propagation (training-data-pipeline suite: graph
+signals — PageRank-style importance over a co-occurrence graph — feed
+curation and sampling decisions, e.g. weighting documents by citation
+structure).
+
+Unlike the near-dup connected-components resolver (rows-only: its
+convergence loop is data-dependent), this runs a FIXED number of
+power-iteration steps in **fixed-point integer arithmetic** (ranks as
+micro-units, contributions via integer division), so the whole
+iterative computation is bit-exact in any engine and hash-checked
+against an unrolled DuckDB oracle. A float formulation was tried first
+and failed: damped updates land on 10-dp rounding midpoints
+constantly, and Spark (HALF_UP) vs DuckDB disagree there — fixed-point
+has no ties to break.
+
+Scale shape: each iteration is one shuffle (edges ⋈ ranks on src,
+then aggregate on dst) — the standard Pregel-as-joins dataflow; the
+edge list is built once from co-order part pairs (bounded per-order
+explode, no global cross join) and materialized once for all
+iterations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources import load_table
+
+_ITERS = 5
+_UNIT = 1_000_000  # 1.0 rank = 1e6 micro-units
+# damping 0.85 as the exact rational 850/1000, applied in integer math
+
+
+def _oracle_pagerank() -> str:
+    parts = [
+        f"""
+WITH edges AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a
+  JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+sym AS (SELECT src, dst FROM edges UNION ALL SELECT dst AS src, src AS dst FROM edges),
+deg AS (SELECT src AS node, count(*) AS d FROM sym GROUP BY src),
+r0 AS (SELECT node, CAST({_UNIT} AS BIGINT) AS rank_u FROM deg)"""
+    ]
+    for k in range(_ITERS):
+        parts.append(
+            f""",
+r{k + 1} AS (
+  SELECT s.dst AS node,
+         CAST({_UNIT} AS BIGINT) * 15 // 100
+           + 850 * CAST(SUM(r.rank_u // dg.d) AS BIGINT) // 1000 AS rank_u
+  FROM sym s
+  JOIN r{k} r ON r.node = s.src
+  JOIN deg dg ON dg.node = s.src
+  GROUP BY s.dst
+)"""
+        )
+    parts.append(
+        f"""
+SELECT node, rank_u FROM r{_ITERS} ORDER BY rank_u DESC, node ASC LIMIT 50"""
+    )
+    return "".join(parts)
+
+
+@query("m_graph_pagerank", oracle=_oracle_pagerank())
+def m_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 parts by 5-step damped PageRank (fixed-point micro-units)
+    over the 'co-ordered in the same order' graph. See module docstring
+    for why a full iterative algorithm can be hash-checked here."""
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = l.alias("a"), l.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .distinct()
+    )
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()  # edges are reused every iteration: materialize once
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("d")).withColumnRenamed("src", "node")
+    ranks = deg.select("node", F.lit(_UNIT).cast("long").alias("rank_u"))
+    for _ in range(_ITERS):
+        contrib = (
+            sym.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(deg.withColumnRenamed("node", "src"), "src")
+            .select("dst", F.expr("rank_u div d").alias("c"))
+        )
+        ranks = (
+            contrib.groupBy("dst")
+            .agg(
+                (
+                    F.lit(_UNIT * 15 // 100).cast("long")
+                    + F.expr(f"850 * sum(c) div 1000")
+                ).alias("rank_u")
+            )
+            .withColumnRenamed("dst", "node")
+        )
+    return ranks.orderBy(F.col("rank_u").desc(), F.col("node").asc()).limit(50)
