@@ -48,12 +48,25 @@ def test_cli_produce_consume_roundtrip(spark, tmp_path):
     assert cli.main(["consume-upsert", "--topic-dir", topic, "--table", table]) == 0
     assert spark.read.parquet(table).count() == n1 == 5
 
-    # a second batch with overlapping keys: only the new key is added
+    # a second batch with overlapping keys: only the new key is added,
+    # and the duplicate fid resolves to the LATEST produce (the second
+    # batch's offsets are higher → offset-order last-write-wins)
     gj2 = tmp_path / "in2.geojson"
     _write_geojson(gj2, n=2, start=4)  # fids 4 (dup) and 5 (new)
     assert cli.main(["produce", "--geojson", str(gj2), "--topic-dir", topic, "--layer", "pts"]) == 0
     assert cli.main(["consume-upsert", "--topic-dir", topic, "--table", table]) == 0
     assert spark.read.parquet(table).count() == 6
+
+    from ukis_kafka_spark.spatial.wkb import decode_wkb
+
+    fid4 = [
+        r
+        for r in spark.read.parquet(table).collect()
+        if json.loads(r["props_json"])["fid"] == 4
+    ]
+    assert len(fid4) == 1
+    # batch 1 wrote fid 4 at (14, 54); batch 2 (start=4, i=0) at (10, 50)
+    assert decode_wkb(bytes(fid4[0]["wkb"])) == ("POINT", (10.0, 50.0))
 
 
 def test_pipeline_demo_runs(spark):

@@ -157,3 +157,11 @@ def test_per_group_topk_uses_window_group_limit(spark, name):
     # (WindowGroupLimit partial), not sort whole groups post-exchange
     plan = _formatted_plan(spark, name)
     assert "WindowGroupLimit" in plan, f"{name} shuffles unpruned groups"
+
+
+def test_lateral_limit_decorrelates_to_window_topk(spark):
+    # LATERAL ... ORDER BY ... LIMIT k must become a window top-k over
+    # one join — not a per-outer-row re-scan
+    plan = _formatted_plan(spark, "q_lateral_topn")
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
