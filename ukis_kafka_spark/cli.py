@@ -92,14 +92,24 @@ def _publish_envelopes(envelopes: list[bytes], topic_dir: str) -> None:
     print(f"produced {len(envelopes)} features to {topic_dir}")
 
 
-def _coerce_prop(v: str):
+def _coerce_prop(v):
     """CSV cells are untyped text; recover ints/floats/bools the way an
-    OGR field-type scan would (strings stay strings)."""
+    OGR field-type scan would (strings stay strings). Short rows give
+    None (DictReader fills missing fields) → stays None; 'inf'/'nan'
+    stay strings — json.dumps would emit non-standard Infinity/NaN
+    tokens that strict JSON consumers (get_json_object) reject."""
+    import math
+
+    if v is None:
+        return None
     for cast in (int, float):
         try:
-            return cast(v)
+            out = cast(v)
         except ValueError:
-            pass
+            continue
+        if isinstance(out, float) and not math.isfinite(out):
+            return v
+        return out
     if v.lower() in ("true", "false"):
         return v.lower() == "true"
     return v
@@ -132,16 +142,20 @@ def cmd_produce_wkt(args: argparse.Namespace) -> int:
 
 
 def _decoded_features(spark, topic_dir: str):
-    from pyspark.sql import functions as F  # noqa: F401
+    from pyspark.sql import functions as F
 
     from .sources.envelope import read_envelope
     from .spatial.wkb import decode_wkb
 
-    raw = spark.read.parquet(topic_dir)
-    from pyspark.sql import functions as F2
-
-    if "offset" not in raw.columns:  # pre-offset topic dirs remain readable
-        raw = raw.withColumn("offset", F2.lit(-1).cast("long"))
+    # mergeSchema: a topic dir may mix pre-offset files with
+    # offset-bearing ones (appends to an old topic); without it Spark
+    # resolves the schema from one arbitrary file's footer and could
+    # silently drop the offset column — old rows read offset NULL,
+    # which loses to any real offset under the desc last-write-wins
+    # window (nulls sort last), exactly the right semantics
+    raw = spark.read.option("mergeSchema", "true").parquet(topic_dir)
+    if "offset" not in raw.columns:  # all-pre-offset topic dirs remain readable
+        raw = raw.withColumn("offset", F.lit(-1).cast("long"))
 
     def decode(iter_pdf):
         for pdf in iter_pdf:

@@ -129,7 +129,7 @@ SELECT d.doc_id,
                      CAST(least(4, octet_length(encode(d.text))
                                    - g.range * {_FRAME_STRIDE} * {_FRAME_BYTES}) AS INTEGER))))
          AS head_hex  -- corpus text is ASCII: char slicing == byte slicing (DuckDB 1.0 substring can't take BLOB)
-FROM documents d CROSS JOIN range(0, 256) g
+FROM documents d CROSS JOIN range(0, 4096) g
 WHERE g.range * {_FRAME_STRIDE} * {_FRAME_BYTES} < octet_length(encode(d.text))
 """,
 )
@@ -140,7 +140,12 @@ def m_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     mapInPandas fan-out plumbing a real ffmpeg frame sampler plugs
     into (multiple output rows per input row, Arrow-batched, no
     driver involvement). The byte slicing is deterministic, so the
-    oracle reproduces every sampled frame from the utf-8 payload."""
+    oracle reproduces every sampled frame from the utf-8 payload.
+
+    Oracle coverage bound: the SQL side enumerates frame groups from a
+    fixed range(0, 4096) → payloads up to 256 KiB (4096·4·16 B). The
+    kernel raises on anything larger instead of silently emitting rows
+    the oracle lacks (corpus max today: ~600 B)."""
     d = with_payload(load_table(spark, sf_dir, "documents"))
 
     def sample(iter_pdf):
@@ -148,6 +153,11 @@ def m_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             doc_ids, idxs, offs, lens, heads = [], [], [], [], []
             for doc_id, payload in zip(pdf.doc_id, pdf.payload):
                 buf = bytes(payload)
+                if len(buf) > 4096 * _FRAME_STRIDE * _FRAME_BYTES:
+                    raise ValueError(
+                        f"payload of doc {doc_id} exceeds the 256 KiB oracle "
+                        "coverage bound — widen the oracle's range() first"
+                    )
                 for i in range(0, (len(buf) + _FRAME_BYTES - 1) // _FRAME_BYTES, _FRAME_STRIDE):
                     off = i * _FRAME_BYTES
                     frame = buf[off : off + _FRAME_BYTES]

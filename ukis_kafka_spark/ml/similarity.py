@@ -79,14 +79,20 @@ def _blocked_cosine_pairs(
     pair is one float64 GEMM inside an Arrow-batched applyInPandas.
 
     Pruning happens INSIDE the kernel, so pair rows leave a block-pair
-    task only if they can matter downstream:
-    - ``min_cos``: emit only pairs with cos ≥ min_cos − 1e-9 (the
-      margin keeps rounding-boundary rows; the caller re-applies the
-      exact rounded threshold).
-    - ``local_topk``: emit each block-pair's top (k + 64) by raw cos —
-      a global top-k row is necessarily in its own block-pair's top-k,
-      and the +64 slack covers id-tiebreak reordering among pairs tied
-      at the emitted 6 dp grid.
+    task only if they can matter downstream. Both prunes are exact
+    w.r.t. the 6 dp-rounded downstream semantics:
+    - ``min_cos``: emit pairs with raw cos ≥ min_cos − 5.01e-7. The
+      downstream filter is ``round(cos, 6) >= min_cos``; rounding moves
+      a value by at most half a grid step (5e-7), so any pair the
+      rounded filter could accept has raw cos ≥ min_cos − 5e-7 — the
+      extra 1e-9 absorbs float error in the comparison itself.
+    - ``local_topk``: emit every pair whose raw cos is within 1.1e-6
+      (one full grid step + margin) of the block-pair's k-th largest
+      raw cos. If c < c_k − 1.1e-6 then round(c) < round(c_k) strictly,
+      so at least k same-block pairs beat the dropped pair on the
+      rounded value no matter how ids tiebreak — it cannot be in the
+      global top-k. Tie groups at the grid are kept whole (unbounded in
+      principle, tiny in practice).
     At 100 TB this is the difference between shuffling O(n²) pair rows
     and shuffling O(blocks² · k) (top-k) or just the match set
     (threshold). (A per-pair array fold instead of BLAS was measured
@@ -125,11 +131,12 @@ def _blocked_cosine_pairs(
         keep = ia[ii] < ib[jj]
         id_a, id_b, c = ia[ii][keep], ib[jj][keep], cos[keep]
         if min_cos is not None:
-            m = c >= min_cos - 1e-9
+            m = c >= min_cos - 5.01e-7  # half grid step + comparison slack
             id_a, id_b, c = id_a[m], id_b[m], c[m]
-        if local_topk is not None and len(c) > local_topk + 64:
-            part = np.argpartition(-c, local_topk + 64)[: local_topk + 64]
-            id_a, id_b, c = id_a[part], id_b[part], c[part]
+        if local_topk is not None and len(c) > local_topk:
+            kth = np.partition(c, len(c) - local_topk)[len(c) - local_topk]
+            m = c >= kth - 1.1e-6  # one grid step: keeps every possible tie
+            id_a, id_b, c = id_a[m], id_b[m], c[m]
         return pd.DataFrame({"id_a": id_a, "id_b": id_b, "cos_sim": c})
 
     pairs = (

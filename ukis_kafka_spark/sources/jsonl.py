@@ -19,7 +19,8 @@ from pyspark.sql import functions as F
 
 from ..registry import query
 from ..sources import load_table
-from ..streaming.jobs import _cache_publish, _table_fingerprint
+from ..cache import cache_publish as _cache_publish
+from ..cache import table_fingerprint as _table_fingerprint
 
 _JSON_SCHEMA = "event_id long, user_id long, event_type string, value double"
 

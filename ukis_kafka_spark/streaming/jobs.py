@@ -44,36 +44,11 @@ def _scratch_dir() -> str:
     return tempfile.mkdtemp(prefix="stream_", dir=_SCRATCH)
 
 
-def _cache_publish(build_fn, digest_key: tuple) -> str:
-    """Build-once on-disk cache for replay inputs: run ``build_fn`` into
-    a temp dir, atomically rename it to the content-keyed cache path.
-    Losing a publish race is fine — the winner's identical dir is used.
-    The expensive chunking/encode Spark jobs run once per (corpus,
-    params), not once per streaming query (they were ~40% of the s_*
-    bench cost at sf0.1)."""
-    import hashlib
-
-    cache_root = os.path.join(_SCRATCH, "replay_cache")
-    os.makedirs(cache_root, exist_ok=True)
-    digest = hashlib.sha256(repr(digest_key).encode()).hexdigest()[:16]
-    final = os.path.join(cache_root, digest)
-    if not os.path.isdir(final):
-        build = tempfile.mkdtemp(prefix="build_", dir=cache_root)
-        try:
-            build_fn(build)
-            try:
-                os.rename(build, final)
-            except OSError:
-                if not os.path.isdir(final):  # not a lost race: real failure
-                    raise
-        finally:
-            shutil.rmtree(build, ignore_errors=True)
-    return final
-
-
-def _table_fingerprint(sf_dir: str, table: str = "events") -> tuple:
-    st = os.stat(os.path.join(sf_dir, f"{table}.parquet"))
-    return (os.path.abspath(sf_dir), table, st.st_size, st.st_mtime_ns)
+# Build-once input caching lives in ukis_kafka_spark.cache (shared by
+# streaming, sources, and bench); the old private names stay as
+# aliases for existing callers.
+from ..cache import cache_publish as _cache_publish  # noqa: E402
+from ..cache import table_fingerprint as _table_fingerprint  # noqa: E402
 
 
 def _replay_chunk_cache(
