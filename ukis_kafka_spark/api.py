@@ -72,6 +72,8 @@ _PRIORITY = [
     "q_variant", "q_lateral_topn", "src_csv_roundtrip",
     "q_agg_mode", "q_agg_percentile_disc", "s_static_join",
     "m_graph_pagerank",
+    "q_sql_q5", "q_sql_q18", "q_agg_bitbool", "q_cte_reuse",
+    "q_win_cume_nth",
 ]
 
 

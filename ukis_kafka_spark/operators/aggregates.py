@@ -494,3 +494,75 @@ def q_agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p90_disc"),
     )
+
+
+@query(
+    "q_agg_bitbool",
+    oracle="""
+SELECT l_returnflag,
+       bool_and(l_quantity > 25)  AS all_bulk,
+       bool_or(l_discount > 0.09) AS any_deep_disc,
+       bit_and(l_linenumber) AS ln_and,
+       bit_or(l_linenumber)  AS ln_or,
+       bit_xor(l_linenumber) AS ln_xor,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def q_agg_bitbool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean and bitwise aggregates (every/any, bit_and/or/xor) —
+    all partial-aggregatable, so they combine map-side like sum/count
+    and shuffle one row per group regardless of input size."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.bool_and(F.col("l_quantity") > 25).alias("all_bulk"),
+        F.bool_or(F.col("l_discount") > 0.09).alias("any_deep_disc"),
+        F.bit_and("l_linenumber").alias("ln_and"),
+        F.bit_or("l_linenumber").alias("ln_or"),
+        F.bit_xor("l_linenumber").alias("ln_xor"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "q_cte_reuse",
+    oracle="""
+WITH seg AS (
+  SELECT c_mktsegment,
+         CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS seg_avg
+  FROM customer GROUP BY c_mktsegment
+)
+SELECT c.c_mktsegment,
+       COUNT(*) AS n_above,
+       MIN(s.seg_avg) AS seg_avg
+FROM customer c
+JOIN seg s ON c.c_mktsegment = s.c_mktsegment
+WHERE c.c_acctbal > s.seg_avg
+GROUP BY c.c_mktsegment
+""",
+)
+def q_cte_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CTE through the SQL frontend: per-segment average account
+    balance computed once in a WITH block, then joined back to count
+    above-average customers. The CTE side is tiny (one row per
+    segment), so at scale it broadcasts and the base table is scanned
+    twice at most — Catalyst may also collapse the reuse via
+    ReusedExchange."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_cte")
+    return spark.sql(
+        """
+        WITH seg AS (
+          SELECT c_mktsegment,
+                 CAST(SUM(CAST(c_acctbal AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*) AS seg_avg
+          FROM customer_cte GROUP BY c_mktsegment
+        )
+        SELECT c.c_mktsegment,
+               COUNT(*) AS n_above,
+               MIN(s.seg_avg) AS seg_avg
+        FROM customer_cte c
+        JOIN seg s ON c.c_mktsegment = s.c_mktsegment
+        WHERE c.c_acctbal > s.seg_avg
+        GROUP BY c.c_mktsegment
+        """
+    )

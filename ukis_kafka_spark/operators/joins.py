@@ -489,3 +489,107 @@ def q_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE c.c_mktsegment = 'MACHINERY'
         """
     )
+
+
+@query(
+    "q_sql_q5",
+    oracle="""
+SELECT n.n_name,
+       CAST(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND c.c_nationkey = s.s_nationkey
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n.n_name
+""",
+)
+def q_sql_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style local-supplier-volume: a 6-table star join where
+    the three dim tables (supplier-side nation, region, and the
+    customer's nation equality) prune the fact rows. Plan shape at
+    scale: region⋈nation⋈supplier collapse to broadcasts, the
+    customer⋈orders⋈lineitem spine is the only shuffled join chain, and
+    the c_nationkey = s_nationkey residual runs as a post-join filter —
+    no extra shuffle for it."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    joined = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .where(
+            (F.col("r_name") == "ASIA")
+            & (F.col("c_nationkey") == F.col("s_nationkey"))
+            & (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        )
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return joined.groupBy("n_name").agg(
+        F.sum(revenue.cast(DEC)).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@query(
+    "q_sql_q18",
+    oracle="""
+SELECT c.c_name, c.c_custkey, o.o_orderkey,
+       CAST(CAST(o.o_orderdate AS DATE) AS VARCHAR) AS orderdate,
+       o.o_totalprice,
+       CAST(CAST(SUM(CAST(l.l_quantity AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS sum_qty
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(28,10))) > 300
+)
+GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+""",
+)
+def q_sql_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-style large-volume customers: an aggregated IN
+    subquery (orders whose total quantity > 300) feeding a join back to
+    the fact table. Catalyst plans the IN as a left-semi join against
+    the pre-aggregated keys; the heavy lineitem aggregate happens once,
+    map-side partial first, and only qualifying orderkeys (≈1% of
+    orders) reach the 3-table join."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("q"))
+        .where(F.col("q") > 300)
+        .select("l_orderkey")
+    )
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey, "left_semi")
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        .join(l, F.col("o_orderkey") == l.l_orderkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("sum_qty"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").cast("string").alias("orderdate"),
+            "o_totalprice",
+            "sum_qty",
+        )
+    )

@@ -242,3 +242,38 @@ def q_distinct_on(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_totalprice",
         )
     )
+
+
+@query(
+    "q_win_cume_nth",
+    oracle="""
+SELECT s_suppkey, n_name, s_acctbal,
+       cume_dist() OVER w AS cd,
+       nth_value(s_name, 2) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         AS runner_up
+FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+WINDOW w AS (PARTITION BY n_name ORDER BY s_acctbal DESC, s_suppkey ASC)
+""",
+)
+def q_win_cume_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cume_dist + nth_value per nation (suppliers ranked by balance).
+    cume_dist's k/n division is a single correctly-rounded IEEE op on
+    identical integers, so raw doubles hash-match across engines; the
+    nth_value frame is pinned to the full partition explicitly (the
+    default frame stops at CURRENT ROW and would NULL the first row).
+    One shuffle on the partition key; both functions share one window
+    spec ordering so Spark evaluates them in a single Window exec."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_name").orderBy(F.col("s_acctbal").desc(), F.col("s_suppkey").asc())
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            "s_suppkey",
+            "n_name",
+            "s_acctbal",
+            F.cume_dist().over(w).alias("cd"),
+            F.nth_value("s_name", 2).over(wfull).alias("runner_up"),
+        )
+    )
