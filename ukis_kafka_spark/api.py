@@ -74,6 +74,8 @@ _PRIORITY = [
     "m_graph_pagerank",
     "q_sql_q5", "q_sql_q18", "q_agg_bitbool", "q_cte_reuse",
     "q_win_cume_nth",
+    "m_pii_scrub", "m_stratified_split", "m_doc_bigrams",
+    "m_embed_quantize", "m_graph_degree",
 ]
 
 

@@ -103,3 +103,41 @@ def m_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumnRenamed("dst", "node")
         )
     return ranks.orderBy(F.col("rank_u").desc(), F.col("node").asc()).limit(50)
+
+
+@query(
+    "m_graph_degree",
+    oracle="""
+WITH edges AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a
+  JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+sym AS (SELECT src, dst FROM edges UNION ALL SELECT dst AS src, src AS dst FROM edges),
+deg AS (SELECT src AS node, count(*) AS d FROM sym GROUP BY src)
+SELECT d AS degree, COUNT(*) AS n_nodes, MIN(node) AS sample_node
+FROM deg GROUP BY d
+""",
+)
+def m_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the co-order part graph — the
+    skew-audit you run before any graph propagation at scale (a
+    power-law tail means the Pregel joins need salting on the hub
+    nodes). Same bounded per-order edge build as m_graph_pagerank;
+    two hash aggregates, no iteration."""
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = l.alias("a"), l.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .distinct()
+    )
+    sym = edges.unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    return deg.groupBy(F.col("d").alias("degree")).agg(
+        F.count(F.lit(1)).alias("n_nodes"), F.min("src").alias("sample_node")
+    )

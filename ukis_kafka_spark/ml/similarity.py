@@ -447,3 +447,51 @@ def m_embed_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(nrm).alias("norm_max"),
         )
     )
+
+
+@query(
+    "m_embed_quantize",
+    oracle="""
+WITH q AS (
+  SELECT vec_id, label,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale,
+         list_transform(embedding,
+           x -> least(127, greatest(-127,
+                  CAST(floor(CAST(x AS DOUBLE)
+                             / list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE))))
+                             * 127 + 0.5) AS BIGINT)))) AS qv
+  FROM embeddings
+)
+SELECT vec_id, label, scale,
+       CAST(list_sum(qv) AS BIGINT) AS q_sum,
+       len(list_filter(qv, v -> abs(v) = 127)) AS n_sat
+FROM q
+""",
+)
+def m_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector symmetric int8 quantization (the storage/SIMD format
+    ANN indexes ship at scale): scale = max|x|, q = floor(x/scale·127
+    + 0.5) clamped to ±127. Emits an integer checksum + saturation
+    count per vector so the whole 64-dim transform is hash-verified.
+    All per-row array math (no shuffle, no Python); floor-based
+    rounding is used because it is bit-identical across engines,
+    unlike round() whose HALF_UP/half-even behavior differs. The
+    embedding corpus is unit-norm so scale > 0 always holds."""
+    e = load_table(spark, sf_dir, "embeddings")
+    scale = F.expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))")
+    qv = F.expr(
+        "transform(embedding, x -> least(127L, greatest(-127L, "
+        "CAST(floor(CAST(x AS DOUBLE) "
+        "  / array_max(transform(embedding, y -> abs(CAST(y AS DOUBLE)))) "
+        "  * 127 + 0.5) AS BIGINT))))"
+    )
+    return (
+        e.select("vec_id", "label", scale.alias("scale"), qv.alias("qv"))
+        .select(
+            "vec_id",
+            "label",
+            "scale",
+            F.expr("aggregate(qv, 0L, (a, v) -> a + v)").alias("q_sum"),
+            F.expr("size(filter(qv, v -> abs(v) = 127))").alias("n_sat"),
+        )
+    )

@@ -361,3 +361,142 @@ def m_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count_distinct(F.col("gram")).alias("n_hits"))
     )
+
+
+@query(
+    "m_pii_scrub",
+    oracle="""
+WITH planted AS (
+  SELECT doc_id, source,
+         'contact user' || CAST(doc_id AS VARCHAR) || '@example.com ref '
+           || CAST(100000 + doc_id % 900000 AS VARCHAR) || ' ' || text AS raw
+  FROM documents
+), scrubbed AS (
+  SELECT doc_id, source, raw,
+         regexp_replace(
+           regexp_replace(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '[0-9]{6,}', '<NUM>', 'g') AS clean,
+         len(regexp_extract_all(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email,
+         len(regexp_extract_all(regexp_replace(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                                '[0-9]{6,}')) AS n_num
+  FROM planted
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_email + n_num) AS BIGINT) AS n_redactions,
+       CAST(SUM(length(raw) - length(clean)) AS BIGINT) AS chars_removed
+FROM scrubbed
+GROUP BY source
+""",
+)
+def m_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass (emails + long digit runs → placeholder
+    tokens) with per-source redaction accounting. The corpus is
+    synthetic word salad with no real PII, so each doc gets a
+    deterministic planted email + id string first — the scrub kernel
+    and its counters are what's under test, and every doc contributes
+    ≥2 redactions (non-vacuous by construction). Pure JVM regex per
+    row, no shuffle until the per-source rollup."""
+    d = load_table(spark, sf_dir, "documents")
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    num = "[0-9]{6,}"
+    raw = F.concat(
+        F.lit("contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com ref "),
+        (F.lit(100000) + F.col("doc_id") % 900000).cast("string"),
+        F.lit(" "),
+        F.col("text"),
+    )
+    d = d.select("doc_id", "source", raw.alias("raw"))
+    no_email = F.regexp_replace("raw", email, "<EMAIL>")
+    clean = F.regexp_replace(no_email, num, "<NUM>")
+    d = d.select(
+        "source",
+        "raw",
+        clean.alias("clean"),
+        (F.regexp_count("raw", F.lit(email)) + F.regexp_count(no_email, F.lit(num))).alias("n_red"),
+    )
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_red").alias("n_redactions"),
+        F.sum(F.length("raw") - F.length("clean")).alias("chars_removed"),
+    )
+
+
+@query(
+    "m_stratified_split",
+    oracle="""
+WITH b AS (
+  SELECT lang, n_chars,
+         ((doc_id % 1000003) * 2654435761 % 2147483647) % 1000 AS bucket
+  FROM documents
+)
+SELECT CASE WHEN bucket < 800 THEN 'train'
+            WHEN bucket < 900 THEN 'val'
+            ELSE 'test' END AS split,
+       lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM b
+GROUP BY 1, 2
+""",
+)
+def m_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment by Knuth
+    multiplicative hash of the doc key, audited per (split, lang).
+    Same split on every engine/run — the reproducibility contract a
+    training pipeline needs (rand()-based splits can't give it). The
+    pre-reduction keeps the product < 2^63 for any bigint doc_id, so
+    ANSI overflow checking stays happy at any corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = ((F.col("doc_id") % 1000003) * F.lit(2654435761) % 2147483647) % 1000
+    split = (
+        F.when(bucket < 800, "train").when(bucket < 900, "val").otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"), "lang", "n_chars")
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+    )
+
+
+@query(
+    "m_doc_bigrams",
+    oracle="""
+WITH w AS (
+  SELECT list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS words
+  FROM documents
+), bg AS (
+  SELECT unnest(list_transform(range(1, len(words)), i -> words[i] || ' ' || words[i + 1])) AS bigram
+  FROM w
+)
+SELECT bigram, COUNT(*) AS n
+FROM bg
+GROUP BY bigram
+ORDER BY n DESC, bigram ASC
+LIMIT 20
+""",
+)
+def m_doc_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 word bigrams — the n-gram count core of LM
+    data work (n-gram LMs, contamination n-gram checks, repetition
+    stats). Tokenize + pair generation are per-row array ops (JVM
+    higher-order functions, no Python); the only shuffle is the final
+    count, which partial-aggregates map-side so the wire carries one
+    row per distinct bigram, not per occurrence. The top-20 uses
+    (count, bigram) total order so the cut is deterministic."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.expr("filter(split(lower(text), '[^a-z]+'), x -> x <> '')")
+    bigrams = F.expr(
+        "CASE WHEN size(words) < 2 THEN array() "
+        "ELSE transform(sequence(0, size(words) - 2), i -> concat(words[i], ' ', words[i + 1])) END"
+    )
+    return (
+        d.select(words.alias("words"))
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram").asc())
+        .limit(20)
+    )
