@@ -76,6 +76,8 @@ _PRIORITY = [
     "q_win_cume_nth",
     "m_pii_scrub", "m_stratified_split", "m_doc_bigrams",
     "m_embed_quantize", "m_graph_degree",
+    "q_scd2_intervals", "q_agg_twophase_salted", "q_join_nullsafe",
+    "g_grid_agg", "m_repetition",
 ]
 
 

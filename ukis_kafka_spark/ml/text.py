@@ -500,3 +500,56 @@ def m_doc_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("bigram").asc())
         .limit(20)
     )
+
+
+@query(
+    "m_repetition",
+    oracle="""
+WITH w AS (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS words
+  FROM documents
+), tri AS (
+  SELECT doc_id, lang,
+         list_transform(range(1, greatest(len(words) - 1, 1)),
+                        i -> words[i] || ' ' || words[i + 1] || ' ' || words[i + 2]) AS trigrams
+  FROM w
+)
+SELECT doc_id, lang,
+       len(trigrams) AS n_tri,
+       len(list_distinct(trigrams)) AS n_distinct,
+       CASE WHEN len(trigrams) = 0 THEN 0.0
+            ELSE CAST(len(trigrams) - len(list_distinct(trigrams)) AS DOUBLE) / len(trigrams)
+       END AS dup_frac
+FROM tri
+""",
+)
+def m_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signal: duplicated word-trigram fraction
+    per document (high values flag boilerplate/spam for filtering).
+    Trigram build + distinct are per-row array ops — no shuffle at all;
+    the score is a ratio of exact integers so it hash-matches without
+    rounding rules."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.expr("filter(split(lower(text), '[^a-z]+'), x -> x <> '')")
+    tri = F.expr(
+        "CASE WHEN size(words) < 3 THEN array() "
+        "ELSE transform(sequence(0, size(words) - 3), "
+        "i -> concat(words[i], ' ', words[i + 1], ' ', words[i + 2])) END"
+    )
+    return (
+        d.select("doc_id", "lang", words.alias("words"))
+        .select("doc_id", "lang", tri.alias("trigrams"))
+        .select(
+            "doc_id",
+            "lang",
+            F.size("trigrams").alias("n_tri"),
+            F.size(F.array_distinct("trigrams")).alias("n_distinct"),
+            F.when(F.size("trigrams") == 0, F.lit(0.0))
+            .otherwise(
+                (F.size("trigrams") - F.size(F.array_distinct("trigrams"))).cast("double")
+                / F.size("trigrams")
+            )
+            .alias("dup_frac"),
+        )
+    )

@@ -566,3 +566,36 @@ def q_cte_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY c.c_mktsegment
         """
     )
+
+
+@query(
+    "q_agg_twophase_salted",
+    oracle=f"""
+SELECT event_type,
+       COUNT(*) AS n,
+       {oracle_money_sum('value')} AS total_value
+FROM events
+GROUP BY event_type
+""",
+)
+def q_agg_twophase_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase aggregation with explicit salting: phase 1 aggregates
+    by (key, salt=id%16) — 16-way spreading any hot key across
+    reducers — phase 2 re-aggregates the per-salt partials by key.
+    Result is identical to the direct group-by (the oracle IS the
+    direct group-by); the point is the plan shape that survives a
+    skewed key at 100 TB where one reducer would otherwise take the
+    whole hot group. Decimal partials re-merge exactly (sum of sums)."""
+    e = load_table(spark, sf_dir, "events")
+    partial = (
+        e.withColumn("salt", (F.col("event_id") % 16).cast("int"))
+        .groupBy("event_type", "salt")
+        .agg(
+            F.count(F.lit(1)).alias("pn"),
+            exact_sum("value").alias("pv"),
+        )
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pn").alias("n"),
+        F.sum("pv").cast("double").alias("total_value"),
+    )

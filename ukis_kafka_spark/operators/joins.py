@@ -593,3 +593,38 @@ def q_sql_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_qty",
         )
     )
+
+
+@query(
+    "q_join_nullsafe",
+    oracle="""
+SELECT COALESCE(CAST(NULLIF(c.c_nationkey, 3) AS VARCHAR), 'NULL') AS join_key,
+       COUNT(*) AS n_pairs,
+       MIN(c.c_custkey) AS min_cust,
+       MIN(s.s_suppkey) AS min_supp
+FROM customer c
+JOIN supplier s
+  ON NULLIF(c.c_nationkey, 3) IS NOT DISTINCT FROM NULLIF(s.s_nationkey, 3)
+GROUP BY 1
+""",
+)
+def q_join_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of dropping out. Catalyst still plans this
+    as a hash join (the null-safe comparison is part of the join key),
+    so the scale behavior matches a plain equi-join — no fallback to
+    nested-loop. NULLs are manufactured with NULLIF (the corpus has
+    none natively)."""
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    ck = F.nullif(F.col("c_nationkey"), F.lit(3))
+    sk = F.nullif(F.col("s_nationkey"), F.lit(3))
+    return (
+        c.join(s, ck.eqNullSafe(sk))
+        .groupBy(F.coalesce(ck.cast("string"), F.lit("NULL")).alias("join_key"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.min("c_custkey").alias("min_cust"),
+            F.min("s_suppkey").alias("min_supp"),
+        )
+    )

@@ -277,3 +277,46 @@ def q_win_cume_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.nth_value("s_name", 2).over(wfull).alias("runner_up"),
         )
     )
+
+
+@query(
+    "q_scd2_intervals",
+    oracle="""
+WITH chg AS (
+  SELECT user_id, event_type, event_id,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_type
+  FROM events
+), runs AS (
+  SELECT user_id, event_type, event_id AS valid_from_id
+  FROM chg
+  WHERE prev_type IS NULL OR prev_type <> event_type
+)
+SELECT user_id, event_type, valid_from_id,
+       lead(valid_from_id) OVER (PARTITION BY user_id ORDER BY valid_from_id) AS valid_to_id,
+       lead(valid_from_id) OVER (PARTITION BY user_id ORDER BY valid_from_id) IS NULL AS is_current
+FROM runs
+""",
+)
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog → SCD-type-2 intervals: collapse each user's event
+    stream into half-open validity runs [valid_from, valid_to) keyed by
+    the monotone event_id (the corpus-verified version axis — ts is
+    nanos and never emitted raw). Two window passes over the same
+    partition key = one shuffle total; this is the standard
+    dimension-building shape for CDC feeds at scale."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "event_id")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    runs = (
+        e.withColumn("prev_type", F.lag("event_type").over(w))
+        .where(F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type")))
+        .select("user_id", "event_type", F.col("event_id").alias("valid_from_id"))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from_id")
+    nxt = F.lead("valid_from_id").over(w2)
+    return runs.select(
+        "user_id",
+        "event_type",
+        "valid_from_id",
+        nxt.alias("valid_to_id"),
+        nxt.isNull().alias("is_current"),
+    )

@@ -266,3 +266,34 @@ def g_wkt_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return src.mapInPandas(rt, "event_id long, gtype string, lon double, lat double")
+
+
+@query(
+    "g_grid_agg",
+    oracle=f"""
+SELECT CAST(floor(({_LON} + 180) / 5) AS BIGINT) AS cell_x,
+       ({_LAT} + 90) // 5 AS cell_y,
+       COUNT(*) AS n_points,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def g_grid_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5°×5° grid-cell aggregation — the spatial rollup that replaces a
+    geometry join at scale (points bin to integer cells; cell ids also
+    make a natural partition/bucket column for co-locating spatial
+    joins). Coordinates are shifted non-negative before the integer
+    division so floor == truncate on both engines (Spark's `div`
+    truncates toward zero, DuckDB's `//` floors — they differ below
+    zero)."""
+    e = load_table(spark, sf_dir, "events")
+    cell_x = F.floor((_lon() + 180) / 5).cast("bigint")
+    cell_y = F.expr("(user_id * 7 % 180 - 90 + 90) div 5")
+    return (
+        e.groupBy(cell_x.alias("cell_x"), cell_y.alias("cell_y"))
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.sum(F.col("value").cast("decimal(28,10)")).cast("double").alias("sum_value"),
+        )
+    )
