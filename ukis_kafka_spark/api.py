@@ -77,7 +77,7 @@ _PRIORITY = [
     "m_pii_scrub", "m_stratified_split", "m_doc_bigrams",
     "m_embed_quantize", "m_graph_degree",
     "q_scd2_intervals", "q_agg_twophase_salted", "q_join_nullsafe",
-    "g_grid_agg", "m_repetition",
+    "g_grid_agg", "m_repetition", "s_stream_union",
 ]
 
 

@@ -600,3 +600,51 @@ def s_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         return run_to_memory(agg, work, mode="complete").localCheckpoint()
 
     return _with_scratch(go)
+
+
+@query(
+    "s_stream_union",
+    oracle="""
+SELECT event_type,
+       count(*) AS n,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS total_value
+FROM events
+GROUP BY event_type
+""",
+)
+def s_stream_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union of two independent streaming sources (disjoint halves of
+    the replay corpus fed through two FileStreamSources) aggregated in
+    complete mode — the multi-topic fan-in every Kafka deployment has
+    (N topics → one logical stream). Spark runs each source's own
+    offset tracking and unions per micro-batch; the final state must
+    equal the single-source batch aggregate exactly."""
+
+    def go(work: str) -> DataFrame:
+        cache = _replay_chunk_cache(spark, sf_dir, 4, None)
+        files = sorted(os.listdir(cache))
+        srcs = []
+        for sub, fs in (("a", files[::2]), ("b", files[1::2])):
+            d = os.path.join(work, sub)
+            os.makedirs(d, exist_ok=True)
+            for f in fs:
+                try:
+                    os.link(os.path.join(cache, f), os.path.join(d, f))
+                except OSError:
+                    shutil.copy2(os.path.join(cache, f), os.path.join(d, f))
+            srcs.append(
+                spark.readStream.schema(_EVENT_SCHEMA)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(d)
+            )
+        agg = (
+            srcs[0].unionByName(srcs[1])
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("value").cast("decimal(28,10)")).cast("double").alias("total_value"),
+            )
+        )
+        return run_to_memory(agg, work, mode="complete").localCheckpoint()
+
+    return _with_scratch(go)
