@@ -78,6 +78,7 @@ _PRIORITY = [
     "m_embed_quantize", "m_graph_degree",
     "q_scd2_intervals", "q_agg_twophase_salted", "q_join_nullsafe",
     "g_grid_agg", "m_repetition", "s_stream_union",
+    "m_bm25", "src_orc_roundtrip",
 ]
 
 

@@ -553,3 +553,73 @@ def m_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("dup_frac"),
         )
     )
+
+
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+@query(
+    "m_bm25",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_words,
+         len(list_filter(string_split(text, ' '), w -> w = 'spark')) AS tf_spark,
+         len(list_filter(string_split(text, ' '), w -> w = 'join'))  AS tf_join
+  FROM documents
+), stats AS (
+  SELECT COUNT(*) AS n_docs,
+         CAST(SUM(n_words) AS DOUBLE) / COUNT(*) AS avg_len,
+         COUNT(*) FILTER (WHERE tf_spark > 0) AS df_spark,
+         COUNT(*) FILTER (WHERE tf_join > 0)  AS df_join
+  FROM base
+)
+SELECT doc_id,
+       round(ln((n_docs - df_spark + 0.5) / (df_spark + 0.5) + 1)
+             * (tf_spark * {_BM25_K1 + 1}) / (tf_spark + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * n_words / avg_len)), 4) + 0.0
+         AS bm25_spark,
+       round(ln((n_docs - df_join + 0.5) / (df_join + 0.5) + 1)
+             * (tf_join * {_BM25_K1 + 1}) / (tf_join + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * n_words / avg_len)), 4) + 0.0
+         AS bm25_join
+FROM base CROSS JOIN stats
+""",
+)
+def m_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance of every document to two probe terms — the
+    ranking function behind retrieval-based dataset curation. Corpus
+    stats (N, df, avg length) are a single 1-row aggregate broadcast
+    back over the docs; the per-doc side is a no-shuffle projection.
+    ln() is the one transcendental: emitted on the 4 dp grid with the
+    -0.0 guard (JVM vs libm differ ~1 ULP; both land on the same grid
+    point)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    base = d.select(
+        "doc_id",
+        F.size(toks).alias("n_words"),
+        F.size(F.filter(toks, lambda w: w == "spark")).alias("tf_spark"),
+        F.size(F.filter(toks, lambda w: w == "join")).alias("tf_join"),
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("n_words").cast("double") / F.count(F.lit(1))).alias("avg_len"),
+        F.count(F.when(F.col("tf_spark") > 0, 1)).alias("df_spark"),
+        F.count(F.when(F.col("tf_join") > 0, 1)).alias("df_join"),
+    )
+
+    def score(tf: str, df: str) -> F.Column:
+        idf = F.log(
+            (F.col("n_docs") - F.col(df) + 0.5) / (F.col(df) + 0.5) + 1
+        )
+        raw = (
+            idf
+            * (F.col(tf) * (_BM25_K1 + 1))
+            / (F.col(tf) + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("n_words") / F.col("avg_len")))
+        )
+        return F.round(raw, 4) + F.lit(0.0)
+
+    return base.crossJoin(F.broadcast(stats)).select(
+        "doc_id",
+        score("tf_spark", "df_spark").alias("bm25_spark"),
+        score("tf_join", "df_join").alias("bm25_join"),
+    )

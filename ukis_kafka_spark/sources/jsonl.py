@@ -105,3 +105,42 @@ def src_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("event_id").alias("min_id"),
         F.max("event_id").alias("max_id"),
     )
+
+
+@query(
+    "src_orc_roundtrip",
+    oracle="""
+SELECT lang, source,
+       count(*) AS n,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       min(doc_id) AS min_id,
+       max(doc_id) AS max_id
+FROM documents
+GROUP BY lang, source
+""",
+)
+def src_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet → ORC → ORC source → aggregate. ORC is the other
+    columnar interchange format a lake-side engine must speak (Hive
+    ecosystems); Spark's writer/reader are native JVM and preserve
+    longs/strings exactly, so the round-trip aggregate equals the
+    parquet-side oracle. The converted copy is built once per corpus
+    fingerprint into the shared cache."""
+
+    def build(into: str) -> None:
+        (
+            load_table(spark, sf_dir, "documents")
+            .write.mode("overwrite")
+            .orc(os.path.join(into, "orc"))
+        )
+
+    src = os.path.join(
+        _cache_publish(build, ("orc", _table_fingerprint(sf_dir, "documents"))), "orc"
+    )
+    back = spark.read.orc(src)
+    return back.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
