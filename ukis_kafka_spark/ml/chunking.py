@@ -1,0 +1,190 @@
+"""Training-data chunking and packing operators over ``documents``
+(SURVEY.md §2.3 LLM-pipeline extensions).
+
+Three pre-tokenization shapes every large-scale LLM data pipeline
+needs, all pure JVM built-ins (split / sequence / explode / slice /
+window) — no Python boundary, fully hash-checkable:
+
+- sliding-window token chunking with overlap (``m_chunk_tokens``),
+- greedy sequential concat-and-chunk packing into fixed context
+  windows (``m_seq_pack``),
+- passage-level exact dedup across the corpus (``m_passage_dedup``).
+
+Scale notes: chunking is embarrassingly parallel (per-row explode, no
+shuffle until a consumer aggregates); packing windows are partitioned
+by (source, shard) so no single partition ever holds more than a
+bounded slice of the corpus — the global-cumsum variant would serialize
+100 TB through one task; passage dedup is one hash-shuffle on the
+passage digest, the same single-shuffle shape as exact doc dedup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources import load_table
+
+# Chunking geometry: 32-token windows advancing 24 tokens → 8-token
+# overlap between consecutive chunks (a typical ~25% overlap setting).
+CHUNK = 32
+STRIDE = 24
+
+# Packing context size (tokens) and shard width (docs per packing
+# window). Shards bound window-state size: each packing window sees at
+# most SHARD documents regardless of corpus size.
+CTX = 2048
+SHARD = 512
+
+# Passage dedup granularity (tokens). Small corpus vocabulary → 4-token
+# passages actually collide at sf0.01 (≈340 duplicated passages), so
+# the driver row is non-vacuous.
+PASSAGE = 4
+
+
+@query(
+    "m_chunk_tokens",
+    oracle=f"""
+SELECT doc_id,
+       CAST(s AS BIGINT) AS start,
+       CAST(len(l[s+1 : s+{CHUNK}]) AS BIGINT) AS chunk_len,
+       md5(array_to_string(l[s+1 : s+{CHUNK}], ' ')) AS chunk_hash
+FROM (SELECT doc_id, string_split(text, ' ') AS l,
+             len(string_split(text, ' ')) AS n
+      FROM documents),
+     unnest(generate_series(0, n - 1, {STRIDE})) AS t(s)
+""",
+)
+def m_chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window token chunking: each document becomes
+    ceil(n_tokens / STRIDE) chunks of ≤CHUNK tokens with CHUNK-STRIDE
+    token overlap. Emits the chunk digest (not the text) so downstream
+    dedup/packing joins move 16-byte keys, not repeated text.
+
+    Per-row ``sequence``+``explode`` — no shuffle, whole-stage codegen
+    end to end; at 100 TB this is a map-only stage.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    d = d.select(
+        "doc_id",
+        toks.alias("l"),
+        F.explode(F.sequence(F.lit(0), n - 1, F.lit(STRIDE))).alias("s"),
+    )
+    chunk = F.slice(F.col("l"), F.col("s") + 1, CHUNK)
+    return d.select(
+        "doc_id",
+        F.col("s").cast("long").alias("start"),
+        F.size(chunk).cast("long").alias("chunk_len"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_hash"),
+    )
+
+
+@query(
+    "m_seq_pack",
+    oracle=f"""
+SELECT source, shard, bin,
+       count(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS bin_tokens,
+       min(doc_id) AS first_doc,
+       max(doc_id) AS last_doc
+FROM (
+  SELECT source, doc_id, doc_id // {SHARD} AS shard, n_tok,
+         (CAST(SUM(n_tok) OVER (PARTITION BY source, doc_id // {SHARD}
+                                ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+          - n_tok) // {CTX} AS bin
+  FROM (SELECT source, doc_id,
+               len(string_split(text, ' ')) AS n_tok
+        FROM documents)
+)
+GROUP BY source, shard, bin
+""",
+)
+def m_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequential packing (concat-and-chunk): within each
+    (source, shard) stream, documents in doc_id order are concatenated
+    and cut into CTX-token context windows; a document's bin is its
+    starting token offset div CTX.
+
+    The shard key bounds each window partition to SHARD documents, so
+    the running-sum window never serializes the corpus through one
+    task — the scale-correct form of "pack the dataset in order".
+    Integer-only arithmetic → exact hash parity.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    d = d.select(
+        "source",
+        "doc_id",
+        F.expr(f"doc_id div {SHARD}").alias("shard"),
+        F.size(F.split(F.col("text"), " ")).alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("source", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        d.withColumn("start", F.sum("n_tok").over(w) - F.col("n_tok"))
+        .withColumn("bin", F.expr(f"start div {CTX}"))
+        .drop("start")
+        .groupBy("source", "shard", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("bin_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
+@query(
+    "m_passage_dedup",
+    oracle=f"""
+SELECT h AS passage_hash,
+       count(*) AS n_occurrences,
+       count(DISTINCT doc_id) AS n_docs,
+       min(doc_id) AS first_doc
+FROM (
+  SELECT doc_id, md5(array_to_string(l[s+1 : s+{PASSAGE}], ' ')) AS h
+  FROM (SELECT doc_id, string_split(text, ' ') AS l,
+               len(string_split(text, ' ')) AS n
+        FROM documents),
+       unnest(generate_series(0, n - 1, {PASSAGE})) AS t(s)
+)
+GROUP BY h
+HAVING count(*) > 1
+""",
+)
+def m_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level exact dedup: split every document into
+    non-overlapping PASSAGE-token passages, digest each, and report
+    passages occurring more than once corpus-wide (the candidate set a
+    passage-level deduplicator would rewrite).
+
+    One explode (map-only) + one hash-shuffle on the 16-byte digest —
+    identical scale shape to document-level exact dedup; the HAVING
+    filter runs map-side partial then final, so only duplicated
+    digests leave the aggregate.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    d = d.select(
+        "doc_id",
+        toks.alias("l"),
+        F.explode(F.sequence(F.lit(0), n - 1, F.lit(PASSAGE))).alias("s"),
+    )
+    h = F.md5(F.array_join(F.slice(F.col("l"), F.col("s") + 1, PASSAGE), " "))
+    return (
+        d.select("doc_id", h.alias("passage_hash"))
+        .groupBy("passage_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .where(F.col("n_occurrences") > 1)
+    )
