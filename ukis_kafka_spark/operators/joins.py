@@ -628,3 +628,52 @@ def q_join_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("s_suppkey").alias("min_supp"),
         )
     )
+
+
+@query(
+    "q_sql_q10",
+    oracle="""
+SELECT c_custkey, c_name, revenue, c_acctbal, n_name FROM (
+  SELECT c.c_custkey, c.c_name,
+         CAST(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS revenue,
+         c.c_acctbal, n.n_name
+  FROM customer c
+  JOIN orders o   ON c.c_custkey = o.o_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  JOIN nation n   ON c.c_nationkey = n.n_nationkey
+  WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o.o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+    AND l.l_returnflag = 'R'
+  GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+)
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+""",
+)
+def q_sql_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-style returned-item report: top-20 customers by
+    revenue lost to returns in one quarter. Plan shape at scale: the
+    orderdate quarter filter is pushed to the orders scan and the
+    returnflag filter to the lineitem scan *before* either join;
+    nation broadcasts; the final top-20 is TakeOrderedAndProject
+    (per-partition top-20 then a 20-row driver merge — no global
+    sort). The revenue tie-break on c_custkey makes the LIMIT
+    deterministic, so the result is hash-checkable."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    l = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(revenue.cast(DEC)).cast("double").alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )

@@ -648,3 +648,41 @@ def s_stream_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         return run_to_memory(agg, work, mode="complete").localCheckpoint()
 
     return _with_scratch(go)
+
+
+@query(
+    "s_slide_watermark",
+    oracle="""
+SELECT win_start, count(*) AS n
+FROM (
+  SELECT CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800 AS win_start FROM events
+  UNION ALL
+  SELECT CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800 - 1800 AS win_start FROM events
+)
+GROUP BY win_start
+HAVING win_start + 3600 <= (SELECT CAST(floor(epoch(max(ts))) AS BIGINT) - 600 FROM events)
+""",
+)
+def s_slide_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked *sliding*-window counts (1 h size / 30 min slide) in
+    append mode: every event feeds two overlapping windows, and a
+    window emits only once the watermark (max event time − 10 min)
+    passes its end — so the final two still-open windows are withheld.
+    The oracle re-derives the windows as the two offset 30-min grid
+    truncations and applies the same closure rule.
+
+    Scale note: sliding state is (size/slide)× tumbling state; the
+    watermark bounds it to ~2 open windows per key partition, which is
+    what keeps this viable on an unbounded stream."""
+
+    def go(work: str) -> DataFrame:
+        stream = replay_events_as_stream(spark, sf_dir, work, n_chunks=4)
+        agg = (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.unix_timestamp(F.col("w.start")).alias("win_start"), "n")
+        )
+        return run_to_memory(agg, work, mode="append").localCheckpoint()
+
+    return _with_scratch(go)
