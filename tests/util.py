@@ -34,7 +34,27 @@ def norm_df(df: pd.DataFrame):
     return cols, rows
 
 
+def assert_scalar_schema(spark_df, name: str = "") -> None:
+    """Oracle-checked queries must emit scalar columns only: the
+    driver's canonicalizer (pandas sort_values over materialized cells)
+    dies with `unhashable type: numpy.ndarray` on Array/Map/Struct
+    output (the q_map_ops r1 / q_agg_collect r2 failure class, which
+    this local harness used to mask by tuple-izing lists)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    bad = [
+        f.name
+        for f in spark_df.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not bad, (
+        f"{name}: non-scalar output columns {bad} — stringify "
+        "(concat_ws/to_json) before registering an oracle-checked query"
+    )
+
+
 def assert_parity(spark_df, duck_con, oracle_sql: str, name: str = "") -> None:
+    assert_scalar_schema(spark_df, name)
     s_cols, s_rows = norm_df(spark_df.toPandas())
     o_cols, o_rows = norm_df(duck_con.execute(oracle_sql).fetchdf())
     assert s_cols == o_cols, f"{name}: columns spark={s_cols} oracle={o_cols}"

@@ -24,7 +24,7 @@ sys.path.insert(0, REPO)
 
 import duckdb  # noqa: E402
 
-from tests.util import norm_df as _norm_df  # noqa: E402
+from tests.util import assert_scalar_schema, norm_df as _norm_df  # noqa: E402
 from ukis_kafka_spark import api  # noqa: E402
 from ukis_kafka_spark.plans import get_spark  # noqa: E402
 from ukis_kafka_spark.sources import TABLES  # noqa: E402
@@ -66,7 +66,10 @@ def main() -> int:
     for name in names:
         t0 = time.time()
         try:
-            sdf = qs[name](spark, SF_DIR).toPandas()
+            df = qs[name](spark, SF_DIR)
+            if name in oracles:
+                assert_scalar_schema(df, name)
+            sdf = df.toPandas()
         except Exception:
             print(f"FAIL  {name}: spark raised\n{traceback.format_exc()}")
             n_fail += 1

@@ -35,50 +35,41 @@ FLAGSHIP = "q_agg_groupby"
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 # Explicit ordering for ``queries()``: the driver's per-round
-# correctness gate recorded exactly the first 50 registry entries in
-# round 1, leaving the whole relational core unchecked. Order by
-# evidentiary value — the relational contract core first, then the
-# round-1 weak/failed rows (fixed), then extensions with no driver row
-# yet; everything already hash-green in CORRECTNESS_r01 goes last.
+# correctness gate records exactly the FIRST 50 registry entries each
+# round. Rounds 1+2 drained the relational core + first extensions
+# (98/152 checked, 97 green). Round-3 window: the fixed q_agg_collect
+# (the one red row) first, then the 3 unchecked §2.2 contract rows,
+# then every never-checked extension. Everything with a green driver
+# row from r1/r2 goes after the window (registry-order fallback).
 _PRIORITY = [
-    # relational contract core (§2.2) — no driver row in round 1
-    "q_scan_parquet", "q_scan_pruned",
-    "q_project_rename", "q_filter_basic", "q_filter_in_between", "q_filter_null",
-    "q_join_inner", "q_join_left", "q_join_right", "q_join_full",
-    "q_join_semi", "q_join_anti", "q_join_broadcast", "q_join_multikey",
-    "q_join_theta_range", "q_join_asof", "q_join_cross", "q_subq_scalar",
-    "q_agg_global", "q_agg_groupby", "q_agg_having", "q_agg_distinct",
-    "q_agg_approx_cd", "q_agg_rollup", "q_agg_cube", "q_agg_gsets",
-    "q_agg_filtered", "q_agg_stats", "q_agg_collect",
-    "q_win_rank", "q_win_lag_lead", "q_win_running", "q_win_moving",
-    "q_win_range_frame", "q_win_ntile_firstlast",
-    "q_sort_multi", "q_topk", "q_topk_per_group",
-    "q_union_all", "q_union_distinct", "q_intersect", "q_except",
-    # round-1 failed/vacuous rows, fixed this round
-    "q_map_ops", "m_embed_dup",
-    # §2.3 extensions with no driver row yet
-    "q_sql_q3", "q_join_bucketed", "q_join_salted", "q_unpivot",
-    "q_win_pctrank", "q_agg_stringagg",
-    # ---- 50-entry round-1 window boundary ----
-    "q_agg_percentile", "q_agg_approx_quantile",
-    "src_kafka_shape", "s_watermark_late", "s_stream_join",
+    # the single red row from r2, fixed (array output -> '|'-joined string)
+    "q_agg_collect",
+    # unchecked §2.2 contract rows
+    "src_kafka_shape", "s_stream_join", "s_watermark_late",
+    # never-checked relational extensions
+    "q_sql_q5", "q_sql_q6", "q_sql_q10", "q_sql_q18",
+    "q_agg_percentile", "q_grouping_id", "q_agg_mode",
+    "q_agg_percentile_disc", "q_agg_bitbool", "q_cte_reuse",
+    "q_agg_twophase_salted", "q_exists_subquery", "q_not_exists_subquery",
+    "q_lateral_topn", "q_join_nullsafe", "q_distinct_on",
+    "q_win_cume_nth", "q_scd2_intervals", "q_variant",
+    # never-checked LLM-pipeline extensions
+    "m_chunk_tokens", "m_seq_pack", "m_passage_dedup",
+    "m_subsample", "m_class_balance",
+    "m_graph_pagerank", "m_graph_degree", "m_graph_triangles",
+    "m_frame_sample", "m_embed_norm_stats", "m_embed_quantize",
+    "m_tfidf", "m_doc_len_hist", "m_decontaminate", "m_pii_scrub",
+    "m_stratified_split", "m_doc_bigrams", "m_repetition", "m_bm25",
+    # never-checked source-format roundtrips
+    "src_jsonl_roundtrip", "src_csv_roundtrip", "src_orc_roundtrip",
+    "src_props_infer",
+    # never-checked spatial
+    "g_wkt_roundtrip", "g_grid_agg",
+    # never-checked streaming (most expensive — last in window)
     "s_custom_state", "s_session_stream",
-    # round-2 additions (no driver row yet)
-    "q_sql_q6", "q_grouping_id", "q_distinct_on", "m_tfidf",
-    "g_wkt_roundtrip", "q_exists_subquery", "q_not_exists_subquery",
-    "m_doc_len_hist", "m_embed_norm_stats", "s_foreach_upsert",
-    "m_decontaminate", "src_jsonl_roundtrip", "m_frame_sample",
-    "src_props_infer", "m_subsample", "m_class_balance",
-    "q_variant", "q_lateral_topn", "src_csv_roundtrip",
-    "q_agg_mode", "q_agg_percentile_disc", "s_static_join",
-    "m_graph_pagerank",
-    "q_sql_q5", "q_sql_q18", "q_agg_bitbool", "q_cte_reuse",
-    "q_win_cume_nth",
-    "m_pii_scrub", "m_stratified_split", "m_doc_bigrams",
-    "m_embed_quantize", "m_graph_degree",
-    "q_scd2_intervals", "q_agg_twophase_salted", "q_join_nullsafe",
-    "g_grid_agg", "m_repetition", "s_stream_union",
-    "m_bm25", "src_orc_roundtrip",
+    # ---- 50-entry round-3 window boundary ----
+    "s_foreach_upsert", "s_static_join", "s_stream_union",
+    "s_slide_watermark", "q_agg_approx_quantile",
 ]
 
 

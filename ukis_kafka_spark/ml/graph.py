@@ -170,42 +170,76 @@ ORDER BY n_tri DESC, node ASC LIMIT 20
 def m_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 parts by triangle participation in the co-order graph —
     triangle counting is the classic clustering-coefficient /
-    community-density signal for graph-aware curation. The id-oriented
-    edge list (src < dst) counts each triangle exactly once via the
-    two-hop wedge join (e1.dst = e2.src) closed by an existence join
-    on (e1.src, e2.dst); participation explodes each triangle into its
-    3 vertices in a single pass (no recompute per corner).
+    community-density signal for graph-aware curation.
 
-    Scale notes: the edge list is materialized once (localCheckpoint)
-    because three join inputs reuse it; the wedge join shuffles on the
-    shared vertex, so at 100 TB the production refinement is
-    degree-based orientation (low-degree vertex first) which bounds
-    per-vertex wedge fanout — id-orientation keeps the oracle SQL
-    identical and is fine at bench scale."""
+    Edge-iterator with degree orientation: edges are oriented from the
+    lower-(degree, id) endpoint to the higher, per-node out-neighbor
+    arrays are built once, and each oriented edge (u,v) contributes the
+    triangles {u,v,w} for w in N+(u) ∩ N+(v) (array_intersect, a native
+    JVM expression) — each triangle found exactly once at its lowest-
+    rank edge. Orientation bounds |N+| by O(√m) even on power-law hubs.
+    This replaces the naive wedge self-join, which materialized 41M
+    wedge rows into a shuffle join at sf0.1 (25 s); here no wedge ever
+    materializes and the adjacency table (one row per node) is small
+    enough to hash-join against the edge list without reshuffling it —
+    at bench scale AQE broadcasts it outright. The edge list itself is
+    built by per-order pair generation (one shuffle, bounded explode),
+    not a lineitem self-join. Triangle identity is orientation-
+    invariant, so the oracle keeps the simple id-oriented wedge SQL."""
     l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = l.alias("a"), l.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
-        .distinct()
-        .localCheckpoint()  # reused by all three triangle-join inputs
+    parts = l.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
     )
-    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
-    tri = (
-        e1.join(e2, F.col("e1.dst") == F.col("e2.src"))
-        .join(
-            e3,
-            (F.col("e3.src") == F.col("e1.src")) & (F.col("e3.dst") == F.col("e2.dst")),
-        )
+    # all id-ordered pairs within one order: ps[i] < ps[j] for i < j
+    pairs = parts.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "ps",
+                    lambda x, i: F.transform(
+                        F.slice("ps", i + F.lit(2), F.size("ps")),
+                        lambda y: F.struct(x.alias("src"), y.alias("dst")),
+                    ),
+                )
+            )
+        ).alias("e")
+    )
+    edges = pairs.select("e.src", "e.dst").distinct().localCheckpoint()
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("d")).withColumnRenamed("src", "node")
+    flip = F.col("db.d") < F.col("da.d")
+    oe = (
+        edges.join(deg.alias("da"), F.col("src") == F.col("da.node"))
+        .join(deg.alias("db"), F.col("dst") == F.col("db.node"))
         .select(
-            F.col("e1.src").alias("a"), F.col("e1.dst").alias("b"), F.col("e2.dst").alias("c")
+            F.when(flip, F.col("dst")).otherwise(F.col("src")).alias("u"),
+            F.when(flip, F.col("src")).otherwise(F.col("dst")).alias("v"),
         )
+        .localCheckpoint()  # reused: adjacency build + edge iteration
     )
-    part = tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+    adj = oe.groupBy("u").agg(F.collect_set("v").alias("nbrs"))
+    tri = (
+        oe.join(adj.withColumnRenamed("u", "node").alias("au"), F.col("u") == F.col("au.node"))
+        .join(adj.withColumnRenamed("u", "node").alias("av"), F.col("v") == F.col("av.node"))
+        .select(
+            "u",
+            "v",
+            F.array_intersect(F.col("au.nbrs"), F.col("av.nbrs")).alias("ws"),
+        )
+        .where(F.size("ws") > 0)
+    )
+    # participation: each triangle (u,v,w) credits all 3 corners
+    part = tri.select(
+        F.explode(
+            F.concat(
+                F.array_repeat(F.col("u"), F.size("ws")),
+                F.array_repeat(F.col("v"), F.size("ws")),
+                F.col("ws"),
+            )
+        ).alias("node")
+    )
     return (
         part.groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_tri"))

@@ -281,16 +281,26 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_agg_collect",
     oracle="""
-SELECT o_orderstatus, list(DISTINCT o_orderpriority ORDER BY o_orderpriority) AS priorities
+SELECT o_orderstatus,
+       array_to_string(list(DISTINCT o_orderpriority ORDER BY o_orderpriority), '|')
+           AS priorities
 FROM orders
 GROUP BY o_orderstatus
 """,
 )
 def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set per group, emitted as a '|'-joined sorted string:
+    the driver's canonicalizer (pandas sort_values + hash) cannot
+    handle array-typed cells, so oracle-checked queries must emit
+    scalar columns only (same rule that fixed q_map_ops)."""
     return (
         load_table(spark, sf_dir, "orders")
         .groupBy("o_orderstatus")
-        .agg(F.sort_array(F.collect_set("o_orderpriority")).alias("priorities"))
+        .agg(
+            F.concat_ws(
+                "|", F.sort_array(F.collect_set("o_orderpriority"))
+            ).alias("priorities")
+        )
     )
 
 
