@@ -122,13 +122,15 @@ def run_to_memory(stream_df: DataFrame, work: str, mode: str = "append") -> Data
 
     State-store tuning: a stateful operator creates one state store per
     shuffle partition per micro-batch checkpoint. The replayed corpus
-    has ~150 keys, so 8 partitions carry the state with 4× less
-    checkpoint I/O than the batch default (measured 86 s → ~25 s across
-    the s_* suite at sf0.1). Restored afterwards — batch queries keep
-    the cores-wide setting."""
+    has ~150 keys, so a handful of partitions carries the state with
+    far less checkpoint I/O than the batch default (measured 86 s with
+    32 → ~25 s with 8 → ~18 s with 4 across the heavy stateful jobs at
+    sf0.1; 2 is no better than 4). Restored afterwards — batch queries
+    keep the cores-wide setting. Partition count never affects results:
+    state is keyed and the sink is compared order-insensitively."""
     spark = stream_df.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
         name = "mem_" + uuid.uuid4().hex[:12]
         q = (
