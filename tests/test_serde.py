@@ -37,6 +37,43 @@ def test_wkb_multipoint_roundtrip(pts):
     assert decode_wkb(encode_wkb(("MULTIPOINT", pts))) == ("MULTIPOINT", pts)
 
 
+line = st.lists(coord, min_size=2, max_size=8).map(tuple)
+poly = st.lists(ring, min_size=1, max_size=3).map(tuple)
+
+
+@given(st.lists(line, min_size=1, max_size=4).map(tuple))
+def test_wkb_multilinestring_roundtrip(lines):
+    assert decode_wkb(encode_wkb(("MULTILINESTRING", lines))) == ("MULTILINESTRING", lines)
+
+
+@given(st.lists(poly, min_size=1, max_size=3).map(tuple))
+def test_wkb_multipolygon_roundtrip(polys):
+    assert decode_wkb(encode_wkb(("MULTIPOLYGON", polys))) == ("MULTIPOLYGON", polys)
+
+
+@given(st.lists(poly, min_size=1, max_size=3).map(tuple))
+def test_wkb_validate_accepts_wellformed_multipolygon(polys):
+    from ukis_kafka_spark.spatial.wkb import validate_wkb
+
+    assert validate_wkb(encode_wkb(("MULTIPOLYGON", polys))) is None
+
+
+@given(st.lists(line, min_size=1, max_size=4).map(tuple))
+def test_wkb_multi_truncation_is_rejected(lines):
+    from ukis_kafka_spark.spatial.wkb import validate_wkb
+
+    buf = encode_wkb(("MULTILINESTRING", lines))
+    assert "undecodable" in validate_wkb(buf[:-1])
+
+
+def test_wkb_big_endian_decode():
+    import struct
+
+    # hand-packed big-endian POINT(1.5, -2.5): order byte 0, code 1
+    buf = struct.pack(">BIdd", 0, 1, 1.5, -2.5)
+    assert decode_wkb(buf) == ("POINT", (1.5, -2.5))
+
+
 scalar = st.one_of(
     st.none(),
     st.booleans(),
