@@ -70,6 +70,10 @@ _PRIORITY = [
     # ---- 50-entry round-3 window boundary ----
     "s_foreach_upsert", "s_static_join", "s_stream_union",
     "s_slide_watermark", "q_agg_approx_quantile",
+    # round-3 additions (queue for the round-4 window)
+    "q_sql_q4", "q_sql_q14", "q_sql_q19",
+    "m_graph_cc", "m_token_entropy", "m_dup_ngram_frac",
+    "src_binaryfile",
 ]
 
 

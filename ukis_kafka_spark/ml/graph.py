@@ -246,3 +246,87 @@ def m_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_tri").desc(), F.col("node").asc())
         .limit(20)
     )
+
+
+_CC_ITERS = 6
+
+
+def _oracle_cc() -> str:
+    parts = [
+        """
+WITH edges AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a
+  JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  WHERE a.l_quantity > 45 AND b.l_quantity > 45
+),
+sym AS (SELECT src, dst FROM edges UNION ALL SELECT dst AS src, src AS dst FROM edges),
+l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM sym)"""
+    ]
+    for k in range(_CC_ITERS):
+        parts.append(
+            f""",
+l{k + 1} AS (
+  SELECT n.node, least(n.lbl, min(lb.lbl)) AS lbl
+  FROM l{k} n
+  JOIN sym s ON s.src = n.node
+  JOIN l{k} lb ON lb.node = s.dst
+  GROUP BY n.node, n.lbl
+)"""
+        )
+    parts.append(
+        f"""
+SELECT lbl AS component, count(*) AS n_nodes, min(node) AS min_node, max(node) AS max_node
+FROM l{_CC_ITERS} GROUP BY lbl"""
+    )
+    return "".join(parts)
+
+
+@query("m_graph_cc", oracle=_oracle_cc())
+def m_graph_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the bulk-order co-purchase graph
+    (co-order part pairs where both lines have quantity > 45 — sparse
+    enough to have real component structure) via exactly 6 rounds of
+    min-label propagation. Unlike the dedup resolver
+    (ml/dedup.py:connected_components, rows-only because its
+    convergence loop is data-dependent), the iteration count here is
+    FIXED, so the label function is deterministic integer math and the
+    whole iterative computation is hash-checked against an unrolled
+    DuckDB oracle — same trick as m_graph_pagerank. One shuffle per
+    round (join on node, agg on node); edges materialized once. Every
+    node keeps a label after every round (it is its own neighborhood
+    minimum candidate), so component = min id within ≤6 hops."""
+    l = load_table(spark, sf_dir, "lineitem").where(F.col("l_quantity") > 45).select(
+        "l_orderkey", "l_partkey"
+    )
+    a, b = l.alias("a"), l.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .distinct()
+    )
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()  # reused every round
+    labels = sym.select(F.col("src").alias("node")).distinct().withColumn(
+        "lbl", F.col("node")
+    )
+    for _ in range(_CC_ITERS):
+        nbr_min = (
+            sym.join(labels.withColumnRenamed("node", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.min("lbl").alias("nbr_lbl"))
+            .withColumnRenamed("src", "node")
+        )
+        labels = labels.join(nbr_min, "node").select(
+            "node", F.least(F.col("lbl"), F.col("nbr_lbl")).alias("lbl")
+        )
+    return labels.groupBy(F.col("lbl").alias("component")).agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.min("node").alias("min_node"),
+        F.max("node").alias("max_node"),
+    )

@@ -623,3 +623,121 @@ def m_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         score("tf_spark", "df_spark").alias("bm25_spark"),
         score("tf_join", "df_join").alias("bm25_join"),
     )
+
+
+@query(
+    "m_token_entropy",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), counts AS (
+  SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok
+), per_doc AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS BIGINT) AS n_tokens,
+         SUM(CAST(round(c * log2(c), 6) AS DECIMAL(28,10))) AS s
+  FROM counts GROUP BY doc_id
+)
+SELECT doc_id, n_tokens,
+       round(log2(n_tokens) - CAST(CAST(s AS VARCHAR) AS DOUBLE) / n_tokens, 4) + 0.0
+         AS entropy_bits
+FROM per_doc
+""",
+)
+def m_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram Shannon entropy in bits — the
+    vocabulary-diversity quality signal (low entropy = repetitive /
+    boilerplate text; pairs with m_repetition in a curation filter).
+    H = log2(n) - (Σ c·log2(c))/n over token counts c. Hash-safety per
+    CLAUDE.md's transcendental rule: each c·log2(c) term is rounded to
+    6 dp and summed in exact DECIMAL (order-free), the final value is
+    rounded to a 4 dp grid with +0.0 to kill -0.0; c·log2(c) is
+    irrational except when c is a power of two, where it is exactly
+    integral — so no rounding midpoints exist on either grid. Shape:
+    explode → two hash aggs, no Python, no window."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    counts = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.sum(F.round(F.col("c") * F.log2("c"), 6).cast("decimal(28,10)")).alias("s"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        (
+            F.round(
+                F.log2("n_tokens") - F.col("s").cast("double") / F.col("n_tokens"), 4
+            )
+            + F.lit(0.0)
+        ).alias("entropy_bits"),
+    )
+
+
+@query(
+    "m_dup_ngram_frac",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id,
+         tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+             || ' ' || lead(tok, 3) OVER w || ' ' || lead(tok, 4) OVER w AS gram
+  FROM toks
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  QUALIFY lead(tok, 4) OVER w IS NOT NULL
+), df AS (
+  SELECT gram, count(*) AS n_docs FROM grams GROUP BY gram
+)
+SELECT g.doc_id,
+       count(*) AS n_grams,
+       count(*) FILTER (WHERE df.n_docs > 1) AS n_dup,
+       CAST(count(*) FILTER (WHERE df.n_docs > 1) AS DOUBLE) / count(*) AS dup_frac
+FROM grams g JOIN df ON df.gram = g.gram
+GROUP BY g.doc_id
+""",
+)
+def m_dup_ngram_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-5-gram fraction: the share of a doc's
+    distinct token 5-grams that also appear in at least one other
+    document — the standard memorization/boilerplate risk signal used
+    to rank documents for near-dup removal (complements m_near_dedup,
+    which finds pairs; this scores each doc standalone). Shape: lead()
+    window builds positioned 5-grams, one hash agg computes corpus
+    document frequency, one re-join + agg scores docs. At 100 TB the
+    df table is the big intermediate — it shuffles 8-byte-hashable
+    gram keys only, and the final ratio is a ratio of exact integers
+    (hash-safe double)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    grams = (
+        toks.select(
+            "doc_id",
+            F.concat_ws(
+                " ",
+                F.col("tok"),
+                F.lead("tok", 1).over(w),
+                F.lead("tok", 2).over(w),
+                F.lead("tok", 3).over(w),
+                F.lead("tok", 4).over(w),
+            ).alias("gram"),
+            F.lead("tok", 4).over(w).alias("_g4"),
+        )
+        .where(F.col("_g4").isNotNull())
+        .select("doc_id", "gram")
+        .distinct()
+    )
+    df_tbl = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("n_docs"))
+    dup = F.count(F.when(F.col("n_docs") > 1, F.lit(1)))
+    return (
+        grams.join(df_tbl, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            dup.alias("n_dup"),
+            (dup.cast("double") / F.count(F.lit(1))).alias("dup_frac"),
+        )
+    )

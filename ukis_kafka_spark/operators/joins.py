@@ -677,3 +677,123 @@ def q_sql_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
         .limit(20)
     )
+
+
+@query(
+    "q_sql_q4",
+    oracle="""
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+""",
+)
+def q_sql_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-style order-priority check, adapted to this corpus's
+    columns (no commitdate/receiptdate here, so 'late' = any line
+    shipped >60 days after the order date). Catalyst decorrelates the
+    correlated EXISTS into a left-semi join on l_orderkey; the quarter
+    filter is pushed to the orders scan; the final aggregate is a
+    5-group hash agg. Integer count output — trivially hash-stable."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_q4")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_q4")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders_q4 o
+        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o.o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+          AND EXISTS (SELECT 1 FROM lineitem_q4 l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+@query(
+    "q_sql_q14",
+    oracle="""
+WITH rev AS (
+  SELECT date_part('month', l.l_shipdate) AS ship_month,
+         CAST(CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                            THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,10))
+                            ELSE CAST(0 AS DECIMAL(28,10)) END) AS VARCHAR) AS DOUBLE) AS promo_rev,
+         CAST(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS total_rev
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  GROUP BY date_part('month', l.l_shipdate)
+)
+SELECT CAST(ship_month AS BIGINT) AS ship_month, promo_rev, total_rev,
+       100.0 * promo_rev / total_rev AS promo_pct
+FROM rev
+""",
+)
+def q_sql_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-style promotion-effect report per ship month. Both
+    revenue sums run in exact DECIMAL(28,10) (order-free, hash-safe)
+    and only the final ratio is computed in double — IEEE division of
+    two identical doubles is bit-identical across engines. Plan shape:
+    the shipdate year filter is pushed to the lineitem scan; part
+    (small dim) broadcasts; one hash agg on the derived month."""
+    l = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+    zero = F.lit(0).cast(DEC)
+    agg = (
+        l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy(F.month("l_shipdate").cast("long").alias("ship_month"))
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero))
+            .cast("double")
+            .alias("promo_rev"),
+            F.sum(rev).cast("double").alias("total_rev"),
+        )
+    )
+    return agg.select(
+        "ship_month",
+        "promo_rev",
+        "total_rev",
+        (F.lit(100.0) * F.col("promo_rev") / F.col("total_rev")).alias("promo_pct"),
+    )
+
+
+@query(
+    "q_sql_q19",
+    oracle="""
+SELECT count(*) AS n_lines,
+       CAST(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS revenue
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 1 AND 20)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25 AND l.l_quantity BETWEEN 10 AND 30)
+   OR (p.p_brand = 'Brand#14' AND p.p_size BETWEEN 1 AND 35 AND l.l_quantity BETWEEN 20 AND 40)
+""",
+)
+def q_sql_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-style discounted-revenue query: a disjunction of
+    conjunctive brand/size/quantity ranges across both join sides —
+    the classic test that the optimizer (a) derives the common
+    single-side implications (brand IN (...) reaches the part scan,
+    quantity range the lineitem scan) and (b) keeps the residual OR as
+    a post-join filter instead of exploding the join. part broadcasts;
+    output is one exact-decimal row."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_q19")
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("part_q19")
+    return spark.sql(
+        """
+        SELECT count(*) AS n_lines,
+               CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,10))) AS DOUBLE) AS revenue
+        FROM lineitem_q19 l JOIN part_q19 p ON p.p_partkey = l.l_partkey
+        WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 1 AND 20)
+           OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25 AND l.l_quantity BETWEEN 10 AND 30)
+           OR (p.p_brand = 'Brand#14' AND p.p_size BETWEEN 1 AND 35 AND l.l_quantity BETWEEN 20 AND 40)
+        """
+    )

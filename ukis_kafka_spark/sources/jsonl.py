@@ -144,3 +144,47 @@ def src_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_id"),
         F.max("doc_id").alias("max_id"),
     )
+
+
+@query(
+    "src_binaryfile",
+    oracle="""
+SELECT doc_id, n_chars AS byte_len, sha256(text) AS content_sha
+FROM documents
+WHERE doc_id < 200
+""",
+)
+def src_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary ingestion via Spark's `binaryFile` source — the
+    entry point of the multimodal story (image/audio payloads arrive
+    as files; the engine lifts them to (path, length, content) rows).
+    Fixture: the first 200 documents are materialized once into the
+    build-once cache as doc_<id>.bin files (ASCII text, so bytes ==
+    chars); the query reads them back through binaryFile, recovers the
+    id from the filename, and proves payload integrity byte-for-byte
+    via length + SHA-256 against the parquet-side oracle. At scale the
+    same reader handles real media blobs; only the downstream decoder
+    (ml/multimodal.py) changes."""
+
+    def build(into: str) -> None:
+        rows = (
+            load_table(spark, sf_dir, "documents")
+            .where(F.col("doc_id") < 200)
+            .select("doc_id", "text")
+            .collect()
+        )
+        bdir = os.path.join(into, "bin")
+        os.makedirs(bdir, exist_ok=True)
+        for r in rows:
+            with open(os.path.join(bdir, f"doc_{r['doc_id']:06d}.bin"), "wb") as fh:
+                fh.write(r["text"].encode("ascii"))
+
+    src = os.path.join(
+        _cache_publish(build, ("binfiles", _table_fingerprint(sf_dir, "documents"))), "bin"
+    )
+    back = spark.read.format("binaryFile").load(src)
+    return back.select(
+        F.regexp_extract(F.col("path"), r"doc_(\d+)\.bin$", 1).cast("long").alias("doc_id"),
+        F.col("length").alias("byte_len"),
+        F.lower(F.sha2(F.col("content"), 256)).alias("content_sha"),
+    )
