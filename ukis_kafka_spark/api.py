@@ -73,7 +73,7 @@ _PRIORITY = [
     # round-3 additions (queue for the round-4 window)
     "q_sql_q4", "q_sql_q14", "q_sql_q19",
     "m_graph_cc", "m_token_entropy", "m_dup_ngram_frac",
-    "src_binaryfile",
+    "src_binaryfile", "g_nearest_hub",
 ]
 
 

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import pandas as pd
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
@@ -296,4 +296,69 @@ def g_grid_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_points"),
             F.sum(F.col("value").cast("decimal(28,10)")).cast("double").alias("sum_value"),
         )
+    )
+
+
+_HUBS = [
+    ("berlin", 13.405, 52.52),
+    ("nyc", -74.006, 40.7128),
+    ("tokyo", 139.6917, 35.6895),
+    ("sydney", 151.2093, -33.8688),
+    ("lagos", 3.3792, 6.5244),
+    ("sao_paulo", -46.6333, -23.5505),
+]
+_HUB_VALUES = ", ".join(f"('{n}', {lo}, {la})" for n, lo, la in _HUBS)
+
+
+@query(
+    "g_nearest_hub",
+    oracle=f"""
+SELECT event_id, hub, dist_km FROM (
+  SELECT e.event_id, h.hub,
+         round(2 * 6371.0088 * asin(sqrt(
+           pow(sin(radians(({_LAT}) - h.hlat) / 2), 2)
+           + cos(radians({_LAT})) * cos(radians(h.hlat))
+             * pow(sin(radians(({_LON}) - h.hlon) / 2), 2)
+         )), 4) AS dist_km,
+         row_number() OVER (PARTITION BY e.event_id
+                            ORDER BY round(2 * 6371.0088 * asin(sqrt(
+                              pow(sin(radians(({_LAT}) - h.hlat) / 2), 2)
+                              + cos(radians({_LAT})) * cos(radians(h.hlat))
+                                * pow(sin(radians(({_LON}) - h.hlon) / 2), 2)
+                            )), 4) ASC, h.hub ASC) AS rn
+  FROM events e
+  CROSS JOIN (VALUES {_HUB_VALUES}) h(hub, hlon, hlat)
+  WHERE e.event_type = 'purchase'
+) WHERE rn = 1
+""",
+)
+def g_nearest_hub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial nearest-neighbor join: each purchase event is assigned
+    its closest hub city by haversine distance — the canonical
+    point-to-site assignment (geofencing / catchment analysis). The hub
+    table broadcasts and the argmin is a per-point window over the
+    6-row cross product, so cost is 6·n with no shuffle of the big
+    side; at planetary scale you'd pre-bucket both sides by grid cell
+    to prune the candidate hubs per point. Distances live on the
+    module's 4 dp km grid (transcendental rule) and the rank breaks
+    grid ties by hub name, so both engines pick identical rows."""
+    e = load_table(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    # JVM-side literal relation (a python-list createDataFrame routes
+    # through a pickled Python RDD and costs a worker round on first use)
+    hubs = spark.sql(f"SELECT * FROM (VALUES {_HUB_VALUES}) AS t(hub, hlon, hlat)")
+    lat1 = F.radians(_lat())
+    dlat = F.radians(_lat() - F.col("hlat"))
+    dlon = F.radians(_lon() - F.col("hlon"))
+    a = (
+        F.pow(F.sin(dlat / 2), 2)
+        + F.cos(lat1) * F.cos(F.radians(F.col("hlat"))) * F.pow(F.sin(dlon / 2), 2)
+    )
+    dist = F.round(F.lit(2 * 6371.0088) * F.asin(F.sqrt(a)), 4)
+    w = Window.partitionBy("event_id").orderBy(F.col("dist_km").asc(), F.col("hub").asc())
+    return (
+        e.crossJoin(F.broadcast(hubs))
+        .select("event_id", "hub", dist.alias("dist_km"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("event_id", "hub", "dist_km")
     )
