@@ -74,6 +74,7 @@ _PRIORITY = [
     "q_sql_q4", "q_sql_q14", "q_sql_q19",
     "m_graph_cc", "m_token_entropy", "m_dup_ngram_frac",
     "src_binaryfile", "g_nearest_hub",
+    "q_pivot", "m_vocab_coverage", "g_zorder_key",
 ]
 
 

@@ -741,3 +741,53 @@ def m_dup_ngram_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
             (dup.cast("double") / F.count(F.lit(1))).alias("dup_frac"),
         )
     )
+
+
+_VOCAB_K = 1000
+
+
+@query(
+    "m_vocab_coverage",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), freq AS (
+  SELECT tok, count(*) AS c FROM toks GROUP BY tok
+), vocab AS (
+  SELECT tok FROM freq
+  QUALIFY row_number() OVER (ORDER BY c DESC, tok ASC) <= {_VOCAB_K}
+)
+SELECT t.doc_id,
+       count(*) AS n_tok,
+       count(*) FILTER (WHERE v.tok IS NULL) AS n_oov,
+       CAST(count(*) FILTER (WHERE v.tok IS NULL) AS DOUBLE) / count(*) AS oov_frac
+FROM toks t LEFT JOIN vocab v ON v.tok = t.tok
+GROUP BY t.doc_id
+""",
+)
+def m_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document out-of-vocabulary rate against the corpus's top-1000
+    tokens — the tokenizer-prep audit (high OOV = text the vocabulary
+    under-serves; drives vocab sizing and language filtering). Vocab
+    selection is deterministic (count desc, token asc tiebreak). Scale
+    shape: token frequencies are one hash agg; the vocab is a bounded
+    top-K (TakeOrdered — K rows on the driver, broadcast back); the
+    coverage join is a broadcast left join against a 1000-row side, so
+    the exploded token stream never shuffles; final ratio is exact
+    integers in double."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    vocab = freq.orderBy(F.col("c").desc(), F.col("tok").asc()).limit(_VOCAB_K).select(
+        "tok", F.lit(1).alias("in_vocab")
+    )
+    oov = F.count(F.when(F.col("in_vocab").isNull(), F.lit(1)))
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            oov.alias("n_oov"),
+            (oov.cast("double") / F.count(F.lit(1))).alias("oov_frac"),
+        )
+    )

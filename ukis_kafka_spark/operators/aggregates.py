@@ -609,3 +609,42 @@ def q_agg_twophase_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pn").alias("n"),
         F.sum("pv").cast("double").alias("total_value"),
     )
+
+
+@query(
+    "q_pivot",
+    oracle="""
+SELECT l_returnflag,
+       CAST(CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(28,10))
+                          ELSE CAST(0 AS DECIMAL(28,10)) END) AS VARCHAR) AS DOUBLE) AS qty_f,
+       CAST(CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(28,10))
+                          ELSE CAST(0 AS DECIMAL(28,10)) END) AS VARCHAR) AS DOUBLE) AS qty_o,
+       COUNT(CASE WHEN l_linestatus = 'F' THEN 1 END) AS n_f,
+       COUNT(CASE WHEN l_linestatus = 'O' THEN 1 END) AS n_o
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational PIVOT: quantities and counts by returnflag, spread
+    over the two linestatus values as columns. Uses the DataFrame
+    pivot with an EXPLICIT value list — at scale the implicit form
+    adds a full distinct-scan pre-pass to discover values; pinning
+    them keeps it a single hash aggregate (Catalyst rewrites pivot
+    into exactly the conditional aggregates the oracle spells out)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    piv = (
+        l.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(
+            F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    return piv.select(
+        "l_returnflag",
+        F.col("F_qty").alias("qty_f"),
+        F.col("O_qty").alias("qty_o"),
+        F.col("F_n").alias("n_f"),
+        F.col("O_n").alias("n_o"),
+    )

@@ -362,3 +362,51 @@ def g_nearest_hub(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("event_id", "hub", "dist_km")
     )
+
+
+_Z_BITS = 16
+
+
+def _zorder_sql(xcol: str, ycol: str) -> str:
+    """DuckDB bit-interleave of two 16-bit cell coords (static unroll)."""
+    terms = [
+        f"((({xcol} >> {i}) & 1) * {1 << (2 * i)}) + ((({ycol} >> {i}) & 1) * {1 << (2 * i + 1)})"
+        for i in range(_Z_BITS)
+    ]
+    return " + ".join(terms)
+
+
+@query(
+    "g_zorder_key",
+    oracle=f"""
+WITH cells AS (
+  SELECT event_id,
+         least(CAST(floor(({_LON} + 180.0) / 360.0 * 65536.0) AS BIGINT), 65535) AS cx,
+         least(CAST(floor(({_LAT} + 90.0) / 180.0 * 65536.0) AS BIGINT), 65535) AS cy
+  FROM events
+)
+SELECT event_id, cx, cy, {_zorder_sql('cx', 'cy')} AS zkey
+FROM cells
+""",
+)
+def g_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) key for every event point: 16-bit grid cell per
+    axis, bits interleaved into one BIGINT — the locality-preserving
+    sort key that makes spatial range queries prunable at 100 TB
+    (cluster/partition the lake by zkey and a bbox becomes a handful of
+    contiguous key ranges; this is exactly what lakehouse OPTIMIZE
+    ZORDER does). Pure integer bit math after one double floor
+    (explicit floor+cast, since DuckDB's double→int cast rounds while
+    Spark's truncates), statically unrolled over the 16 bits — no
+    loops, no UDF, codegen-friendly."""
+    e = load_table(spark, sf_dir, "events")
+    cx = F.least(F.floor((_lon() + 180.0) / 360.0 * 65536.0).cast("long"), F.lit(65535))
+    cy = F.least(F.floor((_lat() + 90.0) / 180.0 * 65536.0).cast("long"), F.lit(65535))
+    cells = e.select("event_id", cx.alias("cx"), cy.alias("cy"))
+    zkey = None
+    for i in range(_Z_BITS):
+        t = F.shiftright(F.col("cx"), i).bitwiseAND(F.lit(1)) * F.lit(1 << (2 * i)) + (
+            F.shiftright(F.col("cy"), i).bitwiseAND(F.lit(1)) * F.lit(1 << (2 * i + 1))
+        )
+        zkey = t if zkey is None else zkey + t
+    return cells.select("event_id", "cx", "cy", zkey.alias("zkey"))
