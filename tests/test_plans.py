@@ -78,6 +78,50 @@ def test_whole_stage_codegen_active(spark, name):
     assert "codegen id" in plan, f"{name} runs without whole-stage codegen"
 
 
+def test_zorder_key_is_pure_projection(spark):
+    """The Morton-key derivation must stay a shuffle-free, UDF-free
+    projection — it is the thing you compute on 100 TB before
+    re-clustering, so any Exchange or Python eval here is a bug."""
+    plan = _formatted_plan(spark, "g_zorder_key")
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_nearest_hub_uses_window_group_limit(spark):
+    """The per-point argmin must run as WindowGroupLimit (rank pushed
+    into the sort, only rank-1 rows survive each partition) — a full
+    window materialization would sort 6n rows to keep n."""
+    plan = _formatted_plan(spark, "g_nearest_hub")
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 6-row hub side broadcasts
+
+
+def test_vocab_coverage_broadcasts_vocab(spark):
+    """The token→vocab membership join must broadcast the bounded top-K
+    side; a sort-merge join would shuffle the entire exploded token
+    stream by token."""
+    plan = _formatted_plan(spark, "m_vocab_coverage")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_sql_q19_derives_single_side_predicates(spark):
+    """Q19's OR-of-ANDs must contribute per-side implications: the
+    brand/size disjunction must reach the part scan and the quantity
+    disjunction the lineitem scan as pushed filters, not survive only
+    as a post-join residual."""
+    plan = _formatted_plan(spark, "q_sql_q19")
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    part_side = [l for l in pushed if "p_brand" in l]
+    line_side = [l for l in pushed if "l_quantity" in l]
+    assert part_side and "EqualTo(p_brand,Brand#12)" in part_side[0], (
+        "brand disjunction not pushed to part scan"
+    )
+    assert line_side and "GreaterThanOrEqual(l_quantity" in line_side[0], (
+        "quantity disjunction not pushed to lineitem scan"
+    )
+
+
 def test_bucketed_join_has_no_exchange(spark, tmp_path):
     """Both sides bucketed on the join key ⇒ SortMergeJoin with zero
     Exchange — the co-located-join strategy for repeated fact⋈fact

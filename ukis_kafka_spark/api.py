@@ -75,6 +75,7 @@ _PRIORITY = [
     "m_graph_cc", "m_token_entropy", "m_dup_ngram_frac",
     "src_binaryfile", "g_nearest_hub",
     "q_pivot", "m_vocab_coverage", "g_zorder_key",
+    "m_lm_cross_entropy",
 ]
 
 

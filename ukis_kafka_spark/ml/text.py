@@ -791,3 +791,59 @@ def m_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             (oov.cast("double") / F.count(F.lit(1))).alias("oov_frac"),
         )
     )
+
+
+@query(
+    "m_lm_cross_entropy",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), lm AS (
+  SELECT tok, count(*) AS c FROM toks GROUP BY tok
+), n_corpus AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n FROM lm
+), scored AS (
+  SELECT t.doc_id,
+         round(log2(CAST(nc.n AS DOUBLE) / lm.c), 6) AS bits
+  FROM toks t JOIN lm ON lm.tok = t.tok CROSS JOIN n_corpus nc
+)
+SELECT doc_id,
+       count(*) AS n_tok,
+       round(CAST(CAST(SUM(CAST(bits AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)
+             / count(*), 4) + 0.0 AS avg_bits_per_tok
+FROM scored GROUP BY doc_id
+""",
+)
+def m_lm_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document cross-entropy (bits/token) under the corpus unigram
+    LM — the classic perplexity-style quality score (documents far from
+    the corpus distribution rank high; pairs with m_token_entropy,
+    which measures the doc's own distribution). Per-token surprisal
+    log2(N/c) is rounded to 6 dp and summed in exact DECIMAL
+    (order-free, per the transcendental rule), final average on the
+    4 dp grid with -0.0 killed. Scale shape: the LM is a hash agg whose
+    result broadcasts into the scoring join (token→count is corpus-
+    vocabulary-sized, ≪ corpus), one final agg per doc; no Python."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    lm = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    n_corpus = lm.agg(F.sum("c").alias("n"))
+    scored = (
+        toks.join(F.broadcast(lm), "tok")
+        .crossJoin(F.broadcast(n_corpus))
+        .select(
+            "doc_id",
+            F.round(F.log2(F.col("n").cast("double") / F.col("c")), 6).alias("bits"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tok"),
+        (
+            F.round(
+                F.sum(F.col("bits").cast("decimal(28,10)")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            )
+            + F.lit(0.0)
+        ).alias("avg_bits_per_tok"),
+    )
