@@ -167,19 +167,21 @@ def m_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     One explode (map-only) + one hash-shuffle on the 16-byte digest —
     identical scale shape to document-level exact dedup; the HAVING
     filter runs map-side partial then final, so only duplicated
-    digests leave the aggregate.
+    digests leave the aggregate. Digests are computed INSIDE a
+    transform over the offsets before the explode, so exploded rows
+    carry a 32-char hash, never the document's token array (the
+    array-through-explode variant duplicated the tokens ~15× into the
+    shuffle).
     """
     d = load_table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
     n = F.size(toks)
-    d = d.select(
-        "doc_id",
-        toks.alias("l"),
-        F.explode(F.sequence(F.lit(0), n - 1, F.lit(PASSAGE))).alias("s"),
+    hashes = F.transform(
+        F.sequence(F.lit(0), n - 1, F.lit(PASSAGE)),
+        lambda s: F.md5(F.array_join(F.slice(toks, s + 1, PASSAGE), " ")),
     )
-    h = F.md5(F.array_join(F.slice(F.col("l"), F.col("s") + 1, PASSAGE), " "))
     return (
-        d.select("doc_id", h.alias("passage_hash"))
+        d.select("doc_id", F.explode(hashes).alias("passage_hash"))
         .groupBy("passage_hash")
         .agg(
             F.count(F.lit(1)).alias("n_occurrences"),

@@ -540,15 +540,23 @@ def m_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         d.select("doc_id", "lang", words.alias("words"))
         .select("doc_id", "lang", tri.alias("trigrams"))
+        # stage the two sizes as columns so array_distinct runs ONCE
+        # per row (expression-level CSE does not reach across the
+        # when() branches of the ratio)
         .select(
             "doc_id",
             "lang",
             F.size("trigrams").alias("n_tri"),
             F.size(F.array_distinct("trigrams")).alias("n_distinct"),
-            F.when(F.size("trigrams") == 0, F.lit(0.0))
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "n_tri",
+            "n_distinct",
+            F.when(F.col("n_tri") == 0, F.lit(0.0))
             .otherwise(
-                (F.size("trigrams") - F.size(F.array_distinct("trigrams"))).cast("double")
-                / F.size("trigrams")
+                (F.col("n_tri") - F.col("n_distinct")).cast("double") / F.col("n_tri")
             )
             .alias("dup_frac"),
         )
