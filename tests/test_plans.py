@@ -105,6 +105,24 @@ def test_vocab_coverage_broadcasts_vocab(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_partitioned_source_prunes_directories(spark):
+    """The lang filter must become PartitionFilters on the partitioned
+    scan (directory pruning — skipped I/O), not a row-level Filter over
+    all partitions."""
+    plan = _formatted_plan(spark, "src_partitioned_prune")
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and "lang" in pf[0], "lang predicate did not become a partition filter"
+
+
+def test_range_binned_join_is_equi_hash_join(spark):
+    """The binned rewrite must plan as a hash-partitionable equi join
+    on the bin key — a BroadcastNestedLoopJoin here means the rewrite
+    regressed to the O(n·m) theta form."""
+    plan = _formatted_plan(spark, "q_join_range_binned")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
 def test_sql_q19_derives_single_side_predicates(spark):
     """Q19's OR-of-ANDs must contribute per-side implications: the
     brand/size disjunction must reach the part scan and the quantity

@@ -76,6 +76,7 @@ _PRIORITY = [
     "src_binaryfile", "g_nearest_hub",
     "q_pivot", "m_vocab_coverage", "g_zorder_key",
     "m_lm_cross_entropy",
+    "u_pandas_iter_udf", "q_join_range_binned", "src_partitioned_prune",
 ]
 
 

@@ -17,6 +17,7 @@ order-independent and matches the SQL twin bit-for-bit.
 from __future__ import annotations
 
 import math
+from collections.abc import Iterator
 
 import pandas as pd
 
@@ -136,3 +137,36 @@ def u_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT t.doc_id, t.tok, t.pos FROM docs_udtf d, LATERAL tokenize_docs(d.doc_id, d.text) t"
     )
+
+
+def _iter_taxed():
+    """SCALAR_ITER pandas UDF: the iterator form amortizes expensive
+    per-worker init (model load, codec setup) across all Arrow batches
+    of a partition — the sanctioned shape for per-partition setup cost.
+    Defined in a factory so the (deliberately trivial) 'model' init
+    runs once per worker, not per batch. (Iterator must be imported at
+    module scope — pandas_udf's hint inspection cannot see function
+    locals, the same trap CLAUDE.md notes for a local pd import.)"""
+
+    @pandas_udf(T.DoubleType())
+    def taxed(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        coeffs = (4.0, 7.0)  # stand-in for a once-per-worker model load
+        for price in batches:
+            yield price * coeffs[0] + coeffs[1]
+
+    return taxed
+
+
+@query(
+    "u_pandas_iter_udf",
+    oracle="""
+SELECT o_orderkey, o_totalprice * 4.0 + 7.0 AS scored
+FROM orders
+""",
+)
+def u_pandas_iter_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterator-form (SCALAR_ITER) pandas UDF over orders — same Arrow
+    batching as the series form, plus once-per-worker init. The scoring
+    polynomial is exact double arithmetic (no rounding rules needed)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select("o_orderkey", _iter_taxed()(F.col("o_totalprice")).alias("scored"))

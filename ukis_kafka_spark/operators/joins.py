@@ -818,3 +818,60 @@ def q_sql_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
            OR (p.p_brand = 'Brand#14' AND p.p_size BETWEEN 1 AND 35 AND l.l_quantity BETWEEN 20 AND 40)
         """
     )
+
+
+_BIN_W = 1000.0  # totalprice bin width for the binned range join
+
+
+@query(
+    "q_join_range_binned",
+    oracle="""
+SELECT b.p_partkey,
+       count(*) AS n_orders,
+       CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS price_sum
+FROM (SELECT p_partkey, p_retailprice * 100 - 2000 AS lo, p_retailprice * 100 + 2000 AS hi
+      FROM part WHERE p_partkey < 50) b
+JOIN orders o ON o.o_totalprice BETWEEN b.lo AND b.hi
+GROUP BY b.p_partkey
+""",
+)
+def q_join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join executed as a BINNED EQUI JOIN — the
+    at-scale rewrite of q_join_theta_range: each interval explodes into
+    the fixed-width bins it covers, each probe row computes its single
+    bin, the join runs on the bin key as an ordinary hash join, and the
+    exact BETWEEN filters the bin-boundary false positives. A probe row
+    can match an interval in exactly one bin (its own), so no dedup is
+    needed. This turns an O(n·m) BroadcastNestedLoopJoin into a
+    shuffle-partitionable equi join — the only form that survives when
+    BOTH sides are large. The oracle stays the plain range join
+    (semantics are identical); bin arithmetic is exact double·integer."""
+    p = load_table(spark, sf_dir, "part").where(F.col("p_partkey") < 50)
+    bands = p.select(
+        "p_partkey",
+        (F.col("p_retailprice") * 100 - 2000).alias("lo"),
+        (F.col("p_retailprice") * 100 + 2000).alias("hi"),
+    )
+    binned_bands = bands.select(
+        "p_partkey",
+        "lo",
+        "hi",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("lo") / _BIN_W).cast("long"),
+                F.floor(F.col("hi") / _BIN_W).cast("long"),
+            )
+        ).alias("bin"),
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_totalprice", F.floor(F.col("o_totalprice") / _BIN_W).cast("long").alias("bin")
+    )
+    return (
+        o.join(binned_bands, "bin")
+        .where(F.col("o_totalprice").between(F.col("lo"), F.col("hi")))
+        .groupBy("p_partkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("price_sum"),
+        )
+    )

@@ -188,3 +188,47 @@ def src_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("length").alias("byte_len"),
         F.lower(F.sha2(F.col("content"), 256)).alias("content_sha"),
     )
+
+
+@query(
+    "src_partitioned_prune",
+    oracle="""
+SELECT source,
+       count(*) AS n,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       min(doc_id) AS min_id
+FROM documents
+WHERE lang IN ('de', 'fr')
+GROUP BY source
+""",
+)
+def src_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned dataset + partition pruning: the corpus
+    is re-materialized once, partitioned by lang (lang=en/, lang=de/,
+    ...), and the query's lang filter must be satisfied by DIRECTORY
+    pruning — the scan plans PartitionFilters and never opens the
+    other languages' files. This is the 100 TB table layout story:
+    partition columns turn predicates into skipped I/O before any row
+    is read. tests/test_plans.py pins the PartitionFilters line."""
+
+    def build(into: str) -> None:
+        (
+            load_table(spark, sf_dir, "documents")
+            .write.mode("overwrite")
+            .partitionBy("lang")
+            .parquet(os.path.join(into, "bylang"))
+        )
+
+    src = os.path.join(
+        _cache_publish(build, ("bylang", _table_fingerprint(sf_dir, "documents"))), "bylang"
+    )
+    back = spark.read.parquet(src)
+    return (
+        back.where(F.col("lang").isin("de", "fr"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("min_id"),
+        )
+    )
