@@ -875,3 +875,111 @@ def q_join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("price_sum"),
         )
     )
+
+
+@query(
+    "q_sql_q7",
+    oracle="""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+       CAST(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS revenue
+FROM supplier s
+JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)
+""",
+)
+def q_sql_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-style volume-shipping report: bilateral trade between
+    two nations by ship year. Plan shape at scale: both nation dims
+    broadcast with their name filters applied UNDER the join (each
+    side's disjunct reaches its dim scan), so the 4-table fact spine
+    joins shuffle only on orderkey/custkey/suppkey; the final agg is a
+    handful of groups."""
+    for t in ("supplier", "lineitem", "orders", "customer", "nation"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"{t}_q7")
+    return spark.sql(
+        """
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+               CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,10))) AS DOUBLE) AS revenue
+        FROM supplier_q7 s
+        JOIN lineitem_q7 l ON s.s_suppkey = l.l_suppkey
+        JOIN orders_q7 o   ON o.o_orderkey = l.l_orderkey
+        JOIN customer_q7 c ON c.c_custkey = o.o_custkey
+        JOIN nation_q7 n1  ON s.s_nationkey = n1.n_nationkey
+        JOIN nation_q7 n2  ON c.c_nationkey = n2.n_nationkey
+        WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+           OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+        GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)
+        """
+    )
+
+
+@query(
+    "q_sql_q8",
+    oracle="""
+WITH vol AS (
+  SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+         CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,10)) AS volume,
+         n2.n_name AS supp_nation
+  FROM part p
+  JOIN lineitem l ON p.p_partkey = l.l_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN orders o   ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1  ON c.c_nationkey = n1.n_nationkey
+  JOIN region r   ON n1.n_regionkey = r.r_regionkey
+  JOIN nation n2  ON s.s_nationkey = n2.n_nationkey
+  WHERE r.r_name = 'EUROPE' AND p.p_type = 'ECONOMY'
+)
+SELECT o_year,
+       CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                          ELSE CAST(0 AS DECIMAL(28,10)) END) AS VARCHAR) AS DOUBLE) AS nation_rev,
+       CAST(CAST(SUM(volume) AS VARCHAR) AS DOUBLE) AS total_rev,
+       CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                          ELSE CAST(0 AS DECIMAL(28,10)) END) AS VARCHAR) AS DOUBLE)
+         / CAST(CAST(SUM(volume) AS VARCHAR) AS DOUBLE) AS mkt_share
+FROM vol GROUP BY o_year
+""",
+)
+def q_sql_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-style national market share: one supplier nation's
+    slice of a region's ECONOMY-part purchase volume per order year —
+    the deepest join spine in the suite (7 tables). All four dims
+    (part-filtered, both nations, region) broadcast; the fact spine
+    shuffles once per key change; both revenue sums stay in exact
+    DECIMAL until the final double ratio (IEEE-identical division)."""
+    for t in ("part", "supplier", "lineitem", "orders", "customer", "nation", "region"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"{t}_q8")
+    return spark.sql(
+        """
+        WITH vol AS (
+          SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+                 CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,10)) AS volume,
+                 n2.n_name AS supp_nation
+          FROM part_q8 p
+          JOIN lineitem_q8 l ON p.p_partkey = l.l_partkey
+          JOIN supplier_q8 s ON s.s_suppkey = l.l_suppkey
+          JOIN orders_q8 o   ON o.o_orderkey = l.l_orderkey
+          JOIN customer_q8 c ON c.c_custkey = o.o_custkey
+          JOIN nation_q8 n1  ON c.c_nationkey = n1.n_nationkey
+          JOIN region_q8 r   ON n1.n_regionkey = r.r_regionkey
+          JOIN nation_q8 n2  ON s.s_nationkey = n2.n_nationkey
+          WHERE r.r_name = 'EUROPE' AND p.p_type = 'ECONOMY'
+        )
+        SELECT o_year,
+               CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                             ELSE CAST(0 AS DECIMAL(28,10)) END) AS DOUBLE) AS nation_rev,
+               CAST(SUM(volume) AS DOUBLE) AS total_rev,
+               CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                             ELSE CAST(0 AS DECIMAL(28,10)) END) AS DOUBLE)
+                 / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+        FROM vol GROUP BY o_year
+        """
+    )
