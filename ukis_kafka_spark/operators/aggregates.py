@@ -648,3 +648,69 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("F_n").alias("n_f"),
         F.col("O_n").alias("n_o"),
     )
+
+
+@query(
+    "q_winsorize",
+    oracle="""
+WITH ranked AS (
+  SELECT event_type, value, event_id,
+         row_number() OVER (PARTITION BY event_type ORDER BY value ASC, event_id ASC) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+), bounds AS (
+  SELECT event_type,
+         max(CASE WHEN rn = CAST(ceil(0.05 * n) AS BIGINT) THEN value END) AS lo,
+         max(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT) THEN value END) AS hi
+  FROM ranked GROUP BY event_type
+)
+SELECT e.event_type,
+       count(*) AS n,
+       count(*) FILTER (WHERE e.value < b.lo) AS n_clip_lo,
+       count(*) FILTER (WHERE e.value > b.hi) AS n_clip_hi,
+       CAST(CAST(SUM(CAST(least(greatest(e.value, b.lo), b.hi) AS DECIMAL(28,10)))
+            AS VARCHAR) AS DOUBLE) AS clipped_sum
+FROM events e JOIN bounds b ON b.event_type = e.event_type
+GROUP BY e.event_type
+""",
+)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization (outlier clipping) of event values to per-group
+    [p05, p95] — the standard robust-statistics cleaning step before
+    any mean-based aggregate on heavy-tailed data. Percentiles use the
+    DISCRETE construction (row_number + conditional max, identical row
+    in both engines — see q_agg_percentile_disc) so the clip bounds
+    are actual data values and the clipped sum stays in the corpus's
+    2-6 dp decimal-safe space. Bounds are a tiny per-group table that
+    broadcasts back onto the fact scan; at 100 TB swap the exact rank
+    for approx_percentile and keep the identical clip dataflow."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.col("value").asc(), F.col("event_id").asc())
+    wn = Window.partitionBy("event_type")
+    ranked = e.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    bounds = ranked.groupBy("event_type").agg(
+        F.max(
+            F.when(F.col("rn") == F.ceil(0.05 * F.col("n")).cast("long"), F.col("value"))
+        ).alias("lo"),
+        F.max(
+            F.when(F.col("rn") == F.ceil(0.95 * F.col("n")).cast("long"), F.col("value"))
+        ).alias("hi"),
+    )
+    clipped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    return (
+        e.join(F.broadcast(bounds), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(F.col("value") < F.col("lo"), F.lit(1))).alias("n_clip_lo"),
+            F.count(F.when(F.col("value") > F.col("hi"), F.lit(1))).alias("n_clip_hi"),
+            F.sum(clipped.cast(DEC)).cast("double").alias("clipped_sum"),
+        )
+    )
