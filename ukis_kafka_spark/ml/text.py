@@ -817,8 +817,8 @@ WITH toks AS (
 )
 SELECT doc_id,
        count(*) AS n_tok,
-       round(CAST(CAST(SUM(CAST(bits AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)
-             / count(*), 4) + 0.0 AS avg_bits_per_tok
+       CAST(SUM(CAST(bits AS DECIMAL(28,10))) * 1000000 AS BIGINT) // count(*)
+         AS avg_microbits
 FROM scored GROUP BY doc_id
 """,
 )
@@ -828,8 +828,13 @@ def m_lm_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus distribution rank high; pairs with m_token_entropy,
     which measures the doc's own distribution). Per-token surprisal
     log2(N/c) is rounded to 6 dp and summed in exact DECIMAL
-    (order-free, per the transcendental rule), final average on the
-    4 dp grid with -0.0 killed. Scale shape: the LM is a hash agg whose
+    (order-free, per the transcendental rule); the per-doc average is
+    emitted in FIXED-POINT micro-bits via integer division — a double
+    round(sum/n, 4) landed exactly on 4 dp midpoints at sf0.1 (both
+    operands are small-denominator rationals) where Spark (HALF_UP on
+    the binary value) and DuckDB (multiply-round) disagree — the same
+    midpoint trap CLAUDE.md documents for iterative float updates.
+    Scale shape: the LM is a hash agg whose
     result broadcasts into the scoring join (token→count is corpus-
     vocabulary-sized, ≪ corpus), one final agg per doc; no Python."""
     d = load_table(spark, sf_dir, "documents")
@@ -844,14 +849,15 @@ def m_lm_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.log2(F.col("n").cast("double") / F.col("c")), 6).alias("bits"),
         )
     )
-    return scored.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_tok"),
-        (
-            F.round(
-                F.sum(F.col("bits").cast("decimal(28,10)")).cast("double")
-                / F.count(F.lit(1)),
-                4,
-            )
-            + F.lit(0.0)
-        ).alias("avg_bits_per_tok"),
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.sum(F.col("bits").cast("decimal(28,10)")).alias("s"),
+        )
+        .select(
+            "doc_id",
+            "n_tok",
+            F.expr("CAST(s * 1000000 AS BIGINT) div n_tok").alias("avg_microbits"),
+        )
     )

@@ -410,3 +410,52 @@ def g_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         zkey = t if zkey is None else zkey + t
     return cells.select("event_id", "cx", "cy", zkey.alias("zkey"))
+
+
+@query(
+    "g_track_length",
+    oracle=f"""
+WITH pts AS (
+  SELECT user_id, event_id, {_LON} AS lon, CAST({_LAT} AS DOUBLE) AS lat
+  FROM events
+), hops AS (
+  SELECT user_id,
+         round(2 * 6371.0088 * asin(sqrt(
+           pow(sin(radians(lat - lag(lat) OVER w) / 2), 2)
+           + cos(radians(lag(lat) OVER w)) * cos(radians(lat))
+             * pow(sin(radians(lon - lag(lon) OVER w) / 2), 2)
+         )), 4) AS hop_km
+  FROM pts
+  WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+  QUALIFY lag(lat) OVER w IS NOT NULL
+)
+SELECT user_id,
+       count(*) AS n_hops,
+       CAST(CAST(SUM(CAST(hop_km AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS track_km
+FROM hops GROUP BY user_id
+""",
+)
+def g_track_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trajectory length: consecutive event positions (ordered
+    by event_id — verified ts-monotone) chained with lag() and summed
+    as haversine hops — the movement-analytics primitive of a geodata
+    pipeline (track mileage / displacement audits). Each hop lands on
+    the module's 4 dp km grid BEFORE the sum, and the sum runs in
+    exact DECIMAL, so the aggregate is order-free and hash-stable.
+    One shuffle (window by user) + one hash agg."""
+    e = load_table(spark, sf_dir, "events")
+    pts = e.select("user_id", "event_id", _lon().alias("lon"), _lat().alias("lat"))
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    plat, plon = F.lag("lat").over(w), F.lag("lon").over(w)
+    a = (
+        F.pow(F.sin(F.radians(F.col("lat") - plat) / 2), 2)
+        + F.cos(F.radians(plat))
+        * F.cos(F.radians(F.col("lat")))
+        * F.pow(F.sin(F.radians(F.col("lon") - plon) / 2), 2)
+    )
+    hop = F.round(F.lit(2 * 6371.0088) * F.asin(F.sqrt(a)), 4)
+    hops = pts.select("user_id", hop.alias("hop_km")).where(F.col("hop_km").isNotNull())
+    return hops.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_hops"),
+        F.sum(F.col("hop_km").cast("decimal(28,10)")).cast("double").alias("track_km"),
+    )
