@@ -714,3 +714,93 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(clipped.cast(DEC)).cast("double").alias("clipped_sum"),
         )
     )
+
+
+@query(
+    "q_funnel",
+    oracle="""
+WITH per AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN event_id END) AS first_view,
+         min(CASE WHEN event_type = 'click' THEN event_id END) AS first_click,
+         min(CASE WHEN event_type = 'purchase' THEN event_id END) AS first_buy
+  FROM events GROUP BY user_id
+)
+SELECT count(*) AS n_users,
+       COUNT(CASE WHEN first_view IS NOT NULL THEN 1 END) AS n_view,
+       COUNT(CASE WHEN first_view < first_click THEN 1 END) AS n_view_click,
+       COUNT(CASE WHEN first_view < first_click AND first_click < first_buy THEN 1 END)
+         AS n_full_funnel
+FROM per
+""",
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis (view → click → purchase conversion):
+    one conditional-min aggregate per step keyed by user, then ordering
+    comparisons on the step ids — event_id is the corpus's verified
+    ts-monotone order, so 'before' is exact integer comparison and NULL
+    steps drop out of the inequalities for free. Two hash aggregates
+    total (user-level then global); no window, no self-join — at
+    100 TB this is the shape that replaces the naive per-step
+    self-join funnel, which multiplies the events table once per
+    step."""
+    e = load_table(spark, sf_dir, "events")
+
+    def first(step):
+        return F.min(F.when(F.col("event_type") == step, F.col("event_id")))
+
+    per = e.groupBy("user_id").agg(
+        first("view").alias("first_view"),
+        first("click").alias("first_click"),
+        first("purchase").alias("first_buy"),
+    )
+    return per.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count(F.when(F.col("first_view").isNotNull(), F.lit(1))).alias("n_view"),
+        F.count(F.when(F.col("first_view") < F.col("first_click"), F.lit(1))).alias(
+            "n_view_click"
+        ),
+        F.count(
+            F.when(
+                (F.col("first_view") < F.col("first_click"))
+                & (F.col("first_click") < F.col("first_buy")),
+                F.lit(1),
+            )
+        ).alias("n_full_funnel"),
+    )
+
+
+@query(
+    "q_retention",
+    oracle="""
+WITH acts AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+), firsts AS (
+  SELECT user_id, min(d) AS d0 FROM acts GROUP BY user_id
+)
+SELECT CAST(f.d0 AS VARCHAR) AS cohort_day,
+       CAST((a.d - f.d0) // 7 AS BIGINT) AS week_offset,
+       count(DISTINCT a.user_id) AS n_active
+FROM acts a JOIN firsts f ON f.user_id = a.user_id
+GROUP BY f.d0, (a.d - f.d0) // 7
+""",
+)
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-active day, counted per
+    week-offset of subsequent activity — the standard engagement
+    rollup. Day truncation sidesteps the ns-timestamp hazard (dates
+    are identical under ns vs µs precision); offsets are exact integer
+    day arithmetic. Shape: distinct (user, day) activity set → min-day
+    cohort table (user-keyed, co-partitioned with the activity set so
+    the join adds no extra exchange) → one grouped count-distinct."""
+    e = load_table(spark, sf_dir, "events")
+    acts = e.select("user_id", F.to_date("ts").alias("d")).distinct()
+    firsts = acts.groupBy("user_id").agg(F.min("d").alias("d0"))
+    return (
+        acts.join(firsts, "user_id")
+        .groupBy(
+            F.col("d0").cast("string").alias("cohort_day"),
+            F.expr("CAST(datediff(d, d0) div 7 AS BIGINT)").alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
