@@ -78,7 +78,7 @@ _PRIORITY = [
     "m_lm_cross_entropy",
     "u_pandas_iter_udf", "q_join_range_binned", "src_partitioned_prune",
     "q_sql_q7", "q_sql_q8", "q_winsorize", "g_track_length",
-    "q_funnel", "q_retention",
+    "q_funnel", "q_retention", "m_embed_centroid",
 ]
 
 

@@ -535,3 +535,58 @@ def m_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("size(filter(qv, v -> abs(v) = 127))").alias("n_sat"),
         )
     )
+
+
+@query(
+    "m_embed_centroid",
+    oracle="""
+WITH dims AS (
+  SELECT label, generate_subscripts(embedding, 1) AS pos,
+         unnest(embedding) AS v
+  FROM embeddings
+), per_dim AS (
+  SELECT label, pos,
+         count(*) AS n,
+         CAST(SUM(CAST(round(CAST(v AS DOUBLE), 6) AS DECIMAL(28,10))) * 1000000 AS BIGINT)
+           // count(*) AS centroid_micro
+  FROM dims GROUP BY label, pos
+)
+SELECT label,
+       min(n) AS n_vectors,
+       CAST(SUM(abs(centroid_micro)) AS BIGINT) AS l1_micro,
+       CAST(MAX(abs(centroid_micro)) AS BIGINT) AS linf_micro
+FROM per_dim GROUP BY label
+""",
+)
+def m_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid (the k-means / class-prototype
+    building block), verified through fixed-point integer summaries:
+    each dimension's mean is computed as `CAST(sum*1e6 AS BIGINT) div
+    n` over 6 dp-rounded components (a rounded decimal quotient would
+    sit on rounding midpoints — CLAUDE.md rule), and the per-label L1
+    and L∞ norms of the micro-unit centroid are exact integers. Shape:
+    posexplode → (label, dim) partial+final hash agg → label rollup;
+    the dim explode is the standard dataflow for vector aggregates
+    (64n rows of scalars shuffle-compress to |labels|·64 groups
+    map-side)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    dims = e.select(
+        "label", F.posexplode(F.col("embedding")).alias("pos0", "v")
+    )
+    per_dim = (
+        dims.groupBy("label", "pos0")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("v").cast("double"), 6).cast("decimal(28,10)")).alias("s"),
+        )
+        .select(
+            "label",
+            "n",
+            F.expr("CAST(s * 1000000 AS BIGINT) div n").alias("centroid_micro"),
+        )
+    )
+    return per_dim.groupBy("label").agg(
+        F.min("n").alias("n_vectors"),
+        F.sum(F.abs("centroid_micro")).alias("l1_micro"),
+        F.max(F.abs("centroid_micro")).alias("linf_micro"),
+    )
