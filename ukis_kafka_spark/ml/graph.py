@@ -67,7 +67,9 @@ def coorder_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.path.join(into, "edges")
         )
 
-    cached = cache_publish(build, ("coorder_edges", table_fingerprint(sf_dir, "lineitem")))
+    # Leading int = logic-version token: bump when the edge derivation
+    # changes, or the cache silently serves stale edges built by old code.
+    cached = cache_publish(build, ("coorder_edges", 2, table_fingerprint(sf_dir, "lineitem")))
     return spark.read.parquet(os.path.join(cached, "edges"))
 
 

@@ -173,6 +173,31 @@ def m_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Broadcast query blocks are cached per (spark app, corpus) so repeated
+# invocations (bench loops, test suites) don't re-collect and leak a new
+# broadcast each plan build; a corpus change destroys the stale block.
+_KNN_QBLOCK: dict = {}
+
+
+def _knn_query_block(spark: SparkSession, sf_dir: str, e: DataFrame):
+    from ..cache import table_fingerprint
+
+    key = (spark.sparkContext.applicationId, table_fingerprint(sf_dir, "embeddings"))
+    hit = _KNN_QBLOCK.get(key)
+    if hit is not None:
+        return hit
+    for old_key, old_bc in list(_KNN_QBLOCK.items()):
+        if old_key[0] == key[0]:  # same app, stale corpus: free the blocks
+            old_bc.destroy()
+        del _KNN_QBLOCK[old_key]
+    q_rows = e.where(F.col("vec_id") < 20).select("vec_id", "embedding").collect()
+    qids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+    Q = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in q_rows])
+    bc = spark.sparkContext.broadcast((qids, Q))
+    _KNN_QBLOCK[key] = bc
+    return bc
+
+
 @query(
     "m_knn_label",
     oracle=f"""
@@ -205,15 +230,14 @@ def m_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     could make the true top-5. Rows leaving Python: ~5/query/batch,
     not 20×n."""
     e = load_table(spark, sf_dir, "embeddings")
-    q_rows = e.where(F.col("vec_id") < 20).select("vec_id", "embedding").collect()
-    qids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
-    Q = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in q_rows])
-    bc = spark.sparkContext.broadcast((qids, Q))
+    bc = _knn_query_block(spark, sf_dir, e)
 
     def topk(batches):
         qi, Qm = bc.value
         qn = np.sqrt((Qm * Qm).sum(axis=1))
         for pdf in batches:
+            if len(pdf) == 0:  # Arrow may hand an empty batch
+                continue
             M = np.stack(pdf.embedding.to_numpy()).astype(np.float64)
             ids = pdf.vec_id.to_numpy()
             labels = pdf.label.to_numpy()

@@ -657,7 +657,7 @@ WITH ranked AS (
   SELECT event_type, value, event_id,
          row_number() OVER (PARTITION BY event_type ORDER BY value ASC, event_id ASC) AS rn,
          count(*) OVER (PARTITION BY event_type) AS n
-  FROM events
+  FROM events WHERE value IS NOT NULL
 ), bounds AS (
   SELECT event_type,
          max(CASE WHEN rn = CAST(ceil(0.05 * n) AS BIGINT) THEN value END) AS lo,
@@ -689,7 +689,10 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("event_type").orderBy(F.col("value").asc(), F.col("event_id").asc())
     wn = Window.partitionBy("event_type")
-    ranked = e.select(
+    # NULL values are excluded from ranking on BOTH sides: Spark sorts
+    # NULLs first under ASC while DuckDB sorts them last, so a NULL in
+    # events.value would shift every rank (and the clip bounds) by one.
+    ranked = e.where(F.col("value").isNotNull()).select(
         "event_type",
         "value",
         F.row_number().over(w).alias("rn"),

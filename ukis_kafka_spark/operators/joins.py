@@ -314,7 +314,19 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sql(f"DROP TABLE IF EXISTS {tmp_o}")
         spark.sql(f"DROP TABLE IF EXISTS {tmp_c}")
 
-    cached = cache_publish(build, ("bucketed", table_fingerprint(sf_dir)))
+    # Keyed on the tables the bucket files are actually built FROM
+    # (orders + customer), not the default events fingerprint — a
+    # regenerated orders.parquet must invalidate the cached buckets.
+    # The leading int is a logic-version token: bump it whenever the
+    # build function (bucket count/sort/filter) changes.
+    cached = cache_publish(
+        build,
+        (
+            "bucketed", 2,
+            table_fingerprint(sf_dir, "orders"),
+            table_fingerprint(sf_dir, "customer"),
+        ),
+    )
     suffix = uuid.uuid4().hex[:8]
     t_orders, t_cust = f"orders_b_{suffix}", f"customer_b_{suffix}"
     o_schema = ", ".join(

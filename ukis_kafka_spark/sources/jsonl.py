@@ -54,7 +54,7 @@ def src_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     src = os.path.join(
-        _cache_publish(build, ("jsonl", _table_fingerprint(sf_dir))), "jsonl"
+        _cache_publish(build, ("jsonl", 2, _table_fingerprint(sf_dir))), "jsonl"
     )
     back = spark.read.schema(_JSON_SCHEMA).json(src)
     return back.groupBy("event_type").agg(
@@ -94,7 +94,7 @@ def src_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     src = os.path.join(
-        _cache_publish(build, ("csv", _table_fingerprint(sf_dir))), "csv"
+        _cache_publish(build, ("csv", 2, _table_fingerprint(sf_dir))), "csv"
     )
     back = spark.read.schema(
         "event_id long, user_id long, event_type string, value double, props string"
@@ -135,7 +135,7 @@ def src_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     src = os.path.join(
-        _cache_publish(build, ("orc", _table_fingerprint(sf_dir, "documents"))), "orc"
+        _cache_publish(build, ("orc", 2, _table_fingerprint(sf_dir, "documents"))), "orc"
     )
     back = spark.read.orc(src)
     return back.groupBy("lang", "source").agg(
@@ -180,7 +180,7 @@ def src_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
                 fh.write(r["text"].encode("ascii"))
 
     src = os.path.join(
-        _cache_publish(build, ("binfiles", _table_fingerprint(sf_dir, "documents"))), "bin"
+        _cache_publish(build, ("binfiles", 2, _table_fingerprint(sf_dir, "documents"))), "bin"
     )
     back = spark.read.format("binaryFile").load(src)
     return back.select(
@@ -220,7 +220,7 @@ def src_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     src = os.path.join(
-        _cache_publish(build, ("bylang", _table_fingerprint(sf_dir, "documents"))), "bylang"
+        _cache_publish(build, ("bylang", 2, _table_fingerprint(sf_dir, "documents"))), "bylang"
     )
     back = spark.read.parquet(src)
     return (

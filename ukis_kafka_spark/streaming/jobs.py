@@ -81,7 +81,7 @@ def _replay_chunk_cache(
             os.utime(dst, (base_mtime + order * 60, base_mtime + order * 60))
         shutil.rmtree(stage, ignore_errors=True)
 
-    key = ("replay", _table_fingerprint(sf_dir), n_chunks, shuffle_chunk)
+    key = ("replay", 2, _table_fingerprint(sf_dir), n_chunks, shuffle_chunk)
     return _cache_publish(build, key)
 
 
@@ -358,7 +358,7 @@ def src_kafka_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         # sf0.1) and the corpus is pure function of the input table —
         # build once, stream from the shared cache (read-only here)
         src = os.path.join(
-            _cache_publish(build_wire, ("wire", _table_fingerprint(sf_dir))), "wire"
+            _cache_publish(build_wire, ("wire", 2, _table_fingerprint(sf_dir))), "wire"
         )
         stream = (
             spark.readStream.schema("value binary").option("maxFilesPerTrigger", 4).parquet(src)
