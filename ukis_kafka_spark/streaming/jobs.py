@@ -236,13 +236,37 @@ def s_tumble_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _with_scratch(go)
 
 
-@query("s_watermark_late")  # rows-only: the dropped-late-row count is harness-defined
+@query(
+    "s_watermark_late",
+    oracle="""
+WITH ordered AS (
+  SELECT ts, row_number() OVER (ORDER BY ts) AS rn, count(*) OVER () AS n_rows
+  FROM events
+), live AS (
+  -- the earliest ceil(n/8) rows are the shuffled chunk 0: they arrive
+  -- after the watermark passed them and are dropped by the stream
+  SELECT ts FROM ordered WHERE rn > CAST(ceil(n_rows / 8.0) AS BIGINT)
+)
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start, count(*) AS n
+FROM live
+GROUP BY 1
+HAVING hour_start + 3600 <= (SELECT CAST(floor(epoch(max(ts))) AS BIGINT) - 600 FROM events)
+""",
+)
 def s_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Late-data semantics: the earliest chunk of events arrives LAST
     (after the watermark has advanced past it), so a 10-minute
     watermark drops those rows from the append-mode windowed count.
-    The unit test asserts the drop; here the query returns the
-    windows that did emit."""
+
+    The oracle mirrors BOTH deterministic rules, the way
+    s_tumble_watermark mirrors window closure: (1) the late-drop rule —
+    the replay harness ships the earliest ceil(n/8) rows (chunk 0) last,
+    when the watermark already sits at global-max-ts − 10 min, which is
+    ~26 days past every chunk-0 window end, so exactly those rows are
+    dropped (ts is verified unique, so the chunk boundary is the same
+    total order in both engines); (2) the closure rule — only windows
+    whose end ≤ final watermark have been evicted to the append sink.
+    The unit test additionally asserts the drop happens at all."""
 
     def go(work: str) -> DataFrame:
         stream = replay_events_as_stream(spark, sf_dir, work, n_chunks=8, shuffle_chunk=0)
