@@ -163,3 +163,21 @@ def test_approx_quantile_bound(spark):
         e50, e90 = exact[r["l_returnflag"]]
         assert abs(a50 - e50) / e50 < 0.05
         assert abs(a90 - e90) / e90 < 0.05
+
+
+def test_triangle_strategies_agree(spark):
+    """m_graph_triangles size-selects between the broadcast CSR kernel
+    and the shuffle-parallel JVM join path; both must produce the
+    identical top-20 (the oracle only ever sees whichever one the
+    budget picked, so the agreement is pinned here)."""
+    from ukis_kafka_spark.ml.graph import (
+        _triangles_jvm,
+        _triangles_kernel,
+        coorder_edges,
+        coorder_edges_path,
+    )
+
+    kern = _triangles_kernel(spark, coorder_edges_path(spark, SF_SMOKE)).collect()
+    jvm = _triangles_jvm(spark, coorder_edges(spark, SF_SMOKE)).collect()
+    assert [(r.node, r.n_tri) for r in kern] == [(r.node, r.n_tri) for r in jvm]
+    assert len(kern) == 20
