@@ -227,3 +227,38 @@ def test_lateral_limit_decorrelates_to_window_topk(spark):
     plan = _formatted_plan(spark, "q_lateral_topn")
     assert "WindowGroupLimit" in plan
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_salted_graph_join_shape_and_identity(spark):
+    """The graph propagation joins salt hub keys: the edge side carries
+    a deterministic pmod salt, the per-node side is replicated across
+    all salts, and the joined rows are identical to the unsalted join
+    (replicas of non-hub nodes drop out). Pin both the multiplicity
+    invariant and — with the broadcast hint off, as at over-budget
+    scale — the (key, salt) shuffle-join shape."""
+    from pyspark.sql import functions as F
+
+    from ukis_kafka_spark.ml.graph import _N_SALT, _replicate_salts, _salt_edges
+
+    # hub node 1 with 8 neighbors, non-hub chain 2-3
+    rows = [(1, d) for d in range(10, 18)] + [(2, 3)]
+    edges = spark.createDataFrame(rows, "src long, dst long")
+    sym = edges.unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    hubs = spark.createDataFrame([(1,)], "node long")
+    per_node = sym.select(F.col("src").alias("node")).distinct().withColumn(
+        "val", F.col("node") * 10
+    )
+
+    salted = _salt_edges(sym, "src", "dst", hubs)
+    # hub edges spread over >1 salt, non-hub edges all salt 0
+    hub_salts = {r.salt for r in salted.where(F.col("src") == 1).collect()}
+    assert len(hub_salts) > 1
+    assert {r.salt for r in salted.where(F.col("src") != 1).collect()} == {0}
+
+    joined = salted.join(_replicate_salts(per_node, "src", small=False), ["src", "salt"])
+    plain = sym.join(per_node.withColumnRenamed("node", "src"), "src")
+    assert sorted(map(tuple, joined.select("src", "dst", "val").collect())) == sorted(
+        map(tuple, plain.select("src", "dst", "val").collect())
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "salt" in plan and "pmod" in plan.lower()

@@ -36,7 +36,7 @@ _UNIT = 1_000_000  # 1.0 rank = 1e6 micro-units
 # damping 0.85 as the exact rational 850/1000, applied in integer math
 
 
-def coorder_edges_path(spark: SparkSession, sf_dir: str) -> str:
+def coorder_edges_path(spark: SparkSession, sf_dir: str, variant: str | None = None) -> str:
     """Distinct id-oriented (src < dst) co-order part pairs, built ONCE
     per corpus into the shared build-once cache and re-read as parquet
     by every graph query — at 100 TB the edge list is a materialized
@@ -45,9 +45,8 @@ def coorder_edges_path(spark: SparkSession, sf_dir: str) -> str:
     generation inside a transform (bounded per-order explode — never a
     lineitem self-join), then distinct."""
 
-    def build(into: str) -> None:
-        l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-        parts = l.groupBy("l_orderkey").agg(
+    def pair_edges(lines: DataFrame) -> DataFrame:
+        parts = lines.groupBy("l_orderkey").agg(
             F.sort_array(F.collect_set("l_partkey")).alias("ps")
         )
         pairs = parts.select(
@@ -63,18 +62,32 @@ def coorder_edges_path(spark: SparkSession, sf_dir: str) -> str:
                 )
             ).alias("e")
         )
-        pairs.select("e.src", "e.dst").distinct().write.mode("overwrite").parquet(
+        return pairs.select("e.src", "e.dst").distinct()
+
+    def build(into: str) -> None:
+        l = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey", "l_quantity"
+        )
+        pair_edges(l.select("l_orderkey", "l_partkey")).write.mode("overwrite").parquet(
             os.path.join(into, "edges")
         )
+        # the bulk-order (quantity > 45 on BOTH lines) subgraph used by
+        # m_graph_cc — a per-LINE predicate, so it cannot be derived
+        # from the unfiltered (src, dst) pairs after the fact; it is a
+        # second small output of the same ingest-time build instead of
+        # a second lineitem scan at query time
+        pair_edges(
+            l.where(F.col("l_quantity") > 45).select("l_orderkey", "l_partkey")
+        ).write.mode("overwrite").parquet(os.path.join(into, "edges_q45"))
 
     # Leading int = logic-version token: bump when the edge derivation
     # changes, or the cache silently serves stale edges built by old code.
-    cached = cache_publish(build, ("coorder_edges", 2, table_fingerprint(sf_dir, "lineitem")))
-    return os.path.join(cached, "edges")
+    cached = cache_publish(build, ("coorder_edges", 3, table_fingerprint(sf_dir, "lineitem")))
+    return os.path.join(cached, "edges" if variant is None else f"edges_{variant}")
 
 
-def coorder_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(coorder_edges_path(spark, sf_dir))
+def coorder_edges(spark: SparkSession, sf_dir: str, variant: str | None = None) -> DataFrame:
+    return spark.read.parquet(coorder_edges_path(spark, sf_dir, variant))
 
 
 def _oracle_pagerank() -> str:
@@ -109,32 +122,101 @@ SELECT node, rank_u FROM r{_ITERS} ORDER BY rank_u DESC, node ASC LIMIT 50"""
     return "".join(parts)
 
 
+# Nodes with symmetric degree >= this are treated as hubs by the salted
+# propagation joins (p99 of the co-order graph's degree distribution —
+# m_graph_degree is the audit that informs the number); their edge rows
+# are spread over _N_SALT shuffle partitions instead of one.
+_HUB_MIN_DEG = 170
+_N_SALT = 4
+
+
+def _salt_edges(sym: DataFrame, key: str, spread_on: str, hubs: DataFrame) -> DataFrame:
+    """Attach a deterministic salt to the (skew-prone) symmetric edge
+    list: a hub key's edge rows get pmod(opposite endpoint, _N_SALT)
+    (no RNG — results stay hash-reproducible), everything else salt 0.
+    The salt is a static property of the edge, so this runs ONCE before
+    the edge list is materialized — the per-iteration join on
+    (key, salt) then fans each hub's adjacency across _N_SALT shuffle
+    partitions instead of hot-spotting one. q_agg_twophase_salted is
+    the aggregate-side twin of this pattern."""
+    hub_flag = F.broadcast(hubs.withColumnRenamed("node", key).withColumn("is_hub", F.lit(True)))
+    return (
+        sym.join(hub_flag, key, "left")
+        .withColumn(
+            "salt",
+            F.when(F.col("is_hub"), F.pmod(F.col(spread_on), F.lit(_N_SALT)).cast("int"))
+            .otherwise(F.lit(0)),
+        )
+        .drop("is_hub")
+    )
+
+
+def _replicate_salts(per_node: DataFrame, key: str, small: bool) -> DataFrame:
+    """Replicate a one-row-per-node table across every salt value (a
+    ×_N_SALT explode of |V| rows — noise next to the edge list). The
+    replicas of non-hub nodes match no edge row and drop out of the
+    join, so the joined output is row-identical to the unsalted join
+    while hub rows arrive pre-spread. Replicating everything beats
+    flagging hubs per iteration: no broadcast join inside the loop.
+
+    ``small``: when the graph fits the broadcast budget, hint the
+    replicated vector broadcast — explode wrecks Catalyst's size
+    estimate, so without the hint a 2 MB rank vector gets a 5-stage
+    sort-merge join (measured +4 s/query at sf0.1). When the graph is
+    over budget the vector genuinely can't broadcast; the join runs as
+    a shuffle join on (key, salt) and the salt is what spreads each
+    hub's adjacency across partitions."""
+    rep = per_node.withColumnRenamed("node", key).withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(_N_SALT - 1)))
+    )
+    return F.broadcast(rep) if small else rep
+
+
 @query("m_graph_pagerank", oracle=_oracle_pagerank())
 def m_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-50 parts by 5-step damped PageRank (fixed-point micro-units)
     over the 'co-ordered in the same order' graph. See module docstring
-    for why a full iterative algorithm can be hash-checked here."""
-    edges = coorder_edges(spark, sf_dir)
+    for why a full iterative algorithm can be hash-checked here.
+
+    Scale shape: the static degree is attached to the edge list ONCE
+    (sym_d, materialized), so each iteration is a single edges-by-rank
+    join + one partial-combining aggregate. The join salts hub keys
+    (degree >= p99, the skew m_graph_degree measures) deterministically
+    — at 1000 executors a power-law hub would otherwise pin its whole
+    adjacency on one task; pmod salting spreads it with zero effect on
+    the output rows (hash-checked)."""
+    path = coorder_edges_path(spark, sf_dir)
+    edges = spark.read.parquet(path)
+    small = edges.count() <= _KERNEL_EDGE_BUDGET  # parquet metadata count
     sym = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint()  # edges are reused every iteration: materialize once
+    )
     deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("d")).withColumnRenamed("src", "node")
+    hubs = deg.where(F.col("d") >= _HUB_MIN_DEG).select("node")
+    sym_d = _salt_edges(
+        sym.join(deg.withColumnRenamed("node", "src"), "src").select("src", "dst", "d"),
+        "src",
+        "dst",
+        hubs,
+    ).localCheckpoint()  # reused every iteration: materialize once, salted
     ranks = deg.select("node", F.lit(_UNIT).cast("long").alias("rank_u"))
     for _ in range(_ITERS):
-        contrib = (
-            sym.join(ranks.withColumnRenamed("node", "src"), "src")
-            .join(deg.withColumnRenamed("node", "src"), "src")
-            .select("dst", F.expr("rank_u div d").alias("c"))
+        contrib = sym_d.join(_replicate_salts(ranks, "src", small), ["src", "salt"]).select(
+            "dst", F.expr("rank_u div d").alias("c")
         )
         ranks = (
             contrib.groupBy("dst")
             .agg(
                 (
                     F.lit(_UNIT * 15 // 100).cast("long")
-                    + F.expr(f"850 * sum(c) div 1000")
+                    + F.expr("850 * sum(c) div 1000")
                 ).alias("rank_u")
             )
             .withColumnRenamed("dst", "node")
+            # truncate the iterative lineage: each per-iteration
+            # broadcast build otherwise re-executes every prior
+            # iteration's join (O(k^2) total work across k rounds)
+            .localCheckpoint()
         )
     return ranks.orderBy(F.col("rank_u").desc(), F.col("node").asc()).limit(50)
 
@@ -398,36 +480,34 @@ def m_graph_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB oracle — same trick as m_graph_pagerank. One shuffle per
     round (join on node, agg on node); edges materialized once. Every
     node keeps a label after every round (it is its own neighborhood
-    minimum candidate), so component = min id within ≤6 hops."""
-    l = load_table(spark, sf_dir, "lineitem").where(F.col("l_quantity") > 45).select(
-        "l_orderkey", "l_partkey"
-    )
-    a, b = l.alias("a"), l.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
-        .distinct()
-    )
-    sym = edges.unionByName(
+    minimum candidate), so component = min id within ≤6 hops.
+
+    The bulk-order subgraph comes from the same ingest-time cache build
+    as the full co-order edge list (edges_q45 variant — the quantity
+    predicate is per-LINE, so the subgraph is a second output of the
+    one lineitem pass, not a second scan at query time), and the
+    per-round label join salts hub keys like m_graph_pagerank."""
+    edges = coorder_edges(spark, sf_dir, variant="q45")
+    small = edges.count() <= _KERNEL_EDGE_BUDGET  # parquet metadata count
+    sym_raw = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint()  # reused every round
+    )
+    deg = sym_raw.groupBy("dst").agg(F.count(F.lit(1)).alias("d")).withColumnRenamed("dst", "node")
+    hubs = deg.where(F.col("d") >= _HUB_MIN_DEG).select("node")
+    sym = _salt_edges(sym_raw, "dst", "src", hubs).localCheckpoint()  # reused every round
     labels = sym.select(F.col("src").alias("node")).distinct().withColumn(
         "lbl", F.col("node")
     )
     for _ in range(_CC_ITERS):
         nbr_min = (
-            sym.join(labels.withColumnRenamed("node", "dst"), "dst")
+            sym.join(_replicate_salts(labels, "dst", small), ["dst", "salt"])
             .groupBy("src")
             .agg(F.min("lbl").alias("nbr_lbl"))
             .withColumnRenamed("src", "node")
         )
         labels = labels.join(nbr_min, "node").select(
             "node", F.least(F.col("lbl"), F.col("nbr_lbl")).alias("lbl")
-        )
+        ).localCheckpoint()  # truncate iterative lineage (see pagerank)
     return labels.groupBy(F.col("lbl").alias("component")).agg(
         F.count(F.lit(1)).alias("n_nodes"),
         F.min("node").alias("min_node"),
