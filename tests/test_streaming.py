@@ -137,3 +137,47 @@ def test_postgis_sink_sql_generation(spark):
     assert 'ON CONFLICT ("fid") DO UPDATE' in sql
     assert '"name" = EXCLUDED."name"' in sql
     assert '"fid" = EXCLUDED' not in sql  # keys never updated
+
+
+def test_envelope_source_selects_file_twin_offline(spark, tmp_path):
+    """envelope_raw_stream is the one Kafka/file switch: without
+    brokers it must return a file-stream over the wire dir; with no
+    brokers AND no wire_dir it must refuse loudly (silently producing
+    an empty stream would corrupt a pipeline)."""
+    import os
+
+    import pytest as _pytest
+
+    from ukis_kafka_spark.sources.kafka import ENV_BROKERS, envelope_raw_stream
+
+    assert ENV_BROKERS not in os.environ, "offline harness must not set brokers"
+    wire = str(tmp_path / "wire")
+    spark.createDataFrame([(b"\x01",)], "value binary").write.parquet(wire)
+    stream = envelope_raw_stream(spark, wire_dir=wire)
+    assert stream.isStreaming and stream.columns == ["value"]
+    plan = stream._jdf.queryExecution().logical().toString()
+    assert "format: parquet" in plan and "kafka" not in plan.lower()
+    with _pytest.raises(ValueError, match="UKIS_KAFKA_BROKERS"):
+        envelope_raw_stream(spark)
+
+
+def test_envelope_source_kafka_online():
+    """Online half of the switch — runs only where a broker (and the
+    spark-sql-kafka connector) exists; the offline harness records the
+    skip. The assert mirrors the offline test: same schema out of the
+    selected source."""
+    import os
+
+    import pytest as _pytest
+
+    from ukis_kafka_spark.sources.kafka import ENV_BROKERS
+
+    if not os.environ.get(ENV_BROKERS):
+        _pytest.skip(f"no {ENV_BROKERS} configured (offline harness)")
+    from pyspark.sql import SparkSession
+
+    from ukis_kafka_spark.sources.kafka import envelope_raw_stream
+
+    spark = SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
+    stream = envelope_raw_stream(spark, topic="ukis-features-test")
+    assert stream.isStreaming and stream.columns == ["value"]

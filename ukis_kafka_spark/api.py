@@ -36,41 +36,16 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 # Explicit ordering for ``queries()``: the driver's per-round
 # correctness gate records exactly the FIRST 50 registry entries each
-# round. Rounds 1+2 drained the relational core + first extensions
-# (98/152 checked, 97 green). Round-3 window: the fixed q_agg_collect
-# (the one red row) first, then the 3 unchecked §2.2 contract rows,
-# then every never-checked extension. Everything with a green driver
-# row from r1/r2 goes after the window (registry-order fallback).
+# round. Rounds 1-3 drained 147/174 distinct IDs, zero failures.
+# Round-4 window: the 27 IDs that have never had a driver CORRECTNESS
+# row (all pass the local gate replica), then s_watermark_late (newly
+# oracle-ized — flips its r03 `err: no_oracle` row to hash-green),
+# then round-4 additions as they land. Everything with a green driver
+# row from r1-r3 goes after the window (registry-order fallback).
 _PRIORITY = [
-    # the single red row from r2, fixed (array output -> '|'-joined string)
-    "q_agg_collect",
-    # unchecked §2.2 contract rows
-    "src_kafka_shape", "s_stream_join", "s_watermark_late",
-    # never-checked relational extensions
-    "q_sql_q5", "q_sql_q6", "q_sql_q10", "q_sql_q18",
-    "q_agg_percentile", "q_grouping_id", "q_agg_mode",
-    "q_agg_percentile_disc", "q_agg_bitbool", "q_cte_reuse",
-    "q_agg_twophase_salted", "q_exists_subquery", "q_not_exists_subquery",
-    "q_lateral_topn", "q_join_nullsafe", "q_distinct_on",
-    "q_win_cume_nth", "q_scd2_intervals", "q_variant",
-    # never-checked LLM-pipeline extensions
-    "m_chunk_tokens", "m_seq_pack", "m_passage_dedup",
-    "m_subsample", "m_class_balance",
-    "m_graph_pagerank", "m_graph_degree", "m_graph_triangles",
-    "m_frame_sample", "m_embed_norm_stats", "m_embed_quantize",
-    "m_tfidf", "m_doc_len_hist", "m_decontaminate", "m_pii_scrub",
-    "m_stratified_split", "m_doc_bigrams", "m_repetition", "m_bm25",
-    # never-checked source-format roundtrips
-    "src_jsonl_roundtrip", "src_csv_roundtrip", "src_orc_roundtrip",
-    "src_props_infer",
-    # never-checked spatial
-    "g_wkt_roundtrip", "g_grid_agg",
-    # never-checked streaming (most expensive — last in window)
-    "s_custom_state", "s_session_stream",
-    # ---- 50-entry round-3 window boundary ----
+    # never-driver-checked round-3 additions (27)
     "s_foreach_upsert", "s_static_join", "s_stream_union",
     "s_slide_watermark", "q_agg_approx_quantile",
-    # round-3 additions (queue for the round-4 window)
     "q_sql_q4", "q_sql_q14", "q_sql_q19",
     "m_graph_cc", "m_token_entropy", "m_dup_ngram_frac",
     "src_binaryfile", "g_nearest_hub",
@@ -79,6 +54,29 @@ _PRIORITY = [
     "u_pandas_iter_udf", "q_join_range_binned", "src_partitioned_prune",
     "q_sql_q7", "q_sql_q8", "q_winsorize", "g_track_length",
     "q_funnel", "q_retention", "m_embed_centroid",
+    # newly oracle-ized (r03 row was err: no_oracle)
+    "s_watermark_late",
+    # round-4 additions land here, inside the 50-entry window
+    # ---- 50-entry window boundary is enforced by position, the
+    # ---- remainder keeps round-3's order for stable bench diffs
+    "q_agg_collect",
+    "src_kafka_shape", "s_stream_join",
+    "q_sql_q5", "q_sql_q6", "q_sql_q10", "q_sql_q18",
+    "q_agg_percentile", "q_grouping_id", "q_agg_mode",
+    "q_agg_percentile_disc", "q_agg_bitbool", "q_cte_reuse",
+    "q_agg_twophase_salted", "q_exists_subquery", "q_not_exists_subquery",
+    "q_lateral_topn", "q_join_nullsafe", "q_distinct_on",
+    "q_win_cume_nth", "q_scd2_intervals", "q_variant",
+    "m_chunk_tokens", "m_seq_pack", "m_passage_dedup",
+    "m_subsample", "m_class_balance",
+    "m_graph_pagerank", "m_graph_degree", "m_graph_triangles",
+    "m_frame_sample", "m_embed_norm_stats", "m_embed_quantize",
+    "m_tfidf", "m_doc_len_hist", "m_decontaminate", "m_pii_scrub",
+    "m_stratified_split", "m_doc_bigrams", "m_repetition", "m_bm25",
+    "src_jsonl_roundtrip", "src_csv_roundtrip", "src_orc_roundtrip",
+    "src_props_infer",
+    "g_wkt_roundtrip", "g_grid_agg",
+    "s_custom_state", "s_session_stream",
 ]
 
 

@@ -2,37 +2,76 @@
 
 No broker (and no spark-sql-kafka connector jar) exists in the offline
 harness, so these builders are exercised there through their file-based
-twins (streaming.jobs.src_kafka_shape runs the identical
-envelope→decode→aggregate path over a file stream). With a cluster +
-connector on the classpath they are the production entry points; the
-dataflow downstream of the source is byte-for-byte the same.
+twins. The selectable entry point is ``envelope_raw_stream``: set
+``UKIS_KAFKA_BROKERS`` (or pass ``brokers=``) and the SAME pipeline
+reads ``format("kafka")``; leave it unset and it reads the wire-format
+parquet twin. Everything downstream of the raw ``value binary`` column
+— ``decode_feature_stream``, the aggregates, the sinks — is one shared
+code path, byte-for-byte identical in both modes
+(streaming.jobs.src_kafka_shape drives it through the oracle gate
+offline).
 """
 
 from __future__ import annotations
 
 import json
+import os
 
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 
+ENV_BROKERS = "UKIS_KAFKA_BROKERS"
+ENV_TOPIC = "UKIS_KAFKA_TOPIC"
 
-def kafka_feature_stream(
-    spark: SparkSession, brokers: str, topic: str, starting_offsets: str = "latest"
+
+def envelope_raw_stream(
+    spark: SparkSession,
+    *,
+    brokers: str | None = None,
+    topic: str | None = None,
+    wire_dir: str | None = None,
+    starting_offsets: str = "earliest",
+    max_files_per_trigger: int = 4,
 ) -> DataFrame:
-    """readStream from a topic of msgpack feature envelopes → decoded
-    feature rows (layer, srid, geom_type, wkb, props_json)."""
+    """The ONE source switch for envelope pipelines: returns a streaming
+    DataFrame of raw msgpack envelopes (single ``value binary`` column).
+
+    With a broker (``brokers=`` argument or the ``UKIS_KAFKA_BROKERS``
+    env var) the stream is ``format("kafka")`` on ``topic`` (or
+    ``UKIS_KAFKA_TOPIC``); otherwise it is the file-stream twin over
+    ``wire_dir`` — a parquet directory holding the identical envelope
+    bytes, which is also exactly what a Kafka->parquet archiver sink
+    writes. Flipping a deployment online is therefore one env var, no
+    code change."""
+    brokers = brokers or os.environ.get(ENV_BROKERS)
+    if brokers:
+        topic = topic or os.environ.get(ENV_TOPIC, "ukis-features")
+        return (
+            spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", brokers)
+            .option("subscribe", topic)
+            .option("startingOffsets", starting_offsets)
+            .load()
+            .select("value")
+        )
+    if wire_dir is None:
+        raise ValueError(
+            f"no Kafka brokers configured (set {ENV_BROKERS}) and no wire_dir fallback given"
+        )
+    return (
+        spark.readStream.schema("value binary")
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(wire_dir)
+    )
+
+
+def decode_feature_stream(raw: DataFrame) -> DataFrame:
+    """msgpack feature envelopes (``value binary``) → decoded feature
+    rows (layer, srid, geom_type, wkb, props_json). Shared by the Kafka
+    and file-twin sources — the decode is source-agnostic."""
     from .envelope import read_envelope
     from ..spatial.wkb import decode_wkb
-
-    raw = (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", brokers)
-        .option("subscribe", topic)
-        .option("startingOffsets", starting_offsets)
-        .load()
-        .select("value")
-    )
 
     def decode(iter_pdf):
         for pdf in iter_pdf:
@@ -50,6 +89,17 @@ def kafka_feature_stream(
     return raw.mapInPandas(
         decode, "layer string, srid int, geom_type string, wkb binary, props_json string"
     )
+
+
+def kafka_feature_stream(
+    spark: SparkSession, brokers: str, topic: str, starting_offsets: str = "latest"
+) -> DataFrame:
+    """readStream from a topic of msgpack feature envelopes → decoded
+    feature rows (layer, srid, geom_type, wkb, props_json)."""
+    raw = envelope_raw_stream(
+        spark, brokers=brokers, topic=topic, starting_offsets=starting_offsets
+    )
+    return decode_feature_stream(raw)
 
 
 def write_features_to_kafka(

@@ -344,13 +344,16 @@ GROUP BY event_type
 )
 def src_kafka_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full wire-path parity with the reference's Kafka pipeline
-    (R2→R3):every event becomes a WKB point + properties inside a msgpack
-    envelope (binary `value` column, exactly the Kafka message shape),
-    the envelopes are replayed as a stream, decoded back with
-    mapInPandas, and aggregated. Result must equal aggregating the
-    original table directly."""
-    from ..sources.envelope import make_envelope, read_envelope
-    from ..spatial.wkb import decode_wkb, encode_wkb
+    (R2→R3): every event becomes a WKB point + properties inside a
+    msgpack envelope (binary `value` column, exactly the Kafka message
+    shape), the envelopes are replayed through the selectable source
+    (sources.kafka.envelope_raw_stream — `format("kafka")` the moment
+    UKIS_KAFKA_BROKERS is set, the file twin offline), decoded by the
+    SAME decode_feature_stream the online path uses, and aggregated.
+    Result must equal aggregating the original table directly."""
+    from ..sources.envelope import make_envelope
+    from ..sources.kafka import decode_feature_stream, envelope_raw_stream
+    from ..spatial.wkb import encode_wkb
 
     def build_wire(into: str) -> None:
         e = load_table(spark, sf_dir, "events")
@@ -384,24 +387,15 @@ def src_kafka_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         src = os.path.join(
             _cache_publish(build_wire, ("wire", 2, _table_fingerprint(sf_dir))), "wire"
         )
-        stream = (
-            spark.readStream.schema("value binary").option("maxFilesPerTrigger", 4).parquet(src)
-        )
-
-        def decode_part(iter_pdf):
-            for pdf in iter_pdf:
-                ids, types, values = [], [], []
-                for buf in pdf["value"]:
-                    env = read_envelope(bytes(buf))
-                    decode_wkb(env["geom"])  # geometry integrity check
-                    ids.append(env["props"]["event_id"])
-                    types.append(env["props"]["event_type"])
-                    values.append(env["props"]["value"])
-                yield pd.DataFrame(
-                    {"event_id": ids, "event_type": types, "value": values}
-                )
-
-        decoded = stream.mapInPandas(decode_part, "event_id long, event_type string, value double")
+        stream = envelope_raw_stream(spark, wire_dir=src)
+        feats = decode_feature_stream(stream)
+        # event fields ride in props_json; extraction is JVM-side
+        # (from_json round-trips json.dumps exactly for long/str/double)
+        decoded = feats.select(
+            F.from_json(
+                "props_json", "event_id long, event_type string, value double"
+            ).alias("p")
+        ).select("p.event_id", "p.event_type", "p.value")
         agg = decoded.groupBy("event_type").agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.col("value").cast("decimal(28,10)")).cast("double").alias("value_sum"),
