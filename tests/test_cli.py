@@ -124,3 +124,24 @@ def test_cli_produce_wkt_missing_column(tmp_path, capsys):
     rc = cli.main(["produce-wkt", "--csv", str(csv_path),
                    "--topic-dir", str(tmp_path / "t")])
     assert rc == 2
+
+
+def test_cli_produce_shp_roundtrip(spark, tmp_path):
+    from ukis_kafka_spark.sources.shapefile import write_shapefile
+
+    shp = tmp_path / "roads.shp"
+    write_shapefile(
+        str(shp),
+        [
+            (("LINESTRING", ((0.0, 0.0), (1.0, 1.0), (2.0, 0.5))), {"fid": 1, "name": "a"}),
+            (("LINESTRING", ((5.0, 5.0), (6.0, 6.0))), {"fid": 2, "name": "b"}),
+        ],
+    )
+    topic = str(tmp_path / "topic")
+    out = str(tmp_path / "sink")
+    assert cli.main(["produce-shp", "--shp", str(shp), "--topic-dir", topic, "--layer", "roads"]) == 0
+    assert cli.main(["consume-files", "--topic-dir", topic, "--out", out]) == 0
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 2
+    assert {r["layer"] for r in rows} == {"roads"}
+    assert {r["geom_type"] for r in rows} == {"LINESTRING"}

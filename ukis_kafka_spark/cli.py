@@ -141,6 +141,25 @@ def cmd_produce_wkt(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_produce_shp(args: argparse.Namespace) -> int:
+    """R1+R2 (third ingestion format): ESRI Shapefile → envelope topic,
+    via the pure-Python .shp/.dbf reader (sources.shapefile) — the
+    native OGR format closest to the reference's default ingest."""
+    from .sources.envelope import make_envelope
+    from .sources.shapefile import read_shapefile
+    from .spatial.wkb import encode_wkb
+
+    envelopes = []
+    for geom, props in read_shapefile(args.shp):
+        if geom is None:  # Null shape: keeps .dbf alignment, nothing to publish
+            continue
+        envelopes.append(
+            make_envelope(encode_wkb(geom), props, layer=args.layer, srid=args.srid)
+        )
+    _publish_envelopes(envelopes, args.topic_dir)
+    return 0
+
+
 def _decoded_features(spark, topic_dir: str):
     from pyspark.sql import functions as F
 
@@ -240,6 +259,13 @@ def main(argv: list[str] | None = None) -> int:
     pw.add_argument("--layer", default="default")
     pw.add_argument("--srid", type=int, default=4326)
     pw.set_defaults(fn=cmd_produce_wkt)
+
+    ps = sub.add_parser("produce-shp", help="ESRI Shapefile → envelope topic dir (R1+R2)")
+    ps.add_argument("--shp", required=True)
+    ps.add_argument("--topic-dir", required=True)
+    ps.add_argument("--layer", default="default")
+    ps.add_argument("--srid", type=int, default=4326)
+    ps.set_defaults(fn=cmd_produce_shp)
 
     pf = sub.add_parser("consume-files", help="topic dir → partitioned files (R8)")
     pf.add_argument("--topic-dir", required=True)
