@@ -57,6 +57,7 @@ _PRIORITY = [
     # newly oracle-ized (r03 row was err: no_oracle)
     "s_watermark_late",
     # round-4 additions land here, inside the 50-entry window
+    "g_reproject_epsg",
     # ---- 50-entry window boundary is enforced by position, the
     # ---- remainder keeps round-3's order for stable bench diffs
     "q_agg_collect",

@@ -17,6 +17,8 @@ relative — far below these grids, far above anything physical.
 
 from __future__ import annotations
 
+import math
+
 import pandas as pd
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
@@ -143,6 +145,115 @@ def g_reproject(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(x, 2).alias("mercator_x"),
             (F.round(y, 2) + F.lit(0.0)).alias("mercator_y"),
         )
+    )
+
+
+# --- multi-SRID reprojection -------------------------------------------------
+# Projection constants precomputed once in Python and embedded as the
+# SAME double literals in the Spark expressions and the DuckDB oracle —
+# cross-engine divergence can then only enter through per-row libm
+# calls (~1 ULP), which the 2 dp (cm) output grid absorbs. Formulas are
+# the public spherical forms from Snyder, "Map Projections — A Working
+# Manual" (USGS PP 1395): transverse Mercator (UTM zones) eq. 8-5/8-6,
+# Lambert conformal conic eq. 15-1..15-4.
+_R_SPHERE = 6378137.0
+_TM_K0R = 0.9996 * _R_SPHERE
+_LCC_SP1, _LCC_SP2 = math.radians(35.0), math.radians(65.0)
+_LCC_LAT0, _LCC_LON0 = math.radians(52.0), 10.0
+_LCC_N = math.log(math.cos(_LCC_SP1) / math.cos(_LCC_SP2)) / math.log(
+    math.tan(math.pi / 4 + _LCC_SP2 / 2) / math.tan(math.pi / 4 + _LCC_SP1 / 2)
+)
+_LCC_RF = _R_SPHERE * math.cos(_LCC_SP1) * math.tan(math.pi / 4 + _LCC_SP1 / 2) ** _LCC_N / _LCC_N
+_LCC_RHO0 = _LCC_RF / math.tan(math.pi / 4 + _LCC_LAT0 / 2) ** _LCC_N
+
+# the EPSG parameter table rows shared by both engines: two UTM zones
+# (transverse Mercator about lon0) and one LCC for everything else
+_EPSG_ROWS = [
+    (32632, "tm", 9.0),
+    (32633, "tm", 15.0),
+    (3034, "lcc", _LCC_LON0),
+]
+
+
+def _epsg_route_sql() -> str:
+    return (
+        f"CASE WHEN {_LON} >= 6 AND {_LON} < 12 THEN 32632 "
+        f"WHEN {_LON} >= 12 AND {_LON} < 18 THEN 32633 ELSE 3034 END"
+    )
+
+
+@query(
+    "g_reproject_epsg",
+    oracle=f"""
+WITH params(epsg, kind, lon0) AS (
+  VALUES (32632, 'tm', 9.0), (32633, 'tm', 15.0), (3034, 'lcc', {_LCC_LON0!r})
+),
+pts AS (
+  SELECT event_id, {_LON} AS lon, CAST({_LAT} AS DOUBLE) AS lat,
+         {_epsg_route_sql()} AS epsg
+  FROM events
+  WHERE {_LAT} BETWEEN -80 AND 84
+)
+SELECT event_id, p.epsg,
+       round(CASE WHEN kind = 'tm'
+         THEN 500000.0 + {_TM_K0R!r} * 0.5
+              * ln((1.0 + cos(radians(lat)) * sin(radians(lon - lon0)))
+                 / (1.0 - cos(radians(lat)) * sin(radians(lon - lon0))))
+         ELSE {_LCC_RF!r} / power(tan(pi() / 4 + radians(lat) / 2), {_LCC_N!r})
+              * sin({_LCC_N!r} * radians(lon - lon0))
+       END, 2) + 0.0 AS easting,
+       round(CASE WHEN kind = 'tm'
+         THEN {_TM_K0R!r} * atan(tan(radians(lat)) / cos(radians(lon - lon0)))
+         ELSE {_LCC_RHO0!r} - {_LCC_RF!r} / power(tan(pi() / 4 + radians(lat) / 2), {_LCC_N!r})
+              * cos({_LCC_N!r} * radians(lon - lon0))
+       END, 2) + 0.0 AS northing
+FROM pts p JOIN params USING (epsg)
+""",
+)
+def g_reproject_epsg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary-SRID reprojection keyed by a small EPSG parameter
+    table (R6 parity beyond the fixed Web-Mercator of g_reproject: the
+    reference tracks per-layer SRID and reprojects to the sink SRID).
+    Each point routes to a target CRS — its UTM zone where one is
+    configured, the continental Lambert conformal conic otherwise —
+    then the broadcast param row drives a kind-switched projection
+    expression, all JVM column math (no UDF). Adding a CRS is one row
+    in the table, not new code."""
+    e = load_table(spark, sf_dir, "events")
+    params = spark.sql(
+        "SELECT * FROM VALUES "
+        + ", ".join(f"({epsg}, '{kind}', {lon0!r})" for epsg, kind, lon0 in _EPSG_ROWS)
+        + " AS params(epsg, kind, lon0)"
+    )
+    lon, lat = F.col("lon"), F.col("lat")
+    pts = (
+        e.where(_lat().between(-80, 84))
+        .select(
+            "event_id",
+            _lon().alias("lon"),
+            _lat().alias("lat"),
+        )
+        .withColumn(
+            "epsg",
+            F.when((lon >= 6) & (lon < 12), 32632)
+            .when((lon >= 12) & (lon < 18), 32633)
+            .otherwise(3034),
+        )
+    )
+    dlon = F.radians(lon - F.col("lon0"))
+    b = F.cos(F.radians(lat)) * F.sin(dlon)
+    tm_x = F.lit(500000.0) + F.lit(_TM_K0R) * 0.5 * F.log((1.0 + b) / (1.0 - b))
+    tm_y = F.lit(_TM_K0R) * F.atan(F.tan(F.radians(lat)) / F.cos(dlon))
+    rho = F.lit(_LCC_RF) / F.pow(F.tan(F.lit(math.pi) / 4 + F.radians(lat) / 2), F.lit(_LCC_N))
+    theta = F.lit(_LCC_N) * dlon
+    lcc_x = rho * F.sin(theta)
+    lcc_y = F.lit(_LCC_RHO0) - rho * F.cos(theta)
+    is_tm = F.col("kind") == "tm"
+    return pts.join(F.broadcast(params), "epsg").select(
+        "event_id",
+        "epsg",
+        (F.round(F.when(is_tm, tm_x).otherwise(lcc_x), 2) + F.lit(0.0)).alias("easting"),
+        (F.round(F.when(is_tm, tm_y).otherwise(lcc_y), 2) + F.lit(0.0)).alias("northing"),
     )
 
 
