@@ -78,12 +78,34 @@ def main() -> None:
         times[name] = min(times[name], round(time.time() - t0, 3))
 
     total = round(sum(times.values()), 3)
+
+    # Per-family wall-clock budgets at sf0.1 (seconds; BASELINE.md
+    # "family profiles"). A query over 2x its family budget is a
+    # perf regression surfacing IN-round — loudly, on stderr, and in
+    # BENCH_FULL.json — instead of at judging. Families: relational
+    # q_* get the 2 s budget; heavier families get the profile the
+    # baseline measurements established.
+    budgets = {"q": 2.0, "u": 2.0, "g": 2.5, "src": 2.5, "s": 6.0, "m": 8.0}
+    violations = {
+        name: t
+        for name, t in times.items()
+        if t > 2 * budgets.get(name.split("_", 1)[0], 8.0)
+    }
+    for name, t in sorted(violations.items(), key=lambda kv: -kv[1]):
+        fam = name.split("_", 1)[0]
+        print(
+            f"BUDGET: {name} took {t:.2f}s > 2x the {fam}_* family budget "
+            f"({budgets.get(fam, 8.0):.1f}s)",
+            file=sys.stderr,
+        )
+
     full = {
         "metric": "total_query_wall",
         "value": total,
         "unit": "sec",
         "queries": times,
         "sf": sf_num,
+        "budget_violations": violations,
     }
     with open(os.path.join(REPO, "BENCH_FULL.json"), "w") as f:
         json.dump(full, f, indent=1, sort_keys=True)

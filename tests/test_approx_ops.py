@@ -181,3 +181,55 @@ def test_triangle_strategies_agree(spark):
     jvm = _triangles_jvm(spark, coorder_edges(spark, SF_SMOKE)).collect()
     assert [(r.node, r.n_tri) for r in kern] == [(r.node, r.n_tri) for r in jvm]
     assert len(kern) == 20
+
+
+def _bruteforce_top20(spark):
+    return {
+        (r["id_a"], r["id_b"])
+        for r in api.queries()["m_cosine_topk"](spark, SF_SMOKE).collect()
+    }
+
+
+def test_lsh_recall_curve(spark):
+    """The recall/cost knob of the LSH path: more tables -> more
+    candidate volume -> recall must not decrease, and the documented
+    operating point (8 tables) must clear its floor. (Curve documented
+    here rather than a fixed single setting so a tuning regression
+    shows up as a failing step, not a silent recall drop.)"""
+    from ukis_kafka_spark.ml.similarity import ann_lsh_pairs
+    from ukis_kafka_spark.sources import load_table
+
+    truth = _bruteforce_top20(spark)
+    e = load_table(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding")
+    recalls = {}
+    for n_tables in (2, 8, 16):
+        approx = {
+            (r["id_a"], r["id_b"])
+            for r in ann_lsh_pairs(e, n_tables=n_tables, n_bits=4).collect()
+        }
+        recalls[n_tables] = len(truth & approx) / len(truth)
+    assert recalls[8] >= 0.5, f"operating point below floor: {recalls}"
+    assert recalls[16] >= recalls[2] - 0.10, f"curve inverted: {recalls}"
+
+
+def test_ivf_recall_curve(spark):
+    """The recall/cost knob of the IVF path: more probed lists ->
+    higher recall. Probing ALL lists makes candidate generation
+    exhaustive for pairs sharing any list — recall at n_probes=16 must
+    dominate the single-probe setting and the documented operating
+    point (4 probes) must clear its floor."""
+    from ukis_kafka_spark.ml.similarity import ann_ivf_pairs
+    from ukis_kafka_spark.sources import load_table
+
+    truth = _bruteforce_top20(spark)
+    e = load_table(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding")
+    recalls = {}
+    for n_probes in (1, 4, 16):
+        approx = {
+            (r["id_a"], r["id_b"])
+            for r in ann_ivf_pairs(e, n_lists=16, n_probes=n_probes).collect()
+        }
+        recalls[n_probes] = len(truth & approx) / len(truth)
+    assert recalls[4] >= 0.5, f"operating point below floor: {recalls}"
+    assert recalls[16] >= recalls[1], f"curve inverted: {recalls}"
+    assert recalls[16] >= 0.9, f"full probe should be near-exhaustive: {recalls}"

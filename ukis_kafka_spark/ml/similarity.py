@@ -307,14 +307,20 @@ def m_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Table count buys recall (P[collide in ≥1] ≈ 1-(1-p⁸)⁸, ≈ 0.99 for
     cos ≥ 0.9 pairs), bit count prunes candidates (64 buckets/table).
     Candidate pairs are bucket-local — the scale path that collapses
-    n² to Σ bucket²; a unit test checks recall ≥ 0.5 of brute-force
-    top-20."""
+    n² to Σ bucket²; a parametrized unit test pins the recall/cost
+    curve across table counts (ann_lsh_pairs is the tunable entry)."""
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return ann_lsh_pairs(e, n_tables=_LSH_TABLES, n_bits=_LSH_BITS)
 
-    # all 24 plane dots in one numpy GEMM per Arrow batch (24 JVM array
-    # folds per vector are interpreted: measured 8.4 s → ~1 s at sf0.1)
+
+def ann_lsh_pairs(e: DataFrame, n_tables: int, n_bits: int) -> DataFrame:
+    """Top-20 LSH candidate pairs at an explicit (tables, bits) setting
+    — the recall/cost knob: more tables -> more candidate volume ->
+    higher recall."""
+    # all plane dots in one numpy GEMM per Arrow batch (per-plane JVM
+    # array folds are interpreted: measured 8.4 s → ~1 s at sf0.1)
     planes = np.array(
-        [_hyperplane(t, k) for t in range(_LSH_TABLES) for k in range(_LSH_BITS)]
+        [_hyperplane(t, k) for t in range(n_tables) for k in range(n_bits)]
     ).T  # dim × (tables·bits)
 
     @pandas_udf(T.ArrayType(T.StringType()))
@@ -325,8 +331,8 @@ def m_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         for row in bits:
             out.append(
                 [
-                    "".join(map(str, row[t * _LSH_BITS : (t + 1) * _LSH_BITS]))
-                    for t in range(_LSH_TABLES)
+                    "".join(map(str, row[t * n_bits : (t + 1) * n_bits]))
+                    for t in range(n_tables)
                 ]
             )
         return pd.Series(out)
@@ -421,9 +427,18 @@ def m_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     The other half of the ANN scale story next to m_ann_lsh: IVF gives
     controllable recall via n_probes (vs LSH's table count) and, at
     100 TB, the centroid step becomes a proper k-means fit while the
-    list assignment/probing dataflow here is unchanged. A unit test
-    checks recall ≥ 0.5 of brute-force top-20."""
+    list assignment/probing dataflow here is unchanged. A parametrized
+    unit test pins the recall/cost curve across probe counts
+    (ann_ivf_pairs is the tunable entry)."""
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return ann_ivf_pairs(e, n_lists=_IVF_LISTS, n_probes=_IVF_PROBES)
+
+
+def ann_ivf_pairs(e: DataFrame, n_lists: int, n_probes: int) -> DataFrame:
+    """Top-20 IVF candidate pairs at an explicit (lists, probes)
+    setting — the recall/cost knob: more probes -> each vector visits
+    more lists -> higher recall."""
+    spark = e.sparkSession
 
     # deterministic "centroids": the 16 vectors with the smallest
     # xxhash64(vec_id) — a pseudo-random, scale-independent corpus
@@ -434,7 +449,7 @@ def m_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent_rows = (
         e.select("vec_id", "embedding", F.xxhash64("vec_id").alias("h"))
         .orderBy("h", "vec_id")
-        .limit(_IVF_LISTS)
+        .limit(n_lists)
         .collect()
     )
     centroids = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in cent_rows])
@@ -447,7 +462,7 @@ def m_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         M = np.stack(emb.to_numpy()).astype(np.float64)
         M /= np.sqrt((M * M).sum(axis=1, keepdims=True))
         sims = M @ C.T
-        order = np.argsort(-sims, axis=1)[:, :_IVF_PROBES]
+        order = np.argsort(-sims, axis=1)[:, :n_probes]
         return pd.Series([row.astype("int32").tolist() for row in order])
 
     assigned = e.select(

@@ -995,3 +995,212 @@ def q_sql_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM vol GROUP BY o_year
         """
     )
+
+
+@query(
+    "q_sql_q9",
+    oracle="""
+SELECT n.n_name AS nation,
+       CAST(year(o.o_orderdate) AS INT) AS o_year,
+       CAST(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS profit,
+       COUNT(*) AS n_lines
+FROM lineitem l
+JOIN part p     ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n   ON n.n_nationkey = s.s_nationkey
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+WHERE p.p_name LIKE '%red%'
+GROUP BY n.n_name, year(o.o_orderdate)
+""",
+)
+def q_sql_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-style product-type profit by (nation, order-year).
+    Adaptation to this corpus: no partsupp table exists, so profit is
+    gross discounted revenue (the ps_supplycost subtrahend is dropped)
+    — the plan shape under test is unchanged: a fact⋈fact
+    lineitem⋈orders spine, three broadcast dims, a LIKE filter that
+    must reach the part scan, and a two-key aggregate."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_name").like("%red%"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    joined = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, o.o_orderkey == l.l_orderkey)
+    )
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return joined.groupBy(
+        F.col("n_name").alias("nation"),
+        F.year("o_orderdate").cast("int").alias("o_year"),
+    ).agg(
+        F.sum(profit.cast(DEC)).cast("double").alias("profit"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@query(
+    "q_sql_q13",
+    oracle="""
+SELECT c_count, count(*) AS custdist FROM (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+)
+GROUP BY c_count
+""",
+)
+def q_sql_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-style customer order-count distribution: LEFT join so
+    order-less customers keep count 0, with the filter in the JOIN
+    CONDITION (a WHERE would silently turn the outer join inner — the
+    classic Q13 trap), then a second aggregate over the first.
+    Adaptation: the o_comment NOT LIKE filter becomes an
+    o_orderpriority exclusion (no comment column in this corpus)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count(o.o_orderkey).alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "q_sql_q15",
+    oracle="""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-07-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name,
+       CAST(CAST(r.total_revenue AS VARCHAR) AS DOUBLE) AS total_revenue
+FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+""",
+)
+def q_sql_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-style top supplier: half-year revenue per supplier,
+    suppliers whose revenue EQUALS the maximum (ties must all
+    surface). The max arrives as a broadcast scalar-subquery join;
+    the comparison happens in exact DECIMAL (equality on doubles
+    would be engine-dependent), and only the final projection casts
+    to double."""
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    revenue = (
+        l.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-07-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)).alias(
+                "total_revenue"
+            )
+        )
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("mx"))
+    return (
+        revenue.join(F.broadcast(max_rev), F.col("total_revenue") == F.col("mx"))
+        .join(s, F.col("supplier_no") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_revenue").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+@query(
+    "q_sql_q17",
+    oracle="""
+WITH agg AS (
+  SELECT l_partkey AS pk, SUM(CAST(l_quantity AS DECIMAL(28,10))) AS sum_qty,
+         COUNT(*) AS n_qty
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT count(*) AS n_small_lines,
+       CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS small_qty_revenue
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey AND p.p_type LIKE 'small%'
+JOIN agg   ON agg.pk = l.l_partkey
+WHERE CAST(l.l_quantity AS DECIMAL(28,10)) * 5 * agg.n_qty < CAST(agg.sum_qty AS DECIMAL(38,10))
+""",
+)
+def q_sql_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-style small-quantity-order revenue: lines whose
+    quantity is below 20% of their part's average. The correlated
+    average decorrelates into one per-part aggregate joined back to
+    the fact scan. The threshold comparison is CROSS-MULTIPLIED into
+    exact decimal integers (qty*5*n < sum_qty) — `0.2 * AVG(...)` is a
+    rounded decimal quotient, exactly the midpoint-tie class CLAUDE.md
+    bans from hash-checked queries. Adaptation: p_container filter →
+    p_type prefix (no container column)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_type").like("small%"))
+    agg = l.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(F.col("l_quantity").cast(DEC)).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_qty"),
+    )
+    joined = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(agg, F.col("pk") == l.l_partkey)
+        .where(
+            F.col("l_quantity").cast(DEC) * 5 * F.col("n_qty")
+            < F.col("sum_qty").cast("decimal(38,10)")
+        )
+    )
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_small_lines"),
+        F.sum(F.col("l_extendedprice").cast(DEC)).cast("double").alias("small_qty_revenue"),
+    )
+
+
+@query(
+    "q_sql_q22",
+    oracle="""
+WITH pos AS (
+  SELECT SUM(CAST(c_acctbal AS DECIMAL(28,10))) AS s, COUNT(*) AS n
+  FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c.c_nationkey AS cntrycode, count(*) AS numcust,
+       CAST(CAST(SUM(CAST(c.c_acctbal AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS totacctbal
+FROM customer c, pos
+WHERE CAST(c.c_acctbal AS DECIMAL(28,10)) * pos.n > CAST(pos.s AS DECIMAL(38,10))
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+GROUP BY c.c_nationkey
+""",
+)
+def q_sql_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-style global sales opportunity: customers with
+    above-average (positive) balance and NO orders, counted per
+    country. The average is a broadcast scalar aggregate compared by
+    exact-decimal cross-multiplication (acctbal*n > sum — never a
+    quotient), the no-orders condition is a LEFT ANTI join.
+    Adaptations: country = c_nationkey (no phone column to prefix);
+    "no orders" = no orders over 200k (every customer in this corpus
+    has some order, which would make the original vacuous)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 200000)
+    pos = c.where(F.col("c_acctbal") > 0.0).agg(
+        F.sum(F.col("c_acctbal").cast(DEC)).alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    rich = c.join(F.broadcast(pos)).where(
+        F.col("c_acctbal").cast(DEC) * F.col("n") > F.col("s").cast("decimal(38,10)")
+    )
+    no_orders = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+    return no_orders.groupBy(F.col("c_nationkey").alias("cntrycode")).agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.sum(F.col("c_acctbal").cast(DEC)).cast("double").alias("totacctbal"),
+    )
