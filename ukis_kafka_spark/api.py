@@ -59,6 +59,7 @@ _PRIORITY = [
     # round-4 additions land here, inside the 50-entry window
     "g_reproject_epsg",
     "q_sql_q9", "q_sql_q13", "q_sql_q15", "q_sql_q17", "q_sql_q22",
+    "q_unpivot", "q_mad", "m_source_mixture", "m_overlap_matrix",
     # ---- 50-entry window boundary is enforced by position, the
     # ---- remainder keeps round-3's order for stable bench diffs
     "q_agg_collect",

@@ -861,3 +861,120 @@ def m_lm_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(s * 1000000 AS BIGINT) div n_tok").alias("avg_microbits"),
         )
     )
+
+
+_MIX_A = 2654435761  # Knuth multiplicative constant (same family as m_subsample)
+_MIX_M = 1_000_003
+
+
+@query(
+    "m_source_mixture",
+    oracle=f"""
+WITH rated AS (
+  SELECT doc_id, source,
+         (CAST(substring(source, 4) AS INT) % 4 + 1) * 20 AS keep_pct,
+         (doc_id * {_MIX_A} % {_MIX_M}) % 100 AS bucket
+  FROM documents
+)
+SELECT source, keep_pct,
+       count(*) AS n_docs,
+       COUNT(CASE WHEN bucket < keep_pct THEN 1 END) AS n_kept
+FROM rated
+GROUP BY source, keep_pct
+""",
+)
+def m_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture sampling — the dataset-mixture step of a
+    training pipeline: each source gets a configured sampling rate
+    (here derived 20/40/60/80% by source index; in production a
+    weights table), and membership is a multiplicative hash of the
+    key, so the SAME subset is selected on every run, engine, and
+    partitioning — unlike rand()-based TABLESAMPLE. Pure integer
+    column math; the per-source audit (total vs kept) is what a
+    mixture rebalancing job reads back."""
+    d = load_table(spark, sf_dir, "documents")
+    keep_pct = (F.substring("source", 4, 10).cast("int") % 4 + 1) * 20
+    bucket = (F.col("doc_id") * F.lit(_MIX_A) % _MIX_M) % 100
+    return (
+        d.select("doc_id", "source", keep_pct.alias("keep_pct"), bucket.alias("bucket"))
+        .groupBy("source", "keep_pct")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(F.when(F.col("bucket") < F.col("keep_pct"), F.lit(1))).alias("n_kept"),
+        )
+    )
+
+
+@query(
+    "m_overlap_matrix",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+), grams AS (
+  SELECT DISTINCT source,
+         tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS gram
+  FROM toks
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  QUALIFY lead(tok, 2) OVER w IS NOT NULL
+), sizes AS (
+  SELECT source, count(*) AS n_grams FROM grams GROUP BY source
+)
+SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared,
+       CAST(count(*) AS DOUBLE)
+         / (sa.n_grams + sb.n_grams - count(*)) AS jaccard
+FROM grams a
+JOIN grams b ON a.gram = b.gram AND a.source < b.source
+JOIN sizes sa ON sa.source = a.source
+JOIN sizes sb ON sb.source = b.source
+GROUP BY a.source, b.source, sa.n_grams, sb.n_grams
+""",
+)
+def m_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source trigram overlap matrix — the train/eval leakage
+    audit generalized from m_decontaminate's one-benchmark check to
+    all source pairs: distinct trigrams per source, equi-self-join on
+    the gram (shared grams only — never a source cross product), then
+    per-pair Jaccard as a ratio of exact integers (safe in double).
+    At 100 TB the gram sets would first collapse to minhash
+    signatures (m_near_dedup's machinery) — the pair dataflow here is
+    unchanged."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "source", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    grams = (
+        toks.select(
+            "source",
+            F.concat_ws(
+                " ", F.col("tok"), F.lead("tok", 1).over(w), F.lead("tok", 2).over(w)
+            ).alias("gram"),
+            F.lead("tok", 2).over(w).alias("_g2"),
+        )
+        .where(F.col("_g2").isNotNull())
+        .select("source", "gram")
+        .distinct()
+    )
+    sizes = grams.groupBy("source").agg(F.count(F.lit(1)).alias("n_grams"))
+    a = grams.alias("a")
+    b = grams.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a.source") < F.col("b.source")))
+        .groupBy(F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        pairs.join(F.broadcast(sizes.withColumnRenamed("source", "src_a").withColumnRenamed("n_grams", "na")), "src_a")
+        .join(F.broadcast(sizes.withColumnRenamed("source", "src_b").withColumnRenamed("n_grams", "nb")), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_shared",
+            (
+                F.col("n_shared").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_shared"))
+            ).alias("jaccard"),
+        )
+    )

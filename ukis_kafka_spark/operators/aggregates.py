@@ -807,3 +807,109 @@ def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count_distinct("user_id").alias("n_active"))
     )
+
+
+@query(
+    "q_unpivot",
+    oracle="""
+SELECT metric,
+       COUNT(*) AS n,
+       CAST(CAST(SUM(CAST(val AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS total
+FROM (
+  SELECT 'quantity' AS metric, l_quantity AS val FROM lineitem
+  UNION ALL SELECT 'extendedprice', l_extendedprice FROM lineitem
+  UNION ALL SELECT 'discount', l_discount FROM lineitem
+  UNION ALL SELECT 'tax', l_tax FROM lineitem
+)
+GROUP BY metric
+""",
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational UNPIVOT (melt): four measure columns become
+    (metric, val) rows, then one aggregate per metric — the inverse
+    reshape of q_pivot. Spark's unpivot is a single Expand node (each
+    input row emits 4 output rows in the same task: one scan, no
+    self-union, no shuffle before the aggregate), which is the plan
+    the UNION ALL oracle spells out semantically but NOT physically —
+    the oracle scans lineitem four times, the Spark plan once."""
+    l = load_table(spark, sf_dir, "lineitem")
+    melted = l.unpivot(
+        ids=[],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    ).withColumn("metric", F.expr("substring(metric, 3)"))
+    return melted.groupBy("metric").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("val").cast(DEC)).cast("double").alias("total"),
+    )
+
+
+@query(
+    "q_mad",
+    oracle="""
+WITH ranked AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value ASC, event_id ASC) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events WHERE value IS NOT NULL
+), med AS (
+  SELECT event_type, max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN value END) AS median
+  FROM ranked GROUP BY event_type
+), dev AS (
+  SELECT e.event_type, e.event_id,
+         abs(CAST(e.value AS DECIMAL(28,10)) - CAST(m.median AS DECIMAL(28,10))) AS adev
+  FROM events e JOIN med m ON m.event_type = e.event_type
+  WHERE e.value IS NOT NULL
+), ranked2 AS (
+  SELECT event_type, adev,
+         row_number() OVER (PARTITION BY event_type ORDER BY adev ASC, event_id ASC) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM dev
+)
+SELECT event_type,
+       CAST(CAST(max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN adev END)
+            AS VARCHAR) AS DOUBLE) AS mad
+FROM ranked2 GROUP BY event_type
+""",
+)
+def q_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per event type — the robust scale
+    estimator next to q_winsorize's robust location. Both medians use
+    the DISCRETE construction (row_number + conditional max, identical
+    row both engines; interpolated medians are rounded quotients —
+    the banned midpoint class), deviations are exact decimals, and the
+    per-group median table broadcasts back onto the fact scan."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    w = Window.partitionBy("event_type").orderBy(F.col("value").asc(), F.col("event_id").asc())
+    wn = Window.partitionBy("event_type")
+    ranked = e.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    med = ranked.groupBy("event_type").agg(
+        F.max(
+            F.when(F.col("rn") == F.ceil(0.5 * F.col("n")).cast("long"), F.col("value"))
+        ).alias("median")
+    )
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "event_id",
+        F.abs(F.col("value").cast(DEC) - F.col("median").cast(DEC)).alias("adev"),
+    )
+    w2 = Window.partitionBy("event_type").orderBy(F.col("adev").asc(), F.col("event_id").asc())
+    ranked2 = dev.select(
+        "event_type",
+        "adev",
+        F.row_number().over(w2).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    return ranked2.groupBy("event_type").agg(
+        F.max(F.when(F.col("rn") == F.ceil(0.5 * F.col("n")).cast("long"), F.col("adev")))
+        .cast("double")
+        .alias("mad")
+    )
