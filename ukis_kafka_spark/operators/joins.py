@@ -1204,3 +1204,237 @@ def q_sql_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("numcust"),
         F.sum(F.col("c_acctbal").cast(DEC)).cast("double").alias("totacctbal"),
     )
+
+
+@query(
+    "q_sql_q2",
+    oracle="""
+WITH eu_supp AS (
+  SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+  FROM supplier s
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  WHERE r.r_name = 'EUROPE'
+),
+cost AS (
+  SELECT l.l_partkey AS pk, l.l_suppkey AS sk,
+         SUM(CAST(l.l_extendedprice AS DECIMAL(28,10))) AS supply_value
+  FROM lineitem l JOIN eu_supp s ON s.s_suppkey = l.l_suppkey
+  GROUP BY l.l_partkey, l.l_suppkey
+),
+best AS (
+  SELECT pk, sk, supply_value,
+         row_number() OVER (PARTITION BY pk ORDER BY supply_value ASC, sk ASC) AS rk
+  FROM cost
+)
+SELECT p.p_partkey, p.p_brand, s.s_name, s.n_name,
+       CAST(CAST(b.supply_value AS VARCHAR) AS DOUBLE) AS supply_value
+FROM best b
+JOIN part p ON p.p_partkey = b.pk AND p.p_size = 5
+JOIN eu_supp s ON s.s_suppkey = b.sk
+WHERE b.rk = 1
+""",
+)
+def q_sql_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-style minimum-cost supplier per part within a region.
+    Adaptation: no partsupp table, so a supplier's cost for a part is
+    its total shipped value from lineitem (exact DECIMAL — the min is
+    then engine-independent, with supplier-id tiebreak). The
+    correlated MIN subquery of the original decorrelates into a
+    per-part window rank over the region-filtered supply table —
+    one shuffle by part, rank pruned before any join back."""
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_size") == 5)
+    eu = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    cost = (
+        l.join(F.broadcast(eu), l.l_suppkey == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk"))
+        .agg(F.sum(F.col("l_extendedprice").cast(DEC)).alias("supply_value"))
+    )
+    w = Window.partitionBy("pk").orderBy(F.col("supply_value").asc(), F.col("sk").asc())
+    best = cost.withColumn("rk", F.row_number().over(w)).where(F.col("rk") == 1)
+    return (
+        best.join(F.broadcast(p), F.col("pk") == p.p_partkey)
+        .join(F.broadcast(eu), F.col("sk") == F.col("s_suppkey"))
+        .select(
+            "p_partkey",
+            "p_brand",
+            "s_name",
+            "n_name",
+            F.col("supply_value").cast("double").alias("supply_value"),
+        )
+    )
+
+
+@query(
+    "q_sql_q11",
+    oracle="""
+WITH value_by_part AS (
+  SELECT l.l_partkey AS pk,
+         SUM(CAST(l.l_extendedprice AS DECIMAL(28,10))) AS part_value
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  WHERE n.n_name = 'NATION_7'
+  GROUP BY l.l_partkey
+), total AS (
+  SELECT SUM(CAST(part_value AS DECIMAL(38,10))) AS t, COUNT(*) AS n FROM value_by_part
+)
+SELECT pk AS p_partkey,
+       CAST(CAST(part_value AS VARCHAR) AS DOUBLE) AS part_value
+FROM value_by_part, total
+WHERE CAST(part_value AS DECIMAL(38,10)) * n * 2 > t * 3
+""",
+)
+def q_sql_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-style important-stock identification: parts whose
+    value from one nation's suppliers exceeds 1.5x the mean part value
+    for that nation (the original's fixed 0.0001 fraction is retuned
+    to this corpus's near-uniform value distribution — and to scale:
+    a mean-relative threshold stays selective at every SF).
+    Adaptations: value = shipped extendedprice from lineitem (no
+    partsupp); nations here are NATION_0..24. The global total is a
+    broadcast 1-row aggregate and the threshold is cross-multiplied in
+    exact DECIMAL (value*n*2 > total*3) — the fraction form would be a
+    hash-unsafe double quotient."""
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_7")
+    vbp = (
+        l.join(F.broadcast(s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)),
+               l.l_suppkey == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").alias("pk"))
+        .agg(F.sum(F.col("l_extendedprice").cast(DEC)).alias("part_value"))
+    )
+    total = vbp.agg(
+        F.sum(F.col("part_value").cast("decimal(38,10)")).alias("t"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        vbp.join(F.broadcast(total))
+        .where(F.col("part_value").cast("decimal(38,10)") * F.col("n") * 2 > F.col("t") * 3)
+        .select(
+            F.col("pk").alias("p_partkey"),
+            F.col("part_value").cast("double").alias("part_value"),
+        )
+    )
+
+
+@query(
+    "q_sql_q12",
+    oracle="""
+SELECT l.l_linestatus,
+       COUNT(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 END) AS high_line_count,
+       COUNT(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 END) AS low_line_count
+FROM orders o
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l.l_linestatus
+""",
+)
+def q_sql_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-style shipping-priority split: one fact⋈fact join,
+    a date window pushed to the lineitem scan, and the classic
+    conditional-count pair (COUNT(CASE...) — not SUM(CASE), which
+    DuckDB widens to HUGEINT and hash-mismatches BIGINT). Adaptation:
+    the corpus has no l_shipmode/receipt dates, so the dichotomy is
+    order priority grouped by linestatus."""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(l, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.count(F.when(high, F.lit(1))).alias("high_line_count"),
+            F.count(F.when(~high, F.lit(1))).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q_sql_q16",
+    oracle="""
+SELECT p.p_brand, p.p_size, count(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#1' AND p.p_size IN (1, 4, 7)
+GROUP BY p.p_brand, p.p_size
+""",
+)
+def q_sql_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-style parts/supplier relationship count. Adaptation:
+    the part-supplier relation is the DISTINCT (partkey, suppkey)
+    pairs observed in lineitem (no partsupp table). The distinct
+    collapses before the dim join, and COUNT(DISTINCT suppkey) runs
+    per (brand, size) — the two-level distinct the original tests."""
+    l = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    p = load_table(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(1, 4, 7)
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q_sql_q20",
+    oracle="""
+WITH part_total AS (
+  SELECT l_partkey AS pk, SUM(CAST(l_quantity AS DECIMAL(28,10))) AS total_qty
+  FROM lineitem GROUP BY l_partkey
+),
+supp_part AS (
+  SELECT l_suppkey AS sk, l_partkey AS pk, SUM(CAST(l_quantity AS DECIMAL(28,10))) AS supp_qty
+  FROM lineitem GROUP BY l_suppkey, l_partkey
+)
+SELECT s.s_suppkey, s.s_name, count(*) AS n_dominated_parts
+FROM supp_part sp
+JOIN part_total pt ON pt.pk = sp.pk
+JOIN supplier s ON s.s_suppkey = sp.sk
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE n.n_name = 'NATION_3'
+  AND CAST(sp.supp_qty AS DECIMAL(38,10)) * 8 > pt.total_qty
+GROUP BY s.s_suppkey, s.s_name
+""",
+)
+def q_sql_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-style excess-share suppliers: one nation's suppliers
+    that shipped more than 1/8 of some part's total quantity, counted
+    per supplier. Adaptations: availability = shipped quantity (no
+    partsupp.availqty), nations are NATION_0..24, and the share
+    threshold is retuned to this corpus's supplier fan-out (~100
+    suppliers/part makes the original 50% vacuous); the share is
+    cross-multiplied in exact DECIMAL. Plan: two aggregates over the same scan join on partkey
+    (co-partitioned — one shuffle each, the join itself reuses the
+    partitioning), dims broadcast."""
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_3")
+    pt = l.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(F.col("l_quantity").cast(DEC)).alias("total_qty")
+    )
+    sp = l.groupBy(F.col("l_suppkey").alias("sk"), F.col("l_partkey").alias("pk")).agg(
+        F.sum(F.col("l_quantity").cast(DEC)).alias("supp_qty")
+    )
+    fr = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+    return (
+        sp.join(pt, "pk")
+        .join(F.broadcast(fr), F.col("sk") == F.col("s_suppkey"))
+        .where(F.col("supp_qty").cast("decimal(38,10)") * 8 > F.col("total_qty"))
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("n_dominated_parts"))
+    )
