@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf, udf
 
+from ..functions.hashsafe import DEC
 from ..registry import query
 from ..sources import load_table
 
@@ -170,3 +171,43 @@ def u_pandas_iter_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     polynomial is exact double arithmetic (no rounding rules needed)."""
     o = load_table(spark, sf_dir, "orders")
     return o.select("o_orderkey", _iter_taxed()(F.col("o_totalprice")).alias("scored"))
+
+
+@query(
+    "u_mapinarrow",
+    oracle="""
+SELECT event_type,
+       count(*) AS n,
+       CAST(CAST(SUM(CAST(round(value * 1.5 + 10.0, 6) AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS adj_sum
+FROM events
+GROUP BY event_type
+""",
+)
+def u_mapinarrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow (Spark 4): the lowest-overhead Python boundary —
+    RecordBatches in, RecordBatches out, no pandas materialization.
+    Completes the UDF surface next to row-UDF / pandas_udf /
+    iterator-pandas / grouped-agg / UDTF. The batch kernel applies a
+    vectorized per-row adjustment (pyarrow.compute — per-element IEEE
+    ops, engine-deterministic, 6 dp-rounded before the decimal sum per
+    the transcendental rule); the aggregate stays JVM-side."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    e = load_table(spark, sf_dir, "events").select("event_type", "value")
+
+    def adjust(batches):
+        for batch in batches:
+            adj = pc.round(
+                pc.add(pc.multiply(batch.column(1), pa.scalar(1.5)), pa.scalar(10.0)),
+                ndigits=6,
+            )
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0), adj], ["event_type", "adj"]
+            )
+
+    out = e.mapInArrow(adjust, "event_type string, adj double")
+    return out.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("adj").cast(DEC)).cast("double").alias("adj_sum"),
+    )

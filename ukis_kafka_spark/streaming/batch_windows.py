@@ -114,3 +114,38 @@ def q_session_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@query(
+    "q_rollup_time",
+    oracle="""
+SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_start,
+       CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start,
+       count(*) AS n,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS value_sum
+FROM events
+GROUP BY ROLLUP (date_trunc('day', ts), date_trunc('hour', ts))
+""",
+)
+def q_rollup_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style time rollup: one pass emits hour-level rows,
+    their day-level superaggregates, and the grand total (GROUP BY
+    ROLLUP over two truncation granularities) — the batch form of a
+    continuous aggregate, where coarser levels are maintained from the
+    same scan rather than re-aggregated later. Bucket identity is the
+    epoch of the truncated timestamp (never a raw ts — the ns/µs
+    emission rule); day level rolls up exactly 24 hour buckets, so at
+    100 TB this replaces 3 separate jobs with one Expand + aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.select(
+            F.unix_timestamp(F.date_trunc("day", "ts")).alias("day_start"),
+            F.unix_timestamp(F.date_trunc("hour", "ts")).alias("hour_start"),
+            "value",
+        )
+        .rollup("day_start", "hour_start")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("value_sum"),
+        )
+    )

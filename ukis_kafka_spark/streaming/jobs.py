@@ -706,3 +706,49 @@ def s_slide_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         return run_to_memory(agg, work, mode="append").localCheckpoint()
 
     return _with_scratch(go)
+
+
+@query(
+    "s_archive_sink",
+    oracle="""
+SELECT event_type, count(*) AS n, count(DISTINCT event_id) AS n_ids
+FROM events
+GROUP BY event_type
+""",
+)
+def s_archive_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming filesystem archiver (the R8 consumer as a REAL
+    streaming job, not a batch twin): the replayed event stream writes
+    straight to a parquet directory partitioned by event_type via the
+    native file sink — exactly-once through the sink's commit log, no
+    foreachBatch. The emitted result re-reads the archive and
+    aggregates it; equality with the batch oracle proves the archive
+    is complete and duplicate-free, and the count(DISTINCT) guards
+    against double-committed files. At scale this is the
+    Kafka->data-lake landing job; partitionBy gives the layer/date
+    layout the reference's filesystem consumer writes."""
+
+    def go(work: str) -> DataFrame:
+        stream = replay_events_as_stream(spark, sf_dir, work, n_chunks=4)
+        target = os.path.join(work, "archive")
+        q = (
+            stream.select("event_id", "event_type", "value")
+            .writeStream.format("parquet")
+            .option("path", target)
+            .option("checkpointLocation", os.path.join(work, "ckpt_archive"))
+            .partitionBy("event_type")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return (
+            spark.read.parquet(target)
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.count_distinct("event_id").alias("n_ids"),
+            )
+            .localCheckpoint()
+        )
+
+    return _with_scratch(go)
