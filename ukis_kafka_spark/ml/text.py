@@ -978,3 +978,43 @@ def m_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+@query(
+    "m_text_normalize",
+    oracle="""
+WITH norm AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                             ' +', ' ', 'g')) AS clean
+  FROM documents
+)
+SELECT doc_id,
+       length(clean) AS n_chars_clean,
+       length(clean) - length(replace(clean, ' ', '')) + 1 AS n_tokens_clean,
+       substring(clean, 1, 40) AS preview
+FROM norm
+WHERE doc_id < 100
+""",
+)
+def m_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text normalization — the first cleaning stage of a training
+    pipeline: lowercase, strip non-alphanumerics, collapse runs of
+    whitespace, trim. All JVM regexp_replace (no UDF; the corpus is
+    ASCII so lower() agrees across engines — full Unicode NFC/casefold
+    would be the documented Python-boundary exception). Emits
+    deterministic post-clean stats + a preview slice per document."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    clean = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""), " +", " "
+        )
+    )
+    return d.select(
+        "doc_id",
+        F.length(clean).alias("n_chars_clean"),
+        (F.length(clean) - F.length(F.regexp_replace(clean, " ", "")) + 1).alias(
+            "n_tokens_clean"
+        ),
+        F.substring(clean, 1, 40).alias("preview"),
+    )

@@ -1438,3 +1438,111 @@ def q_sql_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_suppkey", "s_name")
         .agg(F.count(F.lit(1)).alias("n_dominated_parts"))
     )
+
+
+@query(
+    "q_sql_q21",
+    oracle="""
+WITH flags AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+         max(CASE WHEN epoch(l.l_shipdate) - epoch(o.o_orderdate) > 31536000
+                  THEN 1 ELSE 0 END) AS was_late
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  GROUP BY l.l_orderkey, l.l_suppkey
+), per_order AS (
+  SELECT l_orderkey, count(*) AS n_supp, sum(was_late) AS n_late
+  FROM flags GROUP BY l_orderkey
+)
+SELECT s.s_suppkey, s.s_name, count(*) AS numwait
+FROM flags f
+JOIN per_order p ON p.l_orderkey = f.l_orderkey
+JOIN supplier s ON s.s_suppkey = f.l_suppkey
+WHERE f.was_late = 1 AND p.n_supp > 1 AND p.n_late = 1
+GROUP BY s.s_suppkey, s.s_name
+""",
+)
+def q_sql_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-style suppliers-who-kept-orders-waiting: per supplier,
+    the multi-supplier orders where that supplier was the ONLY late
+    one. The original's EXISTS / NOT EXISTS pair over other suppliers'
+    lines decorrelates into per-(order, supplier) lateness flags plus
+    one per-order rollup — the exists conditions become n_supp > 1 AND
+    n_late = 1, evaluated once per order instead of per candidate
+    pair. Adaptation: no commit/receipt dates exist, so \"late\" is
+    shipped more than a year after the order date (this corpus's
+    ship/order dates are uncorrelated; one year sits near the upper
+    quartile of the lag distribution)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    late = (
+        F.unix_timestamp("l_shipdate") - F.unix_timestamp("o_orderdate") > 31536000
+    ).cast("int")
+    flags = (
+        l.join(o, o.o_orderkey == l.l_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late).alias("was_late"))
+    )
+    per_order = flags.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"), F.sum("was_late").alias("n_late")
+    )
+    return (
+        flags.join(per_order, "l_orderkey")
+        .where((F.col("was_late") == 1) & (F.col("n_supp") > 1) & (F.col("n_late") == 1))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+@query(
+    "q_date_spine",
+    oracle="""
+WITH bounds AS (
+  SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi FROM events
+), spine AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM bounds
+), actual AS (
+  SELECT date_trunc('hour', ts) AS h, count(*) AS n FROM events
+  WHERE event_type = 'purchase' GROUP BY 1
+)
+SELECT CAST(epoch(s.h) AS BIGINT) AS hour_start,
+       COALESCE(a.n, 0) AS n
+FROM spine s LEFT JOIN actual a ON a.h = s.h
+ORDER BY COALESCE(a.n, 0) ASC, hour_start ASC
+LIMIT 10
+""",
+)
+def q_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-spine sparse-hour detection: generate the full hourly
+    spine between the corpus bounds (sequence + explode — rows that
+    DON'T exist in the data), left-join the actual per-hour purchase
+    counts, and rank the 10 quietest hours with zero-count hours
+    included. The missing-bucket problem is invisible to plain GROUP
+    BY (absent groups produce no row); a spine join is the standard
+    fix for gap-aware monitoring/imputation, and bottom-k keeps the
+    result scale-invariant (a fixed emptiness threshold is vacuous as
+    density grows with SF). The spine builds from a 1-row bounds
+    aggregate — no driver-side date loop."""
+    e = load_table(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("h")
+    )
+    actual = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        spine.join(actual, "h", "left")
+        .select(
+            F.unix_timestamp("h").alias("hour_start"),
+            F.coalesce("n", F.lit(0)).alias("n"),
+        )
+        .orderBy(F.col("n").asc(), F.col("hour_start").asc())
+        .limit(10)
+    )

@@ -232,3 +232,42 @@ def src_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("min_id"),
         )
     )
+
+
+@query(
+    "src_text_lines",
+    oracle="""
+SELECT event_type, count(*) AS n, min(event_id) AS min_id, max(event_id) AS max_id
+FROM events
+GROUP BY event_type
+""",
+)
+def src_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw text-line source: the same JSONL corpus read as
+    spark.read.text (one string column per line — the entry point for
+    any line-oriented custom format), fields then pulled JVM-side with
+    get_json_object. Covers the text source + in-plan JSON path
+    extraction combination; ids are exact integers so the aggregate
+    needs no decimal route."""
+
+    def build(into: str) -> None:
+        (
+            load_table(spark, sf_dir, "events")
+            .select("event_id", "user_id", "event_type", "value")
+            .write.mode("overwrite")
+            .json(os.path.join(into, "jsonl"))
+        )
+
+    src = os.path.join(
+        _cache_publish(build, ("jsonl", 2, _table_fingerprint(sf_dir))), "jsonl"
+    )
+    lines = spark.read.text(src)
+    parsed = lines.select(
+        F.get_json_object("value", "$.event_id").cast("long").alias("event_id"),
+        F.get_json_object("value", "$.event_type").alias("event_type"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+    )
