@@ -262,3 +262,39 @@ def test_salted_graph_join_shape_and_identity(spark):
     )
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "salt" in plan and "pmod" in plan.lower()
+
+
+def test_unpivot_is_single_expand_not_union(spark):
+    """q_unpivot must plan as one Expand over one scan — the UNION ALL
+    formulation its oracle spells out would scan lineitem once per
+    measure column."""
+    import re
+
+    plan = _formatted_plan(spark, "q_unpivot")
+    # formatted mode lists each node twice (tree + detail); count detail headers
+    assert len(re.findall(r"^\(\d+\) Expand", plan, re.M)) == 1
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1
+
+
+def test_rollup_time_is_single_scan(spark):
+    """The hypertable-style rollup must maintain all three granularity
+    levels from ONE scan (Expand), not one aggregate job per level."""
+    import re
+
+    plan = _formatted_plan(spark, "q_rollup_time")
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1
+    assert "Expand" in plan
+
+
+def test_q16_distinct_collapses_before_dim_join(spark):
+    """q_sql_q16's (partkey, suppkey) distinct must run before the part
+    join — joining 6M raw lines against the dim and deduping after
+    would shuffle the whole fact table with its payload."""
+    import re
+
+    plan = _formatted_plan(spark, "q_sql_q16")
+    # detail headers are numbered in bottom-up execution order: the
+    # distinct's aggregate must carry a lower number than the dim join
+    aggs = [int(m) for m in re.findall(r"^\((\d+)\) HashAggregate", plan, re.M)]
+    joins = [int(m) for m in re.findall(r"^\((\d+)\) BroadcastHashJoin", plan, re.M)]
+    assert aggs and joins and min(aggs) < min(joins), "distinct did not collapse pre-join"

@@ -59,7 +59,7 @@ _PRIORITY = [
     # round-4 additions land here, inside the 50-entry window
     "g_reproject_epsg",
     "q_sql_q9", "q_sql_q13", "q_sql_q15", "q_sql_q17", "q_sql_q22",
-    "q_unpivot", "q_mad", "m_source_mixture", "m_overlap_matrix",
+    "q_mad", "m_source_mixture", "m_overlap_matrix",
     "q_sql_q2", "q_sql_q11", "q_sql_q12", "q_sql_q16", "q_sql_q20",
     "u_mapinarrow", "q_rollup_time", "s_archive_sink",
     "q_sql_q21", "q_date_spine", "m_text_normalize", "src_text_lines",

@@ -810,42 +810,6 @@ def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q_unpivot",
-    oracle="""
-SELECT metric,
-       COUNT(*) AS n,
-       CAST(CAST(SUM(CAST(val AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS total
-FROM (
-  SELECT 'quantity' AS metric, l_quantity AS val FROM lineitem
-  UNION ALL SELECT 'extendedprice', l_extendedprice FROM lineitem
-  UNION ALL SELECT 'discount', l_discount FROM lineitem
-  UNION ALL SELECT 'tax', l_tax FROM lineitem
-)
-GROUP BY metric
-""",
-)
-def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Relational UNPIVOT (melt): four measure columns become
-    (metric, val) rows, then one aggregate per metric — the inverse
-    reshape of q_pivot. Spark's unpivot is a single Expand node (each
-    input row emits 4 output rows in the same task: one scan, no
-    self-union, no shuffle before the aggregate), which is the plan
-    the UNION ALL oracle spells out semantically but NOT physically —
-    the oracle scans lineitem four times, the Spark plan once."""
-    l = load_table(spark, sf_dir, "lineitem")
-    melted = l.unpivot(
-        ids=[],
-        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
-        variableColumnName="metric",
-        valueColumnName="val",
-    ).withColumn("metric", F.expr("substring(metric, 3)"))
-    return melted.groupBy("metric").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("val").cast(DEC)).cast("double").alias("total"),
-    )
-
-
-@query(
     "q_mad",
     oracle="""
 WITH ranked AS (

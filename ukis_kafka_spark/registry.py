@@ -93,6 +93,10 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 
         wrapped.__name__ = fn.__name__
         wrapped.__doc__ = fn.__doc__
+        if name in QUERIES:
+            # a silent overwrite once masked a new operator behind an
+            # old one of the same name (q_unpivot, round 4) — fail loud
+            raise ValueError(f"duplicate query registration: {name}")
         QUERIES[name] = wrapped
         if oracle is not None:
             ORACLE[name] = oracle
