@@ -66,29 +66,41 @@ def envelope_raw_stream(
     )
 
 
-def decode_feature_stream(raw: DataFrame) -> DataFrame:
+def decode_feature_stream(raw: DataFrame, include_geom: bool = True) -> DataFrame:
     """msgpack feature envelopes (``value binary``) → decoded feature
     rows (layer, srid, geom_type, wkb, props_json). Shared by the Kafka
-    and file-twin sources — the decode is source-agnostic."""
+    and file-twin sources — the decode is source-agnostic.
+
+    ``include_geom=False`` prunes the wkb payload INSIDE the kernel for
+    consumers that only read properties (the geometry is still decoded
+    as an integrity check, it just never crosses the Arrow boundary).
+    At this corpus's ~21-byte point WKBs the saving is noise — the
+    per-row msgpack decode dominates — but payload-heavy geometries
+    (polygons, multipart) are exactly what a property-only consumer
+    should not ship."""
     from .envelope import read_envelope
     from ..spatial.wkb import decode_wkb
 
+    cols = ["layer", "srid", "geom_type"] + (["wkb"] if include_geom else []) + ["props_json"]
+
     def decode(iter_pdf):
         for pdf in iter_pdf:
-            out = {"layer": [], "srid": [], "geom_type": [], "wkb": [], "props_json": []}
+            out = {c: [] for c in cols}
             for buf in pdf["value"]:
                 env = read_envelope(bytes(buf))
                 gtype, _ = decode_wkb(env["geom"])
                 out["layer"].append(env["meta"]["layer"])
                 out["srid"].append(env["meta"].get("srid", 4326))
                 out["geom_type"].append(gtype)
-                out["wkb"].append(env["geom"])
+                if include_geom:
+                    out["wkb"].append(env["geom"])
                 out["props_json"].append(json.dumps(env["props"], sort_keys=True))
             yield pd.DataFrame(out)
 
-    return raw.mapInPandas(
-        decode, "layer string, srid int, geom_type string, wkb binary, props_json string"
+    schema = ", ".join(
+        f"{c} {'binary' if c == 'wkb' else 'int' if c == 'srid' else 'string'}" for c in cols
     )
+    return raw.mapInPandas(decode, schema)
 
 
 def kafka_feature_stream(

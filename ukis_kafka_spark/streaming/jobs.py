@@ -388,7 +388,7 @@ def src_kafka_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
             _cache_publish(build_wire, ("wire", 2, _table_fingerprint(sf_dir))), "wire"
         )
         stream = envelope_raw_stream(spark, wire_dir=src)
-        feats = decode_feature_stream(stream)
+        feats = decode_feature_stream(stream, include_geom=False)
         # event fields ride in props_json; extraction is JVM-side
         # (from_json round-trips json.dumps exactly for long/str/double)
         decoded = feats.select(
