@@ -63,6 +63,7 @@ _PRIORITY = [
     "q_sql_q2", "q_sql_q11", "q_sql_q12", "q_sql_q16", "q_sql_q20",
     "u_mapinarrow", "q_rollup_time", "s_archive_sink",
     "q_sql_q21", "q_date_spine", "m_text_normalize", "src_text_lines",
+    "m_kmeans_step",
     # ---- 50-entry window boundary is enforced by position, the
     # ---- remainder keeps round-3's order for stable bench diffs
     "q_agg_collect",

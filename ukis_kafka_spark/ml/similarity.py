@@ -629,3 +629,106 @@ def m_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.abs("centroid_micro")).alias("l1_micro"),
         F.max(F.abs("centroid_micro")).alias("linf_micro"),
     )
+
+
+_KM_K = 4
+_KM_ROUNDS = 2
+_KM_OFF = 1_000_000  # micro-unit offset: keeps quantized values positive
+
+
+def _km_oracle() -> str:
+    parts = [
+        f"""
+WITH q AS (
+  SELECT vec_id, d,
+         CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT) + {_KM_OFF} AS v
+  FROM (
+    SELECT vec_id, generate_subscripts(embedding, 1) AS d, unnest(embedding) AS x
+    FROM embeddings
+  )
+),
+c0 AS (SELECT vec_id AS cluster, d, v AS c FROM q WHERE vec_id < {_KM_K})"""
+    ]
+    for r in range(_KM_ROUNDS):
+        parts.append(
+            f""",
+dist{r} AS (
+  SELECT q.vec_id, c.cluster, SUM((q.v - c.c) * (q.v - c.c)) AS dist
+  FROM q JOIN c{r} c USING (d)
+  GROUP BY q.vec_id, c.cluster
+),
+assign{r} AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cluster ASC) AS rn
+    FROM dist{r}
+  ) WHERE rn = 1
+),
+c{r + 1} AS (
+  SELECT a.cluster, q.d, SUM(q.v) // COUNT(*) AS c
+  FROM assign{r} a JOIN q ON q.vec_id = a.vec_id
+  GROUP BY a.cluster, q.d
+)"""
+        )
+    last = _KM_ROUNDS - 1
+    parts.append(
+        f"""
+SELECT a.cluster, count(DISTINCT a.vec_id) AS n,
+       (SELECT CAST(SUM(c) AS BIGINT) FROM c{_KM_ROUNDS} cc WHERE cc.cluster = a.cluster) AS centroid_mass
+FROM assign{last} a
+GROUP BY a.cluster"""
+    )
+    return "".join(parts)
+
+
+@query("m_kmeans_step", oracle=_km_oracle())
+def m_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two rounds of k-means (k=4) over the embedding corpus, entirely
+    in fixed-point integer arithmetic — the classic embedding
+    clustering step (the production form of m_ann_ivf's centroid fit),
+    hash-checked end to end like m_graph_pagerank: quantized
+    coordinates (floor(x*1e6), exact — a float32 times 1e6 fits a
+    double mantissa — plus a positive offset so integer division
+    truncates identically in both engines), integer squared distances,
+    argmin with cluster-id tiebreak, and integer-mean centroid
+    updates. Dataflow per round: one broadcast join of the exploded
+    (vec, dim) table against the K×D centroid table + two hash
+    aggregates — the standard Lloyd's-as-joins shape that scales
+    linearly; no per-row Python."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(
+                "embedding",
+                lambda x: (F.floor(x.cast("double") * 1_000_000)).cast("long") + _KM_OFF,
+            )
+        ).alias("d0", "v"),
+    ).select("vec_id", (F.col("d0") + 1).alias("d"), "v")
+    cent = q.where(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("cluster"), "d", F.col("v").alias("c")
+    )
+    assign = None
+    for _ in range(_KM_ROUNDS):
+        dist = (
+            q.join(F.broadcast(cent), "d")
+            .groupBy("vec_id", "cluster")
+            .agg(F.sum((F.col("v") - F.col("c")) * (F.col("v") - F.col("c"))).alias("dist"))
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.col("dist").asc(), F.col("cluster").asc())
+        assign = (
+            dist.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+            .select("vec_id", "cluster")
+        )
+        cent = (
+            assign.join(q, "vec_id")
+            .groupBy("cluster", "d")
+            .agg(F.expr("sum(v) div count(1)").alias("c"))
+        )
+    mass = cent.groupBy("cluster").agg(F.sum("c").alias("centroid_mass"))
+    return (
+        assign.groupBy("cluster")
+        .agg(F.count_distinct("vec_id").alias("n"))
+        .join(mass, "cluster")
+        .select("cluster", "n", "centroid_mass")
+    )
