@@ -1018,3 +1018,58 @@ def m_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.substring(clean, 1, 40).alias("preview"),
     )
+
+
+@query(
+    "m_curation_pipeline",
+    oracle="""
+WITH scored AS (
+  SELECT doc_id, lang, text,
+         len(string_split(text, ' ')) AS n_tokens,
+         len(list_filter(string_split(text, ' '),
+             t -> t IN ('spark', 'join', 'filter', 'window'))) AS stop_hits
+  FROM documents
+), gated AS (
+  SELECT * FROM scored
+  WHERE n_tokens >= 10 AND stop_hits * 25 >= n_tokens
+), survivors AS (
+  SELECT min(doc_id) AS keep_id, min(lang) AS lang, min(n_tokens) AS n_tokens
+  FROM gated GROUP BY text
+)
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens_total
+FROM survivors
+GROUP BY lang
+""",
+)
+def m_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation funnel as ONE declarative query — quality gate
+    (length floor + stopword-density floor, cross-multiplied so no
+    ratio touches a float) → exact dedup (min-id survivor per text) →
+    per-language corpus stats. This is examples/pipeline_demo.py's
+    spine compiled into a single Catalyst plan: one scan, the gate
+    pushed below the dedup shuffle, one aggregate pair — at 100 TB the
+    whole funnel is one job instead of three materialized stages.
+    (Near-dup and decontamination stages stay separate operators:
+    their bucketed joins want their own shuffle keys.)"""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    stop_hits = F.size(
+        F.filter(toks, lambda t: t.isin("spark", "join", "filter", "window"))
+    )
+    scored = d.select(
+        "doc_id", "lang", "text", F.size(toks).alias("n_tokens"), stop_hits.alias("stop_hits")
+    )
+    gated = scored.where(
+        (F.col("n_tokens") >= 10) & (F.col("stop_hits") * 25 >= F.col("n_tokens"))
+    )
+    survivors = gated.groupBy("text").agg(
+        F.min("doc_id").alias("keep_id"),
+        F.min("lang").alias("lang"),
+        F.min("n_tokens").alias("n_tokens"),
+    )
+    return survivors.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens_total"),
+    )

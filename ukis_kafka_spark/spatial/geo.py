@@ -570,3 +570,34 @@ def g_track_length(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_hops"),
         F.sum(F.col("hop_km").cast("decimal(28,10)")).cast("double").alias("track_km"),
     )
+
+
+@query(
+    "g_bearing",
+    oracle=f"""
+SELECT event_id,
+       round(degrees(atan2(
+         sin(radians(13.405 - {_LON})) * cos(radians(52.52)),
+         cos(radians({_LAT})) * sin(radians(52.52))
+           - sin(radians({_LAT})) * cos(radians(52.52)) * cos(radians(13.405 - {_LON}))
+       )), 4) + 0.0 AS bearing_deg
+FROM events
+WHERE event_type = 'purchase'
+""",
+)
+def g_bearing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Initial great-circle bearing from each point toward Berlin —
+    the directional companion to g_haversine (together they give the
+    vector a routing/anisotropy analysis needs). Pure column math,
+    4 dp grid + (-0.0 collapse) per the transcendental rule; identical
+    literal structure mirrored in the oracle."""
+    e = load_table(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    dlon = F.radians(F.lit(13.405) - _lon())
+    lat1 = F.radians(_lat())
+    lat2 = F.radians(F.lit(52.52))
+    y = F.sin(dlon) * F.cos(lat2)
+    x = F.cos(lat1) * F.sin(lat2) - F.sin(lat1) * F.cos(lat2) * F.cos(dlon)
+    return e.select(
+        "event_id",
+        (F.round(F.degrees(F.atan2(y, x)), 4) + F.lit(0.0)).alias("bearing_deg"),
+    )
