@@ -65,7 +65,7 @@ _PRIORITY = [
     "q_sql_q21", "q_date_spine", "m_text_normalize", "src_text_lines",
     "m_kmeans_step",
     # below overflow the 50-slot round-4 window; they lead the r5 queue
-    "m_curation_pipeline", "g_bearing",
+    "m_curation_pipeline", "g_bearing", "q_join_asof_fwd", "m_hard_negatives",
     # ---- 50-entry window boundary is enforced by position, the
     # ---- remainder keeps round-3's order for stable bench diffs
     "q_agg_collect",

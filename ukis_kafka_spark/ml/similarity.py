@@ -732,3 +732,79 @@ def m_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(mass, "cluster")
         .select("cluster", "n", "centroid_mass")
     )
+
+
+@query(
+    "m_hard_negatives",
+    oracle=f"""
+SELECT qid, vec_id AS neg_id, label AS neg_label, cos_sim FROM (
+  SELECT a.vec_id AS qid, b.vec_id, b.label,
+         round({_ORACLE_DOT} / ({_ORACLE_NORM_A} * {_ORACLE_NORM_B}), 6) AS cos_sim,
+         row_number() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY round({_ORACLE_DOT} / ({_ORACLE_NORM_A} * {_ORACLE_NORM_B}), 6) DESC,
+                    b.vec_id ASC) AS rn
+  FROM embeddings a
+  JOIN embeddings b ON b.vec_id <> a.vec_id AND b.label <> a.label
+  WHERE a.vec_id < 20
+)
+WHERE rn <= 3
+""",
+)
+def m_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    vector (first 20), the 3 most-similar corpus vectors with a
+    DIFFERENT label — the negatives that actually teach a retriever.
+    Same blocked dataflow as m_knn_label (broadcast query block, one
+    GEMM per Arrow batch, in-kernel top-k pruning with a one-grid-step
+    tie margin), with the label inequality applied inside the kernel
+    so excluded candidates never leave Python. Global rank over the
+    6 dp-rounded cosine + id tiebreak keeps both engines selecting
+    identical rows."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q_rows = e.where(F.col("vec_id") < 20).select("vec_id", "label", "embedding").collect()
+    qids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+    qlabels = np.array([r["label"] for r in q_rows], dtype=np.int64)
+    Q = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in q_rows])
+    bc = e.sparkSession.sparkContext.broadcast((qids, qlabels, Q))
+
+    def topk(batches):
+        qi, ql, Qm = bc.value
+        qn = np.sqrt((Qm * Qm).sum(axis=1))
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = np.stack(pdf.embedding.to_numpy()).astype(np.float64)
+            ids = pdf.vec_id.to_numpy()
+            labels = pdf.label.to_numpy()
+            nrm = np.sqrt((M * M).sum(axis=1))
+            cos = (Qm @ M.T) / np.outer(qn, nrm)
+            out = {"qid": [], "vec_id": [], "label": [], "cos_sim": []}
+            for k in range(len(qi)):
+                valid = (ids != qi[k]) & (labels != ql[k])
+                cv, iv, lv = cos[k][valid], ids[valid], labels[valid]
+                if len(cv) > 3:
+                    kth = np.partition(cv, len(cv) - 3)[len(cv) - 3]
+                    m = cv >= kth - 1.1e-6  # one 6 dp grid step: keeps ties
+                    cv, iv, lv = cv[m], iv[m], lv[m]
+                out["qid"].append(np.full(len(cv), qi[k]))
+                out["vec_id"].append(iv)
+                out["label"].append(lv)
+                out["cos_sim"].append(cv)
+            yield pd.DataFrame({k: np.concatenate(v) for k, v in out.items()})
+
+    cand = e.select("vec_id", "label", "embedding").mapInPandas(
+        topk, "qid long, vec_id long, label int, cos_sim double"
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+    return (
+        cand.select("qid", "vec_id", "label", F.round("cos_sim", 6).alias("cos_sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select(
+            "qid",
+            F.col("vec_id").alias("neg_id"),
+            F.col("label").alias("neg_label"),
+            "cos_sim",
+        )
+    )

@@ -1546,3 +1546,43 @@ def q_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").asc(), F.col("hour_start").asc())
         .limit(10)
     )
+
+
+@query(
+    "q_join_asof_fwd",
+    oracle="""
+SELECT e.event_id, e.user_id, p.value AS next_purchase_value
+FROM events e
+ASOF JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+  ON e.user_id = p.user_id AND e.ts <= p.ts
+""",
+)
+def q_join_asof_fwd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: each event gets the value of the NEXT
+    (>= ts) purchase by the same user — the attribution twin of
+    q_join_asof's backward lookup (which touchpoint converted).
+    Identical scalable re-expression, mirrored: purchases ride the
+    event stream as markers and first(marker, ignorenulls) over the
+    FORWARD frame (currentRow..unboundedFollowing) picks the nearest
+    following one; probes sort before ts-equal markers so >= holds.
+    One shuffle by user, no events×purchases blow-up."""
+    e = load_table(spark, sf_dir, "events")
+    probe = e.select(
+        "event_id", "user_id", "ts",
+        F.lit(None).cast("double").alias("pval"), F.lit(1).alias("is_probe"),
+    )
+    marker = e.where(F.col("event_type") == "purchase").select(
+        F.lit(None).cast("long").alias("event_id"), "user_id", "ts",
+        F.col("value").alias("pval"), F.lit(0).alias("is_probe"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("is_probe").desc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    return (
+        probe.unionByName(marker)
+        .withColumn("next_purchase_value", F.first("pval", ignorenulls=True).over(w))
+        .where((F.col("is_probe") == 1) & F.col("next_purchase_value").isNotNull())
+        .select("event_id", "user_id", "next_purchase_value")
+    )
