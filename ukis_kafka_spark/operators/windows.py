@@ -320,3 +320,110 @@ def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt.alias("valid_to_id"),
         nxt.isNull().alias("is_current"),
     )
+
+
+@query(
+    "q_win_count_distinct",
+    oracle="""
+SELECT event_id, user_id, event_type,
+       CAST(count(DISTINCT event_type) OVER (
+           PARTITION BY user_id ORDER BY event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS n_types_so_far
+FROM events
+""",
+)
+def q_win_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT) over an ordered window — a frame Spark's
+    window exec does not support natively.  Re-expressed as
+    ``size(collect_set(...))`` over the running frame: collect_set
+    dedups inside the state, so the set size IS the distinct count and
+    ordering inside the set never matters.  State per row is bounded by
+    the event-type vocabulary (5 values), not the frame length, so the
+    running frame stays O(|vocab|) memory at any scale; one shuffle on
+    user_id."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.size(F.collect_set("event_type").over(w)).cast("bigint").alias("n_types_so_far"),
+    )
+
+
+@query(
+    "q_gaps_islands",
+    oracle="""
+WITH g AS (
+  SELECT user_id, event_type, event_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id)
+         - row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id) AS grp
+  FROM events
+)
+SELECT user_id, event_type,
+       min(event_id) AS island_start,
+       max(event_id) AS island_end,
+       count(*) AS island_len
+FROM g
+GROUP BY user_id, event_type, grp
+""",
+)
+def q_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: maximal runs of consecutive same-type events
+    per user via the classic difference-of-row-numbers island key
+    (monotone along event_id; constant within a run, distinct across
+    runs).  Two window specs share the user_id shuffle, then one
+    aggregate on (user_id, event_type, grp) — 2 shuffles total and no
+    self-join, the shape that survives a 100× corpus."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "event_id")
+    w_all = Window.partitionBy("user_id").orderBy("event_id")
+    w_typ = Window.partitionBy("user_id", "event_type").orderBy("event_id")
+    g = e.withColumn(
+        "grp", F.row_number().over(w_all) - F.row_number().over(w_typ)
+    )
+    return g.groupBy("user_id", "event_type", "grp").agg(
+        F.min("event_id").alias("island_start"),
+        F.max("event_id").alias("island_end"),
+        F.count(F.lit(1)).alias("island_len"),
+    ).drop("grp")
+
+
+@query(
+    "q_fill_forward",
+    oracle="""
+SELECT event_id, user_id,
+       (event_id % 7 = 0) AS was_gap,
+       last_value(CASE WHEN event_id % 7 <> 0 THEN value END IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS filled_value
+FROM events
+""",
+)
+def q_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill (LOCF gap repair): a deterministic mask knocks out
+    every 7th reading, then ``last(..., ignorenulls=True)`` over the
+    running frame carries the previous observation forward — the
+    standard sensor/telemetry repair step before feature extraction.
+    The filled value is a bit-identical pass-through of a parquet
+    double (no arithmetic), so it hash-matches across engines; a
+    user's leading masked rows stay NULL on both sides by the same
+    rule.  One shuffle on user_id; running state is one value."""
+    e = load_table(spark, sf_dir, "events")
+    masked = F.when(F.col("event_id") % 7 != 0, F.col("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        (F.col("event_id") % 7 == 0).alias("was_gap"),
+        F.last(masked, ignorenulls=True).over(w).alias("filled_value"),
+    )

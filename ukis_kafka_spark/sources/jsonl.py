@@ -271,3 +271,57 @@ def src_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("event_id").alias("min_id"),
         F.max("event_id").alias("max_id"),
     )
+
+
+@query(
+    "src_xml_roundtrip",
+    oracle="""
+SELECT s_nationkey,
+       count(*) AS n,
+       CAST(CAST(SUM(CAST(s_acctbal AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS bal_sum,
+       min(s_suppkey) AS min_id,
+       max(s_suppkey) AS max_id
+FROM supplier
+GROUP BY s_nationkey
+""",
+)
+def src_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet → XML → XML source → aggregate.  Spark 4 ships the
+    (formerly external) XML data source built in; enterprise feeds
+    still arrive as XML and a lake engine must ingest them natively
+    rather than via driver-side parsing.  The writer escapes markup in
+    string fields and `Double.toString` emits the shortest exact
+    representation, so reading back with an explicit schema is
+    lossless and the round-trip aggregate hash-matches the parquet
+    oracle (decimal-sum rule for the balance).  The XML copy is built
+    once per corpus fingerprint into the shared cache; the read is a
+    distributed file scan like any other source (one task per file
+    split, no driver parsing)."""
+
+    def build(into: str) -> None:
+        (
+            load_table(spark, sf_dir, "supplier")
+            .write.mode("overwrite")
+            .option("rootTag", "suppliers")
+            .option("rowTag", "supplier")
+            .format("xml")
+            .save(os.path.join(into, "xml"))
+        )
+
+    src = os.path.join(
+        _cache_publish(build, ("xml", 1, _table_fingerprint(sf_dir, "supplier"))), "xml"
+    )
+    back = (
+        spark.read.schema(
+            "s_suppkey long, s_name string, s_nationkey int, s_acctbal double"
+        )
+        .option("rowTag", "supplier")
+        .format("xml")
+        .load(src)
+    )
+    return back.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("s_acctbal").cast("decimal(28,10)")).cast("double").alias("bal_sum"),
+        F.min("s_suppkey").alias("min_id"),
+        F.max("s_suppkey").alias("max_id"),
+    )
