@@ -67,7 +67,8 @@ _PRIORITY = [
     # below overflow the 50-slot round-4 window; they lead the r5 queue
     "m_curation_pipeline", "g_bearing", "q_join_asof_fwd", "m_hard_negatives",
     "q_win_count_distinct", "q_gaps_islands", "q_fill_forward",
-    "src_xml_roundtrip",
+    "src_xml_roundtrip", "m_graph_bfs", "m_bloom_membership",
+    "m_corpus_stats", "g_geohash",
     # ---- 50-entry window boundary is enforced by position, the
     # ---- remainder keeps round-3's order for stable bench diffs
     "q_agg_collect",

@@ -392,3 +392,98 @@ def m_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n").cast("double") / F.col("tot_n")).alias("frac"),
         )
     )
+
+
+# Bloom geometry: 3 double-hash probes into m = _BLOOM_BITS_PER_KEY ×
+# |seed set| bits. Public multiplicative-hash constants (xxHash/Murmur
+# primes); all arithmetic in BIGINT (products ≤ 2e5 × 3.3e9 ≈ 2^49,
+# far under the ANSI overflow line).
+_BLOOM_P = 2_147_483_647
+_BLOOM_HASHES = ((2_654_435_761, 17), (2_246_822_519, 31), (3_266_489_917, 47))
+_BLOOM_BITS_PER_KEY = 16
+
+
+def _bloom_pos_sql(x: str, i: int) -> str:
+    a, b = _BLOOM_HASHES[i]
+    return f"(({x} * {a} + {b}) % {_BLOOM_P}) % m"
+
+
+@query(
+    "m_bloom_membership",
+    oracle=f"""
+WITH geom AS (
+  SELECT CAST({_BLOOM_BITS_PER_KEY} AS BIGINT) * count(*) AS m
+  FROM part WHERE p_size < 10
+),
+seeds AS (SELECT p_partkey AS x FROM part WHERE p_size < 10),
+bloom AS (
+  SELECT DISTINCT pos FROM (
+    {" UNION ALL ".join(f"SELECT {_bloom_pos_sql('x', i)} AS pos FROM seeds, geom" for i in range(3))}
+  )
+),
+probes AS (SELECT p_partkey AS x, (p_size < 10) AS member FROM part),
+cand AS (
+  {" UNION ALL ".join(f"SELECT x, {_bloom_pos_sql('x', i)} AS pos FROM probes, geom" for i in range(3))}
+),
+miss AS (
+  SELECT DISTINCT x FROM cand
+  WHERE pos NOT IN (SELECT pos FROM bloom)
+)
+SELECT count(*) AS n_probes,
+       COUNT(CASE WHEN p.member THEN 1 END) AS n_members,
+       COUNT(CASE WHEN mi.x IS NULL THEN 1 END) AS n_bloom_hits,
+       COUNT(CASE WHEN mi.x IS NULL AND NOT p.member THEN 1 END) AS n_false_pos
+FROM probes p LEFT JOIN miss mi ON mi.x = p.x
+""",
+)
+def m_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Bloom-filter membership: build a bit set from the
+    "small parts" seed set (3 explicit double-hash probes, m sized at
+    16 bits/key so the false-positive rate stays ~0.7% at EVERY scale
+    factor — a fixed m would saturate at 100×), probe every part key,
+    and report hit/false-positive counts.  This is the pre-join
+    pruning primitive: at 100 TB you broadcast the (m/8-byte) bit set
+    and drop non-member rows before they reach the shuffle.  The bit
+    positions are plain BIGINT math (no engine hash), so build and
+    probe are bit-identical cross-engine and the FP count is
+    hash-checked, non-vacuous at sf0.01 (≈10 FPs) and sf0.1 (≈100).
+
+    Spark shape: the position set is a DISTINCT over ~3|S| longs; the
+    probe is a broadcast anti-join of probe positions against it —
+    no row-wise Python, no driver collect (the geometry scalar rides
+    a 1-row broadcast cross join)."""
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_size")
+    geom = F.broadcast(
+        part.where(F.col("p_size") < 10).agg(
+            (F.lit(_BLOOM_BITS_PER_KEY).cast("bigint") * F.count(F.lit(1))).alias("m")
+        )
+    )
+    seeds = part.where(F.col("p_size") < 10).select(F.col("p_partkey").alias("x"))
+
+    def pos(i: int):
+        a, b = _BLOOM_HASHES[i]
+        return ((F.col("x") * F.lit(a) + F.lit(b)) % F.lit(_BLOOM_P)) % F.col("m")
+
+    def positions(df: DataFrame) -> DataFrame:
+        with_m = df.crossJoin(geom)
+        out = None
+        for i in range(3):
+            lvl = with_m.select("x", pos(i).alias("pos"))
+            out = lvl if out is None else out.unionByName(lvl)
+        return out
+
+    bloom = positions(seeds).select("pos").distinct()
+    probes = part.select(F.col("p_partkey").alias("x"), (F.col("p_size") < 10).alias("member"))
+    miss = (
+        positions(probes.select("x"))
+        .join(F.broadcast(bloom), "pos", "left_anti")
+        .select("x")
+        .distinct()
+    )
+    flagged = probes.join(miss.withColumn("missed", F.lit(True)), "x", "left")
+    return flagged.agg(
+        F.count(F.lit(1)).alias("n_probes"),
+        F.count(F.when(F.col("member"), 1)).alias("n_members"),
+        F.count(F.when(F.col("missed").isNull(), 1)).alias("n_bloom_hits"),
+        F.count(F.when(F.col("missed").isNull() & ~F.col("member"), 1)).alias("n_false_pos"),
+    )

@@ -513,3 +513,80 @@ def m_graph_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("node").alias("min_node"),
         F.max("node").alias("max_node"),
     )
+
+
+_BFS_HOPS = 3
+
+
+def _oracle_bfs() -> str:
+    parts = [
+        """
+WITH edges AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a
+  JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+sym AS (SELECT src, dst FROM edges UNION ALL SELECT dst AS src, src AS dst FROM edges),
+d0 AS (SELECT p_partkey AS node FROM part WHERE p_size = 1)"""
+    ]
+    for k in range(_BFS_HOPS):
+        parts.append(
+            f""",
+d{k + 1} AS (
+  SELECT DISTINCT s.src AS node FROM sym s JOIN d{k} f ON f.node = s.dst
+)"""
+        )
+    lvls = " UNION ALL ".join(
+        f"SELECT node, {k} AS dist FROM d{k}" for k in range(_BFS_HOPS + 1)
+    )
+    return "".join(parts) + f"""
+SELECT node, min(dist) AS dist FROM ({lvls}) GROUP BY node"""
+
+
+@query("m_graph_bfs", oracle=_oracle_bfs())
+def m_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source breadth-first search: hop distance (≤3) from the
+    seed set "parts with p_size = 1" through the co-order graph — the
+    influence-neighborhood primitive behind contamination spread and
+    seed-expansion curation ("everything within k co-purchase hops of
+    a flagged item"). A FIXED hop count makes the min-plus iteration
+    deterministic integer math, hash-checked against an unrolled
+    DuckDB oracle (same trick as m_graph_cc / m_graph_pagerank; BFS is
+    min-plus propagation where CC is min-label).
+
+    Scale shape: per hop, one frontier⋈edges join (hub keys salted,
+    deterministic pmod — see _salt_edges) + one DISTINCT; the frontier
+    is replicated across salts and broadcast-hinted when the graph fits
+    the kernel budget. Levels are unioned and min-reduced in ONE final
+    aggregate, so the whole query is ≤3 joins + 1 shuffle-agg over an
+    edge list materialized once at ingest."""
+    edges = coorder_edges(spark, sf_dir)
+    small = edges.count() <= _KERNEL_EDGE_BUDGET  # parquet metadata count
+    sym_raw = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = (
+        sym_raw.groupBy("dst").agg(F.count(F.lit(1)).alias("d"))
+        .withColumnRenamed("dst", "node")
+    )
+    hubs = deg.where(F.col("d") >= _HUB_MIN_DEG).select("node")
+    sym = _salt_edges(sym_raw, "dst", "src", hubs).localCheckpoint()
+    seeds = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_size") == 1)
+        .select(F.col("p_partkey").alias("node"))
+    )
+    levels = [seeds.withColumn("dist", F.lit(0))]
+    frontier = seeds
+    for k in range(1, _BFS_HOPS + 1):
+        frontier = (
+            sym.join(_replicate_salts(frontier, "dst", small), ["dst", "salt"])
+            .select(F.col("src").alias("node"))
+            .distinct()
+            .localCheckpoint()  # truncate iterative lineage
+        )
+        levels.append(frontier.withColumn("dist", F.lit(k)))
+    allv = levels[0]
+    for lv in levels[1:]:
+        allv = allv.unionByName(lv)
+    return allv.groupBy("node").agg(F.min("dist").alias("dist"))

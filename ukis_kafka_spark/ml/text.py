@@ -1073,3 +1073,49 @@ def m_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("n_tokens_total"),
     )
+
+
+@query(
+    "m_corpus_stats",
+    oracle="""
+SELECT count(*) AS n_docs,
+       count(*) - count(DISTINCT md5(text)) AS n_exact_dups,
+       count(DISTINCT lang) AS n_langs,
+       count(DISTINCT source) AS n_sources,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+       CAST((1000000 * CAST(SUM(n_chars) AS BIGINT)) // count(*) AS BIGINT) AS mean_chars_micro,
+       CAST((1000000 * CAST(SUM(len(string_split(text, ' '))) AS BIGINT)) // count(*) AS BIGINT) AS mean_tokens_micro
+FROM documents
+""",
+)
+def m_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-row "dataset card" scan: corpus size, exact-dup count,
+    language/source cardinality, token totals, and fixed-point mean
+    doc lengths — the summary block every training-data release ships
+    and the cheapest smoke test that an ingest produced the corpus you
+    think it did.  Means are emitted as integer micro-units
+    (CAST(1e6·Σ AS BIGINT) div n): a rounded double quotient of exact
+    integers sits on rounding midpoints for small denominators and
+    HALF_UP (Spark) vs half-even (DuckDB) would diverge (see CLAUDE.md
+    m_lm_cross_entropy note).  One full scan, all aggregates partial
+    (map-side combined); the distinct counts shuffle only
+    (hash, lang, source) pairs — at 100 TB this runs at I/O speed."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.col("text"), " ")).cast("bigint")
+    return d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.count(F.lit(1)) - F.countDistinct(F.md5("text"))).alias("n_exact_dups"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum(toks).alias("total_tokens"),
+        F.expr("(1000000 * SUM(n_chars)) div count(*)").alias("mean_chars_micro"),
+        (F.lit(1000000) * F.sum(toks)).alias("_tt"),
+    ).select(
+        "n_docs",
+        "n_exact_dups",
+        "n_langs",
+        "n_sources",
+        "total_tokens",
+        "mean_chars_micro",
+        F.expr("_tt div n_docs").alias("mean_tokens_micro"),
+    )

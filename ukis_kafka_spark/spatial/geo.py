@@ -601,3 +601,65 @@ def g_bearing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         (F.round(F.degrees(F.atan2(y, x)), 4) + F.lit(0.0)).alias("bearing_deg"),
     )
+
+
+_GH_BITS = 15  # bits per axis → 30 total → 6 base32 chars
+_GH_B32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def _geohash_int_sql(xcol: str, ycol: str) -> str:
+    """DuckDB 30-bit geohash integer: MSB-first interleave, longitude
+    first (geohash convention — even bit positions are longitude)."""
+    terms = []
+    for i in range(_GH_BITS):
+        # bit (GH_BITS-1-i) of each axis lands at output bits 29-2i / 28-2i
+        terms.append(f"((({xcol} >> {_GH_BITS - 1 - i}) & 1) * {1 << (29 - 2 * i)})")
+        terms.append(f"((({ycol} >> {_GH_BITS - 1 - i}) & 1) * {1 << (28 - 2 * i)})")
+    return " + ".join(terms)
+
+
+@query(
+    "g_geohash",
+    oracle=f"""
+WITH cells AS (
+  SELECT event_id,
+         least(CAST(floor(({_LON} + 180.0) / 360.0 * {1 << _GH_BITS}.0) AS BIGINT), {(1 << _GH_BITS) - 1}) AS cx,
+         least(CAST(floor(({_LAT} + 90.0) / 180.0 * {1 << _GH_BITS}.0) AS BIGINT), {(1 << _GH_BITS) - 1}) AS cy
+  FROM events
+), keyed AS (
+  SELECT event_id, {_geohash_int_sql('cx', 'cy')} AS gh_int FROM cells
+)
+SELECT event_id, gh_int,
+       {" || ".join(f"substring('{_GH_B32}', CAST((gh_int >> {25 - 5 * j}) % 32 + 1 AS INT), 1)" for j in range(6))} AS geohash
+FROM keyed
+""",
+)
+def g_geohash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Base32 geohash (6 characters ≈ ±0.6 km) for every event point:
+    15-bit grid cell per axis, MSB-first lon-lat bit interleave, then
+    six 5-bit groups mapped through the public geohash alphabet.  The
+    textual twin of g_zorder_key — geohash prefixes are how spatial
+    data is bucketed for prefix-join neighborhood lookups (two points
+    share a k-char prefix ⇒ same ~cell), so this column is both a
+    partition key and a human-portable index at 100 TB.  Pure unrolled
+    integer bit math + array lookup — no UDF, whole-stage codegen."""
+    e = load_table(spark, sf_dir, "events")
+    hi = (1 << _GH_BITS) - 1
+    cx = F.least(F.floor((_lon() + 180.0) / 360.0 * float(1 << _GH_BITS)).cast("long"), F.lit(hi))
+    cy = F.least(F.floor((_lat() + 90.0) / 180.0 * float(1 << _GH_BITS)).cast("long"), F.lit(hi))
+    cells = e.select("event_id", cx.alias("cx"), cy.alias("cy"))
+    gh = None
+    for i in range(_GH_BITS):
+        t = F.shiftright(F.col("cx"), _GH_BITS - 1 - i).bitwiseAND(F.lit(1)) * F.lit(
+            1 << (29 - 2 * i)
+        ) + F.shiftright(F.col("cy"), _GH_BITS - 1 - i).bitwiseAND(F.lit(1)) * F.lit(
+            1 << (28 - 2 * i)
+        )
+        gh = t if gh is None else gh + t
+    keyed = cells.select("event_id", gh.alias("gh_int"))
+    alphabet = F.array(*[F.lit(c) for c in _GH_B32])
+    chars = [
+        F.element_at(alphabet, (F.shiftright(F.col("gh_int"), 25 - 5 * j) % 32 + 1).cast("int"))
+        for j in range(6)
+    ]
+    return keyed.select("event_id", "gh_int", F.concat(*chars).alias("geohash"))
