@@ -808,3 +808,114 @@ def m_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cos_sim",
         )
     )
+
+
+_PQ_BLOCKS = 8  # 64 dims → 8 sub-vectors of 8 dims
+_PQ_K = 4       # codewords per sub-space → 2-bit codes, 16-bit total
+
+
+def _pq_oracle() -> str:
+    return f"""
+WITH q AS (
+  SELECT vec_id, d, (d - 1) // 8 AS b,
+         CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT) + {_KM_OFF} AS v
+  FROM (
+    SELECT vec_id, generate_subscripts(embedding, 1) AS d, unnest(embedding) AS x
+    FROM embeddings
+  )
+),
+cb0 AS (SELECT vec_id AS cl, d, v AS c FROM q WHERE vec_id < {_PQ_K}),
+dist0 AS (
+  SELECT q.vec_id, q.b, c.cl, SUM((q.v - c.c) * (q.v - c.c)) AS dist
+  FROM q JOIN cb0 c USING (d)
+  GROUP BY q.vec_id, q.b, c.cl
+),
+assign0 AS (
+  SELECT vec_id, b, cl FROM (
+    SELECT vec_id, b, cl,
+           row_number() OVER (PARTITION BY vec_id, b ORDER BY dist ASC, cl ASC) AS rn
+    FROM dist0
+  ) WHERE rn = 1
+),
+cb1 AS (
+  SELECT a.cl, q.d, SUM(q.v) // COUNT(*) AS c
+  FROM assign0 a JOIN q ON q.vec_id = a.vec_id AND q.b = a.b
+  GROUP BY a.cl, q.d
+),
+dist1 AS (
+  SELECT q.vec_id, q.b, c.cl, SUM((q.v - c.c) * (q.v - c.c)) AS dist
+  FROM q JOIN cb1 c USING (d)
+  GROUP BY q.vec_id, q.b, c.cl
+),
+assign1 AS (
+  SELECT vec_id, b, cl, dist FROM (
+    SELECT vec_id, b, cl, dist,
+           row_number() OVER (PARTITION BY vec_id, b ORDER BY dist ASC, cl ASC) AS rn
+    FROM dist1
+  ) WHERE rn = 1
+)
+SELECT vec_id,
+       CAST(SUM(cl * (1 << (2 * b))) AS BIGINT) AS pq_code,
+       CAST(SUM(dist) AS BIGINT) AS err_mass
+FROM assign1
+GROUP BY vec_id
+"""
+
+
+@query("m_pq_quantize", oracle=_pq_oracle())
+def m_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization encode: split each 64-dim embedding into 8
+    sub-vectors, fit a 4-codeword codebook per sub-space (seeded from
+    the first 4 vectors, one integer-mean Lloyd refinement — the same
+    fixed-point hash-checkable iteration as m_kmeans_step), and emit
+    each vector's packed 16-bit PQ code plus its quantization error.
+    PQ is THE memory lever for billion-vector ANN (a 64-dim float32
+    vector compresses 16× to 2 bytes here); at 100 TB the codebook is
+    a ~2 KB broadcast and encode is one broadcast join + two hash
+    aggregates per refinement — linear, shuffle-light, no Python.
+    Code packing is integer bit math (codeword · 4^block), so the
+    whole pipeline is bit-exact cross-engine and hash-checked."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = (
+        e.select(
+            "vec_id",
+            F.posexplode(
+                F.transform(
+                    "embedding",
+                    lambda x: (F.floor(x.cast("double") * 1_000_000)).cast("long") + _KM_OFF,
+                )
+            ).alias("d0", "v"),
+        )
+        .select(
+            "vec_id",
+            (F.col("d0") + 1).alias("d"),
+            (F.col("d0") / 8).cast("long").alias("b"),
+            "v",
+        )
+    )
+    cb = q.where(F.col("vec_id") < _PQ_K).select(F.col("vec_id").alias("cl"), "d", F.col("v").alias("c"))
+    assign = None
+    for rnd in range(2):
+        dist = (
+            q.join(F.broadcast(cb), "d")
+            .groupBy("vec_id", "b", "cl")
+            .agg(F.sum((F.col("v") - F.col("c")) * (F.col("v") - F.col("c"))).alias("dist"))
+        )
+        w = Window.partitionBy("vec_id", "b").orderBy(F.col("dist").asc(), F.col("cl").asc())
+        assign = (
+            dist.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("vec_id", "b", "cl", "dist")
+        )
+        if rnd == 0:
+            cb = (
+                assign.join(q, ["vec_id", "b"])
+                .groupBy("cl", "d")
+                .agg(F.expr("sum(v) div count(1)").alias("c"))
+            )
+    return assign.groupBy("vec_id").agg(
+        F.sum(F.expr("cl * shiftleft(CAST(1 AS BIGINT), CAST(2 * b AS INT))"))
+        .cast("bigint")
+        .alias("pq_code"),
+        F.sum("dist").cast("bigint").alias("err_mass"),
+    )

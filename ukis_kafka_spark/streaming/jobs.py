@@ -752,3 +752,75 @@ def s_archive_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return _with_scratch(go)
+
+
+@query(
+    "s_stream_left_join",
+    oracle="""
+WITH c AS (SELECT event_id AS click_id, user_id, ts FROM events WHERE event_type = 'click'),
+p AS (SELECT event_id AS purchase_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+j AS (
+  SELECT c.click_id, p.purchase_id, c.user_id
+  FROM c JOIN p ON p.user_id = c.user_id
+   AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+),
+wm AS (
+  SELECT least((SELECT max(ts) FROM events WHERE event_type = 'click'),
+               (SELECT max(ts) FROM events WHERE event_type = 'purchase'))
+         - INTERVAL 10 MINUTE AS w
+)
+SELECT click_id, purchase_id, user_id FROM j
+UNION ALL
+SELECT c.click_id, CAST(NULL AS BIGINT) AS purchase_id, c.user_id
+FROM c, wm
+WHERE c.click_id NOT IN (SELECT click_id FROM j)
+  AND c.ts + INTERVAL 1 HOUR < wm.w
+""",
+)
+def s_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join with event-time bound: every click
+    joins same-user purchases in the following hour; clicks that never
+    match emit a NULL-extended row — but only once the watermark has
+    passed their match window, which is the part an engine must get
+    right (emit too early and a late purchase contradicts the NULL
+    row). The closure rule is deterministic under the pinned replay
+    (in-order chunks + final no-data micro-batch): an unmatched click
+    becomes a NULL row iff click_ts + 1 h < min(max click ts, max
+    purchase ts) − 10 min (Spark's default multipleWatermarkPolicy is
+    'min': the global watermark is the LEAST of the two sides' — the
+    empirically pinned detail here) — clicks
+    whose window is still open when the stream drains stay withheld,
+    and the oracle mirrors exactly that (same style as
+    s_session_stream's withheld-final-window rule). State stays
+    bounded by the watermark on both sides at any scale."""
+
+    def go(work: str) -> DataFrame:
+        stream = replay_events_as_stream(spark, sf_dir, work, n_chunks=4)
+        clicks = (
+            stream.where(F.col("event_type") == "click")
+            .select(
+                F.col("event_id").alias("click_id"),
+                F.col("user_id"),
+                F.col("ts").alias("click_ts"),
+            )
+            .withWatermark("click_ts", "10 minutes")
+        )
+        purchases = (
+            stream.where(F.col("event_type") == "purchase")
+            .select(
+                F.col("event_id").alias("purchase_id"),
+                F.col("user_id").alias("p_user_id"),
+                F.col("ts").alias("p_ts"),
+            )
+            .withWatermark("p_ts", "10 minutes")
+        )
+        joined = clicks.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user_id"))
+            & (F.col("p_ts") >= F.col("click_ts"))
+            & (F.col("p_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+            "leftOuter",
+        ).select("click_id", "purchase_id", "user_id")
+        return run_to_memory(joined, work, mode="append").localCheckpoint()
+
+    return _with_scratch(go)
