@@ -233,3 +233,34 @@ def test_ivf_recall_curve(spark):
     assert recalls[4] >= 0.5, f"operating point below floor: {recalls}"
     assert recalls[16] >= recalls[1], f"curve inverted: {recalls}"
     assert recalls[16] >= 0.9, f"full probe should be near-exhaustive: {recalls}"
+
+
+def test_ann_pq_recall_vs_exact(spark):
+    """ADC over 2-bit PQ codes is an approximation; pin its recall@5
+    against exact fixed-point L2 top-5 so codebook regressions surface
+    (16-codeword sub-spaces + ADC-top-50 exact rerank: measured 0.80
+    at sf0.001, 0.74 at sf0.01 — bound leaves margin)."""
+    import numpy as np
+
+    from ukis_kafka_spark.sources import load_table as _lt
+
+    got = api.queries()["m_ann_pq"](spark, SF_SMOKE).collect()
+    approx = {}
+    for r in got:
+        approx.setdefault(r.qid, set()).add(r.nn_id)
+    emb = _lt(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in emb])
+    V = np.floor(np.array([r.embedding for r in emb], dtype=np.float64) * 1e6)
+    hits = tot = 0
+    order = np.argsort(ids)
+    ids, V = ids[order], V[order]
+    for qi, qid in enumerate(ids):
+        if qid not in approx:
+            continue
+        d = ((V - V[qi]) ** 2).sum(axis=1)
+        d[qi] = np.inf
+        exact = set(ids[np.lexsort((ids, d))[:5]])
+        hits += len(exact & approx[qid])
+        tot += 5
+    assert tot == len(approx) * 5
+    assert hits / tot >= 0.6, f"PQ recall@5 collapsed: {hits}/{tot}"

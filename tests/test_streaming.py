@@ -181,3 +181,38 @@ def test_envelope_source_kafka_online():
     spark = SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
     stream = envelope_raw_stream(spark, topic="ukis-features-test")
     assert stream.isStreaming and stream.columns == ["value"]
+
+
+def test_stream_left_join_closure(spark):
+    """Left-outer stream join: matched rows equal the inner stream
+    join; NULL extensions exist, never contradict a match, and respect
+    the min-of-both-watermarks closure rule (a click whose match
+    window was still open when the stream drained must stay
+    withheld)."""
+    left = api.queries()["s_stream_left_join"](spark, SF_SMOKE)
+    inner = api.queries()["s_stream_join"](spark, SF_SMOKE)
+    matched = left.where(F.col("purchase_id").isNotNull())
+    assert _rows(matched, "click_id", "purchase_id") == _rows(
+        inner, "click_id", "purchase_id"
+    )
+    nulls = {r.click_id for r in left.where(F.col("purchase_id").isNull()).collect()}
+    assert nulls, "no NULL-extended rows: the outer path never fired"
+    assert not nulls & {r.click_id for r in inner.collect()}, (
+        "a NULL row contradicts an emitted match"
+    )
+    e = load_table(spark, SF_SMOKE, "events")
+    wm = (
+        e.where(F.col("event_type").isin("click", "purchase"))
+        .groupBy("event_type")
+        .agg(F.max("ts").alias("mx"))
+        .agg(F.min("mx").alias("w"))
+        .collect()[0][0]
+    )
+    still_open = {
+        r.event_id
+        for r in e.where(
+            (F.col("event_type") == "click")
+            & (F.col("ts") + F.expr("INTERVAL 1 HOUR") >= F.lit(wm) - F.expr("INTERVAL 10 MINUTE"))
+        ).collect()
+    }
+    assert not nulls & still_open, "emitted a NULL row before its window closed"

@@ -1586,3 +1586,159 @@ def q_join_asof_fwd(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("is_probe") == 1) & F.col("next_purchase_value").isNotNull())
         .select("event_id", "user_id", "next_purchase_value")
     )
+
+
+@query(
+    "q_not_in_nulls",
+    oracle="""
+SELECT
+  (SELECT count(*) FROM customer
+   WHERE c_nationkey NOT IN
+     (SELECT CASE WHEN n_name = 'NATION_3' THEN NULL ELSE n_nationkey END
+      FROM nation WHERE n_regionkey = 0)) AS n_not_in_with_null,
+  (SELECT count(*) FROM customer
+   WHERE c_nationkey NOT IN
+     (SELECT n_nationkey FROM nation
+      WHERE n_regionkey = 0 AND n_name <> 'NATION_3')) AS n_not_in_clean,
+  (SELECT count(*) FROM customer c
+   WHERE NOT EXISTS
+     (SELECT 1 FROM nation n
+      WHERE n.n_regionkey = 0 AND n.n_name <> 'NATION_3'
+        AND n.n_nationkey = c.c_nationkey)) AS n_not_exists
+""",
+)
+def q_not_in_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-valued-logic parity check for NOT IN: the same exclusion
+    spelled three ways — NOT IN against a subquery that CONTAINS a
+    NULL (SQL says the predicate is never TRUE, so the count is 0 —
+    the classic silent-empty-result trap), NOT IN against the cleaned
+    subquery, and the null-safe NOT EXISTS twin (which must equal the
+    clean NOT IN).  An engine that "fixes" NOT IN's null handling
+    breaks standard semantics; this pins ours to the letter of the
+    standard in both engines.  Plan shape: NOT IN decorrelates to a
+    null-aware anti-join (broadcast — the subquery is a handful of
+    keys); NOT EXISTS to a plain anti-join."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_nin")
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation_nin")
+    return spark.sql(
+        """
+        SELECT
+          (SELECT count(*) FROM customer_nin
+           WHERE c_nationkey NOT IN
+             (SELECT CASE WHEN n_name = 'NATION_3' THEN NULL ELSE n_nationkey END
+              FROM nation_nin WHERE n_regionkey = 0)) AS n_not_in_with_null,
+          (SELECT count(*) FROM customer_nin
+           WHERE c_nationkey NOT IN
+             (SELECT n_nationkey FROM nation_nin
+              WHERE n_regionkey = 0 AND n_name <> 'NATION_3')) AS n_not_in_clean,
+          (SELECT count(*) FROM customer_nin c
+           WHERE NOT EXISTS
+             (SELECT 1 FROM nation_nin n
+              WHERE n.n_regionkey = 0 AND n.n_name <> 'NATION_3'
+                AND n.n_nationkey = c.c_nationkey)) AS n_not_exists
+        """
+    )
+
+
+@query(
+    "q_join_asof_nearest",
+    oracle="""
+WITH base AS (
+  SELECT event_id, user_id,
+         CAST(floor(epoch(date_trunc('second', ts))) AS BIGINT) AS ep,
+         value, event_type
+  FROM events
+),
+u AS (
+  SELECT event_id, user_id, ep, CAST(NULL AS DOUBLE) AS pval,
+         CAST(NULL AS BIGINT) AS pep, 1 AS is_probe
+  FROM base
+  UNION ALL
+  SELECT event_id, user_id, ep, value, ep, 0
+  FROM base WHERE event_type = 'purchase'
+),
+w AS (
+  SELECT event_id, user_id, is_probe, ep,
+         last_value(pval IGNORE NULLS) OVER wb AS bval,
+         last_value(pep IGNORE NULLS) OVER wb AS bep,
+         first_value(pval IGNORE NULLS) OVER wf AS fval,
+         first_value(pep IGNORE NULLS) OVER wf AS fep
+  FROM u
+  WINDOW wb AS (PARTITION BY user_id ORDER BY event_id ASC, is_probe ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wf AS (PARTITION BY user_id ORDER BY event_id ASC, is_probe ASC
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_id, user_id,
+       CASE WHEN fep IS NULL OR (bep IS NOT NULL AND ep - bep <= fep - ep)
+            THEN bval ELSE fval END AS nearest_value,
+       CASE WHEN fep IS NULL OR (bep IS NOT NULL AND ep - bep <= fep - ep)
+            THEN ep - bep ELSE fep - ep END AS delta_s,
+       CASE WHEN fep IS NULL OR (bep IS NOT NULL AND ep - bep <= fep - ep)
+            THEN 'b' ELSE 'f' END AS side
+FROM w
+WHERE is_probe = 1 AND (bep IS NOT NULL OR fep IS NOT NULL)
+""",
+)
+def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of join, both directions: each event gets the
+    same-user purchase closest in time, before OR after (ties go
+    backward) — the sensor-alignment primitive ("closest calibration
+    reading") that one-sided as-of joins can't express. Same scalable
+    marker re-expression as q_join_asof/q_join_asof_fwd, run in BOTH
+    frame directions over ONE (user_id, event_id, is_probe) sort: the
+    two window frames share the sort order, so Spark evaluates all
+    four carried values in a single Window exec after one shuffle —
+    no second sort, no join, no blow-up at any scale. Time deltas are
+    exact integer seconds on second-truncated epochs (same-user gaps
+    ≥8 s make truncation order-safe; raw sub-second ts never crosses
+    the engine boundary), ordering rides the ts-monotone event_id."""
+    e = load_table(spark, sf_dir, "events")
+    ep = F.floor(F.unix_timestamp(F.date_trunc("second", F.col("ts")))).cast("bigint")
+    base = e.select("event_id", "user_id", ep.alias("ep"), "value", "event_type")
+    probe = base.select(
+        "event_id", "user_id", "ep",
+        F.lit(None).cast("double").alias("pval"),
+        F.lit(None).cast("bigint").alias("pep"),
+        F.lit(1).alias("is_probe"),
+    )
+    marker = base.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ep",
+        F.col("value").alias("pval"),
+        F.col("ep").alias("pep"),
+        F.lit(0).alias("is_probe"),
+    )
+    order = [F.col("event_id").asc(), F.col("is_probe").asc()]
+    wb = (
+        Window.partitionBy("user_id").orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id").orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    carried = probe.unionByName(marker).select(
+        "event_id", "user_id", "is_probe", "ep",
+        F.last("pval", ignorenulls=True).over(wb).alias("bval"),
+        F.last("pep", ignorenulls=True).over(wb).alias("bep"),
+        F.first("pval", ignorenulls=True).over(wf).alias("fval"),
+        F.first("pep", ignorenulls=True).over(wf).alias("fep"),
+    )
+    use_back = F.col("fep").isNull() | (
+        F.col("bep").isNotNull()
+        & ((F.col("ep") - F.col("bep")) <= (F.col("fep") - F.col("ep")))
+    )
+    return (
+        carried.where(
+            (F.col("is_probe") == 1) & (F.col("bep").isNotNull() | F.col("fep").isNotNull())
+        )
+        .select(
+            "event_id",
+            "user_id",
+            F.when(use_back, F.col("bval")).otherwise(F.col("fval")).alias("nearest_value"),
+            F.when(use_back, F.col("ep") - F.col("bep"))
+            .otherwise(F.col("fep") - F.col("ep"))
+            .alias("delta_s"),
+            F.when(use_back, F.lit("b")).otherwise(F.lit("f")).alias("side"),
+        )
+    )
