@@ -487,3 +487,57 @@ def m_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("missed").isNull(), 1)).alias("n_bloom_hits"),
         F.count(F.when(F.col("missed").isNull() & ~F.col("member"), 1)).alias("n_false_pos"),
     )
+
+
+@query(
+    "m_ngram_containment",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM documents
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM toks a JOIN toks b ON a.tok = b.tok AND b.doc_id = a.doc_id + 1
+  GROUP BY a.doc_id, b.doc_id
+), sizes AS (
+  SELECT doc_id, count(DISTINCT tok) AS n FROM toks GROUP BY doc_id
+)
+SELECT p.id_a, p.id_b,
+       CAST(p.n_inter AS DOUBLE) / least(sa.n, sb.n) AS containment,
+       CAST(p.n_inter AS DOUBLE) / (sa.n + sb.n - p.n_inter) AS jaccard,
+       (sa.n < sb.n) AS a_is_smaller
+FROM pairs p JOIN sizes sa ON sa.doc_id = p.id_a JOIN sizes sb ON sb.doc_id = p.id_b
+WHERE p.n_inter > 0
+""",
+)
+def m_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment coefficient |A∩B| / min(|A|,|B|) beside Jaccard for
+    the same deterministic pair set: containment is the dedup signal
+    Jaccard structurally misses — a short document fully embedded in a
+    long one has high containment but low Jaccard (the quote/boiler-
+    plate/subset-dup case every corpus curation pass needs).  Both
+    metrics are exact-integer ratios in double (single correctly-
+    rounded division — hash-safe), computed from one array_intersect
+    on pre-deduped token arrays; no explode leaves the row, so the
+    pair stage ships two token arrays per pair and nothing else."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.array_distinct(F.split("text", " ")).alias("toks"))
+    a = t.alias("a")
+    b = t.select(
+        (F.col("doc_id") - 1).alias("join_id"),
+        F.col("doc_id").alias("id_b"),
+        F.col("toks").alias("toks_b"),
+    )
+    inter = F.size(F.array_intersect(F.col("toks"), F.col("toks_b")))
+    na = F.size(F.col("toks"))
+    nb = F.size(F.col("toks_b"))
+    return (
+        a.join(b, F.col("doc_id") == F.col("join_id"))
+        .where(inter > 0)
+        .select(
+            F.col("doc_id").alias("id_a"),
+            "id_b",
+            (inter.cast("double") / F.least(na, nb)).alias("containment"),
+            (inter.cast("double") / (na + nb - inter)).alias("jaccard"),
+            (na < nb).alias("a_is_smaller"),
+        )
+    )
