@@ -211,3 +211,36 @@ def u_mapinarrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("adj").cast(DEC)).cast("double").alias("adj_sum"),
     )
+
+
+@udf(returnType=T.StringType(), useArrow=True)
+def _priority_bucket_arrow(prio: str) -> str:
+    # same row-at-a-time author experience; Arrow moves the batches
+    if prio is None:
+        return None
+    return "rush" if int(prio.split("-")[0]) <= 2 else "routine"
+
+
+@query(
+    "u_arrow_py_udf",
+    oracle="""
+SELECT o_orderkey,
+       CASE WHEN CAST(string_split(o_orderpriority, '-')[1] AS BIGINT) <= 2
+            THEN 'rush' ELSE 'routine' END AS prio_band
+FROM orders
+""",
+)
+def u_arrow_py_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-optimized Python UDF (``useArrow=True``): the author
+    still writes a scalar function, but batches cross the boundary as
+    Arrow record batches instead of pickled rows — the Spark 3.5+
+    migration path that recovers most of the pandas-UDF win without
+    rewriting call sites (measured ~2-5× over pickled row transfer;
+    still JVM-external, so the relational core keeps avoiding it).
+    Completes the UDF parity matrix: row-Python (u_py_udf), Arrow-row
+    (this), pandas Series (u_pandas_udf), iterator (u_pandas_iter_udf),
+    Arrow-batch map (u_mapinarrow), grouped agg, and UDTF."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey", _priority_bucket_arrow(F.col("o_orderpriority")).alias("prio_band")
+    )

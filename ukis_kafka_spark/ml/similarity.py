@@ -1034,3 +1034,60 @@ def m_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rn").cast("bigint").alias("rn"),
         )
     )
+
+
+@query(
+    "m_label_outliers",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id, label, d,
+         CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT) + {_KM_OFF} AS v
+  FROM (
+    SELECT vec_id, label, generate_subscripts(embedding, 1) AS d, unnest(embedding) AS x
+    FROM embeddings
+  )
+),
+cent AS (SELECT label, d, SUM(v) // COUNT(*) AS c FROM q GROUP BY label, d),
+dist AS (
+  SELECT q.vec_id, q.label, SUM((q.v - c.c) * (q.v - c.c)) AS dist
+  FROM q JOIN cent c ON c.label = q.label AND c.d = q.d
+  GROUP BY q.vec_id, q.label
+)
+SELECT vec_id, label, CAST(dist AS BIGINT) AS dist_mass
+FROM dist
+ORDER BY dist DESC, vec_id ASC
+LIMIT 20
+""",
+)
+def m_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-error candidates: the 20 vectors farthest (exact
+    fixed-point L2) from their OWN label's centroid — the standard
+    confident-learning-style audit that surfaces mislabeled or
+    out-of-distribution training examples before they poison a
+    classifier head. Dataflow: one posexplode → per-(label, dim)
+    integer-mean centroid (a |labels|×64-row broadcast) → one
+    broadcast join back + per-vector sum → global top-20 via
+    TakeOrderedAndProject, no full sort. All integer math on the
+    micro-unit grid, hash-checked."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.select(
+        "vec_id",
+        "label",
+        F.posexplode(
+            F.transform(
+                "embedding",
+                lambda x: (F.floor(x.cast("double") * 1_000_000)).cast("long") + _KM_OFF,
+            )
+        ).alias("d0", "v"),
+    ).select("vec_id", "label", (F.col("d0") + 1).alias("d"), "v")
+    cent = q.groupBy("label", "d").agg(F.expr("sum(v) div count(1)").alias("c"))
+    dist = (
+        q.join(F.broadcast(cent), ["label", "d"])
+        .groupBy("vec_id", "label")
+        .agg(F.sum((F.col("v") - F.col("c")) * (F.col("v") - F.col("c"))).alias("dist"))
+    )
+    return (
+        dist.select("vec_id", "label", F.col("dist").cast("bigint").alias("dist_mass"))
+        .orderBy(F.col("dist_mass").desc(), F.col("vec_id").asc())
+        .limit(20)
+    )
