@@ -298,3 +298,37 @@ def test_q16_distinct_collapses_before_dim_join(spark):
     aggs = [int(m) for m in re.findall(r"^\((\d+)\) HashAggregate", plan, re.M)]
     joins = [int(m) for m in re.findall(r"^\((\d+)\) BroadcastHashJoin", plan, re.M)]
     assert aggs and joins and min(aggs) < min(joins), "distinct did not collapse pre-join"
+
+
+def test_asof_nearest_single_window_exchange(spark):
+    """Both frame directions of the nearest as-of join must ride ONE
+    (user_id, event_id, is_probe) sort: exactly one shuffle on
+    user_id and one Window exec carrying all four values — a second
+    Exchange/sort means the shared-window optimization regressed."""
+    plan = _formatted_plan(spark, "q_join_asof_nearest")
+    n_window = plan.count("Window (")
+    win_exchanges = [
+        l for l in plan.splitlines() if l.strip().startswith("Exchange hashpartitioning(user_id")
+    ]
+    assert n_window <= 1, f"window split into {n_window} execs:\n{plan}"
+    assert len(win_exchanges) <= 1, f"extra user_id shuffle:\n{plan}"
+
+
+def test_bloom_probe_is_broadcast_anti_join(spark):
+    """The bloom probe must be a broadcast anti-join against the
+    position set — a shuffle join here means the bit set (the thing
+    that exists to be broadcast) got shuffled instead."""
+    plan = _formatted_plan(spark, "m_bloom_membership")
+    assert "BroadcastHashJoin LeftAnti" in plan.replace("\n", " ") or (
+        "LeftAnti, BuildRight" in plan
+    ), f"anti-join not broadcast:\n{plan}"
+    assert "SortMergeJoin LeftAnti" not in plan
+
+
+def test_label_outliers_broadcasts_centroids(spark):
+    """The |labels|x64 centroid table must broadcast back onto the
+    exploded vector table; TakeOrderedAndProject must cap the output
+    without a global sort."""
+    plan = _formatted_plan(spark, "m_label_outliers")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
