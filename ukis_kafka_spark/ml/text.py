@@ -1119,3 +1119,43 @@ def m_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mean_chars_micro",
         F.expr("_tt div n_docs").alias("mean_tokens_micro"),
     )
+
+
+@query(
+    "m_temperature_mix",
+    oracle="""
+WITH s AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+w AS (
+  SELECT source, n,
+         CAST(floor(round(pow(CAST(n AS DOUBLE), 0.7), 6) * 1000000 + 0.5) AS BIGINT) AS w_micro
+  FROM s
+)
+SELECT source, n AS n_docs, w_micro,
+       (w_micro * 1000000) // CAST((SELECT SUM(w_micro) FROM w) AS BIGINT) AS share_ppm
+FROM w
+""",
+)
+def m_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture weights: each source's sampling
+    weight ∝ count^0.7 — the standard α-reweighting that upsamples
+    small sources relative to their raw share so one giant crawl
+    doesn't drown the mixture (the companion knob to
+    m_source_mixture's fixed keep rates).  The only transcendental
+    (pow) is rounded to the 1e-6 grid and converted to integer
+    micro-units with an explicit floor(x·1e6 + 0.5) — double→int CASTs
+    round in DuckDB but truncate in Spark, so the half-up rounding is
+    spelled out rather than inherited; the final per-million share is
+    pure integer division.  One group-by scan + a scalar total —
+    broadcast arithmetic at any corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    w_micro = F.floor(
+        F.round(F.pow(F.col("n").cast("double"), 0.7), 6) * 1_000_000 + 0.5
+    ).cast("bigint")
+    w = s.select("source", F.col("n").alias("n_docs"), w_micro.alias("w_micro"))
+    return w.select(
+        "source",
+        "n_docs",
+        "w_micro",
+        F.expr("(w_micro * 1000000) div (sum(w_micro) OVER ())").alias("share_ppm"),
+    )

@@ -161,3 +161,48 @@ def sink_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.read.parquet(target).localCheckpoint()
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "sink_dynamic_overwrite",
+    oracle="""
+SELECT lang, count(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars
+FROM (
+  SELECT lang, n_chars FROM documents WHERE lang <> 'en'
+  UNION ALL
+  SELECT lang, n_chars FROM documents WHERE lang = 'en' AND n_chars >= 200
+)
+GROUP BY lang
+""",
+)
+def sink_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite (the lake-side incremental-reload
+    primitive): write documents partitioned by lang, then rewrite ONLY
+    the lang=en partition with a filtered slice under
+    ``partitionOverwriteMode=dynamic`` — every other partition must
+    survive untouched (static mode would have dropped them all).  The
+    read-back aggregate proves exactly that; this is how a daily
+    pipeline replaces one day/language/source partition of a 100 TB
+    table without rewriting the rest."""
+    work = _scratch_dir()
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        out = os.path.join(work, "dyn_sink")
+        d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+        d.write.mode("overwrite").partitionBy("lang").parquet(out)
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        (
+            d.where((F.col("lang") == "en") & (F.col("n_chars") >= 200))
+            .write.mode("overwrite")
+            .partitionBy("lang")
+            .parquet(out)
+        )
+        back = spark.read.parquet(out)
+        return (
+            back.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("chars"))
+            .localCheckpoint()
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        shutil.rmtree(work, ignore_errors=True)

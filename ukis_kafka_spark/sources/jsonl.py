@@ -325,3 +325,48 @@ def src_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("s_suppkey").alias("min_id"),
         F.max("s_suppkey").alias("max_id"),
     )
+
+
+@query(
+    "src_schema_evolve",
+    oracle="""
+SELECT lang,
+       count(*) AS n,
+       count(CASE WHEN doc_id % 3 = 0 THEN 1 END) AS n_with_quality,
+       CAST(SUM(CASE WHEN doc_id % 3 = 0 THEN n_chars % 7 END) AS BIGINT) AS quality_sum
+FROM documents
+GROUP BY lang
+""",
+)
+def src_schema_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read (``mergeSchema``): an old writer produced
+    (doc_id, lang, n_chars); a newer one added a ``quality`` column.
+    Reading the union of both generations must widen to the superset
+    schema with NULLs for pre-evolution files — the everyday lake
+    situation after any additive schema change.  The aggregate proves
+    the merged read: every doc appears once, quality exists exactly on
+    new-generation rows.  Footer merging is a driver-side metadata
+    operation over file footers, not a data pass; the scan itself
+    stays fully parallel, so evolution costs nothing at 100 TB."""
+
+    def build(into: str) -> None:
+        d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+        d.where(F.col("doc_id") % 3 != 0).write.mode("overwrite").parquet(
+            os.path.join(into, "gen1")
+        )
+        (
+            d.where(F.col("doc_id") % 3 == 0)
+            .withColumn("quality", (F.col("n_chars") % 7).cast("long"))
+            .write.mode("overwrite")
+            .parquet(os.path.join(into, "gen2"))
+        )
+
+    base = _cache_publish(build, ("schema_evolve", 1, _table_fingerprint(sf_dir, "documents")))
+    back = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(base, "gen1"), os.path.join(base, "gen2")
+    )
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("quality").alias("n_with_quality"),
+        F.sum("quality").alias("quality_sum"),
+    )
