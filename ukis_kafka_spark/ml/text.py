@@ -1159,3 +1159,47 @@ def m_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "w_micro",
         F.expr("(w_micro * 1000000) div (sum(w_micro) OVER ())").alias("share_ppm"),
     )
+
+
+_FOLD_K = 5
+
+
+@query(
+    "m_crossval_folds",
+    oracle=f"""
+WITH folds AS (
+  SELECT doc_id, lang, n_chars,
+         (doc_id * {_MIX_A} % {_MIX_M}) % {_FOLD_K} AS fold
+  FROM documents
+)
+SELECT fold, lang,
+       count(*) AS n,
+       CAST(SUM(n_chars) AS BIGINT) AS chars,
+       min(doc_id) AS min_id,
+       max(doc_id) AS max_id
+FROM folds
+GROUP BY fold, lang
+""",
+)
+def m_crossval_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-fold assignment (k=5) by multiplicative key
+    hash, plus the per-(fold, language) balance audit every eval setup
+    needs before trusting cross-validation numbers: identical folds on
+    every run, engine, and partitioning (unlike randomSplit, whose
+    assignment depends on partition layout), and the audit shows
+    whether any fold is skewed by language.  A production pipeline
+    filters ``fold <> i`` for train / ``fold = i`` for eval with zero
+    data movement — assignment is a pure projection, the audit one
+    aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    fold = (F.col("doc_id") * F.lit(_MIX_A) % _MIX_M) % _FOLD_K
+    return (
+        d.select("doc_id", "lang", "n_chars", fold.alias("fold"))
+        .groupBy("fold", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").alias("chars"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+    )
