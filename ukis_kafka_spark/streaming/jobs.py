@@ -824,3 +824,46 @@ def s_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         return run_to_memory(joined, work, mode="append").localCheckpoint()
 
     return _with_scratch(go)
+
+
+def _update_mode_oracle() -> str:
+    batches = []
+    for b in range(1, 5):
+        batches.append(
+            f"""
+  SELECT event_type,
+         COUNT(CASE WHEN rn <= {b} * per THEN 1 END) AS n,
+         COUNT(CASE WHEN rn > {b - 1} * per AND rn <= {b} * per THEN 1 END) AS delta
+  FROM ordered, params GROUP BY event_type"""
+        )
+    union = " UNION ALL ".join(f"SELECT * FROM ({q})" for q in batches)
+    return f"""
+WITH ordered AS (
+  SELECT event_type, row_number() OVER (ORDER BY ts) AS rn FROM events
+),
+params AS (SELECT (max(rn) + 3) // 4 AS per FROM ordered)
+SELECT event_type, n FROM ({union}) WHERE delta > 0
+"""
+
+
+@query("s_update_mode", oracle=_update_mode_oracle())
+def s_update_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Update output mode: a running per-type count where each
+    micro-batch emits ONLY the keys whose aggregate changed — the
+    third output-mode contract (append: s_session_stream, complete:
+    s_stateful_count) and the one incremental dashboards consume. The
+    memory sink accumulates each batch's updates, so the final table
+    is the full update LOG: one (type, cumulative-count) row per
+    micro-batch in which that type appeared. The oracle replays
+    exactly that from the batch twin — per-chunk prefix counts (the
+    replay's ceil(n/4) row partitioning mirrored) filtered to keys
+    with a nonzero in-chunk delta. Deterministic because the chunked
+    arrival order is pinned and ts is corpus-verified globally
+    unique."""
+
+    def go(work: str) -> DataFrame:
+        stream = replay_events_as_stream(spark, sf_dir, work, n_chunks=4)
+        agg = stream.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+        return run_to_memory(agg, work, mode="update").localCheckpoint()
+
+    return _with_scratch(go)
