@@ -720,3 +720,73 @@ def g_track_area(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(cross).cast("bigint").alias("area2_signed"),
         F.abs(F.sum(cross)).cast("bigint").alias("area2_abs"),
     )
+
+
+@query(
+    "g_geohash_cells",
+    oracle=f"""
+WITH cells AS (
+  SELECT event_id, user_id,
+         least(CAST(floor(({_LON} + 180.0) / 360.0 * {1 << _GH_BITS}.0) AS BIGINT), {(1 << _GH_BITS) - 1}) AS cx,
+         least(CAST(floor(({_LAT} + 90.0) / 180.0 * {1 << _GH_BITS}.0) AS BIGINT), {(1 << _GH_BITS) - 1}) AS cy
+  FROM events
+), keyed AS (
+  SELECT event_id, user_id, ({_geohash_int_sql('cx', 'cy')}) >> 5 AS pkey FROM cells
+), per_user AS (
+  SELECT pkey, user_id, count(*) AS nu FROM keyed GROUP BY pkey, user_id
+)
+SELECT pkey,
+       {" || ".join(f"substring('{_GH_B32}', CAST((pkey >> {20 - 5 * j}) % 32 + 1 AS INT), 1)" for j in range(5))} AS prefix,
+       CAST(SUM(nu) AS BIGINT) AS n_pts,
+       count(*) AS n_users,
+       CAST((SUM(nu) * SUM(nu) - SUM(nu)) // 2 AS BIGINT) AS n_pairs,
+       CAST((SUM(nu) * SUM(nu) - SUM(nu * nu)) // 2 AS BIGINT) AS n_cross_user_pairs
+FROM per_user
+GROUP BY pkey
+""",
+)
+def g_geohash_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood statistics per 5-character geohash cell — the
+    consumer of g_geohash's prefix-bucketing claim: how many
+    co-located point pairs (and cross-user pairs, the contact-graph
+    candidate count) exist in each ~5 km cell, computed from per-cell
+    counting identities (n·(n−1)/2, (n² − Σnᵤ²)/2) WITHOUT enumerating
+    a single pair.  This is the pre-join cardinality audit you run
+    before an actual spatial pair join at 100 TB — it tells you the
+    join's output size and which cells are hot, for two cheap
+    aggregates (cell×user, then cell) and zero pair rows.  Integer bit
+    math + integer counts only, hash-checked."""
+    e = load_table(spark, sf_dir, "events")
+    hi = (1 << _GH_BITS) - 1
+    cx = F.least(F.floor((_lon() + 180.0) / 360.0 * float(1 << _GH_BITS)).cast("long"), F.lit(hi))
+    cy = F.least(F.floor((_lat() + 90.0) / 180.0 * float(1 << _GH_BITS)).cast("long"), F.lit(hi))
+    cells = e.select("event_id", "user_id", cx.alias("cx"), cy.alias("cy"))
+    gh = None
+    for i in range(_GH_BITS):
+        t = F.shiftright(F.col("cx"), _GH_BITS - 1 - i).bitwiseAND(F.lit(1)) * F.lit(
+            1 << (29 - 2 * i)
+        ) + F.shiftright(F.col("cy"), _GH_BITS - 1 - i).bitwiseAND(F.lit(1)) * F.lit(
+            1 << (28 - 2 * i)
+        )
+        gh = t if gh is None else gh + t
+    keyed = cells.select("user_id", F.shiftright(gh, 5).alias("pkey"))
+    per_user = keyed.groupBy("pkey", "user_id").agg(F.count(F.lit(1)).alias("nu"))
+    alphabet = F.array(*[F.lit(c) for c in _GH_B32])
+    prefix = F.concat(
+        *[
+            F.element_at(
+                alphabet, (F.shiftright(F.col("pkey"), 20 - 5 * j) % 32 + 1).cast("int")
+            )
+            for j in range(5)
+        ]
+    )
+    return per_user.groupBy("pkey").agg(
+        F.sum("nu").cast("bigint").alias("n_pts"),
+        F.count(F.lit(1)).alias("n_users"),
+        # integer div keeps the pair identities exact at any cell size
+        F.expr("(sum(nu) * sum(nu) - sum(nu)) div 2").cast("bigint").alias("n_pairs"),
+        F.expr("(sum(nu) * sum(nu) - sum(nu * nu)) div 2").cast("bigint")
+        .alias("n_cross_user_pairs"),
+    ).select(
+        "pkey", prefix.alias("prefix"), "n_pts", "n_users", "n_pairs", "n_cross_user_pairs"
+    )
