@@ -72,7 +72,7 @@ _PRIORITY = [
     "m_ann_pq", "q_not_in_nulls", "q_join_asof_nearest",
     "g_track_area", "m_ngram_containment", "m_label_outliers", "u_arrow_py_udf",
     "m_temperature_mix", "src_schema_evolve", "sink_dynamic_overwrite",
-    "m_crossval_folds", "s_update_mode", "g_geohash_cells",
+    "m_crossval_folds", "s_update_mode", "g_geohash_cells", "q_time_weighted_avg",
     # ---- 50-entry window boundary is enforced by position, the
     # ---- remainder keeps round-3's order for stable bench diffs
     "q_agg_collect",

@@ -427,3 +427,51 @@ def q_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("event_id") % 7 == 0).alias("was_gap"),
         F.last(masked, ignorenulls=True).over(w).alias("filled_value"),
     )
+
+
+@query(
+    "q_time_weighted_avg",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, value,
+         CAST(floor(epoch(date_trunc('second', ts))) AS BIGINT) AS ep,
+         CAST(floor(epoch(date_trunc('second', lead(ts) OVER (PARTITION BY user_id ORDER BY event_id)))) AS BIGINT) AS ep_next
+  FROM events
+), held AS (
+  SELECT user_id, value, ep_next - ep AS dt
+  FROM seq WHERE ep_next IS NOT NULL
+)
+SELECT user_id,
+       CAST(SUM(dt) AS BIGINT) AS total_s,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(28,10)) * dt) * 1000000 AS BIGINT)
+            // CAST(SUM(dt) AS BIGINT) AS BIGINT) AS twa_micro
+FROM held
+GROUP BY user_id
+""",
+)
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of each user's reading — Σ(value·Δt)/Σ(Δt)
+    under sample-and-hold semantics, the correct mean for irregularly
+    sampled telemetry (a plain AVG over-weights bursts).  Δt comes
+    from second-truncated epochs (exact integers, ≥8 s same-user gaps
+    make truncation safe); the weighted sum runs in DECIMAL (value is
+    2-6 dp data, so value·Δt is exact) and the mean is emitted as
+    fixed-point micro-units via integer division — a rounded double
+    quotient would sit on midpoints (CLAUDE.md rule).  One shuffle on
+    user_id for the lead(), the aggregate reuses the partitioning."""
+    e = load_table(spark, sf_dir, "events")
+    ep = F.floor(F.unix_timestamp(F.date_trunc("second", F.col("ts")))).cast("bigint")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    seq = e.select("user_id", "event_id", "value", ep.alias("ep")).withColumn(
+        "ep_next", F.lead("ep").over(w)
+    )
+    held = seq.where(F.col("ep_next").isNotNull()).select(
+        "user_id", "value", (F.col("ep_next") - F.col("ep")).alias("dt")
+    )
+    return held.groupBy("user_id").agg(
+        F.sum("dt").cast("bigint").alias("total_s"),
+        F.expr(
+            "CAST(SUM(CAST(value AS DECIMAL(28,10)) * dt) * 1000000 AS BIGINT)"
+            " div SUM(dt)"
+        ).cast("bigint").alias("twa_micro"),
+    )
