@@ -190,3 +190,54 @@ def m_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_occurrences") > 1)
     )
+
+
+@query(
+    "m_boilerplate",
+    oracle=f"""
+SELECT p AS passage,
+       count(*) AS n_occurrences,
+       count(DISTINCT doc_id) AS n_docs,
+       min(doc_id) AS first_doc
+FROM (
+  SELECT doc_id, array_to_string(l[s+1 : s+{PASSAGE}], ' ') AS p
+  FROM (SELECT doc_id, string_split(text, ' ') AS l,
+               len(string_split(text, ' ')) AS n
+        FROM documents),
+       unnest(generate_series(0, n - 1, {PASSAGE})) AS t(s)
+)
+GROUP BY p
+ORDER BY count(DISTINCT doc_id) DESC, p ASC
+LIMIT 10
+""",
+)
+def m_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate detection: the 10 passages shared by the MOST
+    documents — headers, footers, license blurbs, navigation chrome —
+    which a curation pass strips *by content* rather than by document
+    (the complement of m_passage_dedup, which only flags that
+    duplication exists). Passages here are short strings (PASSAGE
+    tokens), so carrying the literal text through the explode is cheap
+    and makes the output directly actionable as a strip-list; the
+    top-10 is TakeOrderedAndProject over the map-side-combined
+    aggregate — at 100 TB the strip-list builder is one explode + one
+    digest-sized shuffle + a bounded top-k, then the list broadcasts
+    back to the rewrite pass."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    passages = F.transform(
+        F.sequence(F.lit(0), n - 1, F.lit(PASSAGE)),
+        lambda s: F.array_join(F.slice(toks, s + 1, PASSAGE), " "),
+    )
+    return (
+        d.select("doc_id", F.explode(passages).alias("passage"))
+        .groupBy("passage")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy(F.col("n_docs").desc(), F.col("passage").asc())
+        .limit(10)
+    )
