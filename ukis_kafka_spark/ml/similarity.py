@@ -1091,3 +1091,75 @@ def m_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("dist_mass").desc(), F.col("vec_id").asc())
         .limit(20)
     )
+
+
+@query(
+    "m_covariance_topk",
+    oracle="""
+WITH q AS (
+  SELECT vec_id, d, CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT) AS v
+  FROM (
+    SELECT vec_id, generate_subscripts(embedding, 1) AS d, unnest(embedding) AS x
+    FROM embeddings
+  )
+),
+n AS (SELECT count(DISTINCT vec_id) AS n FROM q),
+marg AS (SELECT d, CAST(SUM(v) AS BIGINT) AS s FROM q GROUP BY d),
+cross_mass AS (
+  SELECT a.d AS di, b.d AS dj, CAST(SUM(a.v * b.v) AS BIGINT) AS sxy
+  FROM q a JOIN q b ON b.vec_id = a.vec_id AND b.d > a.d
+  GROUP BY a.d, b.d
+)
+SELECT di, dj, cov_mass FROM (
+  SELECT c.di, c.dj,
+         (SELECT n FROM n) * c.sxy - ma.s * mb.s AS cov_mass
+  FROM cross_mass c
+  JOIN marg ma ON ma.d = c.di
+  JOIN marg mb ON mb.d = c.dj
+)
+ORDER BY abs(cov_mass) DESC, di ASC, dj ASC
+LIMIT 10
+""",
+)
+def m_covariance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 10 most-covarying embedding dimension pairs, by the exact
+    integer covariance mass n·Σxᵢxⱼ − Σxᵢ·Σxⱼ on a 1e-4 grid — the
+    redundancy audit run before whitening/PCA or before trusting PQ's
+    independent-sub-space assumption (strongly covarying dims in the
+    same sub-block waste codewords).  Grid choice bounds every term
+    under ~10¹⁸ even at 50k vectors, so the whole statistic is
+    overflow-safe BIGINT math and hash-checks.  Dataflow: one explode,
+    a self-join co-partitioned on vec_id (rows×d² intermediate — the
+    cost is explicit and shuffle-local), map-side-combined sums per
+    (dᵢ, dⱼ) pair, then a 2016-row broadcast join against the marginal
+    sums and a bounded top-10."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.select(
+        "vec_id",
+        F.posexplode(
+            F.transform("embedding", lambda x: F.floor(x.cast("double") * 10_000).cast("long"))
+        ).alias("d0", "v"),
+    ).select("vec_id", (F.col("d0") + 1).alias("d"), "v")
+    n = q.agg(F.countDistinct("vec_id").alias("n"))
+    marg = q.groupBy("d").agg(F.sum("v").alias("s"))
+    a = q.alias("a")
+    b = q.select(F.col("vec_id").alias("bvid"), F.col("d").alias("dj"), F.col("v").alias("bv"))
+    cross_mass = (
+        a.join(b, (F.col("bvid") == F.col("a.vec_id")) & (F.col("dj") > F.col("a.d")))
+        .groupBy(F.col("a.d").alias("di"), "dj")
+        .agg(F.sum(F.col("a.v") * F.col("bv")).alias("sxy"))
+    )
+    ma = marg.select(F.col("d").alias("di"), F.col("s").alias("si"))
+    mb = marg.select(F.col("d").alias("dj"), F.col("s").alias("sj"))
+    return (
+        cross_mass.crossJoin(F.broadcast(n))
+        .join(F.broadcast(ma), "di")
+        .join(F.broadcast(mb), "dj")
+        .select(
+            "di",
+            "dj",
+            (F.col("n") * F.col("sxy") - F.col("si") * F.col("sj")).alias("cov_mass"),
+        )
+        .orderBy(F.abs(F.col("cov_mass")).desc(), F.col("di").asc(), F.col("dj").asc())
+        .limit(10)
+    )
