@@ -73,7 +73,7 @@ _PRIORITY = [
     "g_track_area", "m_ngram_containment", "m_label_outliers", "u_arrow_py_udf",
     "m_temperature_mix", "src_schema_evolve", "sink_dynamic_overwrite",
     "m_crossval_folds", "s_update_mode", "g_geohash_cells", "q_time_weighted_avg",
-    "m_boilerplate", "m_covariance_topk",
+    "m_boilerplate", "m_covariance_topk", "m_pca_power",
     # ---- 50-entry window boundary is enforced by position, the
     # ---- remainder keeps round-3's order for stable bench diffs
     "q_agg_collect",

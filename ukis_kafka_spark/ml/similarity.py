@@ -1163,3 +1163,119 @@ def m_covariance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.abs(F.col("cov_mass")).desc(), F.col("di").asc(), F.col("dj").asc())
         .limit(10)
     )
+
+
+_PCA_SCALE = 1_000_000_000  # covariance-mass downscale before the matvec
+_PCA_ITERS = 2
+
+
+def _pca_oracle() -> str:
+    parts = [
+        """
+WITH q AS (
+  SELECT vec_id, d, CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT) AS v
+  FROM (
+    SELECT vec_id, generate_subscripts(embedding, 1) AS d, unnest(embedding) AS x
+    FROM embeddings
+  )
+),
+nn AS (SELECT count(DISTINCT vec_id) AS n FROM q),
+marg AS (SELECT d, CAST(SUM(v) AS BIGINT) AS s FROM q GROUP BY d),
+cmass AS (
+  SELECT a.d AS di, b.d AS dj, CAST(SUM(a.v * b.v) AS BIGINT) AS sxy
+  FROM q a JOIN q b ON b.vec_id = a.vec_id
+  GROUP BY a.d, b.d
+),
+c AS (
+  SELECT cm.di, cm.dj,
+         CASE WHEN nn.n * cm.sxy - ma.s * mb.s < 0 THEN -1 ELSE 1 END
+           * (abs(nn.n * cm.sxy - ma.s * mb.s) // %(scale)d) AS cs
+  FROM cmass cm
+  JOIN marg ma ON ma.d = cm.di
+  JOIN marg mb ON mb.d = cm.dj,
+  nn
+),
+v0 AS (SELECT d, CASE WHEN d = 1 THEN 1000000 ELSE 0 END AS vv
+       FROM (SELECT DISTINCT d FROM q))"""
+        % {"scale": _PCA_SCALE}
+    ]
+    for k in range(_PCA_ITERS):
+        parts.append(
+            f""",
+u{k} AS (
+  SELECT c.di AS d, CAST(SUM(c.cs * v.vv) AS BIGINT) AS u
+  FROM c JOIN v{k} v ON v.d = c.dj
+  GROUP BY c.di
+),
+m{k} AS (SELECT max(abs(u)) AS m FROM u{k}),
+v{k + 1} AS (
+  SELECT d,
+         CASE WHEN u < 0 THEN -1 ELSE 1 END * ((abs(u) * 1000000) // m) AS vv
+  FROM u{k}, m{k}
+)"""
+        )
+    parts.append(
+        f"""
+SELECT d, CAST(vv AS BIGINT) AS pc1_micro FROM v{_PCA_ITERS}"""
+    )
+    return "".join(parts)
+
+
+@query("m_pca_power", oracle=_pca_oracle())
+def m_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction by {it} fixed-point power iterations
+    over the exact integer covariance matrix — PCA's workhorse step
+    expressed as the standard matvec-as-join dataflow (C is 64×64 =
+    4096 rows; each iteration is one broadcast join + one aggregate).
+    Everything stays deterministic integer math: covariance mass on
+    the 1e-4 grid, a fixed 1e9 downscale so matvec terms fit BIGINT at
+    any corpus size, and per-iteration max-abs normalization done as
+    sign·((|u|·1e6) div m) — the sign is factored out explicitly
+    because integer division truncates toward zero in Spark but floors
+    in DuckDB, and they only agree on non-negative operands (the same
+    trap CLAUDE.md records for double→int casts).  Hash-checked like
+    the PageRank/k-means iterations; at 100 TB the O(n·d²) moment pass
+    is the only data-sized stage and it is one map-side-combined
+    aggregate.""".format(it=_PCA_ITERS)
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.select(
+        "vec_id",
+        F.posexplode(
+            F.transform("embedding", lambda x: F.floor(x.cast("double") * 10_000).cast("long"))
+        ).alias("d0", "v"),
+    ).select("vec_id", (F.col("d0") + 1).alias("d"), "v")
+    n = q.agg(F.countDistinct("vec_id").alias("n"))
+    marg = q.groupBy("d").agg(F.sum("v").alias("s"))
+    b = q.select(F.col("vec_id").alias("bvid"), F.col("d").alias("dj"), F.col("v").alias("bv"))
+    cmass = (
+        q.alias("a")
+        .join(b, F.col("bvid") == F.col("a.vec_id"))
+        .groupBy(F.col("a.d").alias("di"), "dj")
+        .agg(F.sum(F.col("a.v") * F.col("bv")).alias("sxy"))
+    )
+    raw = F.col("n") * F.col("sxy") - F.col("si") * F.col("sj")
+    sign = F.when(raw < 0, F.lit(-1)).otherwise(F.lit(1))
+    c = (
+        cmass.crossJoin(F.broadcast(n))
+        .join(F.broadcast(marg.select(F.col("d").alias("di"), F.col("s").alias("si"))), "di")
+        .join(F.broadcast(marg.select(F.col("d").alias("dj"), F.col("s").alias("sj"))), "dj")
+        .select(
+            "di",
+            "dj",
+            (sign * F.expr(f"abs({'n * sxy - si * sj'}) div {_PCA_SCALE}")).alias("cs"),
+        )
+        .localCheckpoint()  # C is reused by every iteration
+    )
+    v = marg.select("d", F.when(F.col("d") == 1, F.lit(1_000_000)).otherwise(F.lit(0)).alias("vv"))
+    for _ in range(_PCA_ITERS):
+        u = (
+            c.join(F.broadcast(v.select(F.col("d").alias("dj"), "vv")), "dj")
+            .groupBy(F.col("di").alias("d"))
+            .agg(F.sum(F.col("cs") * F.col("vv")).alias("u"))
+        )
+        m = u.agg(F.max(F.abs(F.col("u"))).alias("m"))
+        usign = F.when(F.col("u") < 0, F.lit(-1)).otherwise(F.lit(1))
+        v = u.crossJoin(F.broadcast(m)).select(
+            "d", (usign * F.expr("(abs(u) * 1000000) div m")).alias("vv")
+        )
+    return v.select("d", F.col("vv").cast("bigint").alias("pc1_micro"))
