@@ -475,3 +475,56 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div SUM(dt)"
         ).cast("bigint").alias("twa_micro"),
     )
+
+
+@query(
+    "q_trend_slope",
+    oracle="""
+WITH pts AS (
+  SELECT user_id,
+         (CAST(floor(epoch(date_trunc('second', ts))) AS BIGINT)
+          - min(CAST(floor(epoch(date_trunc('second', ts))) AS BIGINT))
+              OVER (PARTITION BY user_id)) // 60 AS x,
+         CAST(floor(value * 1000 + 0.5) AS BIGINT) AS y
+  FROM events
+)
+SELECT user_id,
+       count(*) AS n,
+       CAST(count(*) * SUM(x * y) - SUM(x) * SUM(y) AS BIGINT) AS slope_num,
+       CAST(count(*) * SUM(x * x) - SUM(x) * SUM(x) AS BIGINT) AS slope_den
+FROM pts
+GROUP BY user_id
+""",
+)
+def q_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user least-squares trend slope of the reading over time,
+    emitted as the EXACT rational (numerator, denominator) of the
+    closed form (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) instead of a rounded
+    quotient — rounded quotients of correlated integer sums sit on
+    midpoints (CLAUDE.md), the rational never does, and the consumer
+    divides at whatever precision it wants.  x is minutes since the
+    user's first event (per-user centering keeps x² sums ~10¹³ even
+    for year-long histories; raw epochs squared would overflow), y is
+    the reading in milli-units via an explicit half-up floor.  One
+    window pass for the per-user minimum + one aggregate, both on the
+    same user_id shuffle."""
+    e = load_table(spark, sf_dir, "events")
+    pts = e.select(
+        "user_id",
+        F.expr(
+            "(CAST(floor(unix_timestamp(date_trunc('second', ts))) AS BIGINT)"
+            " - min(CAST(floor(unix_timestamp(date_trunc('second', ts))) AS BIGINT))"
+            "     OVER (PARTITION BY user_id)) div 60"
+        ).alias("x"),
+        F.floor(F.col("value") * 1000 + 0.5).cast("bigint").alias("y"),
+    )
+    n = F.count(F.lit(1))
+    return pts.groupBy("user_id").agg(
+        n.alias("n"),
+        (n * F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y"))
+        .cast("bigint")
+        .alias("slope_num"),
+        (n * F.sum(F.col("x") * F.col("x")) - F.sum("x") * F.sum("x"))
+        .cast("bigint")
+        .alias("slope_den"),
+    )

@@ -370,3 +370,65 @@ def src_schema_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("quality").alias("n_with_quality"),
         F.sum("quality").alias("quality_sum"),
     )
+
+
+@query(
+    "src_csv_malformed",
+    oracle="""
+SELECT event_type,
+       count(*) AS n_rows,
+       count(CASE WHEN event_id % 13 = 0 THEN 1 END) AS n_corrupt,
+       CAST(CAST(SUM(CASE WHEN event_id % 13 <> 0
+                          THEN CAST(value AS DECIMAL(28,10)) END) AS VARCHAR) AS DOUBLE) AS good_sum
+FROM events
+GROUP BY event_type
+""",
+)
+def src_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust CSV ingestion under PERMISSIVE mode: a feed where every
+    13th record carries an unparseable numeric field must load WITHOUT
+    failing the job — the malformed field comes back NULL, the raw
+    line is preserved in the corrupt-record column for quarantine, and
+    every well-formed column of the bad row still parses.  Real feeds
+    are never clean; an engine that dies on row 4 billion of a 100 TB
+    load (ANSI/FAILFAST behavior) is unusable for ingest, so this pins
+    the quarantine path.  The corrupted copy is built once per corpus
+    fingerprint; the audit aggregate (rows, corrupt rows, sum of
+    parseable values) is driven entirely by the deterministic
+    corruption rule, which the oracle mirrors from the clean table."""
+
+    def build(into: str) -> None:
+        e = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "value"
+        )
+        line = F.concat_ws(
+            ",",
+            F.col("event_id"),
+            F.col("user_id"),
+            F.col("event_type"),
+            F.when(F.col("event_id") % 13 == 0, F.lit("NOT_A_NUMBER")).otherwise(
+                F.col("value").cast("string")
+            ),
+        )
+        e.select(line.alias("value")).write.mode("overwrite").text(
+            os.path.join(into, "csv_bad")
+        )
+
+    src = os.path.join(
+        _cache_publish(build, ("csv_bad", 1, _table_fingerprint(sf_dir))), "csv_bad"
+    )
+    back = (
+        spark.read.schema(
+            "event_id long, user_id long, event_type string, value double, _bad string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .csv(src)
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("_bad").isNotNull(), 1)).alias("n_corrupt"),
+        F.sum(F.when(F.col("_bad").isNull(), F.col("value").cast("decimal(28,10)")))
+        .cast("double")
+        .alias("good_sum"),
+    )
