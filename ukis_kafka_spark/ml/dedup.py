@@ -153,14 +153,49 @@ def m_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("m_simhash")  # rows-only: bit votes ride on engine-specific token hashes
+_SIMHASH_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM documents
+),
+h AS (SELECT doc_id, CAST((strpos('0123456789abcdef', substring(md5(tok), 1, 1)) - 1) * 72057594037927936 + (strpos('0123456789abcdef', substring(md5(tok), 2, 1)) - 1) * 4503599627370496 + (strpos('0123456789abcdef', substring(md5(tok), 3, 1)) - 1) * 281474976710656 + (strpos('0123456789abcdef', substring(md5(tok), 4, 1)) - 1) * 17592186044416 + (strpos('0123456789abcdef', substring(md5(tok), 5, 1)) - 1) * 1099511627776 + (strpos('0123456789abcdef', substring(md5(tok), 6, 1)) - 1) * 68719476736 + (strpos('0123456789abcdef', substring(md5(tok), 7, 1)) - 1) * 4294967296 + (strpos('0123456789abcdef', substring(md5(tok), 8, 1)) - 1) * 268435456 + (strpos('0123456789abcdef', substring(md5(tok), 9, 1)) - 1) * 16777216 + (strpos('0123456789abcdef', substring(md5(tok), 10, 1)) - 1) * 1048576 + (strpos('0123456789abcdef', substring(md5(tok), 11, 1)) - 1) * 65536 + (strpos('0123456789abcdef', substring(md5(tok), 12, 1)) - 1) * 4096 + (strpos('0123456789abcdef', substring(md5(tok), 13, 1)) - 1) * 256 + (strpos('0123456789abcdef', substring(md5(tok), 14, 1)) - 1) * 16 + (strpos('0123456789abcdef', substring(md5(tok), 15, 1)) - 1) * 1 AS BIGINT) AS hv FROM toks),
+votes AS (
+  SELECT doc_id, b, SUM(2 * ((hv >> b) & 1) - 1) AS vote
+  FROM h, unnest(generate_series(0, 59)) AS t(b)
+  GROUP BY doc_id, b
+),
+fp AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+  FROM votes GROUP BY doc_id
+),
+banded AS (
+  SELECT doc_id, simhash, b AS band_idx, (simhash >> (b * 15)) & 32767 AS band_val
+  FROM fp, unnest(generate_series(0, 3)) AS t(b)
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM banded a JOIN banded b
+  ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+@query("m_simhash", oracle=_SIMHASH_ORACLE)
 def m_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash-64 near-duplicate pairs: per-token md5-derived 64-bit
+    """SimHash-60 near-duplicate pairs: per-token md5-derived 60-bit
     hash → per-bit majority vote → fingerprint → candidate pairs share
-    one of four 16-bit bands → Hamming distance ≤ 3 via bit_count.
+    one of four 15-bit bands → Hamming distance ≤ 3 via bit_count.
+
+    The token hash is the big-endian integer value of the first 15 md5
+    hex digits — 60 bits, chosen so the whole pipeline fits SIGNED
+    64-bit integers in every engine; that makes the bit votes plain
+    modular arithmetic and upgrades this operator from rows-only to
+    fully oracle-hash-checked (the round-2 q_map_ops precedent), with
+    the SQL twin re-deriving the same hash via hex-digit positional
+    parse.
 
     The bit vote is a vectorized numpy kernel behind an Arrow-batched
-    pandas UDF (a 64-lane JVM array fold is interpreted, not
+    pandas UDF (a 60-lane JVM array fold is interpreted, not
     codegen'd — measured 147 s vs ~2 s at sf0.1). Banding, the
     self-join, and the Hamming filter stay JVM-side."""
     import hashlib
@@ -169,34 +204,37 @@ def m_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf(T.LongType())
-    def simhash64(text: pd.Series) -> pd.Series:
+    def simhash60(text: pd.Series) -> pd.Series:
         out = np.empty(len(text), dtype=np.int64)
         for i, t in enumerate(text):
             toks = set(t.split(" ")) if t else set()
             if not toks:
                 out[i] = 0
                 continue
-            hs = np.frombuffer(
-                b"".join(hashlib.md5(tok.encode()).digest()[:8] for tok in toks),
-                dtype=np.uint64,
+            # big-endian value of the first 15 md5 hex digits: 60 bits,
+            # sign-safe in every engine; the oracle re-derives it per
+            # hex digit
+            hs = np.array(
+                [int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) for tok in toks],
+                dtype=np.int64,
             )
-            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int32)
+            bits = ((hs[:, None] >> np.arange(60, dtype=np.int64)) & 1).astype(np.int32)
             votes = (2 * bits - 1).sum(axis=0)
-            fp = np.uint64(0)
+            fp = 0
             for b in np.nonzero(votes > 0)[0]:
-                fp |= np.uint64(1) << np.uint64(b)
-            out[i] = np.int64(fp & np.uint64(0x7FFFFFFFFFFFFFFF))  # keep sign bit clear
+                fp |= 1 << int(b)
+            out[i] = fp
         return pd.Series(out)
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    sims = d.select("doc_id", simhash64(F.col("text")).alias("simhash"))
+    sims = d.select("doc_id", simhash60(F.col("text")).alias("simhash"))
     banded = sims.select(
         "doc_id",
         "simhash",
         F.posexplode(
             F.array(
                 *[
-                    F.shiftright(F.col("simhash"), b * 16).bitwiseAND(F.lit(0xFFFF).cast("long"))
+                    F.shiftright(F.col("simhash"), b * 15).bitwiseAND(F.lit(0x7FFF).cast("long"))
                     for b in range(4)
                 ]
             )
