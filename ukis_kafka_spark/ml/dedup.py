@@ -66,18 +66,67 @@ def m_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).drop("text")
 
 
-@query("m_near_dedup")  # rows-only: minhash uses engine-specific xxhash64
+def _near_dedup_oracle() -> str:
+    hashers = ", ".join(
+        f"({j + 1}, {_AS[j]}, {_BS[j]})" for j in range(_N_HASH)
+    )
+    hexparse = " + ".join(
+        f"(strpos('0123456789abcdef', substring(md5(sh), {i + 1}, 1)) - 1) * {16 ** (14 - i)}"
+        for i in range(15)
+    )
+    return f"""
+WITH shl AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+             generate_series(1, greatest(len(l) - 2, 1)),
+             i -> array_to_string(l[i : i + 2], ' '))) AS shl
+  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+),
+sh_h AS (
+  SELECT doc_id, CAST({hexparse} AS BIGINT) AS hv
+  FROM (SELECT doc_id, unnest(shl) AS sh FROM shl)
+),
+sig AS (
+  SELECT doc_id, hp.j, MIN(((hv % {_P}) * hp.a + hp.b) % {_P}) AS sig
+  FROM sh_h, (VALUES {hashers}) AS hp(j, a, b)
+  GROUP BY doc_id, hp.j
+),
+bands AS (
+  SELECT doc_id, (j - 1) // {_ROWS} AS band_idx,
+         string_agg(CAST(sig AS VARCHAR), '_' ORDER BY j) AS band_sig
+  FROM sig GROUP BY doc_id, (j - 1) // {_ROWS}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       CAST(len(list_intersect(sa.shl, sb.shl)) AS DOUBLE)
+         / len(list_distinct(list_concat(sa.shl, sb.shl))) AS jaccard
+FROM cand
+JOIN shl sa ON sa.doc_id = cand.id_a
+JOIN shl sb ON sb.doc_id = cand.id_b
+WHERE CAST(len(list_intersect(sa.shl, sb.shl)) AS DOUBLE)
+        / len(list_distinct(list_concat(sa.shl, sb.shl))) >= 0.6
+"""
+
+
+@query("m_near_dedup", oracle=_near_dedup_oracle())
 def m_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH near-duplicate pairs.
 
-    Pipeline: 3-token shingles → 12 minhashes (affine hashers over
-    crc32, computed in one numpy kernel per Arrow batch) → 4 bands ×
-    3 rows → explode bands → self-join on (band_idx, band_signature) →
-    exact Jaccard verify ≥ 0.6.
+    Pipeline: 3-token shingles → 12 minhashes (affine hashers over a
+    60-bit md5-hex shingle hash, computed in one numpy kernel per
+    Arrow batch) → 4 bands × 3 rows → explode bands → self-join on
+    (band_idx, band_signature) → exact Jaccard verify ≥ 0.6.
 
     The only explode is per-band (4 rows/doc); candidate pairs are
-    bucket-local, so no O(n²) stage exists. Verified by a
-    planted-duplicate unit test + a hypothesis Jaccard-estimate bound.
+    bucket-local, so no O(n²) stage exists. The engine-neutral hash
+    (same family as m_simhash) makes the ENTIRE pipeline — signatures,
+    banding, candidate set, verified Jaccard — reproducible in SQL, so
+    this operator is fully oracle-hash-checked on top of its
+    planted-duplicate unit test + hypothesis Jaccard-estimate bound.
     """
     import numpy as np
     from pyspark.sql.functions import pandas_udf
@@ -92,12 +141,17 @@ def m_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @pandas_udf(T.ArrayType(T.LongType()))
     def minhash_sig(sh_col: pd.Series) -> pd.Series:
-        from zlib import crc32
+        import hashlib
 
         out = []
         for shingles in sh_col:
+            # big-endian value of the first 15 md5 hex digits (60 bits,
+            # sign-safe) — same engine-neutral hash family as m_simhash,
+            # which is what lets the SQL oracle recompute the signatures
             hs = np.fromiter(
-                (crc32(s.encode()) for s in shingles), dtype=np.int64, count=len(shingles)
+                (int(hashlib.md5(s.encode()).hexdigest()[:15], 16) for s in shingles),
+                dtype=np.int64,
+                count=len(shingles),
             )
             sigs = ((hs[:, None] % _P) * a_vec + b_vec) % _P
             out.append(sigs.min(axis=0))
