@@ -301,14 +301,70 @@ def _hyperplane(table: int, bit: int) -> list[float]:
     return vals
 
 
-@query("m_ann_lsh")  # rows-only: hyperplane constants make results heuristic by design
+def _hyperplane_int(table: int, bit: int) -> list[int]:
+    """Integer numerators of _hyperplane (value = n/1000): the sign of
+    <quantized embedding, plane> is then exact integer math, identical
+    in every engine — what lets the LSH bucket assignment (and with it
+    the whole candidate set) be oracle-checked."""
+    vals = []
+    x = (table * 2654435761 + bit * 40503 + 12345) & 0xFFFFFFFF
+    for _ in range(_DIM):
+        x ^= (x << 13) & 0xFFFFFFFF
+        x ^= x >> 17
+        x ^= (x << 5) & 0xFFFFFFFF
+        vals.append(x % 2001 - 1000)
+    return vals
+
+
+def _ann_lsh_oracle() -> str:
+    rows = []
+    for t in range(_LSH_TABLES):
+        for k in range(_LSH_BITS):
+            for d, pv in enumerate(_hyperplane_int(t, k), start=1):
+                rows.append(f"({t},{k},{d},{pv})")
+    planes = ", ".join(rows)
+    return f"""
+WITH qv AS (
+  SELECT vec_id, d, CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT) AS v
+  FROM (SELECT vec_id, generate_subscripts(embedding, 1) AS d, unnest(embedding) AS x
+        FROM embeddings)
+),
+planes AS (SELECT * FROM (VALUES {planes}) p(t, k, d, pv)),
+dots AS (
+  SELECT qv.vec_id, p.t, p.k, SUM(qv.v * p.pv) AS dot
+  FROM qv JOIN planes p USING (d)
+  GROUP BY qv.vec_id, p.t, p.k
+),
+sigs AS (
+  SELECT vec_id, t AS table_id,
+         string_agg(CASE WHEN dot >= 0 THEN '1' ELSE '0' END, '' ORDER BY k) AS bucket
+  FROM dots GROUP BY vec_id, t
+),
+cand AS (
+  SELECT DISTINCT sa.vec_id AS id_a, sb.vec_id AS id_b
+  FROM sigs sa JOIN sigs sb
+    ON sa.table_id = sb.table_id AND sa.bucket = sb.bucket AND sa.vec_id < sb.vec_id
+)
+SELECT c.id_a, c.id_b,
+       round({{dot}} / ({{na}} * {{nb}}), 6) AS cos_sim
+FROM cand c JOIN embeddings a ON a.vec_id = c.id_a JOIN embeddings b ON b.vec_id = c.id_b
+ORDER BY cos_sim DESC, c.id_a ASC, c.id_b ASC
+LIMIT 20
+""".format(dot=_ORACLE_DOT, na=_ORACLE_NORM_A, nb=_ORACLE_NORM_B)
+
+
+@query("m_ann_lsh", oracle=_ann_lsh_oracle())
 def m_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate NN via random-hyperplane LSH, 8 tables × 4 sign bits.
     Table count buys recall (P[collide in ≥1] ≈ 1-(1-p⁸)⁸, ≈ 0.99 for
     cos ≥ 0.9 pairs), bit count prunes candidates (64 buckets/table).
     Candidate pairs are bucket-local — the scale path that collapses
     n² to Σ bucket²; a parametrized unit test pins the recall/cost
-    curve across table counts (ann_lsh_pairs is the tunable entry)."""
+    curve across table counts (ann_lsh_pairs is the tunable entry).
+    Signatures are signs of exact integer dot products (quantized
+    embeddings × integer plane numerators), so the full pipeline —
+    buckets, candidate set, 6 dp cosines, top-20 — is
+    oracle-hash-checked, not just recall-bounded."""
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return ann_lsh_pairs(e, n_tables=_LSH_TABLES, n_bits=_LSH_BITS)
 
@@ -318,14 +374,18 @@ def ann_lsh_pairs(e: DataFrame, n_tables: int, n_bits: int) -> DataFrame:
     — the recall/cost knob: more tables -> more candidate volume ->
     higher recall."""
     # all plane dots in one numpy GEMM per Arrow batch (per-plane JVM
-    # array folds are interpreted: measured 8.4 s → ~1 s at sf0.1)
+    # array folds are interpreted: measured 8.4 s → ~1 s at sf0.1).
+    # Integer plane numerators × 1e-4-quantized embeddings: the sign is
+    # exact integer math, so bucket assignment is engine-reproducible
+    # (the SQL oracle recomputes it bit for bit).
     planes = np.array(
-        [_hyperplane(t, k) for t in range(n_tables) for k in range(n_bits)]
+        [_hyperplane_int(t, k) for t in range(n_tables) for k in range(n_bits)],
+        dtype=np.int64,
     ).T  # dim × (tables·bits)
 
     @pandas_udf(T.ArrayType(T.StringType()))
     def lsh_sigs(emb: pd.Series) -> pd.Series:
-        M = np.stack(emb.to_numpy()).astype(np.float64)
+        M = np.floor(np.stack(emb.to_numpy()).astype(np.float64) * 10000).astype(np.int64)
         bits = (M @ planes >= 0).astype(np.uint8)  # n × (tables·bits)
         out = []
         for row in bits:
