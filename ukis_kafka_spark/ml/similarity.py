@@ -476,7 +476,50 @@ _IVF_LISTS = 16
 _IVF_PROBES = 4
 
 
-@query("m_ann_ivf")  # rows-only: centroid choice makes results heuristic by design
+_IVF_HASH_A = 2654435761
+_IVF_HASH_P = 1_000_003
+
+
+def _ann_ivf_oracle() -> str:
+    return f"""
+WITH qv AS (
+  SELECT vec_id, d, CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT) AS v
+  FROM (SELECT vec_id, generate_subscripts(embedding, 1) AS d, unnest(embedding) AS x
+        FROM embeddings)
+),
+cents AS (
+  SELECT vec_id AS cid, row_number() OVER (ORDER BY (vec_id * {_IVF_HASH_A}) % {_IVF_HASH_P}, vec_id) - 1 AS list_id
+  FROM embeddings
+  ORDER BY (vec_id * {_IVF_HASH_A}) % {_IVF_HASH_P}, vec_id
+  LIMIT {_IVF_LISTS}
+),
+cvec AS (SELECT c.list_id, qv.d, qv.v AS cv FROM cents c JOIN qv ON qv.vec_id = c.cid),
+dist AS (
+  SELECT qv.vec_id, cv.list_id, SUM((qv.v - cv.cv) * (qv.v - cv.cv)) AS dist
+  FROM qv JOIN cvec cv USING (d)
+  GROUP BY qv.vec_id, cv.list_id
+),
+probes AS (
+  SELECT vec_id, list_id FROM (
+    SELECT vec_id, list_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, list_id ASC) AS rn
+    FROM dist
+  ) WHERE rn <= {_IVF_PROBES}
+),
+cand AS (
+  SELECT DISTINCT pa.vec_id AS id_a, pb.vec_id AS id_b
+  FROM probes pa JOIN probes pb
+    ON pa.list_id = pb.list_id AND pa.vec_id < pb.vec_id
+)
+SELECT c.id_a, c.id_b,
+       round({{dot}} / ({{na}} * {{nb}}), 6) AS cos_sim
+FROM cand c JOIN embeddings a ON a.vec_id = c.id_a JOIN embeddings b ON b.vec_id = c.id_b
+ORDER BY cos_sim DESC, c.id_a ASC, c.id_b ASC
+LIMIT 20
+""".format(dot=_ORACLE_DOT, na=_ORACLE_NORM_A, nb=_ORACLE_NORM_B)
+
+
+@query("m_ann_ivf", oracle=_ann_ivf_oracle())
 def m_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate NN via IVF (inverted-file) partitioning: 16 fixed
     centroids (deterministic corpus sample), every vector assigned to
@@ -489,7 +532,9 @@ def m_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB, the centroid step becomes a proper k-means fit while the
     list assignment/probing dataflow here is unchanged. A parametrized
     unit test pins the recall/cost curve across probe counts
-    (ann_ivf_pairs is the tunable entry)."""
+    (ann_ivf_pairs is the tunable entry); centroid sampling by modular
+    hash + integer L2 probe ranking make the whole candidate pipeline
+    engine-reproducible, so the top-20 is oracle-hash-checked too."""
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return ann_ivf_pairs(e, n_lists=_IVF_LISTS, n_probes=_IVF_PROBES)
 
@@ -501,29 +546,42 @@ def ann_ivf_pairs(e: DataFrame, n_lists: int, n_probes: int) -> DataFrame:
     spark = e.sparkSession
 
     # deterministic "centroids": the 16 vectors with the smallest
-    # xxhash64(vec_id) — a pseudo-random, scale-independent corpus
-    # sample fetched by one TakeOrdered pass (top-16 heap per
-    # partition, 16-row merge on the driver; no count() pre-pass).
-    # Stand-in for a k-means fit, which at 100 TB replaces this sample
-    # while the assignment/probing dataflow below is unchanged.
+    # (vec_id · A) mod P multiplicative hash — a pseudo-random,
+    # scale-independent corpus sample fetched by one TakeOrdered pass
+    # (top-16 heap per partition, 16-row merge on the driver; no
+    # count() pre-pass). Modular arithmetic instead of xxhash64, and
+    # integer L2 probe ranking on the 1e-4 grid, make the assignment
+    # engine-reproducible — the SQL oracle re-derives centroids,
+    # probe lists, and the candidate set exactly. Stand-in for a
+    # k-means fit, which at 100 TB replaces this sample while the
+    # assignment/probing dataflow below is unchanged.
     cent_rows = (
-        e.select("vec_id", "embedding", F.xxhash64("vec_id").alias("h"))
+        e.select(
+            "vec_id",
+            "embedding",
+            F.expr(f"(vec_id * {_IVF_HASH_A}) % {_IVF_HASH_P}").alias("h"),
+        )
         .orderBy("h", "vec_id")
         .limit(n_lists)
         .collect()
     )
-    centroids = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in cent_rows])
-    centroids /= np.sqrt((centroids * centroids).sum(axis=1, keepdims=True))
+    centroids = np.floor(
+        np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in cent_rows]) * 10000
+    ).astype(np.int64)
     bc = spark.sparkContext.broadcast(centroids)
 
     @pandas_udf(T.ArrayType(T.IntegerType()))
     def probe_lists(emb: pd.Series) -> pd.Series:
         C = bc.value
-        M = np.stack(emb.to_numpy()).astype(np.float64)
-        M /= np.sqrt((M * M).sum(axis=1, keepdims=True))
-        sims = M @ C.T
-        order = np.argsort(-sims, axis=1)[:, :n_probes]
-        return pd.Series([row.astype("int32").tolist() for row in order])
+        M = np.floor(np.stack(emb.to_numpy()).astype(np.float64) * 10000).astype(np.int64)
+        # exact integer squared-L2 to each centroid; ties break on the
+        # smaller list id (lexsort: primary dist, secondary list index)
+        d2 = ((M[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        out = []
+        for row in d2:
+            order = np.lexsort((np.arange(len(row)), row))[:n_probes]
+            out.append(order.astype("int32").tolist())
+        return pd.Series(out)
 
     assigned = e.select(
         "vec_id",
