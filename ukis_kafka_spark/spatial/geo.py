@@ -283,11 +283,23 @@ def g_point_in_poly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("g_wkb_serde")  # rows-only: binary round-trip, hypothesis-tested in unit suite
+@query(
+    "g_wkb_serde",
+    oracle=f"""
+SELECT event_id, {_LON} AS lon, {_LON} AS lon_rt, 21 AS wkb_len
+FROM events
+""",
+)
 def g_wkb_serde(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WKB encode/decode round-trip over BinaryType columns (R2/R3
     envelope parity): derive a point per event, encode to WKB in one
-    pandas UDF, decode in another, assert the coordinates survive."""
+    pandas UDF, decode in another, assert the coordinates survive.
+    IEEE doubles round-trip bit-exactly through the codec and a 2-D
+    point envelope is always 21 bytes, so the oracle states the
+    round-trip identity directly: any row the exact-equality filter
+    drops (or a wrong buffer length) breaks the driver hash — the
+    codec itself is additionally hypothesis-tested (multi-geometries,
+    big-endian) in the unit suite."""
     from .wkb import decode_wkb, encode_wkb
 
     @pandas_udf(T.BinaryType())
@@ -310,13 +322,23 @@ def g_wkb_serde(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("g_geom_valid")  # rows-only: validation verdicts are codec-defined
+@query(
+    "g_geom_valid",
+    oracle=f"""
+SELECT event_id, {_LON} AS lon, CAST({_LAT} AS DOUBLE) AS lat
+FROM events
+WHERE event_id % 3 <> 0
+""",
+)
 def g_geom_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Geometry validation (reference stage R5: drop/repair invalid
     features before the sink). Each event's derived point is WKB-encoded
     and then *corrupted for every third event* (truncated buffer), so
     the validator sees a realistic mix; invalid rows are dropped exactly
-    like the reference's handler chain does. Unit tests cover the
+    like the reference's handler chain does. The corruption rule is
+    deterministic (every third event), so the surviving set is exactly
+    oracle-stated: a validator that wrongly accepts a truncated buffer
+    or rejects a good one breaks the driver hash. Unit tests cover the
     validator verdicts on crafted geometries."""
     from .wkb import encode_wkb, validate_wkb
 
