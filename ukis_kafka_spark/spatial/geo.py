@@ -271,11 +271,26 @@ def _pip_udf(lon: pd.Series, lat: pd.Series) -> pd.Series:
     return pd.Series([point_in_polygon(x, y, rings) for x, y in zip(lon, lat)])
 
 
-@query("g_point_in_poly")  # rows-only: ray casting is not reasonably SQL-expressible
+@query(
+    "g_point_in_poly",
+    oracle=f"""
+SELECT event_id, {_LON} AS lon, CAST({_LAT} AS DOUBLE) AS lat, TRUE AS in_poly
+FROM events
+WHERE ({_LON} >= -20 AND {_LON} < 50
+       AND {_LAT} >= 30 AND {_LAT} < 75)
+  AND NOT ({_LON} >= 0 AND {_LON} < 20
+           AND {_LAT} >= 45 AND {_LAT} < 60)
+""",
+)
 def g_point_in_poly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-polygon (ray casting, polygon with a hole) as an
     Arrow-batched pandas UDF — the sanctioned slow path; golden-point
-    unit tests pin the geometry semantics."""
+    unit tests pin the geometry semantics. The test polygon's rings
+    are axis-aligned, where ray casting reduces to half-open rectangle
+    tests ([x1,x2) × [y1,y2), verified exhaustively against the
+    routine at two scales), so the oracle states that closed form and
+    the general-polygon code path is hash-checked on every corpus
+    point — a boundary-rule regression (>= vs >) breaks the gate."""
     e = load_table(spark, sf_dir, "events")
     pts = e.select("event_id", _lon().alias("lon"), _lat().alias("lat"))
     return pts.withColumn("in_poly", _pip_udf(F.col("lon"), F.col("lat"))).where(
