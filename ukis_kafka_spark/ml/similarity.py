@@ -1397,3 +1397,100 @@ def m_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             "d", (usign * F.expr("(abs(u) * 1000000) div m")).alias("vv")
         )
     return v.select("d", F.col("vv").cast("bigint").alias("pc1_micro"))
+
+
+_KNN_EVAL_K = 3
+_KNN_EVAL_NQ = 50  # bounded test block: fold-0 vectors with vec_id < 50
+
+
+def _knn_eval_oracle() -> str:
+    return f"""
+WITH q AS (
+  SELECT e.vec_id, e.label, d,
+         CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT) AS v,
+         (e.vec_id * 2654435761 % 1000003) % 5 AS fold
+  FROM (SELECT vec_id, label, generate_subscripts(embedding, 1) AS d, unnest(embedding) AS x
+        FROM embeddings) e
+),
+test AS (SELECT * FROM q WHERE fold = 0 AND vec_id < {_KNN_EVAL_NQ}),
+train AS (SELECT * FROM q WHERE fold <> 0),
+dist AS (
+  SELECT t.vec_id AS tid, t.label AS true_label, r.vec_id AS trid, r.label AS nb_label,
+         SUM((t.v - r.v) * (t.v - r.v)) AS d2
+  FROM test t JOIN train r USING (d)
+  GROUP BY t.vec_id, t.label, r.vec_id, r.label
+),
+nn AS (
+  SELECT tid, true_label, nb_label, rn FROM (
+    SELECT tid, true_label, nb_label,
+           row_number() OVER (PARTITION BY tid ORDER BY d2 ASC, trid ASC) AS rn
+    FROM dist
+  ) WHERE rn <= {_KNN_EVAL_K}
+),
+votes AS (
+  SELECT tid, true_label, nb_label, count(*) AS n_votes, min(rn) AS best_rn
+  FROM nn GROUP BY tid, true_label, nb_label
+),
+pred AS (
+  SELECT tid, true_label, nb_label AS pred_label FROM (
+    SELECT tid, true_label, nb_label,
+           row_number() OVER (PARTITION BY tid
+             ORDER BY n_votes DESC, best_rn ASC, nb_label ASC) AS wr
+    FROM votes
+  ) WHERE wr = 1
+)
+SELECT true_label AS label,
+       count(*) AS n_test,
+       COUNT(CASE WHEN pred_label = true_label THEN 1 END) AS n_correct
+FROM pred
+GROUP BY true_label
+"""
+
+
+@query("m_knn_eval", oracle=_knn_eval_oracle())
+def m_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-validated kNN classifier evaluation: fold-0 probe vectors
+    (deterministic multiplicative-hash folds, bounded test block) are
+    classified by 3-NN majority vote over the other folds, and
+    per-label accuracy comes back — the eval loop a labeled embedding
+    corpus runs before trusting its labels.  Everything is exact
+    integer math (1e-4-grid squared L2, vote counts, explicit
+    tie-break chain votes→nearest-rank→label), so the whole
+    train/test/vote/score pipeline is hash-checked.  Shape: the
+    bounded probe block joins the train expansion co-partitioned on
+    the dim key, distances partial-combine map-side, and everything
+    downstream is |test|×k rows — at 100 TB the probe block is the
+    broadcast side and the scan stays linear."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.select(
+        "vec_id",
+        "label",
+        (F.col("vec_id") * F.lit(2654435761) % 1000003 % 5).alias("fold"),
+        F.posexplode(
+            F.transform("embedding", lambda x: F.floor(x.cast("double") * 10_000).cast("long"))
+        ).alias("d0", "v"),
+    ).select("vec_id", "label", "fold", (F.col("d0") + 1).alias("d"), "v")
+    test = q.where((F.col("fold") == 0) & (F.col("vec_id") < _KNN_EVAL_NQ)).select(
+        F.col("vec_id").alias("tid"), F.col("label").alias("true_label"), "d", F.col("v").alias("tv")
+    )
+    train = q.where(F.col("fold") != 0).select(
+        F.col("vec_id").alias("trid"), F.col("label").alias("nb_label"), "d", "v"
+    )
+    dist = (
+        train.join(F.broadcast(test), "d")
+        .groupBy("tid", "true_label", "trid", "nb_label")
+        .agg(F.sum((F.col("tv") - F.col("v")) * (F.col("tv") - F.col("v"))).alias("d2"))
+    )
+    wnn = Window.partitionBy("tid").orderBy(F.col("d2").asc(), F.col("trid").asc())
+    nn = dist.withColumn("rn", F.row_number().over(wnn)).where(F.col("rn") <= _KNN_EVAL_K)
+    votes = nn.groupBy("tid", "true_label", "nb_label").agg(
+        F.count(F.lit(1)).alias("n_votes"), F.min("rn").alias("best_rn")
+    )
+    wv = Window.partitionBy("tid").orderBy(
+        F.col("n_votes").desc(), F.col("best_rn").asc(), F.col("nb_label").asc()
+    )
+    pred = votes.withColumn("wr", F.row_number().over(wv)).where(F.col("wr") == 1)
+    return pred.groupBy(F.col("true_label").alias("label")).agg(
+        F.count(F.lit(1)).alias("n_test"),
+        F.count(F.when(F.col("nb_label") == F.col("true_label"), 1)).alias("n_correct"),
+    )

@@ -74,3 +74,79 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="measure",
         valueColumnName="val",
     )
+
+
+@query(
+    "q_snapshot_diff",
+    oracle="""
+WITH old AS (SELECT doc_id, md5(text) AS h FROM documents),
+new AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 13 = 0 THEN md5(text || ' v2') ELSE md5(text) END AS h
+  FROM documents WHERE doc_id % 17 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents WHERE doc_id % 29 = 0
+),
+joined AS (
+  SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+         CASE WHEN o.doc_id IS NULL THEN 'added'
+              WHEN n.doc_id IS NULL THEN 'removed'
+              WHEN o.h <> n.h THEN 'modified'
+              ELSE 'unchanged' END AS change_type
+  FROM old o FULL OUTER JOIN new n ON n.doc_id = o.doc_id
+)
+SELECT change_type, count(*) AS n, min(doc_id) AS min_id, max(doc_id) AS max_id
+FROM joined
+GROUP BY change_type
+""",
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-version diff — the audit between two corpus snapshots
+    that every data release pipeline runs before publishing: a
+    deterministic "v2" snapshot (drop every 17th doc, edit every 13th,
+    append new ids from every 29th) is full-outer-joined to v1 on the
+    key and classified added / removed / modified / unchanged by
+    content hash.  At 100 TB this is one co-partitioned full-outer
+    join on the snapshot key carrying only (key, 16-byte digest) —
+    never document bodies — plus a partial-combined rollup; exactly
+    the shape a lakehouse table-diff uses.  Counts per class are
+    non-vacuous at every scale by the modulo construction."""
+    d = load_table(spark, sf_dir, "documents")
+    old = d.select("doc_id", F.md5("text").alias("h"))
+    new = (
+        d.where(F.col("doc_id") % 17 != 0)
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") % 13 == 0, F.md5(F.concat(F.col("text"), F.lit(" v2"))))
+            .otherwise(F.md5("text"))
+            .alias("h"),
+        )
+        .unionByName(
+            d.where(F.col("doc_id") % 29 == 0).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"),
+                F.md5(F.col("doc_id").cast("string")).alias("h"),
+            )
+        )
+    )
+    joined = old.alias("o").join(
+        new.alias("n"), F.col("n.doc_id") == F.col("o.doc_id"), "full_outer"
+    )
+    change = (
+        F.when(F.col("o.doc_id").isNull(), "added")
+        .when(F.col("n.doc_id").isNull(), "removed")
+        .when(F.col("o.h") != F.col("n.h"), "modified")
+        .otherwise("unchanged")
+    )
+    return (
+        joined.select(
+            F.coalesce(F.col("o.doc_id"), F.col("n.doc_id")).alias("doc_id"),
+            change.alias("change_type"),
+        )
+        .groupBy("change_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+    )
