@@ -75,6 +75,7 @@ _PRIORITY = [
     "m_crossval_folds", "s_update_mode", "g_geohash_cells", "q_time_weighted_avg",
     "m_boilerplate", "m_covariance_topk", "m_pca_power",
     "q_trend_slope", "src_csv_malformed", "q_snapshot_diff", "m_knn_eval",
+    "q_markov_transitions", "s_chained_aggs",
     # ---- 50-entry window boundary is enforced by position, the
     # ---- remainder keeps round-3's order for stable bench diffs
     "q_agg_collect",

@@ -528,3 +528,40 @@ def q_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("slope_den"),
     )
+
+
+@query(
+    "q_markov_transitions",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type AS src,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS dst
+  FROM events
+),
+trans AS (SELECT src, dst, count(*) AS n FROM seq WHERE dst IS NOT NULL GROUP BY src, dst)
+SELECT src, dst, n,
+       (1000000 * n) // CAST(SUM(n) OVER (PARTITION BY src) AS BIGINT) AS p_ppm
+FROM trans
+""",
+)
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of the per-user event
+    stream: counts and fixed-point per-million probabilities of each
+    type→type transition — the behavioral model behind session
+    simulation and anomaly scoring.  One lead() pass and one aggregate
+    share the user_id shuffle; the row-probability normalization is a
+    5×5-group window over the tiny transition table.  Probabilities
+    are integer ppm via div (a rounded double quotient of small-
+    denominator counts would sit on midpoints — CLAUDE.md rule)."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    seq = e.select(
+        F.col("event_type").alias("src"), F.lead("event_type").over(w).alias("dst")
+    ).where(F.col("dst").isNotNull())
+    trans = seq.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n"))
+    return trans.select(
+        "src",
+        "dst",
+        "n",
+        F.expr("(1000000 * n) div sum(n) OVER (PARTITION BY src)").alias("p_ppm"),
+    )

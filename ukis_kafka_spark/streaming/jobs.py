@@ -867,3 +867,60 @@ def s_update_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         return run_to_memory(agg, work, mode="update").localCheckpoint()
 
     return _with_scratch(go)
+
+
+@query(
+    "s_chained_aggs",
+    oracle="""
+WITH wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM events),
+per_user AS (
+  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start,
+         date_trunc('hour', ts) + INTERVAL 1 HOUR AS hour_end,
+         user_id, count(*) AS n
+  FROM events
+  GROUP BY 1, 2, user_id
+)
+SELECT hour_start,
+       count(*) AS n_users,
+       CAST(SUM(n) AS BIGINT) AS n_events,
+       max(n) AS max_user_events
+FROM per_user, wm
+WHERE hour_end <= wm.w
+GROUP BY hour_start
+""",
+)
+def s_chained_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two CHAINED stateful aggregations in one streaming job (a
+    Spark 3.4+ capability: multiple stateful operators in append
+    mode): hourly per-user counts, then an hourly rollup over users —
+    the classic two-level dashboard cube, incrementalized. The second
+    aggregate keys on window_time() of the first, so both operators
+    share the event-time axis and the SAME closure rule: an hour
+    emits once the watermark (max ts − 10 min under the pinned
+    replay) passes its end — which the oracle states directly. State
+    is two window stores, both watermark-bounded."""
+
+    def go(work: str) -> DataFrame:
+        stream = replay_events_as_stream(spark, sf_dir, work, n_chunks=4)
+        per_user = (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        rollup = (
+            per_user.groupBy(F.window(F.window_time("w"), "1 hour").alias("w2"))
+            .agg(
+                F.count(F.lit(1)).alias("n_users"),
+                F.sum("n").alias("n_events"),
+                F.max("n").alias("max_user_events"),
+            )
+            .select(
+                F.unix_timestamp(F.col("w2.start")).alias("hour_start"),
+                "n_users",
+                "n_events",
+                "max_user_events",
+            )
+        )
+        return run_to_memory(rollup, work, mode="append").localCheckpoint()
+
+    return _with_scratch(go)
