@@ -17,6 +17,7 @@ from .ml import chunking, dedup, graph, multimodal, similarity, text  # noqa: F4
 from .sinks import files as sink_files  # noqa: F401
 from .sources import jsonl as src_jsonl  # noqa: F401
 from .sources import props as src_props  # noqa: F401
+from .sources import pydatasource as src_pyds  # noqa: F401
 from .spatial import geo  # noqa: F401
 from .streaming import batch_windows, jobs  # noqa: F401
 from .operators import (  # noqa: F401
@@ -75,7 +76,7 @@ _PRIORITY = [
     "m_crossval_folds", "s_update_mode", "g_geohash_cells", "q_time_weighted_avg",
     "m_boilerplate", "m_covariance_topk", "m_pca_power",
     "q_trend_slope", "src_csv_malformed", "q_snapshot_diff", "m_knn_eval",
-    "q_markov_transitions", "s_chained_aggs",
+    "q_markov_transitions", "s_chained_aggs", "src_py_datasource",
     # ---- 50-entry window boundary is enforced by position, the
     # ---- remainder keeps round-3's order for stable bench diffs
     "q_agg_collect",
