@@ -16,7 +16,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 from ..registry import query
 
@@ -91,3 +97,122 @@ def src_py_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("i").alias("min_i"),
         F.max("i").alias("max_i"),
     )
+
+
+class _JsonlCommit(WriterCommitMessage):
+    def __init__(self, tmp_path: str, n_rows: int):
+        self.tmp_path = tmp_path
+        self.n_rows = n_rows
+
+
+class _JsonlWriter(DataSourceWriter):
+    """Task-side writer with the full two-phase commit protocol: each
+    task writes a private temp file and reports it in its commit
+    message; the driver-side commit() atomically renames the batch into
+    place (or abort() removes the temp files) — exactly the pattern a
+    real external-system sink needs for exactly-once batch writes."""
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def write(self, rows):
+        import json as _json
+        import os as _os
+        import uuid as _uuid
+
+        tmp = _os.path.join(self.path, f"_tmp_{_uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(tmp, "w") as f:
+            for r in rows:
+                f.write(_json.dumps({"event_id": r[0], "event_type": r[1], "value": r[2]}))
+                f.write("\n")
+                n += 1
+        return _JsonlCommit(tmp, n)
+
+    def commit(self, messages):
+        import os as _os
+
+        for i, m in enumerate(messages):
+            _os.replace(m.tmp_path, _os.path.join(self.path, f"part-{i:05d}.jsonl"))
+
+    def abort(self, messages):
+        import os as _os
+
+        for m in messages:
+            try:
+                _os.remove(m.tmp_path)
+            except OSError:
+                pass
+
+
+class JsonlSinkDataSource(DataSource):
+    """``df.write.format("jsonlsink").option("path", ...)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonlsink"
+
+    def writer(self, schema, overwrite: bool) -> DataSourceWriter:
+        return _JsonlWriter(self.options["path"])
+
+
+def _ensure_sink_registered(spark: SparkSession) -> None:
+    if getattr(spark, "_jsonlsink_registered", False):
+        return
+    spark.dataSource.register(JsonlSinkDataSource)
+    spark._jsonlsink_registered = True
+
+
+@query(
+    "sink_py_datasource",
+    oracle="""
+SELECT event_type,
+       count(*) AS n,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS value_sum,
+       min(event_id) AS min_id,
+       max(event_id) AS max_id
+FROM events
+WHERE event_id % 4 = 0
+GROUP BY event_type
+""",
+)
+def sink_py_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write through the custom Python DataSource SINK (task-side temp
+    files + driver-side atomic commit — the two-phase protocol above),
+    then read the committed JSONL back and aggregate: a lost, doubled,
+    or uncommitted task file breaks the hash. Completes the connector
+    parity story: Python-native read path (src_py_datasource) AND
+    write path with commit/abort semantics, no JVM code."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from . import load_table
+
+    _ensure_sink_registered(spark)
+    out = _tempfile.mkdtemp(prefix="pyds_sink_", dir="/tmp")
+    try:
+        (
+            load_table(spark, sf_dir, "events")
+            .where(F.col("event_id") % 4 == 0)
+            .select("event_id", "event_type", "value")
+            .write.format("jsonlsink")
+            .option("path", out)
+            .mode("append")
+            .save()
+        )
+        back = spark.read.schema("event_id long, event_type string, value double").json(
+            _os.path.join(out, "part-*.jsonl")
+        )
+        return (
+            back.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("value").cast("decimal(28,10)")).cast("double").alias("value_sum"),
+                F.min("event_id").alias("min_id"),
+                F.max("event_id").alias("max_id"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        _shutil.rmtree(out, ignore_errors=True)
