@@ -21,6 +21,7 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     DataSourceWriter,
     InputPartition,
+    SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
 
@@ -216,3 +217,115 @@ def sink_py_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         _shutil.rmtree(out, ignore_errors=True)
+
+
+_STREAM_BATCH = 5_000  # rows per micro-batch pull
+_STREAM_TOTAL = 20_000
+
+
+class _FeedStreamReader(SimpleDataSourceStreamReader):
+    """Offset-tracked streaming pull from the deterministic feed: each
+    micro-batch advances a row-count offset by _STREAM_BATCH until the
+    feed is drained — the minimal faithful model of a queue consumer
+    (initialOffset/read/readBetweenOffsets give exactly-once replay:
+    Spark re-reads a batch by offset range after a failure)."""
+
+    def initialOffset(self) -> dict:
+        return {"pos": 0}
+
+    def read(self, start: dict):
+        pos = start["pos"]
+        end = min(pos + _STREAM_BATCH, _STREAM_TOTAL)
+        # a LIST-backed iterator: Spark's prefetch cache copy.copy()s
+        # the returned iterator, which a generator cannot survive
+        return iter(self._rows(pos, end)), {"pos": end}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(self._rows(start["pos"], end["pos"]))
+
+    @staticmethod
+    def _rows(lo: int, hi: int) -> list:
+        return [(i, (i * _A) % _M, ((i * _A) % _M) % 10) for i in range(lo, hi)]
+
+
+class FeedStreamDataSource(DataSource):
+    """``spark.readStream.format("detfeedstream")``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "detfeedstream"
+
+    def schema(self) -> str:
+        return "i long, h long, bucket int"
+
+    def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:
+        return _FeedStreamReader()
+
+
+def _ensure_stream_registered(spark: SparkSession) -> None:
+    if getattr(spark, "_detfeedstream_registered", False):
+        return
+    spark.dataSource.register(FeedStreamDataSource)
+    spark._detfeedstream_registered = True
+
+
+@query(
+    "src_py_stream",
+    oracle=f"""
+SELECT (((i * {_A}) % {_M}) % 10) AS bucket,
+       count(*) AS n,
+       CAST(SUM((i * {_A}) % {_M}) AS BIGINT) AS h_sum
+FROM range({_STREAM_TOTAL}) t(i)
+GROUP BY 1
+""",
+)
+def src_py_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain the custom Python STREAMING source to completion
+    (availableNow) through a stateful per-bucket aggregate in complete
+    mode — proving the offset-based micro-batch pull path: 4 batches
+    of {batch} rows whose union must equal the whole feed exactly
+    (a skipped or replayed offset range breaks the hash). Completes
+    the Python connector matrix: batch read, batch write with 2PC,
+    and now an offset-tracked stream — the R3 Kafka-consumer shape
+    with no broker and no JVM code.""".format(batch=_STREAM_BATCH)
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+    import uuid as _uuid
+
+    _ensure_stream_registered(spark)
+    work = _tempfile.mkdtemp(prefix="pyds_stream_", dir="/tmp")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        agg = (
+            spark.readStream.format("detfeedstream")
+            .load()
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("h").alias("h_sum"))
+        )
+        name = "mem_" + _uuid.uuid4().hex[:12]
+        # Python streaming sources don't support availableNow (Spark
+        # falls back to ONE batch); drain with normal micro-batches and
+        # stop once the complete-mode aggregate covers the whole feed.
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", _os.path.join(work, "ckpt"))
+            .start()
+        )
+        import time as _time
+
+        deadline = _time.time() + 120
+        while _time.time() < deadline:
+            rows = spark.table(name).agg(F.sum("n")).collect()
+            if rows and rows[0][0] == _STREAM_TOTAL:
+                break
+            _time.sleep(0.3)
+        q.stop()
+        q.awaitTermination()
+        return spark.table(name).localCheckpoint()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        _shutil.rmtree(work, ignore_errors=True)
