@@ -270,7 +270,7 @@ def _ensure_stream_registered(spark: SparkSession) -> None:
 
 
 @query(
-    "src_py_stream",
+    "s_py_source_stream",
     oracle=f"""
 SELECT (((i * {_A}) % {_M}) % 10) AS bucket,
        count(*) AS n,
