@@ -565,3 +565,107 @@ def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.expr("(1000000 * n) div sum(n) OVER (PARTITION BY src)").alias("p_ppm"),
     )
+
+
+@query(
+    "q_mom_growth",
+    oracle="""
+WITH monthly AS (
+  SELECT CAST(epoch(date_trunc('month', o_orderdate)) AS BIGINT) AS month_start,
+         CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS revenue,
+         count(*) AS n_orders
+  FROM orders
+  GROUP BY 1
+)
+SELECT month_start, revenue, n_orders,
+       lag(revenue) OVER (ORDER BY month_start) AS prev_revenue,
+       CASE WHEN lag(revenue) OVER (ORDER BY month_start) IS NOT NULL
+            THEN CAST(floor((revenue - lag(revenue) OVER (ORDER BY month_start))
+                            / lag(revenue) OVER (ORDER BY month_start) * 1000000) AS BIGINT)
+       END AS growth_ppm
+FROM monthly
+""",
+)
+def q_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth — the two-level BI construct
+    (aggregate to a monthly series, THEN window over the series) that
+    exercises re-windowing of an aggregate output. Revenue is an exact
+    decimal sum surfaced as double; the growth rate divides two such
+    exact doubles (single correctly-rounded IEEE ops) and is floored
+    onto an integer ppm grid — floor of a ratio strictly between grid
+    points is engine-stable, and the explicit floor sidesteps the
+    double→int cast divergence. The monthly series is tiny, so the
+    window runs on one partition after a map-side-combined aggregate —
+    the 100 TB cost is the first aggregate alone."""
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.unix_timestamp(F.date_trunc("month", F.col("o_orderdate"))).cast("bigint").alias(
+            "month_start"
+        )
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(28,10)")).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w = Window.orderBy("month_start")
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "month_start",
+        "revenue",
+        "n_orders",
+        prev.alias("prev_revenue"),
+        F.when(
+            prev.isNotNull(),
+            F.floor((F.col("revenue") - prev) / prev * 1_000_000).cast("bigint"),
+        ).alias("growth_ppm"),
+    )
+
+
+@query(
+    "q_drawdown",
+    oracle="""
+WITH runs AS (
+  SELECT user_id, event_id, value,
+         max(value) OVER (PARTITION BY user_id ORDER BY event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_max
+  FROM events
+),
+dd AS (SELECT user_id, event_id, run_max - value AS drawdown FROM runs)
+SELECT user_id,
+       CAST(CAST(SUM(CAST(drawdown AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS dd_mass,
+       max(drawdown) AS max_drawdown,
+       min(CASE WHEN drawdown = (SELECT max(d2.drawdown) FROM dd d2
+                                 WHERE d2.user_id = dd.user_id)
+                THEN event_id END) AS worst_event
+FROM dd
+GROUP BY user_id
+""",
+)
+def q_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user maximum drawdown of the reading: running max minus
+    current value (both bit-identical parquet doubles — the subtraction
+    is one exact IEEE op), its per-user maximum, the first event where
+    the worst drawdown occurred (min event_id among argmax ties), and
+    the exact-decimal total drawdown mass. The running max and the
+    argmax resolution share one user_id shuffle (window + self-
+    aggregated max re-join expressed as windowed max), so the whole
+    risk profile is a two-pass scan at any scale."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dd = e.select(
+        "user_id",
+        "event_id",
+        (F.max("value").over(w) - F.col("value")).alias("drawdown"),
+    )
+    wmax = Window.partitionBy("user_id")
+    flagged = dd.withColumn("dd_max", F.max("drawdown").over(wmax))
+    return flagged.groupBy("user_id").agg(
+        F.sum(F.col("drawdown").cast("decimal(28,10)")).cast("double").alias("dd_mass"),
+        F.max("drawdown").alias("max_drawdown"),
+        F.min(F.when(F.col("drawdown") == F.col("dd_max"), F.col("event_id"))).alias(
+            "worst_event"
+        ),
+    )
