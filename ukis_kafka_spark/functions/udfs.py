@@ -244,3 +244,66 @@ def u_arrow_py_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_orderkey", _priority_bucket_arrow(F.col("o_orderpriority")).alias("prio_band")
     )
+
+
+@query(
+    "u_udtf_table",
+    oracle="""
+WITH runs AS (
+  SELECT user_id, event_type, event_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id)
+         - row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id) AS grp
+  FROM events
+)
+SELECT user_id, event_type AS run_type, count(*) AS run_len, min(event_id) AS run_start
+FROM runs
+GROUP BY user_id, event_type, grp
+HAVING count(*) >= 2
+""",
+)
+def u_udtf_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF with a TABLE argument (Spark 4's
+    table-valued-function input surface): the UDTF receives each
+    user's rows as a PARTITION BY ... ORDER BY stream and emits that
+    user's same-type runs of length ≥ 2 — imperative per-group
+    sequential logic (terminate() flushes the open run) that would
+    need the gaps-and-islands double-window trick in pure SQL, which
+    is exactly what the oracle uses, proving the two formulations
+    equivalent. The partitioned-table input keeps the dataflow
+    shuffle-on-user_id + per-group Python — the sanctioned custom
+    stateful batch shape when logic outgrows window functions."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="user_id bigint, run_type string, run_len bigint, run_start bigint")
+    class Runs:
+        def __init__(self):
+            self._user = None
+            self._type = None
+            self._len = 0
+            self._start = None
+
+        def _flush(self):
+            if self._type is not None and self._len >= 2:
+                yield self._user, self._type, self._len, self._start
+
+        def eval(self, row):
+            if row.event_type == self._type and row.user_id == self._user:
+                self._len += 1
+                return
+            yield from self._flush()
+            self._user, self._type = row.user_id, row.event_type
+            self._len, self._start = 1, row.event_id
+
+        def terminate(self):
+            yield from self._flush()
+
+    spark.udtf.register("user_runs", Runs)
+    load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type"
+    ).createOrReplaceTempView("events_udtf")
+    return spark.sql(
+        """
+        SELECT user_id, run_type, run_len, run_start
+        FROM user_runs(TABLE(events_udtf) PARTITION BY user_id ORDER BY event_id)
+        """
+    )

@@ -827,3 +827,53 @@ def g_geohash_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "pkey", prefix.alias("prefix"), "n_pts", "n_users", "n_pairs", "n_cross_user_pairs"
     )
+
+
+@query(
+    "g_heat_decay",
+    oracle=f"""
+WITH pts AS (
+  SELECT CAST(floor(({_LON} + 180.0) / 6.0) AS BIGINT) AS gx,
+         CAST(floor((CAST({_LAT} AS DOUBLE) + 90.0) / 6.0) AS BIGINT) AS gy,
+         CAST(floor(epoch(date_trunc('second', ts))) AS BIGINT) AS ep
+  FROM events
+),
+mx AS (SELECT max(ep) AS mep FROM pts),
+terms AS (
+  SELECT gy * 60 + gx AS cell,
+         round(exp(-((mx.mep - ep) / 3600.0) / 24.0), 6) AS w
+  FROM pts, mx
+)
+SELECT cell,
+       count(*) AS n_events,
+       CAST(CAST(SUM(CAST(w AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS heat
+FROM terms
+GROUP BY cell
+""",
+)
+def g_heat_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted spatial heat map: every event contributes
+    exp(−age/24 h) to its 6°-grid cell — the decay aggregation behind
+    "what is hot NOW" map layers, where yesterday's burst must fade
+    under today's trickle. Transcendental hash-safety follows the
+    m_token_entropy recipe: each per-event weight is rounded to the
+    6 dp grid (JVM vs libm exp differ ~1 ULP — far below the grid),
+    summed in exact DECIMAL so accumulation order cannot matter, and
+    surfaced once as double. Ages are exact integer seconds against
+    the corpus max; one scan + one aggregate, partial-combined."""
+    e = load_table(spark, sf_dir, "events")
+    ep = F.floor(F.unix_timestamp(F.date_trunc("second", F.col("ts")))).cast("bigint")
+    pts = e.select(
+        F.floor((_lon() + 180.0) / 6.0).cast("long").alias("gx"),
+        F.floor((_lat() + 90.0) / 6.0).cast("long").alias("gy"),
+        ep.alias("ep"),
+    )
+    mx = F.broadcast(pts.agg(F.max("ep").alias("mep")))
+    terms = pts.crossJoin(mx).select(
+        (F.col("gy") * 60 + F.col("gx")).alias("cell"),
+        F.round(F.exp(-((F.col("mep") - F.col("ep")) / 3600.0) / 24.0), 6).alias("w"),
+    )
+    return terms.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("w").cast("decimal(28,10)")).cast("double").alias("heat"),
+    )
