@@ -1203,3 +1203,65 @@ def m_crossval_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("max_id"),
         )
     )
+
+
+_VOCAB_KS = (10, 100, 1000)
+
+
+@query(
+    "m_vocab_curve",
+    oracle=f"""
+WITH counts AS (
+  SELECT tok, count(*) AS n
+  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY tok
+),
+ranked AS (
+  SELECT n, row_number() OVER (ORDER BY n DESC, tok ASC) AS rnk,
+         CAST(SUM(n) OVER () AS BIGINT) AS total
+  FROM counts
+)
+{" UNION ALL ".join(
+    f'''SELECT {k} AS vocab_k,
+       count(*) AS n_types,
+       CAST(SUM(n) AS BIGINT) AS covered,
+       (1000000 * CAST(SUM(n) AS BIGINT)) // max(total) AS coverage_ppm
+FROM ranked WHERE rnk <= {k}''' for k in _VOCAB_KS)}
+""",
+)
+def m_vocab_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary sizing curve: corpus coverage of the top-10 /
+    top-100 / top-1000 token types (frequency-ranked, deterministic
+    tok tiebreak) — the measurement that decides a tokenizer's vocab
+    size before the expensive BPE fit. One explode + one count
+    aggregate, then a single ranked pass reused for every k (the SQL
+    twin unions three filters of the same ranked CTE; Spark computes
+    the rank once and aggregates per threshold bucket). Coverage is
+    integer ppm via div."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wr = Window.orderBy(F.col("n").desc(), F.col("tok").asc())
+    ranked = counts.select(
+        "n",
+        F.row_number().over(wr).alias("rnk"),
+        F.sum("n").over(Window.partitionBy()).cast("bigint").alias("total"),
+    )
+    out = None
+    for k in _VOCAB_KS:
+        lvl = (
+            ranked.where(F.col("rnk") <= k)
+            .agg(
+                F.count(F.lit(1)).alias("n_types"),
+                F.sum("n").cast("bigint").alias("covered"),
+                F.expr("(1000000 * CAST(SUM(n) AS BIGINT)) div max(total)").alias(
+                    "coverage_ppm"
+                ),
+            )
+            .select(F.lit(k).alias("vocab_k"), "n_types", "covered", "coverage_ppm")
+        )
+        out = lvl if out is None else out.unionByName(lvl)
+    return out

@@ -50,3 +50,39 @@ def q_scan_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") < F.lit("1996-01-01 00:00:00").cast("timestamp"))
         & (F.col("l_quantity") < 10)
     ).select("l_orderkey", "l_extendedprice")
+
+
+@query(
+    "q_profile_cardinality",
+    oracle="""
+SELECT count(*) AS n_rows,
+       count(DISTINCT l_orderkey) AS d_orderkey,
+       count(DISTINCT l_partkey) AS d_partkey,
+       count(DISTINCT l_suppkey) AS d_suppkey,
+       count(DISTINCT l_returnflag) AS d_returnflag,
+       count(DISTINCT l_shipdate) AS d_shipdate,
+       (1000000 * count(DISTINCT l_partkey)) // count(*) AS partkey_uniq_ppm
+FROM lineitem
+""",
+)
+def q_profile_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-cardinality profile of the fact table — the first thing
+    a query planner, partitioner, or data engineer asks of an unknown
+    dataset (which columns are keys, which are categories, which are
+    join-explosive).  Five exact COUNT(DISTINCT)s in ONE aggregate:
+    Spark expands multi-distinct into a single expand+two-phase
+    aggregate rather than five scans, which is the point being
+    pinned — at 100 TB this is one pass, and the approx variant
+    (q_agg_approx_cd) is the knob when exactness can be traded."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("d_orderkey"),
+        F.countDistinct("l_partkey").alias("d_partkey"),
+        F.countDistinct("l_suppkey").alias("d_suppkey"),
+        F.countDistinct("l_returnflag").alias("d_returnflag"),
+        F.countDistinct("l_shipdate").alias("d_shipdate"),
+        F.expr("(1000000 * count(DISTINCT l_partkey)) div count(1)").alias(
+            "partkey_uniq_ppm"
+        ),
+    )
