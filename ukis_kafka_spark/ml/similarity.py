@@ -1494,3 +1494,97 @@ def m_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_test"),
         F.count(F.when(F.col("nb_label") == F.col("true_label"), 1)).alias("n_correct"),
     )
+
+
+_TRIPLET_NQ = 20
+
+
+def _triplet_oracle() -> str:
+    return f"""
+WITH q AS (
+  SELECT e.vec_id, e.label, d,
+         CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT) AS v
+  FROM (SELECT vec_id, label, generate_subscripts(embedding, 1) AS d, unnest(embedding) AS x
+        FROM embeddings) e
+),
+anchors AS (SELECT * FROM q WHERE vec_id < {_TRIPLET_NQ}),
+dist AS (
+  SELECT a.vec_id AS aid, a.label AS a_label, r.vec_id AS oid, r.label AS o_label,
+         SUM((a.v - r.v) * (a.v - r.v)) AS d2
+  FROM anchors a JOIN q r ON r.d = a.d AND r.vec_id <> a.vec_id
+  GROUP BY a.vec_id, a.label, r.vec_id, r.label
+),
+pos AS (
+  SELECT aid, oid AS pos_id, d2 AS d_pos FROM (
+    SELECT aid, oid, d2,
+           row_number() OVER (PARTITION BY aid ORDER BY d2 ASC, oid ASC) AS rn
+    FROM dist WHERE o_label = a_label
+  ) WHERE rn = 1
+),
+neg AS (
+  SELECT aid, oid AS neg_id, d2 AS d_neg FROM (
+    SELECT aid, oid, d2,
+           row_number() OVER (PARTITION BY aid ORDER BY d2 ASC, oid ASC) AS rn
+    FROM dist WHERE o_label <> a_label
+  ) WHERE rn = 1
+)
+SELECT p.aid AS anchor_id, p.pos_id, n.neg_id,
+       CAST(p.d_pos AS BIGINT) AS d_pos,
+       CAST(n.d_neg AS BIGINT) AS d_neg,
+       CAST(n.d_neg - p.d_pos AS BIGINT) AS margin,
+       (n.d_neg > p.d_pos) AS is_satisfied
+FROM pos p JOIN neg n ON n.aid = p.aid
+"""
+
+
+@query("m_triplet_mining", oracle=_triplet_oracle())
+def m_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triplet mining for metric learning: for each anchor (bounded
+    probe block) the nearest SAME-label vector (hardest positive is
+    the easiest positive here — nearest keeps the triplet valid) and
+    the nearest OTHER-label vector (hardest negative), plus the margin
+    d_neg − d_pos and whether the triplet is already satisfied — the
+    exact batch a contrastive trainer wants, and the margin histogram
+    is the curriculum signal. All exact integer L2 on the 1e-4 grid,
+    fully hash-checked; same broadcast-probe + dim-key join shape as
+    m_knn_eval (anchors broadcast, corpus scanned once, everything
+    after the distance aggregate is |anchors| rows)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.select(
+        "vec_id",
+        "label",
+        F.posexplode(
+            F.transform("embedding", lambda x: F.floor(x.cast("double") * 10_000).cast("long"))
+        ).alias("d0", "v"),
+    ).select("vec_id", "label", (F.col("d0") + 1).alias("d"), "v")
+    anchors = q.where(F.col("vec_id") < _TRIPLET_NQ).select(
+        F.col("vec_id").alias("aid"), F.col("label").alias("a_label"), "d", F.col("v").alias("av")
+    )
+    dist = (
+        q.join(F.broadcast(anchors), "d")
+        .where(F.col("vec_id") != F.col("aid"))
+        .groupBy("aid", "a_label", F.col("vec_id").alias("oid"), F.col("label").alias("o_label"))
+        .agg(F.sum((F.col("av") - F.col("v")) * (F.col("av") - F.col("v"))).alias("d2"))
+    )
+    w = Window.partitionBy("aid").orderBy(F.col("d2").asc(), F.col("oid").asc())
+    pos = (
+        dist.where(F.col("o_label") == F.col("a_label"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("aid", F.col("oid").alias("pos_id"), F.col("d2").alias("d_pos"))
+    )
+    neg = (
+        dist.where(F.col("o_label") != F.col("a_label"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(F.col("aid").alias("naid"), F.col("oid").alias("neg_id"), F.col("d2").alias("d_neg"))
+    )
+    return pos.join(neg, pos.aid == neg.naid).select(
+        F.col("aid").alias("anchor_id"),
+        "pos_id",
+        "neg_id",
+        F.col("d_pos").cast("bigint").alias("d_pos"),
+        F.col("d_neg").cast("bigint").alias("d_neg"),
+        (F.col("d_neg") - F.col("d_pos")).cast("bigint").alias("margin"),
+        (F.col("d_neg") > F.col("d_pos")).alias("is_satisfied"),
+    )
