@@ -241,3 +241,66 @@ def m_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_docs").desc(), F.col("passage").asc())
         .limit(10)
     )
+
+
+@query(
+    "m_span_corruption",
+    oracle="""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+SELECT doc_id,
+       array_to_string(list_filter(
+         list_transform(generate_series(1, len(l)), i ->
+           CASE WHEN (i - 1) % 7 >= 2 THEN l[i]
+                WHEN (i - 1) % 7 = 0 THEN '<X' || CAST((i - 1) // 7 AS VARCHAR) || '>'
+                ELSE NULL END),
+         x -> x IS NOT NULL), ' ') AS input_text,
+       array_to_string(list_filter(
+         list_transform(generate_series(1, len(l)), i ->
+           CASE WHEN (i - 1) % 7 = 0 THEN '<X' || CAST((i - 1) // 7 AS VARCHAR) || '> ' || l[i]
+                WHEN (i - 1) % 7 = 1 AND i <= len(l) THEN l[i]
+                ELSE NULL END),
+         x -> x IS NOT NULL), ' ') AS target_text,
+       CAST(len(list_filter(generate_series(1, len(l)), i -> (i - 1) % 7 < 2)) AS BIGINT) AS n_masked
+FROM toks
+""",
+)
+def m_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span corruption: deterministic 2-token spans (every
+    7th position, ≈29% corruption rate) are cut out of each document,
+    the input keeps one sentinel token per span, and the target lists
+    each sentinel followed by the span it replaced — the
+    encoder-decoder pretraining pair format, produced at corpus scale.
+    Pure higher-order array functions on the token list (transform /
+    filter / join — array_join drops NULLs on both engines) with NO
+    explode: each row stays one row, so the transform is map-only and
+    embarrassingly parallel at 100 TB. Deterministic positions instead
+    of RNG keep it engine-reproducible and hash-checked; a production
+    pipeline swaps the position rule for a seeded hash of
+    (doc_id, pos) with the same dataflow."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    idx = F.sequence(F.lit(1), F.size(toks))
+    sentinel = lambda i: F.concat(  # noqa: E731
+        F.lit("<X"), (((i - 1) / 7).cast("long")).cast("string"), F.lit(">")
+    )
+    input_arr = F.transform(
+        idx,
+        lambda i: F.when((i - 1) % 7 >= 2, F.element_at(toks, i))
+        .when((i - 1) % 7 == 0, sentinel(i))
+        .otherwise(F.lit(None)),
+    )
+    target_arr = F.transform(
+        idx,
+        lambda i: F.when(
+            (i - 1) % 7 == 0,
+            F.concat(sentinel(i), F.lit(" "), F.element_at(toks, i)),
+        )
+        .when((i - 1) % 7 == 1, F.element_at(toks, i))
+        .otherwise(F.lit(None)),
+    )
+    return d.select(
+        "doc_id",
+        F.array_join(input_arr, " ").alias("input_text"),
+        F.array_join(target_arr, " ").alias("target_text"),
+        F.size(F.filter(idx, lambda i: (i - 1) % 7 < 2)).cast("bigint").alias("n_masked"),
+    )
