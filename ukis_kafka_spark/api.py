@@ -79,7 +79,8 @@ _PRIORITY = [
     "q_markov_transitions", "s_chained_aggs", "src_py_datasource",
     "sink_py_datasource", "s_py_source_stream", "q_mom_growth", "q_drawdown",
     "u_udtf_table", "g_heat_decay", "m_vocab_curve", "q_profile_cardinality",
-    "m_triplet_mining", "m_span_corruption",
+    "m_triplet_mining", "m_span_corruption", "g_trajectory_stops",
+    "m_quality_sample",
     # ---- 50-entry window boundary is enforced by position, the
     # ---- remainder keeps round-3's order for stable bench diffs
     "q_agg_collect",

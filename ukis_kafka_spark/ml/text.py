@@ -1265,3 +1265,51 @@ def m_vocab_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = lvl if out is None else out.unionByName(lvl)
     return out
+
+
+@query(
+    "m_quality_sample",
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         CAST(floor((0.5 * least(len(string_split(text, ' ')), 50) / 50.0
+                     + 0.5 * CAST(len(list_filter(string_split(text, ' '),
+                           t -> t IN ('spark', 'join', 'filter', 'window'))) AS DOUBLE)
+                         / len(string_split(text, ' '))) * 1000000) AS BIGINT) AS q_micro,
+         (doc_id * {_MIX_A} % {_MIX_M}) % 1000000 AS h
+  FROM documents
+)
+SELECT lang,
+       count(*) AS n_docs,
+       COUNT(CASE WHEN h < q_micro THEN 1 END) AS n_kept,
+       CAST(SUM(CASE WHEN h < q_micro THEN q_micro END) AS BIGINT) AS kept_quality_mass
+FROM scored
+GROUP BY lang
+""",
+)
+def m_quality_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted sampling: each document survives with
+    probability equal to its quality score (m_quality_score's formula,
+    floored to integer micro-units) by comparing a deterministic
+    multiplicative hash of the key against the score — soft curation
+    that keeps MOST good documents and FEW bad ones, unlike a hard
+    threshold, yet selects the identical subset on every run, engine,
+    and partitioning (no RNG).  The per-language audit (total, kept,
+    kept quality mass) is what a mixture tuner reads back.  Pure
+    column math pushed into one scan."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    stop = F.size(F.filter(toks, lambda t: t.isin("spark", "join", "filter", "window")))
+    q_micro = F.floor(
+        (F.lit(0.5) * F.least(n, F.lit(50)) / 50.0 + F.lit(0.5) * stop.cast("double") / n)
+        * 1_000_000
+    ).cast("bigint")
+    h = (F.col("doc_id") * F.lit(_MIX_A) % _MIX_M) % 1_000_000
+    scored = d.select("doc_id", "lang", q_micro.alias("q_micro"), h.alias("h"))
+    kept = F.col("h") < F.col("q_micro")
+    return scored.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(kept, 1)).alias("n_kept"),
+        F.sum(F.when(kept, F.col("q_micro"))).cast("bigint").alias("kept_quality_mass"),
+    )

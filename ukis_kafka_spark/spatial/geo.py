@@ -877,3 +877,63 @@ def g_heat_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.col("w").cast("decimal(28,10)")).cast("double").alias("heat"),
     )
+
+
+@query(
+    "g_trajectory_stops",
+    oracle=f"""
+WITH pts AS (
+  SELECT user_id, event_id,
+         CAST(floor(({_LON} + 180.0) / 6.0) AS BIGINT) * 60
+           + CAST(floor((CAST({_LAT} AS DOUBLE) + 90.0) / 6.0) AS BIGINT) AS cell,
+         CAST(floor(epoch(date_trunc('second', ts))) AS BIGINT) AS ep
+  FROM events
+),
+runs AS (
+  SELECT user_id, cell, event_id, ep,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id)
+         - row_number() OVER (PARTITION BY user_id, cell ORDER BY event_id) AS grp
+  FROM pts
+)
+SELECT user_id, cell,
+       count(*) AS n_points,
+       min(event_id) AS enter_event,
+       max(event_id) AS leave_event,
+       max(ep) - min(ep) AS dwell_s
+FROM runs
+GROUP BY user_id, cell, grp
+HAVING count(*) >= 3
+""",
+)
+def g_trajectory_stops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stay-point detection: maximal runs of ≥3 consecutive points
+    inside the same 6°-grid cell per user — the trajectory-mining
+    primitive that turns a GPS stream into visits (where did the
+    entity dwell, for how long).  Same difference-of-row-numbers
+    island key as q_gaps_islands, applied to a spatial cell id, with
+    exact integer dwell seconds from second-truncated epochs.  Two
+    shared-shuffle window passes + one aggregate on user_id — a
+    three-stage scan at any scale, no self-join."""
+    e = load_table(spark, sf_dir, "events")
+    ep = F.floor(F.unix_timestamp(F.date_trunc("second", F.col("ts")))).cast("bigint")
+    cell = (
+        F.floor((_lon() + 180.0) / 6.0).cast("long") * 60
+        + F.floor((_lat() + 90.0) / 6.0).cast("long")
+    )
+    pts = e.select("user_id", "event_id", cell.alias("cell"), ep.alias("ep"))
+    w_all = Window.partitionBy("user_id").orderBy("event_id")
+    w_cell = Window.partitionBy("user_id", "cell").orderBy("event_id")
+    runs = pts.withColumn(
+        "grp", F.row_number().over(w_all) - F.row_number().over(w_cell)
+    )
+    return (
+        runs.groupBy("user_id", "cell", "grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.min("event_id").alias("enter_event"),
+            F.max("event_id").alias("leave_event"),
+            (F.max("ep") - F.min("ep")).alias("dwell_s"),
+        )
+        .where(F.col("n_points") >= 3)
+        .drop("grp")
+    )
