@@ -150,3 +150,47 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("max_id"),
         )
     )
+
+
+@query(
+    "q_setops_all",
+    oracle="""
+SELECT 'intersect_all' AS op, event_type AS v, count(*) AS n FROM (
+  SELECT event_type FROM events WHERE user_id % 2 = 0
+  INTERSECT ALL
+  SELECT event_type FROM events WHERE value > 500
+) GROUP BY event_type
+UNION ALL
+SELECT 'except_all' AS op, event_type AS v, count(*) AS n FROM (
+  SELECT event_type FROM events WHERE user_id % 2 = 0
+  EXCEPT ALL
+  SELECT event_type FROM events WHERE value > 500
+) GROUP BY event_type
+""",
+)
+def q_setops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics set operations (INTERSECT ALL / EXCEPT ALL):
+    multiplicity-aware membership — min(countA, countB) and
+    max(countA − countB, 0) copies per value — which the DISTINCT
+    variants silently collapse; SQL engines differ on whether ALL is
+    even supported, so the surface is pinned here with both engines'
+    native implementations checked against each other. Spark plans
+    these as a single aggregate computing per-value counts on each
+    side (no join explosion); output is rolled up per (op, value) so
+    the multiplicities themselves are what hash."""
+    e = load_table(spark, sf_dir, "events")
+    a = e.where(F.col("user_id") % 2 == 0).select("event_type")
+    b = e.where(F.col("value") > 500).select("event_type")
+    ia = (
+        a.intersectAll(b)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("intersect_all").alias("op"), F.col("event_type").alias("v"), "n")
+    )
+    ea = (
+        a.exceptAll(b)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("except_all").alias("op"), F.col("event_type").alias("v"), "n")
+    )
+    return ia.unionByName(ea)
