@@ -668,3 +668,42 @@ def m_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             (na < nb).alias("a_is_smaller"),
         )
     )
+
+
+def _apply_dedup_oracle() -> str:
+    return f"""
+WITH clusters AS ({_dedup_clusters_oracle()}),
+dropped AS (SELECT doc_id FROM clusters WHERE NOT is_survivor)
+SELECT lang,
+       count(*) AS n_docs_in,
+       COUNT(CASE WHEN dr.doc_id IS NULL THEN 1 END) AS n_docs_out,
+       CAST(SUM(CASE WHEN dr.doc_id IS NULL THEN n_chars END) AS BIGINT) AS chars_out
+FROM documents d LEFT JOIN dropped dr ON dr.doc_id = d.doc_id
+GROUP BY lang
+"""
+
+
+@query("m_apply_dedup", oracle=_apply_dedup_oracle())
+def m_apply_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the near-dup resolution to the corpus: every document in
+    a cluster except its survivor is dropped, and the per-language
+    before/after audit comes back — the step that actually SHRINKS the
+    dataset after m_near_dedup found pairs and m_dedup_clusters picked
+    survivors (a pipeline that only reports duplicates never saved a
+    token of compute).  Dataflow: the dropped set is tiny (cluster
+    members minus survivors), so the rewrite is a broadcast anti-join
+    against the full corpus — at 100 TB the corpus streams through
+    untouched except for the dropped keys; hash-checked end to end on
+    top of the already-oracled cluster pipeline."""
+    clusters = QUERIES["m_dedup_clusters"](spark, sf_dir)
+    dropped = clusters.where(~F.col("is_survivor")).select("doc_id")
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    flagged = d.join(
+        F.broadcast(dropped.withColumn("is_dropped", F.lit(True))), "doc_id", "left"
+    )
+    keep = F.col("is_dropped").isNull()
+    return flagged.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs_in"),
+        F.count(F.when(keep, 1)).alias("n_docs_out"),
+        F.sum(F.when(keep, F.col("n_chars"))).cast("bigint").alias("chars_out"),
+    )
