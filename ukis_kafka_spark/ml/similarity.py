@@ -1588,3 +1588,82 @@ def m_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("d_neg") - F.col("d_pos")).cast("bigint").alias("margin"),
         (F.col("d_neg") > F.col("d_pos")).alias("is_satisfied"),
     )
+
+
+def _ivf_balance_oracle() -> str:
+    return f"""
+WITH qv AS (
+  SELECT vec_id, d, CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT) AS v
+  FROM (SELECT vec_id, generate_subscripts(embedding, 1) AS d, unnest(embedding) AS x
+        FROM embeddings)
+),
+cents AS (
+  SELECT vec_id AS cid, row_number() OVER (ORDER BY (vec_id * {_IVF_HASH_A}) % {_IVF_HASH_P}, vec_id) - 1 AS list_id
+  FROM embeddings
+  ORDER BY (vec_id * {_IVF_HASH_A}) % {_IVF_HASH_P}, vec_id
+  LIMIT {_IVF_LISTS}
+),
+cvec AS (SELECT c.list_id, qv.d, qv.v AS cv FROM cents c JOIN qv ON qv.vec_id = c.cid),
+dist AS (
+  SELECT qv.vec_id, cv.list_id, SUM((qv.v - cv.cv) * (qv.v - cv.cv)) AS dist
+  FROM qv JOIN cvec cv USING (d)
+  GROUP BY qv.vec_id, cv.list_id
+),
+home AS (
+  SELECT vec_id, list_id FROM (
+    SELECT vec_id, list_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, list_id ASC) AS rn
+    FROM dist
+  ) WHERE rn = 1
+),
+occ AS (SELECT list_id, count(*) AS n FROM home GROUP BY list_id)
+SELECT list_id, n,
+       (1000000 * n * {_IVF_LISTS}) // CAST((SELECT SUM(n) FROM occ) AS BIGINT) AS load_ppm
+FROM occ
+"""
+
+
+@query("m_ivf_balance", oracle=_ivf_balance_oracle())
+def m_ivf_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index-health audit: home-list occupancy per inverted list
+    and its load factor vs the uniform ideal (1e6 ppm = perfectly
+    balanced) — the metric that tells you when the ANN index needs a
+    centroid refit, because one overfull list silently degrades both
+    latency AND recall for every query that probes it.  Same
+    deterministic centroid/assignment math as m_ann_ivf (so it is the
+    audit OF that index, not of a lookalike), one extra aggregate.
+    This is the spatial-skew twin of m_graph_degree: both exist to
+    measure the hotspot before it becomes the bottleneck at 100×."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = e.select(
+        "vec_id",
+        F.posexplode(
+            F.transform("embedding", lambda x: F.floor(x.cast("double") * 10_000).cast("long"))
+        ).alias("d0", "v"),
+    ).select("vec_id", (F.col("d0") + 1).alias("d"), "v")
+    cent_rows = (
+        e.select("vec_id", F.expr(f"(vec_id * {_IVF_HASH_A}) % {_IVF_HASH_P}").alias("h"))
+        .orderBy("h", "vec_id")
+        .limit(_IVF_LISTS)
+        .collect()
+    )
+    # tiny literal dim via SQL VALUES — createDataFrame(py_list) is a
+    # pickled Python RDD and costs a worker round (CLAUDE.md rule)
+    values = ", ".join(f"({r['vec_id']}, {i})" for i, r in enumerate(cent_rows))
+    cent_map = spark.sql(f"SELECT * FROM (VALUES {values}) AS t(cid, list_id)")
+    cvec = q.join(
+        F.broadcast(cent_map), q.vec_id == F.col("cid")
+    ).select("list_id", "d", F.col("v").alias("cv"))
+    dist = (
+        q.join(F.broadcast(cvec), "d")
+        .groupBy("vec_id", "list_id")
+        .agg(F.sum((F.col("v") - F.col("cv")) * (F.col("v") - F.col("cv"))).alias("dist"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("dist").asc(), F.col("list_id").asc())
+    home = dist.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    occ = home.groupBy("list_id").agg(F.count(F.lit(1)).alias("n"))
+    return occ.select(
+        "list_id",
+        "n",
+        F.expr(f"(1000000 * n * {_IVF_LISTS}) div sum(n) OVER ()").alias("load_ppm"),
+    )

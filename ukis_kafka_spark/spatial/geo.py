@@ -937,3 +937,50 @@ def g_trajectory_stops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_points") >= 3)
         .drop("grp")
     )
+
+
+@query(
+    "g_cell_transitions",
+    oracle=f"""
+WITH pts AS (
+  SELECT user_id, event_id,
+         CAST(floor(({_LON} + 180.0) / 6.0) AS BIGINT) * 60
+           + CAST(floor((CAST({_LAT} AS DOUBLE) + 90.0) / 6.0) AS BIGINT) AS cell
+  FROM events
+),
+seq AS (
+  SELECT cell AS from_cell,
+         lead(cell) OVER (PARTITION BY user_id ORDER BY event_id) AS to_cell
+  FROM pts
+)
+SELECT from_cell, to_cell, count(*) AS n
+FROM seq
+WHERE to_cell IS NOT NULL AND to_cell <> from_cell
+GROUP BY from_cell, to_cell
+HAVING count(*) >= 3
+""",
+)
+def g_cell_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Origin-destination matrix: movement flows between 6°-grid cells
+    (consecutive same-user positions in different cells, flows with ≥3
+    observations) — the aggregate behind migration maps and transport
+    planning, and the spatial sibling of q_markov_transitions.  One
+    lead() pass and one aggregate sharing the user_id shuffle; at
+    100 TB the OD matrix is bounded by cells², not by points, so the
+    output stays broadcastable however big the input."""
+    e = load_table(spark, sf_dir, "events")
+    cell = (
+        F.floor((_lon() + 180.0) / 6.0).cast("long") * 60
+        + F.floor((_lat() + 90.0) / 6.0).cast("long")
+    )
+    pts = e.select("user_id", "event_id", cell.alias("cell"))
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    seq = pts.select(
+        F.col("cell").alias("from_cell"), F.lead("cell").over(w).alias("to_cell")
+    )
+    return (
+        seq.where(F.col("to_cell").isNotNull() & (F.col("to_cell") != F.col("from_cell")))
+        .groupBy("from_cell", "to_cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= 3)
+    )
