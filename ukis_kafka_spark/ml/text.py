@@ -1313,3 +1313,68 @@ def m_quality_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(kept, 1)).alias("n_kept"),
         F.sum(F.when(kept, F.col("q_micro"))).cast("bigint").alias("kept_quality_mass"),
     )
+
+
+@query(
+    "m_zipf_stats",
+    oracle="""
+WITH counts AS (
+  SELECT tok, count(*) AS n
+  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY tok
+),
+ranked AS (
+  SELECT n, row_number() OVER (ORDER BY n DESC, tok ASC) AS rnk,
+         count(*) OVER () AS n_types,
+         CAST(SUM(n) OVER () AS BIGINT) AS n_tokens
+  FROM counts
+)
+SELECT max(n_types) AS n_types,
+       max(n_tokens) AS n_tokens,
+       (1000000 * max(n_types)) // max(n_tokens) AS type_token_ppm,
+       COUNT(CASE WHEN n = 1 THEN 1 END) AS n_hapax,
+       CAST(SUM(CASE WHEN rnk <= n_types // 10 THEN n END) AS BIGINT) AS top_decile_mass,
+       (1000000 * CAST(SUM(CASE WHEN rnk <= n_types // 10 THEN n END) AS BIGINT))
+         // max(n_tokens) AS top_decile_ppm
+FROM ranked
+""",
+)
+def m_zipf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-distribution health of the corpus in one row: type
+    and token counts, type-token ratio, hapax legomena (once-seen
+    tokens — the OCR-garbage/typo signal), and the token-mass share of
+    the top decile of types (how Zipf-steep the corpus is) — the
+    numbers that tell you whether a crawl slice is natural language or
+    boilerplate soup before any model sees it.  One explode + one
+    count aggregate + one ranked pass; every emitted figure is integer
+    or integer-ppm."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wr = Window.orderBy(F.col("n").desc(), F.col("tok").asc())
+    wall = Window.partitionBy()
+    ranked = counts.select(
+        "n",
+        F.row_number().over(wr).alias("rnk"),
+        F.count(F.lit(1)).over(wall).alias("n_types"),
+        F.sum("n").over(wall).cast("bigint").alias("n_tokens"),
+    )
+    return ranked.select(
+        "n",
+        "rnk",
+        "n_types",
+        "n_tokens",
+        F.when(F.expr("rnk <= n_types div 10"), F.col("n")).alias("dec_n"),
+    ).agg(
+        F.max("n_types").alias("n_types"),
+        F.max("n_tokens").alias("n_tokens"),
+        F.expr("(1000000 * max(n_types)) div max(n_tokens)").alias("type_token_ppm"),
+        F.count(F.when(F.col("n") == 1, 1)).alias("n_hapax"),
+        F.sum("dec_n").cast("bigint").alias("top_decile_mass"),
+        F.expr("(1000000 * CAST(SUM(dec_n) AS BIGINT)) div max(n_tokens)").alias(
+            "top_decile_ppm"
+        ),
+    )
