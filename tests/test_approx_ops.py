@@ -264,3 +264,58 @@ def test_ann_pq_recall_vs_exact(spark):
         tot += 5
     assert tot == len(approx) * 5
     assert hits / tot >= 0.6, f"PQ recall@5 collapsed: {hits}/{tot}"
+
+
+def test_span_corruption_reconstructs(spark):
+    """Invariant: interleaving each input's sentinel positions with the
+    target's spans must reconstruct the original document exactly —
+    the property that makes the (input, target) pair trainable."""
+    out = {
+        r.doc_id: r
+        for r in api.queries()["m_span_corruption"](spark, SF_SMOKE).collect()
+    }
+    docs = {
+        r.doc_id: r.text
+        for r in load_table(spark, SF_SMOKE, "documents").select("doc_id", "text").collect()
+    }
+    assert set(out) == set(docs)
+    for doc_id, row in out.items():
+        # parse target: "<Xk> tok tok <Xk+1> tok ..." → span k -> tokens
+        spans = {}
+        cur = None
+        for tok in row.target_text.split(" "):
+            if tok.startswith("<X") and tok.endswith(">"):
+                cur = tok
+                spans[cur] = []
+            else:
+                spans[cur].append(tok)
+        rebuilt = []
+        for tok in row.input_text.split(" "):
+            if tok.startswith("<X") and tok.endswith(">"):
+                rebuilt.extend(spans[tok])
+            else:
+                rebuilt.append(tok)
+        assert " ".join(rebuilt) == docs[doc_id], f"doc {doc_id} failed to reconstruct"
+
+
+def test_gaps_islands_partition_stream(spark):
+    """Invariant: islands partition each user's event stream — per-user
+    island lengths sum to the user's event count, and islands never
+    overlap (starts/ends strictly ordered)."""
+    import collections
+
+    islands = api.queries()["q_gaps_islands"](spark, SF_SMOKE).collect()
+    events = (
+        load_table(spark, SF_SMOKE, "events").groupBy("user_id").count().collect()
+    )
+    per_user_events = {r.user_id: r["count"] for r in events}
+    got = collections.defaultdict(int)
+    by_user = collections.defaultdict(list)
+    for r in islands:
+        got[r.user_id] += r.island_len
+        by_user[r.user_id].append((r.island_start, r.island_end))
+    assert dict(got) == per_user_events
+    for user, spans in by_user.items():
+        spans.sort()
+        for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+            assert e1 < s2, f"user {user}: overlapping islands"
