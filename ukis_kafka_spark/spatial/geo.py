@@ -984,3 +984,47 @@ def g_cell_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .where(F.col("n") >= 3)
     )
+
+
+@query(
+    "g_reproject_inverse",
+    oracle=f"""
+WITH fwd AS (
+  SELECT event_id, {_LON} AS lon0, CAST({_LAT} AS DOUBLE) AS lat0,
+         6378137.0 * radians({_LON}) AS mx,
+         6378137.0 * ln(tan(3.141592653589793 / 4 + radians({_LAT}) / 2)) AS my
+  FROM events
+  WHERE {_LAT} BETWEEN -85 AND 85
+)
+SELECT event_id,
+       (round(degrees(mx / 6378137.0), 4) + 0.0) AS lon_rt,
+       (round(degrees(2 * (atan(exp(my / 6378137.0)) - 3.141592653589793 / 4)), 4) + 0.0) AS lat_rt,
+       (round(degrees(mx / 6378137.0) - lon0, 4) + 0.0) AS lon_err,
+       (round(degrees(2 * (atan(exp(my / 6378137.0)) - 3.141592653589793 / 4)) - lat0, 4) + 0.0) AS lat_err
+FROM fwd
+""",
+)
+def g_reproject_inverse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-Mercator INVERSE projection: forward-project every point,
+    invert with the closed-form sphere formulas (λ = x/R,
+    φ = 2·atan(eˣ/ᴿ) − π/4), and emit the round-tripped coordinates
+    plus their error on a 1e-4-degree grid — which must be exactly
+    zero, making this the numerical-closure proof of the projection
+    pair (a transposed constant or a degrees/radians slip shows up as
+    a nonzero error hash). Same hash-safety recipe as g_reproject:
+    shared double literals, 4 dp grid absorbing ~1 ULP libm drift,
+    +0.0 collapsing −0.0."""
+    e = load_table(spark, sf_dir, "events")
+    R = F.lit(6378137.0)
+    pi = F.lit(3.141592653589793)
+    mx = R * F.radians(_lon())
+    my = R * F.log(F.tan(pi / 4 + F.radians(_lat()) / 2))
+    lon_rt = F.degrees(mx / R)
+    lat_rt = F.degrees(F.lit(2.0) * (F.atan(F.exp(my / R)) - pi / 4))
+    return e.where(_lat().between(-85, 85)).select(
+        "event_id",
+        (F.round(lon_rt, 4) + F.lit(0.0)).alias("lon_rt"),
+        (F.round(lat_rt, 4) + F.lit(0.0)).alias("lat_rt"),
+        (F.round(lon_rt - _lon(), 4) + F.lit(0.0)).alias("lon_err"),
+        (F.round(lat_rt - _lat(), 4) + F.lit(0.0)).alias("lat_err"),
+    )
