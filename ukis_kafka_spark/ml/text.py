@@ -1378,3 +1378,50 @@ def m_zipf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top_decile_ppm"
         ),
     )
+
+
+@query(
+    "m_bigram_lm",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, tok, pos,
+         lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents)
+),
+bi AS (SELECT tok, nxt, count(*) AS n FROM toks WHERE nxt IS NOT NULL GROUP BY tok, nxt),
+uni AS (SELECT tok, CAST(SUM(n) AS BIGINT) AS n_ctx FROM bi GROUP BY tok)
+SELECT b.tok, b.nxt, b.n,
+       (1000000 * b.n) // u.n_ctx AS cond_ppm
+FROM bi b JOIN uni u ON u.tok = b.tok
+WHERE b.n >= 20
+""",
+)
+def m_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram language model: P(next | tok) as integer ppm for
+    every bigram seen ≥20 times — the count-based estimation step
+    behind n-gram LMs, next-token quality filters, and the
+    cross-entropy scorer (m_lm_cross_entropy consumes exactly these
+    statistics).  One posexplode + a per-doc lead() (the window rides
+    the doc_id shuffle), then two hash aggregates; the conditional
+    divides sibling counts with integer div.  At 100 TB the bigram
+    table is the thing you materialize once and broadcast to scoring
+    jobs."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bi = (
+        toks.withColumn("nxt", F.lead("tok").over(w))
+        .where(F.col("nxt").isNotNull())
+        .groupBy("tok", "nxt")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    uni = bi.groupBy("tok").agg(F.sum("n").cast("bigint").alias("n_ctx"))
+    return (
+        bi.join(uni, "tok")
+        .where(F.col("n") >= 20)
+        .select("tok", "nxt", "n", F.expr("(1000000 * n) div n_ctx").alias("cond_ppm"))
+    )
