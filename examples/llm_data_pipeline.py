@@ -1,0 +1,83 @@
+"""End-to-end LLM training-data pipeline on this engine: the chain a
+data team runs between "raw crawl" and "tokens on GPUs", composed
+entirely from registry operators (each one individually
+oracle-hash-checked; see SURVEY.md §2.3).
+
+    python examples/llm_data_pipeline.py [sf_dir]
+
+Stages:
+1. profile  — corpus card + Zipf health + language mix
+2. dedup    — MinHash pairs → clusters → APPLY (drop non-survivors)
+3. curate   — quality-weighted sampling + benchmark decontamination
+4. mix      — temperature-scaled source weights
+5. pretrain — span-corruption pairs + fixed-context packing
+6. eval     — k-fold splits + kNN label-quality audit
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+from ukis_kafka_spark import api  # noqa: E402
+from ukis_kafka_spark.plans import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark("llm-pipeline-demo")
+    spark.sparkContext.setLogLevel("ERROR")
+    q = api.queries()
+
+    def run(name: str):
+        return q[name](spark, sf_dir)
+
+    print(f"== 1. profile ({sf_dir})")
+    card = run("m_corpus_stats").collect()[0]
+    print(f"   docs={card.n_docs} tokens={card.total_tokens} "
+          f"exact_dups={card.n_exact_dups} langs={card.n_langs}")
+    zipf = run("m_zipf_stats").collect()[0]
+    print(f"   types={zipf.n_types} hapax={zipf.n_hapax} "
+          f"top-decile share={zipf.top_decile_ppm / 10000:.1f}%")
+
+    print("== 2. dedup")
+    applied = {r.lang: r for r in run("m_apply_dedup").collect()}
+    kept = sum(r.n_docs_out for r in applied.values())
+    total = sum(r.n_docs_in for r in applied.values())
+    print(f"   near-dup resolution keeps {kept}/{total} docs")
+
+    print("== 3. curate")
+    qs = {r.lang: r for r in run("m_quality_sample").collect()}
+    print("   quality-weighted keep rates: "
+          + ", ".join(f"{lang}={r.n_kept}/{r.n_docs}" for lang, r in sorted(qs.items())))
+    decon = run("m_decontaminate").count()
+    print(f"   decontamination: {decon} clean docs")
+
+    print("== 4. mix")
+    for r in sorted(run("m_temperature_mix").collect(), key=lambda r: r.source):
+        print(f"   {r.source}: n={r.n_docs} share={r.share_ppm / 10000:.2f}%")
+
+    print("== 5. pretrain transforms")
+    span = run("m_span_corruption")
+    n_pairs = span.count()
+    n_masked = span.agg({"n_masked": "sum"}).collect()[0][0]
+    print(f"   span-corruption pairs: {n_pairs} (masked tokens: {n_masked})")
+    packs = run("m_seq_pack").count()
+    print(f"   packed context windows: {packs}")
+
+    print("== 6. eval readiness")
+    folds = run("m_crossval_folds").groupBy("fold").sum("n").collect()
+    print(f"   folds: {sorted((r[0], r[1]) for r in folds)}")
+    acc = run("m_knn_eval").collect()
+    n_t = sum(r.n_test for r in acc)
+    n_c = sum(r.n_correct for r in acc)
+    print(f"   kNN label audit: {n_c}/{n_t} consistent")
+    print("done.")
+
+
+if __name__ == "__main__":
+    main()
