@@ -669,3 +669,61 @@ def q_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             "worst_event"
         ),
     )
+
+
+_SCD2_CUTOVER = 8000  # event_id split: base load vs CDC batch
+
+
+@query(
+    "q_scd2_merge",
+    oracle="""
+WITH chg AS (
+  SELECT user_id, event_type, event_id,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_type
+  FROM events
+), runs AS (
+  SELECT user_id, event_type, event_id AS valid_from_id
+  FROM chg
+  WHERE prev_type IS NULL OR prev_type <> event_type
+)
+SELECT user_id, event_type, valid_from_id,
+       lead(valid_from_id) OVER (PARTITION BY user_id ORDER BY valid_from_id) AS valid_to_id,
+       lead(valid_from_id) OVER (PARTITION BY user_id ORDER BY valid_from_id) IS NULL AS is_current
+FROM runs
+""",
+)
+def q_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SCD2 maintenance: a CDC batch (events past the
+    cutover id) is merged into the existing dimension by recomputing
+    ONLY the users present in the batch and unioning everyone else's
+    intervals untouched — the partition-pruned incremental-maintenance
+    pattern that makes nightly dimension builds O(changed keys) instead
+    of O(history). The oracle is the FULL recompute, so the merge path
+    is proven equivalent to rebuilding from scratch — the property an
+    incremental pipeline must hold and rarely tests. Shapes: the
+    touched-user set broadcasts; untouched intervals stream through an
+    anti-join; only touched users' history re-windows."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "event_id")
+
+    def intervals(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy("user_id").orderBy("event_id")
+        runs = (
+            df.withColumn("prev_type", F.lag("event_type").over(w))
+            .where(F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type")))
+            .select("user_id", "event_type", F.col("event_id").alias("valid_from_id"))
+        )
+        w2 = Window.partitionBy("user_id").orderBy("valid_from_id")
+        nxt = F.lead("valid_from_id").over(w2)
+        return runs.select(
+            "user_id", "event_type", "valid_from_id",
+            nxt.alias("valid_to_id"), nxt.isNull().alias("is_current"),
+        )
+
+    base = intervals(e.where(F.col("event_id") < _SCD2_CUTOVER))
+    batch = e.where(F.col("event_id") >= _SCD2_CUTOVER)
+    touched = batch.select("user_id").distinct()
+    untouched = base.join(F.broadcast(touched), "user_id", "left_anti")
+    # touched users: re-derive from their FULL history (base + batch
+    # rows for exactly those users) — O(changed keys), not O(table)
+    rebuilt = intervals(e.join(F.broadcast(touched), "user_id"))
+    return untouched.unionByName(rebuilt)
