@@ -432,3 +432,55 @@ def src_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("good_sum"),
     )
+
+
+@query(
+    "src_json_nested",
+    oracle="""
+SELECT s_nationkey,
+       count(*) AS n,
+       CAST(CAST(SUM(CAST(s_acctbal AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS bal_sum,
+       max(s_name) AS max_name
+FROM supplier
+GROUP BY s_nationkey
+""",
+)
+def src_json_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-JSON ingestion: suppliers are written as documents with a
+    nested object ({"id": …, "org": {"name": …, "nation": …},
+    "account": {"balance": …}}), read back with an explicit nested
+    StructType, and flattened with dotted field paths — the
+    schema-on-read shape for API payloads and document stores.  Struct
+    field access is a zero-cost projection in Spark (no shuffle, no
+    parsing beyond the scan), and numeric fidelity survives the JSON
+    round-trip (shortest-repr doubles), so the flattened aggregate
+    hash-matches the flat-table oracle."""
+
+    def build(into: str) -> None:
+        s = load_table(spark, sf_dir, "supplier")
+        nested = s.select(
+            F.col("s_suppkey").alias("id"),
+            F.struct(
+                F.col("s_name").alias("name"), F.col("s_nationkey").alias("nation")
+            ).alias("org"),
+            F.struct(F.col("s_acctbal").alias("balance")).alias("account"),
+        )
+        nested.write.mode("overwrite").json(os.path.join(into, "nested"))
+
+    src = os.path.join(
+        _cache_publish(build, ("json_nested", 1, _table_fingerprint(sf_dir, "supplier"))),
+        "nested",
+    )
+    back = spark.read.schema(
+        "id long, org struct<name: string, nation: int>, account struct<balance: double>"
+    ).json(src)
+    flat = back.select(
+        F.col("org.nation").alias("s_nationkey"),
+        F.col("org.name").alias("s_name"),
+        F.col("account.balance").alias("s_acctbal"),
+    )
+    return flat.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("s_acctbal").cast("decimal(28,10)")).cast("double").alias("bal_sum"),
+        F.max("s_name").alias("max_name"),
+    )
