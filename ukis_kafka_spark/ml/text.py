@@ -1425,3 +1425,68 @@ def m_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n") >= 20)
         .select("tok", "nxt", "n", F.expr("(1000000 * n) div n_ctx").alias("cond_ppm"))
     )
+
+
+@query(
+    "m_collocations",
+    oracle="""
+WITH dt AS (
+  SELECT DISTINCT doc_id, tok
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+),
+nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM dt),
+uni AS (SELECT tok, count(*) AS df FROM dt GROUP BY tok),
+pairs AS (
+  SELECT a.tok AS tok_a, b.tok AS tok_b, count(*) AS n_both
+  FROM dt a JOIN dt b ON b.doc_id = a.doc_id AND b.tok > a.tok
+  GROUP BY a.tok, b.tok
+)
+SELECT tok_a, tok_b, n_both,
+       (1000000 * n_both * (SELECT n_docs FROM nd)) // (ua.df * ub.df) AS lift_ppm
+FROM pairs
+JOIN uni ua ON ua.tok = pairs.tok_a
+JOIN uni ub ON ub.tok = pairs.tok_b
+WHERE n_both >= 50
+ORDER BY lift_ppm DESC, tok_a ASC, tok_b ASC
+LIMIT 20
+""",
+)
+def m_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation extraction: the 20 most-associated token pairs by
+    document-level lift — P(a,b)/(P(a)·P(b)) as the exact integer
+    rational (1e6·n_both·N) div (df_a·df_b) — the statistic behind
+    phrase mining and compound-term detection, emitted without a
+    single transcendental (the log in PMI is monotone, so ranking by
+    lift ranks by PMI).  The per-doc distinct-token self-join is
+    bounded by vocabulary size, not document length; at 100 TB this
+    is the co-order-graph build (ml/graph.py) applied to tokens, and
+    the same bounded-per-row pair generation applies if the
+    vocabulary grows."""
+    d = load_table(spark, sf_dir, "documents")
+    dt = (
+        d.select("doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok"))
+    )
+    nd = dt.agg(F.countDistinct("doc_id").alias("n_docs"))
+    uni = dt.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    b = dt.select(F.col("doc_id").alias("bdoc"), F.col("tok").alias("tok_b"))
+    pairs = (
+        dt.join(b, (F.col("bdoc") == F.col("doc_id")) & (F.col("tok_b") > F.col("tok")))
+        .groupBy(F.col("tok").alias("tok_a"), "tok_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .where(F.col("n_both") >= 50)
+    )
+    ua = uni.select(F.col("tok").alias("tok_a"), F.col("df").alias("df_a"))
+    ub = uni.select(F.col("tok").alias("tok_b"), F.col("df").alias("df_b"))
+    return (
+        pairs.crossJoin(F.broadcast(nd))
+        .join(F.broadcast(ua), "tok_a")
+        .join(F.broadcast(ub), "tok_b")
+        .select(
+            "tok_a",
+            "tok_b",
+            "n_both",
+            F.expr("(1000000 * n_both * n_docs) div (df_a * df_b)").alias("lift_ppm"),
+        )
+        .orderBy(F.col("lift_ppm").desc(), F.col("tok_a").asc(), F.col("tok_b").asc())
+        .limit(20)
+    )
