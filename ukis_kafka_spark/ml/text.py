@@ -1490,3 +1490,54 @@ def m_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("lift_ppm").desc(), F.col("tok_a").asc(), F.col("tok_b").asc())
         .limit(20)
     )
+
+
+@query(
+    "m_quality_length_corr",
+    oracle="""
+WITH xy AS (
+  SELECT CAST(n_chars AS BIGINT) AS x,
+         CAST(floor((0.5 * least(len(string_split(text, ' ')), 50) / 50.0
+                     + 0.5 * CAST(len(list_filter(string_split(text, ' '),
+                           t -> t IN ('spark', 'join', 'filter', 'window'))) AS DOUBLE)
+                         / len(string_split(text, ' '))) * 1000000) AS BIGINT) AS y
+  FROM documents
+)
+SELECT count(*) AS n,
+       CAST(count(*) * SUM(x * y) - SUM(x) * SUM(y) AS BIGINT) AS cov_num,
+       CAST(count(*) * SUM(x * x) - SUM(x) * SUM(x) AS BIGINT) AS var_x_num,
+       CAST(count(*) * SUM(y * y) - SUM(y) * SUM(y) AS BIGINT) AS var_y_num
+FROM xy
+""",
+)
+def m_quality_length_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does the quality score just measure length?  The Pearson
+    correlation between document length and quality, emitted as the
+    exact integer rational components (covariance and variance
+    numerators; r² = cov²/(varx·vary) at whatever precision the
+    consumer wants) — the metric-validity audit run before trusting a
+    heuristic filter, in the same midpoint-free rational form as
+    q_trend_slope.  One scan, one aggregate; magnitudes stay under
+    BIGINT because quality is µ-units (≤1e6) and n_chars ≤ ~1e4."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_tok = F.size(toks)
+    stop = F.size(F.filter(toks, lambda t: t.isin("spark", "join", "filter", "window")))
+    y = F.floor(
+        (F.lit(0.5) * F.least(n_tok, F.lit(50)) / 50.0 + F.lit(0.5) * stop.cast("double") / n_tok)
+        * 1_000_000
+    ).cast("bigint")
+    xy = d.select(F.col("n_chars").cast("bigint").alias("x"), y.alias("y"))
+    n = F.count(F.lit(1))
+    return xy.agg(
+        n.alias("n"),
+        (n * F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y"))
+        .cast("bigint")
+        .alias("cov_num"),
+        (n * F.sum(F.col("x") * F.col("x")) - F.sum("x") * F.sum("x"))
+        .cast("bigint")
+        .alias("var_x_num"),
+        (n * F.sum(F.col("y") * F.col("y")) - F.sum("y") * F.sum("y"))
+        .cast("bigint")
+        .alias("var_y_num"),
+    )
