@@ -1028,3 +1028,77 @@ def g_reproject_inverse(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(lon_rt - _lon(), 4) + F.lit(0.0)).alias("lon_err"),
         (F.round(lat_rt - _lat(), 4) + F.lit(0.0)).alias("lat_err"),
     )
+
+
+_SPEED_MAX_KMH = 10000.0
+
+
+@query(
+    "g_speed_anomaly",
+    oracle=f"""
+WITH pts AS (
+  SELECT user_id, event_id, {_LON} AS lon, CAST({_LAT} AS DOUBLE) AS lat,
+         CAST(floor(epoch(date_trunc('second', ts))) AS BIGINT) AS ep
+  FROM events
+), hops AS (
+  SELECT user_id, event_id,
+         round(2 * 6371.0088 * asin(sqrt(
+           pow(sin(radians(lat - lag(lat) OVER w) / 2), 2)
+           + cos(radians(lag(lat) OVER w)) * cos(radians(lat))
+             * pow(sin(radians(lon - lag(lon) OVER w) / 2), 2)
+         )), 4) AS hop_km,
+         ep - lag(ep) OVER w AS dt
+  FROM pts
+  WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+  QUALIFY lag(ep) OVER w IS NOT NULL
+)
+SELECT user_id, event_id, hop_km, dt,
+       CAST(floor((3600.0 * hop_km) / dt) AS BIGINT) AS speed_kmh
+FROM hops
+WHERE (3600.0 * hop_km) / dt > {_SPEED_MAX_KMH}
+""",
+)
+def g_speed_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Teleport detection: hops whose implied speed exceeds a physical
+    ceiling — the GPS-data-quality filter every trajectory pipeline
+    runs before computing mileage or stops (a glitched fix otherwise
+    poisons every downstream statistic).  Haversine on the 4 dp km
+    grid (g_track_length's hash-safe recipe) over exact integer
+    second deltas; the speed is floored onto integer km/h and the
+    threshold compares the SAME double expression both engines
+    compute from identical operands.  One window pass on the user_id
+    shuffle; output is the anomaly set (~5% of hops in this corpus —
+    synthetic positions jump, which makes the filter non-vacuous at
+    every scale)."""
+    e = load_table(spark, sf_dir, "events")
+    ep = F.floor(F.unix_timestamp(F.date_trunc("second", F.col("ts")))).cast("bigint")
+    pts = e.select("user_id", "event_id", _lon().alias("lon"), _lat().alias("lat"), ep.alias("ep"))
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    lat_p, lon_p, ep_p = F.lag("lat").over(w), F.lag("lon").over(w), F.lag("ep").over(w)
+    hav = F.round(
+        2
+        * 6371.0088
+        * F.asin(
+            F.sqrt(
+                F.pow(F.sin(F.radians(F.col("lat") - lat_p) / 2), 2)
+                + F.cos(F.radians(lat_p))
+                * F.cos(F.radians(F.col("lat")))
+                * F.pow(F.sin(F.radians(F.col("lon") - lon_p) / 2), 2)
+            )
+        ),
+        4,
+    )
+    hops = pts.select(
+        "user_id",
+        "event_id",
+        hav.alias("hop_km"),
+        (F.col("ep") - ep_p).alias("dt"),
+    ).where(F.col("dt").isNotNull())
+    speed = (F.lit(3600.0) * F.col("hop_km")) / F.col("dt")
+    return hops.where(speed > _SPEED_MAX_KMH).select(
+        "user_id",
+        "event_id",
+        "hop_km",
+        "dt",
+        F.floor(speed).cast("bigint").alias("speed_kmh"),
+    )
