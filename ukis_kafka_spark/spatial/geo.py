@@ -1053,9 +1053,10 @@ WITH pts AS (
   QUALIFY lag(ep) OVER w IS NOT NULL
 )
 SELECT user_id, event_id, hop_km, dt,
-       CAST(floor((3600.0 * hop_km) / dt) AS BIGINT) AS speed_kmh
+       CASE WHEN dt > 0 THEN CAST(floor((3600.0 * hop_km) / dt) AS BIGINT) END AS speed_kmh
 FROM hops
-WHERE (3600.0 * hop_km) / dt > {_SPEED_MAX_KMH}
+WHERE (dt = 0 AND hop_km > 0)
+   OR (dt > 0 AND (3600.0 * hop_km) / dt > {_SPEED_MAX_KMH})
 """,
 )
 def g_speed_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1064,7 +1065,9 @@ def g_speed_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs before computing mileage or stops (a glitched fix otherwise
     poisons every downstream statistic).  Haversine on the 4 dp km
     grid (g_track_length's hash-safe recipe) over exact integer
-    second deltas; the speed is floored onto integer km/h and the
+    second deltas; a zero-Δt hop that moved is flagged directly
+    (never divided — ANSI throws, DuckDB would emit inf); the speed is
+    floored onto integer km/h and the
     threshold compares the SAME double expression both engines
     compute from identical operands.  One window pass on the user_id
     shuffle; output is the anomaly set (~5% of hops in this corpus —
@@ -1094,11 +1097,16 @@ def g_speed_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         hav.alias("hop_km"),
         (F.col("ep") - ep_p).alias("dt"),
     ).where(F.col("dt").isNotNull())
+    # dt = 0 (two fixes inside one second, moved) is BY DEFINITION a
+    # teleport — flagged without dividing (ANSI mode throws on /0, and
+    # DuckDB's float inf would silently diverge from it)
     speed = (F.lit(3600.0) * F.col("hop_km")) / F.col("dt")
-    return hops.where(speed > _SPEED_MAX_KMH).select(
+    zero_dt = (F.col("dt") == 0) & (F.col("hop_km") > 0)
+    fast = (F.col("dt") > 0) & (speed > _SPEED_MAX_KMH)
+    return hops.where(zero_dt | fast).select(
         "user_id",
         "event_id",
         "hop_km",
         "dt",
-        F.floor(speed).cast("bigint").alias("speed_kmh"),
+        F.when(F.col("dt") > 0, F.floor(speed).cast("bigint")).alias("speed_kmh"),
     )
