@@ -1541,3 +1541,65 @@ def m_quality_length_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("var_y_num"),
     )
+
+
+@query(
+    "m_freq_drift",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id % 2 AS half, tok
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+),
+counts AS (
+  SELECT tok,
+         COUNT(CASE WHEN half = 0 THEN 1 END) AS n_a,
+         COUNT(CASE WHEN half = 1 THEN 1 END) AS n_b
+  FROM toks GROUP BY tok
+),
+tot AS (
+  SELECT CAST(SUM(n_a) AS BIGINT) AS t_a, CAST(SUM(n_b) AS BIGINT) AS t_b FROM counts
+)
+SELECT tok, n_a, n_b,
+       (1000000 * n_a) // tot.t_a AS ppm_a,
+       (1000000 * n_b) // tot.t_b AS ppm_b,
+       abs((1000000 * n_a) // tot.t_a - (1000000 * n_b) // tot.t_b) AS drift_ppm
+FROM counts, tot
+ORDER BY drift_ppm DESC, tok ASC
+LIMIT 20
+""",
+)
+def m_freq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift between two corpus slices (even vs odd doc
+    ids standing in for yesterday's crawl vs today's): per-token
+    frequency in integer ppm on each side and the 20 largest absolute
+    drifts — the monitoring panel that catches a source going stale,
+    a scraper breaking, or injected spam BEFORE a model trains on it.
+    In production the halves are time partitions and the op runs per
+    ingest batch. One explode + one pivot-style conditional aggregate
+    + a broadcast totals row; top-20 via TakeOrderedAndProject."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        (F.col("doc_id") % 2).alias("half"), F.explode(F.split("text", " ")).alias("tok")
+    )
+    counts = toks.groupBy("tok").agg(
+        F.count(F.when(F.col("half") == 0, 1)).alias("n_a"),
+        F.count(F.when(F.col("half") == 1, 1)).alias("n_b"),
+    )
+    tot = counts.agg(
+        F.sum("n_a").cast("bigint").alias("t_a"), F.sum("n_b").cast("bigint").alias("t_b")
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "tok",
+            "n_a",
+            "n_b",
+            F.expr("(1000000 * n_a) div t_a").alias("ppm_a"),
+            F.expr("(1000000 * n_b) div t_b").alias("ppm_b"),
+            F.abs(
+                F.expr("(1000000 * n_a) div t_a") - F.expr("(1000000 * n_b) div t_b")
+            ).alias("drift_ppm"),
+        )
+        .orderBy(F.col("drift_ppm").desc(), F.col("tok").asc())
+        .limit(20)
+    )
