@@ -727,3 +727,69 @@ def q_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows for exactly those users) — O(changed keys), not O(table)
     rebuilt = intervals(e.join(F.broadcast(touched), "user_id"))
     return untouched.unionByName(rebuilt)
+
+
+@query(
+    "q_interval_coalesce",
+    oracle="""
+WITH iv AS (
+  SELECT user_id, event_id,
+         CAST(floor(epoch(date_trunc('second', ts))) AS BIGINT) AS s,
+         CAST(floor(epoch(date_trunc('second', ts))) AS BIGINT) + 1800 AS e
+  FROM events
+),
+flagged AS (
+  SELECT user_id, event_id, s, e,
+         CASE WHEN s > coalesce(max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS new_grp
+  FROM iv
+),
+grouped AS (
+  SELECT user_id, s, e,
+         SUM(new_grp) OVER (PARTITION BY user_id ORDER BY s, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+  FROM flagged
+)
+SELECT user_id,
+       min(s) AS span_start,
+       max(e) AS span_end,
+       max(e) - min(s) AS covered_s,
+       count(*) AS n_intervals
+FROM grouped
+GROUP BY user_id, grp
+""",
+)
+def q_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval coalescing: each event opens a 30-minute validity
+    window; overlapping windows per user merge into maximal covered
+    spans — the classic union-of-intervals algorithm (availability
+    windows, on-call coverage, sensor uptime) as two window passes: a
+    running max of interval ends detects gaps (a window starting past
+    everything seen so far begins a new span), a running sum of those
+    flags numbers the spans, and one aggregate emits span extents.
+    All exact integer seconds; the three window specs and the
+    aggregate share ONE user_id shuffle."""
+    e = load_table(spark, sf_dir, "events")
+    ep = F.floor(F.unix_timestamp(F.date_trunc("second", F.col("ts")))).cast("bigint")
+    iv = e.select("user_id", "event_id", ep.alias("s"), (ep + 1800).alias("e"))
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = iv.withColumn(
+        "new_grp",
+        F.when(F.col("s") > F.coalesce(F.max("e").over(w_prev), F.lit(-1)), 1).otherwise(0),
+    )
+    grouped = flagged.withColumn("grp", F.sum("new_grp").over(w_run))
+    return grouped.groupBy("user_id", "grp").agg(
+        F.min("s").alias("span_start"),
+        F.max("e").alias("span_end"),
+        (F.max("e") - F.min("s")).alias("covered_s"),
+        F.count(F.lit(1)).alias("n_intervals"),
+    ).drop("grp")
