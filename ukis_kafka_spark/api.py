@@ -80,7 +80,7 @@ _PRIORITY = [
     "sink_py_datasource", "s_py_source_stream", "q_mom_growth", "q_drawdown",
     "u_udtf_table", "g_heat_decay", "m_vocab_curve", "q_profile_cardinality",
     "m_triplet_mining", "m_span_corruption", "g_trajectory_stops",
-    "m_quality_sample", "q_setops_all", "m_apply_dedup", "m_ivf_balance", "g_cell_transitions", "m_zipf_stats", "g_reproject_inverse", "m_bigram_lm", "q_scd2_merge", "src_json_nested", "m_collocations", "m_quality_length_corr", "g_speed_anomaly", "m_freq_drift", "q_interval_coalesce",
+    "m_quality_sample", "q_setops_all", "m_apply_dedup", "m_ivf_balance", "g_cell_transitions", "m_zipf_stats", "g_reproject_inverse", "m_bigram_lm", "q_scd2_merge", "src_json_nested", "m_collocations", "m_quality_length_corr", "g_speed_anomaly", "m_freq_drift", "q_interval_coalesce", "sink_manifest",
     # ---- 50-entry window boundary is enforced by position, the
     # ---- remainder keeps round-3's order for stable bench diffs
     "q_agg_collect",

@@ -206,3 +206,52 @@ def sink_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
         shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "sink_manifest",
+    oracle="""
+SELECT l_returnflag AS part_key,
+       count(*) AS n_rows,
+       min(l_orderkey) AS min_key,
+       max(l_orderkey) AS max_key,
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS price_sum
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def sink_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned write + statistics manifest: alongside the
+    partitioned parquet sink, emit the per-partition manifest (row
+    count, key min/max, checksummable measure total) that lakehouse
+    commit protocols persist for query planning and integrity checks
+    — the manifest is DERIVED FROM THE READ-BACK, so a lost or
+    double-written partition file disagrees with the oracle's
+    source-side statement of the same numbers. The manifest aggregate
+    reuses the partition column, so it prunes per partition on the
+    read side."""
+    work = _scratch_dir()
+    try:
+        out = os.path.join(work, "manifest_sink")
+        (
+            load_table(spark, sf_dir, "lineitem")
+            .select("l_returnflag", "l_orderkey", "l_extendedprice")
+            .write.mode("overwrite")
+            .partitionBy("l_returnflag")
+            .parquet(out)
+        )
+        back = spark.read.parquet(out)
+        return (
+            back.groupBy(F.col("l_returnflag").alias("part_key"))
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.min("l_orderkey").alias("min_key"),
+                F.max("l_orderkey").alias("max_key"),
+                F.sum(F.col("l_extendedprice").cast("decimal(28,10)"))
+                .cast("double")
+                .alias("price_sum"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
