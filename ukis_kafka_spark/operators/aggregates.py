@@ -9,7 +9,7 @@ fact table.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashsafe import (
@@ -876,4 +876,65 @@ def q_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("rn") == F.ceil(0.5 * F.col("n")).cast("long"), F.col("adev")))
         .cast("double")
         .alias("mad")
+    )
+
+
+@query(
+    "q_attribution",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_id, event_type,
+         COUNT(CASE WHEN event_type = 'click' THEN 1 END)
+           OVER (PARTITION BY user_id ORDER BY event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS clicks_before,
+         MAX(CASE WHEN event_type = 'click' THEN event_id END)
+           OVER (PARTITION BY user_id ORDER BY event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_id,
+         MIN(CASE WHEN event_type = 'click' THEN event_id END)
+           OVER (PARTITION BY user_id ORDER BY event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS first_click_id
+  FROM events
+)
+SELECT user_id,
+       COUNT(*) AS n_purchases,
+       COUNT(CASE WHEN clicks_before > 0 THEN 1 END) AS n_attributed,
+       COALESCE(MIN(first_click_id), -1) AS first_touch_id,
+       COALESCE(MAX(last_click_id), -1) AS last_touch_id
+FROM seq
+WHERE event_type = 'purchase'
+GROUP BY user_id
+""",
+)
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing-style conversion attribution: for every purchase,
+    the user's first- and last-touch click strictly before it, done
+    with conditional window aggregates over the user's timeline
+    instead of a purchases-to-clicks self-join (the join shape would
+    re-shuffle both sides and explode on heavy users; the window form
+    is one user_id shuffle and linear in the timeline).  Emits per
+    user the purchase count, how many had any prior click, and the
+    first/last touch event ids (-1 when a purchase had no preceding
+    click — COUNT(CASE..) not SUM(CASE..1 ELSE 0) for the DuckDB
+    HUGEINT trap)."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    click_id = F.when(F.col("event_type") == "click", F.col("event_id"))
+    seq = e.select("user_id", "event_id", "event_type").withColumn(
+        "clicks_before", F.count(click_id).over(w)
+    ).withColumn("last_click_id", F.max(click_id).over(w)).withColumn(
+        "first_click_id", F.min(click_id).over(w)
+    )
+    return (
+        seq.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.count(F.when(F.col("clicks_before") > 0, 1)).alias("n_attributed"),
+            F.coalesce(F.min("first_click_id"), F.lit(-1)).alias("first_touch_id"),
+            F.coalesce(F.max("last_click_id"), F.lit(-1)).alias("last_touch_id"),
+        )
     )

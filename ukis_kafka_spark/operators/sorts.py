@@ -87,3 +87,57 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 3)
         .select("c_mktsegment", "c_custkey", "c_acctbal")
     )
+
+
+@query(
+    "q_skyline",
+    oracle="""
+WITH pts AS (
+  SELECT CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS price_cents,
+         p_size, COUNT(*) AS n_parts
+  FROM part GROUP BY 1, 2
+),
+per_price AS (
+  SELECT price_cents, MAX(p_size) AS smax
+  FROM pts GROUP BY price_cents
+),
+ranked AS (
+  SELECT price_cents, smax,
+         MAX(smax) OVER (ORDER BY price_cents
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS best_before
+  FROM per_price
+)
+SELECT p.price_cents, p.p_size AS skyline_size, p.n_parts
+FROM pts p JOIN ranked r ON p.price_cents = r.price_cents
+WHERE p.p_size = r.smax AND p.p_size > COALESCE(r.best_before, -1)
+""",
+)
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (pareto frontier): parts not dominated on
+    (min price, max size) — dominance is cheaper-or-equal AND
+    larger-or-equal with strictness somewhere.  The naive NOT EXISTS
+    self-join is quadratic; the 2-D skyline is O(n log n) as a
+    running max: aggregate to distinct (price, size) points, keep per
+    price only the max size, and a point survives iff its size beats
+    the best size seen at any STRICTLY cheaper price.  The global
+    window runs on the per-price aggregate (|distinct prices| rows,
+    already reduced by two shuffled aggs on the same key), never on
+    the base table — the one-partition window is metadata-sized at
+    any scale.  Prices in exact cents (floor(x·100+0.5); 2-dp data)."""
+    p = load_table(spark, sf_dir, "part")
+    price = F.floor(F.col("p_retailprice") * 100 + F.lit(0.5)).cast("bigint")
+    pts = p.select(price.alias("price_cents"), "p_size").groupBy(
+        "price_cents", "p_size"
+    ).agg(F.count(F.lit(1)).alias("n_parts"))
+    per_price = pts.groupBy("price_cents").agg(F.max("p_size").alias("smax"))
+    w = Window.orderBy("price_cents").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = per_price.withColumn("best_before", F.max("smax").over(w))
+    return (
+        pts.join(ranked, "price_cents")
+        .where(
+            (F.col("p_size") == F.col("smax"))
+            & (F.col("p_size") > F.coalesce(F.col("best_before"), F.lit(-1)))
+        )
+        .select("price_cents", F.col("p_size").alias("skyline_size"), "n_parts")
+    )

@@ -793,3 +793,140 @@ def q_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("e") - F.min("s")).alias("covered_s"),
         F.count(F.lit(1)).alias("n_intervals"),
     ).drop("grp")
+
+
+@query(
+    "q_peak_detect",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_id, value,
+         lag(value)  OVER (PARTITION BY user_id ORDER BY event_id) AS pv,
+         lead(value) OVER (PARTITION BY user_id ORDER BY event_id) AS nv
+  FROM events
+),
+pk AS (
+  SELECT user_id, event_id, value,
+         CASE WHEN pv IS NOT NULL AND nv IS NOT NULL
+                   AND value > pv AND value > nv THEN 1 END AS is_peak
+  FROM seq
+)
+SELECT user_id,
+       COUNT(is_peak) AS n_peaks,
+       COALESCE(MIN(CASE WHEN is_peak = 1 THEN event_id END), -1) AS first_peak_id,
+       COALESCE(MAX(CASE WHEN is_peak = 1
+                         THEN CAST(floor(value * 1000000 + 0.5) AS BIGINT) END), 0)
+         AS max_peak_micro
+FROM pk
+GROUP BY user_id
+""",
+)
+def q_peak_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-extrema detection: a reading is a peak when it strictly
+    exceeds both its neighbours in the user's event-id order (the
+    1-D relief of telemetry spike mining).  Interior-only by
+    construction (boundary rows have a NULL neighbour and can never
+    flag), so both engines agree without edge-rule fineprint.  Peak
+    magnitudes are emitted in integer micro-units (floor(x·1e6+0.5) —
+    the corpus is 2-6 dp data, so the scaled value is never near a
+    rounding boundary).  One user_id shuffle serves lag, lead and the
+    aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    seq = e.select("user_id", "event_id", "value").withColumn(
+        "pv", F.lag("value").over(w)
+    ).withColumn("nv", F.lead("value").over(w))
+    pk = seq.withColumn(
+        "is_peak",
+        F.when(
+            F.col("pv").isNotNull()
+            & F.col("nv").isNotNull()
+            & (F.col("value") > F.col("pv"))
+            & (F.col("value") > F.col("nv")),
+            1,
+        ),
+    )
+    micro = F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("bigint")
+    return pk.groupBy("user_id").agg(
+        F.count("is_peak").alias("n_peaks"),
+        F.coalesce(
+            F.min(F.when(F.col("is_peak") == 1, F.col("event_id"))), F.lit(-1)
+        ).alias("first_peak_id"),
+        F.coalesce(
+            F.max(F.when(F.col("is_peak") == 1, micro)), F.lit(0)
+        ).alias("max_peak_micro"),
+    )
+
+
+# q_ewma_fixed: dyadic weights 2^7 .. 2^0 over the last 8 readings.
+_EWMA_TAPS = 8
+
+
+def _ewma_oracle() -> str:
+    num = " + ".join(
+        f"COALESCE(x{k} * {2 ** (_EWMA_TAPS - 1 - k)}, 0)" for k in range(_EWMA_TAPS)
+    )
+    den = " + ".join(
+        f"CASE WHEN x{k} IS NOT NULL THEN {2 ** (_EWMA_TAPS - 1 - k)} ELSE 0 END"
+        for k in range(_EWMA_TAPS)
+    )
+    lags = ",\n         ".join(
+        "CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS x0"
+        if k == 0
+        else f"lag(CAST(floor(value * 1000000 + 0.5) AS BIGINT), {k})"
+        f" OVER (PARTITION BY user_id ORDER BY event_id) AS x{k}"
+        for k in range(_EWMA_TAPS)
+    )
+    return f"""
+WITH taps AS (
+  SELECT user_id, event_id,
+         {lags},
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rd
+  FROM events
+)
+SELECT user_id,
+       CAST({num} AS BIGINT) AS ewma_num,
+       CAST({den} AS BIGINT) AS ewma_den
+FROM taps WHERE rd = 1
+"""
+
+
+@query("q_ewma_fixed", oracle=_ewma_oracle())
+def q_ewma_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average as a FIXED-POINT 8-tap
+    dyadic filter: weight 2^(7-k) on the k-th most recent reading,
+    evaluated at each user's latest event.  A float recurrence
+    (a·x + (1-a)·prev) is order-dependent and lands on rounding
+    midpoints (CLAUDE.md: iterative float is unhashable); the
+    truncated dyadic kernel IS the operator's spec here, so the whole
+    thing is exact BIGINT arithmetic — the weighted sum and the
+    realised weight mass are emitted as a (num, den) fixed-point
+    rational instead of a divided double.  Ragged history (users with
+    <8 events) drops missing taps from both numerator and mass.  One
+    user_id shuffle serves the 7 lags and the latest-row filter."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    wd = Window.partitionBy("user_id").orderBy(F.col("event_id").desc())
+    micro = F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("bigint")
+    taps = e.select("user_id", "event_id", micro.alias("x0"))
+    for k in range(1, _EWMA_TAPS):
+        taps = taps.withColumn(f"x{k}", F.lag("x0", k).over(w))
+    taps = taps.withColumn("rd", F.row_number().over(wd))
+    num = sum(
+        (
+            F.coalesce(F.col(f"x{k}") * (2 ** (_EWMA_TAPS - 1 - k)), F.lit(0))
+            for k in range(_EWMA_TAPS)
+        ),
+        start=F.lit(0),
+    )
+    den = sum(
+        (
+            F.when(F.col(f"x{k}").isNotNull(), 2 ** (_EWMA_TAPS - 1 - k)).otherwise(0)
+            for k in range(_EWMA_TAPS)
+        ),
+        start=F.lit(0),
+    )
+    return taps.where(F.col("rd") == 1).select(
+        "user_id",
+        num.cast("bigint").alias("ewma_num"),
+        den.cast("bigint").alias("ewma_den"),
+    )
