@@ -319,3 +319,40 @@ def test_gaps_islands_partition_stream(spark):
         spans.sort()
         for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
             assert e1 < s2, f"user {user}: overlapping islands"
+
+
+def test_hll_registers_recover_cardinality(spark):
+    """The explicit HLL register bank must reproduce the standard HLL
+    estimate within its published error envelope (~1.04/sqrt(64) =
+    13% relative error at m=64; allow 3 sigma) — proving the registers
+    are a REAL sketch state, not decorative hashes."""
+    import math
+
+    rows = api.queries()["m_hll_registers"](spark, SF_SMOKE).collect()
+    regs = {r.bucket: r.register for r in rows}
+    m = 64
+    # unobserved buckets carry register 0
+    full = [regs.get(b, 0) for b in range(m)]
+    alpha = 0.709  # alpha_64
+    raw = alpha * m * m / sum(2.0 ** -r for r in full)
+    n_zero = sum(1 for r in full if r == 0)
+    est = m * math.log(m / n_zero) if (raw < 2.5 * m and n_zero) else raw
+    exact = (
+        load_table(spark, SF_SMOKE, "lineitem")
+        .select("l_orderkey")
+        .distinct()
+        .count()
+    )
+    assert abs(est - exact) / exact < 3 * 1.04 / math.sqrt(m)
+
+
+def test_countmin_estimate_dominates_truth(spark):
+    """CMS property: every estimate >= the true count (min of
+    over-counting rows), and at least one of the 10 heavy hitters is
+    estimated exactly or near-exactly (width 64 vs ~150 keys leaves
+    some collision-free rows at smoke scale)."""
+    rows = api.queries()["m_countmin"](spark, SF_SMOKE).collect()
+    assert len(rows) == 10
+    assert all(r.cms_estimate >= r.true_count for r in rows)
+    slack = min(r.cms_estimate - r.true_count for r in rows)
+    assert slack < 200, "all estimates wildly inflated - hashing broken?"

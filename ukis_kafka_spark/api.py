@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 # Import for registration side effects — every module below registers
 # its queries/oracles with ukis_kafka_spark.registry.
 from .functions import scalars, udfs  # noqa: F401
-from .ml import chunking, dedup, graph, multimodal, similarity, text  # noqa: F401
+from .ml import chunking, dedup, graph, multimodal, similarity, sketch, text  # noqa: F401
 from .sinks import files as sink_files  # noqa: F401
 from .sources import jsonl as src_jsonl  # noqa: F401
 from .sources import props as src_props  # noqa: F401

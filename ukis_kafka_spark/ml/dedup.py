@@ -707,3 +707,109 @@ def m_apply_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(keep, 1)).alias("n_docs_out"),
         F.sum(F.when(keep, F.col("n_chars"))).cast("bigint").alias("chars_out"),
     )
+
+
+@query(
+    "m_entity_match",
+    oracle="""
+WITH named AS (
+  SELECT c_custkey, c_name, c_nationkey FROM customer
+),
+keys AS (
+  SELECT c_custkey, c_name, c_nationkey, c_name AS k FROM named
+  UNION ALL
+  SELECT c_custkey, c_name, c_nationkey, dk AS k
+  FROM (
+    SELECT c_custkey, c_name, c_nationkey,
+           unnest(list_transform(
+             generate_series(1, len(c_name)),
+             i -> substr(c_name, 1, i - 1) || substr(c_name, i + 1, len(c_name)))) AS dk
+    FROM named
+  )
+),
+cand AS (
+  SELECT DISTINCT a.c_custkey AS id_a, b.c_custkey AS id_b,
+                  a.c_name AS name_a, b.c_name AS name_b,
+                  CASE WHEN a.c_nationkey <> b.c_nationkey THEN 1 ELSE 0 END AS cross_nation
+  FROM keys a JOIN keys b ON a.k = b.k AND a.c_custkey < b.c_custkey
+),
+pairs AS (
+  SELECT id_a, id_b, cross_nation, levenshtein(name_a, name_b) AS dist
+  FROM cand
+  WHERE levenshtein(name_a, name_b) <= 1
+)
+SELECT id_a % 16 AS block,
+       COUNT(*) AS n_pairs,
+       COUNT(CASE WHEN cross_nation = 1 THEN 1 END) AS n_cross_nation,
+       MIN(id_a * 100000000 + id_b) AS min_pair_code,
+       MAX(id_a * 100000000 + id_b) AS max_pair_code
+FROM pairs
+GROUP BY id_a % 16
+""",
+)
+def m_entity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution by fuzzy name match: customer pairs whose
+    names are within Levenshtein distance 1, found WITHOUT an
+    all-pairs scan via the symmetric-delete (SymSpell) trick — every
+    name emits itself plus its |name| single-character deletions as
+    blocking keys; any two strings within edit distance 1 MUST share
+    one (identity key for substitutions via the common deletion,
+    identity-vs-deletion for insert/delete pairs), so the candidate
+    set is exact, bucketed by key, and linear-ish in data size while
+    the verify step (real levenshtein) runs on candidates only —
+    the same generate-candidates/verify shape as the MinHash pipeline
+    one module up.  Output folds the pair list into 16 audit blocks
+    (counts + an exact pair-code envelope) so the result stays
+    scalar-only and small while still pinning every matched pair
+    through min/max codes.  Shapes (CLAUDE.md explode-hygiene rules):
+    the blocking keys are xxhash64-digested BEFORE the explode so the
+    band join shuffles (id, 8-byte key) only — a hash collision can
+    only ADD a candidate and the levenshtein verify filters it, so
+    the result is still exact; names/nations re-join onto the distinct
+    candidate pairs afterwards (broadcast dim)."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    dels = F.expr(
+        "transform(sequence(1, length(c_name)),"
+        " i -> xxhash64(concat(substring(c_name, 1, i - 1),"
+        "                      substring(c_name, i + 1, length(c_name)))))"
+    )
+    keys = c.select(
+        "c_custkey",
+        F.explode(
+            F.array_union(F.array(F.xxhash64(F.col("c_name"))), dels)
+        ).alias("hk"),
+    )
+    a = keys.select(F.col("c_custkey").alias("id_a"), "hk")
+    b = keys.select(F.col("c_custkey").alias("id_b"), "hk")
+    cand = (
+        a.join(b, "hk")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    dim_a = c.select(
+        F.col("c_custkey").alias("id_a"), F.col("c_name").alias("name_a"),
+        F.col("c_nationkey").alias("nat_a"),
+    )
+    dim_b = c.select(
+        F.col("c_custkey").alias("id_b"), F.col("c_name").alias("name_b"),
+        F.col("c_nationkey").alias("nat_b"),
+    )
+    pairs = (
+        cand.join(F.broadcast(dim_a), "id_a")
+        .join(F.broadcast(dim_b), "id_b")
+        .where(F.levenshtein("name_a", "name_b") <= 1)
+        .select(
+            "id_a", "id_b",
+            F.when(F.col("nat_a") != F.col("nat_b"), 1).otherwise(0).alias("cross_nation"),
+        )
+    )
+    code = F.col("id_a") * 100000000 + F.col("id_b")
+    return pairs.groupBy((F.col("id_a") % 16).alias("block")).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.count(F.when(F.col("cross_nation") == 1, 1)).alias("n_cross_nation"),
+        F.min(code).alias("min_pair_code"),
+        F.max(code).alias("max_pair_code"),
+    )

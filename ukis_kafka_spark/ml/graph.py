@@ -590,3 +590,96 @@ def m_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     for lv in levels[1:]:
         allv = allv.unionByName(lv)
     return allv.groupBy("node").agg(F.min("dist").alias("dist"))
+
+
+# Wedge centers above this degree are excluded from link prediction:
+# hub co-occurrence carries almost no signal (the Adamic-Adar insight,
+# taken to its integer-exact limit) and capping the center degree
+# bounds the wedge fan-out at C(cap, 2) per center regardless of the
+# power-law tail.
+_LINK_CENTER_CAP = 64
+
+
+@query(
+    "m_link_predict",
+    oracle=f"""
+WITH edges AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a
+  JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+sym AS (SELECT src, dst FROM edges UNION ALL SELECT dst AS src, src AS dst FROM edges),
+deg AS (SELECT src AS node, COUNT(*) AS d FROM sym GROUP BY src),
+light AS (SELECT node FROM deg WHERE d <= {_LINK_CENTER_CAP}),
+wedge AS (
+  SELECT s1.dst AS a, s2.dst AS b, COUNT(*) AS common
+  FROM sym s1
+  JOIN light l ON l.node = s1.src
+  JOIN sym s2 ON s2.src = s1.src AND s1.dst < s2.dst
+  GROUP BY s1.dst, s2.dst
+),
+nonadj AS (
+  SELECT w.a, w.b, w.common
+  FROM wedge w
+  LEFT JOIN edges e ON e.src = w.a AND e.dst = w.b
+  WHERE e.src IS NULL
+)
+SELECT n.a, n.b, n.common,
+       da.d + db.d - n.common AS union_size
+FROM nonadj n
+JOIN deg da ON da.node = n.a
+JOIN deg db ON db.node = n.b
+QUALIFY row_number() OVER (ORDER BY n.common DESC, n.a ASC, n.b ASC) <= 20
+""",
+)
+def m_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction by common-neighbor counting: the top-20
+    NON-adjacent part pairs most co-reachable through shared co-order
+    neighbours — the "customers who bought these also bought" score,
+    emitted as exact integers (common, union) so the Jaccard rational
+    stays hash-safe.  Wedge centers are capped at degree 64: a hub's
+    co-occurrence is noise (the reason Adamic-Adar downweights by
+    1/log d), and the cap bounds per-center fan-out at C(64,2) so the
+    wedge stage scales linearly in nodes instead of quadratically in
+    hub degree.  Degrees for the union term still come from the FULL
+    graph.  Shapes: the light-center filter broadcasts, the wedge
+    group-by is the only heavy shuffle, the adjacency anti-join and
+    the two degree joins run on the ~|candidate| output, and the
+    global top-20 is a WindowGroupLimit."""
+    from pyspark.sql import Window
+
+    edges = coorder_edges(spark, sf_dir)
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = sym.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    light = deg.where(F.col("d") <= _LINK_CENTER_CAP).select("node")
+    s1 = sym.join(F.broadcast(light), sym.src == light.node).select("src", F.col("dst").alias("a"))
+    s2 = sym.select("src", F.col("dst").alias("b"))
+    wedge = (
+        s1.join(s2, "src")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    nonadj = wedge.join(
+        edges.select(F.col("src").alias("a"), F.col("dst").alias("b")),
+        ["a", "b"],
+        "left_anti",
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("d").alias("db"))
+    scored = (
+        nonadj.join(F.broadcast(da), "a")
+        .join(F.broadcast(db), "b")
+        .select(
+            "a", "b", "common",
+            (F.col("da") + F.col("db") - F.col("common")).alias("union_size"),
+        )
+    )
+    w = Window.orderBy(F.col("common").desc(), F.col("a").asc(), F.col("b").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 20)
+        .drop("rn")
+    )

@@ -1,0 +1,230 @@
+"""Probabilistic-sketch operators with ENGINE-NEUTRAL hash math.
+
+Spark's own sketches (HLL++ behind approx_count_distinct, KLL behind
+approx_percentile) are engine-specific by construction — the registry
+carries them as the two declared rows-only entries.  This module is the
+other half of the story: the same sketch structures built from explicit
+md5-derived integer hashes, so every register / counter is reproducible
+in ANY engine and the driver can hash-check the sketch state itself.
+At 100 TB these are the mergeable per-partition summaries you'd persist
+next to the data (one tiny state per partition, OR/MAX/SUM-merged), so
+"the sketch state is portable and exactly reproducible" is precisely
+the property a lakehouse pipeline wants audited.
+
+Hash: big-endian value of the first 15 md5 hex digits (60 bits, fits
+BIGINT, identical in Spark and DuckDB — same family as ml/dedup.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources import load_table
+
+# 60-bit md5 prefix as BIGINT: Spark side via conv(hex, 16, 10).
+_SPARK_H60 = "CAST(conv(substring(md5({expr}), 1, 15), 16, 10) AS BIGINT)"
+_DUCK_H60 = " + ".join(
+    f"(strpos('0123456789abcdef', substring(md5({{expr}}), {i + 1}, 1)) - 1)"
+    f" * {16 ** (14 - i)}"
+    for i in range(15)
+)
+
+_HLL_M = 64  # buckets; 6-bit bucket index off the low bits
+
+
+def _h60(engine: str, expr: str) -> str:
+    t = _SPARK_H60 if engine == "spark" else f"CAST({_DUCK_H60} AS BIGINT)"
+    return t.format(expr=expr)
+
+
+def _hll_sql(engine: str) -> str:
+    h = _h60(engine, "CAST(l_orderkey AS VARCHAR)" if engine == "duck" else "CAST(l_orderkey AS STRING)")
+    # rho = position of the highest set bit counted from the 54-bit MSB
+    # side, i.e. 55 - bitlength(rest); rest = h without the bucket bits.
+    blen = "length(bin(rest))"
+    return f"""
+WITH h AS (
+  SELECT DISTINCT {h} AS hv FROM lineitem
+),
+parts AS (
+  SELECT hv % {_HLL_M} AS bucket, hv // {_HLL_M} AS rest FROM h
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       MAX(CASE WHEN rest = 0 THEN 55 ELSE 55 - {blen} END) AS register,
+       COUNT(*) AS n_hashes
+FROM parts
+GROUP BY bucket
+"""
+
+
+@query("m_hll_registers", oracle=_hll_sql("duck"))
+def m_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog register bank for COUNT(DISTINCT l_orderkey), built
+    from an explicit 60-bit md5 hash: low 6 bits pick one of 64
+    buckets, the register keeps the max leading-zero rank (55 -
+    bit-length of the remaining 54 bits) — bit-length computed exactly
+    as length(bin(x)), no logarithms.  The register bank IS the
+    mergeable sketch state (MAX-merge across partitions/segments), and
+    because the hash is engine-neutral the state is bit-identical in
+    DuckDB — unlike approx_count_distinct's private HLL++.  The
+    companion test recovers the cardinality estimate from these
+    registers and pins it within HLL's published error envelope.
+    One hash-aggregate, one 64-row group-by."""
+    li = load_table(spark, sf_dir, "lineitem")
+    hv = F.expr(_h60("spark", "CAST(l_orderkey AS STRING)"))
+    h = li.select(hv.alias("hv")).distinct()
+    parts = h.select(
+        (F.col("hv") % _HLL_M).alias("bucket"),
+        F.expr(f"hv div {_HLL_M}").alias("rest"),
+    )
+    blen = F.length(F.bin(F.col("rest")))
+    return parts.groupBy(F.col("bucket").cast("bigint").alias("bucket")).agg(
+        F.max(
+            F.when(F.col("rest") == 0, 55).otherwise(F.lit(55) - blen)
+        ).alias("register"),
+        F.count(F.lit(1)).alias("n_hashes"),
+    )
+
+
+# Count-min sketch: depth 3, width 64, affine hashers over the 60-bit key
+# hash (same prime/affine family as the MinHash signatures).
+_CMS_P = 2_147_483_647
+_CMS_W = 64
+_CMS_HASHERS = [(1_103_515_245, 12_345), (69_069, 362_437), (214_013, 2_531_011)]
+
+
+def _cms_sql(engine: str) -> str:
+    key = "CAST(user_id AS VARCHAR)" if engine == "duck" else "CAST(user_id AS STRING)"
+    h = _h60(engine, key)
+    slots = ", ".join(
+        f"(((hv % {_CMS_P}) * {a} + {b}) % {_CMS_P}) % {_CMS_W} AS s{r}"
+        for r, (a, b) in enumerate(_CMS_HASHERS)
+    )
+    counters = "\nUNION ALL\n".join(
+        f"SELECT {r} AS r, s{r} AS slot, SUM(cnt) AS total FROM keyed GROUP BY s{r}"
+        for r in range(len(_CMS_HASHERS))
+    )
+    least = "LEAST(" + ", ".join(f"e{r}.total" for r in range(len(_CMS_HASHERS))) + ")"
+    joins = "\n".join(
+        f"JOIN cms e{r} ON e{r}.r = {r} AND e{r}.slot = top.s{r}"
+        for r in range(len(_CMS_HASHERS))
+    )
+    return f"""
+WITH counts AS (
+  SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id
+),
+keyed AS (
+  SELECT user_id, cnt, {h} AS hv, {slots} FROM counts
+),
+cms AS (
+  {counters}
+),
+top AS (
+  SELECT user_id, cnt, s0, s1, s2,
+         row_number() OVER (ORDER BY cnt DESC, user_id ASC) AS rn
+  FROM keyed
+)
+SELECT top.user_id, top.cnt AS true_count,
+       CAST({least} AS BIGINT) AS cms_estimate
+FROM top
+{joins}
+WHERE top.rn <= 10
+"""
+
+
+@query("m_countmin", oracle=_cms_sql("duck"))
+def m_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (depth 3 × width 64) for per-user event
+    frequencies, with the heavy-hitter readback: the 10 most active
+    users' true counts next to their CMS estimates (min over the three
+    counter rows — always an over-estimate, equal when a row is
+    collision-free).  Hashers are explicit affine maps over the
+    md5-60-bit key hash, so all 192 counters match across engines
+    exactly.  The sketch build is two tiny aggregates off one events
+    scan; the readback joins 10 rows against 192 — everything past the
+    first group-by is metadata-sized, and the counter table SUM-merges
+    across partitions at scale."""
+    e = load_table(spark, sf_dir, "events")
+    counts = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    hv = F.expr(_h60("spark", "CAST(user_id AS STRING)"))
+    keyed = counts.withColumn("hv", hv)
+    for r, (a, b) in enumerate(_CMS_HASHERS):
+        keyed = keyed.withColumn(
+            f"s{r}", ((F.col("hv") % _CMS_P) * a + b) % _CMS_P % _CMS_W
+        )
+    keyed = keyed.cache()
+    cms = None
+    for r in range(len(_CMS_HASHERS)):
+        part = keyed.groupBy(F.col(f"s{r}").alias("slot")).agg(
+            F.sum("cnt").alias("total")
+        ).select(F.lit(r).alias("r"), "slot", "total")
+        cms = part if cms is None else cms.unionByName(part)
+    from pyspark.sql import Window
+
+    top = keyed.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.orderBy(F.col("cnt").desc(), F.col("user_id").asc())
+        ),
+    ).where(F.col("rn") <= 10)
+    out = top
+    for r in range(len(_CMS_HASHERS)):
+        er = cms.where(F.col("r") == r).select(
+            F.col("slot").alias(f"slot{r}"), F.col("total").alias(f"e{r}")
+        )
+        out = out.join(F.broadcast(er), F.col(f"s{r}") == F.col(f"slot{r}"))
+    return out.select(
+        "user_id",
+        F.col("cnt").alias("true_count"),
+        F.least("e0", "e1", "e2").cast("bigint").alias("cms_estimate"),
+    )
+
+
+@query(
+    "m_inverted_index",
+    oracle="""
+WITH post AS (
+  SELECT tok, doc_id
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY tok, doc_id
+),
+lists AS (
+  SELECT tok, COUNT(*) AS df,
+         array_to_string(list_sort(list(doc_id))[1:50], ',') AS postings_head
+  FROM post GROUP BY tok
+)
+SELECT tok, df, postings_head
+FROM lists
+QUALIFY row_number() OVER (ORDER BY df DESC, tok ASC) <= 20
+""",
+)
+def m_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction: token → document-frequency +
+    sorted posting list (head capped at 50 ids and stringified — the
+    driver canonicalizer takes scalars only).  The posting build is
+    the classic explode → (tok, doc) dedup → per-token collect; at
+    scale the posting lists are exactly the per-token state a search
+    shard stores, and the build is two shuffles (dedup, group) with
+    nothing quadratic.  Top-20 tokens by df with a total tie-break."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    post = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok", "doc_id")
+        .agg(F.lit(1).alias("one"))
+    )
+    lists = post.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.concat_ws(
+            ",", F.slice(F.sort_array(F.collect_list("doc_id")), 1, 50)
+        ).alias("postings_head"),
+    )
+    w = Window.orderBy(F.col("df").desc(), F.col("tok").asc())
+    return (
+        lists.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 20)
+        .select("tok", "df", "postings_head")
+    )
