@@ -216,3 +216,60 @@ def test_stream_left_join_closure(spark):
         ).collect()
     }
     assert not nulls & still_open, "emitted a NULL row before its window closed"
+
+
+def test_compaction_reduces_to_one_file_per_partition(spark, tmp_path):
+    from ukis_kafka_spark.sinks.files import compact_partitioned
+    from ukis_kafka_spark.sources import load_table
+    from .conftest import SF_SMOKE
+
+    frag = str(tmp_path / "frag")
+    out = str(tmp_path / "out")
+    (
+        load_table(spark, SF_SMOKE, "events")
+        .select("event_id", "event_type", "value")
+        .repartition(8)
+        .write.partitionBy("event_type")
+        .parquet(frag)
+    )
+    before, after = compact_partitioned(spark, frag, out)
+    n_types = load_table(spark, SF_SMOKE, "events").select("event_type").distinct().count()
+    assert before > after, (before, after)
+    assert after == n_types  # exactly one file per partition value
+    # row identity preserved
+    assert (
+        spark.read.parquet(out).count()
+        == load_table(spark, SF_SMOKE, "events").count()
+    )
+
+
+def test_parquet_bloom_filter_is_physically_written(spark, tmp_path):
+    """Same rows written with and without the bloom option must differ
+    in on-disk bytes (the filter occupies space) while agreeing in
+    content — proving the option reaches the parquet writer."""
+    import os
+
+    from ukis_kafka_spark.sources import load_table
+    from .conftest import SF_SMOKE
+
+    cust = load_table(spark, SF_SMOKE, "customer").coalesce(1)
+    plain, bloomed = str(tmp_path / "plain"), str(tmp_path / "bloom")
+    # dictionary off in BOTH writes so the only byte delta is the bloom
+    cust.write.option("parquet.enable.dictionary#c_name", "false").parquet(plain)
+    (
+        cust.write.option("parquet.enable.dictionary#c_name", "false")
+        .option("parquet.bloom.filter.enabled#c_name", "true")
+        .option("parquet.bloom.filter.expected.ndv#c_name", "16384")
+        .parquet(bloomed)
+    )
+
+    def pq_bytes(d):
+        return sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(d)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+
+    assert pq_bytes(bloomed) > pq_bytes(plain)
+    assert spark.read.parquet(bloomed).count() == spark.read.parquet(plain).count()

@@ -83,7 +83,7 @@ _PRIORITY = [
     "m_quality_sample", "q_setops_all", "m_apply_dedup", "m_ivf_balance", "g_cell_transitions", "m_zipf_stats", "g_reproject_inverse", "m_bigram_lm", "q_scd2_merge", "src_json_nested", "m_collocations", "m_quality_length_corr", "g_speed_anomaly", "m_freq_drift", "q_interval_coalesce", "sink_manifest",
     "q_peak_detect", "q_ewma_fixed", "q_skyline", "q_attribution",
     "m_hll_registers", "m_countmin", "m_inverted_index", "m_entity_match",
-    "m_link_predict",
+    "m_link_predict", "m_perceptron_step", "sink_compact", "src_parquet_bloom",
     # ---- 50-entry window boundary is enforced by position, the
     # ---- remainder keeps round-3's order for stable bench diffs
     "q_agg_collect",

@@ -1667,3 +1667,78 @@ def m_ivf_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.expr(f"(1000000 * n * {_IVF_LISTS}) div sum(n) OVER ()").alias("load_ppm"),
     )
+
+
+@query(
+    "m_perceptron_step",
+    oracle="""
+WITH ex AS (
+  SELECT vec_id,
+         CASE WHEN label >= 5 THEN 1 ELSE -1 END AS y,
+         unnest(generate_series(1, len(embedding))) AS d,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS qx
+  FROM embeddings
+),
+w1 AS (
+  SELECT d, CAST(SUM(y * qx) AS BIGINT) AS w1 FROM ex GROUP BY d
+),
+margin AS (
+  SELECT ex.vec_id, MIN(ex.y) AS y, SUM(w1.w1 * ex.qx) AS m
+  FROM ex JOIN w1 ON w1.d = ex.d
+  GROUP BY ex.vec_id
+),
+mis AS (
+  SELECT vec_id FROM margin WHERE y * m <= 0
+),
+upd AS (
+  SELECT d, CAST(COALESCE(SUM(y * qx), 0) AS BIGINT) AS delta
+  FROM ex JOIN mis ON mis.vec_id = ex.vec_id
+  GROUP BY d
+)
+SELECT w1.d, w1.w1,
+       CAST(w1.w1 + COALESCE(upd.delta, 0) AS BIGINT) AS w2
+FROM w1 LEFT JOIN upd ON upd.d = w1.d
+""",
+)
+def m_perceptron_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two epochs of the BATCH perceptron (binary task: label >= 5)
+    over milli-quantized embeddings — the linear-classifier training
+    step as pure integer dataflow, hash-checked like the PageRank /
+    k-means fixed-point iterations (CLAUDE.md: float iterations are
+    unhashable; integer ones aren't).  Epoch 1 from w=0 makes every
+    example active, so w1 = Σ y·qx; epoch 2 re-scores every example
+    against w1 (one broadcast join on the 64-row weight vector) and
+    adds only the still-misclassified mass.  The batch variant — not
+    the sequential per-row update — is what parallelizes: each epoch
+    is one scan + one 64-group aggregate, embarrassingly partial-
+    aggregatable, and the weight vector stays broadcast-sized at any
+    corpus scale.  Emits (dim, w1, w2)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "vec_id",
+        F.when(F.col("label") >= 5, 1).otherwise(-1).alias("y"),
+        F.posexplode("embedding").alias("d0", "val"),
+    ).select(
+        "vec_id", "y",
+        (F.col("d0") + 1).alias("d"),
+        F.floor(F.col("val").cast("double") * 1000).cast("bigint").alias("qx"),
+    )
+    w1 = ex.groupBy("d").agg(F.sum(F.col("y") * F.col("qx")).cast("bigint").alias("w1"))
+    margin = (
+        ex.join(F.broadcast(w1), "d")
+        .groupBy("vec_id")
+        .agg(F.min("y").alias("y"), F.sum(F.col("w1") * F.col("qx")).alias("m"))
+    )
+    mis = margin.where(F.col("y") * F.col("m") <= 0).select("vec_id")
+    upd = (
+        ex.join(F.broadcast(mis), "vec_id")
+        .groupBy("d")
+        .agg(F.coalesce(F.sum(F.col("y") * F.col("qx")), F.lit(0)).cast("bigint").alias("delta"))
+    )
+    return (
+        w1.join(upd, "d", "left")
+        .select(
+            "d", "w1",
+            (F.col("w1") + F.coalesce(F.col("delta"), F.lit(0))).cast("bigint").alias("w2"),
+        )
+    )

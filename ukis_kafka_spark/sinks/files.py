@@ -255,3 +255,83 @@ def sink_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def compact_partitioned(spark: SparkSession, src_dir: str, out_dir: str) -> tuple[int, int]:
+    """Compact a hive-partitioned parquet dataset to one file per
+    partition value: read back, one shuffle keyed on the partition
+    column so each partition's rows land in a single task, rewrite.
+    Returns (n_files_before, n_files_after).  The real small-file
+    medicine at 100 TB is the same dataflow with a byte-budget
+    (repartitionByRange on size estimates); one-file-per-partition is
+    the deterministic local variant."""
+
+    def _count(root: str) -> int:
+        return sum(
+            1
+            for r, _, fs in os.walk(root)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+
+    before = _count(src_dir)
+    back = spark.read.parquet(src_dir)
+    (
+        back.repartition("event_type")
+        .write.mode("overwrite")
+        .partitionBy("event_type")
+        .parquet(out_dir)
+    )
+    return before, _count(out_dir)
+
+
+@query(
+    "sink_compact",
+    oracle="""
+SELECT event_type,
+       count(*) AS n,
+       min(event_id) AS min_id,
+       max(event_id) AS max_id,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS value_sum
+FROM events
+GROUP BY event_type
+""",
+)
+def sink_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction: the events table is first written as a
+    deliberately fragmented partitioned sink (16 shuffle slices per
+    event_type directory — the shape a streaming writer leaves
+    behind), then compacted to one file per partition via a single
+    partition-keyed shuffle, and the AUDIT READS THE COMPACTED COPY —
+    so a row lost or doubled by the rewrite disagrees with the
+    oracle's statement over the original parquet.  The unit test pins
+    the file-count mechanics (before = 16 per partition, after = 1);
+    the oracle pins the data integrity."""
+    work = _scratch_dir()
+    try:
+        frag = os.path.join(work, "fragmented")
+        compacted = os.path.join(work, "compacted")
+        (
+            load_table(spark, sf_dir, "events")
+            .select("event_id", "user_id", "event_type", "value")
+            .repartition(16)
+            .write.mode("overwrite")
+            .partitionBy("event_type")
+            .parquet(frag)
+        )
+        compact_partitioned(spark, frag, compacted)
+        back = spark.read.parquet(compacted)
+        return (
+            back.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min("event_id").alias("min_id"),
+                F.max("event_id").alias("max_id"),
+                F.sum(F.col("value").cast("decimal(28,10)"))
+                .cast("double")
+                .alias("value_sum"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -484,3 +484,48 @@ def src_json_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("s_acctbal").cast("decimal(28,10)")).cast("double").alias("bal_sum"),
         F.max("s_name").alias("max_name"),
     )
+
+@query(
+    "src_parquet_bloom",
+    oracle="""
+SELECT c_custkey, c_name, c_nationkey,
+       CAST(CAST(CAST(c_acctbal AS DECIMAL(28,10)) AS VARCHAR) AS DOUBLE) AS acctbal
+FROM customer
+WHERE c_name IN ('Customer#000000042', 'Customer#000000007', 'Customer#000000123')
+""",
+)
+def src_parquet_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet bloom-filter point lookup: the customer table rewritten
+    with a bloom filter on c_name and read back through an IN-list of
+    exact names — the needle-in-haystack access pattern blooms exist
+    for (high-cardinality unsorted keys where min/max stats prune
+    nothing; at 100 TB the filter is what lets the scan skip the row
+    groups that can't contain the needles).  Dictionary encoding is
+    disabled for the bloom column in the write: parquet-mr refuses to
+    emit a bloom for a fully dictionary-encoded column (the dictionary
+    already IS an exact membership structure), and at real scale the
+    key column blows past the dictionary-page budget anyway — the
+    local write forces that regime so the test can pin the filter's
+    physical presence (bloomed bytes > plain bytes, same rows).  The
+    oracle proves the filtered read is lossless."""
+
+    def build(into: str) -> None:
+        (
+            load_table(spark, sf_dir, "customer")
+            .write.mode("overwrite")
+            .option("parquet.enable.dictionary#c_name", "false")
+            .option("parquet.bloom.filter.enabled#c_name", "true")
+            .option("parquet.bloom.filter.expected.ndv#c_name", "16384")
+            .parquet(os.path.join(into, "cust_bloom"))
+        )
+
+    src = os.path.join(
+        _cache_publish(build, ("parquet_bloom", 2, _table_fingerprint(sf_dir, "customer"))),
+        "cust_bloom",
+    )
+    needles = ["Customer#000000042", "Customer#000000007", "Customer#000000123"]
+    back = spark.read.parquet(src).where(F.col("c_name").isin(needles))
+    return back.select(
+        "c_custkey", "c_name", "c_nationkey",
+        F.col("c_acctbal").cast("decimal(28,10)").cast("double").alias("acctbal"),
+    )
