@@ -22,6 +22,7 @@ from .spatial import geo  # noqa: F401
 from .streaming import batch_windows, jobs  # noqa: F401
 from .operators import (  # noqa: F401
     aggregates,
+    analytics,
     filters,
     joins,
     scans,
@@ -84,6 +85,7 @@ _PRIORITY = [
     "q_peak_detect", "q_ewma_fixed", "q_skyline", "q_attribution",
     "m_hll_registers", "m_countmin", "m_inverted_index", "m_entity_match",
     "m_link_predict", "m_perceptron_step", "sink_compact", "src_parquet_bloom",
+    "q_rfm", "q_cohort_matrix", "q_pareto_abc", "q_dq_checks", "q_autocorr",
     # ---- 50-entry window boundary is enforced by position, the
     # ---- remainder keeps round-3's order for stable bench diffs
     "q_agg_collect",

@@ -1,0 +1,398 @@
+"""Customer/BI analytics operators: RFM segmentation, cohort
+matrices, Pareto/ABC classification, data-quality audits, and
+autocorrelation profiling (SURVEY.md §2.3, round-4 continuation).
+
+These are the classic warehouse-analytics shapes a user of the
+reference pipeline would run downstream of ingestion.  All arithmetic
+follows the repo's hash-safe rules (CLAUDE.md): exact integer /
+DECIMAL mass, no rounded quotients of decimals, COUNT(CASE..) instead
+of SUM(CASE..1..0).
+
+Scale notes: every query aggregates the fact table(s) FIRST and runs
+its window/rank logic over the aggregated (customer- / part- / hour-
+grain) result — the unpartitioned windows here order tens of
+thousands of rows, never raw facts.  At 100 TB the aggregation is the
+only shuffle; the rank stage is a single small exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources import load_table
+
+DEC = "decimal(28,10)"
+
+
+@query(
+    "q_rfm",
+    oracle="""
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(date_diff('day',
+                        CAST(max(o_orderdate) AS DATE),
+                        (SELECT CAST(max(o_orderdate) AS DATE) FROM orders))
+              AS BIGINT) AS recency_days,
+         COUNT(*) AS frequency,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(28,10))) * 1000000 AS BIGINT)
+           AS monetary_micros
+  FROM orders
+  GROUP BY o_custkey
+)
+SELECT o_custkey AS custkey, recency_days, frequency, monetary_micros,
+       ntile(5) OVER (ORDER BY recency_days ASC,  o_custkey ASC) AS r_bucket,
+       ntile(5) OVER (ORDER BY frequency   DESC, o_custkey ASC) AS f_bucket,
+       ntile(5) OVER (ORDER BY monetary_micros DESC, o_custkey ASC) AS m_bucket
+FROM per_cust
+""",
+)
+def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation.
+
+    Aggregates orders to customer grain, then scores each dimension
+    into quintiles with ``ntile(5)``.  Hash-safety: recency is an
+    exact day diff against the corpus max date, monetary is DECIMAL
+    mass emitted as integer micro-units, and every ntile ordering
+    carries the unique ``o_custkey`` tiebreak (both engines use the
+    same ceil-first ntile bucket rule, so identical orderings give
+    identical buckets).  Scale: one shuffle to customer grain; the
+    three global ntiles run over the aggregated table only.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        (F.sum(F.col("o_totalprice").cast(DEC)) * 1000000)
+        .cast("bigint")
+        .alias("monetary_micros"),
+    )
+    max_date = o.agg(F.max(F.col("o_orderdate").cast("date")).alias("corpus_max"))
+    per_cust = per_cust.crossJoin(F.broadcast(max_date)).select(
+        F.col("o_custkey").alias("custkey"),
+        F.datediff("corpus_max", "last_order").cast("bigint").alias("recency_days"),
+        "frequency",
+        "monetary_micros",
+    )
+    return per_cust.select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        "monetary_micros",
+        F.ntile(5)
+        .over(Window.orderBy(F.col("recency_days").asc(), F.col("custkey").asc()))
+        .alias("r_bucket"),
+        F.ntile(5)
+        .over(Window.orderBy(F.col("frequency").desc(), F.col("custkey").asc()))
+        .alias("f_bucket"),
+        F.ntile(5)
+        .over(Window.orderBy(F.col("monetary_micros").desc(), F.col("custkey").asc()))
+        .alias("m_bucket"),
+    )
+
+
+@query(
+    "q_cohort_matrix",
+    oracle="""
+WITH firsts AS (
+  SELECT o_custkey,
+         min(year(o_orderdate) * 12 + month(o_orderdate)) AS cohort_m
+  FROM orders GROUP BY o_custkey
+)
+SELECT printf('%04d-%02d', (f.cohort_m - 1) // 12, ((f.cohort_m - 1) % 12) + 1)
+         AS cohort_month,
+       (year(o.o_orderdate) * 12 + month(o.o_orderdate)) - f.cohort_m
+         AS month_offset,
+       COUNT(DISTINCT o.o_custkey) AS n_active
+FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+GROUP BY 1, 2
+""",
+)
+def q_cohort_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: customers bucketed by first-order
+    month, activity counted at each month offset since.
+
+    Months are linearized as ``year*12 + month`` integers, so the
+    offset arithmetic is exact and engine-neutral (no interval math).
+    Scale: two shuffles (first-order month per customer, then the
+    cohort×offset aggregate); the cohort table is customer-grain and
+    re-joins the fact as a shuffle join on the customer key.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    m = (F.year("o_orderdate") * 12 + F.month("o_orderdate")).cast("bigint")
+    with_m = o.select("o_custkey", m.alias("order_m"))
+    firsts = with_m.groupBy("o_custkey").agg(F.min("order_m").alias("cohort_m"))
+    cohort_label = F.format_string(
+        "%04d-%02d",
+        ((F.col("cohort_m") - 1) / F.lit(12)).cast("bigint"),
+        ((F.col("cohort_m") - 1) % 12 + 1).cast("int"),
+    )
+    return (
+        with_m.join(firsts, "o_custkey")
+        .groupBy(
+            cohort_label.alias("cohort_month"),
+            (F.col("order_m") - F.col("cohort_m")).alias("month_offset"),
+        )
+        .agg(F.count_distinct("o_custkey").alias("n_active"))
+    )
+
+
+@query(
+    "q_pareto_abc",
+    oracle="""
+WITH per_part AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10)))
+              * 1000000 AS BIGINT) AS revenue_micros
+  FROM lineitem GROUP BY l_partkey
+), ranked AS (
+  SELECT l_partkey, revenue_micros,
+         row_number() OVER (ORDER BY revenue_micros DESC, l_partkey ASC) AS rnk,
+         SUM(revenue_micros) OVER (
+           ORDER BY revenue_micros DESC, l_partkey ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_micros,
+         SUM(revenue_micros) OVER () AS total_micros
+  FROM per_part
+)
+SELECT l_partkey AS partkey, revenue_micros, rnk,
+       CASE WHEN cum_micros * 5  <= total_micros * 4  THEN 'A'
+            WHEN cum_micros * 20 <= total_micros * 19 THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM ranked
+""",
+)
+def q_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC classification of parts by cumulative revenue
+    share (A ≤ 80 %, B ≤ 95 %, C above).
+
+    Revenue is DECIMAL mass emitted as integer micro-units; the class
+    thresholds compare ``cum*5 ≤ total*4`` / ``cum*20 ≤ total*19`` in
+    exact BIGINT (no rounded share quotient — CLAUDE.md).  The
+    products stay < 2^63 up to ~460 TB of revenue micro-mass.
+    Scale: one shuffle to part grain; rank/cumsum run over the
+    aggregated part table (≈200k rows/TB, single exchange).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_part = li.groupBy("l_partkey").agg(
+        (F.sum(revenue.cast(DEC)) * 1000000).cast("bigint").alias("revenue_micros")
+    )
+    w = Window.orderBy(F.col("revenue_micros").desc(), F.col("l_partkey").asc())
+    ranked = per_part.select(
+        "l_partkey",
+        "revenue_micros",
+        F.row_number().over(w).alias("rnk"),
+        F.sum("revenue_micros")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum_micros"),
+        F.sum("revenue_micros").over(Window.partitionBy()).alias("total_micros"),
+    )
+    return ranked.select(
+        F.col("l_partkey").alias("partkey"),
+        "revenue_micros",
+        "rnk",
+        F.when(F.col("cum_micros") * 5 <= F.col("total_micros") * 4, "A")
+        .when(F.col("cum_micros") * 20 <= F.col("total_micros") * 19, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+
+
+@query(
+    "q_dq_checks",
+    oracle="""
+SELECT 'orders_null_custkey' AS check_name,
+       (SELECT COUNT(*) FROM orders) AS n_rows,
+       (SELECT COUNT(CASE WHEN o_custkey IS NULL THEN 1 END) FROM orders) AS n_bad
+UNION ALL
+SELECT 'orders_orphan_custkey',
+       (SELECT COUNT(*) FROM orders),
+       (SELECT COUNT(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+UNION ALL
+SELECT 'lineitem_orphan_orderkey',
+       (SELECT COUNT(*) FROM lineitem),
+       (SELECT COUNT(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+UNION ALL
+SELECT 'lineitem_discount_range',
+       (SELECT COUNT(*) FROM lineitem),
+       (SELECT COUNT(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 END)
+        FROM lineitem)
+UNION ALL
+SELECT 'lineitem_nonpositive_qty',
+       (SELECT COUNT(*) FROM lineitem),
+       (SELECT COUNT(CASE WHEN l_quantity <= 0 THEN 1 END) FROM lineitem)
+UNION ALL
+SELECT 'customer_dup_pk',
+       (SELECT COUNT(*) FROM customer),
+       (SELECT COUNT(*) - COUNT(DISTINCT c_custkey) FROM customer)
+UNION ALL
+SELECT 'documents_len_mismatch',
+       (SELECT COUNT(*) FROM documents),
+       (SELECT COUNT(CASE WHEN n_chars <> length(text) THEN 1 END) FROM documents)
+""",
+)
+def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit suite: null / orphan-FK / range / dup-PK /
+    derived-column consistency checks, one row per check.
+
+    The classic pre-training-ingest validation pass.  Each check is an
+    independent aggregate (COUNT(CASE..) per the HUGEINT trap); the
+    orphan checks are anti joins on the FK.  Scale: each check is one
+    scan + at most one shuffle; Spark runs the seven branches as a
+    union of independent subplans, so they parallelize across the
+    stage boundary and the fact tables are scanned column-pruned.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    c = load_table(spark, sf_dir, "customer")
+    d = load_table(spark, sf_dir, "documents")
+
+    def check(name: str, n_rows: DataFrame, n_bad: DataFrame) -> DataFrame:
+        return (
+            n_rows.crossJoin(n_bad)
+            .select(
+                F.lit(name).alias("check_name"),
+                F.col("n_rows").cast("bigint"),
+                F.col("n_bad").cast("bigint"),
+            )
+        )
+
+    orders_rows = o.agg(F.count(F.lit(1)).alias("n_rows"))
+    li_rows = li.agg(F.count(F.lit(1)).alias("n_rows"))
+    checks = [
+        check(
+            "orders_null_custkey",
+            orders_rows,
+            o.agg(F.count(F.when(F.col("o_custkey").isNull(), 1)).alias("n_bad")),
+        ),
+        check(
+            "orders_orphan_custkey",
+            orders_rows,
+            o.join(c, o.o_custkey == c.c_custkey, "left_anti").agg(
+                F.count(F.lit(1)).alias("n_bad")
+            ),
+        ),
+        check(
+            "lineitem_orphan_orderkey",
+            li_rows,
+            li.join(o, li.l_orderkey == o.o_orderkey, "left_anti").agg(
+                F.count(F.lit(1)).alias("n_bad")
+            ),
+        ),
+        check(
+            "lineitem_discount_range",
+            li_rows,
+            li.agg(
+                F.count(
+                    F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1)
+                ).alias("n_bad")
+            ),
+        ),
+        check(
+            "lineitem_nonpositive_qty",
+            li_rows,
+            li.agg(F.count(F.when(F.col("l_quantity") <= 0, 1)).alias("n_bad")),
+        ),
+        check(
+            "customer_dup_pk",
+            c.agg(F.count(F.lit(1)).alias("n_rows")),
+            c.agg(
+                (F.count(F.lit(1)) - F.count_distinct("c_custkey")).alias("n_bad")
+            ),
+        ),
+        check(
+            "documents_len_mismatch",
+            d.agg(F.count(F.lit(1)).alias("n_rows")),
+            d.agg(
+                F.count(
+                    F.when(F.col("n_chars") != F.length("text"), 1)
+                ).alias("n_bad")
+            ),
+        ),
+    ]
+    out = checks[0]
+    for extra in checks[1:]:
+        out = out.unionAll(extra)
+    return out
+
+
+@query(
+    "q_autocorr",
+    oracle="""
+WITH hourly AS (
+  SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) // 3600 AS h,
+         COUNT(*) AS n
+  FROM events GROUP BY 1
+), lags AS (
+  SELECT * FROM (VALUES (1), (2), (3), (6), (12), (24)) t(k)
+)
+SELECT k AS lag_hours,
+       COUNT(*) AS n_pairs,
+       CAST(SUM(a.n) AS BIGINT) AS s_x, CAST(SUM(b.n) AS BIGINT) AS s_y,
+       CAST(SUM(a.n * a.n) AS BIGINT) AS s_xx,
+       CAST(SUM(b.n * b.n) AS BIGINT) AS s_yy,
+       CAST(SUM(a.n * b.n) AS BIGINT) AS s_xy,
+       CAST(COUNT(*) * SUM(a.n * b.n) - SUM(a.n) * SUM(b.n) AS BIGINT)
+         AS corr_num,
+       CAST(COUNT(*) * SUM(a.n * a.n) - SUM(a.n) * SUM(a.n) AS BIGINT)
+         AS corr_den_x,
+       CAST(COUNT(*) * SUM(b.n * b.n) - SUM(b.n) * SUM(b.n) AS BIGINT)
+         AS corr_den_y
+FROM lags CROSS JOIN hourly a JOIN hourly b ON b.h = a.h + k
+GROUP BY k
+""",
+)
+def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-k autocorrelation profile of the hourly event-count series
+    (k ∈ {1,2,3,6,12,24} hours).
+
+    Emits the exact integer moment sums plus the Pearson numerator /
+    denominators (``n·Σxy − ΣxΣy`` etc.) — all BIGINT-exact, so the
+    caller derives r = num/√(dx·dy) without any cross-engine float in
+    the checked values.  Scale: one shuffle to hour grain; the lagged
+    self-join runs on the tiny hourly table (≤ 8.8k rows/year) and is
+    broadcast on both sides.
+    """
+    e = load_table(spark, sf_dir, "events")
+    hour = (
+        F.floor(F.unix_timestamp(F.date_trunc("hour", F.col("ts")))).cast("bigint")
+        / F.lit(3600)
+    ).cast("bigint")
+    hourly = e.groupBy(hour.alias("h")).agg(F.count(F.lit(1)).alias("n"))
+    lags = spark.sql("SELECT * FROM VALUES (1),(2),(3),(6),(12),(24) t(k)")
+    a = hourly.alias("a")
+    b = hourly.alias("b")
+    joined = (
+        F.broadcast(lags)
+        .crossJoin(a)
+        .join(F.broadcast(b), F.col("b.h") == F.col("a.h") + F.col("k"))
+    )
+    agg = joined.groupBy(F.col("k").alias("lag_hours")).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("a.n").alias("s_x"),
+        F.sum("b.n").alias("s_y"),
+        F.sum(F.col("a.n") * F.col("a.n")).alias("s_xx"),
+        F.sum(F.col("b.n") * F.col("b.n")).alias("s_yy"),
+        F.sum(F.col("a.n") * F.col("b.n")).alias("s_xy"),
+    )
+    return agg.select(
+        "lag_hours",
+        "n_pairs",
+        "s_x",
+        "s_y",
+        "s_xx",
+        "s_yy",
+        "s_xy",
+        (F.col("n_pairs") * F.col("s_xy") - F.col("s_x") * F.col("s_y")).alias(
+            "corr_num"
+        ),
+        (F.col("n_pairs") * F.col("s_xx") - F.col("s_x") * F.col("s_x")).alias(
+            "corr_den_x"
+        ),
+        (F.col("n_pairs") * F.col("s_yy") - F.col("s_y") * F.col("s_y")).alias(
+            "corr_den_y"
+        ),
+    )
