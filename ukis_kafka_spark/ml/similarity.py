@@ -1742,3 +1742,128 @@ def m_perceptron_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("w1") + F.coalesce(F.col("delta"), F.lit(0))).cast("bigint").alias("w2"),
         )
     )
+
+
+@query(
+    "m_centroid_eval",
+    oracle="""
+WITH q AS (
+  SELECT e.vec_id, e.label, d,
+         CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT) AS v
+  FROM (SELECT vec_id, label, generate_subscripts(embedding, 1) AS d,
+               unnest(embedding) AS x
+        FROM embeddings) e
+), cent AS (
+  SELECT label AS c_label, d,
+         CASE WHEN CAST(SUM(v) AS BIGINT) >= 0
+              THEN (CAST(SUM(v) AS BIGINT) * 1000) // count(*)
+              ELSE -(((-CAST(SUM(v) AS BIGINT)) * 1000) // count(*))
+         END AS c_milli
+  FROM q GROUP BY label, d
+), dist AS (
+  SELECT q.vec_id, q.label AS true_label, c.c_label,
+         SUM((q.v * 1000 - c.c_milli) * (q.v * 1000 - c.c_milli)) AS d2
+  FROM q JOIN cent c USING (d)
+  GROUP BY q.vec_id, q.label, c.c_label
+), pred AS (
+  SELECT vec_id, true_label, c_label AS pred_label FROM (
+    SELECT vec_id, true_label, c_label,
+           row_number() OVER (PARTITION BY vec_id
+             ORDER BY d2 ASC, c_label ASC) AS rn
+    FROM dist) WHERE rn = 1
+), conf AS (
+  SELECT true_label, pred_label, count(*) AS n FROM pred
+  GROUP BY true_label, pred_label
+), per_true AS (
+  SELECT true_label, CAST(SUM(n) AS BIGINT) AS n_true FROM conf GROUP BY true_label
+), per_pred AS (
+  SELECT pred_label, CAST(SUM(n) AS BIGINT) AS n_pred FROM conf GROUP BY pred_label
+), tp AS (
+  SELECT true_label AS label, n AS tp FROM conf WHERE true_label = pred_label
+)
+SELECT t.true_label AS label, t.n_true,
+       COALESCE(p.n_pred, 0) AS n_pred,
+       COALESCE(tp.tp, 0) AS tp,
+       CASE WHEN COALESCE(p.n_pred, 0) = 0 THEN -1
+            ELSE (COALESCE(tp.tp, 0) * 1000000) // p.n_pred END AS precision_ppm,
+       (COALESCE(tp.tp, 0) * 1000000) // t.n_true AS recall_ppm
+FROM per_true t
+LEFT JOIN per_pred p ON p.pred_label = t.true_label
+LEFT JOIN tp ON tp.label = t.true_label
+""",
+)
+def m_centroid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid classifier evaluation: per-label fixed-point
+    centroids (1e4-grid dims, milli-scaled sign-factored integer
+    means — the m_pca_power division rule), every vector classified
+    to its nearest centroid by exact integer L2, and per-class
+    precision / recall emitted in ppm.
+
+    Complements m_knn_eval (accuracy only) with the full
+    precision/recall report; all counts and both ppm quotients are
+    exact BIGINT math, so the entire train→classify→score pipeline is
+    hash-checked.  Scale: centroids are labels×dims rows (broadcast);
+    the classify join expands each vector row by |labels| and
+    partial-combines map-side — one linear scan, one shuffle.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.select(
+        "vec_id",
+        "label",
+        F.posexplode(
+            F.transform("embedding", lambda x: F.floor(x.cast("double") * 10_000).cast("long"))
+        ).alias("d0", "v"),
+    ).select("vec_id", "label", (F.col("d0") + 1).alias("d"), "v")
+    cent = (
+        q.groupBy(F.col("label").alias("c_label"), "d")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "c_label",
+            "d",
+            F.expr(
+                "CASE WHEN s >= 0 THEN (s * 1000) div n"
+                " ELSE -(((-s) * 1000) div n) END"
+            ).alias("c_milli"),
+        )
+    )
+    diff = F.col("v") * 1000 - F.col("c_milli")
+    dist = (
+        q.join(F.broadcast(cent), "d")
+        .groupBy("vec_id", F.col("label").alias("true_label"), "c_label")
+        .agg(F.sum(diff * diff).alias("d2"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("c_label").asc())
+    pred = (
+        dist.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("true_label", F.col("c_label").alias("pred_label"))
+    )
+    conf = pred.groupBy("true_label", "pred_label").agg(F.count(F.lit(1)).alias("n"))
+    per_true = conf.groupBy("true_label").agg(F.sum("n").alias("n_true"))
+    per_pred = conf.groupBy(F.col("pred_label").alias("pp_label")).agg(
+        F.sum("n").alias("n_pred")
+    )
+    tp = conf.where(F.col("true_label") == F.col("pred_label")).select(
+        F.col("true_label").alias("tp_label"), F.col("n").alias("tp")
+    )
+    out = (
+        per_true.join(per_pred, per_true.true_label == per_pred.pp_label, "left")
+        .join(tp, per_true.true_label == tp.tp_label, "left")
+        .select(
+            F.col("true_label").alias("label"),
+            "n_true",
+            F.coalesce(F.col("n_pred"), F.lit(0)).alias("n_pred"),
+            F.coalesce(F.col("tp"), F.lit(0)).alias("tp"),
+        )
+    )
+    return out.select(
+        "label",
+        "n_true",
+        "n_pred",
+        "tp",
+        F.when(F.col("n_pred") == 0, F.lit(-1))
+        .otherwise(F.expr("(tp * 1000000) div n_pred"))
+        .cast("bigint")
+        .alias("precision_ppm"),
+        F.expr("(tp * 1000000) div n_true").cast("bigint").alias("recall_ppm"),
+    )

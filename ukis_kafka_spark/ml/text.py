@@ -1603,3 +1603,166 @@ def m_freq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("drift_ppm").desc(), F.col("tok").asc())
         .limit(20)
     )
+
+
+@query(
+    "m_naive_bayes",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents
+), doc_tok AS (
+  SELECT doc_id, lang AS true_lang, tok, count(*) AS cnt
+  FROM toks GROUP BY doc_id, lang, tok
+), lang_tok AS (
+  SELECT lang, tok, count(*) AS c FROM toks GROUP BY lang, tok
+), lang_tot AS (
+  SELECT lang, count(*) AS n_l FROM toks GROUP BY lang
+), vocab AS (SELECT count(DISTINCT tok) AS v FROM toks
+), scored AS (
+  SELECT dt.doc_id, dt.true_lang, tt.lang AS cand_lang,
+         SUM(CAST(round(dt.cnt * ln(
+               CAST(COALESCE(lt.c, 0) + 1 AS DOUBLE) / (tt.n_l + vb.v)
+             ), 6) AS DECIMAL(28,10))) AS score
+  FROM doc_tok dt
+  CROSS JOIN lang_tot tt
+  CROSS JOIN vocab vb
+  LEFT JOIN lang_tok lt ON lt.lang = tt.lang AND lt.tok = dt.tok
+  GROUP BY dt.doc_id, dt.true_lang, tt.lang
+), pred AS (
+  SELECT doc_id, true_lang, cand_lang AS pred_lang FROM (
+    SELECT doc_id, true_lang, cand_lang,
+           row_number() OVER (PARTITION BY doc_id
+             ORDER BY score DESC, cand_lang ASC) AS rn
+    FROM scored) WHERE rn = 1
+)
+SELECT true_lang, pred_lang, count(*) AS n
+FROM pred GROUP BY true_lang, pred_lang
+""",
+)
+def m_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial naive-Bayes language classifier, trained and
+    evaluated on the corpus (resubstitution), emitting the confusion
+    matrix true_lang × pred_lang.
+
+    Laplace-smoothed token likelihoods: score(d,L) = Σ_t cnt_d(t) ·
+    ln((c_Lt+1)/(N_L+V)).  Each term is one ratio of exact integers
+    (correctly-rounded double in both engines) through ln(), rounded
+    to 6 dp and summed in DECIMAL — the m_token_entropy transcendental
+    pattern — so the argmax (tie-break: lang asc) is hash-stable.
+    Scale: the model (langs × vocab counts) is the broadcast side;
+    the per-doc side is one shuffle to (doc, tok) grain and the
+    5-way candidate expansion stays linear in corpus tokens.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("tok")
+    )
+    doc_tok = (
+        toks.groupBy("doc_id", F.col("lang").alias("true_lang"), "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # model tables derive from doc_tok, not from fresh tokenizations:
+    # sum-of-doc-counts == direct token counts, and one explode subtree
+    # instead of four keeps the stage count (the real cost) down 4x.
+    lang_tok = doc_tok.groupBy(
+        F.col("true_lang").alias("c_lang"), F.col("tok").alias("lt_tok")
+    ).agg(F.sum("cnt").alias("c"))
+    lang_tot = lang_tok.groupBy(F.col("c_lang").alias("cand_lang")).agg(
+        F.sum("c").alias("n_l")
+    )
+    vocab = lang_tok.agg(F.count_distinct("lt_tok").alias("v"))
+    term = F.round(
+        F.col("cnt")
+        * F.log(
+            (F.coalesce(F.col("c"), F.lit(0)) + 1).cast("double")
+            / (F.col("n_l") + F.col("v"))
+        ),
+        6,
+    ).cast("decimal(28,10)")
+    scored = (
+        doc_tok.crossJoin(F.broadcast(lang_tot))
+        .crossJoin(F.broadcast(vocab))
+        .join(
+            F.broadcast(lang_tok),
+            (F.col("c_lang") == F.col("cand_lang"))
+            & (F.col("lt_tok") == F.col("tok")),
+            "left",
+        )
+        .groupBy("doc_id", "true_lang", "cand_lang")
+        .agg(F.sum(term).alias("score"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("cand_lang").asc()
+    )
+    pred = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("true_lang", F.col("cand_lang").alias("pred_lang"))
+    )
+    return pred.groupBy("true_lang", "pred_lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@query(
+    "m_feature_hashing",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), b AS (
+  SELECT doc_id,
+         ((strpos('0123456789abcdef', substring(md5(tok), 1, 1)) - 1) * 16
+          + (strpos('0123456789abcdef', substring(md5(tok), 2, 1)) - 1)) % 64
+           AS bucket
+  FROM toks
+), bc AS (
+  SELECT doc_id, bucket, count(*) AS cnt FROM b GROUP BY doc_id, bucket
+)
+SELECT doc_id,
+       count(*) AS nnz,
+       CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+       string_agg(bucket || ':' || cnt, ',' ORDER BY bucket) AS fvec
+FROM bc GROUP BY doc_id
+""",
+)
+def m_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick featurization: every token maps to one of 64
+    buckets via the first 8 bits of md5 (engine-neutral, unbiased —
+    256 ≡ 0 mod 64), and each doc emits its sparse count vector as a
+    canonical "bucket:count" string plus nnz / total-token scalars.
+
+    The md5-hex digit arithmetic is the m_simhash hash family; the
+    sparse-vector stringification keeps the output scalar for the
+    driver's canonicalizer (CLAUDE.md).  Scale: tokenize → two
+    hash-key aggregations, all JVM-side; no Python, no explode of
+    anything wider than the token stream.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    h = F.md5(F.col("tok"))
+    bucket = (
+        (F.conv(F.substring(h, 1, 1), 16, 10).cast("bigint") * 16
+         + F.conv(F.substring(h, 2, 1), 16, 10).cast("bigint")) % 64
+    )
+    bc = toks.groupBy("doc_id", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return (
+        bc.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("nnz"),
+            F.sum("cnt").alias("n_tokens"),
+            F.array_sort(F.collect_list(F.struct("bucket", "cnt"))).alias("pairs"),
+        )
+        .select(
+            "doc_id",
+            "nnz",
+            "n_tokens",
+            F.concat_ws(
+                ",",
+                F.expr(
+                    "transform(pairs, s -> concat(CAST(s.bucket AS STRING), ':', CAST(s.cnt AS STRING)))"
+                ),
+            ).alias("fvec"),
+        )
+    )
