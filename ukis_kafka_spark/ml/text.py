@@ -1766,3 +1766,134 @@ def m_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("fvec"),
         )
     )
+
+
+_BPE_ROUNDS = 3
+
+
+def _bpe_oracle() -> str:
+    """Unrolled merge rounds; each round = count pairs -> argmax ->
+    two-pass non-overlapping replace (see m_bpe_merges docstring)."""
+    parts = []
+    head = r"""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+), words0 AS (
+  SELECT tok AS w, trim(regexp_replace(tok, '(.)', '\1 ', 'g')) AS s,
+         count(*) AS c
+  FROM toks GROUP BY tok
+)"""
+    parts.append(head)
+    for r in range(_BPE_ROUNDS):
+        parts.append(f"""
+, parts{r} AS (
+  SELECT w, c, generate_subscripts(string_split(s, ' '), 1) AS i,
+         unnest(string_split(s, ' ')) AS sym
+  FROM words{r}
+), pairs{r} AS (
+  SELECT a, b, CAST(SUM(c) AS BIGINT) AS cnt FROM (
+    SELECT w, c, sym AS a,
+           lead(sym) OVER (PARTITION BY w ORDER BY i) AS b
+    FROM parts{r}
+  ) WHERE b IS NOT NULL GROUP BY a, b
+), best{r} AS (
+  SELECT a, b, cnt FROM pairs{r} ORDER BY cnt DESC, a ASC, b ASC LIMIT 1
+), words{r + 1} AS (
+  SELECT w.w, w.c,
+         trim(replace(replace(' ' || w.s || ' ',
+                              ' ' || b.a || ' ' || b.b || ' ',
+                              ' ' || b.a || b.b || ' '),
+                      ' ' || b.a || ' ' || b.b || ' ',
+                      ' ' || b.a || b.b || ' ')) AS s
+  FROM words{r} w CROSS JOIN best{r} b
+), nsym{r + 1} AS (
+  SELECT count(DISTINCT sym) AS n FROM (
+    SELECT unnest(string_split(s, ' ')) AS sym FROM words{r + 1})
+)""")
+    rows = " UNION ALL ".join(
+        f"SELECT {r + 1} AS round, a AS sym_a, b AS sym_b, cnt AS merge_count, "
+        f"(SELECT n FROM nsym{r + 1}) AS n_symbols_after FROM best{r}"
+        for r in range(_BPE_ROUNDS)
+    )
+    return "".join(parts) + "\n" + rows
+
+
+@query("m_bpe_merges", oracle=_bpe_oracle())
+def m_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training: the first 3 byte-pair merges learned
+    from the corpus word-frequency table, with the winning pair's
+    weighted count and the symbol-inventory size after each merge.
+
+    The training loop each round: (1) count ALL adjacent symbol pairs
+    weighted by word frequency (overlapping occurrences count, as in
+    standard BPE), (2) pick the argmax pair (tie-break: count desc,
+    pair lexicographic), (3) apply the merge as a TWO-PASS
+    non-overlapping space-guarded string replace — the second pass
+    catches occurrences whose shared boundary space the first pass
+    consumed.  The merge rule is stated exactly so both engines (and
+    any reimplementation) replay it bit-identically; counts are exact
+    integers throughout.  Scale: training runs on the DISTINCT-word
+    frequency table (vocabulary-sized, not corpus-sized — the
+    standard BPE trick), so the corpus is scanned once for the word
+    histogram and each round is a vocabulary-local map plus one tiny
+    argmax broadcast.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            F.col("tok").alias("w"),
+            F.trim(F.regexp_replace("tok", "(.)", "$1 ")).alias("s"),
+            "c",
+        )
+    )
+    out_rows = []
+    for r in range(_BPE_ROUNDS):
+        sym = words.select(
+            "w", "c", F.posexplode(F.split("s", " ")).alias("i", "sym")
+        )
+        lead = F.lead("sym").over(Window.partitionBy("w").orderBy("i"))
+        pairs = (
+            sym.select("w", "c", F.col("sym").alias("a"), lead.alias("b"))
+            .where(F.col("b").isNotNull())
+            .groupBy("a", "b")
+            .agg(F.sum("c").alias("cnt"))
+        )
+        best = pairs.orderBy(
+            F.col("cnt").desc(), F.col("a").asc(), F.col("b").asc()
+        ).limit(1).select(
+            F.col("a").alias("ba"), F.col("b").alias("bb"), F.col("cnt").alias("bcnt")
+        )
+        pat = F.concat(F.lit(" "), F.col("ba"), F.lit(" "), F.col("bb"), F.lit(" "))
+        rep = F.concat(F.lit(" "), F.col("ba"), F.col("bb"), F.lit(" "))
+        padded = F.concat(F.lit(" "), F.col("s"), F.lit(" "))
+        merged_s = F.trim(
+            F.call_function(
+                "replace", F.call_function("replace", padded, pat, rep), pat, rep
+            )
+        )
+        words = words.crossJoin(F.broadcast(best)).select(
+            "w", "c", merged_s.alias("s"), "ba", "bb", "bcnt"
+        )
+        nsym = (
+            words.select(F.explode(F.split("s", " ")).alias("sym"))
+            .agg(F.count_distinct("sym").alias("n_symbols_after"))
+        )
+        out_rows.append(
+            words.select("ba", "bb", "bcnt").limit(1)
+            .crossJoin(F.broadcast(nsym))
+            .select(
+                F.lit(r + 1).alias("round"),
+                F.col("ba").alias("sym_a"),
+                F.col("bb").alias("sym_b"),
+                F.col("bcnt").alias("merge_count"),
+                "n_symbols_after",
+            )
+        )
+        words = words.select("w", "c", "s")
+    out = out_rows[0]
+    for extra in out_rows[1:]:
+        out = out.unionAll(extra)
+    return out
