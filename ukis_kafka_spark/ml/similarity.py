@@ -1867,3 +1867,132 @@ def m_centroid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("precision_ppm"),
         F.expr("(tp * 1000000) div n_true").cast("bigint").alias("recall_ppm"),
     )
+
+
+_STUMP_CELLS = 32
+
+
+@query(
+    "m_decision_stump",
+    oracle=f"""
+WITH ev AS (
+  SELECT CAST(floor(value * 1000000) AS BIGINT) AS v,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS y
+  FROM events
+), bounds AS (
+  SELECT min(v) AS vmin, max(v) AS vmax FROM ev
+), cells AS (
+  SELECT ((e.v - b.vmin) * {_STUMP_CELLS}) // (b.vmax - b.vmin + 1) AS cell,
+         COUNT(*) AS n,
+         COUNT(CASE WHEN e.y = 1 THEN 1 END) AS pos
+  FROM ev e CROSS JOIN bounds b GROUP BY 1
+), cum AS (
+  SELECT cell, 
+         CAST(SUM(n)   OVER (ORDER BY cell ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cn,
+         CAST(SUM(pos) OVER (ORDER BY cell ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cp,
+         CAST(SUM(n)   OVER () AS BIGINT) AS tn,
+         CAST(SUM(pos) OVER () AS BIGINT) AS tp
+  FROM cells
+), splits AS (
+  SELECT cell + 1 AS t,
+         b.vmin + ((b.vmax - b.vmin + 1) * (cell + 1)) // {_STUMP_CELLS} AS thr_micro,
+         cn AS n_l, cp AS pos_l, tn - cn AS n_r, tp - cp AS pos_r, tn, tp
+  FROM cum CROSS JOIN bounds b
+  WHERE cn > 0 AND tn - cn > 0
+), scored AS (
+  SELECT t, thr_micro, n_l, pos_l, n_r, pos_r,
+         (n_l * n_l - pos_l * pos_l - (n_l - pos_l) * (n_l - pos_l)) * n_r
+           + (n_r * n_r - pos_r * pos_r - (n_r - pos_r) * (n_r - pos_r)) * n_l
+           AS gini_num,
+         n_l * n_r AS gini_den
+  FROM splits
+)
+SELECT t, thr_micro, n_l, pos_l, n_r, pos_r, gini_num, gini_den,
+       row_number() OVER (
+         ORDER BY CAST(gini_num AS DOUBLE) / CAST(gini_den AS DOUBLE) ASC, t ASC)
+         AS rank
+FROM scored
+""",
+)
+def m_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-stump training: the best single threshold on
+    ``events.value`` separating 'click' events, searched over a
+    32-cell equi-width grid and ranked by exact
+    weighted-Gini impurity.
+
+    The impurity of a candidate split is the rational
+    ``gini_num/gini_den`` with both sides exact BIGINT (the weighted
+    n·(1−Σp²) numerator cross-multiplied onto a common denominator);
+    the ranking divides the two exact integers in double — a
+    correctly-rounded, engine-identical operation — and ties break on
+    the threshold index.  Feature values ride a 1e-6 fixed-point grid
+    with explicit floor (CAST double→int ROUNDS in DuckDB).  Scale:
+    one scan bins events into 32 cells with a map-side combine;
+    everything downstream is cell-count arithmetic on ≤ 32 rows —
+    the classic histogram-based split search
+    (XGBoost/LightGBM style), linear in the fact table.
+    """
+    e = load_table(spark, sf_dir, "events")
+    ev = e.select(
+        F.floor(F.col("value") * 1000000).cast("bigint").alias("v"),
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("y"),
+    )
+    bounds = ev.agg(
+        F.min("v").alias("vmin"), F.max("v").alias("vmax")
+    )
+    cells = (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy(
+            F.expr(f"((v - vmin) * {_STUMP_CELLS}) div (vmax - vmin + 1)").alias("cell")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(F.col("y") == 1, 1)).alias("pos"),
+        )
+    )
+    wcum = Window.orderBy("cell").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    cum = cells.select(
+        "cell",
+        F.sum("n").over(wcum).alias("cn"),
+        F.sum("pos").over(wcum).alias("cp"),
+        F.sum("n").over(wall).alias("tn"),
+        F.sum("pos").over(wall).alias("tp"),
+    )
+    splits = (
+        cum.crossJoin(F.broadcast(bounds))
+        .where((F.col("cn") > 0) & (F.col("tn") - F.col("cn") > 0))
+        .select(
+            (F.col("cell") + 1).alias("t"),
+            F.expr(
+                f"vmin + ((vmax - vmin + 1) * (cell + 1)) div {_STUMP_CELLS}"
+            ).alias("thr_micro"),
+            F.col("cn").alias("n_l"),
+            F.col("cp").alias("pos_l"),
+            (F.col("tn") - F.col("cn")).alias("n_r"),
+            (F.col("tp") - F.col("cp")).alias("pos_r"),
+        )
+    )
+    scored = splits.withColumn(
+        "gini_num",
+        (
+            F.col("n_l") * F.col("n_l")
+            - F.col("pos_l") * F.col("pos_l")
+            - (F.col("n_l") - F.col("pos_l")) * (F.col("n_l") - F.col("pos_l"))
+        )
+        * F.col("n_r")
+        + (
+            F.col("n_r") * F.col("n_r")
+            - F.col("pos_r") * F.col("pos_r")
+            - (F.col("n_r") - F.col("pos_r")) * (F.col("n_r") - F.col("pos_r"))
+        )
+        * F.col("n_l"),
+    ).withColumn("gini_den", F.col("n_l") * F.col("n_r"))
+    wrank = Window.orderBy(
+        (F.col("gini_num").cast("double") / F.col("gini_den").cast("double")).asc(),
+        F.col("t").asc(),
+    )
+    return scored.select(
+        "t", "thr_micro", "n_l", "pos_l", "n_r", "pos_r", "gini_num", "gini_den",
+        F.row_number().over(wrank).alias("rank"),
+    )

@@ -529,3 +529,85 @@ def src_parquet_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", "c_name", "c_nationkey",
         F.col("c_acctbal").cast("decimal(28,10)").cast("double").alias("acctbal"),
     )
+
+
+_META_RG_ROWS = 10_000
+
+
+@query(
+    "src_parquet_meta",
+    oracle=f"""
+SELECT rg, count(*) AS rg_rows,
+       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+FROM (
+  SELECT o_orderkey,
+         (row_number() OVER (ORDER BY o_orderkey) - 1) // {_META_RG_ROWS} AS rg
+  FROM orders
+) GROUP BY rg
+""",
+)
+def src_parquet_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed parquet FOOTER scan: orders is rewritten (build-once
+    cache) as a single file sorted by o_orderkey with exactly
+    10,000-row row groups, then a binaryFile + mapInPandas
+    pass parses each file's footer with pyarrow and emits one row per
+    row group — index, row count, and the o_orderkey min/max straight
+    from the column-chunk STATISTICS, no data pages read.
+
+    The oracle reconstructs the same layout relationally (sorted
+    row_number slices), so a hash match proves the footer metadata the
+    planner would prune on (rows + exact int stats) is faithful to
+    the data.  This is the scan-planning primitive behind row-group
+    pruning at 100 TB: the footer pass moves kilobytes per file while
+    the data stays cold, and mapInPandas parallelizes it across
+    whatever file inventory the lake holds.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def build(into: str) -> None:
+        rows = (
+            load_table(spark, sf_dir, "orders")
+            .orderBy("o_orderkey")
+            .select("o_orderkey", "o_custkey", "o_totalprice")
+            .toPandas()
+        )
+        os.makedirs(os.path.join(into, "orders_rg"), exist_ok=True)
+        pq.write_table(
+            pa.Table.from_pandas(rows, preserve_index=False),
+            os.path.join(into, "orders_rg", "orders.parquet"),
+            row_group_size=_META_RG_ROWS,
+        )
+
+    src = os.path.join(
+        _cache_publish(build, ("parquet_meta", 1, _table_fingerprint(sf_dir, "orders"))),
+        "orders_rg",
+    )
+
+    def parse_footers(batches):
+        import pandas as pd
+        import pyarrow as pa_w
+        import pyarrow.parquet as pq_w
+
+        for pdf in batches:
+            out = {"rg": [], "rg_rows": [], "min_key": [], "max_key": []}
+            for content in pdf["content"]:
+                meta = pq_w.ParquetFile(pa_w.BufferReader(content)).metadata
+                key_idx = next(
+                    i for i in range(meta.num_columns)
+                    if meta.row_group(0).column(i).path_in_schema == "o_orderkey"
+                )
+                for rg in range(meta.num_row_groups):
+                    stats = meta.row_group(rg).column(key_idx).statistics
+                    out["rg"].append(rg)
+                    out["rg_rows"].append(meta.row_group(rg).num_rows)
+                    out["min_key"].append(stats.min)
+                    out["max_key"].append(stats.max)
+            yield pd.DataFrame(out)
+
+    files = spark.read.format("binaryFile").option(
+        "pathGlobFilter", "*.parquet"
+    ).load(src)
+    return files.mapInPandas(
+        parse_footers, "rg bigint, rg_rows bigint, min_key bigint, max_key bigint"
+    )
