@@ -396,3 +396,61 @@ def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
             "corr_den_y"
         ),
     )
+
+
+@query(
+    "q_hierarchy_rollup",
+    oracle="""
+WITH RECURSIVE per_part AS (
+  SELECT l_partkey AS node,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10)))
+              * 1000000 AS BIGINT) AS rev
+  FROM lineitem GROUP BY l_partkey
+), walk AS (
+  SELECT node, node AS part, rev FROM per_part
+  UNION ALL
+  SELECT node // 10, part, rev FROM walk WHERE node // 10 >= 1
+)
+SELECT node, count(*) AS n_parts,
+       CAST(SUM(rev) AS BIGINT) AS revenue_micros
+FROM walk WHERE node <= 99
+GROUP BY node
+""",
+)
+def q_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive-hierarchy subtree rollup: parts form an implicit tree
+    (parent(k) = k div 10), and each 1-2 digit ancestor node reports
+    its subtree's part count and total revenue.
+
+    The oracle walks the tree with a genuine ``WITH RECURSIVE`` CTE;
+    Spark has no recursion, so this side exploits the closed form —
+    the div-10 ancestor chain of k is exactly the decimal-prefix set
+    of k — and unrolls the bounded depth as two prefix projections
+    (depth is ≤ ⌈log10(maxkey)⌉, fixed by the key domain).  This is
+    the standard recursive-CTE-to-DataFrame translation when the
+    recursion has a known closed form / bounded depth.  Scale: one
+    shuffle to part grain, then a ≤2× explode of the part-grain table
+    and a tiny re-aggregate — never touches the fact table twice.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_part = li.groupBy("l_partkey").agg(
+        (F.sum(revenue.cast(DEC)) * 1000000).cast("bigint").alias("rev")
+    )
+    pstr = F.col("l_partkey").cast("string")
+    ancestors = F.array_compact(
+        F.array(
+            F.substring(pstr, 1, 1).cast("bigint"),
+            F.when(F.length(pstr) >= 2, F.substring(pstr, 1, 2).cast("bigint")),
+        )
+    )
+    return (
+        per_part.select(
+            F.explode(ancestors).alias("node"), "rev"
+        )
+        .groupBy("node")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("rev").alias("revenue_micros"),
+        )
+    )
