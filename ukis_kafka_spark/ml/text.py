@@ -1771,7 +1771,7 @@ def m_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_ROUNDS = 3
 
 
-def _bpe_oracle() -> str:
+def _bpe_cte_chain() -> str:
     """Unrolled merge rounds; each round = count pairs -> argmax ->
     two-pass non-overlapping replace (see m_bpe_merges docstring)."""
     parts = []
@@ -1810,34 +1810,21 @@ WITH toks AS (
   SELECT count(DISTINCT sym) AS n FROM (
     SELECT unnest(string_split(s, ' ')) AS sym FROM words{r + 1})
 )""")
+    return "".join(parts)
+
+
+def _bpe_oracle() -> str:
     rows = " UNION ALL ".join(
         f"SELECT {r + 1} AS round, a AS sym_a, b AS sym_b, cnt AS merge_count, "
         f"(SELECT n FROM nsym{r + 1}) AS n_symbols_after FROM best{r}"
         for r in range(_BPE_ROUNDS)
     )
-    return "".join(parts) + "\n" + rows
+    return _bpe_cte_chain() + "\n" + rows
 
 
-@query("m_bpe_merges", oracle=_bpe_oracle())
-def m_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE tokenizer training: the first 3 byte-pair merges learned
-    from the corpus word-frequency table, with the winning pair's
-    weighted count and the symbol-inventory size after each merge.
-
-    The training loop each round: (1) count ALL adjacent symbol pairs
-    weighted by word frequency (overlapping occurrences count, as in
-    standard BPE), (2) pick the argmax pair (tie-break: count desc,
-    pair lexicographic), (3) apply the merge as a TWO-PASS
-    non-overlapping space-guarded string replace — the second pass
-    catches occurrences whose shared boundary space the first pass
-    consumed.  The merge rule is stated exactly so both engines (and
-    any reimplementation) replay it bit-identically; counts are exact
-    integers throughout.  Scale: training runs on the DISTINCT-word
-    frequency table (vocabulary-sized, not corpus-sized — the
-    standard BPE trick), so the corpus is scanned once for the word
-    histogram and each round is a vocabulary-local map plus one tiny
-    argmax broadcast.
-    """
+def _bpe_train(spark: SparkSession, sf_dir: str):
+    """Shared BPE training loop: returns (final words DF after
+    _BPE_ROUNDS merges, list of per-round summary DFs)."""
     d = load_table(spark, sf_dir, "documents")
     words = (
         d.select(F.explode(F.split("text", " ")).alias("tok"))
@@ -1893,7 +1880,80 @@ def m_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         words = words.select("w", "c", "s")
+    return words, out_rows
+
+
+@query("m_bpe_merges", oracle=_bpe_oracle())
+def m_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training: the first 3 byte-pair merges learned
+    from the corpus word-frequency table, with the winning pair's
+    weighted count and the symbol-inventory size after each merge.
+
+    The training loop each round: (1) count ALL adjacent symbol pairs
+    weighted by word frequency (overlapping occurrences count, as in
+    standard BPE), (2) pick the argmax pair (tie-break: count desc,
+    pair lexicographic), (3) apply the merge as a TWO-PASS
+    non-overlapping space-guarded string replace — the second pass
+    catches occurrences whose shared boundary space the first pass
+    consumed.  The merge rule is stated exactly so both engines (and
+    any reimplementation) replay it bit-identically; counts are exact
+    integers throughout.  Scale: training runs on the DISTINCT-word
+    frequency table (vocabulary-sized, not corpus-sized — the
+    standard BPE trick), so the corpus is scanned once for the word
+    histogram and each round is a vocabulary-local map plus one tiny
+    argmax broadcast.
+    """
+    _, out_rows = _bpe_train(spark, sf_dir)
     out = out_rows[0]
     for extra in out_rows[1:]:
         out = out.unionAll(extra)
     return out
+
+
+def _bpe_apply_oracle() -> str:
+    return _bpe_cte_chain() + f"""
+, wordlen AS (
+  SELECT w, len(string_split(s, ' ')) AS n_sym FROM words{_BPE_ROUNDS}
+)
+SELECT d.doc_id,
+       count(*) AS n_words,
+       CAST(SUM(wl.n_sym) AS BIGINT) AS n_bpe_tokens,
+       min(d.n_chars) AS n_chars
+FROM (SELECT doc_id, n_chars, unnest(string_split(text, ' ')) AS tok
+      FROM documents) d
+JOIN wordlen wl ON wl.w = d.tok
+GROUP BY d.doc_id
+"""
+
+
+@query("m_bpe_apply", oracle=_bpe_apply_oracle())
+def m_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer application / token budgeting: the 3 learned BPE
+    merges (m_bpe_merges) are applied and each document reports its
+    word count, resulting BPE token count, and char count — the
+    numbers a training-data pipeline needs to size token budgets
+    before committing GPU time.
+
+    Key scale property: merges are applied to the DISTINCT-word table
+    once (vocabulary-sized), and per-doc token counts come from
+    joining the corpus word stream against that tiny broadcast
+    word→symbol-count map — the corpus is never re-segmented
+    row-by-row.  Counts are exact integers end-to-end.
+    """
+    words, _ = _bpe_train(spark, sf_dir)
+    wordlen = words.select(
+        "w", F.size(F.split("s", " ")).alias("n_sym")
+    )
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "n_chars", F.explode(F.split("text", " ")).alias("tok")
+    )
+    return (
+        toks.join(F.broadcast(wordlen), toks.tok == wordlen.w)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_sym").alias("n_bpe_tokens"),
+            F.min("n_chars").alias("n_chars"),
+        )
+    )
