@@ -1,0 +1,290 @@
+"""Reference-implementation tests for the round-4 analytics / ML
+additions (RFM, Pareto, autocorr, BPE, stump, naive Bayes, centroid
+eval, feature hashing, parquet-footer scan).
+
+The oracle gate proves *engine parity* — Spark and DuckDB compute the
+same thing.  These tests close the other half: an independent plain
+Python / numpy re-derivation proves the thing computed is the thing
+the algorithm's definition says (guards against both-engines-wrong-
+the-same-way bugs in the shared formulation).
+"""
+
+from __future__ import annotations
+
+import collections
+import hashlib
+import math
+
+import numpy as np
+import pytest
+
+from tests.conftest import SF_SMOKE
+from ukis_kafka_spark import api
+
+
+def _rows(spark, name, sf=SF_SMOKE):
+    return api.queries()[name](spark, sf).collect()
+
+
+def _docs(spark):
+    from ukis_kafka_spark.sources import load_table
+
+    return [
+        (r.doc_id, r.lang, r.text)
+        for r in load_table(spark, SF_SMOKE, "documents").collect()
+    ]
+
+
+# ---------------------------------------------------------------- BPE
+
+
+def _ref_bpe(word_counts, rounds):
+    """Plain-Python BPE trainer mirroring the declared merge rule:
+    count ALL adjacent pairs, argmax (count desc, pair asc), merge via
+    two-pass non-overlapping space-guarded replace."""
+    words = {w: " ".join(w) for w in word_counts}
+    merges = []
+    for _ in range(rounds):
+        pair_w = collections.Counter()
+        for w, s in words.items():
+            syms = s.split(" ")
+            for a, b in zip(syms, syms[1:]):
+                pair_w[(a, b)] += word_counts[w]
+        best = min(pair_w.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), cnt = best
+        pat, rep = f" {a} {b} ", f" {a}{b} "
+        for w, s in words.items():
+            padded = f" {s} "
+            padded = padded.replace(pat, rep).replace(pat, rep)
+            words[w] = padded.strip()
+        nsym = len({sym for s in words.values() for sym in s.split(" ")})
+        merges.append((a, b, cnt, nsym))
+    return words, merges
+
+
+def test_bpe_merges_match_reference_trainer(spark):
+    docs = _docs(spark)
+    wc = collections.Counter(t for _, _, text in docs for t in text.split(" "))
+    _, ref = _ref_bpe(wc, 3)
+    got = sorted(_rows(spark, "m_bpe_merges"), key=lambda r: r["round"])
+    assert [(r.sym_a, r.sym_b, r.merge_count, r.n_symbols_after) for r in got] == ref
+
+
+def test_bpe_apply_counts_match_reference(spark):
+    docs = _docs(spark)
+    wc = collections.Counter(t for _, _, text in docs for t in text.split(" "))
+    words, _ = _ref_bpe(wc, 3)
+    wordlen = {w: len(s.split(" ")) for w, s in words.items()}
+    got = {r.doc_id: (r.n_words, r.n_bpe_tokens) for r in _rows(spark, "m_bpe_apply")}
+    for doc_id, _, text in docs:
+        toks = text.split(" ")
+        assert got[doc_id] == (len(toks), sum(wordlen[t] for t in toks))
+
+
+# -------------------------------------------------------- decision stump
+
+
+def test_decision_stump_matches_bruteforce_gini(spark):
+    from ukis_kafka_spark.sources import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events").collect()
+    v = np.array([math.floor(r.value * 1_000_000) for r in ev], dtype=np.int64)
+    y = np.array([1 if r.event_type == "click" else 0 for r in ev], dtype=np.int64)
+    vmin, vmax = int(v.min()), int(v.max())
+    cell = (v - vmin) * 32 // (vmax - vmin + 1)
+    best = None
+    for t in range(1, 33):
+        left = cell < t
+        n_l, n_r = int(left.sum()), int((~left).sum())
+        if n_l == 0 or n_r == 0:
+            continue
+        pos_l, pos_r = int(y[left].sum()), int(y[~left].sum())
+        num = (n_l * n_l - pos_l**2 - (n_l - pos_l) ** 2) * n_r + (
+            n_r * n_r - pos_r**2 - (n_r - pos_r) ** 2
+        ) * n_l
+        key = (num / (n_l * n_r), t)
+        if best is None or key < best[0]:
+            best = (key, t, n_l, pos_l, n_r, pos_r)
+    got = [r for r in _rows(spark, "m_decision_stump") if r["rank"] == 1][0]
+    assert (got.t, got.n_l, got.pos_l, got.n_r, got.pos_r) == best[1:]
+
+
+# ---------------------------------------------------------- naive Bayes
+
+
+def test_naive_bayes_confusion_matches_reference(spark):
+    docs = _docs(spark)
+    lang_tok = collections.Counter()
+    lang_tot = collections.Counter()
+    vocab = set()
+    for _, lang, text in docs:
+        for t in text.split(" "):
+            lang_tok[(lang, t)] += 1
+            lang_tot[lang] += 1
+            vocab.add(t)
+    langs = sorted(lang_tot)
+    V = len(vocab)
+    conf = collections.Counter()
+    for _, lang, text in docs:
+        cnt = collections.Counter(text.split(" "))
+        scores = {}
+        for L in langs:
+            s = 0.0
+            for t, c in cnt.items():
+                term = round(c * math.log((lang_tok[(L, t)] + 1) / (lang_tot[L] + V)), 6)
+                s += term  # float sum adequate for a strict-argmax check
+            scores[L] = s
+        pred = min(langs, key=lambda L: (-scores[L], L))
+        # margin must exceed float-summation error (~1e-12 for ~100
+        # six-dp terms) so the float reference can't flip the argmax
+        runner = sorted(scores.values(), reverse=True)
+        assert runner[0] - runner[1] > 1e-6
+        conf[(lang, pred)] += 1
+    got = {(r.true_lang, r.pred_lang): r.n for r in _rows(spark, "m_naive_bayes")}
+    assert got == dict(conf)
+
+
+# --------------------------------------------------------- centroid eval
+
+
+def test_centroid_eval_matches_numpy(spark):
+    from ukis_kafka_spark.sources import load_table
+
+    rows = load_table(spark, SF_SMOKE, "embeddings").collect()
+    V = {r.vec_id: (r.label, np.floor(np.array(r.embedding, dtype=np.float64) * 10_000).astype(np.int64)) for r in rows}
+    sums = collections.defaultdict(lambda: None)
+    counts = collections.Counter()
+    for lbl, v in V.values():
+        sums[lbl] = v.copy() if sums[lbl] is None else sums[lbl] + v
+        counts[lbl] += 1
+    cents = {}
+    for lbl, s in sums.items():
+        n = counts[lbl]
+        scaled = s * 1000
+        cents[lbl] = np.where(scaled >= 0, scaled // n, -((-scaled) // n))
+    conf = collections.Counter()
+    for lbl, v in V.values():
+        d2 = {c: int(((v * 1000 - cv) ** 2).sum()) for c, cv in cents.items()}
+        pred = min(d2, key=lambda c: (d2[c], c))
+        conf[(lbl, pred)] += 1
+    per_true = collections.Counter()
+    per_pred = collections.Counter()
+    for (t, p), n in conf.items():
+        per_true[t] += n
+        per_pred[p] += n
+    got = {r.label: r for r in _rows(spark, "m_centroid_eval")}
+    assert set(got) == set(per_true)
+    for lbl, r in got.items():
+        tp = conf.get((lbl, lbl), 0)
+        assert r.n_true == per_true[lbl]
+        assert r.n_pred == per_pred.get(lbl, 0)
+        assert r.tp == tp
+        if r.n_pred:
+            assert r.precision_ppm == tp * 1_000_000 // r.n_pred
+        assert r.recall_ppm == tp * 1_000_000 // r.n_true
+
+
+# ------------------------------------------------------- feature hashing
+
+
+def test_feature_hashing_matches_md5_reference(spark):
+    docs = _docs(spark)
+    got = {r.doc_id: r for r in _rows(spark, "m_feature_hashing")}
+    for doc_id, _, text in docs:
+        buckets = collections.Counter(
+            int(hashlib.md5(t.encode()).hexdigest()[:2], 16) % 64
+            for t in text.split(" ")
+        )
+        r = got[doc_id]
+        assert r.nnz == len(buckets)
+        assert r.n_tokens == sum(buckets.values())
+        assert r.fvec == ",".join(f"{b}:{c}" for b, c in sorted(buckets.items()))
+
+
+# ------------------------------------------------------------- analytics
+
+
+def test_rfm_bucket_sizes_and_extremes(spark):
+    rows = _rows(spark, "q_rfm")
+    n = len(rows)
+    for col in ("r_bucket", "f_bucket", "m_bucket"):
+        sizes = collections.Counter(r[col] for r in rows)
+        assert set(sizes) == {1, 2, 3, 4, 5}
+        # ntile: first (n mod 5) buckets get the extra row
+        base, extra = divmod(n, 5)
+        assert sizes == {b: base + (1 if b <= extra else 0) for b in range(1, 6)}
+    top_m = max(rows, key=lambda r: (r.monetary_micros, -r.custkey))
+    assert top_m.m_bucket == 1
+
+
+def test_pareto_abc_class_boundaries(spark):
+    rows = sorted(_rows(spark, "q_pareto_abc"), key=lambda r: r.rnk)
+    total = sum(r.revenue_micros for r in rows)
+    cum = 0
+    for r in rows:
+        cum += r.revenue_micros
+        expected = "A" if cum * 5 <= total * 4 else ("B" if cum * 20 <= total * 19 else "C")
+        assert r.abc_class == expected
+    assert rows[0].abc_class == "A" and rows[-1].abc_class == "C"
+
+
+def test_autocorr_matches_numpy(spark):
+    from ukis_kafka_spark.sources import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events").collect()
+    from datetime import datetime, timedelta
+
+    epoch = datetime(1970, 1, 1)
+    hours = collections.Counter(
+        (r.ts.replace(minute=0, second=0, microsecond=0) - epoch)
+        // timedelta(hours=1)
+        for r in ev
+    )
+    got = {r.lag_hours: r for r in _rows(spark, "q_autocorr")}
+    for k, r in got.items():
+        pairs = [(hours[h], hours[h + k]) for h in hours if h + k in hours]
+        xs = np.array([p[0] for p in pairs], dtype=np.int64)
+        ys = np.array([p[1] for p in pairs], dtype=np.int64)
+        assert r.n_pairs == len(pairs)
+        assert r.s_xy == int((xs * ys).sum())
+        assert r.corr_num == len(pairs) * int((xs * ys).sum()) - int(xs.sum()) * int(ys.sum())
+        # derived Pearson r agrees with numpy's (guards the identity itself)
+        if r.corr_den_x > 0 and r.corr_den_y > 0 and len(pairs) > 2:
+            mine = r.corr_num / math.sqrt(r.corr_den_x * r.corr_den_y)
+            ref = np.corrcoef(xs, ys)[0, 1]
+            assert abs(mine - ref) < 1e-9
+
+
+def test_hierarchy_rollup_prefix_equals_div_chain(spark):
+    rows = {r.node: r for r in _rows(spark, "q_hierarchy_rollup")}
+    # closed form check: node k's subtree == parts whose div-10 chain hits k
+    from ukis_kafka_spark.sources import load_table
+
+    li = load_table(spark, SF_SMOKE, "lineitem").collect()
+    parts = {r.l_partkey for r in li}
+    for node in list(rows)[:20]:
+        members = set()
+        for p in parts:
+            q = p
+            while q >= 1:
+                if q == node:
+                    members.add(p)
+                    break
+                q //= 10
+        assert rows[node].n_parts == len(members)
+
+
+def test_parquet_meta_row_groups(spark):
+    rows = sorted(_rows(spark, "src_parquet_meta"), key=lambda r: r.rg)
+    from ukis_kafka_spark.sources import load_table
+
+    keys = sorted(
+        r.o_orderkey for r in load_table(spark, SF_SMOKE, "orders").collect()
+    )
+    assert sum(r.rg_rows for r in rows) == len(keys)
+    assert rows[0].min_key == keys[0] and rows[-1].max_key == keys[-1]
+    off = 0
+    for r in rows:
+        assert r.min_key == keys[off]
+        assert r.max_key == keys[off + r.rg_rows - 1]
+        off += r.rg_rows
