@@ -1847,8 +1847,10 @@ def m_centroid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("true_label").alias("tp_label"), F.col("n").alias("tp")
     )
     out = (
-        per_true.join(per_pred, per_true.true_label == per_pred.pp_label, "left")
-        .join(tp, per_true.true_label == tp.tp_label, "left")
+        per_true.join(
+            F.broadcast(per_pred), per_true.true_label == per_pred.pp_label, "left"
+        )
+        .join(F.broadcast(tp), per_true.true_label == tp.tp_label, "left")
         .select(
             F.col("true_label").alias("label"),
             "n_true",
