@@ -288,3 +288,18 @@ def test_parquet_meta_row_groups(spark):
         assert r.min_key == keys[off]
         assert r.max_key == keys[off + r.rg_rows - 1]
         off += r.rg_rows
+
+
+def test_quantile_hist_brackets_true_percentile(spark):
+    from ukis_kafka_spark.sources import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events").collect()
+    v = sorted(math.floor(r.value * 1_000_000) for r in ev)
+    got = {r.p: r for r in _rows(spark, "q_quantile_hist")}
+    assert set(got) == {50, 90, 95, 99}
+    for p, r in got.items():
+        target = (len(v) * p + 99) // 100
+        assert r.target_rank == target
+        true_pct = v[target - 1]  # ceil-rank order statistic
+        assert r.lo_micro <= true_pct < r.hi_micro
+        assert r.n == len(v)

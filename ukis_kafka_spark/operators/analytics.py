@@ -454,3 +454,92 @@ def q_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("rev").alias("revenue_micros"),
         )
     )
+
+
+_QH_BINS = 1024
+
+
+@query(
+    "q_quantile_hist",
+    oracle=f"""
+WITH ev AS (
+  SELECT CAST(floor(value * 1000000) AS BIGINT) AS v FROM events
+), bounds AS (
+  SELECT min(v) AS vmin, max(v) AS vmax, count(*) AS n FROM ev
+), bins AS (
+  SELECT ((e.v - b.vmin) * {_QH_BINS}) // (b.vmax - b.vmin + 1) AS bin_idx,
+         COUNT(*) AS cnt
+  FROM ev e CROSS JOIN bounds b GROUP BY 1
+), cum AS (
+  SELECT bin_idx,
+         CAST(SUM(cnt) OVER (ORDER BY bin_idx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+  FROM bins
+), ps AS (SELECT * FROM (VALUES (50), (90), (95), (99)) t(p)
+), hit AS (
+  SELECT p, min(bin_idx) AS bin_idx
+  FROM ps CROSS JOIN bounds b JOIN cum c
+    ON c.cum >= (b.n * p + 99) // 100
+  GROUP BY p
+)
+SELECT h.p, (b.n * h.p + 99) // 100 AS target_rank, h.bin_idx,
+       b.vmin + (h.bin_idx * (b.vmax - b.vmin + 1)) // {_QH_BINS} AS lo_micro,
+       b.vmin + ((h.bin_idx + 1) * (b.vmax - b.vmin + 1)) // {_QH_BINS} AS hi_micro,
+       b.n
+FROM hit h CROSS JOIN bounds b
+""",
+)
+def q_quantile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass histogram quantile sketch: p50/p90/p95/p99 of
+    ``events.value`` located to a 1024-bin equal-width cell, entirely
+    in exact integer math — the deterministic, engine-neutral
+    alternative to t-digest/GK sketches (whose engine-specific
+    internals force q_agg_approx_quantile to stay rows-only).
+
+    Emits per percentile the ceil-rank target and the bracketing bin
+    bounds (error ≤ one bin width by construction).  Scale: the
+    histogram is one map-side-combined aggregate over the scan — the
+    same single-pass shape Spark's own approx sketches use — and
+    everything downstream is arithmetic on ≤ 1024 cumulated rows.
+    """
+    e = load_table(spark, sf_dir, "events")
+    ev = e.select(F.floor(F.col("value") * 1000000).cast("bigint").alias("v"))
+    bounds = ev.agg(
+        F.min("v").alias("vmin"), F.max("v").alias("vmax"), F.count(F.lit(1)).alias("n")
+    )
+    bins = (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy(
+            F.expr(f"((v - vmin) * {_QH_BINS}) div (vmax - vmin + 1)").alias("bin_idx")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    cum = bins.select(
+        "bin_idx",
+        F.sum("cnt")
+        .over(Window.orderBy("bin_idx").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum"),
+    )
+    ps = spark.sql("SELECT * FROM VALUES (50),(90),(95),(99) t(p)")
+    hit = (
+        F.broadcast(ps)
+        .crossJoin(F.broadcast(bounds))
+        .join(cum, F.col("cum") >= F.expr("(n * p + 99) div 100"))
+        .groupBy("p")
+        .agg(F.min("bin_idx").alias("bin_idx"))
+    )
+    return (
+        hit.crossJoin(F.broadcast(bounds))
+        .select(
+            "p",
+            F.expr("(n * p + 99) div 100").alias("target_rank"),
+            "bin_idx",
+            F.expr(f"vmin + (bin_idx * (vmax - vmin + 1)) div {_QH_BINS}").alias(
+                "lo_micro"
+            ),
+            F.expr(
+                f"vmin + ((bin_idx + 1) * (vmax - vmin + 1)) div {_QH_BINS}"
+            ).alias("hi_micro"),
+            "n",
+        )
+    )
