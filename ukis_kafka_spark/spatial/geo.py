@@ -512,6 +512,56 @@ def g_nearest_hub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "g_hub_topk",
+    oracle=f"""
+SELECT hub, event_id, dist_km, rn FROM (
+  SELECT h.hub, e.event_id,
+         round(2 * 6371.0088 * asin(sqrt(
+           pow(sin(radians(({_LAT}) - h.hlat) / 2), 2)
+           + cos(radians({_LAT})) * cos(radians(h.hlat))
+             * pow(sin(radians(({_LON}) - h.hlon) / 2), 2)
+         )), 4) AS dist_km,
+         row_number() OVER (PARTITION BY h.hub
+                            ORDER BY round(2 * 6371.0088 * asin(sqrt(
+                              pow(sin(radians(({_LAT}) - h.hlat) / 2), 2)
+                              + cos(radians({_LAT})) * cos(radians(h.hlat))
+                                * pow(sin(radians(({_LON}) - h.hlon) / 2), 2)
+                            )), 4) ASC, e.event_id ASC) AS rn
+  FROM events e
+  CROSS JOIN (VALUES {_HUB_VALUES}) h(hub, hlon, hlat)
+  WHERE e.event_type = 'signup'
+) WHERE rn <= 5
+""",
+)
+def g_hub_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reverse k-nearest-neighbor: the 5 closest signup events per hub
+    city — the site-centric dual of g_nearest_hub (catchment sampling,
+    store-visit attribution).  Same 6-row broadcast cross product, but
+    the window partitions by HUB, so the per-group top-k is a 6-key
+    window over the expanded stream; at scale this is the shape that
+    wants per-hub grid pre-filtering so each site only ranks points
+    from its neighborhood cells.  Distances on the 4 dp km grid with
+    event_id tie-break (transcendental rule)."""
+    e = load_table(spark, sf_dir, "events").where(F.col("event_type") == "signup")
+    hubs = spark.sql(f"SELECT * FROM (VALUES {_HUB_VALUES}) AS t(hub, hlon, hlat)")
+    lat1 = F.radians(_lat())
+    dlat = F.radians(_lat() - F.col("hlat"))
+    dlon = F.radians(_lon() - F.col("hlon"))
+    a = (
+        F.pow(F.sin(dlat / 2), 2)
+        + F.cos(lat1) * F.cos(F.radians(F.col("hlat"))) * F.pow(F.sin(dlon / 2), 2)
+    )
+    dist = F.round(F.lit(2 * 6371.0088) * F.asin(F.sqrt(a)), 4)
+    w = Window.partitionBy("hub").orderBy(F.col("dist_km").asc(), F.col("event_id").asc())
+    return (
+        e.crossJoin(F.broadcast(hubs))
+        .select("hub", "event_id", dist.alias("dist_km"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+    )
+
+
 _Z_BITS = 16
 
 
