@@ -1998,3 +1998,70 @@ def m_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
         "t", "thr_micro", "n_l", "pos_l", "n_r", "pos_r", "gini_num", "gini_den",
         F.row_number().over(wrank).alias("rank"),
     )
+
+
+@query(
+    "m_sim_histogram",
+    oracle="""
+WITH samp AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 4 = 0
+), dims AS (
+  SELECT vec_id, d, CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT) AS v
+  FROM (SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+               unnest(embedding) AS x
+        FROM samp)
+), prod AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         CAST(SUM(a.v * b.v) AS BIGINT) AS dot,
+         CAST(SUM(a.v * a.v) AS BIGINT) AS na2,
+         CAST(SUM(b.v * b.v) AS BIGINT) AS nb2
+  FROM dims a JOIN dims b ON a.d = b.d AND a.vec_id < b.vec_id
+  GROUP BY a.vec_id, b.vec_id
+)
+SELECT CASE WHEN dot >= 0 THEN (dot * dot * 20) // (na2 * nb2)
+            ELSE -((dot * dot * 20) // (na2 * nb2)) END AS bucket,
+       count(*) AS n_pairs
+FROM prod
+GROUP BY 1
+""",
+)
+def m_sim_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise-similarity histogram over a deterministic 25 % sample
+    (vec_id % 4) — the distribution a dedup pipeline inspects to place
+    its near-duplicate threshold (bimodal = clean separation).
+
+    Similarity is binned WITHOUT sqrt: bucket = sign(cos) ·
+    ⌊20·cos²⌋ from the exact integer identity cos² = dot²/(|a|²|b|²)
+    on a 1e-3 grid (1e-4 would overflow BIGINT in dot²·20), with the
+    sign factored out of the truncating division.  Scale: all-pairs is
+    quadratic by construction, which is exactly why the operator is
+    sample-bounded — the histogram converges statistically long before
+    the full corpus is needed; the per-dim self-join partial-combines
+    map-side like the kNN kernels.
+    """
+    e = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") % 4 == 0)
+    dims = e.select(
+        "vec_id",
+        F.posexplode(
+            F.transform("embedding", lambda x: F.floor(x.cast("double") * 1000).cast("long"))
+        ).alias("d0", "v"),
+    ).select("vec_id", (F.col("d0") + 1).alias("d"), "v")
+    a = dims.select(F.col("vec_id").alias("id_a"), "d", F.col("v").alias("va"))
+    b = dims.select(F.col("vec_id").alias("id_b"), "d", F.col("v").alias("vb"))
+    prod = (
+        a.join(b, (a.d == b.d) & (F.col("id_a") < F.col("id_b")))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.sum(F.col("va") * F.col("vb")).alias("dot"),
+            F.sum(F.col("va") * F.col("va")).alias("na2"),
+            F.sum(F.col("vb") * F.col("vb")).alias("nb2"),
+        )
+    )
+    mag = F.expr("(dot * dot * 20) div (na2 * nb2)")
+    return (
+        prod.select(
+            F.when(F.col("dot") >= 0, mag).otherwise(-mag).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
