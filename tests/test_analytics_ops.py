@@ -303,3 +303,14 @@ def test_quantile_hist_brackets_true_percentile(spark):
         true_pct = v[target - 1]  # ceil-rank order statistic
         assert r.lo_micro <= true_pct < r.hi_micro
         assert r.n == len(v)
+
+
+def test_calibration_curve_is_informative(spark):
+    rows = {r.decile: r for r in _rows(spark, "m_calibration_curve")}
+    assert set(rows) == set(range(1, 11))
+    # margins partition cleanly and accuracy rises with confidence
+    for d in range(1, 10):
+        assert rows[d].max_margin <= rows[d + 1].min_margin
+    assert rows[10].acc_ppm >= rows[1].acc_ppm
+    for r in rows.values():
+        assert r.acc_ppm == r.n_correct * 1_000_000 // r.n

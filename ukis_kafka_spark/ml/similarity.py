@@ -1744,9 +1744,38 @@ def m_perceptron_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "m_centroid_eval",
-    oracle="""
+def _centroid_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared nearest-centroid distance table: every vector's exact
+    integer L2 to every label centroid (see m_centroid_eval)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.select(
+        "vec_id",
+        "label",
+        F.posexplode(
+            F.transform("embedding", lambda x: F.floor(x.cast("double") * 10_000).cast("long"))
+        ).alias("d0", "v"),
+    ).select("vec_id", "label", (F.col("d0") + 1).alias("d"), "v")
+    cent = (
+        q.groupBy(F.col("label").alias("c_label"), "d")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "c_label",
+            "d",
+            F.expr(
+                "CASE WHEN s >= 0 THEN (s * 1000) div n"
+                " ELSE -(((-s) * 1000) div n) END"
+            ).alias("c_milli"),
+        )
+    )
+    diff = F.col("v") * 1000 - F.col("c_milli")
+    return (
+        q.join(F.broadcast(cent), "d")
+        .groupBy("vec_id", F.col("label").alias("true_label"), "c_label")
+        .agg(F.sum(diff * diff).alias("d2"))
+    )
+
+
+_CENTROID_CTE = """
 WITH q AS (
   SELECT e.vec_id, e.label, d,
          CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT) AS v
@@ -1762,16 +1791,24 @@ WITH q AS (
   FROM q GROUP BY label, d
 ), dist AS (
   SELECT q.vec_id, q.label AS true_label, c.c_label,
-         SUM((q.v * 1000 - c.c_milli) * (q.v * 1000 - c.c_milli)) AS d2
+         CAST(SUM((q.v * 1000 - c.c_milli) * (q.v * 1000 - c.c_milli)) AS BIGINT)
+           AS d2
   FROM q JOIN cent c USING (d)
   GROUP BY q.vec_id, q.label, c.c_label
+), ranked AS (
+  SELECT vec_id, true_label, c_label, d2,
+         row_number() OVER (PARTITION BY vec_id
+           ORDER BY d2 ASC, c_label ASC) AS rn
+  FROM dist
 ), pred AS (
-  SELECT vec_id, true_label, c_label AS pred_label FROM (
-    SELECT vec_id, true_label, c_label,
-           row_number() OVER (PARTITION BY vec_id
-             ORDER BY d2 ASC, c_label ASC) AS rn
-    FROM dist) WHERE rn = 1
-), conf AS (
+  SELECT vec_id, true_label, c_label AS pred_label FROM ranked WHERE rn = 1
+)"""
+
+
+@query(
+    "m_centroid_eval",
+    oracle=_CENTROID_CTE + """
+, conf AS (
   SELECT true_label, pred_label, count(*) AS n FROM pred
   GROUP BY true_label, pred_label
 ), per_true AS (
@@ -1806,32 +1843,7 @@ def m_centroid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     the classify join expands each vector row by |labels| and
     partial-combines map-side — one linear scan, one shuffle.
     """
-    e = load_table(spark, sf_dir, "embeddings")
-    q = e.select(
-        "vec_id",
-        "label",
-        F.posexplode(
-            F.transform("embedding", lambda x: F.floor(x.cast("double") * 10_000).cast("long"))
-        ).alias("d0", "v"),
-    ).select("vec_id", "label", (F.col("d0") + 1).alias("d"), "v")
-    cent = (
-        q.groupBy(F.col("label").alias("c_label"), "d")
-        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
-        .select(
-            "c_label",
-            "d",
-            F.expr(
-                "CASE WHEN s >= 0 THEN (s * 1000) div n"
-                " ELSE -(((-s) * 1000) div n) END"
-            ).alias("c_milli"),
-        )
-    )
-    diff = F.col("v") * 1000 - F.col("c_milli")
-    dist = (
-        q.join(F.broadcast(cent), "d")
-        .groupBy("vec_id", F.col("label").alias("true_label"), "c_label")
-        .agg(F.sum(diff * diff).alias("d2"))
-    )
+    dist = _centroid_dist(spark, sf_dir)
     w = Window.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("c_label").asc())
     pred = (
         dist.withColumn("rn", F.row_number().over(w))
@@ -2064,4 +2076,67 @@ def m_sim_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+@query(
+    "m_calibration_curve",
+    oracle=_CENTROID_CTE + """
+, margins AS (
+  SELECT r1.vec_id,
+         CASE WHEN r1.true_label = r1.c_label THEN 1 ELSE 0 END AS correct,
+         r2.d2 - r1.d2 AS margin
+  FROM ranked r1 JOIN ranked r2
+    ON r1.vec_id = r2.vec_id AND r1.rn = 1 AND r2.rn = 2
+), deciled AS (
+  SELECT correct, margin,
+         ntile(10) OVER (ORDER BY margin ASC, vec_id ASC) AS decile
+  FROM margins
+)
+SELECT decile, count(*) AS n,
+       COUNT(CASE WHEN correct = 1 THEN 1 END) AS n_correct,
+       (COUNT(CASE WHEN correct = 1 THEN 1 END) * 1000000) // count(*) AS acc_ppm,
+       min(margin) AS min_margin, max(margin) AS max_margin
+FROM deciled GROUP BY decile
+""",
+)
+def m_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier calibration curve: vectors bucketed into margin
+    deciles (margin = runner-up centroid distance − winner distance,
+    exact integer), with per-decile accuracy in ppm — the reliability
+    diagram that tells a curation pipeline whether the classifier's
+    confidence signal is usable as a filter.
+
+    A well-calibrated nearest-centroid model shows accuracy rising
+    with margin; the test asserts top-decile ≥ bottom-decile.  All
+    counts / margins / ppm quotients exact integers; decile ntile
+    carries the vec_id tiebreak.  Scale: reuses the centroid distance
+    dataflow (one scan + broadcast centroids); margins are |corpus|
+    rows and the decile window runs on those alone.
+    """
+    dist = _centroid_dist(spark, sf_dir)
+    w = Window.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("c_label").asc())
+    ranked = dist.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 2)
+    r1 = ranked.where(F.col("rn") == 1).select(
+        "vec_id",
+        F.when(F.col("true_label") == F.col("c_label"), 1).otherwise(0).alias("correct"),
+        F.col("d2").alias("d2_best"),
+    )
+    r2 = ranked.where(F.col("rn") == 2).select(
+        F.col("vec_id").alias("vid2"), F.col("d2").alias("d2_runner")
+    )
+    margins = r1.join(r2, r1.vec_id == r2.vid2).select(
+        "vec_id", "correct", (F.col("d2_runner") - F.col("d2_best")).alias("margin")
+    )
+    deciled = margins.withColumn(
+        "decile",
+        F.ntile(10).over(Window.orderBy(F.col("margin").asc(), F.col("vec_id").asc())),
+    )
+    return deciled.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("correct") == 1, 1)).alias("n_correct"),
+        F.expr("(count(CASE WHEN correct = 1 THEN 1 END) * 1000000)"
+               " div count(1)").alias("acc_ppm"),
+        F.min("margin").alias("min_margin"),
+        F.max("margin").alias("max_margin"),
     )
