@@ -61,6 +61,12 @@ def test_theta_band_join_broadcasts_tiny_side(spark):
     assert "BroadcastNestedLoopJoin" in plan
 
 
+def test_shuffle_hash_hint_pins_strategy(spark):
+    plan = _formatted_plan(spark, "q_join_shuffle_hash")
+    assert "ShuffledHashJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+
+
 def test_no_python_udf_in_relational_core(spark):
     """The q_* relational queries must stay JVM-side: no Python eval
     nodes (BatchEvalPython/ArrowEvalPython) anywhere in their plans."""

@@ -307,3 +307,70 @@ def u_udtf_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM user_runs(TABLE(events_udtf) PARTITION BY user_id ORDER BY event_id)
         """
     )
+
+
+@query(
+    "u_sql_udf",
+    oracle="""
+SELECT CASE WHEN o_totalprice < 50000 THEN 'low'
+            WHEN o_totalprice < 150000 THEN 'mid'
+            ELSE 'high' END AS band,
+       count(*) AS n,
+       min(o_orderkey) AS min_key
+FROM orders
+GROUP BY 1
+""",
+)
+def u_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-defined scalar UDF (Spark 4 ``CREATE TEMPORARY FUNCTION …
+    RETURNS … RETURN expr``): the banding logic lives as a named,
+    reusable SQL function rather than Python — so unlike every u_py/
+    u_pandas entry it stays fully inside Catalyst (inlined into the
+    plan, codegen'd, pushdown-eligible).  The oracle inlines the same
+    expression; matching results prove the function registry adds
+    nothing to the semantics.  This is the UDF form to prefer at
+    100 TB whenever the logic is expressible in SQL."""
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION price_band(p DOUBLE) RETURNS STRING "
+        "RETURN CASE WHEN p < 50000 THEN 'low' "
+        "WHEN p < 150000 THEN 'mid' ELSE 'high' END"
+    )
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_sqludf")
+    return spark.sql(
+        """
+        SELECT price_band(o_totalprice) AS band,
+               count(*) AS n,
+               min(o_orderkey) AS min_key
+        FROM orders_sqludf
+        GROUP BY 1
+        """
+    )
+
+
+@query(
+    "u_sql_params",
+    oracle="""
+SELECT o_orderpriority, count(*) AS n
+FROM orders
+WHERE o_totalprice >= 100000 AND o_orderstatus = 'F'
+GROUP BY o_orderpriority
+""",
+)
+def u_sql_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL (Spark 4 named-parameter binding): the query
+    text carries ``:min_price`` / ``:status`` placeholders and values
+    bind server-side through ``spark.sql(..., args=...)`` — the
+    injection-safe templating surface an application layer uses
+    instead of string interpolation.  Binding happens before analysis,
+    so constant folding / pushdown see real literals (same plan as the
+    inlined oracle)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_params")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS n
+        FROM orders_params
+        WHERE o_totalprice >= :min_price AND o_orderstatus = :status
+        GROUP BY o_orderpriority
+        """,
+        args={"min_price": 100000, "status": "F"},
+    )

@@ -1742,3 +1742,34 @@ def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(use_back, F.lit("b")).otherwise(F.lit("f")).alias("side"),
         )
     )
+
+
+@query(
+    "q_join_shuffle_hash",
+    oracle="""
+SELECT n.n_name, count(*) AS n_customers,
+       CAST(CAST(SUM(CAST(c.c_acctbal AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)
+         AS total_bal
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+""",
+)
+def q_join_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-strategy control via hint: SHUFFLE_HASH forces a shuffled
+    hash join where the planner would otherwise broadcast the 25-row
+    nation side.  Same results by construction (the oracle has no
+    hints); tests/test_plans pins the ShuffledHashJoin operator.  The
+    real-world use is the inverse case at 100 TB — a dimension just
+    over the broadcast threshold whose equi-join should hash, not
+    sort-merge: the hint skips both sort passes and is the cheapest
+    shuffle join when one side fits a per-task hash map."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation").hint("shuffle_hash")
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast(DEC)).cast("double").alias("total_bal"),
+        )
+    )
