@@ -543,3 +543,104 @@ def q_quantile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+@query(
+    "q_funnel_windowed",
+    oracle="""
+WITH ev AS (
+  SELECT user_id, event_type, event_id,
+         CAST(floor(epoch(date_trunc('second', ts))) AS BIGINT) AS ep
+  FROM events
+), v AS (
+  SELECT user_id, min(event_id) AS v_id, min(ep) AS v_ep
+  FROM ev WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, min(e.event_id) AS c_id, min(e.ep) AS c_ep
+  FROM ev e JOIN v ON v.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.event_id > v.v_id
+  GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, min(e.ep) AS p_ep
+  FROM ev e JOIN c ON c.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.event_id > c.c_id
+  GROUP BY e.user_id
+)
+SELECT count(*) AS n_entered,
+       COUNT(CASE WHEN c.c_ep - v.v_ep <= 86400 THEN 1 END) AS n_level2,
+       COUNT(CASE WHEN c.c_ep - v.v_ep <= 86400
+                   AND p.p_ep - v.v_ep <= 86400 THEN 1 END) AS n_level3,
+       (COUNT(CASE WHEN c.c_ep - v.v_ep <= 86400 THEN 1 END) * 1000000)
+         // count(*) AS conv2_ppm,
+       (COUNT(CASE WHEN c.c_ep - v.v_ep <= 86400
+                    AND p.p_ep - v.v_ep <= 86400 THEN 1 END) * 1000000)
+         // count(*) AS conv3_ppm
+FROM v LEFT JOIN c ON c.user_id = v.user_id
+       LEFT JOIN p ON p.user_id = v.user_id
+""",
+)
+def q_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-constrained sequential funnel (the windowFunnel shape):
+    view → first click strictly after it → first purchase strictly
+    after that, all within 24 h of the entry view.
+
+    Greedy first-match chain semantics, stated exactly: each step is
+    the MIN event_id among candidates after the previous step's id
+    (event_id is the corpus's verified ts-monotone order, so
+    min(event_id) and min(ep) select the same event and Δt needs no
+    per-row pairing).  Unlike q_funnel's unconstrained ordering
+    comparisons, the window bound needs the matched events' times —
+    two user-grain join-aggregates, still no events self-join.  Δt
+    can be 0 (same truncated second, CLAUDE.md) — only compared,
+    never divided.  Scale: three filtered aggregates to user grain +
+    two user-key joins; fact table scanned once per step filter with
+    the type predicate pushed down.
+    """
+    e = load_table(spark, sf_dir, "events")
+    ev = e.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.floor(F.unix_timestamp(F.date_trunc("second", F.col("ts"))))
+        .cast("bigint")
+        .alias("ep"),
+    )
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("event_id").alias("v_id"), F.min("ep").alias("v_ep"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("event_id") > F.col("v_id"))
+        .groupBy("user_id")
+        .agg(F.min("event_id").alias("c_id"), F.min("ep").alias("c_ep"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("event_id") > F.col("c_id"))
+        .groupBy("user_id")
+        .agg(F.min("ep").alias("p_ep"))
+    )
+    lvl2 = F.col("c_ep") - F.col("v_ep") <= 86400
+    lvl3 = lvl2 & (F.col("p_ep") - F.col("v_ep") <= 86400)
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_entered"),
+            F.count(F.when(lvl2, 1)).alias("n_level2"),
+            F.count(F.when(lvl3, 1)).alias("n_level3"),
+            F.expr(
+                "(count(CASE WHEN c_ep - v_ep <= 86400 THEN 1 END) * 1000000)"
+                " div count(1)"
+            ).alias("conv2_ppm"),
+            F.expr(
+                "(count(CASE WHEN c_ep - v_ep <= 86400"
+                " AND p_ep - v_ep <= 86400 THEN 1 END) * 1000000)"
+                " div count(1)"
+            ).alias("conv3_ppm"),
+        )
+    )
