@@ -2140,3 +2140,162 @@ def m_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("margin").alias("min_margin"),
         F.max("margin").alias("max_margin"),
     )
+
+
+_RECALL_NQ = 20
+_RECALL_K = 5
+
+
+def _ann_recall_oracle() -> str:
+    return f"""
+WITH qv AS (
+  SELECT vec_id, d, CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT) AS v
+  FROM (SELECT vec_id, generate_subscripts(embedding, 1) AS d, unnest(embedding) AS x
+        FROM embeddings)
+),
+cents AS (
+  SELECT vec_id AS cid, row_number() OVER (ORDER BY (vec_id * {_IVF_HASH_A}) % {_IVF_HASH_P}, vec_id) - 1 AS list_id
+  FROM embeddings
+  ORDER BY (vec_id * {_IVF_HASH_A}) % {_IVF_HASH_P}, vec_id
+  LIMIT {_IVF_LISTS}
+),
+cvec AS (SELECT c.list_id, qv.d, qv.v AS cv FROM cents c JOIN qv ON qv.vec_id = c.cid),
+cdist AS (
+  SELECT qv.vec_id, cv.list_id, SUM((qv.v - cv.cv) * (qv.v - cv.cv)) AS dist
+  FROM qv JOIN cvec cv USING (d)
+  GROUP BY qv.vec_id, cv.list_id
+),
+ranked_lists AS (
+  SELECT vec_id, list_id,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, list_id ASC) AS rn
+  FROM cdist
+),
+assign AS (SELECT vec_id, list_id FROM ranked_lists WHERE rn = 1),
+probes AS (
+  SELECT vec_id, list_id FROM ranked_lists
+  WHERE rn <= {_IVF_PROBES} AND vec_id < {_RECALL_NQ}
+),
+exact AS (
+  SELECT a.vec_id AS qid, b.vec_id AS nid,
+         CAST(SUM((a.v - b.v) * (a.v - b.v)) AS BIGINT) AS d2
+  FROM qv a JOIN qv b USING (d)
+  WHERE a.vec_id < {_RECALL_NQ} AND b.vec_id <> a.vec_id
+  GROUP BY a.vec_id, b.vec_id
+),
+truth AS (
+  SELECT qid, nid FROM (
+    SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY d2 ASC, nid ASC) AS rn
+    FROM exact) WHERE rn <= {_RECALL_K}
+),
+cand AS (
+  SELECT DISTINCT p.vec_id AS qid, s.vec_id AS nid
+  FROM probes p JOIN assign s ON s.list_id = p.list_id AND s.vec_id <> p.vec_id
+),
+approx AS (
+  SELECT qid, nid FROM (
+    SELECT e.qid, e.nid,
+           row_number() OVER (PARTITION BY e.qid ORDER BY e.d2 ASC, e.nid ASC) AS rn
+    FROM exact e JOIN cand c ON c.qid = e.qid AND c.nid = e.nid
+  ) WHERE rn <= {_RECALL_K}
+),
+ncand AS (SELECT qid, count(*) AS n_cand FROM cand GROUP BY qid)
+SELECT t.qid, nc.n_cand,
+       COUNT(CASE WHEN a.nid IS NOT NULL THEN 1 END) AS n_hits
+FROM truth t
+LEFT JOIN approx a ON a.qid = t.qid AND a.nid = t.nid
+JOIN ncand nc ON nc.qid = t.qid
+GROUP BY t.qid, nc.n_cand
+"""
+
+
+@query("m_ann_recall_eval", oracle=_ann_recall_oracle())
+def m_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-class ANN recall audit: for 20 probe queries, recall@5 of
+    the 16-list / 2-probe IVF index against exact integer-L2 ground
+    truth, emitted as hash-checked per-query hit counts plus the
+    candidate-list size (the recall-vs-cost knob made measurable).
+
+    Promotes what was previously a unit-test-only claim (the ANN
+    recall bound) into the oracle-gated registry: both the ground
+    truth (brute force over the corpus) and the IVF candidate
+    generation (hash-sampled centroids, nearest-list assignment,
+    2-probe search) are exact integer dataflows, so the recall
+    numbers themselves are bit-reproducible.  Scale: ground truth is
+    |queries|×corpus (bounded probe block, broadcast); the IVF side
+    is the same bucketed shape m_ann_ivf runs — the audit costs one
+    extra bounded GEMM, not a second full index pass.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = e.select(
+        "vec_id",
+        F.posexplode(
+            F.transform("embedding", lambda x: F.floor(x.cast("double") * 10_000).cast("long"))
+        ).alias("d0", "v"),
+    ).select("vec_id", (F.col("d0") + 1).alias("d"), "v")
+    cents = (
+        e.select(
+            F.col("vec_id").alias("cid"),
+            ((F.col("vec_id") * _IVF_HASH_A) % _IVF_HASH_P).alias("hk"),
+        )
+        .orderBy("hk", "cid")
+        .limit(_IVF_LISTS)
+        .select(
+            "cid",
+            (F.row_number().over(Window.orderBy("hk", "cid")) - 1).alias("list_id"),
+        )
+    )
+    cvec = F.broadcast(cents).join(qv, qv.vec_id == cents.cid).select(
+        "list_id", "d", F.col("v").alias("cv")
+    )
+    cdist = (
+        qv.join(F.broadcast(cvec), "d")
+        .groupBy("vec_id", "list_id")
+        .agg(F.sum((F.col("v") - F.col("cv")) * (F.col("v") - F.col("cv"))).alias("dist"))
+    )
+    wl = Window.partitionBy("vec_id").orderBy(F.col("dist").asc(), F.col("list_id").asc())
+    ranked_lists = cdist.withColumn("rn", F.row_number().over(wl))
+    assign = ranked_lists.where(F.col("rn") == 1).select(
+        F.col("vec_id").alias("s_vid"), F.col("list_id").alias("s_list")
+    )
+    probes = ranked_lists.where(
+        (F.col("rn") <= _IVF_PROBES) & (F.col("vec_id") < _RECALL_NQ)
+    ).select(F.col("vec_id").alias("qid"), F.col("list_id").alias("p_list"))
+    qblock = qv.where(F.col("vec_id") < _RECALL_NQ).select(
+        F.col("vec_id").alias("qid"), "d", F.col("v").alias("qv")
+    )
+    exact = (
+        qv.join(F.broadcast(qblock), "d")
+        .where(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", F.col("vec_id").alias("nid"))
+        .agg(F.sum((F.col("qv") - F.col("v")) * (F.col("qv") - F.col("v"))).alias("d2"))
+    )
+    wq = Window.partitionBy("qid").orderBy(F.col("d2").asc(), F.col("nid").asc())
+    truth = exact.withColumn("rn", F.row_number().over(wq)).where(
+        F.col("rn") <= _RECALL_K
+    ).select("qid", "nid")
+    cand = (
+        F.broadcast(probes)
+        .join(assign, F.col("s_list") == F.col("p_list"))
+        .where(F.col("s_vid") != F.col("qid"))
+        .select("qid", F.col("s_vid").alias("nid"))
+        .distinct()
+    )
+    approx = (
+        exact.join(cand, ["qid", "nid"])
+        .withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= _RECALL_K)
+        .select("qid", F.col("nid").alias("a_nid"))
+    )
+    ncand = cand.groupBy("qid").agg(F.count(F.lit(1)).alias("n_cand"))
+    return (
+        truth.join(
+            approx,
+            (truth.qid == approx.qid) & (truth.nid == approx.a_nid),
+            "left",
+        )
+        .select(truth.qid.alias("tqid"), "a_nid")
+        .groupBy(F.col("tqid").alias("qid"))
+        .agg(F.count(F.when(F.col("a_nid").isNotNull(), 1)).alias("n_hits"))
+        .join(F.broadcast(ncand), "qid")
+        .select("qid", "n_cand", "n_hits")
+    )
