@@ -1957,3 +1957,81 @@ def m_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("n_chars").alias("n_chars"),
         )
     )
+
+
+@query(
+    "m_budget_select",
+    oracle="""
+WITH scored AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_tokens,
+         (500 * least(len(string_split(text, ' ')), 50)) // 50
+           + (500 * len(list_filter(string_split(text, ' '),
+                t -> t IN ('spark', 'join', 'filter', 'window'))))
+             // len(string_split(text, ' ')) AS quality_milli
+  FROM documents
+), budget AS (
+  SELECT CAST(SUM(n_tokens) AS BIGINT) // 4 AS b FROM scored
+), ranked AS (
+  SELECT doc_id, n_tokens, quality_milli,
+         row_number() OVER (ORDER BY quality_milli DESC, doc_id ASC) AS rnk,
+         CAST(SUM(n_tokens) OVER (ORDER BY quality_milli DESC, doc_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_tokens
+  FROM scored
+)
+SELECT doc_id, rnk, quality_milli, n_tokens, cum_tokens
+FROM ranked CROSS JOIN budget
+WHERE cum_tokens <= b
+""",
+)
+def m_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget data selection: rank documents by an integer
+    quality score (length saturation + stopword hits, the
+    m_quality_score heuristic in exact milli-units) and keep the
+    highest-quality prefix that fits a 25 %-of-corpus token budget —
+    the greedy knapsack every curation pipeline runs before training.
+
+    The budget is relative (total div 4), so the selection stays
+    non-vacuous and partial at every corpus scale; ranking carries
+    the doc_id tiebreak and the running token total is BIGINT-exact.
+    Scale: one scan to score, one global-rank window over doc-grain
+    rows; at 100 TB the window becomes a two-pass quantile cut (find
+    the quality threshold by histogram, then filter) — same result,
+    no global sort.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_tok = F.size(toks)
+    stop_hits = F.size(
+        F.filter(toks, lambda t: t.isin("spark", "join", "filter", "window"))
+    )
+    scored = d.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        (
+            F.expr("(500 * least(size(split(text, ' ')), 50)) div 50")
+            + F.expr(
+                "(500 * CAST(size(filter(split(text, ' '),"
+                " t -> t IN ('spark', 'join', 'filter', 'window'))) AS BIGINT))"
+                " div size(split(text, ' '))"
+            )
+        ).cast("bigint").alias("quality_milli"),
+    )
+    budget = scored.agg(F.expr("sum(n_tokens) div 4").alias("b"))
+    w = Window.orderBy(F.col("quality_milli").desc(), F.col("doc_id").asc())
+    ranked = scored.select(
+        "doc_id",
+        "n_tokens",
+        "quality_milli",
+        F.row_number().over(w).alias("rnk"),
+        F.sum("n_tokens")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint")
+        .alias("cum_tokens"),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(budget))
+        .where(F.col("cum_tokens") <= F.col("b"))
+        .select("doc_id", "rnk", "quality_milli", "n_tokens", "cum_tokens")
+    )

@@ -644,3 +644,134 @@ def q_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("conv3_ppm"),
         )
     )
+
+
+@query(
+    "q_session_stats",
+    oracle="""
+WITH ev AS (
+  SELECT user_id, event_id,
+         CAST(floor(epoch(date_trunc('second', ts))) AS BIGINT) AS ep
+  FROM events
+), marked AS (
+  SELECT user_id, event_id, ep,
+         CASE WHEN ep - lag(ep) OVER (PARTITION BY user_id ORDER BY event_id)
+                   > 1800 OR lag(ep) OVER (PARTITION BY user_id ORDER BY event_id)
+                   IS NULL THEN 1 ELSE 0 END AS new_sess
+  FROM ev
+), sess AS (
+  SELECT user_id, ep, event_id,
+         CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+  FROM marked
+), per_sess AS (
+  SELECT user_id, sid, count(*) AS n_events,
+         max(ep) - min(ep) AS dur_s
+  FROM sess GROUP BY user_id, sid
+)
+SELECT count(*) AS n_sessions,
+       CAST(SUM(n_events) AS BIGINT) AS n_events,
+       (CAST(SUM(n_events) AS BIGINT) * 1000000) // count(*)
+         AS events_per_session_ppm,
+       (CAST(SUM(dur_s) AS BIGINT) * 1000) // count(*) AS mean_dur_ms,
+       CAST(max(dur_s) AS BIGINT) AS max_dur_s,
+       COUNT(CASE WHEN n_events = 1 THEN 1 END) AS n_bounces
+FROM per_sess
+""",
+)
+def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-level engagement report: events sessionized per user on
+    a 30-minute inactivity gap (lag + running-sum session ids — the
+    q_gaps_islands machinery keyed by time gaps), then one global
+    aggregate of session count, events/session, mean duration and
+    bounce count.
+
+    Duration and the two means are exact integer fixed-point
+    (ms / ppm via BIGINT div) — no decimal quotient.  Δt of 0 s
+    within a truncated second is legal (CLAUDE.md) and only compared.
+    Scale: one user-key shuffle for the two windows, one session-key
+    aggregate, one scalar reduce — no self-join.
+    """
+    e = load_table(spark, sf_dir, "events")
+    ev = e.select(
+        "user_id",
+        "event_id",
+        F.floor(F.unix_timestamp(F.date_trunc("second", F.col("ts"))))
+        .cast("bigint")
+        .alias("ep"),
+    )
+    wu = Window.partitionBy("user_id").orderBy("event_id")
+    prev = F.lag("ep").over(wu)
+    marked = ev.select(
+        "user_id",
+        "event_id",
+        "ep",
+        F.when(prev.isNull() | (F.col("ep") - prev > 1800), 1).otherwise(0).alias("new_sess"),
+    )
+    sess = marked.select(
+        "user_id",
+        "ep",
+        F.sum("new_sess")
+        .over(wu.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("sid"),
+    )
+    per_sess = sess.groupBy("user_id", "sid").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max("ep") - F.min("ep")).alias("dur_s"),
+    )
+    return per_sess.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").alias("n_events"),
+        F.expr("(sum(n_events) * 1000000) div count(1)").alias(
+            "events_per_session_ppm"
+        ),
+        F.expr("(sum(dur_s) * 1000) div count(1)").alias("mean_dur_ms"),
+        F.max("dur_s").alias("max_dur_s"),
+        F.count(F.when(F.col("n_events") == 1, 1)).alias("n_bounces"),
+    )
+
+
+@query(
+    "g_tile_rollup",
+    oracle="""
+WITH base AS (
+  SELECT CAST(floor(((value * 3.6 - 180) + 180) / 5) AS BIGINT) AS cx,
+         ((user_id * 7 % 180) - 90 + 90) // 5 AS cy
+  FROM events
+), levels AS (
+  SELECT z, cx >> z AS tx, cy >> z AS ty
+  FROM base CROSS JOIN (VALUES (0), (1), (2), (3)) t(z)
+)
+SELECT z, tx, ty, count(*) AS n_points
+FROM levels GROUP BY z, tx, ty
+""",
+)
+def g_tile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-tile pyramid: point counts at four zoom levels, each tile a
+    right-shift of the base 5° grid cell — the pre-aggregation a tile
+    server materializes so zoomed-out views never rescan points.
+
+    Shifts keep everything in exact integers (cells are non-negative
+    by the +180/+90 offsets, so shift == floor-halving on both
+    engines).  Scale: one scan, a 4× zoom-level expansion, one
+    aggregate; at petabyte scale you'd aggregate z0 first and roll
+    z1-z3 up from z0's output — stated here, with the single-pass
+    form kept because the expansion is cheaper than a second shuffle
+    until z0 cardinality dominates.
+    """
+    e = load_table(spark, sf_dir, "events")
+    base = e.select(
+        F.floor(((F.col("value") * 3.6 - 180) + 180) / 5).cast("bigint").alias("cx"),
+        F.expr("(user_id * 7 % 180 - 90 + 90) div 5").alias("cy"),
+    )
+    zs = spark.sql("SELECT * FROM VALUES (0),(1),(2),(3) t(z)")
+    return (
+        base.crossJoin(F.broadcast(zs))
+        .select(
+            "z",
+            F.expr("shiftright(cx, z)").alias("tx"),
+            F.expr("shiftright(cy, z)").alias("ty"),
+        )
+        .groupBy("z", "tx", "ty")
+        .agg(F.count(F.lit(1)).alias("n_points"))
+    )
