@@ -2299,3 +2299,86 @@ def m_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(ncand), "qid")
         .select("qid", "n_cand", "n_hits")
     )
+
+
+@query(
+    "m_embed_drift",
+    oracle="""
+WITH dims AS (
+  SELECT vec_id, label, vec_id % 2 AS snap, d,
+         CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT) AS v
+  FROM (SELECT vec_id, label, generate_subscripts(embedding, 1) AS d,
+               unnest(embedding) AS x
+        FROM embeddings)
+), cent AS (
+  SELECT label, snap, d,
+         count(DISTINCT vec_id) AS n,
+         CASE WHEN CAST(SUM(v) AS BIGINT) >= 0
+              THEN (CAST(SUM(v) AS BIGINT) * 1000) // count(DISTINCT vec_id)
+              ELSE -(((-CAST(SUM(v) AS BIGINT)) * 1000) // count(DISTINCT vec_id))
+         END AS c_milli
+  FROM dims GROUP BY label, snap, d
+), joined AS (
+  SELECT a.label, a.d, a.n AS n_a, b.n AS n_b,
+         abs(a.c_milli - b.c_milli) AS adiff
+  FROM cent a JOIN cent b ON a.label = b.label AND a.d = b.d
+  WHERE a.snap = 0 AND b.snap = 1
+)
+SELECT label, min(n_a) AS n_a, min(n_b) AS n_b,
+       CAST(SUM(adiff) AS BIGINT) AS l1_milli,
+       CAST(max(adiff) AS BIGINT) AS linf_milli
+FROM joined GROUP BY label
+""",
+)
+def m_embed_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift monitor: the corpus split into two
+    deterministic snapshots (vec_id parity — standing in for
+    \"last week's index vs this week's\"), per-label fixed-point
+    centroids computed for each, and the per-label L1 / L∞ centroid
+    displacement emitted in exact milli-units.
+
+    The alarm a production embedding pipeline needs when the upstream
+    encoder or corpus mix shifts.  Same sign-factored integer mean as
+    m_centroid_eval, so the drift numbers are bit-reproducible.
+    Scale: one scan, one (label, snap, dim) aggregate (map-side
+    combined), then arithmetic on labels×dims rows.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    dims = e.select(
+        "vec_id",
+        "label",
+        (F.col("vec_id") % 2).alias("snap"),
+        F.posexplode(
+            F.transform("embedding", lambda x: F.floor(x.cast("double") * 10_000).cast("long"))
+        ).alias("d0", "v"),
+    ).select("vec_id", "label", "snap", (F.col("d0") + 1).alias("d"), "v")
+    cent = (
+        dims.groupBy("label", "snap", "d")
+        .agg(F.sum("v").alias("s"), F.count_distinct("vec_id").alias("n"))
+        .select(
+            "label",
+            "snap",
+            "d",
+            "n",
+            F.expr(
+                "CASE WHEN s >= 0 THEN (s * 1000) div n"
+                " ELSE -(((-s) * 1000) div n) END"
+            ).alias("c_milli"),
+        )
+    )
+    a = cent.where(F.col("snap") == 0).select(
+        "label", "d", F.col("n").alias("n_a"), F.col("c_milli").alias("ca")
+    )
+    b = cent.where(F.col("snap") == 1).select(
+        F.col("label").alias("lb"), F.col("d").alias("db"),
+        F.col("n").alias("n_b"), F.col("c_milli").alias("cb"),
+    )
+    joined = a.join(b, (a.label == b.lb) & (a.d == b.db)).select(
+        "label", "n_a", "n_b", F.abs(F.col("ca") - F.col("cb")).alias("adiff")
+    )
+    return joined.groupBy("label").agg(
+        F.min("n_a").alias("n_a"),
+        F.min("n_b").alias("n_b"),
+        F.sum("adiff").alias("l1_milli"),
+        F.max("adiff").alias("linf_milli"),
+    )

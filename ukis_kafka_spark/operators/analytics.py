@@ -775,3 +775,89 @@ def g_tile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("z", "tx", "ty")
         .agg(F.count(F.lit(1)).alias("n_points"))
     )
+
+
+@query(
+    "q_top_movers",
+    oracle="""
+WITH bounds AS (
+  SELECT CAST(floor(epoch(min(o_orderdate))) AS BIGINT) AS lo,
+         CAST(floor(epoch(max(o_orderdate))) AS BIGINT) AS hi
+  FROM orders
+), halves AS (
+  SELECT o_custkey,
+         CASE WHEN CAST(floor(epoch(o_orderdate)) AS BIGINT) * 2
+                   < b.lo + b.hi THEN 1 ELSE 2 END AS half,
+         CAST(o_totalprice AS DECIMAL(28,10)) AS price
+  FROM orders CROSS JOIN bounds b
+), per AS (
+  SELECT o_custkey, half,
+         CAST(SUM(price) * 1000000 AS BIGINT) AS rev_micros
+  FROM halves GROUP BY o_custkey, half
+), ranked AS (
+  SELECT o_custkey, half, rev_micros,
+         row_number() OVER (PARTITION BY half
+           ORDER BY rev_micros DESC, o_custkey ASC) AS rnk
+  FROM per
+)
+SELECT a.o_custkey AS custkey, a.rnk AS rank_h1, b.rnk AS rank_h2,
+       a.rnk - b.rnk AS rank_gain, a.rev_micros AS rev_h1, b.rev_micros AS rev_h2
+FROM ranked a JOIN ranked b
+  ON a.o_custkey = b.o_custkey AND a.half = 1 AND b.half = 2
+ORDER BY rank_gain DESC, custkey ASC
+LIMIT 20
+""",
+)
+def q_top_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period movers: customers ranked by revenue in each
+    half of the order-date range, reporting the 20 biggest rank gains
+    — the standard \"top movers\" BI report.
+
+    The period split point is data-derived (epoch midpoint compared
+    via the cross-multiplied integer inequality ``2·ep < lo+hi`` — no
+    halving division), revenue is DECIMAL mass as micro-units, ranks
+    carry the custkey tiebreak, and the final ordering is pinned by
+    the emitted rank_gain.  Scale: one shuffle to (customer, half)
+    grain, two half-partitioned rank windows over customer-grain
+    rows, and a self-join on the customer key.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    ep = F.floor(F.unix_timestamp("o_orderdate")).cast("bigint")
+    bounds = o.agg(
+        F.min(ep).alias("lo"), F.max(ep).alias("hi")
+    )
+    halves = o.crossJoin(F.broadcast(bounds)).select(
+        "o_custkey",
+        F.when(ep * 2 < F.col("lo") + F.col("hi"), 1).otherwise(2).alias("half"),
+        F.col("o_totalprice").cast(DEC).alias("price"),
+    )
+    per = halves.groupBy("o_custkey", "half").agg(
+        (F.sum("price") * 1000000).cast("bigint").alias("rev_micros")
+    )
+    w = Window.partitionBy("half").orderBy(
+        F.col("rev_micros").desc(), F.col("o_custkey").asc()
+    )
+    ranked = per.withColumn("rnk", F.row_number().over(w))
+    a = ranked.where(F.col("half") == 1).select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("rnk").alias("rank_h1"),
+        F.col("rev_micros").alias("rev_h1"),
+    )
+    b = ranked.where(F.col("half") == 2).select(
+        F.col("o_custkey").alias("ck2"),
+        F.col("rnk").alias("rank_h2"),
+        F.col("rev_micros").alias("rev_h2"),
+    )
+    return (
+        a.join(b, a.custkey == b.ck2)
+        .select(
+            "custkey",
+            "rank_h1",
+            "rank_h2",
+            (F.col("rank_h1") - F.col("rank_h2")).alias("rank_gain"),
+            "rev_h1",
+            "rev_h2",
+        )
+        .orderBy(F.col("rank_gain").desc(), F.col("custkey").asc())
+        .limit(20)
+    )
