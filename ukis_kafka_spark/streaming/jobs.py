@@ -924,3 +924,131 @@ def s_chained_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         return run_to_memory(rollup, work, mode="append").localCheckpoint()
 
     return _with_scratch(go)
+
+
+@query(
+    "s_stream_fullouter_join",
+    oracle="""
+WITH c AS (SELECT event_id AS click_id, user_id, ts FROM events WHERE event_type = 'click'),
+p AS (SELECT event_id AS purchase_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+j AS (
+  SELECT c.click_id, p.purchase_id, c.user_id, c.ts AS c_ts, p.ts AS p_ts
+  FROM c JOIN p ON p.user_id = c.user_id
+   AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+),
+wm AS (
+  SELECT least((SELECT max(ts) FROM events WHERE event_type = 'click'),
+               (SELECT max(ts) FROM events WHERE event_type = 'purchase'))
+         - INTERVAL 10 MINUTE AS w
+)
+SELECT click_id, purchase_id, user_id FROM j
+UNION ALL
+SELECT c.click_id, CAST(NULL AS BIGINT) AS purchase_id, c.user_id
+FROM c, wm
+WHERE c.click_id NOT IN (SELECT click_id FROM j)
+  AND c.ts + INTERVAL 1 HOUR < wm.w
+UNION ALL
+SELECT CAST(NULL AS BIGINT) AS click_id, p.purchase_id, p.user_id
+FROM p, wm
+WHERE p.purchase_id NOT IN (SELECT purchase_id FROM j)
+  AND p.ts < wm.w
+""",
+)
+def s_stream_fullouter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER join with event-time bound — both
+    sides' unmatched rows must eventually surface, each under its own
+    watermark-derived closure rule. Spark derives per-side state
+    eviction from the join's time constraint: an unmatched CLICK emits
+    its NULL row once the global watermark passes click_ts + 1 h (no
+    purchase in its match window can still arrive — same rule
+    s_stream_left_join pinned); an unmatched PURCHASE emits once the
+    watermark passes p_ts itself (a matching click would need
+    click_ts <= p_ts, impossible once the watermark is past it). The
+    global watermark is the MIN of the two sides' (multipleWatermark
+    Policy default), and rows whose closure point the final watermark
+    never reached stay withheld when the stream drains. The oracle
+    states all three row classes directly. State on both sides stays
+    watermark-bounded at any scale."""
+
+    def go(work: str) -> DataFrame:
+        stream = replay_events_as_stream(spark, sf_dir, work, n_chunks=4)
+        clicks = (
+            stream.where(F.col("event_type") == "click")
+            .select(
+                F.col("event_id").alias("click_id"),
+                F.col("user_id"),
+                F.col("ts").alias("click_ts"),
+            )
+            .withWatermark("click_ts", "10 minutes")
+        )
+        purchases = (
+            stream.where(F.col("event_type") == "purchase")
+            .select(
+                F.col("event_id").alias("purchase_id"),
+                F.col("user_id").alias("p_user_id"),
+                F.col("ts").alias("p_ts"),
+            )
+            .withWatermark("p_ts", "10 minutes")
+        )
+        joined = clicks.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user_id"))
+            & (F.col("p_ts") >= F.col("click_ts"))
+            & (F.col("p_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+            "fullOuter",
+        ).select(
+            "click_id",
+            "purchase_id",
+            F.coalesce(F.col("user_id"), F.col("p_user_id")).alias("user_id"),
+        )
+        return run_to_memory(joined, work, mode="append").localCheckpoint()
+
+    return _with_scratch(go)
+
+
+@query(
+    "src_statestore",
+    oracle="""
+SELECT user_id, count(*) AS n_events
+FROM events
+GROUP BY user_id
+""",
+)
+def src_statestore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State-store READER (Spark 4 state data source): run a stateful
+    streaming aggregation, then open its checkpoint's state store as a
+    *batch* DataFrame — the introspection path an operator uses to
+    audit, repair, or bootstrap streaming state without replaying the
+    topic. The keyed state of a running count must equal the batch
+    aggregate exactly, which is what the oracle checks. Reading state
+    N partitions at a time is an ordinary parquet-like scan of the
+    HDFS-backed store — no driver materialization; at scale the read
+    parallelizes per state-store partition."""
+
+    def go(work: str) -> DataFrame:
+        stream = replay_events_as_stream(spark, sf_dir, work, n_chunks=4)
+        counts = stream.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+        spark_ = stream.sparkSession
+        prev = spark_.conf.get("spark.sql.shuffle.partitions")
+        spark_.conf.set("spark.sql.shuffle.partitions", "4")
+        try:
+            name = "mem_" + uuid.uuid4().hex[:12]
+            ckpt = os.path.join(work, "ckpt_" + name)
+            q = (
+                counts.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("complete")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            state = spark_.read.format("statestore").load(ckpt)
+            return state.select(
+                F.col("key.user_id").alias("user_id"),
+                F.col("value.count").alias("n_events"),
+            ).localCheckpoint()
+        finally:
+            spark_.conf.set("spark.sql.shuffle.partitions", prev)
+
+    return _with_scratch(go)
