@@ -683,3 +683,83 @@ def m_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 20)
         .drop("rn")
     )
+
+
+_KCORE_K = 90
+_KCORE_ROUNDS = 3
+
+
+def _oracle_kcore() -> str:
+    parts = [
+        """
+WITH edges AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a
+  JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+e0 AS (SELECT src, dst FROM edges UNION ALL SELECT dst AS src, src AS dst FROM edges)"""
+    ]
+    for r in range(1, _KCORE_ROUNDS + 1):
+        parts.append(
+            f""",
+d{r} AS (SELECT src AS node, count(*) AS d FROM e{r - 1} GROUP BY src),
+a{r} AS (SELECT node FROM d{r} WHERE d >= {_KCORE_K}),
+e{r} AS (
+  SELECT s.src, s.dst FROM e{r - 1} s
+  JOIN a{r} x ON s.src = x.node JOIN a{r} y ON s.dst = y.node
+)"""
+        )
+    rounds = " UNION ALL ".join(
+        f"""SELECT {r} AS round,
+       (SELECT count(*) FROM a{r}) AS n_alive,
+       (SELECT count(*) FROM e{r}) // 2 AS n_edges"""
+        for r in range(1, _KCORE_ROUNDS + 1)
+    )
+    return "".join(parts) + f"\nSELECT * FROM ({rounds})"
+
+
+@query("m_graph_kcore", oracle=_oracle_kcore())
+def m_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core peel of the co-order graph ({_K}=90, 3 bounded rounds):
+    repeatedly drop nodes whose degree among survivors falls below k —
+    the standard dense-subgraph / spam-cluster extraction primitive
+    (the full k-core is this peel's fixpoint; the 3-round prefix is
+    the declared bounded-iteration contract, same as m_graph_cc's
+    unrolled rounds). Emits per-round survivor and edge counts — pure
+    integers, hash-safe by construction.
+
+    Scale shape: the cached edge list (coorder_edges) is the only
+    input; each round is one degree aggregate plus a semi-join of the
+    edge list against the (always much smaller) survivor set, which is
+    explicitly broadcast — iterative Catalyst size estimates go stale
+    after a checkpoint, so relying on AQE here picks sort-merge (the
+    round-4 trap). The carried edge list is localCheckpoint()ed per
+    round to keep lineage flat (O(rounds), not O(rounds^2));
+    cluster-scale swap: reliable checkpoint."""
+    edges = coorder_edges(spark, sf_dir)
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    cur = sym.localCheckpoint()
+    per_round = []
+    for r in range(1, _KCORE_ROUNDS + 1):
+        deg = cur.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+        alive = deg.where(F.col("d") >= _KCORE_K).select("src")
+        cur = (
+            cur.join(F.broadcast(alive), "src")
+            .join(
+                F.broadcast(alive.select(F.col("src").alias("dst"))), "dst"
+            )
+            .select("src", "dst")
+            .localCheckpoint()
+        )
+        stats = (
+            cur.agg((F.count(F.lit(1)) / 2).cast("long").alias("n_edges"))
+            .crossJoin(alive.agg(F.count(F.lit(1)).alias("n_alive")))
+            .select(F.lit(r).alias("round"), "n_alive", "n_edges")
+        )
+        per_round.append(stats)
+    out = per_round[0]
+    for s in per_round[1:]:
+        out = out.unionByName(s)
+    return out
