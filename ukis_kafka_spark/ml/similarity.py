@@ -2382,3 +2382,153 @@ def m_embed_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("adiff").alias("l1_milli"),
         F.max("adiff").alias("linf_milli"),
     )
+
+
+_SEM_LISTS = 16
+_SEM_T = 90_000_000  # integer-grid dot threshold ~= cos 0.9 on unit vectors
+
+
+def _semdedup_oracle() -> str:
+    return f"""
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000000 AS vec_id,
+         list_concat([CAST(CAST(embedding[1] AS DOUBLE) + 0.1 AS REAL)], embedding[2:])
+           AS embedding
+  FROM embeddings WHERE vec_id % 50 = 0
+),
+qv AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000) AS BIGINT) AS v
+  FROM corpus
+),
+cents AS (
+  SELECT vec_id AS cid,
+         row_number() OVER (ORDER BY (vec_id * {_IVF_HASH_A}) % {_IVF_HASH_P}, vec_id) - 1
+           AS list_id
+  FROM embeddings
+  ORDER BY (vec_id * {_IVF_HASH_A}) % {_IVF_HASH_P}, vec_id
+  LIMIT {_SEM_LISTS}
+),
+cvec AS (
+  SELECT c.list_id, qv.d, qv.v AS cv FROM cents c JOIN qv ON qv.vec_id = c.cid
+),
+dist AS (
+  SELECT qv.vec_id, cv.list_id, SUM((qv.v - cv.cv) * (qv.v - cv.cv)) AS dist
+  FROM qv JOIN cvec cv USING (d)
+  GROUP BY qv.vec_id, cv.list_id
+),
+home AS (
+  SELECT vec_id, list_id FROM (
+    SELECT vec_id, list_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, list_id ASC) AS rn
+    FROM dist
+  ) WHERE rn = 1
+),
+pairs AS (
+  SELECT ha.list_id, qa.vec_id AS id_a, qb.vec_id AS id_b,
+         CAST(SUM(qa.v * qb.v) AS BIGINT) AS dot_int
+  FROM home ha
+  JOIN home hb ON hb.list_id = ha.list_id AND ha.vec_id < hb.vec_id
+  JOIN qv qa ON qa.vec_id = ha.vec_id
+  JOIN qv qb ON qb.vec_id = hb.vec_id AND qb.d = qa.d
+  GROUP BY 1, 2, 3
+  HAVING SUM(qa.v * qb.v) >= {_SEM_T}
+)
+SELECT p.id_b AS dup_id, k.keeper_id, p.list_id, p.dot_int AS dot_keeper
+FROM (SELECT id_b, min(id_a) AS keeper_id FROM pairs GROUP BY id_b) k
+JOIN pairs p ON p.id_b = k.id_b AND p.id_a = k.keeper_id
+"""
+
+
+@query("m_semdedup", oracle=_semdedup_oracle())
+def m_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:
+    2303.09540): cluster the embedding space, then drop items whose
+    similarity to an earlier item IN THE SAME CLUSTER exceeds a
+    threshold — the cluster stage turns a quadratic corpus-wide pair
+    search into bucket-local work, which is the entire 100 TB story
+    (identical shape to a production run where the 16 deterministic
+    sample centroids become a real k-means fit).
+
+    The corpus plants deterministic near-duplicates in-flight (every
+    50th vector gets a +0.1-nudged clone, as m_embed_dup) — random
+    gaussian pairs top out near cos 0.5, so an un-planted threshold
+    pass would certify nothing. Every decision is engine-reproducible:
+    centroid choice by modular hash, assignment by exact integer L2 on
+    the 1e-4 grid (ties to the smaller list), similarity by exact
+    integer dot of grid values (unit-norm corpus -> self-dot ~1e8;
+    threshold 9e7 ~= cos 0.9; planted clones ~1e8, max random pair
+    ~4.9e7 measured at both gate scales). Per-cluster pairing runs as
+    an int64 GEMM in an Arrow-batched kernel (a JVM 64-term fold per
+    pair is the measured 15-100x-slower shape); only qualifying pairs
+    leave Python. Output: one row per dropped duplicate with its
+    keeper (lowest qualifying id), cluster, and integer dot."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    clones = e.where(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"),
+        F.concat(
+            F.array((F.element_at("embedding", 1).cast("double") + 0.1).cast("float")),
+            F.slice("embedding", 2, _DIM - 1),
+        ).alias("embedding"),
+    )
+    corpus = e.unionByName(clones)
+
+    cent_rows = (
+        e.select(
+            "vec_id",
+            "embedding",
+            F.expr(f"(vec_id * {_IVF_HASH_A}) % {_IVF_HASH_P}").alias("h"),
+        )
+        .orderBy("h", "vec_id")
+        .limit(_SEM_LISTS)
+        .collect()
+    )
+    centroids = np.floor(
+        np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in cent_rows]) * 10000
+    ).astype(np.int64)
+    bc = spark.sparkContext.broadcast(centroids)
+
+    @pandas_udf(T.IntegerType())
+    def home_list(emb: pd.Series) -> pd.Series:
+        if len(emb) == 0:
+            return pd.Series([], dtype="int32")
+        C = bc.value
+        M = np.floor(np.stack(emb.to_numpy()).astype(np.float64) * 10000).astype(np.int64)
+        d2 = ((M[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        out = [int(np.lexsort((np.arange(len(row)), row))[0]) for row in d2]
+        return pd.Series(out, dtype="int32")
+
+    assigned = corpus.select("vec_id", "embedding", home_list(F.col("embedding")).alias("list_id"))
+
+    def sem_gemm(pdf):
+        if len(pdf) == 0:
+            return pd.DataFrame({"list_id": [], "id_a": [], "id_b": [], "dot_int": []})
+        G = np.floor(np.stack(pdf.embedding.to_numpy()).astype(np.float64) * 10000).astype(
+            np.int64
+        )
+        ids = pdf.vec_id.to_numpy()
+        D = G @ G.T  # exact int64 GEMM; |v|<=~4e4 -> dot <= ~1e11, no overflow
+        ii, jj = np.nonzero((D >= _SEM_T) & (ids[:, None] < ids[None, :]))
+        return pd.DataFrame(
+            {
+                "list_id": np.full(len(ii), int(pdf.list_id.iloc[0]), dtype="int32"),
+                "id_a": ids[ii],
+                "id_b": ids[jj],
+                "dot_int": D[ii, jj],
+            }
+        )
+
+    pairs = assigned.groupBy("list_id").applyInPandas(
+        sem_gemm, "list_id int, id_a long, id_b long, dot_int long"
+    )
+    keepers = pairs.groupBy("id_b").agg(F.min("id_a").alias("keeper_id"))
+    return (
+        pairs.withColumnRenamed("id_b", "dup_id")
+        .join(
+            keepers.withColumnRenamed("id_b", "k_dup"),
+            (F.col("dup_id") == F.col("k_dup")) & (F.col("id_a") == F.col("keeper_id")),
+        )
+        .select("dup_id", "keeper_id", "list_id", F.col("dot_int").alias("dot_keeper"))
+    )
