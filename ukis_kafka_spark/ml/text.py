@@ -2035,3 +2035,120 @@ def m_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("cum_tokens") <= F.col("b"))
         .select("doc_id", "rnk", "quality_milli", "n_tokens", "cum_tokens")
     )
+
+
+_DSIR_BUCKETS = 64
+_DSIR_TOPK = 50
+
+
+@query(
+    "m_importance_resample",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), b AS (
+  SELECT doc_id,
+         ((strpos('0123456789abcdef', substring(md5(tok), 1, 1)) - 1) * 16
+          + (strpos('0123456789abcdef', substring(md5(tok), 2, 1)) - 1)) % {_DSIR_BUCKETS}
+           AS bucket
+  FROM toks
+), tgt AS (
+  SELECT b.bucket, count(*) AS c
+  FROM b JOIN documents d ON d.doc_id = b.doc_id AND d.lang = 'en'
+  GROUP BY b.bucket
+), raw AS (
+  SELECT bucket, count(*) AS c FROM b GROUP BY bucket
+), tot AS (
+  SELECT (SELECT CAST(SUM(c) AS BIGINT) FROM tgt) AS nt,
+         (SELECT CAST(SUM(c) AS BIGINT) FROM raw) AS nr
+), score AS (
+  SELECT r.bucket,
+         round(log2( (CAST(COALESCE(t.c, 0) + 1 AS DOUBLE) / (tot.nt + {_DSIR_BUCKETS}))
+                   / (CAST(r.c + 1 AS DOUBLE)             / (tot.nr + {_DSIR_BUCKETS})) ), 6)
+           AS llr
+  FROM raw r LEFT JOIN tgt t ON t.bucket = r.bucket, tot
+), per_doc AS (
+  SELECT b.doc_id,
+         count(*) AS n_tokens,
+         CAST(SUM(CAST(s.llr AS DECIMAL(28,10))) * 1000000 AS BIGINT) AS weight_micros
+  FROM b JOIN score s ON s.bucket = b.bucket
+  GROUP BY b.doc_id
+)
+SELECT doc_id, n_tokens, weight_micros,
+       CAST(row_number() OVER (ORDER BY weight_micros DESC, doc_id ASC) AS BIGINT) AS rank
+FROM per_doc
+ORDER BY rank
+LIMIT {_DSIR_TOPK}
+""",
+)
+def m_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection via importance resampling (Xie et
+    al. 2023, arXiv:2302.03169): score every raw document by the
+    log-likelihood ratio of a TARGET domain's hashed-feature
+    distribution over the RAW distribution, then keep the top-k —
+    the standard recipe for tilting a 100 TB crawl toward a curated
+    domain. Here the target is the 'en' slice, features are
+    md5-hashed unigram buckets (the m_feature_hashing family), both
+    distributions are add-1 smoothed, and a document's weight is the
+    sum of its tokens' per-bucket LLRs.
+
+    Hash-safety: each bucket LLR is a log2 of a ratio of exact
+    integer-derived doubles, rounded to 6 dp BEFORE summing (the
+    m_token_entropy rule for transcendentals); the per-doc sum runs
+    in DECIMAL and exits as exact integer micro-units, so ranking and
+    the top-k cut are integer-deterministic. Scale: two bucket-count
+    aggregates (64 rows each), a 64-row broadcast joined back onto
+    the token stream, one per-doc aggregate, one global top-k — no
+    quadratic stage, no Python."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("tok"))
+    h = F.md5(F.col("tok"))
+    bucket = (
+        F.conv(F.substring(h, 1, 1), 16, 10).cast("bigint") * 16
+        + F.conv(F.substring(h, 2, 1), 16, 10).cast("bigint")
+    ) % _DSIR_BUCKETS
+    b = toks.select("doc_id", "lang", bucket.alias("bucket"))
+    tgt = b.where(F.col("lang") == "en").groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("ct")
+    )
+    raw = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("cr"))
+    nt = tgt.agg(F.sum("ct").alias("nt"))
+    nr = raw.agg(F.sum("cr").alias("nr"))
+    score = (
+        raw.join(tgt, "bucket", "left")
+        .crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(nr))
+        .select(
+            "bucket",
+            F.round(
+                F.log2(
+                    ((F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double")
+                     / (F.col("nt") + _DSIR_BUCKETS))
+                    / ((F.col("cr") + 1).cast("double")
+                       / (F.col("nr") + _DSIR_BUCKETS))
+                ),
+                6,
+            ).alias("llr"),
+        )
+    )
+    per_doc = (
+        b.join(F.broadcast(score), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (F.sum(F.col("llr").cast("decimal(28,10)")) * 1_000_000)
+            .cast("bigint")
+            .alias("weight_micros"),
+        )
+    )
+    w = Window.orderBy(F.col("weight_micros").desc(), F.col("doc_id").asc())
+    return (
+        per_doc.select(
+            "doc_id",
+            "n_tokens",
+            "weight_micros",
+            F.row_number().over(w).cast("bigint").alias("rank"),
+        )
+        .where(F.col("rank") <= _DSIR_TOPK)
+        .orderBy("rank")
+    )
