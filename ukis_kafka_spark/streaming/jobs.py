@@ -1052,3 +1052,132 @@ def src_statestore(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark_.conf.set("spark.sql.shuffle.partitions", prev)
 
     return _with_scratch(go)
+
+
+def _event_timeout_oracle() -> str:
+    """Unrolled 4-batch + final-drain state machine for
+    s_event_timeout: one row per user carries (open-count, open-last)
+    through CASE cascades; a fire at step k emits the open state and
+    resets it before batch k's arrivals are folded in."""
+    cols = ", ".join(
+        f"count(*) FILTER (WHERE b = {k}) AS c{k}, max(us) FILTER (WHERE b = {k}) AS l{k}"
+        for k in range(1, 5)
+    )
+    wms = ", ".join(
+        f"max(us) FILTER (WHERE b <= {k}) // 1000 - 600000 AS w{k}" for k in range(1, 5)
+    )
+    sql = f"""
+WITH ordered AS (
+  SELECT user_id, ts, event_type, value,
+         row_number() OVER (ORDER BY ts) AS rn, count(*) OVER () AS n
+  FROM events
+),
+f AS (
+  SELECT user_id, CAST((rn - 1) // ((n + 3) // 4) AS INT) + 1 AS b,
+         CAST(epoch_us(ts) AS BIGINT) AS us
+  FROM ordered WHERE event_type = 'signup' AND value > 150
+),
+per AS (SELECT user_id, {cols} FROM f GROUP BY user_id),
+wm AS (SELECT {wms} FROM f),
+s1 AS (
+  SELECT user_id, COALESCE(c1, 0) AS oc, l1 AS ol, c2, l2, c3, l3, c4, l4
+  FROM per
+)"""
+    prev = "s1"
+    for k in range(2, 5):
+        sql += f""",
+fire{k} AS (
+  SELECT s.*, (s.oc > 0 AND COALESCE(s.c{k}, 0) = 0
+               AND wm.w{k - 1} > s.ol // 1000 + 1800000) AS f{k}
+  FROM {prev} s, wm
+),
+s{k} AS (
+  SELECT user_id,
+         (CASE WHEN f{k} THEN 0 ELSE oc END) + COALESCE(c{k}, 0) AS oc,
+         (CASE WHEN COALESCE(c{k}, 0) > 0 THEN
+             (CASE WHEN f{k} OR ol IS NULL THEN l{k}
+                   ELSE (CASE WHEN l{k} > ol THEN l{k} ELSE ol END) END)
+           ELSE (CASE WHEN f{k} THEN NULL ELSE ol END) END) AS ol,
+         {", ".join(f"c{j}, l{j}" for j in range(k + 1, 5)) + "," if k < 4 else ""}
+         f{k}, oc AS pre_oc{k}, ol AS pre_ol{k}
+  FROM fire{k}
+)"""
+        prev = f"s{k}"
+    emits = " UNION ALL ".join(
+        f"SELECT user_id, pre_oc{k} AS n_events, pre_ol{k} AS last_us FROM s{k} WHERE f{k}"
+        for k in range(2, 5)
+    )
+    sql += f""",
+drain AS (
+  SELECT s.user_id, s.oc AS n_events, s.ol AS last_us
+  FROM s4 s, wm
+  WHERE s.oc > 0 AND wm.w4 > s.ol // 1000 + 1800000
+)
+{emits}
+UNION ALL
+SELECT * FROM drain
+"""
+    return sql
+
+
+@query("s_event_timeout", oracle=_event_timeout_oracle())
+def s_event_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time TIMER semantics: a custom stateful operator that
+    emits only when a key's inactivity timer fires — the third leg of
+    the arbitrary-state API after update-on-data (s_custom_state) and
+    window eviction (s_session_stream). Per-user state accumulates a
+    thinned signup stream; every update arms an event-time timeout at
+    last-seen + 30 min; when the *watermark* passes that mark with no
+    new data for the key, Spark invokes the function with
+    ``hasTimedOut`` and the operator emits one churn record and drops
+    the state — the canonical inactivity/churn detector, impossible
+    to express as a windowed aggregate because emission is driven by
+    absence of data.
+
+    Deterministic under the pinned replay, so fully oracle-checked:
+    timers are evaluated per micro-batch against the previous batch's
+    watermark (max seen event-time ms − 10 min), a key with arrivals
+    in the batch is served data instead of its timer, and the final
+    availableNow drain batch fires surviving timers against the last
+    watermark — all three rules pinned empirically at two scales and
+    mirrored in the oracle's unrolled per-batch state machine.
+    Emitted timestamps are µs BIGINTs (never raw ts). State is one
+    (count, last_us) pair per key, watermark-bounded at any scale."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def churn(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            n, last_us = state.get
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "last_us": [last_us]}
+            )
+            state.remove()
+            return
+        n, last_us = state.get if state.exists else (0, None)
+        for pdf in pdfs:
+            if len(pdf):
+                n += len(pdf)
+                m = int(pd.to_datetime(pdf["ts"]).astype("int64").max() // 1000)
+                last_us = m if last_us is None else max(last_us, m)
+        state.update((n, last_us))
+        state.setTimeoutTimestamp(last_us // 1000 + 30 * 60 * 1000)
+
+    def go(work: str) -> DataFrame:
+        stream = replay_events_as_stream(spark, sf_dir, work, n_chunks=4)
+        thinned = stream.where(
+            (F.col("event_type") == "signup") & (F.col("value") > 150)
+        )
+        out = (
+            thinned.withWatermark("ts", "10 minutes")
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                churn,
+                outputStructType="user_id long, n_events long, last_us long",
+                stateStructType="n long, last_us long",
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.EventTimeTimeout,
+            )
+        )
+        return run_to_memory(out, work, mode="append").localCheckpoint()
+
+    return _with_scratch(go)
