@@ -91,6 +91,7 @@ _PRIORITY = [
     "q_hierarchy_rollup", "m_bpe_apply", "q_quantile_hist", "g_hub_topk", "m_sim_histogram", "m_calibration_curve", "u_sql_udf", "u_sql_params", "q_join_shuffle_hash", "q_funnel_windowed", "m_ann_recall_eval", "q_session_stats", "g_tile_rollup", "m_budget_select", "q_top_movers", "m_embed_drift",
     "q_collation", "q_pipe_sql", "s_stream_fullouter_join", "src_statestore",
     "m_graph_kcore", "m_semdedup", "m_importance_resample", "s_event_timeout",
+    "q_recursive_cte", "q_sql_variables",
     # ---- 50-entry window boundary is enforced by position, the
     # ---- remainder keeps round-3's order for stable bench diffs
     "q_agg_collect",

@@ -423,7 +423,8 @@ def q_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     its subtree's part count and total revenue.
 
     The oracle walks the tree with a genuine ``WITH RECURSIVE`` CTE;
-    Spark has no recursion, so this side exploits the closed form —
+    this side exploits the closed form instead (q_recursive_cte runs
+    the same walk through Spark 4's native recursion operator) —
     the div-10 ancestor chain of k is exactly the decimal-prefix set
     of k — and unrolls the bounded depth as two prefix projections
     (depth is ≤ ⌈log10(maxkey)⌉, fixed by the key domain).  This is

@@ -119,3 +119,90 @@ def q_pipe_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> ORDER BY l_returnflag, l_linestatus
         """
     )
+
+
+@query(
+    "q_recursive_cte",
+    oracle="""
+WITH RECURSIVE walk AS (
+  SELECT l_partkey AS node, l_partkey AS part, 0 AS depth
+  FROM (SELECT DISTINCT l_partkey FROM lineitem)
+  UNION ALL
+  SELECT node // 10, part, depth + 1 FROM walk WHERE node // 10 >= 1
+)
+SELECT depth,
+       count(*) AS n_rows,
+       count(DISTINCT node) AS n_nodes,
+       CAST(SUM(node) AS BIGINT) AS node_sum
+FROM walk
+GROUP BY depth
+ORDER BY depth
+""",
+)
+def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATIVE ``WITH RECURSIVE`` (Spark 4.x): the div-10 ancestor walk
+    of the part tree executed by the engine's own recursion operator
+    on BOTH sides — the general-recursion counterpart to
+    q_hierarchy_rollup, which translates the same walk into a
+    closed-form bounded unroll. Use the unroll when depth is known
+    (one explode, no iteration); use native recursion when it isn't —
+    Catalyst executes each recursive step as a new plan iteration
+    under a UnionLoop, so cost is depth × step-plan, same as the
+    hand-rolled loop but engine-managed. Integer-only output keeps it
+    hash-safe; depth is bounded by the key domain (≤ 6 digits), so
+    the loop terminates identically in both engines."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("li_rec")
+    return spark.sql(
+        """
+        WITH RECURSIVE walk AS (
+          SELECT l_partkey AS node, l_partkey AS part, 0 AS depth
+          FROM (SELECT DISTINCT l_partkey FROM li_rec)
+          UNION ALL
+          SELECT node DIV 10, part, depth + 1 FROM walk WHERE node DIV 10 >= 1
+        )
+        SELECT depth,
+               count(*) AS n_rows,
+               count(DISTINCT node) AS n_nodes,
+               sum(node) AS node_sum
+        FROM walk
+        GROUP BY depth
+        ORDER BY depth
+        """
+    )
+
+
+@query(
+    "q_sql_variables",
+    oracle="""
+SELECT o_orderpriority,
+       COUNT(*) AS n,
+       COUNT(CASE WHEN o_custkey > (SELECT max(o_custkey) // 2 FROM orders)
+                  THEN 1 END) AS n_upper
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def q_sql_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL session variables (DECLARE / SET VAR, Spark 4): a scalar
+    derived from the data is bound once into a session variable and
+    referenced by a later statement — the scripting surface that
+    replaces string-interpolated thresholds in multi-statement jobs
+    (u_sql_params covers the per-statement parameter-marker path).
+    The variable is folded into the plan as a literal at analysis
+    time, so the consuming query plans exactly like the constant it
+    is; the oracle states the same threshold as a scalar subquery.
+    Integer threshold + counts keep it hash-safe."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("ord_var")
+    spark.sql("DECLARE OR REPLACE VARIABLE ukis_cust_cut BIGINT")
+    spark.sql("SET VAR ukis_cust_cut = (SELECT max(o_custkey) DIV 2 FROM ord_var)")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               count(*) AS n,
+               count(CASE WHEN o_custkey > ukis_cust_cut THEN 1 END) AS n_upper
+        FROM ord_var
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """
+    )
