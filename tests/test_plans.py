@@ -338,3 +338,30 @@ def test_label_outliers_broadcasts_centroids(spark):
     plan = _formatted_plan(spark, "m_label_outliers")
     assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_recursive_cte_uses_union_loop(spark):
+    """q_recursive_cte must run through Spark 4's native recursion
+    operator (UnionLoop) — not a hand-unrolled union."""
+    plan = _formatted_plan(spark, "q_recursive_cte")
+    assert "UnionLoop" in plan, f"no UnionLoop node:\n{plan}"
+
+
+def test_importance_resample_broadcasts_scores(spark):
+    """m_importance_resample's 64-row bucket-score table must
+    broadcast onto the token stream (shuffling the token stream by
+    bucket would be the 100 TB bottleneck), and the whole scoring
+    pipeline stays JVM-side."""
+    plan = _formatted_plan(spark, "m_importance_resample")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_semdedup_pairs_are_cluster_local_kernel(spark):
+    """m_semdedup's pair stage must be the per-cluster Arrow kernel
+    (FlatMapGroupsInPandas) with no sort-merge join anywhere — the
+    keeper resolution joins tiny pair/keeper tables."""
+    plan = _formatted_plan(spark, "m_semdedup")
+    assert "FlatMapGroupsInPandas" in plan
+    assert "SortMergeJoin" not in plan
