@@ -26,6 +26,12 @@ def _rows(spark, name, sf=SF_SMOKE):
     return api.queries()[name](spark, sf).collect()
 
 
+def _events(spark):
+    from ukis_kafka_spark.sources import load_table
+
+    return load_table(spark, SF_SMOKE, "events").collect()
+
+
 def _docs(spark):
     from ukis_kafka_spark.sources import load_table
 
@@ -314,3 +320,86 @@ def test_calibration_curve_is_informative(spark):
     assert rows[10].acc_ppm >= rows[1].acc_ppm
     for r in rows.values():
         assert r.acc_ppm == r.n_correct * 1_000_000 // r.n
+
+
+def test_bitmap_distinct_matches_set_counting(spark):
+    from datetime import datetime
+
+    ev = _events(spark)
+    hourly, daily = collections.defaultdict(set), collections.defaultdict(set)
+    for r in ev:
+        day = int(r.ts.replace(hour=0, minute=0, second=0, microsecond=0)
+                  .timestamp())
+        hour = int(r.ts.replace(minute=0, second=0, microsecond=0).timestamp())
+        hourly[(day, hour)].add(r.user_id)
+        daily[day].add(r.user_id)
+    rows = _rows(spark, "q_bitmap_distinct")
+    assert len(rows) == len(hourly)
+    for r in rows:
+        assert r.hourly_users == len(hourly[(r.day_start, r.hour_start)])
+        assert r.daily_users == len(daily[r.day_start])
+
+
+def test_changepoint_matches_python_cusum(spark):
+    ev = _events(spark)
+    counts = collections.Counter(
+        int(r.ts.replace(minute=0, second=0, microsecond=0).timestamp())
+        for r in ev
+    )
+    hours = sorted(counts)
+    n, total = len(hours), sum(counts.values())
+    prefix, devs = 0, {}
+    for i, h in enumerate(hours, start=1):
+        prefix += counts[h]
+        devs[h] = n * prefix - i * total
+    top = sorted(devs.items(), key=lambda kv: (-abs(kv[1]), kv[0]))[:5]
+    rows = _rows(spark, "q_changepoint")
+    assert sorted((r.hour_start, r.dev_scaled) for r in rows) == sorted(top)
+    for r in rows:
+        assert r.c == counts[r.hour_start]
+
+
+def test_incremental_agg_merge_equals_direct(spark):
+    from decimal import Decimal
+
+    ev = _events(spark)
+    n = collections.Counter(r.event_type for r in ev)
+    mass = collections.defaultdict(Decimal)
+    for r in ev:
+        mass[r.event_type] += Decimal(str(r.value))
+    for r in _rows(spark, "q_incremental_agg"):
+        assert r.n == n[r.event_type]
+        assert r.mass_micros == int(mass[r.event_type] * 1_000_000)
+
+
+def test_benford_digits_and_constants(spark):
+    from ukis_kafka_spark.sources import load_table
+
+    orders = load_table(spark, SF_SMOKE, "orders").collect()
+    counts = collections.Counter(str(int(r.o_totalprice))[0] for r in orders)
+    total = sum(counts.values())
+    rows = _rows(spark, "q_benford")
+    assert {r.digit for r in rows} <= set(range(1, 10))
+    for r in rows:
+        assert r.cnt == counts[str(r.digit)]
+        assert r.obs_micro == r.cnt * 1_000_000 // total
+        assert r.benford_micro == int(math.floor(math.log10(1 + 1 / r.digit) * 1e6))
+
+
+def test_ab_test_counts_and_rates(spark):
+    ev = _events(spark)
+    per = collections.defaultdict(lambda: [0, 0, 0, 0])  # n_a n_b k_a k_b
+    for r in ev:
+        v = r.user_id % 2
+        p = per[r.event_type]
+        p[v] += 1
+        if r.value > 50:
+            p[2 + v] += 1
+    rows = _rows(spark, "q_ab_test")
+    assert rows and all(r.n_a > 0 and r.n_b > 0 for r in rows)
+    # conversion threshold must be non-vacuous on the measured corpus
+    assert any(r.k_a > 0 for r in rows) and any(r.k_b > 0 for r in rows)
+    for r in rows:
+        n_a, n_b, k_a, k_b = per[r.event_type]
+        assert (r.n_a, r.n_b, r.k_a, r.k_b) == (n_a, n_b, k_a, k_b)
+        assert r.lift_micro == k_a * 1_000_000 // n_a - k_b * 1_000_000 // n_b

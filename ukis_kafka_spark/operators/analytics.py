@@ -862,3 +862,275 @@ def q_top_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rank_gain").desc(), F.col("custkey").asc())
         .limit(20)
     )
+
+
+@query(
+    "q_bitmap_distinct",
+    oracle="""
+WITH hourly AS (
+  SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_start,
+         CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start,
+         count(DISTINCT user_id) AS hourly_users
+  FROM events GROUP BY 1, 2
+), daily AS (
+  SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_start,
+         count(DISTINCT user_id) AS daily_users
+  FROM events GROUP BY 1
+)
+SELECT h.day_start, h.hour_start, h.hourly_users, d.daily_users
+FROM hourly h JOIN daily d USING (day_start)
+""",
+)
+def q_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct users per hour AND per day computed from ONE
+    shared bitmap rollup — the re-aggregatable-sketch pattern that
+    replaces COUNT(DISTINCT) at warehouse scale, with exact results
+    (unlike HLL).  Each (hour, user_id div 64) group ORs together a
+    64-bit word holding bit ``user_id % 64``; popcount-summing the
+    words gives the hourly distinct count, and OR-merging the SAME
+    words up to day grain gives the daily distinct count without
+    touching the fact table again — the oracle's two COUNT(DISTINCT)
+    passes prove both levels exact.  Hash-safety: ``shiftleft`` is a
+    pure bit op (1L<<63 wraps to the sign bit, still a distinct OR-able
+    pattern; bit_count is sign-agnostic).  Scale: the words table is
+    |hours| x |user_space/64| rows — the materialized rollup layer; at
+    100 TB it replaces per-query fact scans for every distinct-count
+    grain above it (week/month roll up from days the same way).  The
+    double traversal below re-reads events at sf0.1 instead of
+    persisting 17 k rows; a real deployment writes the words table
+    once and serves every rollup from it."""
+    e = load_table(spark, sf_dir, "events")
+    words = e.select(
+        F.unix_timestamp(F.date_trunc("day", "ts")).alias("day_start"),
+        F.unix_timestamp(F.date_trunc("hour", "ts")).alias("hour_start"),
+        F.expr("user_id div 64").alias("word"),
+        F.expr("shiftleft(1L, CAST(user_id % 64 AS INT))").alias("bit"),
+    )
+    hourly_words = words.groupBy("day_start", "hour_start", "word").agg(
+        F.expr("bit_or(bit)").alias("bits")
+    )
+    hourly = hourly_words.groupBy("day_start", "hour_start").agg(
+        F.sum(F.bit_count("bits")).alias("hourly_users")
+    )
+    daily = (
+        hourly_words.groupBy("day_start", "word")
+        .agg(F.expr("bit_or(bits)").alias("bits"))
+        .groupBy("day_start")
+        .agg(F.sum(F.bit_count("bits")).alias("daily_users"))
+    )
+    return hourly.join(F.broadcast(daily), "day_start").select(
+        "day_start", "hour_start", "hourly_users", "daily_users"
+    )
+
+
+@query(
+    "q_changepoint",
+    oracle="""
+WITH hourly AS (
+  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start,
+         count(*) AS c
+  FROM events GROUP BY 1
+), cusum AS (
+  SELECT hour_start, c,
+         count(*) OVER () AS n,
+         CAST(SUM(c) OVER () AS BIGINT) AS total,
+         CAST(SUM(c) OVER (ORDER BY hour_start
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS prefix,
+         row_number() OVER (ORDER BY hour_start) AS i
+  FROM hourly
+)
+SELECT hour_start, c, dev_scaled FROM (
+  SELECT hour_start, c,
+         n * prefix - i * total AS dev_scaled,
+         row_number() OVER (ORDER BY abs(n * prefix - i * total) DESC,
+                            hour_start ASC) AS rn
+  FROM cusum
+) WHERE rn <= 5
+""",
+)
+def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint scan over the hourly event-rate series: the
+    cumulative deviation from the global mean rate peaks at the hour
+    where the rate regime shifts.  Exact integer form: the deviation
+    ``prefix_i - i*(total/n)`` is emitted scaled by n as
+    ``n*prefix_i - i*total`` (all BIGINT, no division — at these
+    magnitudes n*prefix <= 720 * 1e5 << 2^63), top-5 |dev| rows with
+    hour tiebreak.  Scale: the window runs over the HOURLY aggregate
+    (720 rows), never raw facts — one fact shuffle to hour grain, then
+    a single-partition window over a vanishing row count (same shape
+    as every q_* analytics window here)."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.unix_timestamp(F.date_trunc("hour", "ts")).alias("hour_start")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    wall = Window.partitionBy()
+    word = Window.orderBy("hour_start")
+    cusum = hourly.select(
+        "hour_start",
+        "c",
+        F.count(F.lit(1)).over(wall).alias("n"),
+        F.sum("c").over(wall).alias("total"),
+        F.sum("c").over(word.rowsBetween(Window.unboundedPreceding, 0)).alias("prefix"),
+        F.row_number().over(word).alias("i"),
+    )
+    dev = cusum.select(
+        "hour_start",
+        "c",
+        (F.col("n") * F.col("prefix") - F.col("i") * F.col("total")).alias("dev_scaled"),
+    )
+    wrank = Window.orderBy(F.abs("dev_scaled").desc(), F.col("hour_start").asc())
+    return (
+        dev.withColumn("rn", F.row_number().over(wrank))
+        .where(F.col("rn") <= 5)
+        .select("hour_start", "c", "dev_scaled")
+    )
+
+
+@query(
+    "q_incremental_agg",
+    oracle="""
+SELECT event_type,
+       count(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(28,10))) * 1000000 AS BIGINT) AS mass_micros
+FROM events
+GROUP BY event_type
+""",
+)
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-aggregate merge proof — the incremental-view-maintenance
+    primitive.  The stream is split into two disjoint generations
+    (event_id parity, standing in for 'yesterday's rollup' and 'today's
+    delta'), each reduced to per-type partials (count + exact DECIMAL
+    mass), and the partials are MERGED; the oracle aggregates the
+    whole table directly, so a hash match proves merge(partials) ==
+    full recompute exactly — counts and DECIMAL sums are the
+    associative state that makes rollups incrementally maintainable.
+    Scale: at 100 TB this is the difference between re-scanning the
+    corpus per refresh and folding one delta partition into a stored
+    state table (same contract q_scd2_merge proves for dimensions)."""
+    e = load_table(spark, sf_dir, "events")
+    partials = (
+        e.withColumn("gen", F.expr("event_id % 2"))
+        .groupBy("gen", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("pn"),
+            F.sum(F.col("value").cast(DEC)).alias("pmass"),
+        )
+    )
+    return partials.groupBy("event_type").agg(
+        F.sum("pn").alias("n"),
+        (F.sum("pmass") * 1000000).cast("bigint").alias("mass_micros"),
+    )
+
+
+@query(
+    "q_benford",
+    oracle="""
+WITH digits AS (
+  SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+              AS INTEGER) AS digit
+  FROM orders
+), counted AS (
+  SELECT digit, count(*) AS cnt FROM digits GROUP BY digit
+)
+SELECT digit, cnt,
+       CAST(cnt * 1000000 // (SELECT SUM(cnt) FROM counted) AS BIGINT) AS obs_micro,
+       CASE digit WHEN 1 THEN 301029 WHEN 2 THEN 176091 WHEN 3 THEN 124938
+                  WHEN 4 THEN 96910 WHEN 5 THEN 79181 WHEN 6 THEN 66946
+                  WHEN 7 THEN 57991 WHEN 8 THEN 51152 WHEN 9 THEN 45757
+       END AS benford_micro
+FROM counted
+""",
+)
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of order totals — the classic
+    anomaly/fraud screen a warehouse runs over monetary columns.  The
+    leading digit is taken from the integer part via explicit
+    ``floor`` (Spark's double->int cast truncates, DuckDB's ROUNDS —
+    working-notes trap), observed frequencies are exact integer
+    micro-ratios (cnt*1e6 div total), and the Benford expectation
+    ``log10(1+1/d)`` is embedded as the same floored-micro literals on
+    both sides (transcendental evaluated once offline, not per
+    engine).  Scale: one scan, 9-group hash agg, 9-row window."""
+    o = load_table(spark, sf_dir, "orders")
+    digits = o.select(
+        F.substring(
+            F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+        ).cast("int").alias("digit")
+    )
+    counted = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("cnt"))
+    wall = Window.partitionBy()
+    benford = (
+        F.when(F.col("digit") == 1, 301029).when(F.col("digit") == 2, 176091)
+        .when(F.col("digit") == 3, 124938).when(F.col("digit") == 4, 96910)
+        .when(F.col("digit") == 5, 79181).when(F.col("digit") == 6, 66946)
+        .when(F.col("digit") == 7, 57991).when(F.col("digit") == 8, 51152)
+        .when(F.col("digit") == 9, 45757)
+    )
+    return counted.select(
+        "digit",
+        "cnt",
+        F.expr("cnt * 1000000").alias("scaled"),
+        F.sum("cnt").over(wall).alias("total"),
+    ).select(
+        "digit",
+        "cnt",
+        F.expr("scaled div total").alias("obs_micro"),
+        benford.alias("benford_micro"),
+    )
+
+
+@query(
+    "q_ab_test",
+    oracle="""
+WITH assigned AS (
+  SELECT event_type, user_id % 2 AS variant,
+         CASE WHEN value > 50 THEN 1 END AS hit
+  FROM events
+), per AS (
+  SELECT event_type,
+         COUNT(CASE WHEN variant = 0 THEN 1 END) AS n_a,
+         COUNT(CASE WHEN variant = 1 THEN 1 END) AS n_b,
+         COUNT(CASE WHEN variant = 0 THEN hit END) AS k_a,
+         COUNT(CASE WHEN variant = 1 THEN hit END) AS k_b
+  FROM assigned GROUP BY event_type
+)
+SELECT event_type, n_a, n_b, k_a, k_b,
+       CAST(k_a * 1000000 // n_a AS BIGINT) AS rate_a_micro,
+       CAST(k_b * 1000000 // n_b AS BIGINT) AS rate_b_micro,
+       CAST((k_a * 1000000 // n_a) - (k_b * 1000000 // n_b) AS BIGINT) AS lift_micro
+FROM per
+""",
+)
+def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout with a deterministic hash split
+    (``user_id % 2`` standing in for the assignment hash): per
+    event_type, exposure counts, conversion counts (value > 50, ~half
+    the uniform [0,100) mass — non-vacuous at both tuned scales), and
+    exact fixed-point conversion rates and lift.  COUNT(CASE..) not
+    SUM(CASE..1..0) (DuckDB HUGEINT trap); all divisions are positive
+    BIGINT ``div``.  Scale: single scan, |event_type| groups — the
+    z-statistic's transcendental sqrt is left to the reader of the
+    exact integer sufficient statistics emitted here."""
+    e = load_table(spark, sf_dir, "events")
+    assigned = e.select(
+        "event_type",
+        F.expr("user_id % 2").alias("variant"),
+        F.when(F.col("value") > 50, 1).alias("hit"),
+    )
+    per = assigned.groupBy("event_type").agg(
+        F.count(F.when(F.col("variant") == 0, 1)).alias("n_a"),
+        F.count(F.when(F.col("variant") == 1, 1)).alias("n_b"),
+        F.count(F.when(F.col("variant") == 0, F.col("hit"))).alias("k_a"),
+        F.count(F.when(F.col("variant") == 1, F.col("hit"))).alias("k_b"),
+    )
+    return per.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        "k_a",
+        "k_b",
+        F.expr("k_a * 1000000 div n_a").alias("rate_a_micro"),
+        F.expr("k_b * 1000000 div n_b").alias("rate_b_micro"),
+        F.expr("(k_a * 1000000 div n_a) - (k_b * 1000000 div n_b)").alias("lift_micro"),
+    )
