@@ -403,3 +403,108 @@ def test_ab_test_counts_and_rates(spark):
         n_a, n_b, k_a, k_b = per[r.event_type]
         assert (r.n_a, r.n_b, r.k_a, r.k_b) == (n_a, n_b, k_a, k_b)
         assert r.lift_micro == k_a * 1_000_000 // n_a - k_b * 1_000_000 // n_b
+
+
+def _np_km_fit(spark):
+    """Integer-exact numpy replica of similarity._km_fit (quantize ->
+    seed first K -> 2 Lloyd rounds with truncating integer division)."""
+    from ukis_kafka_spark.ml import similarity as S
+    from ukis_kafka_spark.sources import load_table
+
+    rows = load_table(spark, SF_SMOKE, "embeddings").collect()
+    rows.sort(key=lambda r: r.vec_id)
+    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+    X = np.stack([
+        np.floor(np.asarray(r.embedding, dtype=np.float64) * 1_000_000).astype(np.int64)
+        + S._KM_OFF
+        for r in rows
+    ])
+    cent = X[ids < S._KM_K].copy()
+    assign = None
+    for _ in range(S._KM_ROUNDS):
+        d2 = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)  # ties broken by lowest cluster id
+        cent = np.stack([
+            X[assign == k].sum(axis=0) // max((assign == k).sum(), 1)
+            for k in range(S._KM_K)
+        ])
+    return ids, X, assign, cent, [r.label for r in rows]
+
+
+def test_cluster_purity_matches_numpy_kmeans(spark):
+    ids, X, assign, cent, labels = _np_km_fit(spark)
+    per = collections.defaultdict(collections.Counter)
+    for a, lab in zip(assign, labels):
+        per[int(a)][lab] += 1
+    rows = {r.cluster: r for r in _rows(spark, "m_cluster_purity")}
+    assert set(rows) == set(per)
+    for k, r in rows.items():
+        n = sum(per[k].values())
+        maj_label, maj_n = min(per[k].items(), key=lambda kv: (-kv[1], kv[0]))
+        assert (r.n, r.major_label, r.major_n) == (n, maj_label, maj_n)
+        assert r.purity_micro == maj_n * 1_000_000 // n
+
+
+def test_coreset_sample_is_top_sensitivity(spark):
+    ids, X, assign, cent, _ = _np_km_fit(spark)
+    d2 = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+    best = d2.argmin(axis=1)
+    sens = d2[np.arange(len(X)), best]
+    expected = collections.defaultdict(list)
+    for vid, k, s in zip(ids, best, sens):
+        expected[int(k)].append((-int(s), int(vid)))
+    rows = _rows(spark, "m_coreset_sample")
+    got = collections.defaultdict(list)
+    for r in rows:
+        got[r.cluster].append((r.vec_id, r.sensitivity))
+    for k, cand in expected.items():
+        top = [(vid, -negs) for negs, vid in sorted(cand)[:5]]
+        assert sorted(got[k]) == sorted(top)
+
+
+def test_mmr_select_matches_greedy(spark):
+    from ukis_kafka_spark.ml import similarity as S
+    from ukis_kafka_spark.sources import load_table
+
+    rows = [
+        r for r in load_table(spark, SF_SMOKE, "embeddings").collect()
+        if r.vec_id < S._MMR_POOL
+    ]
+    rows.sort(key=lambda r: r.vec_id)
+    V = np.stack([
+        np.floor(np.asarray(r.embedding, dtype=np.float64) * 1000).astype(np.int64)
+        for r in rows
+    ])
+    ids = [r.vec_id for r in rows]
+    dots = V @ V.T
+    rel = np.diag(dots)
+    selected, scores = [], []
+    for _ in range(3):
+        best = None
+        for i, vid in enumerate(ids):
+            if vid in selected:
+                continue
+            score = rel[i] - (max(dots[i][ids.index(s)] for s in selected)
+                              if selected else 0)
+            cand = (-score, vid)
+            if best is None or cand < best:
+                best = cand
+        selected.append(best[1])
+        scores.append(-best[0])
+    got = sorted(_rows(spark, "m_mmr_select"), key=lambda r: r.rank)
+    assert [r.vec_id for r in got] == selected
+    assert [r.score for r in got] == scores
+
+
+def test_suffix_prefix_dup_matches_python(spark):
+    import re
+
+    pairs = set()
+    docs = [(d, re.sub(r"[^a-z0-9]", "", t.lower())) for d, _, t in _docs(spark)]
+    keyed = [(d, t[:12], t[-12:]) for d, t in docs if len(t) >= 12]
+    for a_id, _, a_suf in keyed:
+        for b_id, b_pref, _ in keyed:
+            if a_id != b_id and a_suf == b_pref:
+                pairs.add((a_id, b_id, a_suf))
+    got = {(r.src_id, r.dst_id, r.glue) for r in _rows(spark, "m_suffix_prefix_dup")}
+    assert got == pairs

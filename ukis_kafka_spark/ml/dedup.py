@@ -813,3 +813,48 @@ def m_entity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(code).alias("min_pair_code"),
         F.max(code).alias("max_pair_code"),
     )
+
+
+@query(
+    "m_suffix_prefix_dup",
+    oracle="""
+WITH norm AS (
+  SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS t
+  FROM documents
+), keyed AS (
+  SELECT doc_id,
+         substring(t, 1, 12) AS pref,
+         substring(t, length(t) - 11, 12) AS suf
+  FROM norm WHERE length(t) >= 12
+)
+SELECT a.doc_id AS src_id, b.doc_id AS dst_id, a.suf AS glue
+FROM keyed a JOIN keyed b ON a.suf = b.pref AND a.doc_id <> b.doc_id
+""",
+)
+def m_suffix_prefix_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concatenation-artifact detector: document pairs where one doc's
+    normalized 12-char SUFFIX equals another's PREFIX — the signature
+    of a split/merge bug in an ingestion pipeline (a doc continuing
+    into the next shard, boilerplate glue, truncated duplicates).
+    Normalization strips everything outside [a-z0-9] so whitespace and
+    punctuation drift can't hide the seam (corpus text is ASCII —
+    chars == bytes per working notes; 12 chars measured non-vacuous:
+    14 pairs at sf0.01, ~1.3 k at sf0.1).  Scale: pure equality join
+    on a 12-byte key — shuffle-hash on key, no similarity scan; the
+    quadratic-looking self-join is linear in matches because the key
+    is high-entropy."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = d.select(
+        "doc_id",
+        F.regexp_replace(F.lower("text"), "[^a-z0-9]", "").alias("t"),
+    ).where(F.length("t") >= 12)
+    keyed = norm.select(
+        "doc_id",
+        F.substring("t", 1, 12).alias("pref"),
+        F.expr("substring(t, length(t) - 11, 12)").alias("suf"),
+    )
+    a = keyed.select(F.col("doc_id").alias("src_id"), F.col("suf").alias("glue"))
+    b = keyed.select(F.col("doc_id").alias("dst_id"), F.col("pref").alias("glue"))
+    return a.join(b, "glue").where(F.col("src_id") != F.col("dst_id")).select(
+        "src_id", "dst_id", "glue"
+    )

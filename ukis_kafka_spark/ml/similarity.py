@@ -754,7 +754,9 @@ _KM_ROUNDS = 2
 _KM_OFF = 1_000_000  # micro-unit offset: keeps quantized values positive
 
 
-def _km_oracle() -> str:
+def _km_cte() -> str:
+    """Shared k-means CTE chain (quantize -> seed -> _KM_ROUNDS Lloyd
+    rounds); the base for every kmeans-derived oracle below."""
     parts = [
         f"""
 WITH q AS (
@@ -788,31 +790,24 @@ c{r + 1} AS (
   GROUP BY a.cluster, q.d
 )"""
         )
+    return "".join(parts)
+
+
+def _km_oracle() -> str:
     last = _KM_ROUNDS - 1
-    parts.append(
-        f"""
+    return _km_cte() + f"""
 SELECT a.cluster, count(DISTINCT a.vec_id) AS n,
        (SELECT CAST(SUM(c) AS BIGINT) FROM c{_KM_ROUNDS} cc WHERE cc.cluster = a.cluster) AS centroid_mass
 FROM assign{last} a
 GROUP BY a.cluster"""
-    )
-    return "".join(parts)
 
 
-@query("m_kmeans_step", oracle=_km_oracle())
-def m_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two rounds of k-means (k=4) over the embedding corpus, entirely
-    in fixed-point integer arithmetic — the classic embedding
-    clustering step (the production form of m_ann_ivf's centroid fit),
-    hash-checked end to end like m_graph_pagerank: quantized
-    coordinates (floor(x*1e6), exact — a float32 times 1e6 fits a
-    double mantissa — plus a positive offset so integer division
-    truncates identically in both engines), integer squared distances,
-    argmin with cluster-id tiebreak, and integer-mean centroid
-    updates. Dataflow per round: one broadcast join of the exploded
-    (vec, dim) table against the K×D centroid table + two hash
-    aggregates — the standard Lloyd's-as-joins shape that scales
-    linearly; no per-row Python."""
+def _km_fit(spark: SparkSession, sf_dir: str):
+    """Spark twin of _km_cte(): quantize, seed, run _KM_ROUNDS Lloyd
+    rounds.  Returns (q, assign, cent): the exploded quantized
+    (vec_id, d, v) table, the final-round assignment, and the final
+    centroid table — the shared scaffold for every kmeans-derived
+    operator (step summary, purity, coreset)."""
     e = load_table(spark, sf_dir, "embeddings")
     q = e.select(
         "vec_id",
@@ -843,6 +838,24 @@ def m_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("cluster", "d")
             .agg(F.expr("sum(v) div count(1)").alias("c"))
         )
+    return q, assign, cent
+
+
+@query("m_kmeans_step", oracle=_km_oracle())
+def m_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two rounds of k-means (k=4) over the embedding corpus, entirely
+    in fixed-point integer arithmetic — the classic embedding
+    clustering step (the production form of m_ann_ivf's centroid fit),
+    hash-checked end to end like m_graph_pagerank: quantized
+    coordinates (floor(x*1e6), exact — a float32 times 1e6 fits a
+    double mantissa — plus a positive offset so integer division
+    truncates identically in both engines), integer squared distances,
+    argmin with cluster-id tiebreak, and integer-mean centroid
+    updates. Dataflow per round: one broadcast join of the exploded
+    (vec, dim) table against the K×D centroid table + two hash
+    aggregates — the standard Lloyd's-as-joins shape that scales
+    linearly; no per-row Python."""
+    q, assign, cent = _km_fit(spark, sf_dir)
     mass = cent.groupBy("cluster").agg(F.sum("c").alias("centroid_mass"))
     return (
         assign.groupBy("cluster")
@@ -2532,3 +2545,230 @@ def m_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("dup_id", "keeper_id", "list_id", F.col("dot_int").alias("dot_keeper"))
     )
+
+
+def _km_purity_oracle() -> str:
+    last = _KM_ROUNDS - 1
+    return _km_cte() + f""",
+labeled AS (
+  SELECT a.cluster, e.label
+  FROM assign{last} a JOIN embeddings e ON e.vec_id = a.vec_id
+), lc AS (
+  SELECT cluster, label, count(*) AS c FROM labeled GROUP BY 1, 2
+), tot AS (
+  SELECT cluster, CAST(SUM(c) AS BIGINT) AS n FROM lc GROUP BY 1
+), maj AS (
+  SELECT cluster, label AS major_label, c AS major_n FROM (
+    SELECT cluster, label, c,
+           row_number() OVER (PARTITION BY cluster
+                              ORDER BY c DESC, label ASC) AS rn
+    FROM lc
+  ) WHERE rn = 1
+)
+SELECT t.cluster, t.n, m.major_label,
+       CAST(m.major_n AS BIGINT) AS major_n,
+       CAST(m.major_n * 1000000 // t.n AS BIGINT) AS purity_micro
+FROM tot t JOIN maj m USING (cluster)"""
+
+
+@query("m_cluster_purity", oracle=_km_purity_oracle())
+def m_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-quality evaluation: label purity of the fixed-point
+    k-means fit (_km_fit) against the corpus's ground-truth labels —
+    the standard unsupervised-fit sanity metric a curation pipeline
+    reports next to the fit itself.  Majority label per cluster is
+    argmax(count desc, label asc); purity is an exact integer
+    micro-ratio.  Scale: the fit is the dominant cost (Lloyd rounds =
+    broadcast joins, see m_kmeans_step); the purity stage is one
+    |clusters|x|labels| aggregate."""
+    e = load_table(spark, sf_dir, "embeddings")
+    _, assign, _ = _km_fit(spark, sf_dir)
+    lc = (
+        assign.join(e.select("vec_id", "label"), "vec_id")
+        .groupBy("cluster", "label")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = lc.groupBy("cluster").agg(F.sum("c").alias("n"))
+    wmaj = Window.partitionBy("cluster").orderBy(F.col("c").desc(), F.col("label").asc())
+    maj = (
+        lc.withColumn("rn", F.row_number().over(wmaj))
+        .where(F.col("rn") == 1)
+        .select("cluster", F.col("label").alias("major_label"), F.col("c").alias("major_n"))
+    )
+    return tot.join(maj, "cluster").select(
+        "cluster",
+        "n",
+        "major_label",
+        "major_n",
+        F.expr("major_n * 1000000 div n").alias("purity_micro"),
+    )
+
+
+def _km_coreset_oracle() -> str:
+    return _km_cte() + f""",
+distF AS (
+  SELECT q.vec_id, c.cluster,
+         CAST(SUM((q.v - c.c) * (q.v - c.c)) AS BIGINT) AS dist
+  FROM q JOIN c{_KM_ROUNDS} c USING (d)
+  GROUP BY 1, 2
+), best AS (
+  SELECT vec_id, cluster, dist FROM (
+    SELECT vec_id, cluster, dist,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dist ASC, cluster ASC) AS rn
+    FROM distF
+  ) WHERE rn = 1
+)
+SELECT cluster, vec_id, dist AS sensitivity FROM (
+  SELECT cluster, vec_id, dist,
+         row_number() OVER (PARTITION BY cluster
+                            ORDER BY dist DESC, vec_id ASC) AS rn
+  FROM best
+) WHERE rn <= 5"""
+
+
+@query("m_coreset_sample", oracle=_km_coreset_oracle())
+def m_coreset_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sensitivity-sampling coreset selection: after the k-means fit,
+    each vector's importance is its squared distance to the nearest
+    FINAL centroid, and the top-5 highest-sensitivity vectors per
+    cluster are selected — the outliers a cluster-aware data-selection
+    pass keeps (or audits) first, and the deterministic core of
+    importance-weighted coreset construction (sensitivity sampling,
+    Feldman-Langberg style).  All distances are exact integers on the
+    same micro-quantized grid as the fit.  Scale: one extra broadcast
+    join + per-vector argmin over the fitted centroids — identical
+    dataflow to the assignment step itself, so it scales exactly as
+    the fit does; the per-cluster top-k is a bounded window over
+    |clusters| groups."""
+    q, _, cent = _km_fit(spark, sf_dir)
+    distf = (
+        q.join(F.broadcast(cent), "d")
+        .groupBy("vec_id", "cluster")
+        .agg(F.sum((F.col("v") - F.col("c")) * (F.col("v") - F.col("c"))).alias("dist"))
+    )
+    wbest = Window.partitionBy("vec_id").orderBy(F.col("dist").asc(), F.col("cluster").asc())
+    best = (
+        distf.withColumn("rn", F.row_number().over(wbest))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "cluster", "dist")
+    )
+    wtop = Window.partitionBy("cluster").orderBy(F.col("dist").desc(), F.col("vec_id").asc())
+    return (
+        best.withColumn("rn", F.row_number().over(wtop))
+        .where(F.col("rn") <= 5)
+        .select("cluster", "vec_id", F.col("dist").alias("sensitivity"))
+    )
+
+
+_MMR_POOL = 24
+
+
+def _mmr_oracle() -> str:
+    return f"""
+WITH pool AS (
+  SELECT vec_id, d, CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT) AS v
+  FROM (
+    SELECT vec_id, generate_subscripts(embedding, 1) AS d, unnest(embedding) AS x
+    FROM embeddings WHERE vec_id < {_MMR_POOL}
+  )
+), dots AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         CAST(SUM(a.v * b.v) AS BIGINT) AS dot
+  FROM pool a JOIN pool b USING (d)
+  GROUP BY 1, 2
+), rel AS (
+  SELECT a_id AS vec_id, dot AS rel FROM dots WHERE a_id = b_id
+), s1 AS (
+  SELECT vec_id, rel AS score FROM rel
+  ORDER BY rel DESC, vec_id ASC LIMIT 1
+), s2 AS (
+  SELECT r.vec_id, r.rel - d.dot AS score
+  FROM rel r
+  JOIN dots d ON d.a_id = r.vec_id AND d.b_id = (SELECT vec_id FROM s1)
+  WHERE r.vec_id <> (SELECT vec_id FROM s1)
+  ORDER BY score DESC, r.vec_id ASC LIMIT 1
+), s3 AS (
+  SELECT r.vec_id, r.rel - MAX(d.dot) AS score
+  FROM rel r
+  JOIN dots d ON d.a_id = r.vec_id
+             AND d.b_id IN ((SELECT vec_id FROM s1), (SELECT vec_id FROM s2))
+  WHERE r.vec_id NOT IN ((SELECT vec_id FROM s1), (SELECT vec_id FROM s2))
+  GROUP BY r.vec_id, r.rel
+  ORDER BY score DESC, r.vec_id ASC LIMIT 1
+)
+SELECT 1 AS rank, vec_id, CAST(score AS BIGINT) AS score FROM s1
+UNION ALL SELECT 2, vec_id, CAST(score AS BIGINT) FROM s2
+UNION ALL SELECT 3, vec_id, CAST(score AS BIGINT) FROM s3"""
+
+
+@query("m_mmr_select", oracle=_mmr_oracle())
+def m_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance selection, 3 greedy rounds unrolled:
+    from a 24-vector candidate pool, pick the most-relevant vector,
+    then twice more the vector maximizing relevance minus its maximum
+    similarity to anything already selected — the diversity-aware
+    data-selection step (MMR, Carbonell-Goldstein) that dedups a
+    retrieval shortlist or a fine-tuning batch.  Relevance is the
+    self-dot and similarity the pairwise dot on a milli-quantized
+    integer grid (|v| <= ~530 -> dots < 2e7, exact in BIGINT; equal
+    units so the lambda=0.5 MMR reduces to rel - max_dot).  Scale: the
+    greedy loop is inherently sequential in k but each round is one
+    broadcast join over the CANDIDATE POOL only — pool selection
+    (top-N by a cheap relevance proxy) is the distributed stage, and
+    this refinement runs on its tiny output, the standard two-phase
+    shape for selection operators."""
+    e = load_table(spark, sf_dir, "embeddings")
+    pool = e.where(F.col("vec_id") < _MMR_POOL).select(
+        "vec_id",
+        F.posexplode(
+            F.transform("embedding", lambda x: F.floor(x.cast("double") * 1000).cast("long"))
+        ).alias("d", "v"),
+    )
+    dots = (
+        pool.alias("a")
+        .join(pool.alias("b"), "d")
+        .groupBy(
+            F.col("a.vec_id").alias("a_id"), F.col("b.vec_id").alias("b_id")
+        )
+        .agg(F.sum(F.col("a.v") * F.col("b.v")).alias("dot"))
+    )
+    rel = dots.where(F.col("a_id") == F.col("b_id")).select(
+        F.col("a_id").alias("vec_id"), F.col("dot").alias("rel")
+    )
+    s1 = rel.orderBy(F.col("rel").desc(), F.col("vec_id").asc()).limit(1).select(
+        F.lit(1).alias("rank"), "vec_id", F.col("rel").alias("score")
+    )
+    sel1 = s1.select(F.col("vec_id").alias("sel_id"))
+    s2 = (
+        rel.join(F.broadcast(sel1), F.col("vec_id") != F.col("sel_id"))
+        .join(
+            dots,
+            (F.col("a_id") == F.col("vec_id")) & (F.col("b_id") == F.col("sel_id")),
+        )
+        .select("vec_id", (F.col("rel") - F.col("dot")).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("vec_id").asc())
+        .limit(1)
+        .select(F.lit(2).alias("rank"), "vec_id", "score")
+    )
+    sel12 = s1.select("vec_id").unionAll(s2.select("vec_id")).select(
+        F.col("vec_id").alias("sel_id")
+    )
+    s3 = (
+        rel.join(
+            F.broadcast(sel12.groupBy().agg(F.collect_set("sel_id").alias("sel"))),
+            ~F.array_contains(F.col("sel"), F.col("vec_id")),
+        )
+        .join(F.broadcast(sel12), F.lit(True))
+        .join(
+            dots,
+            (F.col("a_id") == F.col("vec_id")) & (F.col("b_id") == F.col("sel_id")),
+        )
+        .groupBy("vec_id", "rel")
+        .agg(F.max("dot").alias("maxdot"))
+        .select("vec_id", (F.col("rel") - F.col("maxdot")).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("vec_id").asc())
+        .limit(1)
+        .select(F.lit(3).alias("rank"), "vec_id", "score")
+    )
+    return s1.unionAll(s2).unionAll(s3)
