@@ -508,3 +508,36 @@ def test_suffix_prefix_dup_matches_python(spark):
                 pairs.add((a_id, b_id, a_suf))
     got = {(r.src_id, r.dst_id, r.glue) for r in _rows(spark, "m_suffix_prefix_dup")}
     assert got == pairs
+
+
+def test_confusion_matrix_consistent_with_centroid_eval(spark):
+    conf = _rows(spark, "m_confusion_matrix")
+    ev = {r.label: r for r in _rows(spark, "m_centroid_eval")}
+    row_sums = collections.Counter()
+    col_sums = collections.Counter()
+    diag = {}
+    for r in conf:
+        row_sums[r.true_label] += r.n
+        col_sums[r.pred_label] += r.n
+        if r.true_label == r.pred_label:
+            diag[r.true_label] = r.n
+    for label, e in ev.items():
+        assert row_sums[label] == e.n_true
+        assert col_sums.get(label, 0) == e.n_pred
+        assert diag.get(label, 0) == e.tp
+    assert sum(r.n for r in conf) == sum(e.n_true for e in ev.values())
+
+
+def test_radius_neighbors_matches_brute_force(spark):
+    ev = _events(spark)
+    lon = np.array([r.value * 3.6 - 180 for r in ev])
+    lat = np.array([float((r.user_id * 7) % 180 - 90) for r in ev])
+    dl = np.abs(lon[:, None] - lon[None, :])
+    dm = np.abs(lat[:, None] - lat[None, :])
+    within = (dl <= 2.0) & (dm <= 2.0)
+    np.fill_diagonal(within, False)
+    counts = within.sum(axis=1)
+    expected = collections.Counter(int(c) for c in counts)
+    rows = _rows(spark, "g_radius_neighbors")
+    assert {r.n_neighbors: r.n_points for r in rows} == dict(expected)
+    assert sum(r.n_points for r in rows) == len(ev)

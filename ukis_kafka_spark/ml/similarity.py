@@ -2772,3 +2772,32 @@ def m_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit(3).alias("rank"), "vec_id", "score")
     )
     return s1.unionAll(s2).unionAll(s3)
+
+
+@query(
+    "m_confusion_matrix",
+    oracle=_CENTROID_CTE + """
+SELECT true_label, pred_label, count(*) AS n
+FROM pred
+GROUP BY true_label, pred_label
+""",
+)
+def m_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full confusion matrix of the nearest-centroid classifier
+    (true label x predicted label counts) — the raw evaluation table
+    behind m_centroid_eval's precision/recall rollup, kept as its own
+    operator because error ANALYSIS (which classes confuse with
+    which) needs the off-diagonal cells the rollup discards.  Same
+    shared exact-integer distance table (_centroid_dist), one extra
+    |labels|^2-group aggregate.  Scale: identical to m_centroid_eval —
+    broadcast centroids, one linear classify pass."""
+    dist = _centroid_dist(spark, sf_dir)
+    w = Window.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("c_label").asc())
+    pred = (
+        dist.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("true_label", F.col("c_label").alias("pred_label"))
+    )
+    return pred.groupBy("true_label", "pred_label").agg(
+        F.count(F.lit(1)).alias("n")
+    )

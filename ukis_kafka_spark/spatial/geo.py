@@ -1160,3 +1160,91 @@ def g_speed_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dt",
         F.when(F.col("dt") > 0, F.floor(speed).cast("bigint")).alias("speed_kmh"),
     )
+
+
+@query(
+    "g_radius_neighbors",
+    oracle=f"""
+WITH pts AS (
+  SELECT event_id, {_LON} AS lon, CAST({_LAT} AS DOUBLE) AS lat,
+         CAST(floor({_LON} / 2) AS BIGINT) AS cx,
+         CAST(floor(CAST({_LAT} AS DOUBLE) / 2) AS BIGINT) AS cy
+  FROM events
+), offs AS (
+  SELECT dx, dy FROM (VALUES (-1), (0), (1)) a(dx), (VALUES (-1), (0), (1)) b(dy)
+), probes AS (
+  SELECT p.event_id, p.lon, p.lat, p.cx + o.dx AS kx, p.cy + o.dy AS ky
+  FROM pts p, offs o
+), linked AS (
+  SELECT a.event_id, count(*) AS n_neighbors
+  FROM probes a JOIN pts b ON b.cx = a.kx AND b.cy = a.ky
+  WHERE abs(a.lon - b.lon) <= 2.0 AND abs(a.lat - b.lat) <= 2.0
+        AND b.event_id <> a.event_id
+  GROUP BY a.event_id
+), counts AS (
+  SELECT p.event_id, COALESCE(l.n_neighbors, 0) AS n_neighbors
+  FROM pts p LEFT JOIN linked l USING (event_id)
+)
+SELECT n_neighbors, count(*) AS n_points FROM counts GROUP BY n_neighbors
+""",
+)
+def g_radius_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius-neighbor density profile via grid bucketing: for every
+    point, the exact count of other points within a 2-degree L-inf
+    ball, summarized as a neighbor-count histogram (the DBSCAN
+    density-reachability precursor and the hotspot-density audit).
+    The L-inf metric makes the grid EXACT: with cell size == radius,
+    every qualifying neighbor lies in the 3x3 adjacent cells, so a
+    9-key probe explode + equality join on cell ids replaces the
+    quadratic distance join — the standard spatial-binning dataflow
+    that scales linearly with a skew caveat (a dense cell pairs
+    quadratically within itself; salting the probe side bounds it).
+    Zero-neighbor points are restored by the left join so the
+    histogram masses sum to |points| (checked in tests); all distance
+    comparisons are IEEE-double identical across engines."""
+    e = load_table(spark, sf_dir, "events")
+    pts = e.select(
+        "event_id",
+        _lon().alias("lon"),
+        _lat().alias("lat"),
+        F.floor(_lon() / 2).cast("bigint").alias("cx"),
+        F.floor(_lat() / 2).cast("bigint").alias("cy"),
+    )
+    offs = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+    probes = pts.select(
+        "event_id",
+        "lon",
+        "lat",
+        "cx",
+        "cy",
+        F.explode(
+            F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy")) for dx, dy in offs])
+        ).alias("o"),
+    ).select(
+        "event_id",
+        "lon",
+        "lat",
+        (F.col("cx") + F.col("o.dx")).alias("kx"),
+        (F.col("cy") + F.col("o.dy")).alias("ky"),
+    )
+    b = pts.select(
+        F.col("event_id").alias("b_id"),
+        F.col("lon").alias("b_lon"),
+        F.col("lat").alias("b_lat"),
+        F.col("cx").alias("kx"),
+        F.col("cy").alias("ky"),
+    )
+    linked = (
+        probes.join(b, ["kx", "ky"])
+        .where(
+            (F.abs(F.col("lon") - F.col("b_lon")) <= 2.0)
+            & (F.abs(F.col("lat") - F.col("b_lat")) <= 2.0)
+            & (F.col("event_id") != F.col("b_id"))
+        )
+        .groupBy("event_id")
+        .agg(F.count(F.lit(1)).alias("n_neighbors"))
+    )
+    counts = pts.select("event_id").join(linked, "event_id", "left").select(
+        F.coalesce(F.col("n_neighbors"), F.lit(0)).alias("n_neighbors")
+    )
+    return counts.groupBy("n_neighbors").agg(F.count(F.lit(1)).alias("n_points"))
