@@ -541,3 +541,78 @@ def test_radius_neighbors_matches_brute_force(spark):
     rows = _rows(spark, "g_radius_neighbors")
     assert {r.n_neighbors: r.n_points for r in rows} == dict(expected)
     assert sum(r.n_points for r in rows) == len(ev)
+
+
+def test_rolling_variance_matches_python(spark):
+    ev = _events(spark)
+    import math as _math
+
+    hourly = collections.defaultdict(lambda: [0, 0, 0])
+    for r in ev:
+        h = int(r.ts.replace(minute=0, second=0, microsecond=0).timestamp())
+        x = int(_math.floor(r.value * 100))
+        p = hourly[h]
+        p[0] += 1
+        p[1] += x
+        p[2] += x * x
+    hours = sorted(hourly)
+    rows = {r.hour_start: r for r in _rows(spark, "q_rolling_variance")}
+    assert set(rows) == set(hours)
+    for i, h in enumerate(hours):
+        win = hours[max(0, i - 23): i + 1]
+        N = sum(hourly[w][0] for w in win)
+        S = sum(hourly[w][1] for w in win)
+        SS = sum(hourly[w][2] for w in win)
+        r = rows[h]
+        assert (r.big_n, r.big_s, r.big_ss) == (N, S, SS)
+        assert r.var_scaled == N * SS - S * S
+        assert r.var_scaled >= 0  # N*SS - S^2 = N^2 * var_pop >= 0
+
+
+def test_parallel_variance_equals_two_pass(spark):
+    import math as _math
+
+    ev = _events(spark)
+    per = collections.defaultdict(list)
+    for r in ev:
+        per[r.event_type].append(int(_math.floor(r.value * 100)))
+    for r in _rows(spark, "q_parallel_variance"):
+        xs = per[r.event_type]
+        n, s, ss = len(xs), sum(xs), sum(x * x for x in xs)
+        assert (r.n, r.s, r.ss) == (n, s, ss)
+        assert r.var_scaled == n * ss - s * s
+        mean = s / n
+        two_pass = sum((x - mean) ** 2 for x in xs)
+        assert abs(r.var_scaled / (n * n) - two_pass / n) < 1e-6 * max(two_pass, 1)
+
+
+def test_lorenz_deciles_monotone_and_complete(spark):
+    rows = sorted(_rows(spark, "q_lorenz_deciles"), key=lambda r: r.decile)
+    assert [r.decile for r in rows] == list(range(1, 11))
+    assert rows[-1].cum_share_ppm == 1_000_000
+    shares = [r.cum_share_ppm for r in rows]
+    assert shares == sorted(shares)
+    # Lorenz curve lies under the diagonal (revenue-ranked ascending)
+    for i, r in enumerate(rows[:-1], start=1):
+        assert r.cum_share_ppm <= i * 100_000
+    total = sum(r.dec_centi for r in rows)
+    cum = 0
+    for r in rows:
+        cum += r.dec_centi
+        assert r.cum_share_ppm == cum * 1_000_000 // total
+
+
+def test_dataset_card_matches_python(spark):
+    docs = _docs(spark)
+    from ukis_kafka_spark.sources import load_table
+
+    full = load_table(spark, SF_SMOKE, "documents").collect()
+    texts = [r.text for r in full]
+    (card,) = _rows(spark, "m_dataset_card")
+    assert card.n_docs == len(full)
+    assert card.n_dup_docs == len(texts) - len(set(texts))
+    assert card.dup_ppm == card.n_dup_docs * 1_000_000 // card.n_docs
+    assert card.n_langs == len({r.lang for r in full})
+    assert card.n_sources == len({r.source for r in full})
+    assert card.total_chars == sum(r.n_chars for r in full)
+    assert card.mean_chars == card.total_chars // card.n_docs

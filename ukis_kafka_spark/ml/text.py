@@ -2152,3 +2152,42 @@ def m_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= _DSIR_TOPK)
         .orderBy("rank")
     )
+
+
+@query(
+    "m_dataset_card",
+    oracle="""
+SELECT count(*) AS n_docs,
+       CAST(count(*) - count(DISTINCT text) AS BIGINT) AS n_dup_docs,
+       CAST((count(*) - count(DISTINCT text)) * 1000000 // count(*) AS BIGINT)
+         AS dup_ppm,
+       count(DISTINCT lang) AS n_langs,
+       count(DISTINCT source) AS n_sources,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(n_chars) // count(*) AS BIGINT) AS mean_chars
+FROM documents
+""",
+)
+def m_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row dataset card: the headline numbers a corpus release
+    ships with (doc count, exact-duplicate mass and rate, language and
+    source cardinalities, total/mean characters) computed in a single
+    aggregate over the documents table.  Exact-dup mass is
+    ``count - count(DISTINCT text)`` — the same quantity m_exact_dedup
+    materializes per group, reduced to its audit scalar.  All ratios
+    are integer div.  Scale: the multiple exact COUNT(DISTINCT)s
+    expand the scan (Spark rewrites them via Expand, one pass, ~3x
+    rows in the map stage); at 100 TB swap text for its xxhash64 and
+    lang/source stay low-cardinality — same plan, 8-byte keys."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.count(F.lit(1)) - F.count_distinct(F.col("text"))).alias("n_dup_docs"),
+        F.expr(
+            "(count(1) - count(DISTINCT text)) * 1000000 div count(1)"
+        ).alias("dup_ppm"),
+        F.count_distinct(F.col("lang")).alias("n_langs"),
+        F.count_distinct(F.col("source")).alias("n_sources"),
+        F.sum("n_chars").alias("total_chars"),
+        F.expr("sum(n_chars) div count(1)").alias("mean_chars"),
+    )
