@@ -616,3 +616,45 @@ def test_dataset_card_matches_python(spark):
     assert card.n_sources == len({r.source for r in full})
     assert card.total_chars == sum(r.n_chars for r in full)
     assert card.mean_chars == card.total_chars // card.n_docs
+
+
+def test_graph_modularity_matches_python(spark):
+    from ukis_kafka_spark.sources import load_table
+
+    li = load_table(spark, SF_SMOKE, "lineitem").collect()
+    brand = {
+        r.p_partkey: r.p_brand
+        for r in load_table(spark, SF_SMOKE, "part").collect()
+    }
+    per_order = collections.defaultdict(set)
+    for r in li:
+        per_order[r.l_orderkey].add(r.l_partkey)
+    edges = set()
+    for ps in per_order.values():
+        ps = sorted(ps)
+        for i, a in enumerate(ps):
+            for b in ps[i + 1:]:
+                edges.add((a, b))
+    m = len(edges)
+    deg = collections.Counter()
+    e_in = collections.Counter()
+    for a, b in edges:
+        deg[a] += 1
+        deg[b] += 1
+        if brand[a] == brand[b]:
+            e_in[brand[a]] += 1
+    deg_b = collections.Counter()
+    n_nodes = collections.Counter()
+    for node, d in deg.items():
+        deg_b[brand[node]] += d
+        n_nodes[brand[node]] += 1
+    rows = _rows(spark, "m_graph_modularity")
+    assert {r.brand for r in rows} == set(deg_b)
+    q_scaled = 0
+    for r in rows:
+        assert r.n_nodes == n_nodes[r.brand]
+        assert r.deg_sum == deg_b[r.brand]
+        assert r.e_in == e_in.get(r.brand, 0)
+        assert r.contrib_scaled == 4 * m * r.e_in - r.deg_sum * r.deg_sum
+        q_scaled += r.contrib_scaled
+    assert -4 * m * m <= q_scaled <= 4 * m * m  # Q in [-1, 1]

@@ -273,3 +273,27 @@ def test_parquet_bloom_filter_is_physically_written(spark, tmp_path):
 
     assert pq_bytes(bloomed) > pq_bytes(plain)
     assert spark.read.parquet(bloomed).count() == spark.read.parquet(plain).count()
+
+
+def test_suffstats_stream_equals_closed_batch_windows(spark):
+    """Streamed (n, s, ss) windows must equal the batch aggregate over
+    the same closed windows, and the scaled variance derived from the
+    streamed state must be non-negative (it is N^2 * var_pop)."""
+    stream_result = api.queries()["s_suffstats_stream"](spark, SF_SMOKE)
+    x = F.floor(F.col("value") * 100).cast("long")
+    ev = load_table(spark, SF_SMOKE, "events")
+    closure = ev.agg(
+        (F.floor(F.unix_timestamp(F.max("ts"))) - 600).alias("wm")
+    ).collect()[0]["wm"]
+    batch = (
+        ev.groupBy(
+            F.unix_timestamp(F.date_trunc("hour", "ts")).alias("hour_start"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(x).alias("s"), F.sum(x * x).alias("ss"))
+        .where(F.col("hour_start") + 3600 <= F.lit(closure))
+    )
+    cols = ("hour_start", "event_type", "n", "s", "ss")
+    assert _rows(stream_result, *cols) == _rows(batch, *cols)
+    for r in stream_result.collect():
+        assert r.n * r.ss - r.s * r.s >= 0

@@ -763,3 +763,91 @@ def m_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     for s in per_round[1:]:
         out = out.unionByName(s)
     return out
+
+
+@query(
+    "m_graph_modularity",
+    oracle="""
+WITH edges AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a
+  JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+), mtot AS (
+  SELECT count(*) AS m FROM edges
+), bs AS (
+  SELECT ps.p_brand AS sb, pd.p_brand AS db
+  FROM edges e
+  JOIN part ps ON ps.p_partkey = e.src
+  JOIN part pd ON pd.p_partkey = e.dst
+), sym AS (
+  SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges
+), deg AS (
+  SELECT node, count(*) AS d FROM sym GROUP BY node
+), degb AS (
+  SELECT p.p_brand, count(*) AS n_nodes, CAST(SUM(d.d) AS BIGINT) AS deg_sum
+  FROM deg d JOIN part p ON p.p_partkey = d.node
+  GROUP BY p.p_brand
+), ein AS (
+  SELECT sb AS p_brand, count(*) AS e_in FROM bs WHERE sb = db GROUP BY sb
+)
+SELECT d.p_brand AS brand, d.n_nodes, d.deg_sum,
+       COALESCE(e.e_in, 0) AS e_in,
+       4 * (SELECT m FROM mtot) * COALESCE(e.e_in, 0)
+         - d.deg_sum * d.deg_sum AS contrib_scaled
+FROM degb d LEFT JOIN ein e USING (p_brand)
+""",
+)
+def m_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the co-order graph under the part-brand
+    partition, exact: per community the within-community edge count
+    e_c, total degree deg_c, and the integer-scaled contribution
+    ``4*m*e_c - deg_c^2`` (sum/(4m^2) = Q), so community assortativity
+    is hash-checked with no rational division at all.  Magnitude:
+    deg_c <= 2m and e_c <= m keep both products under 2^63 beyond a
+    100x corpus (m ~ 1e8 -> ~6e16).  Scale: edges come from the
+    ingest-time co-order cache (built once, coorder_edges); brands
+    join via the broadcast part dim; everything else is two hash
+    aggregates over edges — no iteration, one shuffle each."""
+    edges = coorder_edges(spark, sf_dir)
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    mtot = edges.agg(F.count(F.lit(1)).alias("m"))
+    bs = (
+        edges.join(
+            F.broadcast(part.select(F.col("p_partkey").alias("src"), F.col("p_brand").alias("sb"))),
+            "src",
+        )
+        .join(
+            F.broadcast(part.select(F.col("p_partkey").alias("dst"), F.col("p_brand").alias("db"))),
+            "dst",
+        )
+    )
+    sym = edges.select(F.col("src").alias("node")).unionAll(
+        edges.select(F.col("dst").alias("node"))
+    )
+    deg = sym.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    degb = (
+        deg.join(
+            F.broadcast(part.select(F.col("p_partkey").alias("node"), "p_brand")), "node"
+        )
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_nodes"), F.sum("d").alias("deg_sum"))
+    )
+    ein = (
+        bs.where(F.col("sb") == F.col("db"))
+        .groupBy(F.col("sb").alias("p_brand"))
+        .agg(F.count(F.lit(1)).alias("e_in"))
+    )
+    return (
+        degb.join(F.broadcast(ein), "p_brand", "left")
+        .crossJoin(F.broadcast(mtot))
+        .select(
+            F.col("p_brand").alias("brand"),
+            "n_nodes",
+            "deg_sum",
+            F.coalesce(F.col("e_in"), F.lit(0)).alias("e_in"),
+            (
+                F.lit(4) * F.col("m") * F.coalesce(F.col("e_in"), F.lit(0))
+                - F.col("deg_sum") * F.col("deg_sum")
+            ).alias("contrib_scaled"),
+        )
+    )

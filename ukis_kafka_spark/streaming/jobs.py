@@ -1181,3 +1181,54 @@ def s_event_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
         return run_to_memory(out, work, mode="append").localCheckpoint()
 
     return _with_scratch(go)
+
+
+@query(
+    "s_suffstats_stream",
+    oracle="""
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start,
+       event_type,
+       count(*) AS n,
+       CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS s,
+       CAST(SUM(CAST(floor(value * 100) AS BIGINT)
+                * CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS ss
+FROM events
+GROUP BY 1, 2
+HAVING hour_start + 3600 <= (SELECT CAST(floor(epoch(max(ts))) AS BIGINT) - 600 FROM events)
+""",
+)
+def s_suffstats_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sufficient statistics: watermarked tumbling 1-hour
+    windows emitting exact (count, sum, sum-of-squares) per event type
+    on the same centi-unit integer grid as q_rolling_variance — the
+    live feed that keeps a variance/z-score monitoring band current
+    without any batch backfill.  Counts and integer sums are exactly
+    the associative state Structured Streaming's incremental aggs
+    maintain, so the appended windows equal the batch aggregate under
+    the standard closure rule (append mode withholds the final open
+    window; oracle mirrors it).  Scale: per-window-per-type state rows
+    only; the downstream 24-row variance window runs on the sink table
+    (q_rolling_variance), keeping the stream's state bounded."""
+
+    def go(work: str) -> DataFrame:
+        stream = replay_events_as_stream(spark, sf_dir, work, n_chunks=4)
+        x = F.floor(F.col("value") * 100).cast("long")
+        agg = (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(x).alias("s"),
+                F.sum(x * x).alias("ss"),
+            )
+            .select(
+                F.unix_timestamp(F.col("w.start")).alias("hour_start"),
+                "event_type",
+                "n",
+                "s",
+                "ss",
+            )
+        )
+        return run_to_memory(agg, work, mode="append").localCheckpoint()
+
+    return _with_scratch(go)
