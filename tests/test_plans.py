@@ -365,3 +365,43 @@ def test_semdedup_pairs_are_cluster_local_kernel(spark):
     plan = _formatted_plan(spark, "m_semdedup")
     assert "FlatMapGroupsInPandas" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_radius_neighbors_joins_on_cells_not_cartesian(spark):
+    """The 3x3 probe explode must turn the radius join into an
+    equality join on cell keys — a nested-loop/cartesian here is the
+    quadratic plan the grid exists to avoid."""
+    plan = _formatted_plan(spark, "g_radius_neighbors")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "kx" in plan and "ky" in plan
+
+
+def test_bitmap_distinct_has_no_expand(spark):
+    """The bitmap rollup replaces COUNT(DISTINCT): the plan must be
+    plain hash aggregates over bit_or words — an Expand node would
+    mean Spark fell back to the distinct-rewrite this operator
+    bypasses."""
+    plan = _formatted_plan(spark, "q_bitmap_distinct")
+    assert "Expand" not in plan
+    assert "bit_or" in plan and "bit_count" in plan
+
+
+def test_graph_modularity_broadcasts_part_dim(spark):
+    plan = _formatted_plan(spark, "m_graph_modularity")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_mmr_greedy_rounds_stay_broadcast(spark):
+    """Each unrolled MMR round joins the 24-vector pool against
+    one-row selections — every join must broadcast; a sort-merge here
+    means the tiny-side statistics were lost."""
+    plan = _formatted_plan(spark, "m_mmr_select")
+    assert "SortMergeJoin" not in plan
+
+
+def test_suffstats_partials_combine_map_side(spark):
+    plan = _formatted_plan(spark, "q_parallel_variance")
+    assert "partial_sum" in plan or "partial_count" in plan
+    assert plan.count("+- Exchange") <= 2

@@ -2732,6 +2732,11 @@ def m_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.vec_id").alias("a_id"), F.col("b.vec_id").alias("b_id")
         )
         .agg(F.sum(F.col("a.v") * F.col("b.v")).alias("dot"))
+        # materialize the 576-row pairwise table ONCE: every greedy
+        # round joins against it, and without the checkpoint each
+        # round re-executes the whole dots lineage (the O(k^2)
+        # iterative-loop trap from the working notes)
+        .localCheckpoint()
     )
     rel = dots.where(F.col("a_id") == F.col("b_id")).select(
         F.col("a_id").alias("vec_id"), F.col("dot").alias("rel")
@@ -2743,7 +2748,7 @@ def m_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     s2 = (
         rel.join(F.broadcast(sel1), F.col("vec_id") != F.col("sel_id"))
         .join(
-            dots,
+            F.broadcast(dots),
             (F.col("a_id") == F.col("vec_id")) & (F.col("b_id") == F.col("sel_id")),
         )
         .select("vec_id", (F.col("rel") - F.col("dot")).alias("score"))
@@ -2761,7 +2766,7 @@ def m_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(F.broadcast(sel12), F.lit(True))
         .join(
-            dots,
+            F.broadcast(dots),
             (F.col("a_id") == F.col("vec_id")) & (F.col("b_id") == F.col("sel_id")),
         )
         .groupBy("vec_id", "rel")
