@@ -658,3 +658,23 @@ def test_graph_modularity_matches_python(spark):
         assert r.contrib_scaled == 4 * m * r.e_in - r.deg_sum * r.deg_sum
         q_scaled += r.contrib_scaled
     assert -4 * m * m <= q_scaled <= 4 * m * m  # Q in [-1, 1]
+
+
+def test_dbscan_classify_matches_brute_force(spark):
+    ev = _events(spark)
+    ids = [r.event_id for r in ev]
+    lon = np.array([r.value * 3.6 - 180 for r in ev])
+    lat = np.array([float((r.user_id * 7) % 180 - 90) for r in ev])
+    within = (np.abs(lon[:, None] - lon[None, :]) <= 2.0) & (
+        np.abs(lat[:, None] - lat[None, :]) <= 2.0
+    )
+    np.fill_diagonal(within, False)
+    counts = within.sum(axis=1)
+    is_core = counts >= 4
+    # border: non-core with at least one core neighbor
+    has_core_nb = (within & is_core[None, :]).any(axis=1)
+    cls = np.where(is_core, "core", np.where(has_core_nb, "border", "noise"))
+    expected = collections.Counter(cls.tolist())
+    got = {r.cls: r.n_points for r in _rows(spark, "g_dbscan_classify")}
+    assert got == dict(expected)
+    assert set(got) == {"core", "border", "noise"}  # non-vacuous at smoke scale

@@ -1235,7 +1235,10 @@ def g_radius_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cy").alias("ky"),
     )
     linked = (
-        probes.join(b, ["kx", "ky"])
+        # explode wrecks Catalyst's size estimate (working-notes trap):
+        # left unhinted, Spark broadcasts the 9x-exploded PROBE side
+        # (~900k rows) -- pin the build side to the un-exploded points
+        probes.join(F.broadcast(b), ["kx", "ky"])
         .where(
             (F.abs(F.col("lon") - F.col("b_lon")) <= 2.0)
             & (F.abs(F.col("lat") - F.col("b_lat")) <= 2.0)
@@ -1248,3 +1251,134 @@ def g_radius_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n_neighbors"), F.lit(0)).alias("n_neighbors")
     )
     return counts.groupBy("n_neighbors").agg(F.count(F.lit(1)).alias("n_points"))
+
+
+@query(
+    "g_dbscan_classify",
+    oracle=f"""
+WITH pts AS (
+  SELECT event_id, {_LON} AS lon, CAST({_LAT} AS DOUBLE) AS lat,
+         CAST(floor({_LON} / 2) AS BIGINT) AS cx,
+         CAST(floor(CAST({_LAT} AS DOUBLE) / 2) AS BIGINT) AS cy
+  FROM events
+), offs AS (
+  SELECT dx, dy FROM (VALUES (-1), (0), (1)) a(dx), (VALUES (-1), (0), (1)) b(dy)
+), pairs AS (
+  SELECT a.event_id AS a_id, b.event_id AS b_id
+  FROM (SELECT p.event_id, p.lon, p.lat, p.cx + o.dx AS kx, p.cy + o.dy AS ky
+        FROM pts p, offs o) a
+  JOIN pts b ON b.cx = a.kx AND b.cy = a.ky
+  WHERE abs(a.lon - b.lon) <= 2.0 AND abs(a.lat - b.lat) <= 2.0
+        AND b.event_id <> a.event_id
+), counts AS (
+  SELECT p.event_id,
+         (SELECT count(*) FROM pairs w WHERE w.a_id = p.event_id) AS n_neighbors
+  FROM pts p
+), core AS (
+  SELECT event_id FROM counts WHERE n_neighbors >= 4
+), border AS (
+  SELECT DISTINCT c.event_id
+  FROM counts c
+  JOIN pairs pr ON pr.a_id = c.event_id
+  JOIN core k ON k.event_id = pr.b_id
+  WHERE c.n_neighbors < 4
+)
+SELECT cls, count(*) AS n_points FROM (
+  SELECT c.event_id,
+         CASE WHEN c.n_neighbors >= 4 THEN 'core'
+              WHEN b.event_id IS NOT NULL THEN 'border'
+              ELSE 'noise' END AS cls
+  FROM counts c LEFT JOIN border b USING (event_id)
+) GROUP BY cls
+""",
+)
+def g_dbscan_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN point classification (eps = 2-degree L-inf, minPts = 4,
+    tuned non-vacuous on the measured density at BOTH gate scales:
+    mean neighbor count ~2.5 at sf0.01 and ~25 at sf0.1, so all three
+    classes appear): core points have >= minPts neighbors, border
+    points are non-core within eps of a core point, the rest is
+    noise — the density-clustering precursor whose cluster expansion
+    is plain connected components over the core-core pairs
+    (m_graph_cc's dataflow).  The eps-neighbor pairs come from ONE
+    grid-cell equality join (same exact 3x3 bucketing as
+    g_radius_neighbors) and are localCheckpoint-ed, because counts,
+    the core set, and the border probe all reuse them — without the
+    checkpoint the probe re-executes the grid join (working-notes
+    iterative-loop trap).  Scale: one grid shuffle + two joins over
+    the materialized pair list."""
+    e = load_table(spark, sf_dir, "events")
+    pts = e.select(
+        "event_id",
+        _lon().alias("lon"),
+        _lat().alias("lat"),
+        F.floor(_lon() / 2).cast("bigint").alias("cx"),
+        F.floor(_lat() / 2).cast("bigint").alias("cy"),
+    )
+    offs = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+    probes = pts.select(
+        "event_id",
+        "lon",
+        "lat",
+        "cx",
+        "cy",
+        F.explode(
+            F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy")) for dx, dy in offs])
+        ).alias("o"),
+    ).select(
+        "event_id",
+        "lon",
+        "lat",
+        (F.col("cx") + F.col("o.dx")).alias("kx"),
+        (F.col("cy") + F.col("o.dy")).alias("ky"),
+    )
+    b = pts.select(
+        F.col("event_id").alias("b_id"),
+        F.col("lon").alias("b_lon"),
+        F.col("lat").alias("b_lat"),
+        F.col("cx").alias("kx"),
+        F.col("cy").alias("ky"),
+    )
+    pairs = (
+        # same build-side pin as g_radius_neighbors (explode estimate trap)
+        probes.join(F.broadcast(b), ["kx", "ky"])
+        .where(
+            (F.abs(F.col("lon") - F.col("b_lon")) <= 2.0)
+            & (F.abs(F.col("lat") - F.col("b_lat")) <= 2.0)
+            & (F.col("event_id") != F.col("b_id"))
+        )
+        .select(F.col("event_id").alias("a_id"), "b_id")
+        .localCheckpoint()
+    )
+    counts = (
+        pts.select("event_id")
+        .join(pairs.groupBy("a_id").agg(F.count(F.lit(1)).alias("n_neighbors")),
+              pts.event_id == F.col("a_id"), "left")
+        .select("event_id", F.coalesce(F.col("n_neighbors"), F.lit(0)).alias("n_neighbors"))
+    )
+    core = counts.where(F.col("n_neighbors") >= 4).select(
+        F.col("event_id").alias("core_id")
+    )
+    # Border probe prunes FIRST: non-core points have < minPts pairs
+    # each, so broadcasting the (small) non-core id set shrinks the
+    # pair list to a few rows per candidate before the core join and
+    # the distinct — probing all pairs made this the dominant cost.
+    noncore = counts.where(F.col("n_neighbors") < 4).select(
+        F.col("event_id").alias("nc_id")
+    )
+    border = (
+        pairs.join(F.broadcast(noncore), pairs.a_id == F.col("nc_id"))
+        .join(core, pairs.b_id == F.col("core_id"))
+        .select(F.col("a_id").alias("event_id"))
+        .distinct()
+    )
+    classified = (
+        counts.join(border.withColumn("is_border", F.lit(1)), "event_id", "left")
+        .select(
+            F.when(F.col("n_neighbors") >= 4, "core")
+            .when(F.col("is_border") == 1, "border")
+            .otherwise("noise")
+            .alias("cls")
+        )
+    )
+    return classified.groupBy("cls").agg(F.count(F.lit(1)).alias("n_points"))
