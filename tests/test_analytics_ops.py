@@ -678,3 +678,31 @@ def test_dbscan_classify_matches_brute_force(spark):
     got = {r.cls: r.n_points for r in _rows(spark, "g_dbscan_classify")}
     assert got == dict(expected)
     assert set(got) == {"core", "border", "noise"}  # non-vacuous at smoke scale
+
+
+def test_share_of_total_sums_and_top(spark):
+    rows = _rows(spark, "q_share_of_total")
+    assert len(rows) == len({r.nation for r in rows})
+    total = sum(r.rev_micros for r in rows)
+    top = max(r.rev_micros for r in rows)
+    for r in rows:
+        assert r.share_permille == r.rev_micros * 1000 // total
+        assert r.vs_top_permille == r.rev_micros * 1000 // top
+    assert max(r.vs_top_permille for r in rows) == 1000
+    # permille shares sum to ~1000 (floor rounding loses < |rows|)
+    s = sum(r.share_permille for r in rows)
+    assert 1000 - len(rows) <= s <= 1000
+
+
+def test_cumulative_distinct_matches_set_union(spark):
+    ev = _events(spark)
+    per_day = collections.defaultdict(set)
+    for r in ev:
+        d = int(r.ts.replace(hour=0, minute=0, second=0, microsecond=0).timestamp())
+        per_day[d].add(r.user_id)
+    seen, expected = set(), {}
+    for d in sorted(per_day):
+        seen |= per_day[d]
+        expected[d] = len(seen)
+    got = {r.day_start: r.cum_users for r in _rows(spark, "q_cumulative_distinct")}
+    assert got == expected

@@ -1307,3 +1307,101 @@ def q_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div sum(dec_centi) OVER () AS BIGINT)"
         ).alias("cum_share_ppm"),
     )
+
+
+@query(
+    "q_share_of_total",
+    oracle="""
+WITH per_nation AS (
+  SELECT n.n_name AS nation,
+         CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                       AS DECIMAL(28,10))) * 1000000 AS BIGINT) AS rev_micros
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY n.n_name
+)
+SELECT nation, rev_micros,
+       CAST(rev_micros * 1000 // (SELECT SUM(rev_micros) FROM per_nation)
+            AS BIGINT) AS share_permille,
+       CAST(rev_micros * 1000 // (SELECT MAX(rev_micros) FROM per_nation)
+            AS BIGINT) AS vs_top_permille
+FROM per_nation
+""",
+)
+def q_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each nation's exact revenue share of the total
+    (permille) and relative size versus the largest nation (ppm) — the
+    classic percent-of-total window pattern.  Shares are integer div
+    over exact DECIMAL micro-mass; permille (not ppm) resolution keeps
+    rev_micros*1000 within BIGINT at 100x corpus mass (ppm overflowed
+    at sf0.01 already - ANSI caught it).  Scale:
+    the fact aggregate is the only big shuffle (nation via broadcast
+    dims); the two global references are a 25-row window."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+    per_nation = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg((F.sum(rev) * 1000000).cast("bigint").alias("rev_micros"))
+    )
+    wall = Window.partitionBy()
+    return per_nation.select(
+        "nation",
+        "rev_micros",
+        F.sum("rev_micros").over(wall).alias("total"),
+        F.max("rev_micros").over(wall).alias("top"),
+    ).select(
+        "nation",
+        "rev_micros",
+        F.expr("rev_micros * 1000 div total").alias("share_permille"),
+        F.expr("rev_micros * 1000 div top").alias("vs_top_permille"),
+    )
+
+
+@query(
+    "q_cumulative_distinct",
+    oracle="""
+WITH days AS (
+  SELECT DISTINCT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_start
+  FROM events
+)
+SELECT d.day_start,
+       (SELECT count(DISTINCT e.user_id) FROM events e
+        WHERE CAST(epoch(date_trunc('day', e.ts)) AS BIGINT) <= d.day_start)
+         AS cum_users
+FROM days d
+""",
+)
+def q_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running distinct users per day ("cumulative reach").  The naive
+    form — the oracle's correlated COUNT(DISTINCT) per day — rescans
+    the fact table once per day; the scalable identity is that a user
+    counts from their FIRST day onward, so cumulative distinct is the
+    running sum of first-seen counts: one shuffle to per-user min(day),
+    one tiny per-day aggregate, one |days|-row window.  (For SLIDING
+    distinct windows, where first-seen does not apply, the bitmap-word
+    rollup of q_bitmap_distinct is the tool — OR the trailing days'
+    words and popcount.)  All counts are exact integers."""
+    e = load_table(spark, sf_dir, "events")
+    day = F.unix_timestamp(F.date_trunc("day", "ts")).alias("day_start")
+    firsts = (
+        e.select("user_id", day)
+        .groupBy("user_id")
+        .agg(F.min("day_start").alias("first_day"))
+        .groupBy(F.col("first_day").alias("day_start"))
+        .agg(F.count(F.lit(1)).alias("new_users"))
+    )
+    days = e.select(day).distinct()
+    wcum = Window.orderBy("day_start").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        days.join(firsts, "day_start", "left")
+        .select("day_start", F.coalesce("new_users", F.lit(0)).alias("new_users"))
+        .select("day_start", F.sum("new_users").over(wcum).alias("cum_users"))
+    )
