@@ -297,3 +297,37 @@ def test_suffstats_stream_equals_closed_batch_windows(spark):
     assert _rows(stream_result, *cols) == _rows(batch, *cols)
     for r in stream_result.collect():
         assert r.n * r.ss - r.s * r.s >= 0
+
+
+def test_py_stream_sink_commit_is_idempotent(tmp_path):
+    """A replayed micro-batch (same batchId after a crash) must
+    overwrite its own files, not duplicate rows — the deterministic
+    batch-{id}-{task}.jsonl naming is the exactly-once mechanism."""
+    import json
+    import os
+
+    from ukis_kafka_spark.sources.pydatasource import _JsonlStreamWriter
+
+    w = _JsonlStreamWriter(str(tmp_path))
+    rows1 = [(1, "click", 1.5), (2, "view", 2.5)]
+    m1 = w.write(iter(rows1))
+    w.commit([m1], batchId=7)
+    # crash-replay of batch 7 with identical content
+    m2 = w.write(iter(rows1))
+    w.commit([m2], batchId=7)
+    files = sorted(os.listdir(tmp_path))
+    assert files == ["batch-00007-00000.jsonl"]
+    got = [json.loads(l) for l in open(tmp_path / files[0])]
+    assert [g["event_id"] for g in got] == [1, 2]
+
+
+def test_py_stream_sink_abort_removes_temp(tmp_path):
+    import os
+
+    from ukis_kafka_spark.sources.pydatasource import _JsonlStreamWriter
+
+    w = _JsonlStreamWriter(str(tmp_path))
+    m = w.write(iter([(1, "click", 1.0)]))
+    assert os.path.exists(m.tmp_path)
+    w.abort([m], batchId=3)
+    assert os.listdir(tmp_path) == []

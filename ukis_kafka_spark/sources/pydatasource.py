@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
@@ -328,4 +329,135 @@ def src_py_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.table(name).localCheckpoint()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        _shutil.rmtree(work, ignore_errors=True)
+
+
+class _JsonlStreamWriter(DataSourceStreamWriter):
+    """Streaming twin of _JsonlWriter: the same task-temp-file /
+    driver-rename two-phase protocol, made EXACTLY-ONCE across
+    micro-batch retries by deterministic final names — commit()
+    renames each task file to ``batch-{batchId:05d}-{i:05d}.jsonl``,
+    so a replayed batch (post-crash re-execution of an uncommitted
+    epoch) overwrites its own files instead of duplicating rows."""
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def write(self, rows):
+        import json as _json
+        import os as _os
+        import uuid as _uuid
+
+        tmp = _os.path.join(self.path, f"_tmp_{_uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(tmp, "w") as f:
+            for r in rows:
+                f.write(_json.dumps({"event_id": r[0], "event_type": r[1], "value": r[2]}))
+                f.write("\n")
+                n += 1
+        return _JsonlCommit(tmp, n)
+
+    def commit(self, messages, batchId):
+        import os as _os
+
+        for i, m in enumerate(messages):
+            if m is None:
+                continue
+            _os.replace(
+                m.tmp_path,
+                _os.path.join(self.path, f"batch-{batchId:05d}-{i:05d}.jsonl"),
+            )
+
+    def abort(self, messages, batchId):
+        import os as _os
+
+        for m in messages:
+            if m is None:
+                continue
+            try:
+                _os.remove(m.tmp_path)
+            except OSError:
+                pass
+
+
+class JsonlStreamSinkDataSource(DataSource):
+    """``df.writeStream.format("jsonlsinkstream").option("path", ...)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonlsinkstream"
+
+    def streamWriter(self, schema, overwrite: bool) -> DataSourceStreamWriter:
+        return _JsonlStreamWriter(self.options["path"])
+
+
+def _ensure_stream_sink_registered(spark: SparkSession) -> None:
+    if getattr(spark, "_jsonlsinkstream_registered", False):
+        return
+    spark.dataSource.register(JsonlStreamSinkDataSource)
+    spark._jsonlsinkstream_registered = True
+
+
+@query(
+    "sink_py_stream",
+    oracle="""
+SELECT event_type,
+       count(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(28,10))) * 1000000 AS BIGINT) AS mass_micros
+FROM events
+GROUP BY event_type
+""",
+)
+def sink_py_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end STREAMING write through a custom Python
+    DataSourceStreamWriter: the replayed event stream flows through
+    the per-batch two-phase commit protocol (task temp files ->
+    driver rename with batchId-deterministic names, the
+    exactly-once-on-retry rule), and the committed JSONL files are
+    read back and aggregated — a hash match against the batch oracle
+    proves no batch was lost, duplicated, or partially committed.
+    Completes the Python connector matrix (batch read, batch 2PC
+    write, offset-tracked stream read, and now the streaming write).
+    Scale: the sink is embarrassingly parallel per task; the commit
+    rename is a per-batch driver-side metadata operation, exactly the
+    shape of a real object-store streaming sink."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from ..streaming.jobs import replay_events_as_stream
+
+    _ensure_stream_sink_registered(spark)
+    work = _tempfile.mkdtemp(prefix="pyds_streamsink_", dir="/tmp")
+    out = _os.path.join(work, "out")
+    _os.makedirs(out, exist_ok=True)
+    try:
+        stream = (
+            replay_events_as_stream(spark, sf_dir, work, n_chunks=4)
+            .select("event_id", "event_type", "value")
+            # 4 sink tasks per micro-batch: every task is a Python
+            # worker round-trip; the default file-split parallelism
+            # spawned ~32 of them per batch for a 25k-row chunk
+            .coalesce(4)
+        )
+        q = (
+            stream.writeStream.format("jsonlsinkstream")
+            .option("path", out)
+            .option("checkpointLocation", _os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        back = spark.read.json(_os.path.join(out, "batch-*.jsonl"))
+        return (
+            back.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                (F.sum(F.col("value").cast("decimal(28,10)")) * 1000000)
+                .cast("bigint")
+                .alias("mass_micros"),
+            )
+            .localCheckpoint()
+        )
+    finally:
         _shutil.rmtree(work, ignore_errors=True)
