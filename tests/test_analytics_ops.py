@@ -706,3 +706,52 @@ def test_cumulative_distinct_matches_set_union(spark):
         expected[d] = len(seen)
     got = {r.day_start: r.cum_users for r in _rows(spark, "q_cumulative_distinct")}
     assert got == expected
+
+
+def _np_centroid_dist(spark):
+    """Integer-exact numpy replica of similarity._centroid_dist."""
+    from ukis_kafka_spark.sources import load_table
+
+    rows = load_table(spark, SF_SMOKE, "embeddings").collect()
+    rows.sort(key=lambda r: r.vec_id)
+    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+    labels = np.array([r.label for r in rows], dtype=np.int64)
+    V = np.stack([
+        np.floor(np.asarray(r.embedding, dtype=np.float64) * 10_000).astype(np.int64)
+        for r in rows
+    ])
+    n_labels = labels.max() + 1
+    cent = np.zeros((n_labels, V.shape[1]), dtype=np.int64)
+    for lab in range(n_labels):
+        s = V[labels == lab].sum(axis=0)
+        n = (labels == lab).sum()
+        cent[lab] = np.where(s >= 0, (s * 1000) // n, -((-s * 1000) // n))
+    d2 = ((V[:, None, :] * 1000 - cent[None, :, :]) ** 2).sum(axis=2)
+    return ids, labels, d2
+
+
+def test_active_learning_select_is_min_margin(spark):
+    ids, labels, d2 = _np_centroid_dist(spark)
+    srt = np.sort(d2, axis=1)
+    margin = srt[:, 1] - srt[:, 0]
+    expected = sorted(zip(margin.tolist(), ids.tolist()))[:20]
+    rows = sorted(_rows(spark, "m_active_learning_select"),
+                  key=lambda r: (r.margin, r.vec_id))
+    assert [(r.margin, r.vec_id) for r in rows] == expected
+    lab = dict(zip(ids.tolist(), labels.tolist()))
+    assert all(r.true_label == lab[r.vec_id] for r in rows)
+
+
+def test_decile_lift_identities(spark):
+    rows = sorted(_rows(spark, "m_decile_lift"), key=lambda r: r.decile)
+    assert [r.decile for r in rows] == list(range(1, 11))
+    total_n = sum(r.n for r in rows)
+    total_pos = sum(r.n_pos for r in rows)
+    cum = 0
+    for r in rows:
+        cum += r.n_pos
+        assert r.cum_capture_ppm == cum * 1_000_000 // total_pos
+        assert r.lift_permille == r.n_pos * total_n * 1000 // (r.n * total_pos)
+    assert rows[-1].cum_capture_ppm == 1_000_000
+    # the scorer must actually rank: top decile beats the bottom one
+    assert rows[0].lift_permille > rows[-1].lift_permille

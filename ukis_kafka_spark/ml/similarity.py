@@ -2806,3 +2806,105 @@ def m_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pred.groupBy("true_label", "pred_label").agg(
         F.count(F.lit(1)).alias("n")
     )
+
+
+@query(
+    "m_active_learning_select",
+    oracle=_CENTROID_CTE.split(", pred AS (")[0] + """, margins AS (
+  SELECT vec_id, true_label,
+         min(d2) AS d_best,
+         min(CASE WHEN rn = 2 THEN d2 END) AS d_second
+  FROM ranked GROUP BY vec_id, true_label
+)
+SELECT vec_id, true_label, d_second - d_best AS margin FROM margins
+ORDER BY margin ASC, vec_id ASC LIMIT 20
+""",
+)
+def m_active_learning_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncertainty sampling for active learning / hard-example
+    curation: the 20 vectors whose nearest-centroid decision is most
+    ambiguous — smallest margin between the best and second-best
+    exact integer L2 distance (margin 0 = the classifier is torn).
+    These are the rows a labeling budget buys first and the examples
+    a curriculum up-weights.  Same shared _centroid_dist table as
+    m_centroid_eval / m_confusion_matrix; the margin is a per-vector
+    min/second-min over |labels| rows, then a global bounded top-k.
+    Scale: classify join is the only fact-scale stage; the top-20 is
+    TakeOrdered, no global sort."""
+    dist = _centroid_dist(spark, sf_dir)
+    w = Window.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("c_label").asc())
+    ranked = dist.withColumn("rn", F.row_number().over(w))
+    margins = ranked.groupBy("vec_id", "true_label").agg(
+        F.min("d2").alias("d_best"),
+        F.min(F.when(F.col("rn") == 2, F.col("d2"))).alias("d_second"),
+    )
+    return (
+        margins.select(
+            "vec_id", "true_label", (F.col("d_second") - F.col("d_best")).alias("margin")
+        )
+        .orderBy(F.col("margin").asc(), F.col("vec_id").asc())
+        .limit(20)
+    )
+
+
+@query(
+    "m_decile_lift",
+    oracle=_CENTROID_CTE.split(", ranked AS (")[0] + """, scored AS (
+  SELECT vec_id, true_label, d2,
+         ntile(10) OVER (ORDER BY d2 ASC, vec_id ASC) AS decile
+  FROM dist WHERE c_label = 0
+), per_dec AS (
+  SELECT decile, count(*) AS n,
+         COUNT(CASE WHEN true_label = 0 THEN 1 END) AS n_pos
+  FROM scored GROUP BY decile
+), tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS total_n, CAST(SUM(n_pos) AS BIGINT) AS total_pos
+  FROM per_dec
+)
+SELECT decile, n, n_pos,
+       CAST(CAST(SUM(n_pos) OVER (ORDER BY decile
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            * 1000000 // (SELECT total_pos FROM tot) AS BIGINT) AS cum_capture_ppm,
+       CAST(n_pos * (SELECT total_n FROM tot) * 1000
+            // (n * (SELECT total_pos FROM tot)) AS BIGINT) AS lift_permille
+FROM per_dec
+""",
+)
+def m_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lift / gains table for the one-vs-rest "is it class 0" scorer:
+    vectors rank by exact integer L2 distance to the class-0 centroid
+    (most confident first), ntile(10) cuts deciles, and each decile
+    reports its positive count, cumulative capture (ppm of all
+    positives reached) and lift versus the base rate (permille,
+    exact: n_pos*total_n*1000 div (n*total_pos)) — the standard
+    model-targeting readout (top-decile lift is what a selection
+    budget buys).  Same shared _centroid_dist table; a good scorer
+    shows monotone-ish decreasing lift, asserted in tests.  Scale:
+    one classify join, a |vectors|-row window, a 10-row report."""
+    dist = _centroid_dist(spark, sf_dir)
+    scored = dist.where(F.col("c_label") == 0).select(
+        "vec_id",
+        "true_label",
+        "d2",
+        F.ntile(10).over(Window.orderBy(F.col("d2").asc(), F.col("vec_id").asc())).alias("decile"),
+    )
+    per_dec = scored.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("true_label") == 0, 1)).alias("n_pos"),
+    )
+    wall = Window.partitionBy()
+    wcum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return per_dec.select(
+        "decile",
+        "n",
+        "n_pos",
+        F.sum("n_pos").over(wcum).alias("cum_pos"),
+        F.sum("n").over(wall).alias("total_n"),
+        F.sum("n_pos").over(wall).alias("total_pos"),
+    ).select(
+        "decile",
+        "n",
+        "n_pos",
+        F.expr("cum_pos * 1000000 div total_pos").alias("cum_capture_ppm"),
+        F.expr("n_pos * total_n * 1000 div (n * total_pos)").alias("lift_permille"),
+    )
