@@ -92,6 +92,7 @@ _PRIORITY = [
     "q_collation", "q_pipe_sql", "s_stream_fullouter_join", "src_statestore",
     "m_graph_kcore", "m_semdedup", "m_importance_resample", "s_event_timeout",
     "q_recursive_cte", "q_sql_variables",
+    "q_ohlc", "q_group_by_all", "m_dp_count", "m_filter_sweep",
     # ---- 50-entry window boundary is enforced by position, the
     # ---- remainder keeps round-3's order for stable bench diffs
     "q_agg_collect",

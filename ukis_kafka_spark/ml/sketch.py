@@ -228,3 +228,37 @@ def m_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 20)
         .select("tok", "df", "postings_head")
     )
+
+
+def _dp_sql(engine: str) -> str:
+    """Shared SQL for the deterministic DP-style count release."""
+    h = _h60(engine, "(lang || '|' || source || '|dp-v1')")
+    return f"""
+WITH grp AS (
+  SELECT lang, source, count(*) AS true_n
+  FROM {{docs}}
+  GROUP BY lang, source
+)
+SELECT lang, source,
+       CAST({h} % 21 - 10 AS BIGINT) AS noise,
+       CAST(GREATEST(CAST(0 AS BIGINT),
+                     true_n + ({h} % 21 - 10)) AS BIGINT) AS released_n
+FROM grp
+"""
+
+
+@query("m_dp_count", oracle=_dp_sql("duck").format(docs="documents"))
+def m_dp_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Noised count release in the shape of the discrete (geometric)
+    mechanism used for differential-privacy dataset cards: per
+    (lang, source) cell, release ``max(0, n + noise)`` with bounded
+    integer noise in [-10, 10].  The noise here is DERIVED from the
+    60-bit md5 of the cell key (deterministic test twin — a production
+    release substitutes a calibrated two-sided-geometric RNG draw; the
+    clamping, cell grouping, and integer release pipeline are
+    identical), which is exactly what makes the release hash-checkable
+    across engines.  Scale: one hash aggregate over the corpus, then
+    noise arithmetic on |cells| rows — the mechanism's cost is the
+    count query itself."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("docs_dp")
+    return spark.sql(_dp_sql("spark").format(docs="docs_dp"))

@@ -2191,3 +2191,67 @@ def m_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").alias("total_chars"),
         F.expr("sum(n_chars) div count(1)").alias("mean_chars"),
     )
+
+
+@query(
+    "m_filter_sweep",
+    oracle="""
+WITH dim AS (
+  SELECT * FROM (VALUES (100), (300), (1000), (3000), (10000)) t(min_chars)
+), per_len AS (
+  SELECT n_chars, count(*) AS docs, CAST(SUM(n_chars) AS BIGINT) AS chars
+  FROM documents GROUP BY n_chars
+), hits AS (
+  SELECT dim.min_chars,
+         CAST(COALESCE(SUM(p.docs), 0) AS BIGINT) AS kept_docs,
+         CAST(COALESCE(SUM(p.chars), 0) AS BIGINT) AS kept_chars
+  FROM dim LEFT JOIN per_len p ON p.n_chars >= dim.min_chars
+  GROUP BY dim.min_chars
+), tot AS (
+  SELECT count(*) AS total_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+  FROM documents
+)
+SELECT min_chars, kept_docs, kept_chars,
+       CAST(kept_docs * 1000 // total_docs AS BIGINT) AS docs_permille,
+       CAST(kept_chars * 1000 // total_chars AS BIGINT) AS chars_permille
+FROM hits, tot
+""",
+)
+def m_filter_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-filter threshold sweep — the curation-tuning table that
+    answers "how much corpus does each candidate min-length cutoff
+    cost?" before committing to a filter.  Scale shape: the corpus is
+    reduced ONCE to per-length sufficient statistics (|distinct
+    lengths| rows, one hash aggregate), then the tiny threshold dim
+    (literal VALUES — no pickled-RDD createDataFrame) theta-joins the
+    summary, so adding thresholds costs nothing at the fact scan.
+    Retention ratios are permille by integer div (exact — no rounded
+    decimal quotients per CLAUDE.md)."""
+    d = load_table(spark, sf_dir, "documents")
+    per_len = d.groupBy("n_chars").agg(
+        F.count(F.lit(1)).alias("docs"), F.sum("n_chars").alias("chars")
+    )
+    dim = spark.sql(
+        "SELECT * FROM (VALUES (100), (300), (1000), (3000), (10000))"
+        " t(min_chars)"
+    )
+    hits = (
+        dim
+        .join(F.broadcast(per_len), per_len.n_chars >= dim.min_chars, "left")
+        .groupBy("min_chars")
+        .agg(
+            F.coalesce(F.sum("docs"), F.lit(0)).cast("bigint").alias("kept_docs"),
+            F.coalesce(F.sum("chars"), F.lit(0)).cast("bigint").alias("kept_chars"),
+        )
+    )
+    tot = d.agg(
+        F.count(F.lit(1)).alias("total_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+    return hits.crossJoin(F.broadcast(tot)).select(
+        "min_chars",
+        "kept_docs",
+        "kept_chars",
+        F.expr("kept_docs * 1000 div total_docs").alias("docs_permille"),
+        F.expr("kept_chars * 1000 div total_chars").alias("chars_permille"),
+    )

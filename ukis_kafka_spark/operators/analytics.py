@@ -1405,3 +1405,40 @@ def q_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("day_start", F.coalesce("new_users", F.lit(0)).alias("new_users"))
         .select("day_start", F.sum("new_users").over(wcum).alias("cum_users"))
     )
+
+
+@query(
+    "q_ohlc",
+    oracle="""
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start,
+       count(*) AS n,
+       arg_min(value, event_id) AS open,
+       max(value) AS high,
+       min(value) AS low,
+       arg_max(value, event_id) AS close
+FROM events
+GROUP BY 1
+""",
+)
+def q_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC (open/high/low/close) bars over the event value
+    series — the time-series downsampling shape every monitoring /
+    market pipeline runs.  open/close use ``min_by``/``max_by`` keyed
+    on ``event_id`` (unique and verified ts-monotone, so "value at the
+    earliest/latest event of the hour" is deterministic even when two
+    events share a truncated timestamp — ts alone would tie).  All
+    four emitted prices are SELECTIONS of stored doubles, not sums, so
+    they are bit-identical across engines with no decimal staging.
+    Scale: a single hash aggregate with map-side partial min_by/max_by
+    merge — per-partition partials carry one (value, key) pair per
+    bar, so the shuffle is |hours| rows regardless of fact count."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy(
+        F.unix_timestamp(F.date_trunc("hour", "ts")).alias("hour_start")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min_by("value", "event_id").alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", "event_id").alias("close"),
+    )

@@ -206,3 +206,37 @@ def q_sql_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o_orderpriority
         """
     )
+
+
+@query(
+    "q_group_by_all",
+    oracle="""
+SELECT event_type,
+       CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_start,
+       count(*) AS n,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)
+         AS value_sum
+FROM events
+GROUP BY ALL
+""",
+)
+def q_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``GROUP BY ALL`` (Spark 3.4+/DuckDB modern-SQL sugar): the
+    engine infers the grouping keys as every non-aggregate select
+    item — both engines here run the *same* inference over a
+    two-key (type x day) aggregate, proving the resolved plan is the
+    ordinary hash aggregate (no semantic drift vs explicit keys).
+    Decimal-staged value sum per the repo's hash-safe rules.  Scale:
+    identical to q_agg_groupby — inference is purely an analysis-time
+    rewrite."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("ev_gba")
+    return spark.sql(
+        """
+        SELECT event_type,
+               unix_timestamp(date_trunc('day', ts)) AS day_start,
+               count(*) AS n,
+               cast(sum(cast(value AS DECIMAL(28,10))) AS DOUBLE) AS value_sum
+        FROM ev_gba
+        GROUP BY ALL
+        """
+    )
