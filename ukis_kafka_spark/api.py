@@ -93,6 +93,7 @@ _PRIORITY = [
     "m_graph_kcore", "m_semdedup", "m_importance_resample", "s_event_timeout",
     "q_recursive_cte", "q_sql_variables",
     "q_ohlc", "q_group_by_all", "m_dp_count", "m_filter_sweep",
+    "s_stream_semi_join", "q_hist2d", "m_neyman_allocation",
     # ---- 50-entry window boundary is enforced by position, the
     # ---- remainder keeps round-3's order for stable bench diffs
     "q_agg_collect",

@@ -2255,3 +2255,94 @@ def m_filter_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("kept_docs * 1000 div total_docs").alias("docs_permille"),
         F.expr("kept_chars * 1000 div total_chars").alias("chars_permille"),
     )
+
+
+@query(
+    "m_neyman_allocation",
+    oracle="""
+WITH strata AS (
+  SELECT lang, count(*) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS s,
+         CAST(SUM(n_chars * n_chars) AS BIGINT) AS ss
+  FROM documents GROUP BY lang
+), weighted AS (
+  SELECT lang, n_docs,
+         CAST(floor(sqrt(n_docs * ss - s * s)) AS BIGINT) AS w
+  FROM strata
+), quotas AS (
+  SELECT lang, n_docs, w,
+         CAST(1000 * w // SUM(w) OVER () AS BIGINT) AS base,
+         CAST(1000 * w % SUM(w) OVER () AS BIGINT) AS rem
+  FROM weighted
+), seats AS (
+  SELECT lang, n_docs, w, base, rem,
+         CAST(1000 - SUM(base) OVER () AS BIGINT) AS leftover,
+         row_number() OVER (ORDER BY rem DESC, lang) AS rk
+  FROM quotas
+)
+SELECT lang, n_docs, w AS neyman_weight,
+       CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+         AS alloc
+FROM seats
+""",
+)
+def m_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified-sample allocation: a 1000-doc budget
+    split across language strata proportionally to N_h*sigma_h (the
+    allocation that minimizes the variance of the stratified mean of
+    doc length).  Entirely exact integer math: the Neyman numerator
+    N_h*sigma_h equals isqrt(N*SS - S^2) on integer char counts, the
+    seat split is largest-remainder (floor quotas + top-remainder
+    bonus seats, lang-name tiebreak) — no float allocation rounding
+    to disagree across engines.  isqrt via floor(sqrt(x)) is safe at
+    these magnitudes: for x < 2^50 the correctly-rounded double sqrt
+    is within 2^-20 of the real root, far less than the >= 1/(2*2^25)
+    gap to the next integer, so floor is the true integer root in
+    both engines.  Scale: one corpus aggregate to |strata| rows; the
+    windowed seat arithmetic runs on that tiny table."""
+    d = load_table(spark, sf_dir, "documents")
+    strata = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("s"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).alias("ss"),
+    )
+    weighted = strata.select(
+        "lang",
+        "n_docs",
+        F.floor(F.sqrt(F.col("n_docs") * F.col("ss") - F.col("s") * F.col("s")))
+        .cast("bigint")
+        .alias("w"),
+    )
+    wall = Window.partitionBy()
+    seats = weighted.select(
+        "lang",
+        "n_docs",
+        "w",
+        F.expr("1000 * w").alias("scaled"),
+        F.sum("w").over(wall).alias("tot"),
+    ).select(
+        "lang",
+        "n_docs",
+        "w",
+        F.expr("scaled div tot").alias("base"),
+        (F.col("scaled") % F.col("tot")).alias("rem"),
+    )
+    seats = seats.select(
+        "lang",
+        "n_docs",
+        "w",
+        "base",
+        "rem",
+        (F.lit(1000) - F.sum("base").over(wall)).alias("leftover"),
+        F.row_number()
+        .over(Window.orderBy(F.col("rem").desc(), F.col("lang")))
+        .alias("rk"),
+    )
+    return seats.select(
+        "lang",
+        "n_docs",
+        F.col("w").alias("neyman_weight"),
+        (F.col("base") + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("alloc"),
+    )

@@ -1442,3 +1442,34 @@ def q_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").alias("low"),
         F.max_by("value", "event_id").alias("close"),
     )
+
+
+@query(
+    "q_hist2d",
+    oracle="""
+SELECT CAST(hour(ts) AS BIGINT) AS hour_of_day,
+       CAST(floor(value / 50) AS BIGINT) AS value_bucket,
+       count(*) AS n,
+       count(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1, 2
+""",
+)
+def q_hist2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D histogram (hour-of-day x fixed 50-unit value band) — the
+    density heatmap behind load/fraud dashboards.  Bin edges are FIXED
+    constants, not data-derived quantiles, so the binning is a pure
+    per-row projection (no pre-pass, no shuffle beyond the aggregate)
+    and the bucket id is exact: value/50 is the same double in both
+    engines and floor-then-CAST sidesteps DuckDB's rounding
+    double->int cast.  Scale: one hash aggregate to |hours x buckets|
+    ~ 300 cells; the distinct-user count per cell is the only
+    expensive aggregate and shares the same single shuffle."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy(
+        F.hour("ts").cast("bigint").alias("hour_of_day"),
+        F.floor(F.col("value") / 50).cast("bigint").alias("value_bucket"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("user_id").alias("n_users"),
+    )

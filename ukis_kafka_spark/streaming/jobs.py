@@ -1232,3 +1232,57 @@ def s_suffstats_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         return run_to_memory(agg, work, mode="append").localCheckpoint()
 
     return _with_scratch(go)
+
+
+@query(
+    "s_stream_semi_join",
+    oracle="""
+WITH c AS (SELECT event_id AS click_id, user_id, ts FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase')
+SELECT c.click_id, c.user_id
+FROM c
+WHERE EXISTS (SELECT 1 FROM p WHERE p.user_id = c.user_id
+              AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR)
+""",
+)
+def s_stream_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT SEMI join: clicks that convert (a same-user
+    purchase within the following hour) emit exactly once, with no
+    payload from the purchase side — the streaming EXISTS.  Unlike the
+    left-outer closure rule (s_stream_left_join), semi output is
+    timing-independent: membership in the result depends only on
+    whether a match ever arrives, and Spark's semi-join state emits
+    the buffered left row at its FIRST match and tombstones it, so
+    duplicates are structurally impossible and the batch EXISTS oracle
+    matches with no watermark mirror.  Watermarks + the event-time
+    bound still size the state store (both sides evict at wm - 1 h)."""
+
+    def go(work: str) -> DataFrame:
+        stream = replay_events_as_stream(spark, sf_dir, work, n_chunks=4)
+        clicks = (
+            stream.where(F.col("event_type") == "click")
+            .select(
+                F.col("event_id").alias("click_id"),
+                F.col("user_id"),
+                F.col("ts").alias("click_ts"),
+            )
+            .withWatermark("click_ts", "10 minutes")
+        )
+        purchases = (
+            stream.where(F.col("event_type") == "purchase")
+            .select(
+                F.col("user_id").alias("p_user_id"),
+                F.col("ts").alias("p_ts"),
+            )
+            .withWatermark("p_ts", "10 minutes")
+        )
+        joined = clicks.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user_id"))
+            & (F.col("p_ts") >= F.col("click_ts"))
+            & (F.col("p_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+            "leftSemi",
+        ).select("click_id", "user_id")
+        return run_to_memory(joined, work, mode="append").localCheckpoint()
+
+    return _with_scratch(go)
