@@ -94,6 +94,7 @@ _PRIORITY = [
     "q_recursive_cte", "q_sql_variables",
     "q_ohlc", "q_group_by_all", "m_dp_count", "m_filter_sweep",
     "s_stream_semi_join", "q_hist2d", "m_neyman_allocation",
+    "q_weighted_median", "m_reward_pairs", "m_adaboost_round", "src_gzip_text",
     # ---- 50-entry window boundary is enforced by position, the
     # ---- remainder keeps round-3's order for stable bench diffs
     "q_agg_collect",

@@ -2908,3 +2908,97 @@ def m_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("cum_pos * 1000000 div total_pos").alias("cum_capture_ppm"),
         F.expr("n_pos * total_n * 1000 div (n * total_pos)").alias("lift_permille"),
     )
+
+
+def _ada_sql(engine: str) -> str:
+    """Two-round AdaBoost stump search, shared verbatim between
+    engines up to the integer-division spelling."""
+    idiv = "div" if engine == "spark" else "//"
+    return f"""
+WITH ev AS (
+  SELECT CAST(floor(value * 1000000) AS BIGINT) AS v,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS y
+  FROM {{events}}
+), bounds AS (
+  SELECT min(v) AS vmin, max(v) AS vmax FROM ev
+), cells AS (
+  SELECT ((e.v - b.vmin) * 32) {idiv} (b.vmax - b.vmin + 1) AS cell,
+         COUNT(*) AS n,
+         COUNT(CASE WHEN e.y = 1 THEN 1 END) AS pos
+  FROM ev e CROSS JOIN bounds b GROUP BY 1
+), cum1 AS (
+  SELECT cell,
+         CAST(SUM(n)   OVER (ORDER BY cell ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cn,
+         CAST(SUM(pos) OVER (ORDER BY cell ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cp,
+         CAST(SUM(n)   OVER () AS BIGINT) AS tn,
+         CAST(SUM(pos) OVER () AS BIGINT) AS tp
+  FROM cells
+), cand1 AS (
+  SELECT cell + 1 AS t, pol,
+         CASE WHEN pol = 0 THEN cp + (tn - cn) - (tp - cp)
+              ELSE (cn - cp) + (tp - cp) END AS werr,
+         tn AS wtot
+  FROM cum1 CROSS JOIN (SELECT 0 AS pol UNION ALL SELECT 1) pols
+  WHERE cn > 0 AND tn - cn > 0
+), best1 AS (
+  SELECT t, pol, werr, wtot,
+         row_number() OVER (ORDER BY werr ASC, pol ASC, t ASC) AS rk
+  FROM cand1
+), w2 AS (
+  SELECT c.cell,
+         c.n + CASE WHEN (CASE WHEN b.pol = 0 THEN CASE WHEN c.cell >= b.t THEN 1 ELSE 0 END
+                               ELSE CASE WHEN c.cell < b.t THEN 1 ELSE 0 END END) = 1
+                    THEN c.n - c.pos ELSE c.pos END AS wn,
+         c.pos + CASE WHEN (CASE WHEN b.pol = 0 THEN CASE WHEN c.cell >= b.t THEN 1 ELSE 0 END
+                                 ELSE CASE WHEN c.cell < b.t THEN 1 ELSE 0 END END) = 1
+                      THEN 0 ELSE c.pos END AS wpos
+  FROM cells c CROSS JOIN (SELECT t, pol FROM best1 WHERE rk = 1) b
+), cum2 AS (
+  SELECT cell,
+         CAST(SUM(wn)   OVER (ORDER BY cell ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cn,
+         CAST(SUM(wpos) OVER (ORDER BY cell ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cp,
+         CAST(SUM(wn)   OVER () AS BIGINT) AS tn,
+         CAST(SUM(wpos) OVER () AS BIGINT) AS tp
+  FROM w2
+), cand2 AS (
+  SELECT cell + 1 AS t, pol,
+         CASE WHEN pol = 0 THEN cp + (tn - cn) - (tp - cp)
+              ELSE (cn - cp) + (tp - cp) END AS werr,
+         tn AS wtot
+  FROM cum2 CROSS JOIN (SELECT 0 AS pol UNION ALL SELECT 1) pols
+  WHERE cn > 0 AND tn - cn > 0
+), best2 AS (
+  SELECT t, pol, werr, wtot,
+         row_number() OVER (ORDER BY werr ASC, pol ASC, t ASC) AS rk
+  FROM cand2
+)
+SELECT CAST(1 AS BIGINT) AS round, CAST(t AS BIGINT) AS t,
+       CAST(pol AS BIGINT) AS pol, CAST(werr AS BIGINT) AS werr,
+       CAST(wtot AS BIGINT) AS wtot
+FROM best1 WHERE rk = 1
+UNION ALL
+SELECT CAST(2 AS BIGINT), CAST(t AS BIGINT), CAST(pol AS BIGINT),
+       CAST(werr AS BIGINT), CAST(wtot AS BIGINT)
+FROM best2 WHERE rk = 1
+"""
+
+
+@query("m_adaboost_round", oracle=_ada_sql("duck").format(events="events"))
+def m_adaboost_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two rounds of AdaBoost over histogram decision stumps: round 1
+    finds the best (threshold, polarity) stump separating 'click'
+    events on the 32-cell value grid by exact weighted-error count;
+    misclassified examples then double their integer weight and round
+    2 re-searches the reweighted histogram.  The boosting invariant
+    that matters for cross-engine checkability: because the stump is
+    cell-aligned, round-1's per-EXAMPLE reweighting collapses to
+    per-CELL arithmetic (weighted n = n + misclassified), so the whole
+    second round — like the first — runs on the 32-row histogram and
+    every weight/error is a BIGINT (no float alpha; the weighted
+    errors ARE the sufficient statistics from which alpha would be
+    derived).  Ties in the argmin break on (polarity, threshold).
+    Scale: one fact scan builds the histogram (map-side combine);
+    both boosting rounds are constant-size window arithmetic —
+    exactly how histogram GBDT implementations amortize iterations."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("ev_ada")
+    return spark.sql(_ada_sql("spark").format(events="ev_ada"))

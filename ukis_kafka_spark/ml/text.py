@@ -2346,3 +2346,71 @@ def m_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("alloc"),
     )
+
+
+@query(
+    "m_reward_pairs",
+    oracle="""
+WITH ranked AS (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY n_chars DESC, doc_id ASC) AS rt,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY n_chars ASC, doc_id ASC) AS rb
+  FROM documents
+)
+SELECT t.lang, t.rt AS pair_rank,
+       t.doc_id AS chosen_id, b.doc_id AS rejected_id,
+       CAST(t.n_chars - b.n_chars AS BIGINT) AS margin
+FROM ranked t
+JOIN ranked b ON b.lang = t.lang AND b.rb = t.rt
+WHERE t.rt <= 5 AND t.n_chars > b.n_chars
+""",
+)
+def m_reward_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair mining for reward-model training: per language
+    stratum, the top-5 documents by score are paired rank-for-rank
+    with the bottom-5 (best vs worst, 2nd-best vs 2nd-worst, ...),
+    emitting (chosen, rejected, margin) rows — the maximal-margin
+    pairing that makes early RLHF reward batches informative.  The
+    score here is the n_chars length proxy (the plug-in point: any
+    integer scorer — m_quality_score's components, m_lm_cross_entropy
+    — substitutes without changing the pairing plan); doc_id breaks
+    score ties so both rankings are total orders, and the
+    ``chosen > rejected`` guard drops degenerate pairs in strata
+    smaller than 2k.  Scale: two ranks over the same partition (one
+    shuffle, both windows share the lang partitioning) and a
+    per-stratum k-row self-join — |langs| x 5 rows ever reach the
+    join."""
+    d = load_table(spark, sf_dir, "documents")
+    wt = Window.partitionBy("lang").orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    wb = Window.partitionBy("lang").orderBy(F.col("n_chars").asc(), F.col("doc_id"))
+    ranked = d.select(
+        "lang",
+        "doc_id",
+        "n_chars",
+        F.row_number().over(wt).alias("rt"),
+        F.row_number().over(wb).alias("rb"),
+    )
+    top = ranked.where(F.col("rt") <= 5).select(
+        "lang", F.col("rt").alias("pair_rank"),
+        F.col("doc_id").alias("chosen_id"), F.col("n_chars").alias("cs"),
+    )
+    bot = ranked.where(F.col("rb") <= 5).select(
+        F.col("lang").alias("b_lang"), F.col("rb").alias("b_rank"),
+        F.col("doc_id").alias("rejected_id"), F.col("n_chars").alias("rs"),
+    )
+    return (
+        top.join(
+            F.broadcast(bot),
+            (F.col("lang") == F.col("b_lang")) & (F.col("pair_rank") == F.col("b_rank")),
+        )
+        .where(F.col("cs") > F.col("rs"))
+        .select(
+            "lang",
+            "pair_rank",
+            "chosen_id",
+            "rejected_id",
+            (F.col("cs") - F.col("rs")).cast("bigint").alias("margin"),
+        )
+    )

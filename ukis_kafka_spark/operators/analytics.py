@@ -1473,3 +1473,67 @@ def q_hist2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.count_distinct("user_id").alias("n_users"),
     )
+
+
+@query(
+    "q_weighted_median",
+    oracle="""
+WITH pp AS (
+  SELECT l_returnflag AS flag,
+         CAST(floor(l_extendedprice * 100) AS BIGINT) AS price_centi,
+         CAST(floor(l_quantity) AS BIGINT) AS wt
+  FROM lineitem
+), by_price AS (
+  SELECT flag, price_centi, CAST(SUM(wt) AS BIGINT) AS w
+  FROM pp GROUP BY flag, price_centi
+), cum AS (
+  SELECT flag, price_centi,
+         CAST(SUM(w) OVER (PARTITION BY flag ORDER BY price_centi
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cw,
+         CAST(SUM(w) OVER (PARTITION BY flag) AS BIGINT) AS tw
+  FROM by_price
+)
+SELECT flag, min(price_centi) AS wmedian_centi,
+       CAST(min(tw) AS BIGINT) AS total_weight
+FROM cum
+WHERE cw * 2 >= tw
+GROUP BY flag
+""",
+)
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median: per return flag, the extended price at which
+    cumulative line-item QUANTITY first reaches half the total — the
+    inventory-weighted "typical price" plain percentile_cont cannot
+    express.  Prices ride a centi-unit integer grid and quantities are
+    integral, so the crossing rule ``2*cumweight >= total`` is exact
+    integer arithmetic with no interpolation to disagree on.  Scale:
+    facts collapse to per-(flag, price) weight partials first (hash
+    aggregate with map-side combine), so the partitioned cumulative
+    window orders |distinct prices| rows per flag, never raw facts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pp = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.floor(F.col("l_extendedprice") * 100).cast("bigint").alias("price_centi"),
+        F.floor(F.col("l_quantity")).cast("bigint").alias("wt"),
+    )
+    by_price = pp.groupBy("flag", "price_centi").agg(F.sum("wt").alias("w"))
+    wcum = (
+        Window.partitionBy("flag")
+        .orderBy("price_centi")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = by_price.select(
+        "flag",
+        "price_centi",
+        F.sum("w").over(wcum).alias("cw"),
+        F.sum("w").over(Window.partitionBy("flag")).alias("tw"),
+    )
+    return (
+        cum.where(F.col("cw") * 2 >= F.col("tw"))
+        .groupBy("flag")
+        .agg(
+            F.min("price_centi").alias("wmedian_centi"),
+            F.min("tw").alias("total_weight"),
+        )
+    )

@@ -611,3 +611,50 @@ def src_parquet_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return files.mapInPandas(
         parse_footers, "rg bigint, rg_rows bigint, min_key bigint, max_key bigint"
     )
+
+
+@query(
+    "src_gzip_text",
+    oracle="""
+SELECT event_type, count(*) AS n,
+       CAST(SUM(user_id) AS BIGINT) AS uid_sum,
+       max(event_id) AS max_id
+FROM events
+GROUP BY event_type
+""",
+)
+def src_gzip_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gzip-compressed JSONL ingestion: the corpus is re-materialized
+    once as .json.gz shards and read back through the text source's
+    transparent codec path.  The scale lesson is encoded in the
+    BUILD, not worked around in the read: gzip is a NON-SPLITTABLE
+    codec, so one .gz file = one task regardless of its size — the
+    writer therefore repartitions to many small shards first (here 8;
+    at 100 TB, thousands), which is exactly how real gzip feeds must
+    land to parallelize.  Field extraction stays JVM-side
+    (get_json_object), ids are exact integers."""
+
+    def build(into: str) -> None:
+        (
+            load_table(spark, sf_dir, "events")
+            .select("event_id", "user_id", "event_type")
+            .repartition(8)
+            .write.mode("overwrite")
+            .option("compression", "gzip")
+            .json(os.path.join(into, "gzjson"))
+        )
+
+    src = os.path.join(
+        _cache_publish(build, ("gzjson", 1, _table_fingerprint(sf_dir))), "gzjson"
+    )
+    lines = spark.read.text(src)
+    parsed = lines.select(
+        F.get_json_object("value", "$.event_id").cast("long").alias("event_id"),
+        F.get_json_object("value", "$.user_id").cast("long").alias("user_id"),
+        F.get_json_object("value", "$.event_type").alias("event_type"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("user_id").alias("uid_sum"),
+        F.max("event_id").alias("max_id"),
+    )
