@@ -405,3 +405,47 @@ def test_suffstats_partials_combine_map_side(spark):
     plan = _formatted_plan(spark, "q_parallel_variance")
     assert "partial_sum" in plan or "partial_count" in plan
     assert plan.count("+- Exchange") <= 2
+
+
+def test_ohlc_is_single_exchange_objhash_agg(spark):
+    # min_by/max_by partials merge map-side: one exchange, no sort
+    plan = _formatted_plan(spark, "q_ohlc")
+    assert "partial_min_by" in plan, "open/close extremum must combine map-side"
+    assert "partial_max_by" in plan
+    assert "EvalPython" not in plan
+
+
+def test_filter_sweep_aggregates_before_theta_join(spark):
+    # the threshold dim theta-joins the per-length SUMMARY (broadcast
+    # nested loop), never the raw corpus
+    plan = _formatted_plan(spark, "m_filter_sweep")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_weighted_median_windows_aggregated_prices(spark):
+    # facts collapse to (flag, price) partials before the cumulative
+    # window: the window input must come from a HashAggregate
+    plan = _formatted_plan(spark, "q_weighted_median")
+    assert "partial_sum" in plan, "no map-side combine before the window"
+    assert "EvalPython" not in plan
+
+
+def test_reward_pairs_kxk_join_is_broadcast(spark):
+    plan = _formatted_plan(spark, "m_reward_pairs")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_adaboost_rounds_reuse_histogram_not_rescan(spark):
+    # both boosting rounds run on the 32-cell histogram: the fact
+    # table is scanned once per cells-CTE evaluation, and no Python
+    # UDF enters the loop
+    plan = _formatted_plan(spark, "m_adaboost_round")
+    assert "EvalPython" not in plan
+
+
+def test_neyman_single_corpus_aggregate(spark):
+    plan = _formatted_plan(spark, "m_neyman_allocation")
+    assert "partial_sum" in plan
+    assert "EvalPython" not in plan
