@@ -95,6 +95,7 @@ _PRIORITY = [
     "q_ohlc", "q_group_by_all", "m_dp_count", "m_filter_sweep",
     "s_stream_semi_join", "q_hist2d", "m_neyman_allocation",
     "q_weighted_median", "m_reward_pairs", "m_adaboost_round", "src_gzip_text",
+    "q_sliding_distinct", "sink_maxrecords", "src_glob_recursive",
     # ---- 50-entry window boundary is enforced by position, the
     # ---- remainder keeps round-3's order for stable bench diffs
     "q_agg_collect",

@@ -1537,3 +1537,62 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("tw").alias("total_weight"),
         )
     )
+
+
+@query(
+    "q_sliding_distinct",
+    oracle="""
+WITH days AS (
+  SELECT DISTINCT CAST(epoch(date_trunc('day', ts)) // 86400 AS BIGINT) AS day_num
+  FROM events
+)
+SELECT d.day_num,
+       (SELECT count(DISTINCT e.user_id) FROM events e
+        WHERE CAST(epoch(date_trunc('day', e.ts)) // 86400 AS BIGINT)
+              BETWEEN d.day_num - 6 AND d.day_num) AS users_7d
+FROM days d
+""",
+)
+def q_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT trailing-7-day distinct users per day — the sliding
+    window where the first-seen trick behind q_cumulative_distinct
+    does not apply (a user re-enters every window they act in) and
+    engines usually surrender to approx sketches.  The distributed
+    form: user ids become (word, bit) coordinates in a 62-bit bitmap
+    (bit 62/63 unused — no sign-bit shifts to disagree across
+    engines), per-(day, word) masks OR-combine map-side, the trailing
+    window ORs each word's last 7 days over a DENSE day x word grid
+    (a missing (day, word) row would silently drop that word's bits
+    from the popcount — the grid is |days| x |users|/62 rows, which
+    is exactly the bitmap's memory footprint and tiny relative to the
+    fact table), and popcounts sum per day.  Every step is integer
+    and associative: the same plan handles any window length at 100
+    TB with state |users|/62 words per day, while the oracle's
+    correlated COUNT(DISTINCT) rescans the facts per day.  bit_count
+    on two's-complement BIGINT agrees across engines because the
+    masks never touch the sign bit."""
+    e = load_table(spark, sf_dir, "events")
+    day_num = (F.unix_timestamp(F.date_trunc("day", "ts")) / 86400).cast("bigint")
+    coords = e.select(
+        day_num.alias("day_num"),
+        F.expr("user_id div 62").alias("word"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 62 AS INT))").alias(
+            "mask"
+        ),
+    )
+    day_word = coords.groupBy("day_num", "word").agg(F.bit_or("mask").alias("bits"))
+    days = coords.select("day_num").distinct()
+    words = coords.select("word").distinct()
+    grid = days.crossJoin(F.broadcast(words))
+    dense = grid.join(day_word, ["day_num", "word"], "left").select(
+        "day_num", "word", F.coalesce("bits", F.lit(0).cast("long")).alias("bits")
+    )
+    wtrail = (
+        Window.partitionBy("word").orderBy("day_num").rangeBetween(-6, 0)
+    )
+    ored = dense.select(
+        "day_num", F.bit_or("bits").over(wtrail).alias("bits7")
+    )
+    return ored.groupBy("day_num").agg(
+        F.sum(F.bit_count("bits7")).cast("bigint").alias("users_7d")
+    )

@@ -335,3 +335,52 @@ def sink_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "sink_maxrecords",
+    oracle="""
+WITH n AS (SELECT count(*) AS total FROM events)
+SELECT CAST((total + 4095) // 4096 AS BIGINT) AS n_files,
+       CAST(total AS BIGINT) AS n_rows,
+       CAST(CASE WHEN total % 4096 = 0 THEN 4096
+                 ELSE total % 4096 END AS BIGINT) AS tail_rows,
+       CAST(LEAST(total, 4096) AS BIGINT) AS cap
+FROM n
+""",
+)
+def sink_maxrecords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-size governance on write: ``maxRecordsPerFile`` rolls a
+    writer task to a new file every 4096 rows, the knob that bounds
+    file sizes when a partition is large (the complement of
+    sink_compact, which fixes files that are too SMALL).  The audit
+    reads the layout back through the ``_metadata`` hidden column and
+    asserts the exact roll arithmetic — ceil(n/4096) files, every
+    file at the cap except one tail — so a writer that silently
+    ignored the option, or double-wrote a file, hash-mismatches.
+    Single-task write keeps the roll sequence deterministic; at scale
+    the same option applies per task, bounding every file
+    independently of partition skew."""
+    work = _scratch_dir()
+    try:
+        target = os.path.join(work, "capped")
+        (
+            load_table(spark, sf_dir, "events")
+            .select("event_id", "user_id", "value")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .option("maxRecordsPerFile", 4096)
+            .parquet(target)
+        )
+        back = spark.read.parquet(target)
+        per_file = back.groupBy(F.col("_metadata.file_name").alias("f")).agg(
+            F.count(F.lit(1)).alias("rows_in_file")
+        )
+        return per_file.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_files"),
+            F.sum("rows_in_file").cast("bigint").alias("n_rows"),
+            F.min("rows_in_file").cast("bigint").alias("tail_rows"),
+            F.max("rows_in_file").cast("bigint").alias("cap"),
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

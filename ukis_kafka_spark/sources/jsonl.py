@@ -658,3 +658,52 @@ def src_gzip_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("user_id").alias("uid_sum"),
         F.max("event_id").alias("max_id"),
     )
+
+
+@query(
+    "src_glob_recursive",
+    oracle="""
+SELECT count(*) AS n,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       min(doc_id) AS min_id,
+       max(doc_id) AS max_id
+FROM documents
+""",
+)
+def src_glob_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive file discovery over an arbitrarily nested layout:
+    the corpus lands in lang=<x>/source=<y>/ subtrees (the directory
+    shape external dumps arrive in), then is read back with
+    ``recursiveFileLookup`` + ``pathGlobFilter`` — the mode that
+    treats the tree as a flat bag of matching files and does NOT
+    parse directory names as partition columns (the complement of
+    src_partitioned_prune).  The audit covers every leaf: a file
+    missed by discovery or double-matched by the glob shifts the
+    count/extent aggregate.  Scale: discovery is a driver-side
+    filesystem listing (parallelized via the InMemoryFileIndex for
+    large trees); the scan itself parallelizes per file split as
+    usual."""
+
+    def build(into: str) -> None:
+        (
+            load_table(spark, sf_dir, "documents")
+            .write.mode("overwrite")
+            .partitionBy("lang", "source")
+            .parquet(os.path.join(into, "tree"))
+        )
+
+    src = os.path.join(
+        _cache_publish(build, ("tree", 1, _table_fingerprint(sf_dir, "documents"))),
+        "tree",
+    )
+    back = (
+        spark.read.option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(src)
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
