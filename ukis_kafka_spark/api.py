@@ -96,6 +96,7 @@ _PRIORITY = [
     "s_stream_semi_join", "q_hist2d", "m_neyman_allocation",
     "q_weighted_median", "m_reward_pairs", "m_adaboost_round", "src_gzip_text",
     "q_sliding_distinct", "sink_maxrecords", "src_glob_recursive",
+    "g_rose_histogram", "g_trajectory_resample",
     # ---- 50-entry window boundary is enforced by position, the
     # ---- remainder keeps round-3's order for stable bench diffs
     "q_agg_collect",

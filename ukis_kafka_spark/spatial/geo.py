@@ -1382,3 +1382,126 @@ def g_dbscan_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return classified.groupBy("cls").agg(F.count(F.lit(1)).alias("n_points"))
+
+
+@query(
+    "g_rose_histogram",
+    oracle=f"""
+WITH b AS (
+  SELECT round(degrees(atan2(
+           sin(radians(13.405 - {_LON})) * cos(radians(52.52)),
+           cos(radians({_LAT})) * sin(radians(52.52))
+             - sin(radians({_LAT})) * cos(radians(52.52)) * cos(radians(13.405 - {_LON}))
+         )), 4) + 0.0 AS bearing_deg,
+         user_id
+  FROM events
+  WHERE event_type = 'purchase'
+)
+SELECT CAST(floor(((bearing_deg + 360.0) % 360.0) / 45.0) AS BIGINT) AS sector,
+       count(*) AS n,
+       count(DISTINCT user_id) AS n_users
+FROM b
+GROUP BY 1
+""",
+)
+def g_rose_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional rose (8-sector bearing histogram) of purchase
+    events relative to the Berlin hub — the anisotropy summary a
+    movement analysis reads before fitting direction-dependent
+    models.  The sector id derives from the 4 dp-ROUNDED bearing
+    (g_bearing's transcendental-grid rule), so both engines bucket
+    the identical double; the ``(x+360) % 360`` shift keeps the
+    operand positive, where fmod agrees across engines.  Scale: per-
+    row column math folded into one 8-row hash aggregate."""
+    e = load_table(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    dlon = F.radians(F.lit(13.405) - _lon())
+    lat1 = F.radians(_lat())
+    lat2 = F.radians(F.lit(52.52))
+    y = F.sin(dlon) * F.cos(lat2)
+    x = F.cos(lat1) * F.sin(lat2) - F.sin(lat1) * F.cos(lat2) * F.cos(dlon)
+    bearing = F.round(F.degrees(F.atan2(y, x)), 4) + F.lit(0.0)
+    return (
+        e.select(
+            F.floor(((bearing + 360.0) % 360.0) / 45.0).cast("bigint").alias("sector"),
+            "user_id",
+        )
+        .groupBy("sector")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+    )
+
+
+@query(
+    "g_trajectory_resample",
+    oracle=f"""
+WITH panel AS (
+  SELECT user_id, event_id, value,
+         CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 14400 AS slot
+  FROM events WHERE user_id % 97 = 0
+), per_slot AS (
+  SELECT user_id, slot, arg_max(value, event_id) AS last_val
+  FROM panel GROUP BY user_id, slot
+), bounds AS (
+  SELECT min(slot) AS mn, max(slot) AS mx FROM panel
+), spine AS (
+  SELECT u.user_id, s.slot
+  FROM (SELECT DISTINCT user_id FROM panel) u
+  CROSS JOIN (SELECT unnest(generate_series(mn, mx)) AS slot FROM bounds) s
+), filled AS (
+  SELECT sp.user_id, sp.slot,
+         last_value(ps.last_val IGNORE NULLS) OVER (
+           PARTITION BY sp.user_id ORDER BY sp.slot
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fv
+  FROM spine sp LEFT JOIN per_slot ps
+    ON ps.user_id = sp.user_id AND ps.slot = sp.slot
+)
+SELECT user_id, slot * 14400 AS slot_start, fv * 3.6 - 180 AS lon
+FROM filled WHERE fv IS NOT NULL
+""",
+)
+def g_trajectory_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trajectory resampling onto a regular 4-hour grid: for a
+    deterministic user panel, the last-known position is carried
+    forward to every grid slot (LOCF over a DENSE time spine — the
+    step that turns irregular pings into the fixed-step series
+    movement models consume; latitude is a per-user constant in the
+    synthetic frame, so longitude is the resampled coordinate).  The
+    spine is sequence()-generated between the panel's slot extent and
+    cross-joined with the (broadcast) user panel; per-slot "last ping
+    wins" uses max_by on the unique event_id.  The emitted longitude
+    is pure double arithmetic on a stored value — no rounding grid
+    needed.  Scale: per-(user, slot) partials collapse the facts
+    first; the ffill window is one shuffle on user, state one value;
+    the spine is |users| x |slots| rows — the resampled output
+    itself."""
+    e = load_table(spark, sf_dir, "events").where(F.col("user_id") % 97 == 0)
+    panel = e.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.expr("CAST(unix_timestamp(ts) div 14400 AS BIGINT)").alias("slot"),
+    )
+    per_slot = panel.groupBy("user_id", "slot").agg(
+        F.max_by("value", "event_id").alias("last_val")
+    )
+    bounds = panel.agg(F.min("slot").alias("mn"), F.max("slot").alias("mx"))
+    slots = bounds.select(F.explode(F.sequence("mn", "mx")).alias("slot"))
+    users = panel.select("user_id").distinct()
+    spine = slots.crossJoin(F.broadcast(users))
+    wff = (
+        Window.partitionBy("user_id")
+        .orderBy("slot")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = spine.join(per_slot, ["user_id", "slot"], "left").select(
+        "user_id",
+        "slot",
+        F.last("last_val", ignorenulls=True).over(wff).alias("fv"),
+    )
+    return filled.where(F.col("fv").isNotNull()).select(
+        "user_id",
+        (F.col("slot") * 14400).alias("slot_start"),
+        (F.col("fv") * 3.6 - 180).alias("lon"),
+    )
