@@ -97,6 +97,7 @@ _PRIORITY = [
     "q_weighted_median", "m_reward_pairs", "m_adaboost_round", "src_gzip_text",
     "q_sliding_distinct", "sink_maxrecords", "src_glob_recursive",
     "g_rose_histogram", "g_trajectory_resample",
+    "m_cdc_chunks", "s_rate_source",
     # ---- 50-entry window boundary is enforced by position, the
     # ---- remainder keeps round-3's order for stable bench diffs
     "q_agg_collect",

@@ -858,3 +858,98 @@ def m_suffix_prefix_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.join(b, "glue").where(F.col("src_id") != F.col("dst_id")).select(
         "src_id", "dst_id", "glue"
     )
+
+
+@query(
+    "m_cdc_chunks",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, text, length(text) AS L FROM documents WHERE length(text) >= 8
+), pos AS (
+  SELECT doc_id, text, L, unnest(range(8, L + 1)) AS i FROM d
+), bnd AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS e FROM pos
+  WHERE substring(md5(substring(text, CAST(i - 7 AS INT), 8)), 32, 1) = '0'
+), ends AS (
+  SELECT doc_id, e FROM bnd UNION SELECT doc_id, L FROM d
+), chunks AS (
+  SELECT e2.doc_id,
+         substring(d.text,
+                   CAST(coalesce(lag(e) OVER (PARTITION BY e2.doc_id ORDER BY e), 0) + 1 AS INT),
+                   CAST(e - coalesce(lag(e) OVER (PARTITION BY e2.doc_id ORDER BY e), 0) AS INT))
+           AS chunk
+  FROM ends e2 JOIN d ON d.doc_id = e2.doc_id
+)
+SELECT md5(chunk) AS digest,
+       count(*) AS n_occ,
+       count(DISTINCT doc_id) AS n_docs,
+       CAST(min(length(chunk)) AS BIGINT) AS chunk_len
+FROM chunks
+GROUP BY md5(chunk)
+HAVING count(DISTINCT doc_id) >= 2
+""",
+)
+def m_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (CDC) dedup — the rolling-boundary
+    technique (FastCDC / LBFS lineage) that finds shared passages
+    even when insertions shift every byte offset, where fixed-stride
+    passage dedup (m_passage_dedup) breaks alignment.  A position i
+    is a chunk boundary iff the md5 of the 8-gram ending at i has a
+    trailing '0' hex digit (P=1/16 → ~16-char expected chunks);
+    boundaries therefore move WITH content, not with offsets.  The
+    per-document pipeline — boundary scan, chunk slicing, per-chunk
+    digest + length — runs in an Arrow-batched Python kernel
+    (mapInPandas): the equivalent JVM higher-order-function form was
+    measured 3x over the m-family budget at sf0.1 (interpreted md5
+    per position — exactly CLAUDE.md's big-per-row-fold rule), while
+    the kernel emits only (doc_id, digest, len) scalars into the
+    shuffle.  Output is the cross-document duplicate-chunk catalog.
+    Scale: embarrassing per-document parallelism, one exploded
+    aggregate keyed by digest — chunk text never leaves the worker."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.length("text") >= 8)
+        .select("doc_id", "text")
+    )
+
+    def chunk_kernel(batches):
+        import hashlib
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids, dgs, lens = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = text.encode("ascii")
+                n = len(raw)
+                prev = 0
+                for i in range(8, n + 1):
+                    # boundary iff the md5 of the 8-gram ending at i
+                    # has a trailing '0' hex digit — the same rule the
+                    # SQL oracle evaluates per position
+                    if hashlib.md5(raw[i - 8 : i]).hexdigest()[-1] == "0":
+                        chunk = raw[prev:i]
+                        ids.append(doc_id)
+                        dgs.append(hashlib.md5(chunk).hexdigest())
+                        lens.append(len(chunk))
+                        prev = i
+                if prev < n:
+                    chunk = raw[prev:n]
+                    ids.append(doc_id)
+                    dgs.append(hashlib.md5(chunk).hexdigest())
+                    lens.append(len(chunk))
+            yield pd.DataFrame({"doc_id": ids, "dg": dgs, "len": lens})
+
+    exploded = d.mapInPandas(
+        chunk_kernel,
+        schema="doc_id bigint, dg string, len int",
+    )
+    return (
+        exploded.groupBy(F.col("dg").alias("digest"))
+        .agg(
+            F.count(F.lit(1)).alias("n_occ"),
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.min("len").cast("bigint").alias("chunk_len"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )

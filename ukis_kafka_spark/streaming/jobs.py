@@ -1286,3 +1286,53 @@ def s_stream_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         return run_to_memory(joined, work, mode="append").localCheckpoint()
 
     return _with_scratch(go)
+
+
+@query(
+    "s_rate_source",
+    oracle="""
+WITH vals AS (SELECT unnest(range(0, 5000)) AS v)
+SELECT CAST(v % 7 AS BIGINT) AS klass,
+       count(*) AS n,
+       CAST(SUM(v) AS BIGINT) AS v_sum,
+       max(v) AS v_max
+FROM vals
+GROUP BY 1
+""",
+)
+def s_rate_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The built-in ``rate-micro-batch`` source — Spark's deterministic
+    load generator (unlike plain ``rate``, each micro-batch carries an
+    exact, reproducible value range): one triggered batch of 5000
+    sequential values, aggregated by residue class.  This pins the
+    source's contract (values 0..rowsPerBatch-1 on the first batch
+    from a fixed startTimestamp) against a closed-form oracle — the
+    harness every streaming-throughput test in this repo could be
+    driven by without a file corpus.  sf_dir is unused by
+    construction: the source is synthetic."""
+
+    def go(work: str) -> DataFrame:
+        stream = (
+            spark.readStream.format("rate-micro-batch")
+            .option("rowsPerBatch", 5000)
+            .option("startTimestamp", 0)
+            .load()
+        )
+        agg = stream.groupBy((F.col("value") % 7).alias("klass")).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("v_sum"),
+            F.max("value").alias("v_max"),
+        )
+        name = "mem_rate_" + uuid.uuid4().hex[:8]
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", os.path.join(work, "ckpt_" + name))
+            .trigger(once=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.table(name).localCheckpoint()
+
+    return _with_scratch(go)
