@@ -98,6 +98,7 @@ _PRIORITY = [
     "q_sliding_distinct", "sink_maxrecords", "src_glob_recursive",
     "g_rose_histogram", "g_trajectory_resample",
     "m_cdc_chunks", "s_rate_source",
+    "m_tok_fertility", "m_embed_dim_quantiles", "q_multi_distinct",
     # ---- 50-entry window boundary is enforced by position, the
     # ---- remainder keeps round-3's order for stable bench diffs
     "q_agg_collect",

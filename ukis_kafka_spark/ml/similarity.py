@@ -3002,3 +3002,64 @@ def m_adaboost_round(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly how histogram GBDT implementations amortize iterations."""
     load_table(spark, sf_dir, "events").createOrReplaceTempView("ev_ada")
     return spark.sql(_ada_sql("spark").format(events="ev_ada"))
+
+
+@query(
+    "m_embed_dim_quantiles",
+    oracle="""
+WITH flat AS (
+  SELECT vec_id,
+         CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+         unnest(embedding) AS x
+  FROM embeddings
+), ranked AS (
+  SELECT dim, x, vec_id,
+         row_number() OVER (PARTITION BY dim ORDER BY x, vec_id) AS rn,
+         count(*) OVER (PARTITION BY dim) AS n
+  FROM flat
+)
+SELECT dim,
+       CAST(max(CASE WHEN rn = (n + 9) // 10 THEN x END) AS DOUBLE) AS p10,
+       CAST(max(CASE WHEN rn = (n + 1) // 2 THEN x END) AS DOUBLE) AS p50,
+       CAST(max(CASE WHEN rn = (9 * n + 9) // 10 THEN x END) AS DOUBLE) AS p90,
+       min(n) AS n
+FROM ranked
+GROUP BY dim
+""",
+)
+def m_embed_dim_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-DIMENSION embedding distribution audit: discrete
+    p10/p50/p90 of every coordinate across the corpus — the table
+    that exposes dead dimensions (p10=p90=0), saturated ones, and
+    normalization drift before they poison similarity search.
+    Discrete (type-1) quantiles are SELECTIONS of stored float32
+    values — no interpolation arithmetic — so widening to double is
+    exact in both engines; ranks use the integer ceil identity
+    ``(k*n + n - 1) div n`` style indices and vec_id breaks value
+    ties into a total order.  Scale: posexplode to (dim, x) pairs —
+    |corpus| x 64 rows of scalars, the transposed layout any
+    column-wise stat needs — then one rank window per dim partition;
+    at 100 TB the same audit runs on a sampled panel or per shard
+    with mergeable t-digests, but THIS exact form is the calibration
+    oracle those sketches are judged against."""
+    e = load_table(spark, sf_dir, "embeddings")
+    flat = e.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "x")
+    ).select("vec_id", F.col("dim").cast("bigint").alias("dim"), "x")
+    wr = Window.partitionBy("dim").orderBy("x", "vec_id")
+    wn = Window.partitionBy("dim")
+    ranked = flat.select(
+        "dim",
+        "x",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    idx10 = F.expr("(n + 9) div 10")
+    idx50 = F.expr("(n + 1) div 2")
+    idx90 = F.expr("(9 * n + 9) div 10")
+    return ranked.groupBy("dim").agg(
+        F.max(F.when(F.col("rn") == idx10, F.col("x"))).cast("double").alias("p10"),
+        F.max(F.when(F.col("rn") == idx50, F.col("x"))).cast("double").alias("p50"),
+        F.max(F.when(F.col("rn") == idx90, F.col("x"))).cast("double").alias("p90"),
+        F.min("n").alias("n"),
+    )

@@ -2414,3 +2414,51 @@ def m_reward_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cs") - F.col("rs")).cast("bigint").alias("margin"),
         )
     )
+
+
+def _fertility_oracle() -> str:
+    return _bpe_cte_chain() + f"""
+, wordlen AS (
+  SELECT w, len(string_split(s, ' ')) AS n_sym FROM words{_BPE_ROUNDS}
+)
+SELECT d.lang,
+       count(*) AS n_words,
+       CAST(SUM(wl.n_sym) AS BIGINT) AS n_bpe_tokens,
+       CAST(CAST(SUM(wl.n_sym) AS BIGINT) * 1000 // count(*) AS BIGINT)
+         AS fertility_permille
+FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok
+      FROM documents) d
+JOIN wordlen wl ON wl.w = d.tok
+GROUP BY d.lang
+"""
+
+
+@query("m_tok_fertility", oracle=_fertility_oracle())
+def m_tok_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by language — BPE tokens emitted per
+    whitespace word, the metric that reveals when a tokenizer trained
+    on one language taxes another (fertility >> 1000 permille means
+    that language pays more sequence length for the same text, the
+    classic multilingual-budget skew).  Reuses the m_bpe_merges
+    training chain and m_bpe_apply's scale shape: merges apply to the
+    DISTINCT-word table once, the corpus word stream joins the tiny
+    broadcast word->symbol-count map, and the ratio is integer
+    permille (exact div, no rounded quotients)."""
+    words, _ = _bpe_train(spark, sf_dir)
+    wordlen = words.select("w", F.size(F.split("s", " ")).alias("n_sym"))
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("lang", F.explode(F.split("text", " ")).alias("tok"))
+    return (
+        toks.join(F.broadcast(wordlen), toks.tok == wordlen.w)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_sym").cast("bigint").alias("n_bpe_tokens"),
+        )
+        .select(
+            "lang",
+            "n_words",
+            "n_bpe_tokens",
+            F.expr("n_bpe_tokens * 1000 div n_words").alias("fertility_permille"),
+        )
+    )

@@ -938,3 +938,38 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.max("last_click_id"), F.lit(-1)).alias("last_touch_id"),
         )
     )
+
+
+@query(
+    "q_multi_distinct",
+    oracle="""
+SELECT event_type,
+       count(DISTINCT user_id) AS n_users,
+       count(DISTINCT CAST(epoch(date_trunc('day', ts)) AS BIGINT)) AS n_days,
+       count(DISTINCT CAST(floor(value) AS BIGINT)) AS n_values,
+       count(*) AS n
+FROM events
+GROUP BY event_type
+""",
+)
+def q_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Several COUNT(DISTINCT ...) over DIFFERENT columns in one
+    aggregate — the shape Catalyst rewrites through an Expand node
+    (each input row fans out once per distinct column, tagged by a
+    grouping id) so all three distincts resolve in a single shuffled
+    aggregation instead of three self-joined scans.  The physical
+    trade is deliberate: 3x the shuffle rows buys one pass over the
+    fact table — at 100 TB the single scan wins whenever the fact
+    table dwarfs the exploded shuffle (it does; see also
+    q_bitmap_distinct for the word-packed alternative when distinct
+    domains are dense integers).  All distinct keys are exact
+    integers (day epoch, floored value grid)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_users"),
+        F.count_distinct(
+            F.unix_timestamp(F.date_trunc("day", "ts"))
+        ).alias("n_days"),
+        F.count_distinct(F.floor("value").cast("bigint")).alias("n_values"),
+        F.count(F.lit(1)).alias("n"),
+    )
