@@ -374,3 +374,57 @@ def u_sql_params(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"min_price": 100000, "status": "F"},
     )
+
+
+@query(
+    "u_grouped_map",
+    oracle="""
+WITH g AS (
+  SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS vc FROM events
+), st AS (
+  SELECT event_type, count(*) AS n, CAST(SUM(vc) AS BIGINT) AS s
+  FROM g GROUP BY event_type
+)
+SELECT g.event_type,
+       min(st.n) AS n,
+       CAST(SUM(abs(g.vc * st.n - st.s)) AS BIGINT) AS abs_dev_scaled
+FROM g JOIN st USING (event_type)
+GROUP BY g.event_type
+""",
+)
+def u_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-MAP ``applyInPandas`` — the escape hatch missing from
+    the original u_* quartet (pandas_udf is per-batch, GROUPED_AGG is
+    one-scalar-per-group; grouped map hands the ENTIRE group to
+    Python and may return any number of rows — the API behind custom
+    per-group normalization, resampling, model-per-key fitting).
+    The kernel standardizes each group in exact integer arithmetic —
+    per-row deviation ``vc*n - s`` (= n·var-scaled z numerator, the
+    q_parallel_variance trick) summed as |·| into one audit row per
+    group — so the numpy path is order-independent and bit-matches
+    the SQL twin.  Scale: one shuffle on the grouping key; each
+    group's rows must fit one worker's memory — the documented
+    grouped-map constraint (keys here are 5 event types; skewed key
+    domains belong in mapInPandas or window form instead)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", F.floor(F.col("value") * 100).cast("long").alias("vc")
+    )
+
+    def standardize_audit(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return pd.DataFrame({"event_type": [], "n": [], "abs_dev_scaled": []})
+        vc = pdf["vc"].to_numpy()
+        n = len(vc)
+        s = int(vc.sum())
+        dev = vc.astype(object) * n - s  # object ints: no silent overflow
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "n": [n],
+                "abs_dev_scaled": [int(sum(abs(d) for d in dev))],
+            }
+        )
+
+    return e.groupBy("event_type").applyInPandas(
+        standardize_audit, "event_type string, n bigint, abs_dev_scaled bigint"
+    )

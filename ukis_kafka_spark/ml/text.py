@@ -2462,3 +2462,66 @@ def m_tok_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("n_bpe_tokens * 1000 div n_words").alias("fertility_permille"),
         )
     )
+
+
+@query(
+    "m_scaling_fit",
+    oracle="""
+WITH base AS (
+  SELECT lang,
+         round(ln(n_chars), 6) AS x,
+         round(ln(len(string_split(text, ' '))), 6) AS y
+  FROM documents
+), terms AS (
+  SELECT lang,
+         CAST(x AS DECIMAL(28,10)) AS xd,
+         CAST(y AS DECIMAL(28,10)) AS yd,
+         CAST(round(x * y, 12) AS DECIMAL(28,14)) AS xyd,
+         CAST(round(x * x, 12) AS DECIMAL(28,14)) AS xxd
+  FROM base
+)
+SELECT lang,
+       count(*) AS n,
+       CAST(SUM(xd) * 1000000 AS BIGINT) AS sx_micro,
+       CAST(SUM(yd) * 1000000 AS BIGINT) AS sy_micro,
+       CAST(SUM(xyd) * 1000000000000 AS BIGINT) AS sxy_pico,
+       CAST(SUM(xxd) * 1000000000000 AS BIGINT) AS sxx_pico
+FROM terms
+GROUP BY lang
+""",
+)
+def m_scaling_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-law (scaling-law) fit sufficient statistics: per
+    language, the exact integer sums (n, Σx, Σy, Σxy, Σx²) of the
+    log-log regression ``ln(tokens) ~ b·ln(chars) + a`` — the
+    Chinchilla-style fit shape, whose slope/intercept are
+    ``(nΣxy-ΣxΣy)/(nΣxx-(Σx)²)`` on the emitted columns.  The engine
+    emits SUFFICIENT STATISTICS, not the fitted slope, for the same
+    reason q_parallel_variance does: they merge associatively across
+    partitions/shards (the 100 TB form is per-shard partials + one
+    tiny combine), and they stay in exact integers — each ln() term
+    is rounded to the 6 dp grid per the transcendental rule, products
+    are re-rounded to their exact 12 dp lattice (round(·,12) puts
+    both engines on the identical representable double), and every
+    term then rides a DECIMAL sum that is scaled to integer units
+    INSIDE decimal arithmetic — a double→BIGINT cast of the scaled
+    term would round in DuckDB but truncate in Spark (measured: 4 of
+    5 groups off by a few units).  Magnitude audit: |ln| < 8 → xy_pico < 6.4e13/doc —
+    5e17 at a billion docs, inside int64."""
+    d = load_table(spark, sf_dir, "documents")
+    x = F.round(F.log(F.col("n_chars")), 6)
+    y = F.round(F.log(F.size(F.split("text", " "))), 6)
+    terms = d.select(
+        "lang",
+        x.cast("decimal(28,10)").alias("xd"),
+        y.cast("decimal(28,10)").alias("yd"),
+        F.round(x * y, 12).cast("decimal(28,14)").alias("xyd"),
+        F.round(x * x, 12).cast("decimal(28,14)").alias("xxd"),
+    )
+    return terms.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("xd") * 1000000).cast("bigint").alias("sx_micro"),
+        (F.sum("yd") * 1000000).cast("bigint").alias("sy_micro"),
+        (F.sum("xyd") * 1000000000000).cast("bigint").alias("sxy_pico"),
+        (F.sum("xxd") * 1000000000000).cast("bigint").alias("sxx_pico"),
+    )
