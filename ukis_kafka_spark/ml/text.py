@@ -2525,3 +2525,87 @@ def m_scaling_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("xyd") * 1000000000000).cast("bigint").alias("sxy_pico"),
         (F.sum("xxd") * 1000000000000).cast("bigint").alias("sxx_pico"),
     )
+
+
+@query(
+    "m_rater_kappa",
+    oracle="""
+WITH flags AS (
+  SELECT CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS a,
+         CASE WHEN length(text) - length(replace(text, '.', '')) >= 3
+              THEN 1 ELSE 0 END AS b
+  FROM documents
+), cells AS (
+  SELECT count(*) AS n,
+         COUNT(CASE WHEN a = 1 AND b = 1 THEN 1 END) AS n11,
+         COUNT(CASE WHEN a = 1 AND b = 0 THEN 1 END) AS n10,
+         COUNT(CASE WHEN a = 0 AND b = 1 THEN 1 END) AS n01,
+         COUNT(CASE WHEN a = 0 AND b = 0 THEN 1 END) AS n00
+  FROM flags
+)
+, nd AS (
+  SELECT n, n11, n10, n01, n00,
+         n * (n11 + n00) - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)) AS num,
+         n * n - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)) AS den
+  FROM cells
+)
+SELECT n, n11, n10, n01, n00,
+       CAST(CASE WHEN num >= 0 THEN 1000 * num // den
+                 ELSE -(1000 * (-num) // den) END AS BIGINT) AS kappa_permille
+FROM nd
+""",
+)
+def m_rater_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two heuristic quality raters (a length
+    rule and a punctuation-density rule) — the agreement statistic a
+    curation pipeline reports before trusting cheap labelers / weak
+    supervision sources.  Kappa = (p_o - p_e)/(1 - p_e) is a ratio of
+    rationals over the SAME denominator n², so it reduces to exact
+    integer arithmetic: ``1000·(n·agree − Σ row·col) div (n² − Σ
+    row·col)`` on the 2x2 confusion counts — no float probabilities
+    anywhere, and the division factors the sign out first (Spark
+    truncates signed div, DuckDB floors — the m_pca_power trap).
+    Magnitude: n² ≤ 2.5e9 at sf0.1, ×1000 ≤ 2.5e12 « 2^63; at a
+    billion docs switch the permille scaling to DECIMAL(38,0).
+    Scale: one scan to a 1-row confusion aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    flags = d.select(
+        F.when(F.col("n_chars") >= 300, 1).otherwise(0).alias("a"),
+        F.when(
+            F.length("text") - F.length(F.regexp_replace("text", r"\.", "")) >= 3, 1
+        )
+        .otherwise(0)
+        .alias("b"),
+    )
+    cells = flags.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when((F.col("a") == 1) & (F.col("b") == 1), 1)).alias("n11"),
+        F.count(F.when((F.col("a") == 1) & (F.col("b") == 0), 1)).alias("n10"),
+        F.count(F.when((F.col("a") == 0) & (F.col("b") == 1), 1)).alias("n01"),
+        F.count(F.when((F.col("a") == 0) & (F.col("b") == 0), 1)).alias("n00"),
+    )
+    nd = cells.select(
+        "n",
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        F.expr(
+            "n * (n11 + n00) - ((n11 + n10) * (n11 + n01)"
+            " + (n01 + n00) * (n10 + n00))"
+        ).alias("num"),
+        F.expr(
+            "n * n - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))"
+        ).alias("den"),
+    )
+    return nd.select(
+        "n",
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        F.expr(
+            "CAST(CASE WHEN num >= 0 THEN 1000 * num div den"
+            " ELSE -(1000 * (-num) div den) END AS BIGINT)"
+        ).alias("kappa_permille"),
+    )

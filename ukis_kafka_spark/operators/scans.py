@@ -86,3 +86,44 @@ def q_profile_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "partkey_uniq_ppm"
         ),
     )
+
+
+@query(
+    "q_observe_metrics",
+    oracle="""
+SELECT count(*) AS n,
+       CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS v_centi_sum,
+       max(event_id) AS max_id
+FROM events
+WHERE event_type = 'click'
+""",
+)
+def q_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``df.observe()`` — pipeline metrics collected DURING a job with
+    zero extra passes: the filtered scan streams to the (noop) sink
+    once, and the observation's aggregates ride the same tasks as
+    accumulator-style side output.  This is how a 100 TB ingest audits
+    itself (row counts, integer value mass, id high-water mark)
+    without re-reading anything; the emitted row is the observed
+    metric set itself, re-surfaced through a literal VALUES plan (no
+    pickled-RDD createDataFrame), and must hash-match a second-pass
+    oracle — proving observe() saw every row exactly once.  Metrics
+    are exact integers (centi-unit mass)."""
+    from pyspark.sql import Observation
+
+    e = load_table(spark, sf_dir, "events").where(F.col("event_type") == "click")
+    obs = Observation("ingest_audit")
+    observed = e.observe(
+        obs,
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("value") * 100).cast("long")).alias("v_centi_sum"),
+        F.max("event_id").alias("max_id"),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.sql(
+        "SELECT CAST({n} AS BIGINT) AS n, CAST({s} AS BIGINT) AS v_centi_sum,"
+        " CAST({mx} AS BIGINT) AS max_id".format(
+            n=m["n"], s=m["v_centi_sum"], mx=m["max_id"]
+        )
+    )
