@@ -1336,3 +1336,69 @@ def s_rate_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.table(name).localCheckpoint()
 
     return _with_scratch(go)
+
+
+@query(
+    "s_join_agg_chain",
+    oracle="""
+WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+j AS (
+  SELECT c.ts AS cts
+  FROM c JOIN p ON p.user_id = c.user_id
+   AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+),
+wm AS (
+  SELECT least((SELECT CAST(floor(epoch(max(ts))) AS BIGINT) FROM c),
+               (SELECT CAST(floor(epoch(max(ts))) AS BIGINT) FROM p)) - 600 AS w
+)
+SELECT CAST(epoch(date_trunc('hour', cts)) AS BIGINT) AS hour_start,
+       count(*) AS n_pairs
+FROM j, wm
+GROUP BY 1, w
+HAVING hour_start + 3600 <= w
+""",
+)
+def s_join_agg_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO chained stateful operators: a stream-stream inner join
+    (click -> same-user purchase within 1 h) feeding a watermarked
+    tumbling-hour aggregate of conversion pairs, in append mode — the
+    multi-stateful pipeline shape Spark only fully supports since the
+    multiple-stateful-operator fix (3.5+), and the reason the repo
+    pins it: the JOIN's output inherits event time from the club of
+    BOTH inputs, so the downstream window closes on the GLOBAL
+    watermark = min of the two sides' maxima minus the delay
+    (multipleWatermarkPolicy 'min', same empirical rule as
+    s_stream_left_join), which the oracle mirrors in its HAVING
+    closure.  State stays bounded end-to-end: the join evicts beyond
+    the 1 h bound + delay, the agg holds only open windows.  Scale:
+    join keyed on user, window agg on the joined stream — two
+    shuffles, each watermark-bounded."""
+
+    def go(work: str) -> DataFrame:
+        stream = replay_events_as_stream(spark, sf_dir, work, n_chunks=4)
+        clicks = (
+            stream.where(F.col("event_type") == "click")
+            .select("user_id", F.col("ts").alias("click_ts"))
+            .withWatermark("click_ts", "10 minutes")
+        )
+        purchases = (
+            stream.where(F.col("event_type") == "purchase")
+            .select(F.col("user_id").alias("p_user_id"), F.col("ts").alias("p_ts"))
+            .withWatermark("p_ts", "10 minutes")
+        )
+        joined = clicks.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user_id"))
+            & (F.col("p_ts") >= F.col("click_ts"))
+            & (F.col("p_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+            "inner",
+        )
+        agg = (
+            joined.groupBy(F.window("click_ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n_pairs"))
+            .select(F.unix_timestamp(F.col("w.start")).alias("hour_start"), "n_pairs")
+        )
+        return run_to_memory(agg, work, mode="append").localCheckpoint()
+
+    return _with_scratch(go)
