@@ -755,3 +755,126 @@ def test_decile_lift_identities(spark):
     assert rows[-1].cum_capture_ppm == 1_000_000
     # the scorer must actually rank: top decile beats the bottom one
     assert rows[0].lift_permille > rows[-1].lift_permille
+
+
+# ---- round-4 continuation-2 invariants -------------------------------
+
+
+def test_neyman_allocation_exhausts_budget(spark):
+    from ukis_kafka_spark import api
+
+    rows = api.queries()["m_neyman_allocation"](spark, SF_SMOKE).collect()
+    assert sum(r.alloc for r in rows) == 1000
+    # largest-remainder never strays more than 1 seat from the real quota
+    tot_w = sum(r.neyman_weight for r in rows)
+    for r in rows:
+        exact = 1000 * r.neyman_weight / tot_w
+        assert abs(r.alloc - exact) < 1.0
+
+
+def test_weighted_median_crossing_rule(spark):
+    from ukis_kafka_spark import api
+    from ukis_kafka_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    med = {
+        r.flag: r.wmedian_centi
+        for r in api.queries()["q_weighted_median"](spark, SF_SMOKE).collect()
+    }
+    li = load_table(spark, SF_SMOKE, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("pc"),
+        F.floor(F.col("l_quantity")).cast("long").alias("wt"),
+    )
+    for flag, m in med.items():
+        below, total = (
+            li.where(F.col("flag") == flag)
+            .agg(
+                F.sum(F.when(F.col("pc") <= m, F.col("wt")).otherwise(0)),
+                F.sum("wt"),
+            )
+            .first()
+        )
+        strictly_below = (
+            li.where((F.col("flag") == flag) & (F.col("pc") < m))
+            .agg(F.sum("wt"))
+            .first()[0]
+            or 0
+        )
+        assert 2 * below >= total, "median price does not reach half the mass"
+        assert 2 * strictly_below < total, "a smaller price already crosses half"
+
+
+def test_adaboost_beats_coin_flip_and_reweights(spark):
+    from ukis_kafka_spark import api
+
+    rows = {r.round: r for r in api.queries()["m_adaboost_round"](spark, SF_SMOKE).collect()}
+    assert set(rows) == {1, 2}
+    for r in rows.values():
+        # optimal polarity choice bounds weighted error at half the mass
+        assert 2 * r.werr <= r.wtot
+    # round 2's total weight = round 1 total + misclassified mass
+    assert rows[2].wtot == rows[1].wtot + rows[1].werr
+
+
+def test_sliding_distinct_matches_bruteforce(spark):
+    from ukis_kafka_spark import api
+    from ukis_kafka_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    got = {
+        r.day_num: r.users_7d
+        for r in api.queries()["q_sliding_distinct"](spark, SF_SMOKE).collect()
+    }
+    days_users = (
+        load_table(spark, SF_SMOKE, "events")
+        .select(
+            (F.unix_timestamp(F.date_trunc("day", "ts")) / 86400)
+            .cast("bigint")
+            .alias("d"),
+            "user_id",
+        )
+        .distinct()
+        .collect()
+    )
+    by_day = {}
+    for r in days_users:
+        by_day.setdefault(r.d, set()).add(r.user_id)
+    for d, expect in got.items():
+        brute = set()
+        for k in range(d - 6, d + 1):
+            brute |= by_day.get(k, set())
+        assert expect == len(brute)
+
+
+def test_cdc_chunks_shift_invariance():
+    """Inserting a prefix re-aligns chunking after the first boundary:
+    every chunk digest of the original text except (at most) the first
+    chunk must survive in the prefixed text — the property fixed-
+    stride passage dedup lacks and the whole reason CDC exists."""
+    import hashlib
+
+    def chunks(raw: bytes) -> list[str]:
+        out, prev, n = [], 0, len(raw)
+        for i in range(8, n + 1):
+            if hashlib.md5(raw[i - 8 : i]).hexdigest()[-1] == "0":
+                out.append(hashlib.md5(raw[prev:i]).hexdigest())
+                prev = i
+        if prev < n:
+            out.append(hashlib.md5(raw[prev:n]).hexdigest())
+        return out
+
+    base = ("the quick brown fox jumps over the lazy dog " * 20).encode("ascii")
+    shifted = b"INSERTED PREAMBLE 123 " + base
+    c0, c1 = chunks(base), chunks(shifted)
+    # all interior chunks of the original reappear verbatim
+    assert len(set(c0[1:]) - set(c1)) == 0
+    assert len(c0) > 3  # the fixture actually produced boundaries
+
+
+def test_kappa_bounds(spark):
+    from ukis_kafka_spark import api
+
+    r = api.queries()["m_rater_kappa"](spark, SF_SMOKE).first()
+    assert -1000 <= r.kappa_permille <= 1000
+    assert r.n == r.n11 + r.n10 + r.n01 + r.n00

@@ -1596,3 +1596,52 @@ def q_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ored.groupBy("day_num").agg(
         F.sum(F.bit_count("bits7")).cast("bigint").alias("users_7d")
     )
+
+
+@query(
+    "q_path_trigrams",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type, 1) OVER w AS t2,
+         lead(event_type, 2) OVER w AS t3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+)
+SELECT event_type || '>' || t2 || '>' || t3 AS path,
+       count(*) AS n,
+       count(DISTINCT user_id) AS n_users
+FROM seq
+WHERE t3 IS NOT NULL
+GROUP BY 1
+""",
+)
+def q_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral path mining: every length-3 event-type sequence a
+    user walks (the Sankey/flow-diagram input, and the order-3
+    generalization of q_markov_transitions' pair matrix).  Two leads
+    over ONE user-partitioned window (single shuffle, shared frame),
+    trailing incomplete trigrams dropped; the path key is
+    concatenated into a scalar string so nothing non-scalar reaches
+    the aggregate.  Event order is event_id (ts-monotone, unique —
+    CLAUDE.md).  Scale: |paths| ≤ |types|³ = 125 groups; the window
+    is the only fact-sized stage."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    seq = e.select(
+        "user_id",
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    )
+    return (
+        seq.where(F.col("t3").isNotNull())
+        .select(
+            F.concat_ws(">", "event_type", "t2", "t3").alias("path"), "user_id"
+        )
+        .groupBy("path")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+    )
