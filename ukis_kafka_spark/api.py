@@ -101,7 +101,7 @@ _PRIORITY = [
     "m_tok_fertility", "m_embed_dim_quantiles", "q_multi_distinct",
     "m_scaling_fit", "u_grouped_map",
     "q_observe_metrics", "m_rater_kappa", "s_join_agg_chain",
-    "q_path_trigrams",
+    "q_path_trigrams", "q_local_time_agg",
     # ---- 50-entry window boundary is enforced by position, the
     # ---- remainder keeps round-3's order for stable bench diffs
     "q_agg_collect",

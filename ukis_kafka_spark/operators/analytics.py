@@ -1645,3 +1645,35 @@ def q_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("user_id").alias("n_users"),
         )
     )
+
+
+@query(
+    "q_local_time_agg",
+    oracle="""
+SELECT CAST(hour((ts AT TIME ZONE 'UTC') AT TIME ZONE 'Europe/Berlin') AS BIGINT)
+         AS local_hour,
+       count(*) AS n,
+       count(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1
+""",
+)
+def q_local_time_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Civil-time (timezone-aware) aggregation: events bucketed by
+    Berlin LOCAL hour-of-day — the daily-rhythm profile dashboards
+    actually want, which differs from the UTC bucketing everywhere
+    else in the registry by the DST-dependent 1-2 h shift that both
+    engines must resolve through their own tz databases (JVM zoneinfo
+    vs ICU agreeing here is precisely what the hash check pins).
+    Storage stays UTC (the only sane 100 TB layout); conversion is a
+    per-row projection folded into one 24-row aggregate, so timezone
+    correctness costs nothing at scale."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy(
+        F.hour(F.from_utc_timestamp("ts", "Europe/Berlin"))
+        .cast("bigint")
+        .alias("local_hour")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
