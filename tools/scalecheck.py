@@ -1,0 +1,125 @@
+"""Scaling-curve harness: measure representative plan shapes at 1x /
+4x / 16x the sf0.1 row count and report how close each stays to
+linear.
+
+The brief's question is "would this hold at 100x?" — this tool answers
+the measurable slice of it on one box: replicate the sf0.1 corpus
+in-plan (explode over a k-row sequence, ids offset per replica so key
+cardinality grows with data, per-key row counts stay constant — the
+realistic growth mode), run one representative query per physical
+shape, and print seconds plus the ratio to perfectly-linear scaling
+from the 1x point (ratio ~1.0 = linear; <1 = amortized constant
+overhead; >1 = super-linear danger).
+
+Usage: python tools/scalecheck.py   (writes SCALE.json next to repo root)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from ukis_kafka_spark.plans import get_spark  # noqa: E402
+from ukis_kafka_spark.sources import load_table  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+REPS = (1, 4, 16)
+
+
+def _replicate(df, k: int, id_cols: list[str]):
+    """k logical copies; each replica offsets its keys so cardinality
+    scales with volume (the realistic growth mode for users/orders)."""
+    if k == 1:
+        return df
+    r = df.crossJoin(F.broadcast(
+        get_spark("scale").range(k).select(F.col("id").alias("_rep"))
+    ))
+    for c in id_cols:
+        r = r.withColumn(c, F.col(c) + F.col("_rep") * F.lit(100_000_000))
+    return r.drop("_rep")
+
+
+def _force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    spark = get_spark("scale")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    ev = load_table(spark, SF_DIR, "events")
+
+    def scan_agg(k: int):
+        l = _replicate(li, k, ["l_orderkey"])
+        return l.groupBy("l_returnflag", "l_linestatus").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(28,10)")).alias("q"),
+        )
+
+    def window_per_key(k: int):
+        from pyspark.sql import Window
+
+        e = _replicate(ev, k, ["user_id", "event_id"])
+        w = (
+            Window.partitionBy("user_id")
+            .orderBy("event_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        return e.select("user_id", F.sum(F.floor("value")).over(w).alias("r"))
+
+    def shuffle_join(k: int):
+        e = _replicate(ev, k, ["user_id", "event_id"])
+        per_user = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+        return e.join(per_user, "user_id").where(F.col("n") > 0).groupBy(
+            "event_type"
+        ).agg(F.count(F.lit(1)).alias("m"))
+
+    def exact_dedup(k: int):
+        e = _replicate(ev, k, ["event_id"])
+        return (
+            e.select(F.sha2(F.concat_ws("|", "event_type", "props"), 256).alias("h"))
+            .groupBy("h")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .where(F.col("c") > 1)
+            .agg(F.count(F.lit(1)).alias("dups"))
+        )
+
+    shapes = {
+        "scan_agg": scan_agg,
+        "window_per_key": window_per_key,
+        "shuffle_join": shuffle_join,
+        "exact_dedup": exact_dedup,
+    }
+
+    # warm the JVM + file index once
+    _force(scan_agg(1))
+
+    out: dict[str, dict[str, float]] = {}
+    for name, fn in shapes.items():
+        times = {}
+        for k in REPS:
+            t0 = time.time()
+            _force(fn(k))
+            times[str(k)] = round(time.time() - t0, 3)
+        base = times[str(REPS[0])]
+        ratios = {
+            str(k): round(times[str(k)] / (base * k), 3) for k in REPS
+        }
+        out[name] = {"sec": times, "vs_linear": ratios}
+        print(name, json.dumps(out[name]))
+
+    with open(os.path.join(REPO, "SCALE.json"), "w") as fh:
+        json.dump({"sf_dir": SF_DIR, "reps": list(REPS), "shapes": out}, fh, indent=1)
+    print("wrote SCALE.json")
+
+
+if __name__ == "__main__":
+    main()
