@@ -102,6 +102,7 @@ _PRIORITY = [
     "m_scaling_fit", "u_grouped_map",
     "q_observe_metrics", "m_rater_kappa", "s_join_agg_chain",
     "q_path_trigrams", "q_local_time_agg",
+    "m_langid_confusion", "m_filter_venn",
     # ---- 50-entry window boundary is enforced by position, the
     # ---- remainder keeps round-3's order for stable bench diffs
     "q_agg_collect",

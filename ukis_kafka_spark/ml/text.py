@@ -2609,3 +2609,78 @@ def m_rater_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE -(1000 * (-num) div den) END AS BIGINT)"
         ).alias("kappa_permille"),
     )
+
+
+@query(
+    "m_langid_confusion",
+    oracle="""
+WITH pred AS (
+  SELECT lang,
+         CASE WHEN contains(text, 'stream') OR contains(text, 'window') THEN 'en'
+              WHEN contains(text, 'join') THEN 'de'
+              WHEN len(string_split(text, ' ')) % 2 = 0 THEN 'es'
+              ELSE 'fr' END AS lang_pred
+  FROM documents
+)
+SELECT lang AS true_lang, lang_pred,
+       count(*) AS n,
+       COUNT(CASE WHEN lang = lang_pred THEN 1 END) AS n_correct
+FROM pred
+GROUP BY lang, lang_pred
+""",
+)
+def m_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the m_lang_id heuristic against the
+    corpus's TRUE language labels — the eval every classifier-driven
+    curation filter owes before it gates data (per-cell counts feed
+    precision/recall per language; the diagonal is exact agreement).
+    Reuses m_lang_id's classification expression verbatim so the
+    matrix audits the deployed rule, not a copy that can drift.
+    Scale: per-row classify folded into a |langs|² cell aggregate —
+    one shuffle of 25 cells."""
+    from ..registry import QUERIES
+
+    pred = QUERIES["m_lang_id"](spark, sf_dir)
+    return pred.groupBy(
+        F.col("lang").alias("true_lang"), "lang_pred"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("lang") == F.col("lang_pred"), 1)).alias("n_correct"),
+    )
+
+
+@query(
+    "m_filter_venn",
+    oracle="""
+SELECT CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS pass_len,
+       CASE WHEN len(string_split(text, ' ')) >= 30 THEN 1 ELSE 0 END AS pass_tok,
+       CASE WHEN contains(text, 'spark') OR contains(text, 'filter')
+            THEN 1 ELSE 0 END AS pass_kw,
+       count(*) AS n,
+       CAST(SUM(n_chars) AS BIGINT) AS chars
+FROM documents
+GROUP BY 1, 2, 3
+""",
+)
+def m_filter_venn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-interaction Venn table: three curation rules (length,
+    token count, keyword) evaluated simultaneously, with one row per
+    pass/fail combination — the inclusion-exclusion view that shows
+    whether stacked filters remove DISTINCT low-quality populations
+    or keep re-rejecting the same documents (if cell 000+001+010+100
+    dominates removals, the filters are redundant; m_filter_sweep
+    tunes one rule's threshold, this table audits their composition).
+    One scan, one 8-cell aggregate — adding a rule doubles cells, not
+    passes."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.groupBy(
+        F.when(F.col("n_chars") >= 200, 1).otherwise(0).alias("pass_len"),
+        F.when(F.size(F.split(t, " ")) >= 30, 1).otherwise(0).alias("pass_tok"),
+        F.when(t.contains("spark") | t.contains("filter"), 1)
+        .otherwise(0)
+        .alias("pass_kw"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").cast("bigint").alias("chars"),
+    )
