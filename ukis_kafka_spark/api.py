@@ -103,6 +103,7 @@ _PRIORITY = [
     "q_observe_metrics", "m_rater_kappa", "s_join_agg_chain",
     "q_path_trigrams", "q_local_time_agg",
     "m_langid_confusion", "m_filter_venn",
+    "q_key_skew_audit", "m_graph_assortativity", "m_rand_projection",
     # ---- 50-entry window boundary is enforced by position, the
     # ---- remainder keeps round-3's order for stable bench diffs
     "q_agg_collect",

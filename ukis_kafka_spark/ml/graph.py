@@ -869,3 +869,61 @@ def m_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("contrib_scaled"),
         )
     )
+
+
+@query(
+    "m_graph_assortativity",
+    oracle="""
+WITH edges AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a
+  JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+), e AS (
+  SELECT src, dst FROM edges
+  UNION ALL
+  SELECT dst AS src, src AS dst FROM edges
+), deg AS (
+  SELECT src AS node, count(*) AS d FROM e GROUP BY src
+)
+SELECT count(*) AS m2,
+       CAST(SUM(ds.d * dd.d) AS BIGINT) AS sum_prod,
+       CAST(SUM(ds.d + dd.d) AS BIGINT) AS sum_sum,
+       CAST(SUM(ds.d * ds.d + dd.d * dd.d) AS BIGINT) AS sum_sq
+FROM e
+JOIN deg ds ON ds.node = e.src
+JOIN deg dd ON dd.node = e.dst
+""",
+)
+def m_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity sufficient statistics of the co-order
+    graph: over every directed edge of the symmetrized edge list, the
+    exact integer sums (Σdᵤdᵥ, Σ(dᵤ+dᵥ), Σ(dᵤ²+dᵥ²), 2m) from which
+    Newman's r = (S₁·Σdᵤdᵥ − S₂²/4·...) assembles — positive r means
+    hubs link hubs (skew compounds through joins: the salting
+    argument), negative means hub-to-leaf.  Like m_scaling_fit the
+    engine emits the associative partials, not the final ratio —
+    exact at any scale and mergeable per shard.  Scale: degrees from
+    one aggregate over the cached edge list (the ingest-time
+    coorder_edges build), then two broadcast-size joins of the degree
+    table onto edges; magnitude d ≤ ~10³, d²·|edges| ≪ 2^63."""
+    edges = coorder_edges(spark, sf_dir)
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("d")).withColumnRenamed(
+        "src", "node"
+    )
+    ds = deg.select(F.col("node").alias("s_node"), F.col("d").alias("d_s"))
+    dd = deg.select(F.col("node").alias("d_node"), F.col("d").alias("d_d"))
+    joined = (
+        sym.join(F.broadcast(ds), F.col("src") == F.col("s_node"))
+        .join(F.broadcast(dd), F.col("dst") == F.col("d_node"))
+    )
+    return joined.agg(
+        F.count(F.lit(1)).alias("m2"),
+        F.sum(F.col("d_s") * F.col("d_d")).cast("bigint").alias("sum_prod"),
+        F.sum(F.col("d_s") + F.col("d_d")).cast("bigint").alias("sum_sum"),
+        F.sum(F.col("d_s") * F.col("d_s") + F.col("d_d") * F.col("d_d"))
+        .cast("bigint")
+        .alias("sum_sq"),
+    )

@@ -3063,3 +3063,66 @@ def m_embed_dim_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("rn") == idx90, F.col("x"))).cast("double").alias("p90"),
         F.min("n").alias("n"),
     )
+
+
+@query(
+    "m_rand_projection",
+    oracle="""
+WITH flat AS (
+  SELECT vec_id,
+         CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS i,
+         CAST(floor(unnest(embedding) * 1048576) AS BIGINT) AS q
+  FROM embeddings
+), signs AS (
+  SELECT i.range AS i, j.range AS j,
+         CASE WHEN substring(md5('rp|' || i.range || '|' || j.range), 15, 1)
+                   IN ('0','2','4','6','8','a','c','e')
+              THEN 1 ELSE -1 END AS sgn
+  FROM range(0, 64) i CROSS JOIN range(0, 16) j
+)
+SELECT f.vec_id, s.j,
+       CAST(SUM(s.sgn * f.q) AS BIGINT) AS y
+FROM flat f JOIN signs s ON s.i = f.i
+GROUP BY f.vec_id, s.j
+""",
+)
+def m_rand_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection 64→16 dims with a
+    SIGN matrix derived from md5 parity — the dimensionality-reduction
+    step that makes downstream ANN/dedup 4× cheaper while roughly
+    preserving distances (Achlioptas ±1 construction).  Exactness
+    across engines comes from projecting QUANTIZED coordinates: floats
+    floor to a 2⁻²⁰ integer grid first, so every output coordinate is
+    an exact BIGINT dot product — float accumulation order never
+    enters.  The 1024-entry sign matrix is generated in-plan from
+    range×range (no driver-side literals) and broadcast onto the
+    exploded (vec, dim) stream; one shuffle keyed (vec_id, j).  At
+    100 TB this is the standard pre-reduction before banding: the
+    projection is a rowwise map, embarrassingly parallel."""
+    e = load_table(spark, sf_dir, "embeddings")
+    flat = e.select(
+        "vec_id", F.posexplode("embedding").alias("i", "x")
+    ).select(
+        "vec_id",
+        F.col("i").cast("bigint").alias("i"),
+        F.floor(F.col("x") * 1048576).cast("bigint").alias("q"),
+    )
+    signs = spark.sql(
+        """
+        SELECT i, j,
+               CASE WHEN substring(md5(concat('rp|', i, '|', j)), 15, 1)
+                         IN ('0','2','4','6','8','a','c','e')
+                    THEN 1 ELSE -1 END AS sgn
+        FROM (SELECT explode(sequence(0, 63)) AS i)
+        CROSS JOIN (SELECT explode(sequence(0, 15)) AS j)
+        """
+    ).select(
+        F.col("i").cast("bigint").alias("i"),
+        F.col("j").cast("bigint").alias("j"),
+        "sgn",
+    )
+    return (
+        flat.join(F.broadcast(signs), "i")
+        .groupBy("vec_id", "j")
+        .agg(F.sum(F.col("sgn") * F.col("q")).cast("bigint").alias("y"))
+    )

@@ -1677,3 +1677,58 @@ def q_local_time_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.count_distinct("user_id").alias("n_users"),
     )
+
+
+@query(
+    "q_key_skew_audit",
+    oracle="""
+WITH per_key AS (
+  SELECT o_custkey, count(*) AS c FROM orders GROUP BY o_custkey
+), ranked AS (
+  SELECT c, row_number() OVER (ORDER BY c DESC, o_custkey) AS rk,
+         count(*) OVER () AS n_keys,
+         CAST(SUM(c) OVER () AS BIGINT) AS total
+  FROM per_key
+)
+SELECT CAST(min(n_keys) AS BIGINT) AS n_keys,
+       CAST(min(total) AS BIGINT) AS total_rows,
+       CAST(max(c) AS BIGINT) AS max_key_rows,
+       CAST(max(CASE WHEN rk = (n_keys + 99) // 100 THEN c END) AS BIGINT) AS p99_key_rows,
+       CAST(CAST(SUM(CASE WHEN rk <= (n_keys + 99) // 100 THEN c ELSE 0 END) AS BIGINT)
+            * 1000 // min(total) AS BIGINT) AS top1pct_share_permille
+FROM ranked
+""",
+)
+def q_key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew audit — the pre-flight check that decides whether
+    a key needs the salted path (q_join_salted /
+    q_agg_twophase_salted): per-key row counts for the orders→customer
+    join key, reduced to the numbers that matter at 1000 executors —
+    hottest key, p99 key, and the permille of all rows carried by the
+    top 1% of keys (if that share is large, one task inherits it
+    after the shuffle).  Exact integers; the rank window runs over
+    per-key COUNTS (|keys| rows), never facts.  m_graph_degree is the
+    graph twin of this audit; this is the relational one."""
+    o = load_table(spark, sf_dir, "orders")
+    per_key = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("c"))
+    wall = Window.partitionBy()
+    ranked = per_key.select(
+        "c",
+        F.row_number()
+        .over(Window.orderBy(F.col("c").desc(), F.col("o_custkey")))
+        .alias("rk"),
+        F.count(F.lit(1)).over(wall).alias("n_keys"),
+        F.sum("c").over(wall).alias("total"),
+    )
+    return ranked.agg(
+        F.min("n_keys").cast("bigint").alias("n_keys"),
+        F.min("total").cast("bigint").alias("total_rows"),
+        F.max("c").cast("bigint").alias("max_key_rows"),
+        F.max(F.when(F.col("rk") == F.expr("(n_keys + 99) div 100"), F.col("c")))
+        .cast("bigint")
+        .alias("p99_key_rows"),
+        F.expr(
+            "CAST(SUM(CASE WHEN rk <= (n_keys + 99) div 100 THEN c ELSE 0 END)"
+            " * 1000 div min(total) AS BIGINT)"
+        ).alias("top1pct_share_permille"),
+    )
