@@ -104,6 +104,7 @@ _PRIORITY = [
     "q_path_trigrams", "q_local_time_agg",
     "m_langid_confusion", "m_filter_venn",
     "q_key_skew_audit", "m_graph_assortativity", "m_rand_projection",
+    "m_hll_merge", "q_capped_running_sum",
     # ---- 50-entry window boundary is enforced by position, the
     # ---- remainder keeps round-3's order for stable bench diffs
     "q_agg_collect",

@@ -262,3 +262,49 @@ def m_dp_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     count query itself."""
     load_table(spark, sf_dir, "documents").createOrReplaceTempView("docs_dp")
     return spark.sql(_dp_sql("spark").format(docs="docs_dp"))
+
+
+def _hll_merge_sql(engine: str) -> str:
+    h = _h60(engine, "CAST(l_orderkey AS VARCHAR)" if engine == "duck" else "CAST(l_orderkey AS STRING)")
+    idiv = "//" if engine == "duck" else "div"
+    blen = "length(bin(rest))"
+    return f"""
+WITH h AS (
+  SELECT DISTINCT {h} AS hv FROM lineitem
+),
+parts AS (
+  SELECT (hv {idiv} {_HLL_M}) % 4 AS seg,
+         hv % {_HLL_M} AS bucket,
+         hv {idiv} {_HLL_M} AS rest
+  FROM h
+),
+per_seg AS (
+  SELECT seg, CAST(bucket AS BIGINT) AS bucket,
+         MAX(CASE WHEN rest = 0 THEN 55 ELSE 55 - {blen} END) AS register,
+         COUNT(*) AS n_hashes
+  FROM parts
+  GROUP BY seg, bucket
+)
+SELECT bucket,
+       CAST(MAX(register) AS BIGINT) AS register,
+       CAST(SUM(n_hashes) AS BIGINT) AS n_hashes,
+       CAST(COUNT(*) AS BIGINT) AS n_segments
+FROM per_seg
+GROUP BY bucket
+"""
+
+
+@query("m_hll_merge", oracle=_hll_merge_sql("duck"))
+def m_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL register MERGE proof: the hash domain is split into 4
+    disjoint segments (per-shard partial sketches at 100 TB), each
+    segment builds its own register bank, and the banks MAX-merge
+    back into the global sketch — the associativity that makes HLL a
+    one-pass distributed/streaming counter.  The merged bank must
+    hash-match the oracle's directly-built registers (same
+    bucket/rank math as m_hll_registers), proving merge ≡ direct on
+    real data, not algebra on paper.  Spark runs the identical SQL
+    text modulo integer-division spelling — the plan is two hash
+    aggregates, partial-combined map-side."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("li_hllm")
+    return spark.sql(_hll_merge_sql("spark").replace("FROM lineitem", "FROM li_hllm"))

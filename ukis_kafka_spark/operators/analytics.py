@@ -1732,3 +1732,67 @@ def q_key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 1000 div min(total) AS BIGINT)"
         ).alias("top1pct_share_permille"),
     )
+
+
+@query(
+    "q_capped_running_sum",
+    oracle="""
+WITH flow AS (
+  SELECT user_id, event_id,
+         CAST(floor(value * 100) AS BIGINT) - 5000 AS x
+  FROM events
+), runs AS (
+  SELECT user_id, event_id,
+         CAST(SUM(x) OVER (PARTITION BY user_id ORDER BY event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS r
+  FROM flow
+), floored AS (
+  SELECT user_id, event_id, r,
+         CAST(LEAST(CAST(0 AS BIGINT),
+              MIN(r) OVER (PARTITION BY user_id ORDER BY event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS BIGINT)
+           AS floor_r
+  FROM runs
+)
+SELECT user_id, event_id, CAST(r - floor_r AS BIGINT) AS balance_centi
+FROM floored
+""",
+)
+def q_capped_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running balance FLOORED AT ZERO — inventory / wallet / rate-
+    limiter semantics where drains below empty are lost, not owed.
+    The recurrence b_i = max(0, b_{i-1} + x_i) looks inherently
+    sequential (per-row recursion no engine's window frames express),
+    but it has a closed two-window form: b_i = run_i − min(0,
+    prefix-min of run) — the running sum minus the deepest
+    below-zero excursion so far.  That identity turns an apparently
+    iterative stateful scan into two stacked windows over the SAME
+    partition ordering (one shuffle, no recursion, no UDF) — the
+    kind of rewrite that keeps 100 TB of per-key telemetry inside
+    whole-stage codegen.  Flows are exact centi-units (floor, signed
+    around a 50.00 drain threshold)."""
+    e = load_table(spark, sf_dir, "events")
+    flow = e.select(
+        "user_id",
+        "event_id",
+        (F.floor(F.col("value") * 100).cast("long") - 5000).alias("x"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    runs = flow.select(
+        "user_id",
+        "event_id",
+        F.sum("x").over(w).alias("r"),
+    )
+    runs = runs.select(
+        "user_id",
+        "event_id",
+        "r",
+        F.least(F.lit(0).cast("long"), F.min("r").over(w)).alias("floor_r"),
+    )
+    return runs.select(
+        "user_id", "event_id", (F.col("r") - F.col("floor_r")).alias("balance_centi")
+    )
