@@ -428,3 +428,52 @@ def u_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy("event_type").applyInPandas(
         standardize_audit, "event_type string, n bigint, abs_dev_scaled bigint"
     )
+
+
+@query(
+    "u_pandas_window_agg",
+    oracle="""
+WITH c AS (
+  SELECT user_id, event_id,
+         CAST(floor(value * 100) AS BIGINT) AS vc
+  FROM events
+)
+SELECT user_id, event_id,
+       CAST(SUM(vc) OVER (PARTITION BY user_id ORDER BY event_id
+            ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT) AS trail_sum
+FROM c
+""",
+)
+def u_pandas_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pandas UDAF applied OVER A WINDOW FRAME — the fourth
+    invocation mode of the vectorized-UDF surface (scalar batch:
+    u_pandas_udf; grouped agg: u_grouped_udaf; grouped map:
+    u_grouped_map; this: bounded-frame window aggregation, where
+    Spark hands the UDF each row's trailing frame as an Arrow
+    series).  The kernel sums exact centi-unit integers so the
+    result bit-matches the built-in window twin in the oracle.
+    Scale: same single user-partitioned shuffle as any window; the
+    Python boundary costs one Arrow transfer per frame batch — which
+    is why production code uses built-in sums and reserves this mode
+    for aggregations SQL lacks (custom decay kernels, order
+    statistics over frames)."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.floor(F.col("value") * 100).cast("long").alias("vc"),
+    )
+
+    @pandas_udf("long")
+    def frame_sum(v: pd.Series) -> int:
+        return int(v.sum())
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(-4, 0)
+    )
+    return e.select(
+        "user_id", "event_id", frame_sum("vc").over(w).alias("trail_sum")
+    )

@@ -1796,3 +1796,67 @@ def q_capped_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return runs.select(
         "user_id", "event_id", (F.col("r") - F.col("floor_r")).alias("balance_centi")
     )
+
+
+@query(
+    "q_percent_of_parent",
+    oracle="""
+WITH rev AS (
+  SELECT r.r_name AS region, n.n_name AS nation,
+         CAST(SUM(CAST(o.o_totalprice AS DECIMAL(28,10))) * 1000000 AS BIGINT)
+           AS rev_micros
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  GROUP BY r.r_name, n.n_name
+), lvl AS (
+  SELECT region, nation, rev_micros,
+         CAST(SUM(rev_micros) OVER (PARTITION BY region) AS BIGINT) AS region_rev,
+         CAST(SUM(rev_micros) OVER () AS BIGINT) AS total_rev
+  FROM rev
+)
+SELECT region, nation, rev_micros,
+       CAST(rev_micros * 1000 // region_rev AS BIGINT) AS share_of_region_permille,
+       CAST(region_rev * 1000 // total_rev AS BIGINT) AS region_share_permille
+FROM lvl
+""",
+)
+def q_percent_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-parent at two hierarchy levels (nation→region→
+    total revenue) — the drill-down ratio every BI hierarchy view
+    shows next to the raw measure, distinct from q_share_of_total's
+    flat share by being computed against the IMMEDIATE parent at each
+    level.  Revenue rides exact micro-unit integers; both shares are
+    integer permille (no rounded decimal quotients).  Scale: facts
+    aggregate once to the |nations| grain (broadcast dims on the
+    join), then two windows over ≤25 rows."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    rev = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            (F.sum(F.col("o_totalprice").cast("decimal(28,10)")) * 1000000)
+            .cast("bigint")
+            .alias("rev_micros")
+        )
+    )
+    lvl = rev.select(
+        "region",
+        "nation",
+        "rev_micros",
+        F.sum("rev_micros").over(Window.partitionBy("region")).alias("region_rev"),
+        F.sum("rev_micros").over(Window.partitionBy()).alias("total_rev"),
+    )
+    return lvl.select(
+        "region",
+        "nation",
+        "rev_micros",
+        F.expr("rev_micros * 1000 div region_rev").alias("share_of_region_permille"),
+        F.expr("region_rev * 1000 div total_rev").alias("region_share_permille"),
+    )
