@@ -105,7 +105,7 @@ _PRIORITY = [
     "m_langid_confusion", "m_filter_venn",
     "q_key_skew_audit", "m_graph_assortativity", "m_rand_projection",
     "m_hll_merge", "q_capped_running_sum",
-    "q_percent_of_parent", "u_pandas_window_agg",
+    "q_percent_of_parent", "u_pandas_window_agg", "m_jl_recall",
     # ---- 50-entry window boundary is enforced by position, the
     # ---- remainder keeps round-3's order for stable bench diffs
     "q_agg_collect",
