@@ -106,6 +106,7 @@ _PRIORITY = [
     "q_key_skew_audit", "m_graph_assortativity", "m_rand_projection",
     "m_hll_merge", "q_capped_running_sum",
     "q_percent_of_parent", "u_pandas_window_agg", "m_jl_recall",
+    "sink_merge_on_read", "s_cdc_apply",
     # ---- 50-entry window boundary is enforced by position, the
     # ---- remainder keeps round-3's order for stable bench diffs
     "q_agg_collect",

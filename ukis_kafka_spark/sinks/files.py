@@ -384,3 +384,56 @@ def sink_maxrecords(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint()
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "sink_merge_on_read",
+    oracle="""
+SELECT event_type,
+       count(*) AS n,
+       min(event_id) AS min_id,
+       max(event_id) AS max_id
+FROM events
+WHERE event_id % 13 <> 0
+GROUP BY event_type
+""",
+)
+def sink_merge_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read deletes (the Iceberg/Delta deletion-vector
+    pattern): the base data is written ONCE and never rewritten;
+    deletes land as a separate tombstone file of keys, and every
+    reader composes base ANTI JOIN tombstones at scan time — the
+    write-cheap/read-costly half of the delete trade (sink_upsert is
+    the copy-on-write half).  The audit aggregates through the
+    composed reader and must match the oracle's direct filter, so a
+    tombstone missed by the anti join (or a base row dropped by the
+    writer) breaks the hash.  Scale: tombstones are a small
+    broadcast side; compaction (folding tombstones into the base,
+    sink_compact's job) restores scan speed when the delete ratio
+    grows."""
+    work = _scratch_dir()
+    try:
+        base_dir = os.path.join(work, "base")
+        del_dir = os.path.join(work, "deletes")
+        e = load_table(spark, sf_dir, "events").select(
+            "event_id", "event_type", "value"
+        )
+        e.write.mode("overwrite").parquet(base_dir)
+        # a later "delete where event_id % 13 = 0" lands as tombstones
+        e.where(F.col("event_id") % 13 == 0).select("event_id").write.mode(
+            "overwrite"
+        ).parquet(del_dir)
+        base = spark.read.parquet(base_dir)
+        tombs = spark.read.parquet(del_dir)
+        live = base.join(F.broadcast(tombs), "event_id", "left_anti")
+        return (
+            live.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min("event_id").alias("min_id"),
+                F.max("event_id").alias("max_id"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -1402,3 +1402,94 @@ def s_join_agg_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         return run_to_memory(agg, work, mode="append").localCheckpoint()
 
     return _with_scratch(go)
+
+
+def _cdc_apply_oracle() -> str:
+    per_batch = []
+    for b in range(1, 5):
+        per_batch.append(f"""
+  SELECT o.user_id,
+         CASE WHEN arg_max(o.event_type, o.rn) = 'signup' THEN 0 ELSE 1 END AS live,
+         CASE WHEN arg_max(o.event_type, o.rn) = 'signup' THEN -1
+              ELSE CAST(floor(arg_max(o.value, o.rn) * 100) AS BIGINT) END AS value_centi,
+         arg_max(o.event_id, o.rn) AS last_event_id
+  FROM ordered o, params
+  WHERE o.rn <= {b} * per
+  GROUP BY o.user_id
+  HAVING max(o.rn) > {b - 1} * min(per)""")
+    union = " UNION ALL ".join(f"SELECT * FROM ({q})" for q in per_batch)
+    return f"""
+WITH ordered AS (
+  SELECT event_id, user_id, event_type, value,
+         row_number() OVER (ORDER BY ts) AS rn
+  FROM events
+),
+params AS (SELECT (max(rn) + 3) // 4 AS per FROM ordered)
+{union}
+"""
+
+
+@query("s_cdc_apply", oracle=_cdc_apply_oracle())
+def s_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply with DELETE tombstones as a streaming stateful
+    operator: each event is an upsert of the user's current value —
+    except 'signup' events, which model a DELETE of the key — and
+    per-key GroupState holds (last_id, live, value), emitting the
+    key's post-batch state every micro-batch it receives ops (the
+    update LOG a downstream materialized view consumes; deleted keys
+    emit an explicit live=0/-1 tombstone record rather than silently
+    vanishing, so consumers can retract).  Last-writer-wins is by
+    event_id (ts-monotone, unique), so only each batch's max-id op
+    touches state — the oracle unrolls the 4 pinned replay chunks as
+    prefix states exactly like s_update_mode.  This is the streaming
+    twin of sink_upsert (R7) with the delete half added.  Scale:
+    state is 3 scalars per live key, evictable by retention policy;
+    one shuffle on the key."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def apply_ops(key, pdfs, state: GroupState):
+        import math
+
+        last_id, live, val = state.get if state.exists else (-1, 0, -1)
+        best = None
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            idx = pdf["event_id"].idxmax()
+            row = pdf.loc[idx]
+            if best is None or row["event_id"] > best["event_id"]:
+                best = row
+        if best is not None and int(best["event_id"]) > last_id:
+            last_id = int(best["event_id"])
+            if best["event_type"] == "signup":
+                live, val = 0, -1
+            else:
+                live, val = 1, int(math.floor(float(best["value"]) * 100))
+        state.update((last_id, live, val))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "live": [live],
+                "value_centi": [val],
+                "last_event_id": [last_id],
+            }
+        )
+
+    def go(work: str) -> DataFrame:
+        stream = replay_events_as_stream(spark, sf_dir, work, n_chunks=4)
+        updates = (
+            stream.select("event_id", "user_id", "event_type", "value")
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                apply_ops,
+                outputStructType=(
+                    "user_id long, live int, value_centi long, last_event_id long"
+                ),
+                stateStructType="last_id long, live int, val long",
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+        )
+        return run_to_memory(updates, work, mode="update").localCheckpoint()
+
+    return _with_scratch(go)
