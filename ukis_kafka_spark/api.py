@@ -107,6 +107,7 @@ _PRIORITY = [
     "m_hll_merge", "q_capped_running_sum",
     "q_percent_of_parent", "u_pandas_window_agg", "m_jl_recall",
     "sink_merge_on_read", "s_cdc_apply",
+    "m_stem_counts", "m_minmax_scale", "m_quantile_bins",
     # ---- 50-entry window boundary is enforced by position, the
     # ---- remainder keeps round-3's order for stable bench diffs
     "q_agg_collect",

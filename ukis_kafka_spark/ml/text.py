@@ -2684,3 +2684,154 @@ def m_filter_venn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum("n_chars").cast("bigint").alias("chars"),
     )
+
+
+_STEM_CASE = """
+CASE WHEN length(tok) > 5 AND tok LIKE '%ing'
+       THEN substring(tok, 1, length(tok) - 3)
+     WHEN length(tok) > 4 AND tok LIKE '%ed'
+       THEN substring(tok, 1, length(tok) - 2)
+     WHEN length(tok) > 4 AND tok LIKE '%er'
+       THEN substring(tok, 1, length(tok) - 2)
+     WHEN length(tok) > 4 AND tok LIKE '%es'
+       THEN substring(tok, 1, length(tok) - 2)
+     WHEN length(tok) > 3 AND tok LIKE '%s'
+       THEN substring(tok, 1, length(tok) - 1)
+     ELSE tok END
+"""
+
+
+@query(
+    "m_stem_counts",
+    oracle=f"""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+), stemmed AS (
+  SELECT tok, {_STEM_CASE} AS stem FROM toks
+)
+SELECT stem,
+       count(*) AS n_occ,
+       count(DISTINCT tok) AS n_forms,
+       COUNT(CASE WHEN stem <> tok THEN 1 END) AS n_stripped
+FROM stemmed
+GROUP BY stem
+""",
+)
+def m_stem_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based suffix stemming (Porter-step-1 shape: -ing/-ed/
+    -es/-s, longest match first, length guards against over-stripping
+    short tokens) and the vocabulary folding it buys — one row per
+    stem that actually MERGED ≥2 surface forms, with occurrence and
+    form counts.  The morphological complement of m_text_normalize's
+    case/punct folding; on real corpora this is the cheap recall
+    boost for m_term_freq/m_tfidf matching.  The CASE chain is shared
+    verbatim with the oracle (pure string builtins, whole-stage
+    codegen).  The synthetic vocabulary carries no inflectional
+    PAIRS (n_forms stays 1 — an honest property of the fixture,
+    surfaced rather than filtered away), so the table reports the
+    strip activity itself (n_stripped) alongside the fold counts a
+    real corpus would show.  Scale: explode → one hash aggregate
+    over |stems| rows."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split("text", " ")).alias("tok"))
+    stemmed = toks.select("tok", F.expr(_STEM_CASE).alias("stem"))
+    return stemmed.groupBy("stem").agg(
+        F.count(F.lit(1)).alias("n_occ"),
+        F.count_distinct("tok").alias("n_forms"),
+        F.count(F.when(F.col("stem") != F.col("tok"), 1)).alias("n_stripped"),
+    )
+
+
+@query(
+    "m_minmax_scale",
+    oracle="""
+WITH c AS (
+  SELECT event_id,
+         CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_start,
+         CAST(floor(value * 100) AS BIGINT) AS vc
+  FROM events
+), ext AS (
+  SELECT event_id, day_start, vc,
+         CAST(MIN(vc) OVER (PARTITION BY day_start) AS BIGINT) AS lo,
+         CAST(MAX(vc) OVER (PARTITION BY day_start) AS BIGINT) AS hi
+  FROM c
+)
+SELECT event_id, day_start,
+       CAST(CASE WHEN hi = lo THEN 500
+                 ELSE (vc - lo) * 1000 // (hi - lo) END AS BIGINT)
+         AS scaled_permille
+FROM ext
+""",
+)
+def m_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day min-max feature scaling to an integer permille grid —
+    the normalization step feature pipelines run per partition-of-
+    interest (here: per day, so drift in daily ranges doesn't leak
+    across folds).  Exact integers end-to-end: centi-unit values,
+    integer permille quotient (numerator ≥ 0, so truncation ==
+    floor in both engines), degenerate single-value days pinned to
+    the midpoint instead of dividing by zero (the dt=0 guard class
+    from the working notes).  Scale: one window pair per partition
+    key — min/max fold into a single shuffle."""
+    e = load_table(spark, sf_dir, "events")
+    c = e.select(
+        "event_id",
+        F.unix_timestamp(F.date_trunc("day", "ts")).alias("day_start"),
+        F.floor(F.col("value") * 100).cast("long").alias("vc"),
+    )
+    wd = Window.partitionBy("day_start")
+    ext = c.select(
+        "event_id",
+        "day_start",
+        "vc",
+        F.min("vc").over(wd).alias("lo"),
+        F.max("vc").over(wd).alias("hi"),
+    )
+    return ext.select(
+        "event_id",
+        "day_start",
+        F.expr(
+            "CAST(CASE WHEN hi = lo THEN 500"
+            " ELSE (vc - lo) * 1000 div (hi - lo) END AS BIGINT)"
+        ).alias("scaled_permille"),
+    )
+
+
+@query(
+    "m_quantile_bins",
+    oracle="""
+WITH ranked AS (
+  SELECT doc_id, lang, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rk,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM documents
+)
+SELECT doc_id, lang,
+       CAST(4 * (rk - 1) // n AS BIGINT) AS length_bucket
+FROM ranked
+""",
+)
+def m_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile (equal-frequency) discretization: each document gets
+    its per-language length QUARTILE — the rank-based feature binning
+    that is robust to skewed distributions where equal-width bins
+    (q_hist2d) collapse.  Rank-based means NO threshold values are
+    computed at all: bucket = 4·(rank−1) div n, exact integers, ties
+    broken by doc_id so both engines agree on a total order.  Scale:
+    one rank window per stratum — same shuffle as any per-group
+    ranking; for streaming/unbounded data the thresholds would come
+    from m_embed_dim_quantiles-style discrete quantile SELECTIONS
+    broadcast to a stateless map."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    ranked = d.select(
+        "doc_id",
+        "lang",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("lang")).alias("n"),
+    )
+    return ranked.select(
+        "doc_id",
+        "lang",
+        F.expr("CAST(4 * (rk - 1) div n AS BIGINT)").alias("length_bucket"),
+    )
