@@ -449,3 +449,22 @@ def test_neyman_single_corpus_aggregate(spark):
     plan = _formatted_plan(spark, "m_neyman_allocation")
     assert "partial_sum" in plan
     assert "EvalPython" not in plan
+
+
+def test_sliding_distinct_bitmaps_combine_map_side(spark):
+    plan = _formatted_plan(spark, "q_sliding_distinct")
+    assert "partial_bit_or" in plan, "bitmap masks must partial-combine"
+    assert "EvalPython" not in plan
+
+
+def test_capped_running_sum_single_exchange(spark):
+    # both stacked windows must share ONE user-hash exchange
+    plan = _formatted_plan(spark, "q_capped_running_sum")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "EvalPython" not in plan
+
+
+def test_rand_projection_broadcasts_sign_matrix(spark):
+    plan = _formatted_plan(spark, "m_rand_projection")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
