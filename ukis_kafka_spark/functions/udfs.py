@@ -412,7 +412,13 @@ def u_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def standardize_audit(pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) == 0:
-            return pd.DataFrame({"event_type": [], "n": [], "abs_dev_scaled": []})
+            return pd.DataFrame(
+                {
+                    "event_type": pd.Series([], dtype="object"),
+                    "n": pd.Series([], dtype="int64"),
+                    "abs_dev_scaled": pd.Series([], dtype="int64"),
+                }
+            )
         vc = pdf["vc"].to_numpy()
         n = len(vc)
         s = int(vc.sum())
