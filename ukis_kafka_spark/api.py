@@ -108,6 +108,7 @@ _PRIORITY = [
     "q_percent_of_parent", "u_pandas_window_agg", "m_jl_recall",
     "sink_merge_on_read", "s_cdc_apply",
     "m_stem_counts", "m_minmax_scale", "m_quantile_bins",
+    "q_new_vs_returning", "m_ngram_novelty",
     # ---- 50-entry window boundary is enforced by position, the
     # ---- remainder keeps round-3's order for stable bench diffs
     "q_agg_collect",

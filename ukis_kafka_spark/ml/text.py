@@ -2835,3 +2835,75 @@ def m_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.expr("CAST(4 * (rk - 1) div n AS BIGINT)").alias("length_bucket"),
     )
+
+
+@query(
+    "m_ngram_novelty",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+), tri AS (
+  SELECT doc_id,
+         ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2] AS g
+  FROM toks, LATERAL (SELECT unnest(range(1, len(ts) - 1)) AS i) p
+  WHERE len(ts) >= 3
+), dedup AS (
+  SELECT DISTINCT doc_id, g FROM tri
+), firsts AS (
+  SELECT g, min(doc_id) AS first_doc FROM dedup GROUP BY g
+)
+SELECT d.doc_id,
+       count(*) AS n_trigrams,
+       COUNT(CASE WHEN f.first_doc = d.doc_id THEN 1 END) AS n_novel,
+       CAST(COUNT(CASE WHEN f.first_doc = d.doc_id THEN 1 END) * 1000
+            // count(*) AS BIGINT) AS novelty_permille
+FROM dedup d JOIN firsts f ON f.g = d.g
+GROUP BY d.doc_id
+""",
+)
+def m_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document trigram NOVELTY against everything ingested before
+    it (doc_id order = arrival order): the fraction of a document's
+    distinct trigrams whose FIRST occurrence in the corpus is this
+    document — the marginal-contribution signal dedup-aware curation
+    ranks by (a doc with novelty → 0 adds nothing even if no single
+    pairwise match fires, the long-tail case m_near_dedup's pairwise
+    threshold misses).  Same first-seen trick as
+    q_cumulative_distinct, lifted from users to n-grams.  Scale: the
+    distinct (doc, gram) table shuffles once on the gram to find
+    first owners and joins back on the gram — both stages are the
+    inverted-index dataflow (m_inverted_index) with a min instead of
+    a postings list.  Exact integer permille."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("ts")).where(
+        F.size("ts") >= 3
+    )
+    tri = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ts) - 2),"
+                " i -> concat_ws(' ', ts[i - 1], ts[i], ts[i + 1]))"
+            )
+        ).alias("g"),
+    )
+    dedup = tri.distinct()
+    firsts = dedup.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        dedup.join(firsts, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            F.count(F.when(F.col("first_doc") == F.col("doc_id"), 1)).alias(
+                "n_novel"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_trigrams",
+            "n_novel",
+            F.expr("CAST(n_novel * 1000 div n_trigrams AS BIGINT)").alias(
+                "novelty_permille"
+            ),
+        )
+    )

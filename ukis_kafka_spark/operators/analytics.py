@@ -1860,3 +1860,55 @@ def q_percent_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("rev_micros * 1000 div region_rev").alias("share_of_region_permille"),
         F.expr("region_rev * 1000 div total_rev").alias("region_share_permille"),
     )
+
+
+@query(
+    "q_new_vs_returning",
+    oracle="""
+WITH days AS (
+  SELECT user_id,
+         CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_start
+  FROM events GROUP BY 1, 2
+), firsts AS (
+  SELECT user_id, min(day_start) AS first_day FROM days GROUP BY user_id
+)
+SELECT d.day_start,
+       count(*) AS active_users,
+       COUNT(CASE WHEN f.first_day = d.day_start THEN 1 END) AS new_users,
+       COUNT(CASE WHEN f.first_day < d.day_start THEN 1 END) AS returning_users
+FROM days d JOIN firsts f ON f.user_id = d.user_id
+GROUP BY d.day_start
+""",
+)
+def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users split into NEW vs RETURNING — the growth-
+    accounting companion to q_cumulative_distinct (whose first-seen
+    trick this reuses: a user is "new" exactly on their min day) and
+    q_retention (which tracks the cohort the other direction).  Facts
+    collapse to distinct (user, day) pairs first, the per-user min
+    joins back on user — two shuffles total, both on keys the later
+    stages reuse; counts exact.  At scale the firsts table is the
+    user-dimension surrogate every growth metric shares (build once,
+    reuse across metrics)."""
+    e = load_table(spark, sf_dir, "events")
+    days = (
+        e.select(
+            "user_id",
+            F.unix_timestamp(F.date_trunc("day", "ts")).alias("day_start"),
+        )
+        .distinct()
+    )
+    firsts = days.groupBy("user_id").agg(F.min("day_start").alias("first_day"))
+    return (
+        days.join(firsts, "user_id")
+        .groupBy("day_start")
+        .agg(
+            F.count(F.lit(1)).alias("active_users"),
+            F.count(F.when(F.col("first_day") == F.col("day_start"), 1)).alias(
+                "new_users"
+            ),
+            F.count(F.when(F.col("first_day") < F.col("day_start"), 1)).alias(
+                "returning_users"
+            ),
+        )
+    )
