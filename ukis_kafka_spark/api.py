@@ -109,6 +109,7 @@ _PRIORITY = [
     "sink_merge_on_read", "s_cdc_apply",
     "m_stem_counts", "m_minmax_scale", "m_quantile_bins",
     "q_new_vs_returning", "m_ngram_novelty",
+    "q_rolling_corr", "s_stream_minmax_scale",
     # ---- 50-entry window boundary is enforced by position, the
     # ---- remainder keeps round-3's order for stable bench diffs
     "q_agg_collect",

@@ -1912,3 +1912,80 @@ def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "q_rolling_corr",
+    oracle="""
+WITH hourly AS (
+  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS h,
+         CAST(SUM(CASE WHEN event_type = 'click'
+                       THEN CAST(floor(value * 100) AS BIGINT) END) AS BIGINT) AS x,
+         CAST(SUM(CASE WHEN event_type = 'purchase'
+                       THEN CAST(floor(value * 100) AS BIGINT) END) AS BIGINT) AS y
+  FROM events
+  GROUP BY 1
+), filled AS (
+  SELECT h, coalesce(x, 0) AS x, coalesce(y, 0) AS y FROM hourly
+), windowed AS (
+  SELECT h,
+         CAST(COUNT(*) OVER w AS BIGINT) AS n,
+         CAST(SUM(x) OVER w AS BIGINT) AS sx,
+         CAST(SUM(y) OVER w AS BIGINT) AS sy,
+         CAST(SUM(x * y) OVER w AS BIGINT) AS sxy,
+         CAST(SUM(x * x) OVER w AS BIGINT) AS sxx,
+         CAST(SUM(y * y) OVER w AS BIGINT) AS syy
+  FROM filled
+  WINDOW w AS (ORDER BY h ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+)
+SELECT h, n,
+       CAST(n * sxy - sx * sy AS BIGINT) AS corr_num,
+       CAST(n * sxx - sx * sx AS BIGINT) AS var_x_scaled,
+       CAST(n * syy - sy * sy AS BIGINT) AS var_y_scaled
+FROM windowed
+""",
+)
+def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-24h rolling correlation between the click and
+    purchase value series — the co-movement monitor quant/ops
+    dashboards run over metric pairs.  Emitted as exact integer
+    sufficient statistics (n·Σxy−ΣxΣy and both scaled variances;
+    r² = num²/(vx·vy) assembles downstream) — the bivariate extension
+    of q_rolling_variance, same hour-grain pre-aggregation so the
+    trailing window only ever sees ~720 rows, never facts.  Hours
+    missing a series contribute 0 mass (explicit coalesce, mirrored).
+    Magnitude audit: |x| ≤ 175·5.6e4 centi ≈ 1e7/hour, x·y ≤ 1e14,
+    24h·n·Σxy ≈ 6e16 < 2^63."""
+    e = load_table(spark, sf_dir, "events")
+    vc = F.floor(F.col("value") * 100).cast("long")
+    hourly = e.groupBy(
+        F.unix_timestamp(F.date_trunc("hour", "ts")).alias("h")
+    ).agg(
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == "click", vc)), F.lit(0)
+        ).alias("x"),
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == "purchase", vc)), F.lit(0)
+        ).alias("y"),
+    )
+    w = Window.orderBy("h").rowsBetween(-23, 0)
+    windowed = hourly.select(
+        "h",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(w).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(w).alias("syy"),
+    )
+    return windowed.select(
+        "h",
+        "n",
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("corr_num"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias(
+            "var_x_scaled"
+        ),
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).alias(
+            "var_y_scaled"
+        ),
+    )

@@ -1493,3 +1493,87 @@ def s_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         return run_to_memory(updates, work, mode="update").localCheckpoint()
 
     return _with_scratch(go)
+
+
+def _stream_scale_oracle() -> str:
+    per_batch = []
+    for b in range(1, 5):
+        per_batch.append(f"""
+  SELECT o.event_id,
+         CASE WHEN st.hi = st.lo THEN 500
+              ELSE (o.vc - st.lo) * 1000 // (st.hi - st.lo) END AS scaled_permille
+  FROM ordered o
+  JOIN (SELECT event_type,
+               min(vc) AS lo, max(vc) AS hi
+        FROM ordered, params WHERE rn <= {b} * per
+        GROUP BY event_type) st
+    ON st.event_type = o.event_type
+  CROSS JOIN params
+  WHERE o.rn > {b - 1} * per AND o.rn <= {b} * per""")
+    union = " UNION ALL ".join(f"SELECT * FROM ({q})" for q in per_batch)
+    return f"""
+WITH ordered AS (
+  SELECT event_id, event_type,
+         CAST(floor(value * 100) AS BIGINT) AS vc,
+         row_number() OVER (ORDER BY ts) AS rn
+  FROM events
+),
+params AS (SELECT (max(rn) + 3) // 4 AS per FROM ordered)
+SELECT event_id, CAST(scaled_permille AS BIGINT) AS scaled_permille
+FROM ({union})
+"""
+
+
+@query("s_stream_minmax_scale", oracle=_stream_scale_oracle())
+def s_stream_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONLINE feature normalization as a stateful stream: per-type
+    (min, max) state absorbs each micro-batch FIRST, then that
+    batch's rows emit min-max-scaled to integer permille — the
+    normalize-at-ingest pattern whose early outputs legitimately
+    differ from a batch recompute (state has only seen a prefix),
+    which is exactly what the oracle mirrors: per replay chunk, the
+    chunk's rows scaled by the PREFIX extrema.  Deterministic because
+    the pinned chunking fixes every prefix.  Degenerate hi=lo pins
+    the midpoint (dt=0 guard class).  Scale: state is two scalars
+    per key; rows stream through one shuffle on the key — the same
+    shape serving-time feature pipelines deploy."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def scale_batch(key, pdfs, state: GroupState):
+        lo, hi = state.get if state.exists else (None, None)
+        frames = [pdf for pdf in pdfs if len(pdf) > 0]
+        if not frames:
+            state.update((lo, hi))
+            return
+        ids, vals = [], []
+        for pdf in frames:
+            ids.extend(int(e) for e in pdf["event_id"])
+            vals.extend(int(v) for v in pdf["vc"])
+        blo, bhi = min(vals), max(vals)
+        lo = blo if lo is None else min(lo, blo)
+        hi = bhi if hi is None else max(hi, bhi)
+        state.update((lo, hi))
+        span = hi - lo
+        scaled = [500 if span == 0 else (v - lo) * 1000 // span for v in vals]
+        yield pd.DataFrame({"event_id": ids, "scaled_permille": scaled})
+
+    def go(work: str) -> DataFrame:
+        stream = replay_events_as_stream(spark, sf_dir, work, n_chunks=4)
+        rows = (
+            stream.select(
+                "event_id",
+                "event_type",
+                F.floor(F.col("value") * 100).cast("long").alias("vc"),
+            )
+            .groupBy("event_type")
+            .applyInPandasWithState(
+                scale_batch,
+                outputStructType="event_id long, scaled_permille long",
+                stateStructType="lo long, hi long",
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+        )
+        return run_to_memory(rows, work, mode="update").localCheckpoint()
+
+    return _with_scratch(go)
