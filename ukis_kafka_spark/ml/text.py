@@ -2907,3 +2907,145 @@ def m_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def _set_cover_sql() -> str:
+    """3 unrolled greedy set-cover rounds, shared verbatim by both
+    engines (pure ANSI constructs)."""
+    return """
+WITH dt AS (
+  {incidence}
+), r1 AS (
+  SELECT doc_id, count(*) AS gain,
+         row_number() OVER (ORDER BY count(*) DESC, doc_id ASC) AS rk
+  FROM dt GROUP BY doc_id
+), w1 AS (SELECT doc_id AS wd FROM r1 WHERE rk = 1),
+cov1 AS (SELECT DISTINCT tok FROM dt JOIN w1 ON dt.doc_id = w1.wd),
+r2 AS (
+  SELECT dt.doc_id, count(*) AS gain,
+         row_number() OVER (ORDER BY count(*) DESC, dt.doc_id ASC) AS rk
+  FROM dt
+  WHERE dt.tok NOT IN (SELECT tok FROM cov1)
+    AND dt.doc_id NOT IN (SELECT wd FROM w1)
+  GROUP BY dt.doc_id
+), w2 AS (SELECT doc_id AS wd FROM r2 WHERE rk = 1),
+cov2 AS (
+  SELECT tok FROM cov1
+  UNION
+  SELECT DISTINCT tok FROM dt JOIN w2 ON dt.doc_id = w2.wd
+),
+r3 AS (
+  SELECT dt.doc_id, count(*) AS gain,
+         row_number() OVER (ORDER BY count(*) DESC, dt.doc_id ASC) AS rk
+  FROM dt
+  WHERE dt.tok NOT IN (SELECT tok FROM cov2)
+    AND dt.doc_id NOT IN (SELECT wd FROM w1 UNION SELECT wd FROM w2)
+  GROUP BY dt.doc_id
+), w3 AS (SELECT doc_id AS wd FROM r3 WHERE rk = 1)
+SELECT CAST(1 AS BIGINT) AS round, CAST(wd AS BIGINT) AS doc_id,
+       (SELECT CAST(gain AS BIGINT) FROM r1 WHERE rk = 1) AS gain
+FROM w1
+UNION ALL
+SELECT CAST(2 AS BIGINT), CAST(wd AS BIGINT),
+       (SELECT CAST(gain AS BIGINT) FROM r2 WHERE rk = 1)
+FROM w2
+UNION ALL
+SELECT CAST(3 AS BIGINT), CAST(wd AS BIGINT),
+       (SELECT CAST(gain AS BIGINT) FROM r3 WHERE rk = 1)
+FROM w3
+"""
+
+
+@query(
+    "m_set_cover_greedy",
+    oracle=_set_cover_sql().format(
+        incidence="""SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i + 1] AS tok
+  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents) t,
+       LATERAL (SELECT unnest(range(1, len(ts))) AS i) p
+  WHERE len(ts) >= 2"""
+    ),
+)
+def m_set_cover_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy maximum-coverage selection (3 unrolled rounds): each
+    round picks the document covering the most corpus BIGRAMS not
+    yet covered (the unigram vocabulary is 31 tokens and one doc
+    covers it — bigrams give the selection a real frontier) — the submodular corpus-subset selection that
+    guarantees (1−1/e)-optimal coverage, the token-driven complement
+    of m_mmr_select's embedding-diversity greedy and the selection
+    logic behind "smallest eval set that exercises the vocabulary".
+    Data-dependent iteration made hash-checkable the m_kmeans_step
+    way: a FIXED number of rounds unrolled into one plan, winners
+    tiebroken by doc_id, marginal gains exact integers.  Scale: each
+    round is one aggregate over the (doc, token) incidence table with
+    the (tiny, broadcast) covered-set anti-joined away — coverage
+    state never exceeds |bigram vocab|."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("docs_sc")
+    return spark.sql(
+        _set_cover_sql().format(
+            incidence="""SELECT DISTINCT doc_id, g AS tok
+  FROM (SELECT doc_id, split(text, ' ') AS ts FROM docs_sc)
+  LATERAL VIEW explode(transform(sequence(1, size(ts) - 1),
+                       i -> concat_ws(' ', ts[i - 1], ts[i]))) AS g
+  WHERE size(ts) >= 2"""
+        )
+    )
+
+
+@query(
+    "m_position_bias",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, ts,
+         len(ts) AS n
+  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents) t
+  WHERE len(ts) >= 10
+), pos AS (
+  SELECT doc_id, ts[i] AS tok,
+         CAST(10 * (i - 1) // n AS BIGINT) AS pos_decile
+  FROM toks, LATERAL (SELECT unnest(range(1, n + 1)) AS i) p
+), rarity AS (
+  SELECT tok, CASE WHEN count(*) >= 500 THEN 'common' ELSE 'rare' END AS klass
+  FROM pos GROUP BY tok
+)
+SELECT p.pos_decile, r.klass,
+       count(*) AS n,
+       count(DISTINCT p.tok) AS n_types
+FROM pos p JOIN rarity r ON r.tok = p.tok
+GROUP BY p.pos_decile, r.klass
+""",
+)
+def m_position_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional-bias audit: token occurrences bucketed by their
+    POSITION DECILE inside the document, split by corpus-frequency
+    class — the table that reveals templated corpora (boilerplate
+    heads/tails concentrate specific tokens at fixed deciles), which
+    inflates early-position loss and biases LM training; pairs with
+    m_boilerplate (which strips what this detects).  Position decile
+    is exact integer arithmetic on the token index; the rarity class
+    comes from one corpus-wide aggregate joined back (broadcast —
+    the vocabulary is bounded).  Scale: posexplode → two hash
+    aggregates; 20 output cells."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("ts")).where(
+        F.size("ts") >= 10
+    )
+    pos = toks.select(
+        "doc_id",
+        F.size("ts").alias("n"),
+        F.posexplode("ts").alias("i0", "tok"),
+    ).select(
+        "doc_id",
+        "tok",
+        F.expr("CAST(10 * i0 div n AS BIGINT)").alias("pos_decile"),
+    )
+    rarity = pos.groupBy("tok").agg(
+        F.when(F.count(F.lit(1)) >= 500, "common").otherwise("rare").alias("klass")
+    )
+    return (
+        pos.join(F.broadcast(rarity), "tok")
+        .groupBy("pos_decile", "klass")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("tok").alias("n_types"),
+        )
+    )
