@@ -471,3 +471,11 @@ def test_rand_projection_broadcasts_sign_matrix(spark):
     plan = _formatted_plan(spark, "m_rand_projection")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_morans_adjacency_is_hash_equi_join(spark):
+    # rook adjacency must be shifted-key equi joins, not an OR-condition
+    # nested loop over cells x cells
+    plan = _formatted_plan(spark, "g_morans_i")
+    assert "BroadcastNestedLoopJoin BuildRight, Inner" not in plan
+    assert "EvalPython" not in plan

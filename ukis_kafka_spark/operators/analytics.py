@@ -1989,3 +1989,56 @@ def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             "var_y_scaled"
         ),
     )
+
+
+@query(
+    "q_runs_test",
+    oracle="""
+WITH signs AS (
+  SELECT event_type, event_id,
+         CASE WHEN value >= 50.0 THEN 1 ELSE 0 END AS sgn
+  FROM events
+), flagged AS (
+  SELECT event_type, sgn,
+         CASE WHEN lag(sgn) OVER (PARTITION BY event_type ORDER BY event_id)
+                   IS DISTINCT FROM sgn THEN 1 ELSE 0 END AS flip
+  FROM signs
+)
+SELECT event_type,
+       COUNT(CASE WHEN sgn = 1 THEN 1 END) AS n_above,
+       COUNT(CASE WHEN sgn = 0 THEN 1 END) AS n_below,
+       CAST(SUM(flip) AS BIGINT) AS n_runs
+FROM flagged
+GROUP BY event_type
+""",
+)
+def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs statistics per event-type series: counts
+    above/below the fixed 50.0 reference and the number of RUNS
+    (maximal same-sign streaks, counted as sign flips + first row) —
+    the classic randomness screen whose z-score assembles from these
+    three integers (too few runs = trending/sticky series, too many
+    = oscillating; feeds the same monitoring stack as q_changepoint
+    but needs no threshold tuning).  Sign flips come from one lag
+    window in event_id order (ts-monotone); everything is an exact
+    integer count.  Scale: one partitioned window + one aggregate —
+    the window state is a single previous-sign bit."""
+    e = load_table(spark, sf_dir, "events")
+    signs = e.select(
+        "event_type",
+        "event_id",
+        F.when(F.col("value") >= 50.0, 1).otherwise(0).alias("sgn"),
+    )
+    w = Window.partitionBy("event_type").orderBy("event_id")
+    flagged = signs.select(
+        "event_type",
+        "sgn",
+        F.when(
+            ~F.lag("sgn").over(w).eqNullSafe(F.col("sgn")), 1
+        ).otherwise(0).alias("flip"),
+    )
+    return flagged.groupBy("event_type").agg(
+        F.count(F.when(F.col("sgn") == 1, 1)).alias("n_above"),
+        F.count(F.when(F.col("sgn") == 0, 1)).alias("n_below"),
+        F.sum("flip").cast("bigint").alias("n_runs"),
+    )
