@@ -1,0 +1,103 @@
+"""Registry-wide physical-plan audit: build every batch query's plan
+and count the anti-patterns that matter at 100 TB — Python eval
+nodes, cartesian products, nested-loop joins, exchange counts.
+
+tests/test_plans.py pins individual load-bearing shapes; this tool is
+the SWEEP — it catches a regression in any of the ~300 batch queries
+without hand-writing 300 tests, and writes the evidence the at-scale
+claims rest on to PLANS_AUDIT.json.
+
+Streaming (s_*) and sink_* queries execute jobs at plan-build time, so
+they are audited by their tests instead and skipped here.
+
+Usage: python tools/plan_audit.py   (writes PLANS_AUDIT.json)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from ukis_kafka_spark import api  # noqa: E402
+from ukis_kafka_spark.plans import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SF_DIR", "/root/testdata/sf0.001")
+
+# Python eval is the sanctioned boundary for the u_* surface and for
+# m_* Arrow kernels; cartesian/BNLJ appear legitimately where a tiny
+# broadcast side makes them linear (theta joins, literal dims).  The
+# audit therefore reports COUNTS per family and flags only the
+# combinations that are never acceptable: EvalPython in q_/g_/src_
+# plans, or a CartesianProduct anywhere.
+NEVER_PY = ("q_", "g_", "src_")
+# Documented escape hatches (README design rule 3: binary codecs and
+# ray casting are sanctioned Arrow kernels even in the g_ family).
+PY_ALLOWLIST = {"g_wkb_serde", "g_point_in_poly", "g_geom_valid"}
+
+
+def main() -> int:
+    spark = get_spark("plan_audit")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    rows: dict[str, dict[str, int]] = {}
+    flags: list[str] = []
+    skipped: list[str] = []
+    for name, fn in api.queries().items():
+        if name.startswith(("s_", "sink_")):
+            skipped.append(name)
+            continue
+        try:
+            plan = (
+                fn(spark, SF_DIR)
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+        except Exception as exc:  # pragma: no cover - audit robustness
+            flags.append(f"{name}: plan build failed: {exc}")
+            continue
+        info = {
+            "eval_python": plan.count("EvalPython"),
+            "cartesian": plan.count("CartesianProduct"),
+            "bnlj": plan.count("BroadcastNestedLoopJoin"),
+            "exchanges": plan.count("Exchange"),
+        }
+        rows[name] = info
+        if info["cartesian"]:
+            flags.append(f"{name}: CartesianProduct in plan")
+        if (
+            info["eval_python"]
+            and name.startswith(NEVER_PY)
+            and name not in PY_ALLOWLIST
+        ):
+            flags.append(f"{name}: Python eval in a JVM-only family")
+
+    out = {
+        "sf_dir": SF_DIR,
+        "n_audited": len(rows),
+        "n_skipped_streaming": len(skipped),
+        "flags": flags,
+        "totals": {
+            "eval_python_plans": sum(1 for r in rows.values() if r["eval_python"]),
+            "bnlj_plans": sum(1 for r in rows.values() if r["bnlj"]),
+            "cartesian_plans": sum(1 for r in rows.values() if r["cartesian"]),
+        },
+        "queries": rows,
+    }
+    with open(os.path.join(REPO, "PLANS_AUDIT.json"), "w") as fh:
+        json.dump(out, fh, indent=1, sort_keys=True)
+    print(
+        f"audited {len(rows)} plans, skipped {len(skipped)} streaming/sink; "
+        f"flags: {len(flags)}"
+    )
+    for f in flags:
+        print("FLAG", f)
+    return 1 if flags else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
