@@ -2042,3 +2042,53 @@ def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("sgn") == 0, 1)).alias("n_below"),
         F.sum("flip").cast("bigint").alias("n_runs"),
     )
+
+
+@query(
+    "q_seasonal_decompose",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_start,
+         CAST(dayofweek(date_trunc('day', ts)) + 1 AS BIGINT) AS dow,
+         count(*) AS c
+  FROM events
+  GROUP BY 1, 2
+), dow_stats AS (
+  SELECT dow, count(*) AS n_w, CAST(SUM(c) AS BIGINT) AS s_w
+  FROM daily GROUP BY dow
+)
+SELECT d.day_start, d.dow, d.c,
+       CAST(st.s_w AS BIGINT) AS dow_total,
+       CAST(st.n_w AS BIGINT) AS dow_days,
+       CAST(d.c * st.n_w - st.s_w AS BIGINT) AS resid_scaled
+FROM daily d JOIN dow_stats st ON st.dow = d.dow
+""",
+)
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly-seasonality decomposition of the daily event series:
+    each day carries its day-of-week seasonal component (as the exact
+    pair total/days — the mean assembles downstream) and its
+    SCALED residual ``c·n_w − S_w`` (= n_w × the deviation from the
+    dow mean, the n·x−S trick yet again) — the anomaly signal that
+    q_changepoint-style detectors should consume AFTER seasonality
+    removal, or Monday peaks alarm every week.  DuckDB's dayofweek is
+    0-based (+1 mirrored per the working notes); all columns exact
+    integers.  Scale: facts → |days| rows → one tiny dim join."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.unix_timestamp(F.date_trunc("day", "ts")).alias("day_start"),
+        F.dayofweek(F.date_trunc("day", "ts")).cast("bigint").alias("dow"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    dow_stats = daily.groupBy("dow").agg(
+        F.count(F.lit(1)).alias("n_w"), F.sum("c").alias("s_w")
+    )
+    return daily.join(F.broadcast(dow_stats), "dow").select(
+        "day_start",
+        "dow",
+        "c",
+        F.col("s_w").cast("bigint").alias("dow_total"),
+        F.col("n_w").cast("bigint").alias("dow_days"),
+        (F.col("c") * F.col("n_w") - F.col("s_w")).cast("bigint").alias(
+            "resid_scaled"
+        ),
+    )
