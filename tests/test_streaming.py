@@ -331,3 +331,82 @@ def test_py_stream_sink_abort_removes_temp(tmp_path):
     assert os.path.exists(m.tmp_path)
     w.abort([m], batchId=3)
     assert os.listdir(tmp_path) == []
+
+
+# ---- round-4 continuation-2 streaming invariants ---------------------
+
+
+def test_stream_semi_join_emits_each_click_once(spark):
+    from ukis_kafka_spark import api
+
+    from .conftest import SF_SMOKE
+
+    rows = api.queries()["s_stream_semi_join"](spark, SF_SMOKE).collect()
+    ids = [r.click_id for r in rows]
+    assert len(ids) == len(set(ids)), "semi join duplicated a left row"
+
+
+def test_cdc_apply_tombstone_semantics(spark):
+    from ukis_kafka_spark import api
+
+    from .conftest import SF_SMOKE
+
+    rows = api.queries()["s_cdc_apply"](spark, SF_SMOKE).collect()
+    assert rows, "CDC log empty"
+    for r in rows:
+        # deleted keys carry the explicit tombstone encoding
+        assert (r.live == 0) == (r.value_centi == -1)
+    # the log's last_event_id is strictly monotone per user
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r.last_event_id)
+    for ids in by_user.values():
+        assert len(ids) == len(set(ids)), "same state emitted twice"
+
+
+def test_stream_minmax_scale_bounds(spark):
+    from ukis_kafka_spark import api
+
+    from .conftest import SF_SMOKE
+
+    rows = api.queries()["s_stream_minmax_scale"](spark, SF_SMOKE).collect()
+    assert rows
+    assert all(0 <= r.scaled_permille <= 1000 for r in rows)
+
+
+def test_join_agg_chain_is_prefix_of_batch(spark):
+    """Every emitted (window, count) must match the batch join's count
+    for that window — streaming closure only WITHHOLDS windows, never
+    alters counts."""
+    from pyspark.sql import functions as F
+
+    from ukis_kafka_spark import api
+    from ukis_kafka_spark.sources import load_table
+
+    from .conftest import SF_SMOKE
+
+    got = {
+        r.hour_start: r.n_pairs
+        for r in api.queries()["s_join_agg_chain"](spark, SF_SMOKE).collect()
+    }
+    e = load_table(spark, SF_SMOKE, "events")
+    c = e.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("cts")
+    )
+    p = e.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("ts").alias("pts")
+    )
+    batch = (
+        c.join(
+            p,
+            (F.col("user_id") == F.col("pu"))
+            & (F.col("pts") >= F.col("cts"))
+            & (F.col("pts") <= F.col("cts") + F.expr("INTERVAL 1 HOUR")),
+        )
+        .groupBy(F.unix_timestamp(F.date_trunc("hour", "cts")).alias("h"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    full = {r.h: r.n for r in batch.collect()}
+    assert got, "no windows emitted"
+    for h, n in got.items():
+        assert full[h] == n, f"window {h}: stream {n} != batch {full[h]}"
