@@ -3049,3 +3049,61 @@ def m_position_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("tok").alias("n_types"),
         )
     )
+
+
+@query(
+    "m_churn_labels",
+    oracle="""
+WITH weeks AS (
+  SELECT user_id,
+         CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 604800 AS wk,
+         count(*) AS n_events
+  FROM events GROUP BY 1, 2
+), horizon AS (
+  SELECT CAST(max(epoch(date_trunc('day', ts))) AS BIGINT) // 604800 AS max_wk
+  FROM events
+)
+SELECT w.user_id, w.wk, w.n_events,
+       CASE WHEN nxt.user_id IS NULL THEN 1 ELSE 0 END AS churned_next_week
+FROM weeks w
+LEFT JOIN (SELECT DISTINCT user_id, wk FROM weeks) nxt
+  ON nxt.user_id = w.user_id AND nxt.wk = w.wk + 1
+CROSS JOIN horizon h
+WHERE w.wk < h.max_wk
+""",
+)
+def m_churn_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supervised LABEL CONSTRUCTION for churn modeling: one training
+    row per active (user, week) with the forward-looking target
+    "no activity in the following week" — the label-engineering step
+    that turns raw telemetry into a training table, where the subtle
+    bugs live (peeking: rows in the final week have an UNKNOWABLE
+    label and must be dropped, which the horizon filter does
+    explicitly — mirrored in the oracle so the gate would catch a
+    leak).  The label is a self anti-join on the shifted week key —
+    one extra hash join, no window.  Pairs with m_crossval_folds /
+    m_stratified_split downstream.  Exact integers throughout."""
+    e = load_table(spark, sf_dir, "events")
+    wk = (F.unix_timestamp(F.date_trunc("day", "ts")) / 604800).cast("bigint")
+    weeks = e.groupBy("user_id", wk.alias("wk")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    horizon = weeks.agg(F.max("wk").alias("max_wk"))
+    nxt = weeks.select(
+        F.col("user_id").alias("nu"), (F.col("wk") - 1).alias("prev_wk")
+    ).distinct()
+    return (
+        weeks.join(
+            nxt,
+            (F.col("user_id") == F.col("nu")) & (F.col("wk") == F.col("prev_wk")),
+            "left",
+        )
+        .crossJoin(F.broadcast(horizon))
+        .where(F.col("wk") < F.col("max_wk"))
+        .select(
+            "user_id",
+            "wk",
+            "n_events",
+            F.when(F.col("nu").isNull(), 1).otherwise(0).alias("churned_next_week"),
+        )
+    )

@@ -2092,3 +2092,66 @@ def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             "resid_scaled"
         ),
     )
+
+
+@query(
+    "q_conversion_lag",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'click'
+                  THEN CAST(epoch(date_trunc('second', ts)) AS BIGINT) END) AS fc,
+         min(CASE WHEN event_type = 'purchase'
+                  THEN CAST(epoch(date_trunc('second', ts)) AS BIGINT) END) AS fp
+  FROM events GROUP BY user_id
+), lags AS (
+  SELECT user_id, fp - fc AS lag_s FROM firsts
+  WHERE fc IS NOT NULL AND fp IS NOT NULL AND fp >= fc
+), ranked AS (
+  SELECT lag_s, row_number() OVER (ORDER BY lag_s, user_id) AS rk,
+         count(*) OVER () AS n
+  FROM lags
+)
+SELECT CAST(min(n) AS BIGINT) AS n_converted,
+       CAST(max(CASE WHEN rk = (n + 1) // 2 THEN lag_s END) AS BIGINT) AS p50_lag_s,
+       CAST(max(CASE WHEN rk = (9 * n + 9) // 10 THEN lag_s END) AS BIGINT) AS p90_lag_s,
+       CAST(max(lag_s) AS BIGINT) AS max_lag_s
+FROM ranked
+""",
+)
+def q_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: per user, the lag from FIRST
+    click to FIRST purchase, summarized as discrete p50/p90/max —
+    the latency half of the funnel story (q_funnel counts who
+    converts; this measures how long they take, which sets the
+    attribution window q_attribution should use).  Lags are exact
+    integer seconds (second-truncated epochs per the working notes),
+    the percentiles are type-1 SELECTIONS with the integer ceil-index
+    arithmetic of m_embed_dim_quantiles, users who purchase before
+    ever clicking are excluded explicitly (the fp >= fc rule, in
+    both engines).  Scale: one per-user aggregate, then one rank
+    window over |converted users| rows."""
+    e = load_table(spark, sf_dir, "events")
+    sec = F.unix_timestamp(F.date_trunc("second", "ts"))
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "click", sec)).alias("fc"),
+        F.min(F.when(F.col("event_type") == "purchase", sec)).alias("fp"),
+    )
+    lags = firsts.where(
+        F.col("fc").isNotNull() & F.col("fp").isNotNull() & (F.col("fp") >= F.col("fc"))
+    ).select("user_id", (F.col("fp") - F.col("fc")).alias("lag_s"))
+    ranked = lags.select(
+        "lag_s",
+        F.row_number().over(Window.orderBy("lag_s", "user_id")).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    return ranked.agg(
+        F.min("n").cast("bigint").alias("n_converted"),
+        F.max(F.when(F.col("rk") == F.expr("(n + 1) div 2"), F.col("lag_s")))
+        .cast("bigint")
+        .alias("p50_lag_s"),
+        F.max(F.when(F.col("rk") == F.expr("(9 * n + 9) div 10"), F.col("lag_s")))
+        .cast("bigint")
+        .alias("p90_lag_s"),
+        F.max("lag_s").cast("bigint").alias("max_lag_s"),
+    )
