@@ -1577,3 +1577,79 @@ def s_stream_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
         return run_to_memory(rows, work, mode="update").localCheckpoint()
 
     return _with_scratch(go)
+
+
+@query(
+    "s_dead_letter_split",
+    oracle="""
+SELECT 'main' AS route, event_type, count(*) AS n,
+       min(event_id) AS min_id, max(event_id) AS max_id
+FROM events WHERE value >= 1.0
+GROUP BY event_type
+UNION ALL
+SELECT 'dlq' AS route, event_type, count(*) AS n,
+       min(event_id) AS min_id, max(event_id) AS max_id
+FROM events WHERE value < 1.0
+GROUP BY event_type
+""",
+)
+def s_dead_letter_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter routing: ONE stream split inside foreachBatch into
+    the main archive and a quarantine (DLQ) directory — the
+    operational pattern every production ingest needs (malformed /
+    out-of-contract records must land SOMEWHERE auditable, never be
+    dropped silently; the reference's consumer logs-and-skips, this
+    engine quarantines).  The validity rule here is a value-range
+    contract; src_csv_malformed is the parse-level twin.  Exactly-once
+    per route comes from idempotent per-batch parquet parts keyed by
+    batch_id (re-delivered batches overwrite their own files, the
+    standard foreachBatch idempotence recipe).  The audit re-reads
+    BOTH directories; main+dlq must tile the input exactly — a row
+    routed to both (or neither) breaks the hash.  Scale: the split is
+    two filters on the same micro-batch scan; no extra shuffle."""
+
+    def go(work: str) -> DataFrame:
+        stream = replay_events_as_stream(spark, sf_dir, work, n_chunks=4)
+        main_dir = os.path.join(work, "route_main")
+        dlq_dir = os.path.join(work, "route_dlq")
+        sel = stream.select("event_id", "event_type", "value")
+
+        def handle(batch_df, batch_id):
+            ok = batch_df.where(F.col("value") >= 1.0)
+            bad = batch_df.where(F.col("value") < 1.0)
+            # idempotent per-batch parts: a re-run of batch N replaces
+            # exactly its own files on both routes
+            ok.write.mode("overwrite").parquet(
+                os.path.join(main_dir, f"batch={batch_id}")
+            )
+            bad.write.mode("overwrite").parquet(
+                os.path.join(dlq_dir, f"batch={batch_id}")
+            )
+
+        q = (
+            sel.writeStream.foreachBatch(handle)
+            .option("checkpointLocation", os.path.join(work, "ckpt_dlq"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+        def audit(path: str, route: str) -> DataFrame:
+            return (
+                spark.read.parquet(os.path.join(path, "batch=*"))
+                .groupBy("event_type")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.min("event_id").alias("min_id"),
+                    F.max("event_id").alias("max_id"),
+                )
+                .select(F.lit(route).alias("route"), "*")
+            )
+
+        return (
+            audit(main_dir, "main")
+            .unionByName(audit(dlq_dir, "dlq"))
+            .localCheckpoint()
+        )
+
+    return _with_scratch(go)
