@@ -3107,3 +3107,105 @@ def m_churn_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("nu").isNull(), 1).otherwise(0).alias("churned_next_week"),
         )
     )
+
+
+@query(
+    "m_shard_balance",
+    oracle="""
+WITH assigned AS (
+  SELECT doc_id % 64 AS shard, n_chars FROM documents
+), per_shard AS (
+  SELECT shard, count(*) AS docs, CAST(SUM(n_chars) AS BIGINT) AS chars
+  FROM assigned GROUP BY shard
+), stats AS (
+  SELECT shard, docs, chars,
+         CAST(SUM(chars) OVER () AS BIGINT) AS total_chars,
+         count(*) OVER () AS n_shards
+  FROM per_shard
+)
+SELECT shard, docs, chars,
+       CAST(chars * n_shards * 1000 // total_chars AS BIGINT)
+         AS load_vs_even_permille
+FROM stats
+""",
+)
+def m_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-assignment balance audit: the corpus mapped onto 64
+    output shards by key hash (modular here — swap in xxhash per
+    deployment) with each shard's byte load expressed against the
+    perfectly-even baseline (1000 permille = exactly fair) — the
+    pre-write check that decides whether a training-data export needs
+    size-aware bin packing (m_seq_pack's problem at file granularity)
+    or whether hash sharding suffices.  Exact integers; the
+    per-shard/total ratio uses the integer-permille rule.  Scale: one
+    aggregate to 64 rows + one window."""
+    d = load_table(spark, sf_dir, "documents")
+    per_shard = d.groupBy((F.col("doc_id") % 64).alias("shard")).agg(
+        F.count(F.lit(1)).alias("docs"), F.sum("n_chars").alias("chars")
+    )
+    wall = Window.partitionBy()
+    stats = per_shard.select(
+        "shard",
+        "docs",
+        "chars",
+        F.sum("chars").over(wall).alias("total_chars"),
+        F.count(F.lit(1)).over(wall).alias("n_shards"),
+    )
+    return stats.select(
+        "shard",
+        "docs",
+        F.col("chars").cast("bigint").alias("chars"),
+        F.expr(
+            "CAST(chars * n_shards * 1000 div total_chars AS BIGINT)"
+        ).alias("load_vs_even_permille"),
+    )
+
+
+@query(
+    "m_sft_pairs",
+    oracle="""
+WITH cut AS (
+  SELECT doc_id, lang, text,
+         strpos(text, '.') AS dot
+  FROM documents
+)
+SELECT doc_id, lang,
+       CAST(CASE WHEN dot > 0 THEN dot ELSE 0 END AS BIGINT) AS prompt_chars,
+       CAST(CASE WHEN dot > 0 THEN length(text) - dot ELSE 0 END AS BIGINT)
+         AS response_chars,
+       CASE WHEN dot > 0 AND length(text) - dot >= 20 THEN 1 ELSE 0 END
+         AS usable
+FROM cut
+""",
+)
+def m_sft_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Instruction-pair shaping: each document splits at its first
+    sentence boundary into (prompt, response) and reports the pair's
+    length profile plus a usability flag (non-empty prompt, response
+    ≥ 20 chars) — the data-shaping step between a raw corpus and an
+    SFT dataset, where the filters (too-short responses, missing
+    boundaries) silently decide dataset size.  Emits LENGTHS, not the
+    split text (scalar-schema rule; the split itself is the same
+    substring arithmetic both engines just agreed on).  Scale: pure
+    per-row projection."""
+    d = load_table(spark, sf_dir, "documents")
+    cut = d.select(
+        "doc_id", "lang", "text", F.expr("instr(text, '.')").alias("dot")
+    )
+    return cut.select(
+        "doc_id",
+        "lang",
+        F.when(F.col("dot") > 0, F.col("dot"))
+        .otherwise(0)
+        .cast("bigint")
+        .alias("prompt_chars"),
+        F.when(F.col("dot") > 0, F.length("text") - F.col("dot"))
+        .otherwise(0)
+        .cast("bigint")
+        .alias("response_chars"),
+        F.when(
+            (F.col("dot") > 0) & (F.length("text") - F.col("dot") >= 20), 1
+        )
+        .otherwise(0)
+        .alias("usable"),
+    )
