@@ -114,6 +114,7 @@ _PRIORITY = [
     "g_morans_i", "q_runs_test", "q_seasonal_decompose",
     "m_churn_labels", "q_conversion_lag", "s_dead_letter_split",
     "m_shard_balance", "m_sft_pairs",
+    "q_max_concurrency", "m_filtered_knn",
     # ---- 50-entry window boundary is enforced by position, the
     # ---- remainder keeps round-3's order for stable bench diffs
     "q_agg_collect",

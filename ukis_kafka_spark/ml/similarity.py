@@ -3219,3 +3219,59 @@ def m_jl_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     arm is the production path."""
     load_table(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
     return spark.sql(_jl_recall_sql("spark"))
+
+
+def _filtered_knn_sql(engine: str) -> str:
+    if engine == "duck":
+        flat = """
+  SELECT vec_id,
+         CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS i,
+         CAST(floor(unnest(embedding) * 1048576) AS BIGINT) AS q
+  FROM embeddings"""
+    else:
+        flat = """
+  SELECT vec_id, CAST(i AS BIGINT) AS i,
+         CAST(floor(x * 1048576) AS BIGINT) AS q
+  FROM (SELECT vec_id, posexplode(embedding) AS (i, x) FROM embeddings)"""
+    return f"""
+WITH flat AS ({flat}
+), labels AS (
+  SELECT vec_id, label FROM embeddings
+), qids AS (
+  SELECT vec_id AS qid, label AS qlabel FROM labels WHERE vec_id % 83 = 0
+), dots AS (
+  SELECT q.qid, f.vec_id AS cand,
+         CAST(SUM(fq.q * f.q) AS BIGINT) AS dot
+  FROM qids q
+  JOIN flat fq ON fq.vec_id = q.qid
+  JOIN flat f ON f.i = fq.i AND f.vec_id <> q.qid
+  GROUP BY q.qid, f.vec_id
+), constrained AS (
+  SELECT d.qid, d.cand, d.dot,
+         row_number() OVER (PARTITION BY d.qid
+                            ORDER BY d.dot DESC, d.cand ASC) AS rk
+  FROM dots d
+  JOIN labels l ON l.vec_id = d.cand
+  JOIN qids q ON q.qid = d.qid
+  WHERE l.label = q.qlabel
+)
+SELECT qid, cand, dot, rk
+FROM constrained WHERE rk <= 3
+"""
+
+
+@query("m_filtered_knn", oracle=_filtered_knn_sql("duck"))
+def m_filtered_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search: top-3 nearest neighbors per panel
+    query SUBJECT TO a metadata predicate (same label) — the
+    vector-database capability plain ANN misses (post-filtering a
+    label-blind top-k can return zero survivors; this evaluates the
+    constraint IN the ranking, the "pre-filter" strategy).  Distances
+    are exact BIGINT quantized dot products (the m_jl_recall grid),
+    the label predicate joins before ranking so each query ranks only
+    its eligible candidates, ties break by id.  Scale: the panel
+    keeps it linear; the production shape is the same predicate
+    pushed into IVF list scans (m_ann_ivf) — bucket-local candidates
+    pre-filtered by label before the distance kernel."""
+    load_table(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
+    return spark.sql(_filtered_knn_sql("spark"))

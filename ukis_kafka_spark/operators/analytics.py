@@ -2155,3 +2155,53 @@ def q_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("p90_lag_s"),
         F.max("lag_s").cast("bigint").alias("max_lag_s"),
     )
+
+
+@query(
+    "q_max_concurrency",
+    oracle="""
+WITH deltas AS (
+  SELECT CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS t, 1 AS d
+  FROM events
+  UNION ALL
+  SELECT CAST(epoch(date_trunc('second', ts)) AS BIGINT) + 1800 AS t, -1 AS d
+  FROM events
+), merged AS (
+  SELECT t, CAST(SUM(d) AS BIGINT) AS net FROM deltas GROUP BY t
+), swept AS (
+  SELECT t,
+         CAST(SUM(net) OVER (ORDER BY t
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS live
+  FROM merged
+)
+SELECT CAST(t // 86400 AS BIGINT) AS day_num,
+       CAST(max(live) AS BIGINT) AS peak_concurrency
+FROM swept
+GROUP BY 1
+""",
+)
+def q_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency via the sweep line: every event opens a
+    30-minute presence interval, +1/−1 deltas merge per second and a
+    single running sum walks the timeline — max overlap per day falls
+    out of one window, the O(n log n) classic that replaces the
+    O(n²) self-join ("how many intervals contain t") formulation.
+    Capacity planning's favorite number, exact integers end-to-end
+    (second-truncated epochs).  Scale: deltas collapse to per-second
+    partials FIRST (map-side combine), so the global-order window
+    sees |distinct seconds| rows; at 100 TB, segment the sweep per
+    day and carry the boundary offset — same plan plus one tiny
+    recombine."""
+    e = load_table(spark, sf_dir, "events")
+    sec = F.unix_timestamp(F.date_trunc("second", "ts"))
+    opens = e.select(sec.alias("t"), F.lit(1).alias("d"))
+    closes = e.select((sec + 1800).alias("t"), F.lit(-1).alias("d"))
+    merged = opens.unionByName(closes).groupBy("t").agg(
+        F.sum("d").alias("net")
+    )
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    swept = merged.select("t", F.sum("net").over(w).alias("live"))
+    return swept.groupBy(F.expr("CAST(t div 86400 AS BIGINT)").alias("day_num")).agg(
+        F.max("live").cast("bigint").alias("peak_concurrency")
+    )
