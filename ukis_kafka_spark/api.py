@@ -115,6 +115,7 @@ _PRIORITY = [
     "m_churn_labels", "q_conversion_lag", "s_dead_letter_split",
     "m_shard_balance", "m_sft_pairs",
     "q_max_concurrency", "m_filtered_knn",
+    "m_lsh_sweep", "g_adaptive_grid",
     # ---- 50-entry window boundary is enforced by position, the
     # ---- remainder keeps round-3's order for stable bench diffs
     "q_agg_collect",

@@ -953,3 +953,78 @@ def m_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_docs") >= 2)
     )
+
+
+def _lsh_sweep_sql(engine: str) -> str:
+    hashers = ", ".join(f"({j + 1}, {_AS[j]}, {_BS[j]})" for j in range(_N_HASH))
+    if engine == "duck":
+        hexparse = " + ".join(
+            f"(strpos('0123456789abcdef', substring(md5(sh), {i + 1}, 1)) - 1)"
+            f" * {16 ** (14 - i)}"
+            for i in range(15)
+        )
+        shingles = f"""
+  SELECT doc_id, CAST({hexparse} AS BIGINT) AS hv
+  FROM (SELECT doc_id, unnest(list_distinct(list_transform(
+            generate_series(1, greatest(len(l) - 2, 1)),
+            i -> array_to_string(l[i : i + 2], ' ')))) AS sh
+        FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents))"""
+        hdim = f"(VALUES {hashers}) AS hp(j, a, b)"
+        band_sig = "string_agg(CAST(sig AS VARCHAR), '_' ORDER BY j)"
+    else:
+        shingles = """
+  SELECT doc_id, CAST(conv(substring(md5(sh), 1, 15), 16, 10) AS BIGINT) AS hv
+  FROM (SELECT doc_id, explode(array_distinct(transform(
+            sequence(1, greatest(size(l) - 2, 1)),
+            i -> concat_ws(' ', slice(l, i, 3))))) AS sh
+        FROM (SELECT doc_id, split(text, ' ') AS l FROM docs_lsh))"""
+        hdim = f"(VALUES {hashers}) AS hp(j, a, b)"
+        band_sig = (
+            "array_join(transform(sort_array(collect_list(struct(j, sig))),"
+            " x -> CAST(x.sig AS STRING)), '_')"
+        )
+    settings = []
+    for rows_per_band in (3, 2, 1):
+        n_bands = _N_HASH // rows_per_band
+        settings.append(f"""
+  SELECT CAST({n_bands} AS BIGINT) AS n_bands,
+         CAST({rows_per_band} AS BIGINT) AS rows_per_band,
+         CAST(count(*) AS BIGINT) AS n_candidate_pairs
+  FROM (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM (SELECT doc_id, (j - 1) / {rows_per_band} AS band_idx, {band_sig} AS bs
+          FROM sig GROUP BY doc_id, (j - 1) / {rows_per_band}) a
+    JOIN (SELECT doc_id, (j - 1) / {rows_per_band} AS band_idx, {band_sig} AS bs
+          FROM sig GROUP BY doc_id, (j - 1) / {rows_per_band}) b
+      ON a.band_idx = b.band_idx AND a.bs = b.bs AND a.doc_id < b.doc_id
+  ) c""")
+    union = " UNION ALL ".join(settings)
+    idiv = "//" if engine == "duck" else "div"
+    union = union.replace("(j - 1) / ", f"(j - 1) {idiv} ")
+    return f"""
+WITH sh_h AS ({shingles}
+),
+sig AS (
+  SELECT doc_id, hp.j, MIN(((hv % {_P}) * hp.a + hp.b) % {_P}) AS sig
+  FROM sh_h, {hdim}
+  GROUP BY doc_id, hp.j
+)
+{union}
+"""
+
+
+@query("m_lsh_sweep", oracle=_lsh_sweep_sql("duck"))
+def m_lsh_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding parameter sweep: the SAME 12 MinHash signatures
+    regrouped as (4 bands × 3 rows), (6 × 2), and (12 × 1), with the
+    candidate-pair count each setting generates — the measured side
+    of the S-curve trade (more bands / fewer rows per band = lower
+    Jaccard threshold = more candidates to verify) that decides the
+    m_near_dedup configuration BEFORE paying the verify stage at
+    corpus scale.  Signatures use the identical hash family as
+    m_near_dedup, so the sweep's (4, 3) row reproduces exactly the
+    candidate set production runs.  Scale: one signature build, three
+    band self-joins on 8-byte keys — candidate counting never touches
+    document text."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("docs_lsh")
+    return spark.sql(_lsh_sweep_sql("spark"))
