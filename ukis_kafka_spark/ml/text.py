@@ -3209,3 +3209,77 @@ def m_sft_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("usable"),
     )
+
+
+@query(
+    "m_upsample_plan",
+    oracle="""
+WITH per_src AS (
+  SELECT source, CAST(SUM(n_chars) AS BIGINT) AS toks,
+         CASE WHEN CAST(substring(source, 4) AS BIGINT) % 2 = 0
+              THEN 2 ELSE 1 END AS target_w
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT CAST(SUM(toks) AS BIGINT) AS total_toks,
+         CAST(SUM(target_w) AS BIGINT) AS total_w
+  FROM per_src
+), planned AS (
+  SELECT s.source, s.toks, s.target_w,
+         CAST((s.target_w * t.total_toks + s.toks * t.total_w - 1)
+              // (s.toks * t.total_w) AS BIGINT) AS repeats
+  FROM per_src s, tot t
+)
+SELECT source, toks, repeats,
+       CAST(repeats * toks AS BIGINT) AS planned_toks,
+       CAST(repeats * toks * 1000
+            // (SELECT CAST(SUM(repeats * toks) AS BIGINT) FROM planned)
+            AS BIGINT) AS achieved_permille
+FROM planned
+""",
+)
+def m_upsample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-upsampling plan: given per-source target weights (the
+    literal policy — here 2:1 favoring even-numbered sources), the
+    integer repeat count each source needs so its share of planned
+    tokens reaches its target share — ``repeats = ceil(target_share /
+    natural_share)``, the whole-epoch constraint real pretraining
+    mixes obey (you repeat a corpus an integer number of times;
+    m_temperature_mix computes fractional TARGETS, this turns them
+    into an executable plan and reports the achieved permille the
+    integer rounding actually delivers).  Exact integer ceil via
+    ``(a + b - 1) div b``; achieved shares by integer permille.
+    Scale: one aggregate to |sources| rows."""
+    d = load_table(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(F.sum("n_chars").alias("toks")).select(
+        "source",
+        F.col("toks").cast("bigint").alias("toks"),
+        F.expr(
+            "CASE WHEN CAST(substring(source, 4) AS BIGINT) % 2 = 0"
+            " THEN 2 ELSE 1 END"
+        ).alias("target_w"),
+    )
+    wall = Window.partitionBy()
+    planned = per_src.select(
+        "source",
+        "toks",
+        F.sum("toks").over(wall).alias("total_toks"),
+        (F.sum("target_w").over(wall)).alias("total_w"),
+        "target_w",
+    ).select(
+        "source",
+        "toks",
+        F.expr(
+            "CAST((target_w * total_toks + toks * total_w - 1)"
+            " div (toks * total_w) AS BIGINT)"
+        ).alias("repeats"),
+    )
+    return planned.select(
+        "source",
+        "toks",
+        "repeats",
+        (F.col("repeats") * F.col("toks")).cast("bigint").alias("planned_toks"),
+        F.expr(
+            "CAST(repeats * toks * 1000 div"
+            " (SUM(repeats * toks) OVER ()) AS BIGINT)"
+        ).alias("achieved_permille"),
+    )

@@ -707,3 +707,61 @@ def src_glob_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_id"),
         F.max("doc_id").alias("max_id"),
     )
+
+
+@query(
+    "src_wholetext",
+    oracle="""
+SELECT count(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       min(doc_id) AS min_id,
+       max(doc_id) AS max_id
+FROM documents
+WHERE doc_id % 11 = 0
+""",
+)
+def src_wholetext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-file text ingestion (``option("wholetext", true)``): each
+    file becomes ONE row regardless of newlines — the mode that
+    ingests file-per-document corpora (the common crawl-dump layout)
+    where line-oriented splitting (src_text_lines) would shred
+    records.  A deterministic doc panel is materialized one file per
+    document, read back whole, and audited by id + exact char mass
+    recovered from the file NAME and BODY respectively — a file
+    half-read or split in two breaks the hash.  Scale: one task per
+    file; tiny-file overhead is real at 100 TB, which is why
+    sink_compact exists — wholetext is the INGEST edge, not the
+    storage format."""
+
+    def build(into: str) -> None:
+        tgt = os.path.join(into, "docs_txt")
+        os.makedirs(tgt, exist_ok=True)
+        rows = (
+            load_table(spark, sf_dir, "documents")
+            .where(F.col("doc_id") % 11 == 0)
+            .select("doc_id", "text")
+            .collect()
+        )
+        for r in rows:
+            with open(os.path.join(tgt, f"doc_{r.doc_id:08d}.txt"), "w") as fh:
+                fh.write(r.text)
+
+    src = os.path.join(
+        _cache_publish(build, ("docs_txt", 1, _table_fingerprint(sf_dir, "documents"))),
+        "docs_txt",
+    )
+    back = (
+        spark.read.option("wholetext", "true")
+        .text(src)
+        .withColumn("path", F.col("_metadata.file_name"))
+    )
+    parsed = back.select(
+        F.regexp_extract("path", r"doc_(\d+)\.txt", 1).cast("long").alias("doc_id"),
+        F.length("value").alias("n_chars"),
+    )
+    return parsed.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
