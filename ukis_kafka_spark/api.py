@@ -116,7 +116,7 @@ _PRIORITY = [
     "m_shard_balance", "m_sft_pairs",
     "q_max_concurrency", "m_filtered_knn",
     "m_lsh_sweep", "g_adaptive_grid",
-    "src_wholetext", "m_upsample_plan",
+    "src_wholetext", "m_upsample_plan", "s_warm_start_upsert",
     # ---- 50-entry window boundary is enforced by position, the
     # ---- remainder keeps round-3's order for stable bench diffs
     "q_agg_collect",

@@ -1653,3 +1653,91 @@ def s_dead_letter_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return _with_scratch(go)
+
+
+@query(
+    "s_warm_start_upsert",
+    oracle="""
+WITH latest AS (
+  SELECT user_id, event_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id,
+       event_id AS last_event_id,
+       event_type AS last_type,
+       CAST(floor(value * 100) AS BIGINT) AS last_value_centi
+FROM latest WHERE rn = 1
+""",
+)
+def s_warm_start_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backfill → streaming HANDOFF: the keyed target is first primed
+    by a BATCH pass over history (events up to the split point), then
+    the live stream (the remainder, replayed) continues upserting into
+    the same table — the migration pattern every batch-to-streaming
+    cutover runs, where the bug class is the seam (records at the
+    boundary applied twice, or the stream clobbering newer history
+    with older events).  Last-write-wins keyed on the ts-monotone
+    event_id makes the seam idempotent, and the oracle is simply the
+    per-user latest over ALL events — if the handoff double-applied or
+    dropped the boundary, the hash breaks.  Scale: the backfill is one
+    batch job; the streaming continuation is s_foreach_upsert's merge
+    loop unchanged — the handoff costs nothing but the split
+    bookkeeping."""
+    from ..sinks.files import upsert_parquet
+
+    def go(work: str) -> DataFrame:
+        target = os.path.join(work, "warm_target")
+        e = load_table(spark, sf_dir, "events")
+        # split at the replay harness's chunk-0 boundary: first quarter
+        # (by ts order) is "history", the rest arrives as the stream
+        n = e.count()
+        per = (n + 3) // 4
+        hist_ids = (
+            e.orderBy("ts").limit(per).select("event_id")
+        )
+        sel_cols = [
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_type"),
+            F.floor(F.col("value") * 100).cast("long").alias("last_value_centi"),
+        ]
+        hist = e.join(F.broadcast(hist_ids), "event_id").select(*sel_cols)
+        w = Window.partitionBy("user_id").orderBy(F.col("last_event_id").desc())
+        primed = (
+            hist.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        primed.write.mode("overwrite").parquet(target)
+
+        stream = replay_events_as_stream(spark, sf_dir, work, n_chunks=4)
+        live = stream.join(
+            F.broadcast(hist_ids), "event_id", "left_anti"
+        ).select(*sel_cols)
+
+        def handle(batch_df, batch_id):
+            latest = (
+                batch_df.withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+            upsert_parquet(
+                spark, spark.read.parquet(target), latest, ["user_id"], target
+            )
+
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            q = (
+                live.writeStream.foreachBatch(handle)
+                .option("checkpointLocation", os.path.join(work, "ckpt_warm"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        return spark.read.parquet(target).localCheckpoint()
+
+    return _with_scratch(go)
