@@ -2205,3 +2205,137 @@ def q_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return swept.groupBy(F.expr("CAST(t div 86400 AS BIGINT)").alias("day_num")).agg(
         F.max("live").cast("bigint").alias("peak_concurrency")
     )
+
+
+@query(
+    "q_interarrival_hist",
+    oracle="""
+WITH seq AS (
+  SELECT user_id,
+         CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+           - lag(CAST(epoch(date_trunc('second', ts)) AS BIGINT))
+             OVER (PARTITION BY user_id ORDER BY event_id) AS dt
+  FROM events
+)
+SELECT CASE WHEN dt = 0 THEN 0 ELSE length(bin(dt)) END AS log2_bucket,
+       count(*) AS n,
+       CAST(min(dt) AS BIGINT) AS min_dt,
+       CAST(max(dt) AS BIGINT) AS max_dt
+FROM seq
+WHERE dt IS NOT NULL
+GROUP BY 1
+""",
+)
+def q_interarrival_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival-time distribution on LOG2 buckets: per-user gaps
+    between consecutive events, bucketed by bit length — logarithmic
+    histogram bins with ZERO transcendental math (bit length = 
+    floor(log2)+1, an exact integer both engines compute from the
+    same binary string), the right shape for heavy-tailed gap
+    distributions where q_hist2d's linear bins put everything in two
+    cells.  The dt=0 bucket is explicit: same-user events CAN share
+    a truncated second (the corrected working-notes rule), so zero
+    gaps are data, not errors.  One lag window per user + an
+    aggregate to ~20 buckets."""
+    e = load_table(spark, sf_dir, "events")
+    sec = F.unix_timestamp(F.date_trunc("second", "ts"))
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    seq = e.select((sec - F.lag(sec).over(w)).alias("dt")).where(
+        F.col("dt").isNotNull()
+    )
+    return seq.groupBy(
+        F.when(F.col("dt") == 0, 0)
+        .otherwise(F.length(F.bin("dt")))
+        .cast("bigint")
+        .alias("log2_bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("dt").cast("bigint").alias("min_dt"),
+        F.max("dt").cast("bigint").alias("max_dt"),
+    )
+
+
+@query(
+    "q_basket_lift",
+    oracle="""
+WITH baskets AS (
+  SELECT DISTINCT user_id,
+         CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_start,
+         event_type
+  FROM events
+), n_baskets AS (
+  SELECT count(*) AS n
+  FROM (SELECT DISTINCT user_id, day_start FROM baskets) b
+), supp AS (
+  SELECT event_type, count(*) AS n_t FROM baskets GROUP BY event_type
+), pair_supp AS (
+  SELECT a.event_type AS t_a, b.event_type AS t_b, count(*) AS n_ab
+  FROM baskets a
+  JOIN baskets b ON b.user_id = a.user_id AND b.day_start = a.day_start
+   AND b.event_type > a.event_type
+  GROUP BY a.event_type, b.event_type
+)
+SELECT p.t_a, p.t_b, CAST(p.n_ab AS BIGINT) AS n_ab,
+       CAST(sa.n_t AS BIGINT) AS n_a, CAST(sb.n_t AS BIGINT) AS n_b,
+       CAST(p.n_ab * nb.n * 1000 // (sa.n_t * sb.n_t) AS BIGINT)
+         AS lift_permille
+FROM pair_supp p
+JOIN supp sa ON sa.event_type = p.t_a
+JOIN supp sb ON sb.event_type = p.t_b
+CROSS JOIN n_baskets nb
+""",
+)
+def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule LIFT over (user, day) baskets: for every
+    event-type pair, how much more often they co-occur in a basket
+    than independence predicts — ``lift = P(ab)/(P(a)·P(b)) =
+    n_ab·N/(n_a·n_b)``, the market-basket statistic (the behavioral
+    twin of m_collocations' token PMI and m_link_predict's graph
+    scores), emitted as exact integer permille (all four counts are
+    basket counts over the same N, so the ratio needs no floats).
+    Scale: baskets collapse to distinct (user, day, type) FIRST, the
+    pair join runs within basket keys (bounded by |types|² per
+    basket — never a cross join), supports broadcast back onto ≤
+    |types|² pairs."""
+    e = load_table(spark, sf_dir, "events")
+    baskets = e.select(
+        "user_id",
+        F.unix_timestamp(F.date_trunc("day", "ts")).alias("day_start"),
+        "event_type",
+    ).distinct()
+    n_baskets = baskets.select("user_id", "day_start").distinct().agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    supp = baskets.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_t"))
+    b2 = baskets.select(
+        F.col("user_id").alias("u2"),
+        F.col("day_start").alias("d2"),
+        F.col("event_type").alias("t_b"),
+    )
+    pair_supp = (
+        baskets.join(
+            b2,
+            (F.col("user_id") == F.col("u2"))
+            & (F.col("day_start") == F.col("d2"))
+            & (F.col("t_b") > F.col("event_type")),
+        )
+        .groupBy(F.col("event_type").alias("t_a"), "t_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    sa = supp.select(F.col("event_type").alias("t_a"), F.col("n_t").alias("n_a"))
+    sb = supp.select(F.col("event_type").alias("t_b"), F.col("n_t").alias("n_b"))
+    return (
+        pair_supp.join(F.broadcast(sa), "t_a")
+        .join(F.broadcast(sb), "t_b")
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "t_a",
+            "t_b",
+            F.col("n_ab").cast("bigint").alias("n_ab"),
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.expr("CAST(n_ab * n * 1000 div (n_a * n_b) AS BIGINT)").alias(
+                "lift_permille"
+            ),
+        )
+    )
