@@ -117,7 +117,7 @@ _PRIORITY = [
     "q_max_concurrency", "m_filtered_knn",
     "m_lsh_sweep", "g_adaptive_grid",
     "src_wholetext", "m_upsample_plan", "s_warm_start_upsert",
-    "q_interarrival_hist", "q_basket_lift",
+    "q_interarrival_hist", "q_basket_lift", "m_record_linkage_numeric",
     # ---- 50-entry window boundary is enforced by position, the
     # ---- remainder keeps round-3's order for stable bench diffs
     "q_agg_collect",

@@ -1028,3 +1028,78 @@ def m_lsh_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     document text."""
     load_table(spark, sf_dir, "documents").createOrReplaceTempView("docs_lsh")
     return spark.sql(_lsh_sweep_sql("spark"))
+
+
+@query(
+    "m_record_linkage_numeric",
+    oracle="""
+WITH o AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(epoch(CAST(o_orderdate AS DATE)) AS BIGINT) // 86400 AS day_num,
+         CAST(floor(o_totalprice * 100) AS BIGINT) AS price_centi
+  FROM orders
+), blocked AS (
+  SELECT a.o_orderkey AS id_a, b.o_orderkey AS id_b,
+         abs(a.day_num - b.day_num) AS day_gap,
+         abs(a.price_centi - b.price_centi) AS price_gap_centi
+  FROM o a
+  JOIN o b
+    ON b.o_custkey = a.o_custkey
+   AND b.day_num BETWEEN a.day_num - 1 AND a.day_num + 1
+   AND b.o_orderkey > a.o_orderkey
+)
+SELECT id_a, id_b,
+       CAST(day_gap AS BIGINT) AS day_gap,
+       CAST(price_gap_centi AS BIGINT) AS price_gap_centi,
+       CASE WHEN price_gap_centi <= 2000000 THEN 1 ELSE 0 END AS suspect
+FROM blocked
+""",
+)
+def m_record_linkage_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric-tolerance record linkage: duplicate-SUSPECT order pairs
+    — same customer, order dates within ±1 day, flagged when totals
+    agree within 20 000 centi-units — the double-submission /
+    double-capture detector, and the numeric complement of
+    m_entity_match's string-similarity linkage.  The blocking is the
+    scale story: candidate pairs come from an EQUALITY-ish join
+    (custkey + a 3-day band expressible as a range on the blocking
+    key), so the pair space is per-customer-per-window, never orders²
+    — the same band-join discipline every dedup op here follows.
+    Tolerances are exact integers (day numbers, centi prices) tuned
+    non-vacuous on measured pair counts (85 pairs at sf0.01, 964 at
+    sf0.1)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.expr(
+            "CAST(unix_timestamp(CAST(o_orderdate AS DATE)) AS BIGINT)"
+            " div 86400"
+        ).alias("day_num"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("price_centi"),
+    )
+    b = o.select(
+        F.col("o_orderkey").alias("id_b"),
+        F.col("o_custkey").alias("ck"),
+        F.col("day_num").alias("dn_b"),
+        F.col("price_centi").alias("pc_b"),
+    )
+    blocked = o.join(
+        b,
+        (F.col("o_custkey") == F.col("ck"))
+        & (F.col("dn_b") >= F.col("day_num") - 1)
+        & (F.col("dn_b") <= F.col("day_num") + 1)
+        & (F.col("id_b") > F.col("o_orderkey")),
+    )
+    return blocked.select(
+        F.col("o_orderkey").alias("id_a"),
+        "id_b",
+        F.abs(F.col("day_num") - F.col("dn_b")).cast("bigint").alias("day_gap"),
+        F.abs(F.col("price_centi") - F.col("pc_b"))
+        .cast("bigint")
+        .alias("price_gap_centi"),
+        F.when(
+            F.abs(F.col("price_centi") - F.col("pc_b")) <= 2000000, 1
+        )
+        .otherwise(0)
+        .alias("suspect"),
+    )
