@@ -483,3 +483,65 @@ def u_pandas_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "user_id", "event_id", frame_sum("vc").over(w).alias("trail_sum")
     )
+
+
+@query(
+    "u_sql_table_udf",
+    oracle="""
+WITH ext AS (
+  SELECT event_type,
+         CAST(floor(min(value) / 50) * 50 AS BIGINT) AS lo,
+         CAST(floor(max(value) / 50) * 50 AS BIGINT) AS hi
+  FROM events GROUP BY event_type
+), spine AS (
+  SELECT e.event_type, s.band
+  FROM ext e, LATERAL (SELECT unnest(generate_series(e.lo, e.hi, 50)) AS band) s
+), counts AS (
+  SELECT event_type, CAST(floor(value / 50) * 50 AS BIGINT) AS band,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT sp.event_type, sp.band,
+       CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+FROM spine sp
+LEFT JOIN counts c ON c.event_type = sp.event_type AND c.band = sp.band
+""",
+)
+def u_sql_table_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-defined TABLE function (Spark 4 ``CREATE FUNCTION ...
+    RETURNS TABLE``) invoked through a correlated LATERAL join: each
+    event type's value extent expands into its dense 50-unit band
+    spine via the TVF, and a left join zero-fills empty bands — the
+    declarative gap-filling idiom (q_date_spine's sequence-explode,
+    but packaged as a REUSABLE catalog object callers invoke by
+    name, the governance difference).  Completes the UDF matrix:
+    scalar SQL UDF (u_sql_udf), Python UDTF (u_udtf), TABLE-argument
+    UDTF (u_udtf_table), and now the pure-SQL table function — fully
+    JVM-side, Catalyst inlines it like a parameterized view."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("ev_tvf")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION band_spine(lo BIGINT, hi BIGINT)"
+        " RETURNS TABLE(band BIGINT)"
+        " RETURN SELECT explode(sequence(lo, hi, 50)) AS band"
+    )
+    return spark.sql(
+        """
+        WITH ext AS (
+          SELECT event_type,
+                 CAST(floor(min(value) / 50) * 50 AS BIGINT) AS lo,
+                 CAST(floor(max(value) / 50) * 50 AS BIGINT) AS hi
+          FROM ev_tvf GROUP BY event_type
+        ), spine AS (
+          SELECT e.event_type, s.band
+          FROM ext e, LATERAL band_spine(e.lo, e.hi) s
+        ), counts AS (
+          SELECT event_type, CAST(floor(value / 50) * 50 AS BIGINT) AS band,
+                 count(*) AS n
+          FROM ev_tvf GROUP BY event_type, CAST(floor(value / 50) * 50 AS BIGINT)
+        )
+        SELECT sp.event_type, sp.band,
+               CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+        FROM spine sp
+        LEFT JOIN counts c ON c.event_type = sp.event_type AND c.band = sp.band
+        """
+    )
