@@ -99,3 +99,135 @@ def test_schema_inference_from_props(spark):
     # the corpus's events.props infers its integer key
     e = load_table(spark, SF_SMOKE, "events").withColumnRenamed("props", "props_json")
     assert infer_props_schema(e) == {"k": "bigint"}
+
+
+def test_stateful_cdc_recovers_groupstate(spark):
+    """applyInPandasWithState recovery: the CDC-apply job is killed
+    mid-stream and restarted from its checkpoint; the restored
+    GroupState must continue from the persisted (last_id, live, val)
+    tuples — the final per-key state must equal the batch last-writer
+    answer, and no batch may be applied twice (last_event_id strictly
+    advances)."""
+    import math
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    work = _scratch_dir()
+    try:
+        replay_events_as_stream(spark, SF_SMOKE, work)
+        src = os.path.join(work, "src")
+        held = os.path.join(work, "held")
+        os.makedirs(held)
+        files = sorted(os.listdir(src))
+        for f in files[4:]:
+            shutil.move(os.path.join(src, f), os.path.join(held, f))
+        ckpt = os.path.join(work, "ckpt_cdc")
+
+        def apply_ops(key, pdfs, state: GroupState):
+            last_id, live, val = state.get if state.exists else (-1, 0, -1)
+            best = None
+            for pdf in pdfs:
+                if len(pdf) == 0:
+                    continue
+                idx = pdf["event_id"].idxmax()
+                row = pdf.loc[idx]
+                if best is None or row["event_id"] > best["event_id"]:
+                    best = row
+            if best is not None and int(best["event_id"]) > last_id:
+                last_id = int(best["event_id"])
+                if best["event_type"] == "signup":
+                    live, val = 0, -1
+                else:
+                    live, val = 1, int(math.floor(float(best["value"]) * 100))
+            state.update((last_id, live, val))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "live": [live],
+                 "value_centi": [val], "last_event_id": [last_id]}
+            )
+
+        log_dir = os.path.join(work, "cdc_log")
+
+        def run_once(name: str):
+            stream = (
+                spark.readStream.schema(
+                    "event_id long, ts timestamp, user_id long, "
+                    "event_type string, value double, props string"
+                )
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            updates = (
+                stream.select("event_id", "user_id", "event_type", "value")
+                .groupBy("user_id")
+                .applyInPandasWithState(
+                    apply_ops,
+                    outputStructType=(
+                        "user_id long, live int, value_centi long,"
+                        " last_event_id long"
+                    ),
+                    stateStructType="last_id long, live int, val long",
+                    outputMode="update",
+                    timeoutConf=GroupStateTimeout.NoTimeout,
+                )
+            )
+
+            # memory sink cannot recover an update-mode query from a
+            # checkpoint; foreachBatch appending idempotent per-batch
+            # parquet parts can (the production-shaped sink anyway)
+            def handle(batch_df, batch_id):
+                batch_df.write.mode("overwrite").parquet(
+                    os.path.join(log_dir, f"{name}_batch={batch_id}")
+                )
+
+            q = (
+                updates.writeStream.foreachBatch(handle)
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            import glob
+
+            parts = glob.glob(os.path.join(log_dir, f"{name}_batch=*"))
+            if not parts:
+                return []
+            return spark.read.parquet(*parts).collect()
+
+        phase1 = run_once("cdc_rec_1")
+        for f in files[4:]:
+            shutil.move(os.path.join(held, f), os.path.join(src, f))
+        phase2 = run_once("cdc_rec_2")
+
+        # final state per user = last emitted row across both phases
+        final = {}
+        for r in list(phase1) + list(phase2):
+            prev = final.get(r.user_id)
+            if prev is None or r.last_event_id > prev.last_event_id:
+                final[r.user_id] = r
+        e = load_table(spark, SF_SMOKE, "events")
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("user_id").orderBy(F.col("event_id").desc())
+        batch = {
+            r.user_id: r
+            for r in e.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .collect()
+        }
+        assert set(final) == set(batch)
+        for uid, fr in final.items():
+            br = batch[uid]
+            assert fr.last_event_id == br.event_id, uid
+            expect_live = 0 if br.event_type == "signup" else 1
+            assert fr.live == expect_live, uid
+        # phase 2 never re-emits a state the checkpoint already owned
+        # with a stale id (ids strictly advance per user across phases)
+        p1_max = {}
+        for r in phase1:
+            p1_max[r.user_id] = max(p1_max.get(r.user_id, -1), r.last_event_id)
+        for r in phase2:
+            assert r.last_event_id >= p1_max.get(r.user_id, -1), r.user_id
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
