@@ -878,3 +878,100 @@ def test_kappa_bounds(spark):
     r = api.queries()["m_rater_kappa"](spark, SF_SMOKE).first()
     assert -1000 <= r.kappa_permille <= 1000
     assert r.n == r.n11 + r.n10 + r.n01 + r.n00
+
+
+def test_lsh_sweep_s_curve_monotone(spark):
+    """More bands (fewer rows per band) can only ADD candidate pairs:
+    a band match at r rows implies a match on each of its sub-bands."""
+    from ukis_kafka_spark import api
+
+    rows = {
+        r.rows_per_band: r.n_candidate_pairs
+        for r in api.queries()["m_lsh_sweep"](spark, SF_SMOKE).collect()
+    }
+    assert set(rows) == {1, 2, 3}
+    assert rows[1] >= rows[2] >= rows[3]
+    assert rows[1] > 0
+
+
+def test_upsample_plan_reaches_targets(spark):
+    from ukis_kafka_spark import api
+
+    rows = api.queries()["m_upsample_plan"](spark, SF_SMOKE).collect()
+    tot_planned = sum(r.planned_toks for r in rows)
+    tot_natural = sum(r.toks for r in rows)
+    assert tot_planned >= tot_natural
+    # upsampled (even) sources must gain share vs their natural mix;
+    # the others dilute — the direction of every repeat is toward the
+    # 2:1 target even though simultaneous ceil-rounding keeps absolute
+    # targets approximate
+    for r in rows:
+        assert r.repeats >= 1
+        natural_permille = r.toks * 1000 // tot_natural
+        even = int(r.source[3:]) % 2 == 0
+        if even:
+            assert r.achieved_permille >= natural_permille, r.source
+            assert r.repeats >= 2
+        else:
+            assert r.achieved_permille <= natural_permille + 1, r.source
+
+
+def test_adaptive_grid_conserves_mass_and_refines_hot(spark):
+    from pyspark.sql import functions as F
+
+    from ukis_kafka_spark import api
+    from ukis_kafka_spark.sources import load_table
+
+    from .conftest import SF_ORACLE
+
+    # sf0.01: the capacity threshold is tuned to populate BOTH levels
+    rows = api.queries()["g_adaptive_grid"](spark, SF_ORACLE).collect()
+    total = load_table(spark, SF_ORACLE, "events").count()
+    assert sum(r.n for r in rows) == total, "refinement lost or doubled points"
+    assert any(r.level == 1 for r in rows) and any(r.level == 2 for r in rows)
+    for r in rows:
+        if r.level == 1:
+            assert r.n <= 8, "a hot cell escaped refinement"
+
+
+def test_filtered_knn_respects_label_constraint(spark):
+    from ukis_kafka_spark import api
+    from ukis_kafka_spark.sources import load_table
+
+    rows = api.queries()["m_filtered_knn"](spark, SF_SMOKE).collect()
+    labels = {
+        r.vec_id: r.label
+        for r in load_table(spark, SF_SMOKE, "embeddings").collect()
+    }
+    assert rows
+    for r in rows:
+        assert labels[r.cand] == labels[r.qid], "constraint violated"
+        assert 1 <= r.rk <= 3
+
+
+def test_max_concurrency_bounds(spark):
+    from pyspark.sql import functions as F
+
+    from ukis_kafka_spark import api
+    from ukis_kafka_spark.sources import load_table
+
+    rows = api.queries()["q_max_concurrency"](spark, SF_SMOKE).collect()
+    e = load_table(spark, SF_SMOKE, "events")
+    per_day = {
+        r.d: r.n
+        for r in e.groupBy(
+            F.expr(
+                "CAST(unix_timestamp(date_trunc('second', ts)) div 86400"
+                " AS BIGINT)"
+            ).alias("d")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert rows
+    for r in rows:
+        assert 1 <= r.peak_concurrency
+        # peak cannot exceed events opening that day + carryover from
+        # the previous day's last half hour
+        cap = per_day.get(r.day_num, 0) + per_day.get(r.day_num - 1, 0)
+        assert r.peak_concurrency <= cap
