@@ -1103,3 +1103,67 @@ def m_record_linkage_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("suspect"),
     )
+
+
+@query(
+    "m_dedup_policy_compare",
+    oracle="""
+WITH clusters AS (
+  SELECT text,
+         count(*) AS n_copies,
+         min(doc_id) AS keep_min_id,
+         arg_max(doc_id, n_chars * 1000000 + doc_id) AS keep_longest_id,
+         CAST(SUM(n_chars) AS BIGINT) AS cluster_chars,
+         min(n_chars) AS min_chars,
+         max(n_chars) AS max_chars
+  FROM documents GROUP BY text
+)
+SELECT CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(COUNT(CASE WHEN n_copies > 1 THEN 1 END) AS BIGINT) AS n_dup_clusters,
+       CAST(SUM(CASE WHEN keep_min_id = keep_longest_id THEN 0 ELSE 1 END)
+            AS BIGINT) AS n_policy_disagreements,
+       CAST(SUM(min_chars) AS BIGINT) AS chars_keep_first,
+       CAST(SUM(max_chars) AS BIGINT) AS chars_keep_longest,
+       CAST(SUM(cluster_chars) AS BIGINT) AS chars_before
+FROM clusters
+""",
+)
+def m_dedup_policy_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup SURVIVORSHIP policy comparison: for every exact-dup
+    cluster, what "keep the first id" (m_exact_dedup's rule) retains
+    versus "keep the longest copy" — the curation decision that exact
+    dedup leaves open and that silently changes corpus mass (here the
+    two policies' retained char totals and the number of clusters
+    where they disagree).  A cluster key is the full text, so copies
+    have EQUAL n_chars and disagreement counts come only from id
+    ordering — on a real corpus with near-identical variants routed
+    through m_near_dedup clusters the same report drives the keep
+    rule.  The longest-winner tiebreak is (n_chars, doc_id) packed
+    into one arg_max key (n_chars·1e6 + id — exact, id < 1e6).
+    Scale: one hash aggregate on the dedup key, then a 1-row
+    summary."""
+    d = load_table(spark, sf_dir, "documents")
+    clusters = d.groupBy("text").agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min("doc_id").alias("keep_min_id"),
+        F.max_by(
+            "doc_id", F.col("n_chars") * 1000000 + F.col("doc_id")
+        ).alias("keep_longest_id"),
+        F.sum("n_chars").alias("cluster_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+    return clusters.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        F.count(F.when(F.col("n_copies") > 1, 1)).cast("bigint").alias(
+            "n_dup_clusters"
+        ),
+        F.sum(
+            F.when(F.col("keep_min_id") == F.col("keep_longest_id"), 0).otherwise(1)
+        )
+        .cast("bigint")
+        .alias("n_policy_disagreements"),
+        F.sum("min_chars").cast("bigint").alias("chars_keep_first"),
+        F.sum("max_chars").cast("bigint").alias("chars_keep_longest"),
+        F.sum("cluster_chars").cast("bigint").alias("chars_before"),
+    )

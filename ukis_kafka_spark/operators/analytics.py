@@ -2339,3 +2339,71 @@ def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "q_audience_overlap",
+    oracle="""
+WITH aud AS (
+  SELECT DISTINCT event_type, user_id FROM events
+), sizes AS (
+  SELECT event_type, count(*) AS n_users FROM aud GROUP BY event_type
+), inter AS (
+  SELECT a.event_type AS t_a, b.event_type AS t_b, count(*) AS n_both
+  FROM aud a
+  JOIN aud b ON b.user_id = a.user_id AND b.event_type > a.event_type
+  GROUP BY a.event_type, b.event_type
+)
+SELECT i.t_a, i.t_b,
+       CAST(i.n_both AS BIGINT) AS n_both,
+       CAST(sa.n_users AS BIGINT) AS n_a,
+       CAST(sb.n_users AS BIGINT) AS n_b,
+       CAST(i.n_both * 1000 // (sa.n_users + sb.n_users - i.n_both) AS BIGINT)
+         AS jaccard_permille
+FROM inter i
+JOIN sizes sa ON sa.event_type = i.t_a
+JOIN sizes sb ON sb.event_type = i.t_b
+""",
+)
+def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap matrix: for every pair of event types, the
+    exact Jaccard of their USER sets (inclusion-exclusion on exact
+    counts — union never materializes) — the segmentation question
+    ("are purchasers a subset of clickers?") behind every audience
+    targeting decision, and the set-level complement of
+    q_basket_lift's co-occurrence rates.  Scale: distinct (type,
+    user) pairs shuffle once on user for the pair join; the |types|²
+    output joins broadcast sizes; at very large audiences the
+    q_bitmap_distinct word-packing computes the same intersections
+    via AND+popcount."""
+    e = load_table(spark, sf_dir, "events")
+    aud = e.select("event_type", "user_id").distinct()
+    sizes = aud.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_users"))
+    b = aud.select(
+        F.col("user_id").alias("u2"), F.col("event_type").alias("t_b")
+    )
+    inter = (
+        aud.join(
+            b,
+            (F.col("user_id") == F.col("u2"))
+            & (F.col("t_b") > F.col("event_type")),
+        )
+        .groupBy(F.col("event_type").alias("t_a"), "t_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    sa = sizes.select(F.col("event_type").alias("t_a"), F.col("n_users").alias("n_a"))
+    sb = sizes.select(F.col("event_type").alias("t_b"), F.col("n_users").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "t_a")
+        .join(F.broadcast(sb), "t_b")
+        .select(
+            "t_a",
+            "t_b",
+            F.col("n_both").cast("bigint").alias("n_both"),
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.expr(
+                "CAST(n_both * 1000 div (n_a + n_b - n_both) AS BIGINT)"
+            ).alias("jaccard_permille"),
+        )
+    )
