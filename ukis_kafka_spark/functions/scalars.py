@@ -382,3 +382,94 @@ def q_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_variant_get("v", "$.missing", "string").alias("missing"),
     )
     return out.where(F.col("k") % 3 == 0)
+
+
+@query(
+    "q_month_end_arith",
+    oracle="""
+SELECT o_orderkey,
+       CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS month_end,
+       CAST(CAST(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH AS DATE)
+            AS VARCHAR) AS plus_one_month,
+       CAST(CAST(date_trunc('month', CAST(o_orderdate AS DATE))
+            + INTERVAL 2 MONTH - INTERVAL 1 DAY AS DATE) AS VARCHAR)
+         AS second_month_end,
+       CASE WHEN CAST(o_orderdate AS DATE)
+                 = last_day(CAST(o_orderdate AS DATE)) THEN 1 ELSE 0 END
+         AS is_month_end
+FROM orders
+WHERE o_orderkey % 7 = 0
+""",
+)
+def q_month_end_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-boundary date arithmetic — the calendar edge semantics
+    (last_day, end-of-month clamping when adding months across
+    28/29/30/31-day months, month-end flags) that billing/close
+    pipelines depend on and engines historically disagree about; the
+    hash check pins that Spark's ``add_months`` clamp and DuckDB's
+    ``+ INTERVAL 1 MONTH`` resolve every (day, target-month) pair
+    identically, including leap February.  Dates are emitted as ISO
+    strings (stable scalar canon).  Pure projection; the panel keeps
+    output bounded."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 7 == 0)
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.last_day(d).cast("string").alias("month_end"),
+        F.add_months(d, 1).cast("string").alias("plus_one_month"),
+        F.date_sub(F.add_months(F.date_trunc("month", d).cast("date"), 2), 1)
+        .cast("string")
+        .alias("second_month_end"),
+        F.when(d == F.last_day(d), 1).otherwise(0).alias("is_month_end"),
+    )
+
+
+@query(
+    "q_try_arith",
+    oracle="""
+SELECT event_id,
+       CASE WHEN CAST(floor(value) AS BIGINT) - 50 = 0 THEN NULL
+            ELSE value / (CAST(floor(value) AS BIGINT) - 50) END AS safe_ratio,
+       CASE WHEN CAST(floor(value) AS BIGINT) - 50 = 0 THEN NULL
+            WHEN CAST(floor(value) AS BIGINT) - 50 < 0
+              THEN -(CAST(floor(value * 100) AS BIGINT)
+                     // (50 - CAST(floor(value) AS BIGINT)))
+            ELSE CAST(floor(value * 100) AS BIGINT)
+                 // (CAST(floor(value) AS BIGINT) - 50) END AS safe_int_div,
+       CASE WHEN CAST(floor(value) AS BIGINT) - 50 = 0 THEN 1 ELSE 0 END
+         AS hit_zero
+FROM events
+WHERE event_type = 'view'
+""",
+)
+def q_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe arithmetic via ``try_divide``: under this engine's
+    ANSI mode a plain division by zero THROWS (by design — silent
+    nulls hide data bugs), and try_* is the sanctioned per-expression
+    opt-out that yields NULL instead — the working-notes dt=0 guard
+    class expressed through the API.  The oracle mirrors with an
+    explicit CASE (DuckDB floats double /0 to inf and errors on
+    integer /0 — neither matches try semantics, so the guard is
+    written out), divisors hit zero for real (value in [50, 51)
+    exists at both gate scales), and the integer division factors the
+    SIGN out on BOTH sides because Spark div truncates while DuckDB
+    // floors on negatives (the m_pca_power trap)."""
+    e = load_table(spark, sf_dir, "events").where(F.col("event_type") == "view")
+    den = (F.floor("value").cast("long") - 50).alias("den")
+    return e.select(
+        "event_id",
+        F.try_divide(F.col("value"), F.floor("value").cast("long") - 50).alias(
+            "safe_ratio"
+        ),
+        F.expr(
+            "CASE WHEN CAST(floor(value) AS BIGINT) - 50 = 0 THEN NULL"
+            " WHEN CAST(floor(value) AS BIGINT) - 50 < 0"
+            "   THEN -(CAST(floor(value * 100) AS BIGINT)"
+            "          div (50 - CAST(floor(value) AS BIGINT)))"
+            " ELSE CAST(floor(value * 100) AS BIGINT)"
+            "      div (CAST(floor(value) AS BIGINT) - 50) END"
+        ).alias("safe_int_div"),
+        F.when(F.floor("value").cast("long") - 50 == 0, 1)
+        .otherwise(0)
+        .alias("hit_zero"),
+    )
