@@ -119,7 +119,7 @@ _PRIORITY = [
     "src_wholetext", "m_upsample_plan", "s_warm_start_upsert",
     "q_interarrival_hist", "q_basket_lift", "m_record_linkage_numeric",
     "u_sql_table_udf", "q_audience_overlap", "m_dedup_policy_compare",
-    "q_month_end_arith", "q_try_arith",
+    "q_month_end_arith", "q_try_arith", "m_incremental_dedup",
     # ---- 50-entry window boundary is enforced by position, the
     # ---- remainder keeps round-3's order for stable bench diffs
     "q_agg_collect",
