@@ -1773,3 +1773,55 @@ def q_join_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("c_acctbal").cast(DEC)).cast("double").alias("total_bal"),
         )
     )
+
+
+@query(
+    "q_null_routed_join",
+    oracle="""
+WITH keyed AS (
+  SELECT event_id,
+         CASE WHEN value >= 50 THEN CAST(floor(value) AS BIGINT) END AS k
+  FROM events
+), dim AS (
+  SELECT CAST(floor(value) AS BIGINT) AS k,
+         count(*) AS dim_n
+  FROM events WHERE value >= 50 GROUP BY 1
+)
+SELECT keyed.event_id, keyed.k,
+       CAST(COALESCE(dim.dim_n, 0) AS BIGINT) AS dim_n
+FROM keyed LEFT JOIN dim ON dim.k = keyed.k
+""",
+)
+def q_null_routed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-routed outer join: rows whose join key is NULL can never
+    match, so they BYPASS the shuffle entirely (filtered out before
+    the join, unioned back NULL-extended) — the standard fix when a
+    nullable key concentrates a huge NULL population onto one shuffle
+    partition (the worst skew there is, and one AQE's skew splitting
+    handles poorly because every NULL lands in ONE hash bucket; the
+    working-notes salting patterns don't apply since no match can
+    exist).  Here ~half the events derive a NULL key, the oracle is
+    the plain left join, and equality proves the rewrite — while the
+    routed plan shuffles only the matchable half.  The same identity
+    drives q_not_in_nulls' three-valued logic."""
+    e = load_table(spark, sf_dir, "events")
+    keyed = e.select(
+        "event_id",
+        F.when(F.col("value") >= 50, F.floor("value").cast("bigint")).alias("k"),
+    )
+    dim = (
+        e.where(F.col("value") >= 50)
+        .groupBy(F.floor("value").cast("bigint").alias("k"))
+        .agg(F.count(F.lit(1)).alias("dim_n"))
+    )
+    matchable = (
+        keyed.where(F.col("k").isNotNull())
+        .join(F.broadcast(dim), "k", "left")
+        .select("event_id", "k", F.coalesce("dim_n", F.lit(0)).alias("dim_n"))
+    )
+    null_routed = keyed.where(F.col("k").isNull()).select(
+        "event_id", "k", F.lit(0).cast("bigint").alias("dim_n")
+    )
+    return matchable.unionByName(null_routed).select(
+        "event_id", "k", F.col("dim_n").cast("bigint").alias("dim_n")
+    )
