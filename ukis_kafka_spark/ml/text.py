@@ -3283,3 +3283,60 @@ def m_upsample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             " (SUM(repeats * toks) OVER ()) AS BIGINT)"
         ).alias("achieved_permille"),
     )
+
+
+@query(
+    "m_pps_sample",
+    oracle="""
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS rev_centi
+  FROM orders GROUP BY o_custkey
+), cum AS (
+  SELECT o_custkey, rev_centi,
+         CAST(SUM(rev_centi) OVER (ORDER BY o_custkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS c,
+         CAST(SUM(rev_centi) OVER () AS BIGINT) AS total
+  FROM per_cust
+)
+SELECT o_custkey, rev_centi,
+       CAST(c // (total // 100) AS BIGINT) AS boundary_idx
+FROM cum
+WHERE c // (total // 100) > (c - rev_centi) // (total // 100)
+""",
+)
+def m_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic probability-proportional-to-size (PPS) sampling:
+    customers are selected wherever their cumulative revenue mass
+    crosses one of ~100 equal-mass stride boundaries — every unit of
+    revenue has equal selection probability, so big accounts are
+    near-certain picks and the sample stays ~100 rows regardless of
+    population size (the survey-sampling companion to
+    m_neyman_allocation: Neyman sizes the strata, PPS picks within
+    them).  Fully deterministic integer arithmetic — cumulative
+    centi-unit mass, stride = total div 100, selection = "my interval
+    contains a boundary" via two integer divisions — no RNG, no
+    floats, reproducible across engines and runs by construction.
+    Scale: one aggregate + one ordered window over |customers|;
+    at extreme scale the cumsum runs per range-partition with offset
+    recombination (the q_max_concurrency note's pattern)."""
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias("rev_centi")
+    )
+    w = Window.orderBy("o_custkey").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_cust.select(
+        "o_custkey",
+        "rev_centi",
+        F.sum("rev_centi").over(w).alias("c"),
+        F.sum("rev_centi").over(Window.partitionBy()).alias("total"),
+    )
+    return cum.where(
+        F.expr("c div (total div 100) > (c - rev_centi) div (total div 100)")
+    ).select(
+        "o_custkey",
+        "rev_centi",
+        F.expr("CAST(c div (total div 100) AS BIGINT)").alias("boundary_idx"),
+    )
