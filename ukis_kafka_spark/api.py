@@ -120,7 +120,7 @@ _PRIORITY = [
     "q_interarrival_hist", "q_basket_lift", "m_record_linkage_numeric",
     "u_sql_table_udf", "q_audience_overlap", "m_dedup_policy_compare",
     "q_month_end_arith", "q_try_arith", "m_incremental_dedup",
-    "q_null_routed_join", "m_pps_sample", "q_ks_test",
+    "q_null_routed_join", "m_pps_sample", "q_ks_test", "q_mann_whitney",
     # ---- 50-entry window boundary is enforced by position, the
     # ---- remainder keeps round-3's order for stable bench diffs
     "q_agg_collect",

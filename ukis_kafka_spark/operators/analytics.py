@@ -2491,3 +2491,90 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("d_scaled"),
     )
+
+
+@query(
+    "q_mann_whitney",
+    oracle="""
+WITH a AS (
+  SELECT CAST(floor(value * 100) AS BIGINT) AS v, count(*) AS ca
+  FROM events WHERE event_type = 'click' GROUP BY 1
+), b AS (
+  SELECT CAST(floor(value * 100) AS BIGINT) AS v, count(*) AS cb
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+), merged AS (
+  SELECT COALESCE(a.v, b.v) AS v,
+         COALESCE(a.ca, 0) AS ca, COALESCE(b.cb, 0) AS cb
+  FROM a FULL OUTER JOIN b ON b.v = a.v
+), ranked AS (
+  SELECT v, ca, cb,
+         CAST(COALESCE(SUM(ca + cb) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cum_before
+  FROM merged
+), sums AS (
+  SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+         CAST(SUM(cb) AS BIGINT) AS n_b,
+         CAST(SUM(ca * (2 * cum_before + ca + cb + 1)) AS BIGINT) AS r_a2
+  FROM ranked
+)
+SELECT n_a, n_b,
+       CAST(r_a2 - n_a * (n_a + 1) AS BIGINT) AS u_a_doubled
+FROM sums
+""",
+)
+def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Mann–Whitney U between the click and purchase value
+    samples — the rank-sum location test that needs no normality
+    assumption, completing the nonparametric battery (q_ks_test:
+    any-difference; q_runs_test: randomness; this: stochastic
+    dominance).  Tie handling is where float implementations drift,
+    so midranks ride a DOUBLED integer lattice: 2·midrank =
+    2·(count below) + (count at value) + 1 is always an odd integer,
+    making the tied-rank sum and U = R_a − n_a(n_a+1)/2 exact BIGINTs
+    (emitted doubled; U/2 and the normal approximation assemble
+    downstream).  Scale: per-value partials, one ordered window,
+    one aggregate — the q_ks_test dataflow with a rank-sum instead
+    of a sup."""
+    e = load_table(spark, sf_dir, "events")
+    vc = F.floor(F.col("value") * 100).cast("long")
+    a = (
+        e.where(F.col("event_type") == "click")
+        .groupBy(vc.alias("v"))
+        .agg(F.count(F.lit(1)).alias("ca"))
+    )
+    b = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy(vc.alias("v"))
+        .agg(F.count(F.lit(1)).alias("cb"))
+    )
+    merged = a.join(b, "v", "full_outer").select(
+        "v",
+        F.coalesce("ca", F.lit(0)).alias("ca"),
+        F.coalesce("cb", F.lit(0)).alias("cb"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = merged.select(
+        "ca",
+        "cb",
+        F.coalesce(F.sum(F.col("ca") + F.col("cb")).over(w), F.lit(0)).alias(
+            "cum_before"
+        ),
+    )
+    sums = ranked.agg(
+        F.sum("ca").cast("bigint").alias("n_a"),
+        F.sum("cb").cast("bigint").alias("n_b"),
+        F.sum(
+            F.col("ca")
+            * (2 * F.col("cum_before") + F.col("ca") + F.col("cb") + 1)
+        )
+        .cast("bigint")
+        .alias("r_a2"),
+    )
+    return sums.select(
+        "n_a",
+        "n_b",
+        (F.col("r_a2") - F.col("n_a") * (F.col("n_a") + 1))
+        .cast("bigint")
+        .alias("u_a_doubled"),
+    )
