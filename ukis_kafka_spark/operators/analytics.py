@@ -2578,3 +2578,132 @@ def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("u_a_doubled"),
     )
+
+
+@query(
+    "q_spearman_stats",
+    oracle="""
+WITH s AS (
+  SELECT event_id,
+         CAST(floor(value * 100) AS BIGINT) AS vc
+  FROM events WHERE event_type = 'view'
+), rx_real AS (
+  SELECT t.event_id, t.vc,
+         CAST(2 * t.below + t.mc + 1 AS BIGINT) AS rx2
+  FROM (
+    SELECT s.event_id, s.vc, g.c AS mc,
+           (SELECT COALESCE(SUM(c), 0) FROM
+             (SELECT vc, count(*) AS c FROM s GROUP BY vc) gg
+            WHERE gg.vc < s.vc) AS below
+    FROM s JOIN (SELECT vc, count(*) AS c FROM s GROUP BY vc) g
+      ON g.vc = s.vc
+  ) t
+), ry AS (
+  SELECT event_id,
+         CAST(2 * row_number() OVER (ORDER BY event_id) AS BIGINT) AS ry2
+  FROM s
+)
+SELECT CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(rx_real.rx2 * ry.ry2) AS BIGINT) AS sxy4,
+       CAST(SUM(rx_real.rx2 * rx_real.rx2) AS BIGINT) AS sxx4
+FROM rx_real JOIN ry ON ry.event_id = rx_real.event_id
+""",
+)
+def q_spearman_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank-correlation sufficient statistics between the
+    'view' value series and TIME ORDER (event_id) — the monotone-
+    trend test that ignores outliers plain Pearson (q_trend_slope)
+    chases.  Tied values take midranks on the DOUBLED integer
+    lattice (2·midrank = 2·count-below + count-at + 1, the
+    q_mann_whitney device), time ranks are unique, and the emitted
+    (n, Σ4·RxRy, Σ4·Rx²) are exact BIGINTs from which ρ assembles
+    with the known closed forms ΣRy = n(n+1)/2, ΣRy² =
+    n(n+1)(2n+1)/6.  Scale: value midranks come from a per-value
+    aggregate joined back (no per-row correlated scan at execution —
+    Catalyst rewrites it to a join), time ranks one window.
+    Magnitude: (2r)² ≤ 4n², summed ≤ 4n³ ≈ 3e13 at sf0.1."""
+    e = load_table(spark, sf_dir, "events").where(F.col("event_type") == "view")
+    s = e.select("event_id", F.floor(F.col("value") * 100).cast("long").alias("vc"))
+    per_v = s.groupBy("vc").agg(F.count(F.lit(1)).alias("mc"))
+    wv = Window.orderBy("vc").rowsBetween(Window.unboundedPreceding, -1)
+    per_v = per_v.select(
+        "vc",
+        "mc",
+        F.coalesce(F.sum("mc").over(wv), F.lit(0)).alias("below"),
+    )
+    rx = s.join(F.broadcast(per_v), "vc").select(
+        "event_id",
+        (2 * F.col("below") + F.col("mc") + 1).alias("rx2"),
+    )
+    ry = s.select(
+        "event_id",
+        (2 * F.row_number().over(Window.orderBy("event_id"))).alias("ry2"),
+    )
+    return rx.join(ry, "event_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("rx2") * F.col("ry2")).cast("bigint").alias("sxy4"),
+        F.sum(F.col("rx2") * F.col("rx2")).cast("bigint").alias("sxx4"),
+    )
+
+
+@query(
+    "q_theil_sen",
+    oracle="""
+WITH hourly AS (
+  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS h,
+         count(*) AS c
+  FROM events GROUP BY 1
+), pairs AS (
+  SELECT a.h AS h1, b.h AS h2,
+         CAST(b.c - a.c AS DOUBLE) / (b.h - a.h) AS slope
+  FROM hourly a JOIN hourly b ON b.h > a.h
+), ranked AS (
+  SELECT slope, h1, h2,
+         row_number() OVER (ORDER BY slope, h1, h2) AS rk,
+         count(*) OVER () AS n
+  FROM pairs
+)
+SELECT CAST(min(n) AS BIGINT) AS n_pairs,
+       max(CASE WHEN rk = (n + 1) // 2 THEN slope END) AS median_slope
+FROM ranked
+""",
+)
+def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend estimator on the hourly event-count
+    series: the MEDIAN of all pairwise slopes — up to 29% outliers
+    cannot move it, unlike least squares (q_trend_slope), which is
+    why it is the default for noisy ops metrics.  Hash-safety: every
+    pairwise slope is one division of exact integers (Δcount/Δhour),
+    correctly rounded to the identical double in both engines, and
+    the median is a type-1 SELECTION of those doubles with (slope,
+    h1, h2) as a total order — no averaging of middle elements, no
+    accumulated float error anywhere.  Scale: the O(k²) pair join
+    runs on the HOUR-grain aggregate (k ≈ 720 → 260k pairs at any
+    fact volume); the fact table contributes one hash aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.expr(
+            "CAST(unix_timestamp(date_trunc('hour', ts)) div 3600 AS BIGINT)"
+        ).alias("h")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    b = hourly.select(F.col("h").alias("h2"), F.col("c").alias("c2"))
+    pairs = hourly.join(b, F.col("h2") > F.col("h")).select(
+        F.col("h").alias("h1"),
+        "h2",
+        ((F.col("c2") - F.col("c")).cast("double") / (F.col("h2") - F.col("h"))).alias(
+            "slope"
+        ),
+    )
+    ranked = pairs.select(
+        "slope",
+        F.row_number()
+        .over(Window.orderBy("slope", "h1", "h2"))
+        .alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    return ranked.agg(
+        F.min("n").cast("bigint").alias("n_pairs"),
+        F.max(F.when(F.col("rk") == F.expr("(n + 1) div 2"), F.col("slope"))).alias(
+            "median_slope"
+        ),
+    )
