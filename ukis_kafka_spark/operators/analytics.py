@@ -2707,3 +2707,132 @@ def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
             "median_slope"
         ),
     )
+
+
+@query(
+    "q_wilcoxon",
+    oracle="""
+WITH halves AS (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400 % 30 < 15
+                       THEN CAST(floor(value * 100) AS BIGINT) END) AS BIGINT) AS first_half,
+         CAST(SUM(CASE WHEN CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400 % 30 >= 15
+                       THEN CAST(floor(value * 100) AS BIGINT) END) AS BIGINT) AS second_half
+  FROM events GROUP BY user_id
+), diffs AS (
+  SELECT user_id, second_half - first_half AS d,
+         abs(second_half - first_half) AS ad
+  FROM halves
+  WHERE first_half IS NOT NULL AND second_half IS NOT NULL
+    AND second_half <> first_half
+), per_ad AS (
+  SELECT ad, count(*) AS c FROM diffs GROUP BY ad
+), ranked AS (
+  SELECT ad, c,
+         CAST(COALESCE(SUM(c) OVER (ORDER BY ad
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS below
+  FROM per_ad
+)
+SELECT CAST((SELECT count(*) FROM diffs) AS BIGINT) AS n_pairs,
+       CAST((SELECT COALESCE(SUM(r.below * 2 + r.c + 1), 0)
+             FROM diffs d JOIN ranked r ON r.ad = d.ad
+             WHERE d.d > 0) AS BIGINT) AS w_plus_doubled
+""",
+)
+def q_wilcoxon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Wilcoxon signed-rank statistic: each user's value mass in
+    the first half of the month pairs with their second half (the
+    within-subject before/after design), nonzero differences take
+    midranks of |d| on the DOUBLED lattice, and W⁺ sums the positive
+    differences' ranks — the paired drift test completing the battery
+    (KS: two independent samples; Mann-Whitney: location; runs:
+    randomness; this: paired).  All exact integers: centi-unit
+    halves, doubled midranks, zero-difference pairs dropped per the
+    standard procedure.  Scale: one per-user aggregate, a per-|d|
+    rank table joined back broadcast — facts shuffle once."""
+    e = load_table(spark, sf_dir, "events")
+    day = F.expr(
+        "CAST(unix_timestamp(date_trunc('day', ts)) AS BIGINT) div 86400 % 30"
+    )
+    vc = F.floor(F.col("value") * 100).cast("long")
+    halves = e.groupBy("user_id").agg(
+        F.sum(F.when(day < 15, vc)).alias("first_half"),
+        F.sum(F.when(day >= 15, vc)).alias("second_half"),
+    )
+    diffs = halves.where(
+        F.col("first_half").isNotNull()
+        & F.col("second_half").isNotNull()
+        & (F.col("second_half") != F.col("first_half"))
+    ).select(
+        (F.col("second_half") - F.col("first_half")).alias("d"),
+        F.abs(F.col("second_half") - F.col("first_half")).alias("ad"),
+    )
+    per_ad = diffs.groupBy("ad").agg(F.count(F.lit(1)).alias("c"))
+    wr = Window.orderBy("ad").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = per_ad.select(
+        "ad", "c", F.coalesce(F.sum("c").over(wr), F.lit(0)).alias("below")
+    )
+    joined = diffs.join(F.broadcast(ranked), "ad")
+    return joined.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("d") > 0,
+                    F.col("below") * 2 + F.col("c") + 1,
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("w_plus_doubled"),
+    )
+
+
+@query(
+    "q_kendall_tau",
+    oracle="""
+WITH hourly AS (
+  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS h,
+         count(*) AS c
+  FROM events GROUP BY 1
+), pairs AS (
+  SELECT CASE WHEN b.c > a.c THEN 1 WHEN b.c < a.c THEN -1 ELSE 0 END AS sgn
+  FROM hourly a JOIN hourly b ON b.h > a.h
+)
+SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(COUNT(CASE WHEN sgn = 1 THEN 1 END) AS BIGINT) AS concordant,
+       CAST(COUNT(CASE WHEN sgn = -1 THEN 1 END) AS BIGINT) AS discordant,
+       CAST(COUNT(CASE WHEN sgn = 0 THEN 1 END) AS BIGINT) AS tied
+FROM pairs
+""",
+)
+def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's tau concordance counts for the hourly load series vs
+    time: over all hour pairs, how many move WITH time vs against it
+    — τ = (C−D)/binom(k,2) assembles from the exact counts, the third
+    (and most outlier-insensitive) trend reading next to
+    q_trend_slope's OLS and q_theil_sen's median slope; agreement
+    across the three is the load-bearing evidence a reported trend is
+    real.  Ties counted explicitly.  Scale: same hour-grain pair join
+    as q_theil_sen — quadratic only in HOURS."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.expr(
+            "CAST(unix_timestamp(date_trunc('hour', ts)) div 3600 AS BIGINT)"
+        ).alias("h")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    b = hourly.select(F.col("h").alias("h2"), F.col("c").alias("c2"))
+    pairs = hourly.join(b, F.col("h2") > F.col("h")).select(
+        F.when(F.col("c2") > F.col("c"), 1)
+        .when(F.col("c2") < F.col("c"), -1)
+        .otherwise(0)
+        .alias("sgn")
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.count(F.when(F.col("sgn") == 1, 1)).cast("bigint").alias("concordant"),
+        F.count(F.when(F.col("sgn") == -1, 1)).cast("bigint").alias("discordant"),
+        F.count(F.when(F.col("sgn") == 0, 1)).cast("bigint").alias("tied"),
+    )
