@@ -30,7 +30,7 @@ from ukis_kafka_spark.plans import get_spark  # noqa: E402
 from ukis_kafka_spark.sources import load_table  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-REPS = (1, 4, 16)
+REPS = tuple(int(x) for x in os.environ.get("SCALE_REPS", "1,4,16").split(","))
 
 
 def _replicate(df, k: int, id_cols: list[str]):
