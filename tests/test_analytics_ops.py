@@ -975,3 +975,25 @@ def test_max_concurrency_bounds(spark):
         # the previous day's last half hour
         cap = per_day.get(r.day_num, 0) + per_day.get(r.day_num - 1, 0)
         assert r.peak_concurrency <= cap
+
+
+def test_doubled_midrank_identity_property():
+    """The doubled-midrank device used by q_mann_whitney / q_wilcoxon /
+    q_spearman_stats: 2·midrank(v) = 2·|{x < v}| + |{x = v}| + 1 must
+    equal twice the classical average-of-positions midrank for every
+    multiset — property-checked against a brute-force ranking."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.integers(min_value=-50, max_value=50), min_size=1, max_size=40))
+    def check(xs):
+        xs_sorted = sorted(xs)
+        for v in set(xs):
+            positions = [i + 1 for i, x in enumerate(xs_sorted) if x == v]
+            classical_doubled = 2 * sum(positions) / len(positions)
+            below = sum(1 for x in xs if x < v)
+            at = sum(1 for x in xs if x == v)
+            lattice = 2 * below + at + 1
+            assert lattice == classical_doubled
+    check()
