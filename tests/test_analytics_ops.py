@@ -997,3 +997,43 @@ def test_doubled_midrank_identity_property():
             lattice = 2 * below + at + 1
             assert lattice == classical_doubled
     check()
+
+
+def test_floored_running_sum_identity_property():
+    """q_capped_running_sum's closed form — b_i = run_i − min(0,
+    prefix-min(run)) — must equal the sequential recurrence
+    b_i = max(0, b_{i-1} + x_i) on every flow sequence (the Skorokhod
+    reflection identity the operator's two-window plan rests on)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.lists(st.integers(min_value=-100, max_value=100), min_size=1, max_size=60))
+    def check(xs):
+        b, seq = 0, []
+        for x in xs:
+            b = max(0, b + x)
+            seq.append(b)
+        run, pmin, closed = 0, 0, []
+        for x in xs:
+            run += x
+            pmin = min(pmin, run)
+            closed.append(run - min(0, pmin))
+        assert closed == seq
+    check()
+
+
+def test_pps_sample_one_per_boundary(spark):
+    from ukis_kafka_spark import api
+
+    rows = api.queries()["m_pps_sample"](spark, SF_SMOKE).collect()
+    idxs = [r.boundary_idx for r in rows]
+    # boundary indices strictly increase: each selected customer's
+    # interval contains at least one boundary, none contain the SAME
+    # first boundary twice
+    assert idxs == sorted(idxs)
+    assert len(rows) >= 90  # ~100 strides; big accounts can absorb >1
+    # the heaviest account must be selected (its interval spans >= 1
+    # stride with near-certainty on this corpus)
+    heaviest = max(rows, key=lambda r: r.rev_centi)
+    assert heaviest.rev_centi > 0
