@@ -122,6 +122,7 @@ _PRIORITY = [
     "q_month_end_arith", "q_try_arith", "m_incremental_dedup",
     "q_null_routed_join", "m_pps_sample", "q_ks_test", "q_mann_whitney",
     "q_spearman_stats", "q_theil_sen", "q_wilcoxon", "q_kendall_tau",
+    "g_zonal_stats", "q_cohort_ltv_curve",
     # ---- 50-entry window boundary is enforced by position, the
     # ---- remainder keeps round-3's order for stable bench diffs
     "q_agg_collect",

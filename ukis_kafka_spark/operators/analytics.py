@@ -2836,3 +2836,68 @@ def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("sgn") == -1, 1)).cast("bigint").alias("discordant"),
         F.count(F.when(F.col("sgn") == 0, 1)).cast("bigint").alias("tied"),
     )
+
+
+@query(
+    "q_cohort_ltv_curve",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id,
+         CAST(min(epoch(date_trunc('day', ts))) AS BIGINT) // 604800 AS cohort_wk
+  FROM events GROUP BY user_id
+), spend AS (
+  SELECT e.user_id, f.cohort_wk,
+         CAST(epoch(date_trunc('day', e.ts)) AS BIGINT) // 604800
+           - f.cohort_wk AS age_wk,
+         CAST(floor(e.value * 100) AS BIGINT) AS vc
+  FROM events e JOIN firsts f ON f.user_id = e.user_id
+), per_age AS (
+  SELECT cohort_wk, age_wk,
+         CAST(SUM(vc) AS BIGINT) AS wk_value,
+         count(DISTINCT user_id) AS active_users
+  FROM spend GROUP BY cohort_wk, age_wk
+)
+SELECT cohort_wk, age_wk, wk_value, active_users,
+       CAST(SUM(wk_value) OVER (PARTITION BY cohort_wk ORDER BY age_wk
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_value
+FROM per_age
+""",
+)
+def q_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curve: cumulative VALUE per signup-week cohort by
+    cohort age — the revenue companion to q_cohort_matrix's count
+    triangle and q_retention's presence rates (those say who comes
+    back; this says what they're worth as the cohort matures, the
+    curve payback-period decisions read).  Exact centi-unit mass,
+    cumulative per cohort via one partitioned window over the tiny
+    (cohort × age) grid.  Scale: facts join the broadcast first-seen
+    dim (the same user-dimension surrogate q_new_vs_returning
+    builds), aggregate to |cohorts|·|ages| rows, window over that."""
+    e = load_table(spark, sf_dir, "events")
+    wk = F.expr(
+        "CAST(unix_timestamp(date_trunc('day', ts)) AS BIGINT) div 604800"
+    )
+    firsts = e.groupBy("user_id").agg(F.min(wk).alias("cohort_wk"))
+    spend = e.join(F.broadcast(firsts), "user_id").select(
+        "user_id",
+        "cohort_wk",
+        (wk - F.col("cohort_wk")).alias("age_wk"),
+        F.floor(F.col("value") * 100).cast("long").alias("vc"),
+    )
+    per_age = spend.groupBy("cohort_wk", "age_wk").agg(
+        F.sum("vc").cast("bigint").alias("wk_value"),
+        F.count_distinct("user_id").alias("active_users"),
+    )
+    wc = (
+        Window.partitionBy("cohort_wk")
+        .orderBy("age_wk")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return per_age.select(
+        "cohort_wk",
+        "age_wk",
+        "wk_value",
+        "active_users",
+        F.sum("wk_value").over(wc).cast("bigint").alias("cum_value"),
+    )

@@ -1660,3 +1660,67 @@ def g_adaptive_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return cold.unionByName(fine)
+
+
+@query(
+    "g_zonal_stats",
+    oracle=f"""
+WITH assigned AS (
+  SELECT e.event_id, e.value, h.hub,
+         row_number() OVER (
+           PARTITION BY e.event_id
+           ORDER BY round(2 * 6371.0088 * asin(sqrt(
+             pow(sin(radians({_LAT} - h.hlat) / 2), 2)
+             + cos(radians({_LAT})) * cos(radians(h.hlat))
+               * pow(sin(radians({_LON} - h.hlon) / 2), 2))), 4) ASC,
+           h.hub ASC) AS rn
+  FROM events e
+  CROSS JOIN (VALUES {_HUB_VALUES}) h(hub, hlon, hlat)
+  WHERE e.event_type = 'purchase'
+)
+SELECT hub,
+       count(*) AS n,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)
+         AS value_sum,
+       max(value) AS value_max
+FROM assigned WHERE rn = 1
+GROUP BY hub
+""",
+)
+def g_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zonal statistics over Voronoi catchments: every purchase is
+    assigned to its nearest hub (g_nearest_hub's argmin, inlined) and
+    each hub zone reports count / exact-decimal value mass / max —
+    the named geospatial operation (zonal stats) that turns a point
+    assignment into per-zone aggregates, i.e. the catchment revenue
+    table.  Same 4 dp haversine grid and hub-name tiebreak as the
+    assignment operator, decimal-staged sums per the hash rules.
+    Scale: broadcast 6-row hub dim, per-point window on the 6-way
+    product, then one |hubs|-row aggregate — the fact table shuffles
+    once (for the per-event argmin partitioning)."""
+    e = load_table(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    hubs = spark.sql(f"SELECT * FROM (VALUES {_HUB_VALUES}) AS t(hub, hlon, hlat)")
+    lat1 = F.radians(_lat())
+    dlat = F.radians(_lat() - F.col("hlat"))
+    dlon = F.radians(_lon() - F.col("hlon"))
+    a = (
+        F.pow(F.sin(dlat / 2), 2)
+        + F.cos(lat1) * F.cos(F.radians(F.col("hlat"))) * F.pow(F.sin(dlon / 2), 2)
+    )
+    dist = F.round(F.lit(2 * 6371.0088) * F.asin(F.sqrt(a)), 4)
+    w = Window.partitionBy("event_id").orderBy(
+        F.col("dist_km").asc(), F.col("hub").asc()
+    )
+    assigned = (
+        e.crossJoin(F.broadcast(hubs))
+        .select("event_id", "value", "hub", dist.alias("dist_km"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+    )
+    return assigned.groupBy("hub").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(28,10)")).cast("double").alias(
+            "value_sum"
+        ),
+        F.max("value").alias("value_max"),
+    )
