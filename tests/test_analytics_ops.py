@@ -1037,3 +1037,45 @@ def test_pps_sample_one_per_boundary(spark):
     # stride with near-certainty on this corpus)
     heaviest = max(rows, key=lambda r: r.rev_centi)
     assert heaviest.rev_centi > 0
+
+
+def test_pps_systematic_selection_property():
+    """Systematic PPS on any positive weight list selects one unit per
+    crossed stride boundary: sample size is within 1 of mass/stride,
+    and any unit with weight >= stride is ALWAYS selected (the
+    certainty-selection property PPS is chosen for)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.integers(min_value=1, max_value=10_000), min_size=5, max_size=80))
+    def check(ws):
+        total = sum(ws)
+        stride = total // min(10, len(ws))
+        if stride == 0:
+            return
+        picked, c = [], 0
+        for i, w in enumerate(ws):
+            before = c
+            c += w
+            if c // stride > before // stride:
+                picked.append(i)
+        n_boundaries = total // stride
+        assert abs(len(picked) - n_boundaries) <= 1
+        for i, w in enumerate(ws):
+            if w >= stride:
+                assert i in picked, "a certainty unit was skipped"
+    check()
+
+
+def test_bitmap_coordinates_bijective():
+    """q_sliding_distinct's (word, bit) mapping: every user id maps to
+    a unique coordinate with the mask never touching bit 62/63."""
+    seen = set()
+    for uid in range(0, 5000):
+        word, bit = uid // 62, uid % 62
+        assert 0 <= bit < 62
+        mask = 1 << bit
+        assert mask > 0 and mask < (1 << 62)
+        assert (word, bit) not in seen
+        seen.add((word, bit))
