@@ -1061,7 +1061,11 @@ def test_pps_systematic_selection_property():
             if c // stride > before // stride:
                 picked.append(i)
         n_boundaries = total // stride
-        assert abs(len(picked) - n_boundaries) <= 1
+        # a heavy unit can absorb SEVERAL boundaries in one pick, so
+        # the sample never exceeds the boundary count (+1 for the
+        # final partial stride) but may be smaller
+        assert len(picked) <= n_boundaries + 1
+        assert len(picked) >= 1
         for i, w in enumerate(ws):
             if w >= stride:
                 assert i in picked, "a certainty unit was skipped"
