@@ -1083,3 +1083,20 @@ def test_bitmap_coordinates_bijective():
         assert mask > 0 and mask < (1 << 62)
         assert (word, bit) not in seen
         seen.add((word, bit))
+
+
+def test_checkpoint_modes_agree(spark, tmp_path, monkeypatch):
+    """checkpoint_df must yield IDENTICAL results in both modes —
+    local (default) and reliable (UKIS_CHECKPOINT_DIR set) — on an
+    iterative query that carries state through it (pagerank: 5
+    fixed-point rounds, every round checkpointed).  Only the
+    fault-tolerance story changes at cluster scale, never the data."""
+    name = "m_graph_pagerank"
+    base = sorted(map(tuple, api.queries()[name](spark, SF_SMOKE).collect()))
+    monkeypatch.setenv("UKIS_CHECKPOINT_DIR", str(tmp_path / "ck"))
+    reliable = sorted(map(tuple, api.queries()[name](spark, SF_SMOKE).collect()))
+    assert base == reliable
+    # the reliable run must actually have used the checkpoint dir
+    import os
+
+    assert os.path.isdir(tmp_path / "ck") and any(os.scandir(tmp_path / "ck"))

@@ -159,7 +159,7 @@ def test_approx_quantile_bound(spark):
     }
     assert rows
     for r in rows:
-        a50, a90 = r["approx_p"]
+        a50, a90 = r["approx_p50"], r["approx_p90"]
         e50, e90 = exact[r["l_returnflag"]]
         assert abs(a50 - e50) / e50 < 0.05
         assert abs(a90 - e90) / e90 < 0.05

@@ -145,3 +145,62 @@ def test_cli_produce_shp_roundtrip(spark, tmp_path):
     assert len(rows) == 2
     assert {r["layer"] for r in rows} == {"roads"}
     assert {r["geom_type"] for r in rows} == {"LINESTRING"}
+
+
+def test_cli_produce_gpkg_roundtrip(spark, tmp_path):
+    """GeoPackage → envelope topic → partitioned parquet, same harness
+    as produce-shp: geometry + properties + the layer's SRS id survive
+    the full producer/consumer path."""
+    import json
+
+    from ukis_kafka_spark.sources.gpkg import write_gpkg
+    from ukis_kafka_spark.spatial.wkb import decode_wkb
+
+    gpkg = tmp_path / "roads.gpkg"
+    write_gpkg(
+        str(gpkg),
+        "roads",
+        [
+            (("LINESTRING", ((0.0, 0.0), (1.0, 1.0), (2.0, 0.5))), {"rid": 1, "name": "a"}),
+            (("POINT", (10.5, 50.25)), {"rid": 2, "name": "b"}),
+            (None, {"rid": 3, "name": "null-geom-skipped"}),
+        ],
+        srid=25832,
+    )
+    topic = str(tmp_path / "topic")
+    out = str(tmp_path / "sink")
+    assert cli.main(["produce-gpkg", "--gpkg", str(gpkg), "--topic-dir", topic,
+                     "--layer", "roads"]) == 0
+    assert cli.main(["consume-files", "--topic-dir", topic, "--out", out]) == 0
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 2  # the NULL geometry is skipped, like produce-shp
+    assert {r["layer"] for r in rows} == {"roads"}
+    assert {r["srid"] for r in rows} == {25832}  # layer SRS id rode the envelope
+    by_rid = {json.loads(r["props_json"])["rid"]: r for r in rows}
+    assert decode_wkb(bytes(by_rid[2]["wkb"])) == ("POINT", (10.5, 50.25))
+    assert json.loads(by_rid[1]["props_json"])["name"] == "a"
+
+
+def test_cli_produce_gpkg_layer_selection(tmp_path, capsys):
+    """Two feature layers: omitting --gpkg-layer is ambiguous; naming
+    one selects it."""
+    import pytest
+
+    from ukis_kafka_spark.sources.gpkg import read_gpkg, write_gpkg
+
+    gpkg = tmp_path / "two.gpkg"
+    write_gpkg(str(gpkg), "a", [(("POINT", (1.0, 2.0)), {"k": 1})])
+    # append a second layer by writing a sibling file and merging is
+    # overkill — write_gpkg is single-layer by design, so build the
+    # second layer with sqlite directly
+    import sqlite3
+
+    with sqlite3.connect(str(gpkg)) as con:
+        con.execute("INSERT INTO gpkg_contents (table_name, data_type, identifier, srs_id)"
+                    " VALUES ('b', 'features', 'b', 4326)")
+        con.execute("INSERT INTO gpkg_geometry_columns VALUES ('b', 'geom', 'GEOMETRY', 4326, 0, 0)")
+        con.execute("CREATE TABLE b (fid INTEGER PRIMARY KEY, geom BLOB)")
+        con.commit()
+    with pytest.raises(ValueError, match="2 feature layers"):
+        list(read_gpkg(str(gpkg)))
+    assert [g for g, _, _ in read_gpkg(str(gpkg), layer="a")] == [("POINT", (1.0, 2.0))]

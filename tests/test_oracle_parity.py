@@ -9,7 +9,7 @@ import pytest
 from ukis_kafka_spark import api
 
 from .conftest import SF_SMOKE
-from .util import assert_parity
+from .util import assert_parity, assert_scalar_schema
 
 QUERY_NAMES = sorted(api.queries())
 
@@ -20,7 +20,12 @@ def test_query_matches_oracle(spark, duck_smoke, name):
     oracles = api.oracle_sql()
     sdf = qs[name](spark, SF_SMOKE)
     if name not in oracles:
-        assert sdf.count() >= 0  # rows-only: must at least execute
+        # rows-only: must execute AND emit scalar columns — the driver
+        # canonicalizes rows-only output too (q_agg_approx_quantile r4
+        # crashed it with an ARRAY cell; q_map_ops r1 / q_agg_collect
+        # r2 were the same class on oracle-checked queries).
+        assert_scalar_schema(sdf, name)
+        assert sdf.count() >= 0
         return
     assert_parity(sdf, duck_smoke, oracles[name], name)
 
@@ -51,15 +56,31 @@ def test_survey_inventory_matches_registry():
     ), "§2.3 totals line is stale"
 
 
-def test_priority_ordering_is_exact_and_complete():
-    """queries() must lead with _PRIORITY verbatim (the driver's
-    correctness gate reads the first N entries in dict order) and still
-    expose every registered query exactly once."""
-    from ukis_kafka_spark.api import _PRIORITY, QUERIES
+def test_queue_is_clean_and_queries_complete():
+    """_QUEUE names must exist in the registry with no duplicates, and
+    queries() must still expose every registered query exactly once."""
+    from ukis_kafka_spark.api import _QUEUE, QUERIES
 
-    missing = [n for n in _PRIORITY if n not in QUERIES]
-    assert not missing, f"_PRIORITY names not in registry: {missing}"
-    assert len(set(_PRIORITY)) == len(_PRIORITY), "duplicate in _PRIORITY"
+    missing = [n for n in _QUEUE if n not in QUERIES]
+    assert not missing, f"_QUEUE names not in registry: {missing}"
+    assert len(set(_QUEUE)) == len(_QUEUE), "duplicate in _QUEUE"
     ordered = list(api.queries())
-    assert ordered[: len(_PRIORITY)] == _PRIORITY
     assert set(ordered) == set(QUERIES) and len(ordered) == len(QUERIES)
+
+
+def test_driver_window_self_rotates():
+    """The head-50 of queries() (the driver's per-round correctness
+    window) must contain ZERO IDs whose latest committed driver row
+    already satisfies their check level — a stale window burned the
+    whole round-4 slot (VERDICT r04 item 2). Also pins the green
+    semantics: an oracle upgrade invalidates an old rows-only row."""
+    from ukis_kafka_spark.api import ORACLE, _driver_green
+
+    green = _driver_green()
+    head = list(api.queries())[:50]
+    stale = [n for n in head if n in green]
+    assert not stale, f"driver window would re-check already-green IDs: {stale}"
+    # the r1 rows-only rows of since-upgraded queries must NOT be green
+    for name in ["m_near_dedup", "m_simhash", "g_point_in_poly", "g_wkb_serde"]:
+        if name in ORACLE and name not in green:
+            assert name in head, f"{name} upgraded rows-only->oracle but not in window"

@@ -260,3 +260,101 @@ def test_shapefile_wkb_envelope_path(tmp_path_factory):
         env = read_envelope(make_envelope(encode_wkb(geom), props, layer="l", srid=4326))
         assert decode_wkb(env["geom"]) == geom
         assert env["props"]["fid"] == 7.0 and env["props"]["name"] == "muc"
+
+
+# ---- GeoPackage binary + file round-trips (sources.gpkg) ----
+
+gpkg_geom = st.one_of(
+    coord.map(lambda p: ("POINT", p)),
+    line.map(lambda l: ("LINESTRING", l)),
+    poly.map(lambda p: ("POLYGON", p)),
+    st.lists(line, min_size=1, max_size=3).map(lambda ls: ("MULTILINESTRING", tuple(ls))),
+)
+
+
+@given(gpkg_geom, st.integers(min_value=0, max_value=10**6))
+def test_gpkg_blob_roundtrip(geom, srid):
+    from ukis_kafka_spark.sources.gpkg import make_gpkg_blob, parse_gpkg_blob
+
+    assert parse_gpkg_blob(make_gpkg_blob(geom, srid)) == geom
+
+
+def test_gpkg_blob_rejects_extension_and_garbage():
+    import pytest
+
+    from ukis_kafka_spark.sources.gpkg import make_gpkg_blob, parse_gpkg_blob
+
+    blob = bytearray(make_gpkg_blob(("POINT", (1.0, 2.0))))
+    blob[3] |= 0b100000  # extension flag: payload is not plain WKB
+    with pytest.raises(ValueError, match="Extended"):
+        parse_gpkg_blob(bytes(blob))
+    with pytest.raises(ValueError, match="GP magic"):
+        parse_gpkg_blob(b"\x00\x01\x02\x03\x04\x05\x06\x07\x08")
+    # empty-geometry flag decodes to None, not a crash
+    blob = bytearray(make_gpkg_blob(("POINT", (1.0, 2.0))))
+    blob[3] |= 0b10000
+    assert parse_gpkg_blob(bytes(blob)) is None
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    features=st.lists(
+        st.tuples(
+            gpkg_geom,
+            st.dictionaries(
+                st.from_regex(r"[a-z][a-z0-9_]{0,8}", fullmatch=True),
+                st.one_of(st.integers(-2**40, 2**40), st.text(max_size=12), st.none()),
+                max_size=4,
+            ),
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    srid=st.integers(min_value=1, max_value=10**6),
+)
+def test_gpkg_file_roundtrip(tmp_path_factory, features, srid):
+    from ukis_kafka_spark.sources.gpkg import gpkg_layers, read_gpkg, write_gpkg
+
+    path = str(tmp_path_factory.mktemp("gpkg") / "layer.gpkg")
+    write_gpkg(path, "roads", features, srid=srid)
+    assert gpkg_layers(path) == ["roads"]
+    got = list(read_gpkg(path))
+    assert len(got) == len(features)
+    for (geom, props), (g_geom, g_props, g_srid) in zip(features, got):
+        assert g_geom == geom
+        assert g_srid == srid
+        g_props.pop("fid", None)
+        # sqlite stores only the unioned columns; missing keys read NULL
+        for k, v in props.items():
+            assert g_props.get(k) == v
+
+
+# ---- BMP codec round-trips (ml.multimodal) ----
+
+
+@settings(deadline=None)
+@given(st.binary(min_size=0, max_size=400), st.integers(min_value=1, max_value=64))
+def test_bmp_roundtrip(payload, width):
+    from ukis_kafka_spark.ml.multimodal import decode_bmp, encode_bmp
+
+    w, h, pixels = decode_bmp(encode_bmp(payload, width))
+    assert w == width
+    assert h == max(1, -(-len(payload) // width))
+    assert pixels[: len(payload)] == payload
+    assert set(pixels[len(payload):]) <= {0}  # zero fill only
+    assert len(pixels) == w * h
+
+
+def test_bmp_rejects_unsupported():
+    import pytest
+
+    from ukis_kafka_spark.ml.multimodal import decode_bmp, encode_bmp
+
+    with pytest.raises(ValueError, match="BM magic"):
+        decode_bmp(b"PNG....")
+    buf = bytearray(encode_bmp(b"abc", 4))
+    buf[28] = 24  # 24-bit: this parser only implements 8-bit
+    with pytest.raises(ValueError, match="unsupported BMP"):
+        decode_bmp(bytes(buf))
+    with pytest.raises(ValueError, match="width"):
+        encode_bmp(b"abc", 0)

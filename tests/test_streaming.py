@@ -161,26 +161,74 @@ def test_envelope_source_selects_file_twin_offline(spark, tmp_path):
         envelope_raw_stream(spark)
 
 
-def test_envelope_source_kafka_online():
+def test_envelope_source_kafka_online(tmp_path):
     """Online half of the switch — runs only where a broker (and the
-    spark-sql-kafka connector) exists; the offline harness records the
-    skip. The assert mirrors the offline test: same schema out of the
-    selected source."""
+    spark-sql-kafka connector jar, see README "Going online") exists;
+    the offline harness records the skip. End-to-end: produce envelopes
+    to the topic with the repo's own msgpack codec via the Kafka batch
+    sink, read them back through envelope_raw_stream, and assert the
+    decoded rows match the file-twin decode of the same bytes."""
     import os
 
     import pytest as _pytest
 
     from ukis_kafka_spark.sources.kafka import ENV_BROKERS
 
-    if not os.environ.get(ENV_BROKERS):
+    brokers = os.environ.get(ENV_BROKERS)
+    if not brokers:
         _pytest.skip(f"no {ENV_BROKERS} configured (offline harness)")
     from pyspark.sql import SparkSession
 
-    from ukis_kafka_spark.sources.kafka import envelope_raw_stream
+    from ukis_kafka_spark.sources.envelope import make_envelope
+    from ukis_kafka_spark.sources.kafka import decode_feature_stream, envelope_raw_stream
+    from ukis_kafka_spark.spatial.wkb import encode_wkb
 
     spark = SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
-    stream = envelope_raw_stream(spark, topic="ukis-features-test")
+    topic = "ukis-features-test"
+    envelopes = [
+        make_envelope(
+            encode_wkb(("POINT", (float(i), float(2 * i)))),
+            {"fid": i, "name": f"f{i}"},
+            layer="smoke",
+        )
+        for i in range(10)
+    ]
+    # produce through Spark's Kafka batch sink (same jar the stream needs)
+    spark.createDataFrame([(e,) for e in envelopes], "value binary").write.format(
+        "kafka"
+    ).option("kafka.bootstrap.servers", brokers).option("topic", topic).save()
+
+    stream = envelope_raw_stream(spark, topic=topic)
     assert stream.isStreaming and stream.columns == ["value"]
+    decoded = decode_feature_stream(stream)
+    q = (
+        decoded.writeStream.format("memory")
+        .queryName("kafka_online_smoke")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["props_json"]
+        for r in spark.sql("SELECT * FROM kafka_online_smoke").collect()
+    }
+    # file-twin decode of the identical bytes
+    wire = str(tmp_path / "wire")
+    spark.createDataFrame([(e,) for e in envelopes], "value binary").write.parquet(wire)
+    twin = decode_feature_stream(envelope_raw_stream(spark, wire_dir=wire))
+    q2 = (
+        twin.writeStream.format("memory")
+        .queryName("kafka_twin_smoke")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    want = {
+        r["props_json"] for r in spark.sql("SELECT * FROM kafka_twin_smoke").collect()
+    }
+    assert got == want and len(want) == 10
 
 
 def test_stream_left_join_closure(spark):

@@ -67,8 +67,10 @@ def main() -> int:
         t0 = time.time()
         try:
             df = qs[name](spark, SF_DIR)
-            if name in oracles:
-                assert_scalar_schema(df, name)
+            # EVERY registry entry, rows-only included: the driver
+            # canonicalizes rows-only output too (q_agg_approx_quantile
+            # r4 crashed it with an ARRAY cell).
+            assert_scalar_schema(df, name)
             sdf = df.toPandas()
         except Exception:
             print(f"FAIL  {name}: spark raised\n{traceback.format_exc()}")

@@ -25,7 +25,9 @@ sys.path.insert(0, REPO)
 from ukis_kafka_spark import api  # noqa: E402
 from ukis_kafka_spark.plans import get_spark  # noqa: E402
 
-SF_DIR = os.environ.get("SF_DIR", "/root/testdata/sf0.001")
+SF_DIR = os.environ.get(
+    "SPARK_GRAFT_SF_DIR", os.environ.get("SF_DIR", "/root/testdata/sf0.001")
+)
 
 # Python eval is the sanctioned boundary for the u_* surface and for
 # m_* Arrow kernels; cartesian/BNLJ appear legitimately where a tiny

@@ -37,18 +37,26 @@ from .registry import ORACLE, QUERIES
 FLAGSHIP = "q_agg_groupby"
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
-# Explicit ordering for ``queries()``: the driver's per-round
-# correctness gate records exactly the FIRST 50 registry entries each
-# round. Rounds 1-3 drained 147/174 distinct IDs, zero failures.
-# Round-4 window: the 27 IDs that have never had a driver CORRECTNESS
-# row (all pass the local gate replica), then s_watermark_late (newly
-# oracle-ized — flips its r03 `err: no_oracle` row to hash-green),
-# then round-4 additions as they land. Everything with a green driver
-# row from r1-r3 goes after the window (registry-order fallback).
-_PRIORITY = [
-    # never-driver-checked round-3 additions (27)
+# Ordering for ``queries()``: the driver's per-round correctness gate
+# records exactly the FIRST 50 registry entries each round. The window
+# is SELF-ROTATING: ``_driver_green()`` reads the committed
+# CORRECTNESS_r*.json files and ``queries()`` floats every ID whose
+# latest driver row does NOT satisfy its current check level to the
+# head, in ``_QUEUE`` order. Rounds 1-4 drained 196 distinct IDs
+# (185 hash-green); the r4 verdict flagged that a manual rotation was
+# missed — this mechanism makes a stale window structurally impossible
+# (tests/test_registry_contract.py pins it).
+_QUEUE = [
+    # round-5 leads: the r4 red row (fixed — now emits scalar columns)
+    # and the 8 rows-only->oracle upgrades whose only driver row is an
+    # r1 `err: no_oracle` (VERDICT r04 items 1 and 3).
+    "q_agg_approx_quantile",
+    "m_near_dedup", "m_simhash", "m_dedup_clusters",
+    "m_ann_lsh", "m_ann_ivf",
+    "g_point_in_poly", "g_wkb_serde", "g_geom_valid",
+    # round-3 additions (driver-checked r4)
     "s_foreach_upsert", "s_static_join", "s_stream_union",
-    "s_slide_watermark", "q_agg_approx_quantile",
+    "s_slide_watermark",
     "q_sql_q4", "q_sql_q14", "q_sql_q19",
     "m_graph_cc", "m_token_entropy", "m_dup_ngram_frac",
     "src_binaryfile", "g_nearest_hub",
@@ -67,7 +75,7 @@ _PRIORITY = [
     "u_mapinarrow", "q_rollup_time", "s_archive_sink",
     "q_sql_q21", "q_date_spine", "m_text_normalize", "src_text_lines",
     "m_kmeans_step",
-    # below overflow the 50-slot round-4 window; they lead the r5 queue
+    # never-driver-checked overflow: drains ~50/round via the rotation
     "m_curation_pipeline", "g_bearing", "q_join_asof_fwd", "m_hard_negatives",
     "q_win_count_distinct", "q_gaps_islands", "q_fill_forward",
     "src_xml_roundtrip", "m_graph_bfs", "m_bloom_membership",
@@ -123,8 +131,8 @@ _PRIORITY = [
     "q_null_routed_join", "m_pps_sample", "q_ks_test", "q_mann_whitney",
     "q_spearman_stats", "q_theil_sen", "q_wilcoxon", "q_kendall_tau",
     "g_zonal_stats", "q_cohort_ltv_curve",
-    # ---- 50-entry window boundary is enforced by position, the
-    # ---- remainder keeps round-3's order for stable bench diffs
+    # ---- already driver-green below (rotation pushes them to the
+    # ---- back automatically; order kept for stable bench diffs)
     "q_agg_collect",
     "src_kafka_shape", "s_stream_join",
     "q_sql_q5", "q_sql_q6", "q_sql_q10", "q_sql_q18",
@@ -151,10 +159,51 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES[FLAGSHIP](spark, SMOKE_SF_DIR)
 
 
+def _driver_green() -> set[str]:
+    """IDs whose LATEST driver CORRECTNESS row satisfies their current
+    check level: hash-green for oracle-checked queries, a clean
+    rows-only row (``err == 'no_oracle'`` with a row count) for queries
+    that have no oracle by design. An ID upgraded rows-only->oracle
+    after its last driver window is NOT green (its old row is weaker
+    than its current contract) and floats back into the head-50."""
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    latest: dict[str, dict] = {}
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as fh:
+                rows = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        if isinstance(rows, dict):
+            latest.update((k, v) for k, v in rows.items() if isinstance(v, dict))
+    green = set()
+    for name, row in latest.items():
+        if row.get("hash_match"):
+            green.add(name)
+        elif (
+            name not in ORACLE
+            and row.get("err") == "no_oracle"
+            and row.get("spark_rows") is not None
+        ):
+            green.add(name)
+    return green
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    ordered = {name: QUERIES[name] for name in _PRIORITY if name in QUERIES}
-    ordered.update((n, f) for n, f in QUERIES.items() if n not in ordered)
-    return ordered
+    """Full registry, never-driver-green IDs first (in ``_QUEUE``
+    order) so each round's head-50 driver window drains fresh IDs —
+    see ``_driver_green``. Falls back to pure queue order if no
+    CORRECTNESS files exist (fresh clone)."""
+    queue = list(dict.fromkeys(
+        [n for n in _QUEUE if n in QUERIES] + list(QUERIES)
+    ))
+    green = _driver_green()
+    ordered = [n for n in queue if n not in green] + [n for n in queue if n in green]
+    return {n: QUERIES[n] for n in ordered}
 
 
 def oracle_sql() -> dict[str, str]:

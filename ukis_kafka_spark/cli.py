@@ -160,6 +160,32 @@ def cmd_produce_shp(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_produce_gpkg(args: argparse.Namespace) -> int:
+    """R1+R2 (fourth ingestion format): GeoPackage → envelope topic.
+    GPKG is SQLite, so the stdlib reads it (sources.gpkg); the geometry
+    cells are header-wrapped standard WKB, re-encoded through the same
+    codec every other producer uses. The per-layer SRS id from
+    gpkg_geometry_columns rides the envelope unless --srid overrides."""
+    from .sources.envelope import make_envelope
+    from .sources.gpkg import read_gpkg
+    from .spatial.wkb import encode_wkb
+
+    envelopes = []
+    for geom, props, srs_id in read_gpkg(args.gpkg, layer=args.gpkg_layer):
+        if geom is None:  # NULL / empty geometry keeps fid alignment only
+            continue
+        envelopes.append(
+            make_envelope(
+                encode_wkb(geom),
+                props,
+                layer=args.layer,
+                srid=args.srid if args.srid is not None else srs_id,
+            )
+        )
+    _publish_envelopes(envelopes, args.topic_dir)
+    return 0
+
+
 def _decoded_features(spark, topic_dir: str):
     from pyspark.sql import functions as F
 
@@ -266,6 +292,14 @@ def main(argv: list[str] | None = None) -> int:
     ps.add_argument("--layer", default="default")
     ps.add_argument("--srid", type=int, default=4326)
     ps.set_defaults(fn=cmd_produce_shp)
+
+    pg = sub.add_parser("produce-gpkg", help="GeoPackage layer → envelope topic dir (R1+R2)")
+    pg.add_argument("--gpkg", required=True)
+    pg.add_argument("--topic-dir", required=True)
+    pg.add_argument("--gpkg-layer", default=None, help="feature table (default: the only one)")
+    pg.add_argument("--layer", default="default", help="envelope layer tag")
+    pg.add_argument("--srid", type=int, default=None, help="override the layer SRS id")
+    pg.set_defaults(fn=cmd_produce_gpkg)
 
     pf = sub.add_parser("consume-files", help="topic dir → partitioned files (R8)")
     pf.add_argument("--topic-dir", required=True)

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..registry import QUERIES, query
+from ..registry import QUERIES, checkpoint_df, query
 from ..sources import load_table
 
 # MinHash parameters: 12 hashes = 4 bands × 3 rows. Small because the
@@ -165,7 +165,7 @@ def m_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the checkpoint this layout was ~35% slower at sf0.1 (the shingle
     # lineage recomputed once per re-join side); with it, it wins at
     # every scale.
-    sig = sh.select("doc_id", "sh", minhash_sig(F.col("sh")).alias("sig")).localCheckpoint()
+    sig = sh.select("doc_id", "sh", minhash_sig(F.col("sh")).alias("sig")).transform(checkpoint_df)
     bands = sig.select(
         "doc_id",
         F.posexplode(
@@ -366,7 +366,7 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
-        .localCheckpoint()  # materialize once: every iteration re-reads the edges
+        .transform(checkpoint_df)  # materialize once: every iteration re-reads the edges
     )
     labels = (
         sym.select(F.col("src").alias("node"))
@@ -394,7 +394,7 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         # the convergence probe against the materialized result — the
         # probe-then-checkpoint order would execute the whole join
         # pipeline twice per iteration
-        new_labels = new_labels.localCheckpoint()
+        new_labels = new_labels.transform(checkpoint_df)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")

@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..cache import cache_publish, table_fingerprint
-from ..registry import query
+from ..registry import checkpoint_df, query
 from ..sources import load_table
 
 _ITERS = 5
@@ -198,7 +198,7 @@ def m_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "src",
         "dst",
         hubs,
-    ).localCheckpoint()  # reused every iteration: materialize once, salted
+    ).transform(checkpoint_df)  # reused every iteration: materialize once, salted
     ranks = deg.select("node", F.lit(_UNIT).cast("long").alias("rank_u"))
     for _ in range(_ITERS):
         contrib = sym_d.join(_replicate_salts(ranks, "src", small), ["src", "salt"]).select(
@@ -216,7 +216,7 @@ def m_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             # truncate the iterative lineage: each per-iteration
             # broadcast build otherwise re-executes every prior
             # iteration's join (O(k^2) total work across k rounds)
-            .localCheckpoint()
+            .transform(checkpoint_df)
         )
     return ranks.orderBy(F.col("rank_u").desc(), F.col("node").asc()).limit(50)
 
@@ -413,7 +413,7 @@ def _triangles_jvm(spark: SparkSession, edges: DataFrame) -> DataFrame:
             F.when(flip, F.col("dst")).otherwise(F.col("src")).alias("u"),
             F.when(flip, F.col("src")).otherwise(F.col("dst")).alias("v"),
         )
-        .localCheckpoint()  # reused: adjacency build + edge iteration
+        .transform(checkpoint_df)  # reused: adjacency build + edge iteration
     )
     # at true cluster scale drop the broadcast hints and let AQE pick
     # shuffle joins; the dataflow is identical
@@ -421,7 +421,7 @@ def _triangles_jvm(spark: SparkSession, edges: DataFrame) -> DataFrame:
         oe.groupBy("u")
         .agg(F.collect_set("v").alias("nbrs"))
         .withColumnRenamed("u", "node")
-        .localCheckpoint()  # both broadcast builds read it, build once
+        .transform(checkpoint_df)  # both broadcast builds read it, build once
     )
     tri = (
         oe.join(F.broadcast(adj.alias("au")), F.col("u") == F.col("au.node"))
@@ -512,7 +512,7 @@ def m_graph_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     deg = sym_raw.groupBy("dst").agg(F.count(F.lit(1)).alias("d")).withColumnRenamed("dst", "node")
     hubs = deg.where(F.col("d") >= _HUB_MIN_DEG).select("node")
-    sym = _salt_edges(sym_raw, "dst", "src", hubs).localCheckpoint()  # reused every round
+    sym = _salt_edges(sym_raw, "dst", "src", hubs).transform(checkpoint_df)  # reused every round
     labels = sym.select(F.col("src").alias("node")).distinct().withColumn(
         "lbl", F.col("node")
     )
@@ -525,7 +525,7 @@ def m_graph_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         labels = labels.join(nbr_min, "node").select(
             "node", F.least(F.col("lbl"), F.col("nbr_lbl")).alias("lbl")
-        ).localCheckpoint()  # truncate iterative lineage (see pagerank)
+        ).transform(checkpoint_df)  # truncate iterative lineage (see pagerank)
     return labels.groupBy(F.col("lbl").alias("component")).agg(
         F.count(F.lit(1)).alias("n_nodes"),
         F.min("node").alias("min_node"),
@@ -588,7 +588,7 @@ def m_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("dst", "node")
     )
     hubs = deg.where(F.col("d") >= _HUB_MIN_DEG).select("node")
-    sym = _salt_edges(sym_raw, "dst", "src", hubs).localCheckpoint()
+    sym = _salt_edges(sym_raw, "dst", "src", hubs).transform(checkpoint_df)
     seeds = (
         load_table(spark, sf_dir, "part")
         .where(F.col("p_size") == 1)
@@ -601,7 +601,7 @@ def m_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
             sym.join(_replicate_salts(frontier, "dst", small), ["dst", "salt"])
             .select(F.col("src").alias("node"))
             .distinct()
-            .localCheckpoint()  # truncate iterative lineage
+            .transform(checkpoint_df)  # truncate iterative lineage
         )
         levels.append(frontier.withColumn("dist", F.lit(k)))
     allv = levels[0]
@@ -751,14 +751,15 @@ def m_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     edge list against the (always much smaller) survivor set, which is
     explicitly broadcast — iterative Catalyst size estimates go stale
     after a checkpoint, so relying on AQE here picks sort-merge (the
-    round-4 trap). The carried edge list is localCheckpoint()ed per
-    round to keep lineage flat (O(rounds), not O(rounds^2));
-    cluster-scale swap: reliable checkpoint."""
+    round-4 trap). The carried edge list is checkpoint_df()ed per
+    round to keep lineage flat (O(rounds), not O(rounds^2)) —
+    localCheckpoint by default, reliable checkpoint when
+    UKIS_CHECKPOINT_DIR / spark.ukis.checkpointDir is set."""
     edges = coorder_edges(spark, sf_dir)
     sym = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    cur = sym.localCheckpoint()
+    cur = sym.transform(checkpoint_df)
     per_round = []
     for r in range(1, _KCORE_ROUNDS + 1):
         deg = cur.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
@@ -769,7 +770,7 @@ def m_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.broadcast(alive.select(F.col("src").alias("dst"))), "dst"
             )
             .select("src", "dst")
-            .localCheckpoint()
+            .transform(checkpoint_df)
         )
         stats = (
             cur.agg((F.count(F.lit(1)) / 2).cast("long").alias("n_edges"))

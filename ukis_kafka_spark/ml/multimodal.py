@@ -7,12 +7,15 @@ interprets the bytes; decode/feature-extraction runs in Arrow-batched
 ~10k rows, bytes as object dtype) is exactly what a real
 image/audio library consumes.
 
-No media libraries exist in this container, so the *decoder* is a
-deterministic stub behind ``decode_image`` (documented
-NotImplementedError for real formats, deterministic fake for the
-synthetic payloads) — while everything Spark-side (schema, binary
-columns, metadata struct, UDF signature, batching, partitioning) is
-real and tested.
+Two real media formats decode offline with pure stdlib: 8-bit BMP
+(encode_bmp/decode_bmp below — headers, palette, bottom-up rows,
+stride padding) and RIFF/WAVE PCM (the stdlib ``wave`` module), both
+driven end-to-end and oracle-hash-checked (m_multimodal_features /
+m_audio_decode). Compressed formats (PNG/JPEG/MP3/...) need codec
+libraries absent from this container — ``decode_image`` raises a
+documented NotImplementedError for those; everything Spark-side
+(schema, binary columns, metadata struct, UDF signature, batching,
+partitioning) is identical whichever decoder is plugged in.
 """
 
 from __future__ import annotations
@@ -29,9 +32,19 @@ from ..sources import load_table
 
 
 def decode_image(payload: bytes, fmt: str) -> dict:
-    """Stub decoder. Real formats need an image library that is not in
-    this container; the 'raw' format is a deterministic fake used by
-    the synthetic corpus: byte i of the payload is pixel i."""
+    """Image decoder. ``raw`` (byte i = pixel i) and ``bmp`` (real
+    8-bit BMP, decoded by the pure-stdlib parser below) work offline;
+    anything else needs a codec library that is not in this
+    container."""
+    if fmt == "bmp":
+        width, height, pixels = decode_bmp(payload)
+        return {
+            "n_bytes": len(pixels),
+            "checksum": zlib.crc32(pixels),
+            "mean_pixel": (sum(pixels) / len(pixels)) if pixels else 0.0,
+            "width": width,
+            "height": height,
+        }
     if fmt != "raw":
         raise NotImplementedError(
             f"format {fmt!r} requires an image decoder (PIL/ffmpeg) not present offline"
@@ -42,6 +55,55 @@ def decode_image(payload: bytes, fmt: str) -> dict:
         "checksum": zlib.crc32(payload),
         "mean_pixel": (sum(payload) / n) if n else 0.0,
     }
+
+
+def encode_bmp(pixels: bytes, width: int) -> bytes:
+    """8-bit grayscale BMP (BITMAPINFOHEADER + 256-entry palette), the
+    layout every image library reads: rows bottom-up, each padded to a
+    4-byte boundary, palette entry i = (i, i, i, 0). The last row is
+    zero-filled if len(pixels) is not a multiple of width."""
+    import struct
+
+    if width <= 0:
+        raise ValueError("width must be positive")
+    height = max(1, -(-len(pixels) // width))
+    stride = (width + 3) & ~3
+    palette = b"".join(bytes((i, i, i, 0)) for i in range(256))
+    rows = []
+    for r in range(height):
+        row = pixels[r * width : (r + 1) * width]
+        rows.append(row + b"\x00" * (stride - len(row)))
+    data = b"".join(reversed(rows))  # bottom-up
+    off = 14 + 40 + len(palette)
+    header = struct.pack("<2sIHHI", b"BM", off + len(data), 0, 0, off)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 8, 0, len(data), 2835, 2835, 256, 0
+    )
+    return header + info + palette + data
+
+
+def decode_bmp(buf: bytes) -> tuple[int, int, bytes]:
+    """Parse an uncompressed 8-bit BMP → (width, height, row-major
+    pixel bytes, padding stripped). Rejects depths/compressions this
+    parser does not implement, loudly."""
+    import struct
+
+    if buf[:2] != b"BM":
+        raise ValueError("not a BMP (missing BM magic)")
+    data_off = struct.unpack_from("<I", buf, 10)[0]
+    hdr_size, width, height = struct.unpack_from("<Iii", buf, 14)
+    planes, bpp, compression = struct.unpack_from("<HHI", buf, 26)
+    if hdr_size < 40 or planes != 1 or bpp != 8 or compression != 0:
+        raise ValueError(f"unsupported BMP variant (bpp={bpp}, compression={compression})")
+    bottom_up = height > 0
+    height = abs(height)
+    stride = (width + 3) & ~3
+    rows = [
+        buf[data_off + r * stride : data_off + r * stride + width] for r in range(height)
+    ]
+    if bottom_up:
+        rows.reverse()
+    return width, height, b"".join(rows)
 
 
 def with_payload(d: DataFrame) -> DataFrame:
@@ -84,30 +146,64 @@ def m_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("m_multimodal_features")  # rows-only: checksum kernel is python-side by design
+_BMP_WIDTH = 32
+
+
+@query(
+    "m_multimodal_features",
+    oracle=f"""
+SELECT doc_id,
+       {_BMP_WIDTH} AS width,
+       greatest((octet_length(encode(text)) + {_BMP_WIDTH - 1}) // {_BMP_WIDTH}, 1)
+         AS height,
+       greatest((octet_length(encode(text)) + {_BMP_WIDTH - 1}) // {_BMP_WIDTH}, 1)
+         * {_BMP_WIDTH} - octet_length(encode(text)) AS n_pad,
+       sha256(text) AS payload_sha
+FROM documents
+""",
+)
 def m_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode + feature-extract over binary payloads via mapInPandas:
-    one Arrow batch in, one feature frame out — the exact plumbing a
-    real image featurizer plugs into (swap ``decode_image``'s stub for
-    PIL and nothing else changes)."""
+    """Decode + feature-extract over binary media via mapInPandas: each
+    document's payload bytes are wrapped in a REAL 8-bit BMP
+    (encode_bmp, pure stdlib), the batch is decoded back by the real
+    parser (decode_bmp: header fields, palette, bottom-up rows, stride
+    padding), and the features come from the DECODED image — one Arrow
+    batch in, one feature frame out, the exact plumbing a PIL/ffmpeg
+    featurizer plugs into.  The oracle independently derives the image
+    geometry from byte counts and pins byte-exact pixel recovery with
+    sha256 (decoded pixels == original payload), so the full
+    encode→decode cycle is hash-checked, not just executed.  Scale:
+    pure narrow map — no shuffle, media bytes never leave their
+    partition."""
     d = with_payload(load_table(spark, sf_dir, "documents"))
 
     def extract(iter_pdf):
+        import hashlib
+
         for pdf in iter_pdf:
-            feats = [
-                decode_image(bytes(p), m["fmt"]) for p, m in zip(pdf.payload, pdf.media_meta)
-            ]
+            doc_ids, widths, heights, pads, shas = [], [], [], [], []
+            for doc_id, payload, meta in zip(pdf.doc_id, pdf.payload, pdf.media_meta):
+                buf = bytes(payload)
+                width, height, pixels = decode_bmp(encode_bmp(buf, _BMP_WIDTH))
+                if pixels[: len(buf)] != buf:
+                    raise ValueError(f"BMP round-trip corrupted doc {doc_id}")
+                doc_ids.append(doc_id)
+                widths.append(width)
+                heights.append(height)
+                pads.append(len(pixels) - len(buf))
+                shas.append(hashlib.sha256(pixels[: len(buf)]).hexdigest())
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf.doc_id,
-                    "n_bytes": [f["n_bytes"] for f in feats],
-                    "checksum": [f["checksum"] for f in feats],
-                    "mean_pixel": [f["mean_pixel"] for f in feats],
+                    "doc_id": doc_ids,
+                    "width": widths,
+                    "height": heights,
+                    "n_pad": pads,
+                    "payload_sha": shas,
                 }
             )
 
     return d.mapInPandas(
-        extract, "doc_id long, n_bytes int, checksum long, mean_pixel double"
+        extract, "doc_id long, width int, height long, n_pad long, payload_sha string"
     )
 
 
@@ -178,4 +274,70 @@ def m_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return d.mapInPandas(
         sample, "doc_id long, frame_idx long, byte_off long, frame_len int, head_hex string"
+    )
+
+
+_WAV_RATE = 16000
+
+
+@query(
+    "m_audio_decode",
+    oracle=f"""
+SELECT doc_id,
+       octet_length(encode(text)) AS n_frames,
+       {_WAV_RATE} AS framerate,
+       1 AS n_channels,
+       1 AS sample_width,
+       CAST(octet_length(encode(text)) * 1000000 // {_WAV_RATE} AS BIGINT)
+         AS duration_us,
+       sha256(text) AS sample_sha
+FROM documents
+""",
+)
+def m_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-modality twin of m_multimodal_features: each payload is
+    written as a REAL RIFF/WAVE file (8-bit PCM mono, stdlib ``wave``
+    writer), decoded back by the stdlib ``wave`` reader, and the
+    features (frame count, rate, channels, sample width, integer-µs
+    duration, sample bytes) come from the DECODED audio.  The oracle
+    re-derives every feature from byte counts and pins byte-exact
+    sample recovery with sha256.  Duration is fixed-point integer µs
+    (frames·1e6 div rate) — never a rounded float ratio (hashsafe
+    rules).  Scale: narrow map, no shuffle."""
+    import hashlib
+    import io
+    import wave
+
+    d = with_payload(load_table(spark, sf_dir, "documents"))
+
+    def extract(iter_pdf):
+        for pdf in iter_pdf:
+            out = {
+                "doc_id": [], "n_frames": [], "framerate": [], "n_channels": [],
+                "sample_width": [], "duration_us": [], "sample_sha": [],
+            }
+            for doc_id, payload in zip(pdf.doc_id, pdf.payload):
+                buf = bytes(payload)
+                bio = io.BytesIO()
+                with wave.open(bio, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(1)
+                    w.setframerate(_WAV_RATE)
+                    w.writeframes(buf)
+                bio.seek(0)
+                with wave.open(bio, "rb") as r:
+                    frames = r.readframes(r.getnframes())
+                    out["doc_id"].append(doc_id)
+                    out["n_frames"].append(r.getnframes())
+                    out["framerate"].append(r.getframerate())
+                    out["n_channels"].append(r.getnchannels())
+                    out["sample_width"].append(r.getsampwidth())
+                    out["duration_us"].append(r.getnframes() * 1_000_000 // _WAV_RATE)
+                    out["sample_sha"].append(hashlib.sha256(frames).hexdigest())
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(
+        extract,
+        "doc_id long, n_frames long, framerate int, n_channels int,"
+        " sample_width int, duration_us long, sample_sha string",
     )

@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
-from ..registry import query
+from ..registry import checkpoint_df, query
 from ..sources import load_table
 
 _DIM = 64
@@ -1395,7 +1395,7 @@ def m_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dj",
             (sign * F.expr(f"abs({'n * sxy - si * sj'}) div {_PCA_SCALE}")).alias("cs"),
         )
-        .localCheckpoint()  # C is reused by every iteration
+        .transform(checkpoint_df)  # C is reused by every iteration
     )
     v = marg.select("d", F.when(F.col("d") == 1, F.lit(1_000_000)).otherwise(F.lit(0)).alias("vv"))
     for _ in range(_PCA_ITERS):
@@ -2736,7 +2736,7 @@ def m_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         # round joins against it, and without the checkpoint each
         # round re-executes the whole dots lineage (the O(k^2)
         # iterative-loop trap from the working notes)
-        .localCheckpoint()
+        .transform(checkpoint_df)
     )
     rel = dots.where(F.col("a_id") == F.col("b_id")).select(
         F.col("a_id").alias("vec_id"), F.col("dot").alias("rel")

@@ -2294,11 +2294,13 @@ def m_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     N_h*sigma_h equals isqrt(N*SS - S^2) on integer char counts, the
     seat split is largest-remainder (floor quotas + top-remainder
     bonus seats, lang-name tiebreak) — no float allocation rounding
-    to disagree across engines.  isqrt via floor(sqrt(x)) is safe at
-    these magnitudes: for x < 2^50 the correctly-rounded double sqrt
-    is within 2^-20 of the real root, far less than the >= 1/(2*2^25)
-    gap to the next integer, so floor is the true integer root in
-    both engines.  Scale: one corpus aggregate to |strata| rows; the
+    to disagree across engines.  isqrt via floor(sqrt(x)): at sf0.1
+    magnitudes N*SS - S^2 can exceed 2^53, where the int->double
+    conversion itself rounds and floor(sqrt) need not be the exact
+    integer root — cross-engine agreement rests on BOTH engines doing
+    the identical IEEE-754 conversion and a correctly-rounded double
+    sqrt (deterministically the same possibly-inexact value), not on
+    exact-isqrt.  Scale: one corpus aggregate to |strata| rows; the
     windowed seat arithmetic runs on that tiny table."""
     d = load_table(spark, sf_dir, "documents")
     strata = d.groupBy("lang").agg(

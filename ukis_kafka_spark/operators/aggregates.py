@@ -334,10 +334,14 @@ def q_agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile over prices per returnflag — the sketch-based
     scale path for q_agg_percentile (single pass, mergeable state, no
     sort). Bounded-error unit test vs the exact percentile; never
-    hash-checked (sketches differ across engines by design)."""
+    hash-checked (sketches differ across engines by design). Emits the
+    two percentiles as SCALAR columns — the driver canonicalizer
+    materializes rows-only output too, and an ARRAY cell crashes its
+    pandas sort (the r4 red row)."""
     l = load_table(spark, sf_dir, "lineitem")
     return l.groupBy("l_returnflag").agg(
-        F.expr("approx_percentile(l_extendedprice, array(0.5, 0.9), 1000)").alias("approx_p")
+        F.expr("approx_percentile(l_extendedprice, 0.5, 1000)").alias("approx_p50"),
+        F.expr("approx_percentile(l_extendedprice, 0.9, 1000)").alias("approx_p90"),
     )
 
 

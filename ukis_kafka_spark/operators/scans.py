@@ -121,9 +121,13 @@ def q_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     observed.write.format("noop").mode("overwrite").save()
     m = obs.get
+    # sum/max observe to NULL on an empty filter result — default them
+    # so the generated SQL never contains a bare `None` token (which
+    # would fail with an opaque parse error instead of a clean row).
+    n, s, mx = m["n"] or 0, m["v_centi_sum"], m["max_id"]
+    s = 0 if s is None else s
+    mx = -1 if mx is None else mx
     return spark.sql(
-        "SELECT CAST({n} AS BIGINT) AS n, CAST({s} AS BIGINT) AS v_centi_sum,"
-        " CAST({mx} AS BIGINT) AS max_id".format(
-            n=m["n"], s=m["v_centi_sum"], mx=m["max_id"]
-        )
+        f"SELECT CAST({n} AS BIGINT) AS n, CAST({s} AS BIGINT) AS v_centi_sum,"
+        f" CAST({mx} AS BIGINT) AS max_id"
     )

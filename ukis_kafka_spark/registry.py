@@ -83,6 +83,33 @@ def _tune(spark: SparkSession) -> None:
     _ship_package(spark)
 
 
+def checkpoint_df(df: DataFrame) -> DataFrame:
+    """Truncate lineage for a table carried across iterations.
+
+    Default is ``localCheckpoint()`` — correct and fast on ``local[*]``
+    but cluster-fragile: blocks live only in executor block managers,
+    so it pins executors (blocks dynamic deallocation) and an executor
+    death loses partitions mid-job.  On a real cluster set
+    ``UKIS_CHECKPOINT_DIR`` (env) or ``spark.ukis.checkpointDir``
+    (runtime conf) to an HDFS/S3 path and the SAME plan switches to
+    reliable ``checkpoint()`` into that directory.  Results are
+    identical either way (tests/test_graph.py pins equal hashes both
+    modes); only fault-tolerance changes.
+    """
+    import os
+
+    spark = df.sparkSession
+    ckdir = os.environ.get("UKIS_CHECKPOINT_DIR") or spark.conf.get(
+        "spark.ukis.checkpointDir", None
+    )
+    if ckdir:
+        sc = spark.sparkContext
+        if not sc.getCheckpointDir():
+            sc.setCheckpointDir(ckdir)
+        return df.checkpoint()
+    return df.localCheckpoint()
+
+
 def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn]:
     """Register ``fn`` under ``name``; optionally attach its DuckDB twin."""
 
