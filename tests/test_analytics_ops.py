@@ -1088,10 +1088,11 @@ def test_bitmap_coordinates_bijective():
 def test_checkpoint_modes_agree(spark, tmp_path, monkeypatch):
     """checkpoint_df must yield IDENTICAL results in both modes —
     local (default) and reliable (UKIS_CHECKPOINT_DIR set) — on an
-    iterative query that carries state through it (pagerank: 5
-    fixed-point rounds, every round checkpointed).  Only the
-    fault-tolerance story changes at cluster scale, never the data."""
-    name = "m_graph_pagerank"
+    iterative query that carries state through it (connected
+    components: 6 label-propagation rounds, every round checkpointed).
+    Only the fault-tolerance story changes at cluster scale, never the
+    data."""
+    name = "m_graph_cc"
     base = sorted(map(tuple, api.queries()[name](spark, SF_SMOKE).collect()))
     monkeypatch.setenv("UKIS_CHECKPOINT_DIR", str(tmp_path / "ck"))
     reliable = sorted(map(tuple, api.queries()[name](spark, SF_SMOKE).collect()))

@@ -356,3 +356,26 @@ def test_countmin_estimate_dominates_truth(spark):
     assert all(r.cms_estimate >= r.true_count for r in rows)
     slack = min(r.cms_estimate - r.true_count for r in rows)
     assert slack < 200, "all estimates wildly inflated - hashing broken?"
+
+
+def test_pagerank_strategies_agree(spark):
+    """m_graph_pagerank size-selects between the broadcast-CSR numpy
+    kernel and the salted JVM join loop; the full rank vectors (not
+    just the top-50) must be identical — the kernel re-implements the
+    JVM's fixed-point integer arithmetic exactly."""
+    from ukis_kafka_spark.ml.graph import (
+        _pagerank_jvm,
+        _pagerank_kernel,
+        coorder_edges_path,
+    )
+
+    path = coorder_edges_path(spark, SF_SMOKE)
+    k = {
+        (r["node"], r["rank_u"])
+        for r in _pagerank_kernel(spark, path).limit(10**9).collect()
+    }
+    j = {
+        (r["node"], r["rank_u"])
+        for r in _pagerank_jvm(spark, spark.read.parquet(path), small=True).limit(10**9).collect()
+    }
+    assert k == j and len(k) == 50  # both paths emit the same top-50
