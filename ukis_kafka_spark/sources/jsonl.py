@@ -765,3 +765,101 @@ def src_wholetext(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_id"),
         F.max("doc_id").alias("max_id"),
     )
+
+
+@query(
+    "src_gpkg_roundtrip",
+    oracle="""
+SELECT s_nationkey AS nationkey,
+       count(*) AS n,
+       min(s_suppkey) AS min_id,
+       max(s_suppkey) AS max_id,
+       CAST(SUM(s_nationkey) AS BIGINT) AS lon_sum,
+       31467 AS srid
+FROM supplier
+GROUP BY s_nationkey
+""",
+)
+def src_gpkg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GeoPackage ingestion parity (the producer CLI's fourth vector
+    format, reference R1): suppliers are written into a REAL .gpkg
+    (sources.gpkg — SQLite + GeoPackageBinary-wrapped WKB, pure
+    stdlib), read back through read_gpkg, published to an envelope
+    topic, and the DISTRIBUTED half decodes the envelopes and
+    aggregates per nation — coordinates travel gpkg blob → WKB →
+    msgpack envelope → Arrow and must come back exact (lon is the
+    integer-valued nation key).  The gpkg build + produce is the
+    driver-side fixture (build-once cache, same posture as the other
+    producer formats); the topic scan, decode kernel and aggregate are
+    the at-scale path.  The layer's SRS id (31467) must survive the
+    whole trip into every decoded row."""
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    from ..cli import _decoded_features
+    from ..spatial.wkb import decode_wkb
+
+    def build(into: str) -> None:
+        from ..sources.envelope import make_envelope
+        from ..sources.gpkg import read_gpkg, write_gpkg
+        from ..spatial.wkb import encode_wkb
+
+        rows = (
+            load_table(spark, sf_dir, "supplier")
+            .select("s_suppkey", "s_nationkey")
+            .toPandas()  # bounded: supplier is the smallest dim table
+        )
+        gpkg_path = os.path.join(into, "suppliers.gpkg")
+        write_gpkg(
+            gpkg_path,
+            "suppliers",
+            [
+                (
+                    ("POINT", (float(nk), float(sk % 97))),
+                    {"s_suppkey": int(sk), "s_nationkey": int(nk)},
+                )
+                for sk, nk in zip(rows.s_suppkey, rows.s_nationkey)
+            ],
+            srid=31467,
+        )
+        envelopes = [
+            make_envelope(encode_wkb(geom), props, layer="suppliers", srid=srid)
+            for geom, props, srid in read_gpkg(gpkg_path)
+        ]
+        spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "value": pd.Series(envelopes, dtype=object),
+                    "offset": range(len(envelopes)),
+                }
+            ),
+            schema="value binary, offset long",
+        ).write.mode("overwrite").parquet(os.path.join(into, "topic"))
+
+    src = os.path.join(
+        _cache_publish(build, ("gpkg", 1, _table_fingerprint(sf_dir, "supplier"))),
+        "topic",
+    )
+
+    @pandas_udf(T.DoubleType())  # no hints: pd is a local import here
+    def wkb_lon(b):
+        return pd.Series([decode_wkb(bytes(v))[1][0] for v in b])
+
+    feats = _decoded_features(spark, src)
+    return (
+        feats.select(
+            F.get_json_object("props_json", "$.s_nationkey").cast("int").alias("nationkey"),
+            F.get_json_object("props_json", "$.s_suppkey").cast("long").alias("suppkey"),
+            wkb_lon(F.col("wkb")).cast("long").alias("lon_i"),
+            "srid",
+        )
+        .groupBy("nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("suppkey").alias("min_id"),
+            F.max("suppkey").alias("max_id"),
+            F.sum("lon_i").alias("lon_sum"),
+            F.max("srid").alias("srid"),
+        )
+    )
