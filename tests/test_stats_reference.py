@@ -1,0 +1,288 @@
+"""Independent re-derivations of the nonparametric statistics battery
+(q_ks_test / q_mann_whitney / q_wilcoxon / q_kendall_tau / q_theil_sen /
+q_spearman_stats / q_runs_test / q_seasonal_decompose / q_rolling_corr).
+
+The oracle gate proves *engine parity* — Spark and DuckDB compute the
+same thing.  These tests close the other half for the statistics
+family: a plain pandas/numpy re-derivation FROM THE RAW PARQUET (no
+Spark, no shared SQL formulation — different ranking code, different
+pair enumeration) proves the thing computed matches the textbook
+definition, guarding against both-engines-wrong-the-same-way bugs in
+the shared integer-lattice formulations.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from tests.conftest import SF_SMOKE
+from ukis_kafka_spark import api
+
+
+@pytest.fixture(scope="module")
+def events_pdf():
+    pdf = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    # normalize to ns precision: pandas reads the TIMESTAMP(NANOS)
+    # parquet as datetime64[us], and the epoch arithmetic below divides
+    # by 10**9 (int64 view of a datetime64[ns])
+    pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[ns]")
+    pdf["vc"] = np.floor(pdf["value"].to_numpy() * 100).astype(np.int64)
+    return pdf
+
+
+def _rows(spark, name):
+    return api.queries()[name](spark, SF_SMOKE).collect()
+
+
+def _hour_index(pdf):
+    return (pdf["ts"].dt.floor("h").astype("int64") // 10**9 // 3600).to_numpy()
+
+
+def test_ks_reference(spark, events_pdf):
+    """D·n_a·n_b must equal the sup of |n_b·CDFcounts_a − n_a·CDFcounts_b|
+    computed by brute-force ECDF evaluation over the merged support."""
+    (row,) = _rows(spark, "q_ks_test")
+    a = np.sort(events_pdf.loc[events_pdf.event_type == "click", "vc"].to_numpy())
+    b = np.sort(events_pdf.loc[events_pdf.event_type == "purchase", "vc"].to_numpy())
+    support = np.unique(np.concatenate([a, b]))
+    ca = np.searchsorted(a, support, side="right")  # #a <= v
+    cb = np.searchsorted(b, support, side="right")
+    d_scaled = int(np.max(np.abs(ca * len(b) - cb * len(a))))
+    assert (row["n_a"], row["n_b"]) == (len(a), len(b))
+    assert row["d_scaled"] == d_scaled
+    # and the assembled D is a valid probability distance
+    assert 0.0 < d_scaled / (len(a) * len(b)) <= 1.0
+
+
+def test_mann_whitney_pairwise(spark, events_pdf):
+    """u_a_doubled must equal 2·#{a>b} + #{a==b} — the DEFINITION of
+    the U statistic by pair counting, not via rank sums."""
+    (row,) = _rows(spark, "q_mann_whitney")
+    a = events_pdf.loc[events_pdf.event_type == "click", "vc"].to_numpy()
+    b = np.sort(events_pdf.loc[events_pdf.event_type == "purchase", "vc"].to_numpy())
+    n_gt = int(np.searchsorted(b, a, side="left").sum())  # b strictly below each a
+    n_eq = int(
+        (np.searchsorted(b, a, side="right") - np.searchsorted(b, a, side="left")).sum()
+    )
+    assert (row["n_a"], row["n_b"]) == (len(a), len(b))
+    assert row["u_a_doubled"] == 2 * n_gt + n_eq
+
+
+def test_wilcoxon_reference(spark, events_pdf):
+    """W⁺ via pandas average-ranking of |d| must match; plus the
+    exhaustiveness identity W⁺ + W⁻ = n(n+1)/2 on the doubled lattice."""
+    (row,) = _rows(spark, "q_wilcoxon")
+    pdf = events_pdf.copy()
+    day = (pdf["ts"].dt.floor("d").astype("int64") // 10**9 // 86400) % 30
+    pdf["half"] = np.where(day < 15, "first", "second")
+    halves = pdf.pivot_table(
+        index="user_id", columns="half", values="vc", aggfunc="sum"
+    )
+    halves = halves.dropna()
+    d = (halves["second"] - halves["first"]).astype(np.int64)
+    d = d[d != 0]
+    ranks = pd.Series(np.abs(d.to_numpy())).rank(method="average")
+    w_plus2 = int((2 * ranks[np.asarray(d > 0)]).sum())
+    w_minus2 = int((2 * ranks[np.asarray(d < 0)]).sum())
+    n = len(d)
+    assert row["n_pairs"] == n
+    assert row["w_plus_doubled"] == w_plus2
+    assert w_plus2 + w_minus2 == n * (n + 1)
+
+
+def test_kendall_reference(spark, events_pdf):
+    """Concordant/discordant/tied by brute-force pair enumeration over
+    the hourly series; the three must partition binom(k,2)."""
+    (row,) = _rows(spark, "q_kendall_tau")
+    h = _hour_index(events_pdf)
+    counts = pd.Series(h).value_counts().sort_index().to_numpy()
+    k = len(counts)
+    conc = disc = tied = 0
+    for i in range(k):
+        for j in range(i + 1, k):
+            if counts[j] > counts[i]:
+                conc += 1
+            elif counts[j] < counts[i]:
+                disc += 1
+            else:
+                tied += 1
+    assert (row["concordant"], row["discordant"], row["tied"]) == (conc, disc, tied)
+    assert row["n_pairs"] == conc + disc + tied == k * (k - 1) // 2
+
+
+def test_theil_sen_reference(spark, events_pdf):
+    """The median pairwise slope by explicit enumeration + total-order
+    selection, bit-identical (each slope is one exact-int division)."""
+    (row,) = _rows(spark, "q_theil_sen")
+    ser = pd.Series(_hour_index(events_pdf)).value_counts().sort_index()
+    hs, cs = ser.index.to_numpy(), ser.to_numpy()
+    slopes = []
+    for i in range(len(hs)):
+        for j in range(i + 1, len(hs)):
+            slopes.append(
+                (float(int(cs[j]) - int(cs[i])) / float(int(hs[j]) - int(hs[i])),
+                 int(hs[i]), int(hs[j]))
+            )
+    slopes.sort()
+    n = len(slopes)
+    assert row["n_pairs"] == n
+    assert row["median_slope"] == slopes[(n + 1) // 2 - 1][0]
+
+
+def test_spearman_reference(spark, events_pdf):
+    """Assemble ρ from the emitted sufficient statistics and compare to
+    numpy's Pearson correlation of (pandas midranks, time ranks)."""
+    (row,) = _rows(spark, "q_spearman_stats")
+    v = events_pdf.loc[events_pdf.event_type == "view"].sort_values("event_id")
+    rx = v["vc"].rank(method="average").to_numpy()
+    ry = np.arange(1, len(v) + 1, dtype=np.float64)
+    ref = np.corrcoef(rx, ry)[0, 1]
+    n = row["n"]
+    assert n == len(v)
+    # ΣRy = n(n+1)/2, ΣRy² = n(n+1)(2n+1)/6 (time ranks are 1..n);
+    # emitted stats are on the ×2 (x) and ×2 (y) lattices.
+    sxy = row["sxy4"] / 4.0
+    sxx = row["sxx4"] / 4.0
+    sx = n * (n + 1) / 2.0  # ΣRx == ΣRy for midranks of n values
+    syy = n * (n + 1) * (2 * n + 1) / 6.0
+    num = n * sxy - sx * sx
+    den = np.sqrt(n * sxx - sx * sx) * np.sqrt(n * syy - sx * sx)
+    assert abs(num / den - ref) < 1e-9
+
+
+def test_runs_reference(spark, events_pdf):
+    """Runs = maximal same-sign streaks, counted by a plain scan."""
+    rows = {r["event_type"]: r for r in _rows(spark, "q_runs_test")}
+    for etype, grp in events_pdf.sort_values("event_id").groupby("event_type"):
+        sgn = (grp["value"].to_numpy() >= 50.0).astype(int)
+        runs = 1 + int(np.sum(sgn[1:] != sgn[:-1])) if len(sgn) else 0
+        r = rows[etype]
+        assert r["n_above"] == int(sgn.sum())
+        assert r["n_below"] == int((1 - sgn).sum())
+        assert r["n_runs"] == runs
+
+
+def test_seasonal_reference(spark, events_pdf):
+    """Scaled residuals recomputed from a pandas groupby; residuals of
+    each weekday must sum to zero (the decomposition identity)."""
+    rows = _rows(spark, "q_seasonal_decompose")
+    day = events_pdf["ts"].dt.floor("d")
+    daily = events_pdf.groupby(day.astype("int64") // 10**9).size()
+    # Spark dayofweek: 1=Sunday..7=Saturday; pandas dayofweek: 0=Monday
+    dow = {int(d): (pd.Timestamp(d, unit="s").dayofweek + 1) % 7 + 1 for d in daily.index}
+    by_dow: dict[int, list[int]] = {}
+    for d, c in daily.items():
+        by_dow.setdefault(dow[int(d)], []).append(int(c))
+    assert len(rows) == len(daily)
+    resid_by_dow: dict[int, int] = {}
+    for r in rows:
+        cs = by_dow[r["dow"]]
+        assert r["dow_days"] == len(cs) and r["dow_total"] == sum(cs)
+        assert r["c"] == daily[r["day_start"]]
+        assert r["resid_scaled"] == r["c"] * len(cs) - sum(cs)
+        resid_by_dow[r["dow"]] = resid_by_dow.get(r["dow"], 0) + r["resid_scaled"]
+    assert all(v == 0 for v in resid_by_dow.values())
+
+
+def test_rolling_corr_reference(spark, events_pdf):
+    """Sufficient statistics recomputed with pandas .rolling over the
+    same hour-grain series; every assembled r² must be a valid [0, 1]."""
+    rows = sorted(_rows(spark, "q_rolling_corr"), key=lambda r: r["h"])
+    pdf = events_pdf
+    hsec = pdf["ts"].dt.floor("h").astype("int64") // 10**9
+    g = pd.DataFrame(
+        {
+            "h": hsec,
+            "x": np.where(pdf.event_type == "click", pdf["vc"], 0),
+            "y": np.where(pdf.event_type == "purchase", pdf["vc"], 0),
+        }
+    ).groupby("h")[["x", "y"]].sum().sort_index()
+    roll = lambda s: s.rolling(24, min_periods=1).sum()  # noqa: E731
+    n = g["x"].rolling(24, min_periods=1).count()
+    sx, sy = roll(g["x"]), roll(g["y"])
+    sxy = roll(g["x"] * g["y"])
+    sxx, syy = roll(g["x"] * g["x"]), roll(g["y"] * g["y"])
+    assert len(rows) == len(g)
+    for i, r in enumerate(rows):
+        h = g.index[i]
+        assert r["h"] == h and r["n"] == int(n.iloc[i])
+        assert r["corr_num"] == int(r["n"] * sxy.iloc[i] - sx.iloc[i] * sy.iloc[i])
+        assert r["var_x_scaled"] == int(r["n"] * sxx.iloc[i] - sx.iloc[i] ** 2)
+        assert r["var_y_scaled"] == int(r["n"] * syy.iloc[i] - sy.iloc[i] ** 2)
+        if r["var_x_scaled"] > 0 and r["var_y_scaled"] > 0:
+            r2 = r["corr_num"] ** 2 / (r["var_x_scaled"] * r["var_y_scaled"])
+            assert 0.0 <= r2 <= 1.0 + 1e-12
+
+
+# ---- fixed-point ML iterations (m_kmeans_step / m_pca_power /
+# m_scaling_fit): integer re-derivations in plain numpy ----
+
+
+@pytest.fixture(scope="module")
+def embeddings_pdf():
+    return pd.read_parquet(f"{SF_SMOKE}/embeddings.parquet")
+
+
+def test_kmeans_reference(spark, embeddings_pdf):
+    """Two Lloyd rounds re-run in numpy int64 (same quantization, same
+    argmin tiebreak, same integer-mean update) must reproduce the
+    emitted cluster sizes and centroid masses exactly."""
+    rows = {r["cluster"]: r for r in _rows(spark, "m_kmeans_step")}
+    E = np.stack(embeddings_pdf.sort_values("vec_id").embedding.to_numpy())
+    ids = embeddings_pdf.sort_values("vec_id").vec_id.to_numpy()
+    Q = np.floor(E.astype(np.float64) * 1_000_000).astype(np.int64) + 1_000_000
+    cent = Q[ids < 4]  # seed: vec_id < k, cluster = vec_id
+    for _ in range(2):
+        d2 = ((Q[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = np.argmin(d2, axis=1)  # ties -> lowest cluster id (argmin rule)
+        cent = np.stack([
+            Q[assign == c].sum(axis=0) // np.int64((assign == c).sum())
+            for c in range(4)
+        ])
+    for c in range(4):
+        assert rows[c]["n"] == int((assign == c).sum())
+        assert rows[c]["centroid_mass"] == int(cent[c].sum())
+
+
+def test_pca_power_reference(spark, embeddings_pdf):
+    """The fixed-point power iteration re-run in numpy int64 (integer
+    covariance mass, 1e9 downscale with the sign factored out, max-abs
+    renormalization) must reproduce pc1_micro for every dimension."""
+    got = {r["d"]: r["pc1_micro"] for r in _rows(spark, "m_pca_power")}
+    E = np.stack(embeddings_pdf.embedding.to_numpy())
+    V = np.floor(E.astype(np.float64) * 10_000).astype(np.int64)
+    n = np.int64(len(V))
+    s = V.sum(axis=0)
+    sxy = V.T @ V
+    raw = n * sxy - np.outer(s, s)
+    cs = np.sign(raw) * (np.abs(raw) // 1_000_000_000)
+    v = np.zeros(V.shape[1], dtype=np.int64)
+    v[0] = 1_000_000
+    for _ in range(2):
+        u = cs @ v
+        m = np.abs(u).max()
+        v = np.sign(u) * ((np.abs(u) * 1_000_000) // m)
+    assert got == {d + 1: int(v[d]) for d in range(V.shape[1])}
+
+
+def test_scaling_fit_reference(spark):
+    """Assemble the per-language log-log slope from the emitted integer
+    sufficient statistics and compare to an independent float
+    least-squares fit on the raw columns (1e-4 tolerance — the stats
+    ride a 6 dp lattice)."""
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    rows = _rows(spark, "m_scaling_fit")
+    assert {r["lang"] for r in rows} == set(docs.lang.unique())
+    for r in rows:
+        sub = docs[docs.lang == r["lang"]]
+        x = np.log(sub.n_chars.to_numpy(dtype=np.float64))
+        y = np.log(np.array([len(t.split(" ")) for t in sub.text], dtype=np.float64))
+        n = r["n"]
+        assert n == len(sub)
+        num = n * r["sxy_pico"] / 1e12 - (r["sx_micro"] / 1e6) * (r["sy_micro"] / 1e6)
+        den = n * r["sxx_pico"] / 1e12 - (r["sx_micro"] / 1e6) ** 2
+        slope_stats = num / den
+        slope_ref = np.polyfit(x, y, 1)[0]
+        assert abs(slope_stats - slope_ref) < 1e-4
