@@ -1,0 +1,144 @@
+"""Independent re-derivations for the graph-signal and geo families —
+same contract as test_stats_reference: plain pandas/python recomputes
+each statistic FROM THE RAW PARQUET with different code (explicit
+adjacency sets, queue BFS, brute-force triangle enumeration), so a
+wrong shared formulation cannot pass both the oracle gate and these.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from tests.conftest import SF_SMOKE
+from ukis_kafka_spark import api
+
+
+def _rows(spark, name):
+    return api.queries()[name](spark, SF_SMOKE).collect()
+
+
+@pytest.fixture(scope="module")
+def edges_ref():
+    """The co-order graph re-derived in pandas: distinct id-oriented
+    (src < dst) part pairs sharing an order."""
+    li = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet", columns=["l_orderkey", "l_partkey"])
+    pairs = set()
+    for _, grp in li.groupby("l_orderkey")["l_partkey"]:
+        ps = sorted(set(grp))
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                pairs.add((ps[i], ps[j]))
+    return pairs
+
+
+@pytest.fixture(scope="module")
+def adj_ref(edges_ref):
+    adj: dict[int, set[int]] = {}
+    for u, v in edges_ref:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    return adj
+
+
+def test_graph_degree_reference(spark, adj_ref):
+    rows = _rows(spark, "m_graph_degree")
+    by_deg: dict[int, list[int]] = {}
+    for node, nbrs in adj_ref.items():
+        by_deg.setdefault(len(nbrs), []).append(node)
+    assert {r["degree"]: (r["n_nodes"], r["sample_node"]) for r in rows} == {
+        d: (len(ns), min(ns)) for d, ns in by_deg.items()
+    }
+
+
+def test_graph_bfs_reference(spark, adj_ref):
+    """Queue BFS from the p_size=1 seed set, 3 hops, min distance."""
+    part = pd.read_parquet(f"{SF_SMOKE}/part.parquet", columns=["p_partkey", "p_size"])
+    seeds = set(part.loc[part.p_size == 1, "p_partkey"])
+    dist = {s: 0 for s in seeds}
+    frontier = seeds
+    for k in range(1, 4):
+        nxt = set()
+        for u in frontier:
+            nxt |= adj_ref.get(u, set())
+        for v in nxt:
+            dist.setdefault(v, k)
+        frontier = nxt  # the query re-expands the FULL reachable set;
+        # min-reduce makes that equivalent to classic frontier BFS
+    got = {r["node"]: r["dist"] for r in _rows(spark, "m_graph_bfs")}
+    assert got == dist
+
+
+def test_graph_kcore_reference(spark, adj_ref, edges_ref):
+    """3 peel rounds at k=90, replicated with explicit edge sets."""
+    rows = {r["round"]: r for r in _rows(spark, "m_graph_kcore")}
+    sym = {(u, v) for u, v in edges_ref} | {(v, u) for u, v in edges_ref}
+    for rnd in range(1, 4):
+        deg: dict[int, int] = {}
+        for u, _ in sym:
+            deg[u] = deg.get(u, 0) + 1
+        alive = {u for u, d in deg.items() if d >= 90}
+        sym = {(u, v) for u, v in sym if u in alive and v in alive}
+        assert rows[rnd]["n_alive"] == len(alive)
+        assert rows[rnd]["n_edges"] == len(sym) // 2
+    assert set(rows) == {1, 2, 3}
+
+
+def test_graph_triangles_reference(spark, adj_ref, edges_ref):
+    """Per-node triangle membership by brute-force edge+common-neighbor
+    enumeration; the emitted top-20 under (n_tri desc, node asc) must
+    match exactly."""
+    counts: dict[int, int] = {}
+    for u, v in edges_ref:
+        for w in adj_ref[u] & adj_ref[v]:
+            if w > v:  # each triangle u<v<w counted once
+                for x in (u, v, w):
+                    counts[x] = counts.get(x, 0) + 1
+    top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = [(r["node"], r["n_tri"]) for r in _rows(spark, "m_graph_triangles")]
+    assert got == top
+
+
+def test_graph_assortativity_reference(spark, adj_ref, edges_ref):
+    """Whatever exact integer statistics the operator emits must be
+    consistent with the textbook degree-degree correlation: assemble r
+    from them and compare against a float computation over the raw
+    degree pairs (both edge directions, the standard convention)."""
+    rows = _rows(spark, "m_graph_assortativity")
+    deg = {u: len(ns) for u, ns in adj_ref.items()}
+    xs, ys = [], []
+    for u, v in edges_ref:
+        xs += [deg[u], deg[v]]
+        ys += [deg[v], deg[u]]
+    xs, ys = np.array(xs, dtype=np.float64), np.array(ys, dtype=np.float64)
+    ref = np.corrcoef(xs, ys)[0, 1]
+    (row,) = rows
+    # emitted: m2 = directed edge count, sum_prod = Σ d_s·d_d,
+    # sum_sum = Σ(d_s + d_d), sum_sq = Σ(d_s² + d_d²).  Over the
+    # symmetric pair population Σx = Σy = sum_sum/2, Σx² = sum_sq/2.
+    m, sxy = row["m2"], row["sum_prod"]
+    sx, sxx = row["sum_sum"] / 2.0, row["sum_sq"] / 2.0
+    num = m * sxy - sx * sx
+    den = m * sxx - sx * sx
+    assert abs(num / den - ref) < 1e-9
+
+
+def test_haversine_reference(spark):
+    """Great-circle distances recomputed with python math; agreement
+    within half a 4-dp grid step (the operator rounds to 4 dp)."""
+    events = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    p = events[events.event_type == "purchase"]
+    got = {r["event_id"]: r["dist_berlin_km"] for r in _rows(spark, "g_haversine")}
+    assert len(got) == len(p)
+    for _, row in p.iterrows():
+        lon = row["value"] * 3.6 - 180
+        lat = (row["user_id"] * 7 % 180) - 90
+        la1, la2 = math.radians(lat), math.radians(52.52)
+        dla = math.radians(lat - 52.52)
+        dlo = math.radians(lon - 13.405)
+        a = math.sin(dla / 2) ** 2 + math.cos(la1) * math.cos(la2) * math.sin(dlo / 2) ** 2
+        d = 2 * 6371.0088 * math.asin(math.sqrt(a))
+        assert abs(got[row["event_id"]] - d) <= 5.1e-5
