@@ -1,0 +1,118 @@
+"""Independent re-derivations for the text-scoring family (m_tfidf /
+m_bm25 / m_token_entropy / m_zipf_stats) — plain python Counters and
+math.log against the raw parquet, per the same contract as
+test_stats_reference: the oracle gate proves engine parity, these
+prove the shared formulation computes the textbook quantity.
+
+Spark's round() is HALF_UP on the shortest-decimal representation of
+the double (BigDecimal.valueOf). Python replicates that exactly with
+Decimal(repr(x)).quantize(..., ROUND_HALF_UP), which is how the exact
+score comparisons below avoid banker's-rounding mismatches.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+from decimal import ROUND_HALF_UP, Decimal
+
+import pandas as pd
+import pytest
+
+from tests.conftest import SF_SMOKE
+from ukis_kafka_spark import api
+
+
+def _rows(spark, name):
+    return api.queries()[name](spark, SF_SMOKE).collect()
+
+
+def _round_spark(x: float, dp: int) -> float:
+    return float(Decimal(repr(x)).quantize(Decimal(f"1e-{dp}"), ROUND_HALF_UP)) + 0.0
+
+
+@pytest.fixture(scope="module")
+def docs_pdf():
+    return pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def doc_tokens(docs_pdf):
+    return {int(r.doc_id): r.text.split(" ") for r in docs_pdf.itertuples()}
+
+
+def test_tfidf_reference(spark, doc_tokens):
+    """Per-doc top-3 terms recomputed with Counters + math.log and the
+    replicated HALF_UP grid; selection and scores must match exactly."""
+    tf = {d: Counter(toks) for d, toks in doc_tokens.items()}
+    df = Counter()
+    for c in tf.values():
+        df.update(c.keys())
+    n_docs = len(tf)
+    expect = {}
+    for d, c in tf.items():
+        scored = sorted(
+            (
+                (-_round_spark(cnt * math.log(n_docs / df[tok]), 4), tok, cnt)
+                for tok, cnt in c.items()
+            )
+        )[:3]
+        expect[d] = [(tok, cnt, -neg) for neg, tok, cnt in scored]
+    got: dict[int, list] = {}
+    for r in sorted(_rows(spark, "m_tfidf"), key=lambda r: (r["doc_id"], -r["score"], r["tok"])):
+        got.setdefault(r["doc_id"], []).append((r["tok"], r["tf"], r["score"]))
+    assert got == expect
+
+
+def test_bm25_reference(spark, doc_tokens):
+    """BM25 per doc for both probe terms, recomputed with plain floats
+    on the replicated HALF_UP grid."""
+    k1, b = 1.2, 0.75
+    n_words = {d: len(t) for d, t in doc_tokens.items()}
+    n_docs = len(doc_tokens)
+    avg_len = sum(n_words.values()) / n_docs
+    rows = {r["doc_id"]: r for r in _rows(spark, "m_bm25")}
+    assert len(rows) == n_docs
+    for term, col in (("spark", "bm25_spark"), ("join", "bm25_join")):
+        dfc = sum(1 for t in doc_tokens.values() if term in t)
+        idf = math.log((n_docs - dfc + 0.5) / (dfc + 0.5) + 1)
+        for d, toks in doc_tokens.items():
+            tfc = toks.count(term)
+            raw = idf * tfc * (k1 + 1) / (tfc + k1 * (1 - b + b * n_words[d] / avg_len))
+            assert rows[d][col] == _round_spark(raw, 4)
+
+
+def test_token_entropy_reference(spark, doc_tokens):
+    """Shannon entropy recomputed WITHOUT the per-term 6 dp lattice —
+    the emitted value must sit within the lattice's error budget, and
+    inside the information-theoretic bounds [0, log2(n)]."""
+    rows = {r["doc_id"]: r for r in _rows(spark, "m_token_entropy")}
+    assert set(rows) == set(doc_tokens)
+    for d, toks in doc_tokens.items():
+        c = Counter(toks)
+        n = len(toks)
+        h = -sum((v / n) * math.log2(v / n) for v in c.values())
+        r = rows[d]
+        assert r["n_tokens"] == n
+        # per-term rounding ≤ 5e-7·|types|/n, final grid ≤ 5e-5
+        assert abs(r["entropy_bits"] - h) <= 5e-7 * len(c) / max(n, 1) + 5.1e-5
+        assert -1e-9 <= r["entropy_bits"] <= math.log2(n) + 5.1e-5
+
+
+def test_zipf_reference(spark, doc_tokens):
+    """Exact-integer corpus frequency statistics recomputed with one
+    Counter: types, tokens, ppm ratios, hapaxes, top-decile mass."""
+    corpus = Counter()
+    for toks in doc_tokens.values():
+        corpus.update(toks)
+    n_types = len(corpus)
+    n_tokens = sum(corpus.values())
+    ranked = sorted(corpus.items(), key=lambda kv: (-kv[1], kv[0]))
+    top_mass = sum(n for _, n in ranked[: n_types // 10])
+    (row,) = _rows(spark, "m_zipf_stats")
+    assert row["n_types"] == n_types
+    assert row["n_tokens"] == n_tokens
+    assert row["type_token_ppm"] == 1_000_000 * n_types // n_tokens
+    assert row["n_hapax"] == sum(1 for n in corpus.values() if n == 1)
+    assert row["top_decile_mass"] == top_mass
+    assert row["top_decile_ppm"] == 1_000_000 * top_mass // n_tokens
