@@ -142,3 +142,25 @@ def test_haversine_reference(spark):
         a = math.sin(dla / 2) ** 2 + math.cos(la1) * math.cos(la2) * math.sin(dlo / 2) ** 2
         d = 2 * 6371.0088 * math.asin(math.sqrt(a))
         assert abs(got[row["event_id"]] - d) <= 5.1e-5
+
+
+def test_cosine_topk_reference(spark):
+    """The exact-by-spec top-20 cosine pairs recomputed by a full
+    numpy all-pairs GEMM with the replicated 6 dp HALF_UP grid and id
+    tiebreaks — the blocked/pruned kernel must select identically."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    emb = pd.read_parquet(f"{SF_SMOKE}/embeddings.parquet").sort_values("vec_id")
+    ids = emb.vec_id.to_numpy()
+    M = np.stack(emb.embedding.to_numpy()).astype(np.float64)
+    nrm = np.sqrt((M * M).sum(axis=1))
+    cos = (M @ M.T) / np.outer(nrm, nrm)
+    cand = []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            r = float(Decimal(repr(cos[i, j])).quantize(Decimal("1e-6"), ROUND_HALF_UP))
+            cand.append((-r, int(ids[i]), int(ids[j])))
+    cand.sort()
+    expect = [(a, b, -negr) for negr, a, b in cand[:20]]
+    got = [(r["id_a"], r["id_b"], r["cos_sim"]) for r in _rows(spark, "m_cosine_topk")]
+    assert got == expect
