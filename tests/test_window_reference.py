@@ -1,0 +1,125 @@
+"""Independent re-derivations for the windowed time-series classics
+(gaps-and-islands, forward fill, interval coalescing, sweep-line
+concurrency, drawdown, dyadic EWMA) — plain python loops over the raw
+parquet, same contract as test_stats_reference.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from tests.conftest import SF_SMOKE
+from ukis_kafka_spark import api
+
+
+def _rows(spark, name):
+    return api.queries()[name](spark, SF_SMOKE).collect()
+
+
+@pytest.fixture(scope="module")
+def ev():
+    pdf = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[ns]")
+    pdf["sec"] = pdf["ts"].dt.floor("s").astype("int64") // 10**9
+    return pdf.sort_values("event_id")
+
+
+def test_gaps_islands_reference(spark, ev):
+    expect = set()
+    for uid, grp in ev.groupby("user_id"):
+        run_type, run_ids = None, []
+        for r in grp.itertuples():
+            if r.event_type != run_type:
+                if run_ids:
+                    expect.add((uid, run_type, run_ids[0], run_ids[-1], len(run_ids)))
+                run_type, run_ids = r.event_type, []
+            run_ids.append(r.event_id)
+        expect.add((uid, run_type, run_ids[0], run_ids[-1], len(run_ids)))
+    got = {
+        (r["user_id"], r["event_type"], r["island_start"], r["island_end"], r["island_len"])
+        for r in _rows(spark, "q_gaps_islands")
+    }
+    assert got == expect
+
+
+def test_fill_forward_reference(spark, ev):
+    got = {r["event_id"]: r for r in _rows(spark, "q_fill_forward")}
+    assert len(got) == len(ev)
+    for uid, grp in ev.groupby("user_id"):
+        carried = None
+        for r in grp.itertuples():
+            gap = r.event_id % 7 == 0
+            if not gap:
+                carried = r.value
+            g = got[r.event_id]
+            assert g["was_gap"] == gap
+            assert g["filled_value"] == carried  # None while leading gap
+
+
+def test_interval_coalesce_reference(spark, ev):
+    """Classic union-of-intervals per user; touching (s == current end)
+    intervals merge, per the operator's strict-> rule."""
+    expect = set()
+    for uid, grp in ev.groupby("user_id"):
+        ivs = sorted((s, s + 1800) for s in grp["sec"])
+        spans = []
+        cs, ce, n = ivs[0][0], ivs[0][1], 1
+        for s, e in ivs[1:]:
+            if s > ce:
+                spans.append((cs, ce, n))
+                cs, ce, n = s, e, 1
+            else:
+                ce, n = max(ce, e), n + 1
+        spans.append((cs, ce, n))
+        for cs, ce, n in spans:
+            expect.add((uid, cs, ce, ce - cs, n))
+    got = {
+        (r["user_id"], r["span_start"], r["span_end"], r["covered_s"], r["n_intervals"])
+        for r in _rows(spark, "q_interval_coalesce")
+    }
+    assert got == expect
+
+
+def test_max_concurrency_reference(spark, ev):
+    deltas: dict[int, int] = {}
+    for s in ev["sec"]:
+        deltas[s] = deltas.get(s, 0) + 1
+        deltas[s + 1800] = deltas.get(s + 1800, 0) - 1
+    live, peak = 0, {}
+    for t in sorted(deltas):
+        live += deltas[t]
+        day = t // 86400
+        peak[day] = max(peak.get(day, -(10**9)), live)
+    got = {r["day_num"]: r["peak_concurrency"] for r in _rows(spark, "q_max_concurrency")}
+    assert got == peak
+
+
+def test_drawdown_reference(spark, ev):
+    got = {r["user_id"]: r for r in _rows(spark, "q_drawdown")}
+    for uid, grp in ev.groupby("user_id"):
+        run_max, dds = -np.inf, []
+        for r in grp.itertuples():
+            run_max = max(run_max, r.value)
+            dds.append(run_max - r.value)  # one exact IEEE subtraction
+        dd_max = max(dds)
+        worst = grp["event_id"].to_numpy()[int(np.argmax(np.array(dds) == dd_max))]
+        g = got[uid]
+        assert g["max_drawdown"] == dd_max
+        assert g["worst_event"] == worst
+        assert abs(g["dd_mass"] - sum(dds)) < 1e-6  # decimal-lattice sum
+    assert set(got) == set(ev["user_id"].unique())
+
+
+def test_ewma_reference(spark, ev):
+    """8-tap dyadic filter at each user's latest event: weight 2^(7-k)
+    on the k-th most recent reading, micro-unit quantization."""
+    got = {r["user_id"]: (r["ewma_num"], r["ewma_den"]) for r in _rows(spark, "q_ewma_fixed")}
+    for uid, grp in ev.groupby("user_id"):
+        micro = [int(np.floor(v * 1_000_000 + 0.5)) for v in grp["value"]]
+        last8 = micro[::-1][:8]  # x0 = latest
+        num = sum(x * 2 ** (7 - k) for k, x in enumerate(last8))
+        den = sum(2 ** (7 - k) for k in range(len(last8)))
+        assert got[uid] == (num, den)
+    assert set(got) == set(ev["user_id"].unique())
