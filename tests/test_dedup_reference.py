@@ -1,0 +1,107 @@
+"""Independent re-derivations for the dedup / deterministic-sampling
+family (m_exact_dedup, m_subsample, m_crossval_folds, m_fingerprint,
+m_class_balance) — plain python dicts and modular arithmetic over the
+raw parquet, same contract as test_stats_reference.
+"""
+
+from __future__ import annotations
+
+from collections import Counter, defaultdict
+
+import pandas as pd
+import pytest
+
+from tests.conftest import SF_SMOKE
+from ukis_kafka_spark import api
+
+
+def _rows(spark, name):
+    return api.queries()[name](spark, SF_SMOKE).collect()
+
+
+@pytest.fixture(scope="module")
+def docs_pdf():
+    return pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+
+
+def test_exact_dedup_reference(spark, docs_pdf):
+    groups: dict[str, list] = defaultdict(list)
+    for r in docs_pdf.itertuples():
+        groups[r.text].append((int(r.doc_id), int(r.n_chars)))
+    expect = {
+        (min(i for i, _ in g), len(g), min(c for _, c in g))
+        for g in groups.values()
+    }
+    got = {(r["keep_id"], r["n_copies"], r["n_chars"]) for r in _rows(spark, "m_exact_dedup")}
+    assert got == expect
+
+
+def test_subsample_reference(spark, docs_pdf):
+    """Multiplicative-hash 30% sample: membership recomputed with
+    python big-int arithmetic — and it must be the SAME subset the
+    operator's docstring promises on every engine."""
+    a, m = 2654435761, 1_000_003
+    expect = {
+        int(d): (d * a % m) % 10
+        for d in docs_pdf.doc_id
+        if (d * a % m) % 10 < 3
+    }
+    got = {r["doc_id"]: r["bucket"] for r in _rows(spark, "m_subsample")}
+    assert got == expect
+    # sanity: the sample is a real subsample, not empty or everything
+    assert 0 < len(got) < len(docs_pdf)
+
+
+def test_crossval_folds_reference(spark, docs_pdf):
+    a, m, k = 2654435761, 1_000_003, 5
+    agg: dict[tuple, list] = defaultdict(list)
+    for r in docs_pdf.itertuples():
+        fold = (int(r.doc_id) * a % m) % k
+        agg[(fold, r.lang)].append((int(r.doc_id), int(r.n_chars)))
+    expect = {
+        key: (len(v), sum(c for _, c in v), min(i for i, _ in v), max(i for i, _ in v))
+        for key, v in agg.items()
+    }
+    got = {
+        (r["fold"], r["lang"]): (r["n"], r["chars"], r["min_id"], r["max_id"])
+        for r in _rows(spark, "m_crossval_folds")
+    }
+    assert got == expect
+    # every fold exists: the hash spreads keys across all 5
+    assert {f for f, _ in got} == set(range(k))
+
+
+def test_fingerprint_reference(spark, docs_pdf):
+    """Order-sensitive polynomial rolling hash refolded in python; a
+    token swap must change the fingerprint (the property the operator
+    exists for)."""
+    mod = 1_000_000_007
+    got = {r["doc_id"]: r["fp"] for r in _rows(spark, "m_fingerprint")}
+
+    def fold(text: str) -> int:
+        acc = 0
+        for t in text.split(" "):
+            v = (ord(t[0]) if t else 0) * 131 + len(t)
+            acc = (acc * 31 + v) % mod
+        return acc
+
+    for r in docs_pdf.itertuples():
+        assert got[r.doc_id] == fold(r.text)
+    sample = docs_pdf.iloc[0].text.split(" ")
+    if len(set(sample[:2])) == 2:
+        swapped = " ".join([sample[1], sample[0]] + sample[2:])
+        assert fold(swapped) != fold(" ".join(sample))
+
+
+def test_class_balance_reference(spark, docs_pdf):
+    counts = Counter(docs_pdf.lang)
+    mx, tot = max(counts.values()), sum(counts.values())
+    got = {r["lang"]: r for r in _rows(spark, "m_class_balance")}
+    assert set(got) == set(counts)
+    for lang, n in counts.items():
+        r = got[lang]
+        assert r["n"] == n
+        assert r["upsample_factor"] == mx / n
+        assert r["frac"] == n / tot
+    # resampling to the factors equalizes classes by construction
+    assert all(abs(got[l]["upsample_factor"] * c - mx) < 1e-9 for l, c in counts.items())
