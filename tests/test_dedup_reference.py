@@ -105,3 +105,54 @@ def test_class_balance_reference(spark, docs_pdf):
         assert r["frac"] == n / tot
     # resampling to the factors equalizes classes by construction
     assert all(abs(got[l]["upsample_factor"] * c - mx) < 1e-9 for l, c in counts.items())
+
+
+def test_chunk_tokens_reference(spark, docs_pdf):
+    """Sliding-window chunking re-derived with python slices: chunk
+    count, per-chunk lengths, and md5 digests of the joined tokens."""
+    import hashlib
+
+    got: dict[tuple, tuple] = {}
+    for r in _rows(spark, "m_chunk_tokens"):
+        got[(r["doc_id"], r["start"])] = (r["chunk_len"], r["chunk_hash"])
+    n_expected = 0
+    for r in docs_pdf.itertuples():
+        toks = r.text.split(" ")
+        for s in range(0, len(toks), 24):  # STRIDE
+            chunk = toks[s : s + 32]  # CHUNK
+            n_expected += 1
+            digest = hashlib.md5(" ".join(chunk).encode()).hexdigest()
+            assert got[(r.doc_id, s)] == (len(chunk), digest)
+    assert len(got) == n_expected
+
+
+def test_seq_pack_reference(spark, docs_pdf):
+    """Greedy concat-and-chunk packing re-derived with a running token
+    offset per (source, shard) stream; bin totals must cover every
+    document exactly once (mass conservation)."""
+    CTX, SHARD = 2048, 512
+    agg: dict[tuple, list] = defaultdict(list)
+    for _, grp in docs_pdf.groupby("source"):
+        grp = grp.sort_values("doc_id")
+        offsets: dict[int, int] = defaultdict(int)
+        for r in grp.itertuples():
+            shard = r.doc_id // SHARD
+            n_tok = len(r.text.split(" "))
+            b = offsets[shard] // CTX
+            offsets[shard] += n_tok
+            agg[(r.source, shard, b)].append((r.doc_id, n_tok))
+    expect = {
+        k: (len(v), sum(n for _, n in v), min(i for i, _ in v), max(i for i, _ in v))
+        for k, v in agg.items()
+    }
+    got = {
+        (r["source"], r["shard"], r["bin"]): (
+            r["n_docs"], r["bin_tokens"], r["first_doc"], r["last_doc"],
+        )
+        for r in _rows(spark, "m_seq_pack")
+    }
+    assert got == expect
+    # conservation: every document's tokens land in exactly one bin
+    assert sum(v[1] for v in got.values()) == sum(
+        len(t.split(" ")) for t in docs_pdf.text
+    )
