@@ -6,8 +6,10 @@ raw parquet, same contract as test_stats_reference.
 
 from __future__ import annotations
 
+import math
 from collections import Counter, defaultdict
 
+import numpy as np
 import pandas as pd
 import pytest
 
@@ -156,3 +158,48 @@ def test_seq_pack_reference(spark, docs_pdf):
     assert sum(v[1] for v in got.values()) == sum(
         len(t.split(" ")) for t in docs_pdf.text
     )
+
+
+def test_embed_quantize_reference(spark):
+    """int8 symmetric quantization re-derived in numpy: scale, checksum
+    and saturation count per vector, exact."""
+    emb = pd.read_parquet(f"{SF_SMOKE}/embeddings.parquet")
+    got = {r["vec_id"]: r for r in _rows(spark, "m_embed_quantize")}
+    assert len(got) == len(emb)
+    for r in emb.itertuples():
+        x = np.asarray(r.embedding, dtype=np.float64)
+        scale = np.abs(x).max()
+        q = np.clip(np.floor(x / scale * 127 + 0.5).astype(np.int64), -127, 127)
+        g = got[r.vec_id]
+        assert g["scale"] == scale
+        assert g["q_sum"] == int(q.sum())
+        assert g["n_sat"] == int((np.abs(q) == 127).sum())
+        assert g["label"] == r.label
+        # reconstruction sanity: dequantized vector is close in angle
+        xr = q.astype(np.float64) * scale / 127
+        cos = (x @ xr) / (np.linalg.norm(x) * np.linalg.norm(xr))
+        assert cos > 0.99
+
+
+def test_embed_norm_stats_reference(spark):
+    """Per-label norm statistics re-derived with numpy norms on the
+    6 dp grid (HALF_UP replication for min/max; the decimal-lattice
+    sum is compared within its error budget)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    emb = pd.read_parquet(f"{SF_SMOKE}/embeddings.parquet")
+    got = {r["label"]: r for r in _rows(spark, "m_embed_norm_stats")}
+    by_label: dict[int, list[float]] = defaultdict(list)
+    for r in emb.itertuples():
+        x = np.asarray(r.embedding, dtype=np.float64)
+        n = math.sqrt(float((x * x).sum()))
+        by_label[r.label].append(
+            float(Decimal(repr(n)).quantize(Decimal("1e-6"), ROUND_HALF_UP))
+        )
+    assert set(got) == set(by_label)
+    for lbl, norms in by_label.items():
+        g = got[lbl]
+        assert g["n"] == len(norms)
+        assert g["norm_min"] == min(norms)
+        assert g["norm_max"] == max(norms)
+        assert abs(g["norm_sum"] - sum(norms)) < 1e-6
