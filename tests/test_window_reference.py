@@ -123,3 +123,79 @@ def test_ewma_reference(spark, ev):
         den = sum(2 ** (7 - k) for k in range(len(last8)))
         assert got[uid] == (num, den)
     assert set(got) == set(ev["user_id"].unique())
+
+
+def test_funnel_reference(spark, ev):
+    per_user = {}
+    for uid, grp in ev.groupby("user_id"):
+        firsts = {}
+        for r in grp.itertuples():
+            firsts.setdefault(r.event_type, r.event_id)
+        per_user[uid] = firsts
+    n_view = sum(1 for f in per_user.values() if "view" in f)
+    n_vc = sum(
+        1
+        for f in per_user.values()
+        if "view" in f and "click" in f and f["view"] < f["click"]
+    )
+    n_full = sum(
+        1
+        for f in per_user.values()
+        if "view" in f and "click" in f and "purchase" in f
+        and f["view"] < f["click"] < f["purchase"]
+    )
+    (row,) = _rows(spark, "q_funnel")
+    assert row["n_users"] == len(per_user)
+    assert row["n_view"] == n_view
+    assert row["n_view_click"] == n_vc
+    assert row["n_full_funnel"] == n_full
+    # funnel monotonicity: each stage can only lose users
+    assert row["n_users"] >= row["n_view"] >= row["n_view_click"] >= row["n_full_funnel"]
+
+
+def test_retention_reference(spark, ev):
+    acts = {(r.user_id, r.ts.date()) for r in ev.itertuples()}
+    d0 = {}
+    for uid, d in acts:
+        if uid not in d0 or d < d0[uid]:
+            d0[uid] = d
+    expect: dict[tuple, set] = {}
+    for uid, d in acts:
+        key = (str(d0[uid]), (d - d0[uid]).days // 7)
+        expect.setdefault(key, set()).add(uid)
+    got = {
+        (r["cohort_day"], r["week_offset"]): r["n_active"]
+        for r in _rows(spark, "q_retention")
+    }
+    assert got == {k: len(v) for k, v in expect.items()}
+    # week 0 of each cohort contains the whole cohort by definition
+    cohort_size = {}
+    for uid, d in d0.items():
+        cohort_size[str(d)] = cohort_size.get(str(d), 0) + 1
+    for c, n in cohort_size.items():
+        assert got[(c, 0)] == n
+
+
+def test_attribution_reference(spark, ev):
+    got = {r["user_id"]: r for r in _rows(spark, "q_attribution")}
+    for uid, grp in ev.groupby("user_id"):
+        clicks: list[int] = []
+        n_p = n_attr = 0
+        first_touch: list[int] = []
+        last_touch: list[int] = []
+        for r in grp.itertuples():
+            if r.event_type == "purchase":
+                n_p += 1
+                if clicks:
+                    n_attr += 1
+                    first_touch.append(clicks[0])
+                    last_touch.append(clicks[-1])
+            if r.event_type == "click":
+                clicks.append(r.event_id)
+        if n_p == 0:
+            assert uid not in got
+            continue
+        g = got[uid]
+        assert g["n_purchases"] == n_p and g["n_attributed"] == n_attr
+        assert g["first_touch_id"] == (min(first_touch) if first_touch else -1)
+        assert g["last_touch_id"] == (max(last_touch) if last_touch else -1)
