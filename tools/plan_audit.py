@@ -37,8 +37,10 @@ SF_DIR = os.environ.get(
 # plans, or a CartesianProduct anywhere.
 NEVER_PY = ("q_", "g_", "src_")
 # Documented escape hatches (README design rule 3: binary codecs and
-# ray casting are sanctioned Arrow kernels even in the g_ family).
-PY_ALLOWLIST = {"g_wkb_serde", "g_point_in_poly", "g_geom_valid"}
+# ray casting are sanctioned Arrow kernels even in the g_/src_
+# families). src_gpkg_roundtrip decodes msgpack envelopes + WKB — the
+# same codec kernel class as g_wkb_serde.
+PY_ALLOWLIST = {"g_wkb_serde", "g_point_in_poly", "g_geom_valid", "src_gpkg_roundtrip"}
 
 
 def main() -> int:
