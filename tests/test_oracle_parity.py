@@ -84,3 +84,39 @@ def test_driver_window_self_rotates():
     for name in ["m_near_dedup", "m_simhash", "g_point_in_poly", "g_wkb_serde"]:
         if name in ORACLE and name not in green:
             assert name in head, f"{name} upgraded rows-only->oracle but not in window"
+
+
+def test_rotation_simulated_next_round(tmp_path):
+    """Simulate the round-5 driver window going green: copy the real
+    CORRECTNESS files plus a synthetic r05 marking the current head-50
+    hash-green, and assert _driver_green absorbs them — i.e. the
+    round-6 window would automatically drain 50 FRESH IDs with no
+    manual rotation (the failure mode that burned round 4)."""
+    import json
+    import shutil
+    from pathlib import Path
+
+    from ukis_kafka_spark.api import ORACLE, _driver_green
+
+    repo = Path(__file__).resolve().parents[1]
+    for f in repo.glob("CORRECTNESS_r0*.json"):
+        shutil.copy(f, tmp_path / f.name)
+    head = list(api.queries())[:50]
+    fake = {
+        n: (
+            {"hash_match": True, "err": None, "spark_rows": 1}
+            if n in ORACLE
+            else {"hash_match": None, "err": "no_oracle", "spark_rows": 1}
+        )
+        for n in head
+    }
+    (tmp_path / "CORRECTNESS_r05.json").write_text(json.dumps(fake))
+    green_now = _driver_green()
+    green_next = _driver_green(root=str(tmp_path))
+    assert set(head) <= green_next
+    assert green_next >= green_now
+    # the simulated round-6 head-50 is entirely fresh
+    queue = list(api.queries())
+    next_head = [n for n in queue if n not in green_next][:50]
+    assert not (set(next_head) & set(head))
+    assert len(next_head) == 50  # plenty of queue left to drain

@@ -159,7 +159,7 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES[FLAGSHIP](spark, SMOKE_SF_DIR)
 
 
-def _driver_green() -> set[str]:
+def _driver_green(root: str | None = None) -> set[str]:
     """IDs whose LATEST driver CORRECTNESS row satisfies their current
     check level: hash-green for oracle-checked queries, a clean
     rows-only row (``err == 'no_oracle'`` with a row count) for queries
@@ -170,7 +170,8 @@ def _driver_green() -> set[str]:
     import json
     import os
 
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if root is None:
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     latest: dict[str, dict] = {}
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         try:
