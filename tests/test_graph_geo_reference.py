@@ -164,3 +164,91 @@ def test_cosine_topk_reference(spark):
     expect = [(a, b, -negr) for negr, a, b in cand[:20]]
     got = [(r["id_a"], r["id_b"], r["cos_sim"]) for r in _rows(spark, "m_cosine_topk")]
     assert got == expect
+
+
+def test_track_length_reference(spark):
+    """Per-user haversine track length: python loop over the ordered
+    timeline, each hop on the replicated HALF_UP 4-dp grid, then the
+    exact-decimal sum compared within its lattice budget."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet").sort_values("event_id")
+    got = {r["user_id"]: r for r in _rows(spark, "g_track_length")}
+    for uid, grp in ev.groupby("user_id"):
+        lons = (grp["value"] * 3.6 - 180).to_numpy()
+        lats = ((grp["user_id"] * 7 % 180) - 90).to_numpy()
+        hops = []
+        for i in range(1, len(grp)):
+            la1, la2 = math.radians(lats[i - 1]), math.radians(lats[i])
+            a = (
+                math.sin(math.radians(lats[i] - lats[i - 1]) / 2) ** 2
+                + math.cos(la1) * math.cos(la2)
+                * math.sin(math.radians(lons[i] - lons[i - 1]) / 2) ** 2
+            )
+            d = 2 * 6371.0088 * math.asin(math.sqrt(a))
+            hops.append(float(Decimal(repr(d)).quantize(Decimal("1e-4"), ROUND_HALF_UP)))
+        if not hops:
+            assert uid not in got
+            continue
+        g = got[uid]
+        assert g["n_hops"] == len(hops)
+        assert abs(g["track_km"] - sum(hops)) < 1e-6
+    assert len(got) == sum(1 for _, g in ev.groupby("user_id") if len(g) > 1)
+
+
+def test_track_area_reference(spark):
+    """Shoelace area on the 1e-4-degree integer grid, closed loop, as
+    a python big-int sum; plus the translation-invariance identity."""
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet").sort_values("event_id")
+    got = {r["user_id"]: r for r in _rows(spark, "g_track_area")}
+    for uid, grp in ev.groupby("user_id"):
+        xs = [int(math.floor((v * 3.6 - 180) * 10000)) for v in grp["value"]]
+        ys = [int(math.floor(((u * 7 % 180) - 90) * 10000)) for u in grp["user_id"]]
+        n = len(xs)
+        s = sum(xs[i] * ys[(i + 1) % n] - xs[(i + 1) % n] * ys[i] for i in range(n))
+        g = got[uid]
+        assert g["n_pts"] == n
+        assert g["area2_signed"] == s and g["area2_abs"] == abs(s)
+        # shoelace is translation-invariant: shifting the grid origin
+        # must not change the signed area
+        xs2 = [x + 12345 for x in xs]
+        s2 = sum(xs2[i] * ys[(i + 1) % n] - xs2[(i + 1) % n] * ys[i] for i in range(n))
+        assert s2 == s
+
+
+def test_geohash_reference(spark):
+    """Geohash re-encoded with an independent textbook implementation
+    (successive interval halving, not bit interleave arithmetic)."""
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    got = {r["event_id"]: r["geohash"] for r in _rows(spark, "g_geohash")}
+    b32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+    def encode(lon, lat, n_chars=6):
+        lo = [-180.0, -90.0]
+        hi = [180.0, 90.0]
+        bits, out, axis = [], [], 0  # even bit = lon
+        while len(out) < n_chars:
+            mid = (lo[axis] + hi[axis]) / 2
+            if (lon if axis == 0 else lat) >= mid:
+                bits.append(1)
+                lo[axis] = mid
+            else:
+                bits.append(0)
+                hi[axis] = mid
+            axis ^= 1
+            if len(bits) == 5:
+                out.append(b32[int("".join(map(str, bits)), 2)])
+                bits = []
+        return "".join(out)
+
+    mismatch = 0
+    for r in ev.itertuples():
+        lon = r.value * 3.6 - 180
+        lat = (r.user_id * 7 % 180) - 90
+        if got[r.event_id] != encode(lon, lat):
+            mismatch += 1
+    # the operator's 15-bit-per-axis grid floor and the interval
+    # halving can disagree only when a coordinate sits within one
+    # float ulp of a cell boundary; on this corpus they must agree
+    # everywhere
+    assert mismatch == 0

@@ -13,6 +13,9 @@ the shared integer-lattice formulations.
 
 from __future__ import annotations
 
+import math
+from collections import Counter
+
 import numpy as np
 import pandas as pd
 import pytest
@@ -286,3 +289,49 @@ def test_scaling_fit_reference(spark):
         slope_stats = num / den
         slope_ref = np.polyfit(x, y, 1)[0]
         assert abs(slope_stats - slope_ref) < 1e-4
+
+
+def test_benford_reference(spark):
+    """First-digit counts by string slicing in python; expected
+    Benford micros must equal floor(1e6·log10(1+1/d))."""
+    orders = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")
+    digits = [int(str(int(math.floor(v)))[0]) for v in orders.o_totalprice]
+    counts = Counter(digits)
+    total = len(digits)
+    got = {r["digit"]: r for r in _rows(spark, "q_benford")}
+    assert set(got) == set(counts)
+    for d, c in counts.items():
+        r = got[d]
+        assert r["cnt"] == c
+        assert r["obs_micro"] == c * 1_000_000 // total
+        assert r["benford_micro"] == int(1_000_000 * math.log10(1 + 1 / d))
+
+
+def test_lorenz_reference(spark):
+    """Decile cumulative revenue shares recomputed with an explicit
+    sort + ntile cut; the curve must be monotone, convex-ish (each
+    decile's share nondecreasing), and end at exactly 1e6 ppm."""
+    orders = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")
+    per_cust = (
+        orders.assign(centi=(orders.o_totalprice * 100).apply(math.floor).astype("int64"))
+        .groupby("o_custkey")["centi"].sum().reset_index()
+        .sort_values(["centi", "o_custkey"])
+    )
+    n = len(per_cust)
+    # ntile: first (n % 10) tiles get ceil(n/10) rows
+    sizes = [(n + 9 - i) // 10 for i in range(10)]
+    revs = per_cust["centi"].to_list()
+    total = sum(revs)
+    got = {r["decile"]: r for r in _rows(spark, "q_lorenz_deciles")}
+    pos, cum, prev_share = 0, 0, -1
+    for d in range(1, 11):
+        chunk = revs[pos : pos + sizes[d - 1]]
+        pos += sizes[d - 1]
+        cum += sum(chunk)
+        r = got[d]
+        assert r["n_customers"] == len(chunk)
+        assert r["dec_centi"] == sum(chunk)
+        assert r["cum_share_ppm"] == cum * 1_000_000 // total
+        assert sum(chunk) >= prev_share  # ascending-rank deciles
+        prev_share = sum(chunk)
+    assert got[10]["cum_share_ppm"] == 1_000_000
