@@ -116,3 +116,49 @@ def test_zipf_reference(spark, doc_tokens):
     assert row["n_hapax"] == sum(1 for n in corpus.values() if n == 1)
     assert row["top_decile_mass"] == top_mass
     assert row["top_decile_ppm"] == 1_000_000 * top_mass // n_tokens
+
+
+def test_bigram_lm_reference(spark, doc_tokens):
+    """Bigram conditional ppm recomputed with python Counters; the
+    conditional-probability identity Σ_next P(next|tok) ≈ 1 must hold
+    over each context's FULL distribution."""
+    bi = Counter()
+    for toks in doc_tokens.values():
+        for a, b in zip(toks, toks[1:]):
+            bi[(a, b)] += 1
+    ctx = Counter()
+    for (a, _), n in bi.items():
+        ctx[a] += n
+    expect = {
+        (a, b): (n, 1_000_000 * n // ctx[a])
+        for (a, b), n in bi.items()
+        if n >= 20
+    }
+    got = {
+        (r["tok"], r["nxt"]): (r["n"], r["cond_ppm"])
+        for r in _rows(spark, "m_bigram_lm")
+    }
+    assert got == expect
+    # distribution identity on the full (uncut) conditional
+    for a in set(x for x, _ in bi):
+        total_ppm = sum(1_000_000 * n // ctx[a] for (x, _), n in bi.items() if x == a)
+        assert total_ppm <= 1_000_000  # floor-div mass never exceeds 1
+
+
+def test_lm_cross_entropy_reference(spark, doc_tokens):
+    """Unigram cross-entropy recomputed without the 6-dp term lattice;
+    the fixed-point micro-bits must sit within the lattice budget, and
+    Gibbs' inequality must hold: cross-entropy >= the doc's own
+    entropy (m_token_entropy) for every document."""
+    corpus = Counter()
+    for toks in doc_tokens.values():
+        corpus.update(toks)
+    n_corpus = sum(corpus.values())
+    rows = {r["doc_id"]: r for r in _rows(spark, "m_lm_cross_entropy")}
+    own = {r["doc_id"]: r["entropy_bits"] for r in _rows(spark, "m_token_entropy")}
+    for d, toks in doc_tokens.items():
+        h = sum(math.log2(n_corpus / corpus[t]) for t in toks) / len(toks)
+        r = rows[d]
+        assert r["n_tok"] == len(toks)
+        assert abs(r["avg_microbits"] / 1e6 - h) < 1e-3
+        assert r["avg_microbits"] / 1e6 >= own[d] - 1e-3  # Gibbs
