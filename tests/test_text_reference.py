@@ -162,3 +162,68 @@ def test_lm_cross_entropy_reference(spark, doc_tokens):
         assert r["n_tok"] == len(toks)
         assert abs(r["avg_microbits"] / 1e6 - h) < 1e-3
         assert r["avg_microbits"] / 1e6 >= own[d] - 1e-3  # Gibbs
+
+
+def test_quality_score_reference(spark, doc_tokens):
+    got = {r["doc_id"]: r for r in _rows(spark, "m_quality_score")}
+    stopset = {"spark", "join", "filter", "window"}
+    for d, toks in doc_tokens.items():
+        n = len(toks)
+        s = sum(1 for t in toks if t in stopset)
+        r = got[d]
+        assert (r["n_tokens"], r["stop_hits"]) == (n, s)
+        assert r["stopword_ratio"] == s / n
+        assert r["quality"] == 0.5 * min(n, 50) / 50.0 + 0.5 * (s / n)
+        assert 0.0 <= r["quality"] <= 1.0
+
+
+def test_repetition_reference(spark, docs_pdf):
+    """Gopher-style duplicated-trigram fraction replayed with python
+    regex tokenization and set() dedup."""
+    import re
+
+    got = {r["doc_id"]: r for r in _rows(spark, "m_repetition")}
+    for r in docs_pdf.itertuples():
+        words = [w for w in re.split(r"[^a-z]+", r.text.lower()) if w]
+        tris = [" ".join(words[i : i + 3]) for i in range(len(words) - 2)]
+        g = got[r.doc_id]
+        assert g["n_tri"] == len(tris)
+        assert g["n_distinct"] == len(set(tris))
+        expected = 0.0 if not tris else (len(tris) - len(set(tris))) / len(tris)
+        assert g["dup_frac"] == expected
+        assert 0.0 <= g["dup_frac"] < 1.0
+
+
+def test_boilerplate_reference(spark, docs_pdf):
+    """Top-10 most-shared passages recomputed by slicing every doc into
+    4-token passages and ranking (n_docs desc, passage asc)."""
+    stats: dict[str, list] = {}
+    for r in docs_pdf.itertuples():
+        toks = r.text.split(" ")
+        for s in range(0, len(toks), 4):  # PASSAGE
+            p = " ".join(toks[s : s + 4])
+            stats.setdefault(p, []).append(r.doc_id)
+    ranked = sorted(
+        ((p, len(ds), len(set(ds)), min(ds)) for p, ds in stats.items()),
+        key=lambda t: (-t[2], t[0]),
+    )[:10]
+    got = [
+        (r["passage"], r["n_occurrences"], r["n_docs"], r["first_doc"])
+        for r in _rows(spark, "m_boilerplate")
+    ]
+    assert got == ranked
+
+
+def test_lang_id_reference(spark, docs_pdf):
+    got = {r["doc_id"]: r["lang_pred"] for r in _rows(spark, "m_lang_id")}
+    for r in docs_pdf.itertuples():
+        t = r.text
+        if "stream" in t or "window" in t:
+            want = "en"
+        elif "join" in t:
+            want = "de"
+        elif len(t.split(" ")) % 2 == 0:
+            want = "es"
+        else:
+            want = "fr"
+        assert got[r.doc_id] == want
