@@ -1,0 +1,110 @@
+"""Independent re-derivations for the sketch family (HLL register
+bank, count-min, inverted index, frequency drift) — python hashlib and
+Counters over the raw parquet, same contract as test_stats_reference.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections import Counter, defaultdict
+
+import pandas as pd
+import pytest
+
+from tests.conftest import SF_SMOKE
+from ukis_kafka_spark import api
+
+
+def _rows(spark, name):
+    return api.queries()[name](spark, SF_SMOKE).collect()
+
+
+def _h60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def test_hll_registers_reference(spark):
+    """Register bank recomputed with python hashlib; the recovered HLL
+    estimate must land inside the published error envelope."""
+    li = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet", columns=["l_orderkey"])
+    distinct = set(li.l_orderkey)
+    regs: dict[int, int] = {}
+    nh: dict[int, int] = {}
+    for k in {_h60(str(int(o))) for o in distinct}:
+        bucket, rest = k % 64, k // 64
+        rho = 55 if rest == 0 else 55 - rest.bit_length()
+        regs[bucket] = max(regs.get(bucket, 0), rho)
+        nh[bucket] = nh.get(bucket, 0) + 1
+    got = {r["bucket"]: (r["register"], r["n_hashes"]) for r in _rows(spark, "m_hll_registers")}
+    assert got == {b: (regs[b], nh[b]) for b in regs}
+    # recover the cardinality: alpha_64 * m^2 / sum(2^-M), small-range
+    # corrected — must sit within ~3 sigma of 1.04/sqrt(64) = 13%
+    m = 64
+    alpha = 0.709
+    full = {b: regs.get(b, 0) for b in range(m)}
+    raw = alpha * m * m / sum(2.0 ** -v for v in full.values())
+    zeros = sum(1 for v in full.values() if v == 0)
+    import math
+
+    est = m * math.log(m / zeros) if (raw < 2.5 * m and zeros) else raw
+    assert abs(est - len(distinct)) / len(distinct) < 0.4
+
+
+def test_countmin_reference(spark):
+    """All 192 counters and the heavy-hitter readback recomputed in
+    python; CMS estimates must equal the min-of-rows and can never
+    under-count (the sketch's defining guarantee)."""
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet", columns=["user_id"])
+    counts = Counter(int(u) for u in ev.user_id)
+    P, W = 2_147_483_647, 64
+    hashers = [(1_103_515_245, 12_345), (69_069, 362_437), (214_013, 2_531_011)]
+    tables = [defaultdict(int) for _ in hashers]
+    slots = {}
+    for u, c in counts.items():
+        hv = _h60(str(u))
+        ss = [(((hv % P) * a + b) % P) % W for a, b in hashers]
+        slots[u] = ss
+        for r, s in enumerate(ss):
+            tables[r][s] += c
+    top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    expect = {
+        u: (c, min(tables[r][slots[u][r]] for r in range(3))) for u, c in top
+    }
+    got = {r["user_id"]: (r["true_count"], r["cms_estimate"]) for r in _rows(spark, "m_countmin")}
+    assert got == expect
+    for u, (c, e) in got.items():
+        assert e >= c  # CMS never under-counts
+
+
+def test_inverted_index_reference(spark):
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    post: dict[str, set] = defaultdict(set)
+    for r in docs.itertuples():
+        for t in set(r.text.split(" ")):
+            post[t].add(r.doc_id)
+    ranked = sorted(post.items(), key=lambda kv: (-len(kv[1]), kv[0]))[:20]
+    expect = [
+        (t, len(ds), ",".join(str(i) for i in sorted(ds)[:50])) for t, ds in ranked
+    ]
+    got = [(r["tok"], r["df"], r["postings_head"]) for r in _rows(spark, "m_inverted_index")]
+    assert got == expect
+
+
+def test_freq_drift_reference(spark):
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    a, b = Counter(), Counter()
+    for r in docs.itertuples():
+        (a if r.doc_id % 2 == 0 else b).update(r.text.split(" "))
+    ta, tb = sum(a.values()), sum(b.values())
+    drift = []
+    for t in set(a) | set(b):
+        pa = 1_000_000 * a[t] // ta
+        pb = 1_000_000 * b[t] // tb
+        drift.append((-abs(pa - pb), t, a[t], b[t], pa, pb))
+    drift.sort()
+    expect = [(t, na, nb, pa, pb, -d) for d, t, na, nb, pa, pb in drift[:20]]
+    got = [
+        (r["tok"], r["n_a"], r["n_b"], r["ppm_a"], r["ppm_b"], r["drift_ppm"])
+        for r in _rows(spark, "m_freq_drift")
+    ]
+    assert got == expect
