@@ -199,3 +199,66 @@ def test_attribution_reference(spark, ev):
         assert g["n_purchases"] == n_p and g["n_attributed"] == n_attr
         assert g["first_touch_id"] == (min(first_touch) if first_touch else -1)
         assert g["last_touch_id"] == (max(last_touch) if last_touch else -1)
+
+
+def test_session_30m_reference(spark, ev):
+    """Session windows replayed with an explicit gap scan (30-min
+    inactivity rule on the raw microsecond timestamps, start reported
+    at second floor)."""
+    expect = set()
+    for uid, grp in ev.groupby("user_id"):
+        tss = grp["ts"].to_list()  # event_id order == ts order
+        start, n, last = tss[0], 1, tss[0]
+        for t in tss[1:]:
+            if (t - last).total_seconds() >= 1800:
+                expect.add((uid, int(start.floor("s").timestamp()), n))
+                start, n = t, 1
+            else:
+                n += 1
+            last = t
+        expect.add((uid, int(start.floor("s").timestamp()), n))
+    got = {
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in _rows(spark, "q_session_30m")
+    }
+    assert got == expect
+
+
+def test_markov_reference(spark, ev):
+    """Transition counts and ppm rows replayed per user; each source
+    row's ppm mass must not exceed one (floor division)."""
+    from collections import Counter
+
+    trans = Counter()
+    for _, grp in ev.groupby("user_id"):
+        ts = grp["event_type"].to_list()
+        for a, b in zip(ts, ts[1:]):
+            trans[(a, b)] += 1
+    row_tot = Counter()
+    for (a, _), n in trans.items():
+        row_tot[a] += n
+    expect = {
+        (a, b): (n, 1_000_000 * n // row_tot[a]) for (a, b), n in trans.items()
+    }
+    got = {
+        (r["src"], r["dst"]): (r["n"], r["p_ppm"])
+        for r in _rows(spark, "q_markov_transitions")
+    }
+    assert got == expect
+    for a in row_tot:
+        assert sum(p for (x, _), (_, p) in expect.items() if x == a) <= 1_000_000
+
+
+def test_path_trigrams_reference(spark, ev):
+    from collections import Counter, defaultdict
+
+    paths = Counter()
+    users = defaultdict(set)
+    for uid, grp in ev.groupby("user_id"):
+        ts = grp["event_type"].to_list()
+        for i in range(len(ts) - 2):
+            p = ">".join(ts[i : i + 3])
+            paths[p] += 1
+            users[p].add(uid)
+    got = {r["path"]: (r["n"], r["n_users"]) for r in _rows(spark, "q_path_trigrams")}
+    assert got == {p: (n, len(users[p])) for p, n in paths.items()}
