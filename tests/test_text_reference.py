@@ -227,3 +227,51 @@ def test_lang_id_reference(spark, docs_pdf):
         else:
             want = "fr"
         assert got[r.doc_id] == want
+
+
+def test_decontaminate_reference(spark, doc_tokens):
+    """Benchmark-trigram contamination hits recomputed with python
+    sets: corpus doc (id >= 5) x distinct benchmark trigrams."""
+    bench = set()
+    for d, toks in doc_tokens.items():
+        if d < 5:
+            for i in range(len(toks) - 2):
+                bench.add(" ".join(toks[i : i + 3]))
+    expect = {}
+    for d, toks in doc_tokens.items():
+        if d < 5:
+            continue
+        hits = {
+            " ".join(toks[i : i + 3])
+            for i in range(len(toks) - 2)
+        } & bench
+        if hits:
+            expect[d] = len(hits)
+    got = {r["doc_id"]: r["n_hits"] for r in _rows(spark, "m_decontaminate")}
+    assert got == expect
+
+
+def test_pii_scrub_reference(spark, docs_pdf):
+    """The redaction counters replayed with python re on the same
+    planted strings; scrubbed output must contain no email or long
+    digit run."""
+    import re
+
+    email = re.compile(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
+    num = re.compile(r"[0-9]{6,}")
+    per_source: dict[str, list] = {}
+    for r in docs_pdf.itertuples():
+        raw = f"contact user{r.doc_id}@example.com ref {100000 + r.doc_id % 900000} {r.text}"
+        no_email = email.sub("<EMAIL>", raw)
+        clean = num.sub("<NUM>", no_email)
+        n_red = len(email.findall(raw)) + len(num.findall(no_email))
+        assert not email.search(clean) and not num.search(clean)
+        assert n_red >= 2  # the planted PII guarantees non-vacuity
+        per_source.setdefault(r.source, []).append((n_red, len(raw) - len(clean)))
+    got = {r["source"]: r for r in _rows(spark, "m_pii_scrub")}
+    assert set(got) == set(per_source)
+    for src, items in per_source.items():
+        g = got[src]
+        assert g["n_docs"] == len(items)
+        assert g["n_redactions"] == sum(n for n, _ in items)
+        assert g["chars_removed"] == sum(c for _, c in items)
