@@ -335,3 +335,58 @@ def test_lorenz_reference(spark):
         assert sum(chunk) >= prev_share  # ascending-rank deciles
         prev_share = sum(chunk)
     assert got[10]["cum_share_ppm"] == 1_000_000
+
+
+def test_winsorize_reference(spark, events_pdf):
+    """Clip bounds via explicit rank selection and the clipped sum
+    recomputed per group; clip counts must match and the clipped sum
+    must never exceed the raw sum's spread."""
+    got = {r["event_type"]: r for r in _rows(spark, "q_winsorize")}
+    for etype, grp in events_pdf.groupby("event_type"):
+        vals = grp.sort_values(["value", "event_id"])["value"].to_list()
+        n = len(vals)
+        lo = vals[math.ceil(0.05 * n) - 1]
+        hi = vals[math.ceil(0.95 * n) - 1]
+        clipped = [min(max(v, lo), hi) for v in grp["value"]]
+        r = got[etype]
+        assert r["n"] == n
+        assert r["n_clip_lo"] == sum(1 for v in grp["value"] if v < lo)
+        assert r["n_clip_hi"] == sum(1 for v in grp["value"] if v > hi)
+        assert abs(r["clipped_sum"] - sum(clipped)) < 1e-6
+        assert lo <= hi
+
+
+def test_changepoint_reference(spark, events_pdf):
+    """CUSUM top-5 recomputed with explicit prefix sums over the
+    hourly series."""
+    hourly = (
+        pd.Series(events_pdf["ts"].dt.floor("h").astype("int64") // 10**9)
+        .value_counts()
+        .sort_index()
+    )
+    n, total = len(hourly), int(hourly.sum())
+    prefix = 0
+    devs = []
+    for i, (h, c) in enumerate(hourly.items(), start=1):
+        prefix += int(c)
+        devs.append((-(abs(n * prefix - i * total)), h, int(c), n * prefix - i * total))
+    devs.sort()
+    expect = [(h, c, d) for _, h, c, d in devs[:5]]
+    got = [(r["hour_start"], r["c"], r["dev_scaled"]) for r in _rows(spark, "q_changepoint")]
+    assert got == expect
+    # the last prefix equals the total: CUSUM returns to zero
+    assert n * prefix - n * total == 0
+
+
+def test_parallel_variance_reference(spark, events_pdf):
+    """The merged sufficient statistics must equal a direct single-pass
+    computation AND assemble to numpy's population variance."""
+    got = {r["event_type"]: r for r in _rows(spark, "q_parallel_variance")}
+    for etype, grp in events_pdf.groupby("event_type"):
+        x = grp["vc"].to_numpy()
+        n, s, ss = len(x), int(x.sum()), int((x.astype(object) ** 2).sum())
+        r = got[etype]
+        assert (r["n"], r["s"], r["ss"]) == (n, s, ss)
+        assert r["var_scaled"] == n * ss - s * s
+        var = r["var_scaled"] / (n * n)
+        assert abs(var - float(np.var(x))) < 1e-6
