@@ -203,3 +203,89 @@ def test_embed_norm_stats_reference(spark):
         assert g["norm_min"] == min(norms)
         assert g["norm_max"] == max(norms)
         assert abs(g["norm_sum"] - sum(norms)) < 1e-6
+
+
+def test_ngram_jaccard_reference(spark, docs_pdf):
+    toksets = {
+        int(r.doc_id): set(r.text.split(" ")) for r in docs_pdf.itertuples()
+    }
+    expect = {}
+    for d, s in toksets.items():
+        nxt = toksets.get(d + 1)
+        if nxt and s & nxt:
+            expect[(d, d + 1)] = len(s & nxt) / len(s | nxt)
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"] for r in _rows(spark, "m_ngram_jaccard")
+    }
+    assert got == expect
+
+
+def test_dup_ngram_frac_reference(spark, docs_pdf):
+    """Per-doc duplicated-5-gram fraction recomputed with python sets
+    and a corpus document-frequency Counter."""
+    doc_grams = {}
+    for r in docs_pdf.itertuples():
+        toks = r.text.split(" ")
+        doc_grams[r.doc_id] = {
+            " ".join(toks[i : i + 5]) for i in range(len(toks) - 4)
+        }
+    df = Counter()
+    for gs in doc_grams.values():
+        df.update(gs)
+    got = {r["doc_id"]: r for r in _rows(spark, "m_dup_ngram_frac")}
+    for d, gs in doc_grams.items():
+        if not gs:
+            assert d not in got
+            continue
+        dup = sum(1 for g in gs if df[g] > 1)
+        r = got[d]
+        assert r["n_grams"] == len(gs)
+        assert r["n_dup"] == dup
+        assert r["dup_frac"] == dup / len(gs)
+
+
+def test_suffix_prefix_dup_reference(spark, docs_pdf):
+    import re
+
+    norm = {
+        int(r.doc_id): re.sub(r"[^a-z0-9]", "", r.text.lower())
+        for r in docs_pdf.itertuples()
+    }
+    norm = {d: t for d, t in norm.items() if len(t) >= 12}
+    by_pref: dict[str, list] = defaultdict(list)
+    for d, t in norm.items():
+        by_pref[t[:12]].append(d)
+    expect = set()
+    for d, t in norm.items():
+        for other in by_pref.get(t[-12:], []):
+            if other != d:
+                expect.add((d, other, t[-12:]))
+    got = {
+        (r["src_id"], r["dst_id"], r["glue"])
+        for r in _rows(spark, "m_suffix_prefix_dup")
+    }
+    assert got == expect
+
+
+def test_ngram_novelty_reference(spark, docs_pdf):
+    """First-seen trigram novelty replayed in arrival (doc_id) order;
+    the cumulative novel count must equal the corpus's distinct
+    trigram total (conservation)."""
+    seen: set = set()
+    expect = {}
+    total_novel = 0
+    for r in docs_pdf.sort_values("doc_id").itertuples():
+        toks = r.text.split(" ")
+        if len(toks) < 3:
+            continue
+        gs = {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+        novel = len(gs - seen)
+        seen |= gs
+        expect[r.doc_id] = (len(gs), novel)
+        total_novel += novel
+    got = {
+        r["doc_id"]: (r["n_trigrams"], r["n_novel"])
+        for r in _rows(spark, "m_ngram_novelty")
+    }
+    assert got == expect
+    assert total_novel == len(seen)  # conservation of first-occurrences
