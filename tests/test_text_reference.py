@@ -275,3 +275,58 @@ def test_pii_scrub_reference(spark, docs_pdf):
         assert g["n_docs"] == len(items)
         assert g["n_redactions"] == sum(n for n, _ in items)
         assert g["chars_removed"] == sum(c for _, c in items)
+
+
+def test_vocab_coverage_reference(spark, doc_tokens):
+    corpus = Counter()
+    for toks in doc_tokens.values():
+        corpus.update(toks)
+    vocab = {
+        t for t, _ in sorted(corpus.items(), key=lambda kv: (-kv[1], kv[0]))[:1000]
+    }
+    got = {r["doc_id"]: r for r in _rows(spark, "m_vocab_coverage")}
+    for d, toks in doc_tokens.items():
+        oov = sum(1 for t in toks if t not in vocab)
+        r = got[d]
+        assert r["n_tok"] == len(toks)
+        assert r["n_oov"] == oov
+        assert r["oov_frac"] == oov / len(toks)
+
+
+def test_text_normalize_reference(spark, docs_pdf):
+    import re
+
+    got = {r["doc_id"]: r for r in _rows(spark, "m_text_normalize")}
+    subset = docs_pdf[docs_pdf.doc_id < 100]
+    assert set(got) == set(subset.doc_id)
+    for r in subset.itertuples():
+        clean = re.sub(" +", " ", re.sub(r"[^a-z0-9 ]", "", r.text.lower())).strip()
+        g = got[r.doc_id]
+        assert g["n_chars_clean"] == len(clean)
+        assert g["n_tokens_clean"] == clean.count(" ") + 1
+        assert g["preview"] == clean[:40]
+
+
+def test_collocations_reference(spark, doc_tokens):
+    from itertools import combinations
+
+    df = Counter()
+    pair = Counter()
+    for toks in doc_tokens.values():
+        s = sorted(set(toks))
+        df.update(s)
+        for a, b in combinations(s, 2):
+            pair[(a, b)] += 1
+    n_docs = len(doc_tokens)
+    scored = [
+        (-(1_000_000 * n * n_docs // (df[a] * df[b])), a, b, n)
+        for (a, b), n in pair.items()
+        if n >= 50
+    ]
+    scored.sort()
+    expect = [(a, b, n, -s) for s, a, b, n in scored[:20]]
+    got = [
+        (r["tok_a"], r["tok_b"], r["n_both"], r["lift_ppm"])
+        for r in _rows(spark, "m_collocations")
+    ]
+    assert got == expect
