@@ -396,3 +396,62 @@ def test_basket_lift_reference(spark, ev):
         for r in _rows(spark, "q_basket_lift")
     }
     assert got == expect
+
+
+def test_cumulative_distinct_reference(spark, ev):
+    """Running reach recomputed the NAIVE way (a python set per day),
+    proving the first-seen identity the scalable plan rests on."""
+    by_day: dict[int, set] = {}
+    for r in ev.itertuples():
+        by_day.setdefault(int(r.ts.floor("d").timestamp()), set()).add(r.user_id)
+    got = {r["day_start"]: r["cum_users"] for r in _rows(spark, "q_cumulative_distinct")}
+    seen: set = set()
+    for day in sorted(by_day):
+        seen |= by_day[day]
+        assert got[day] == len(seen)
+    assert set(got) == set(by_day)
+
+
+def test_bitmap_distinct_reference(spark, ev):
+    """Both bitmap rollup levels recomputed with naive python sets."""
+    hourly: dict[tuple, set] = {}
+    daily: dict[int, set] = {}
+    for r in ev.itertuples():
+        d = int(r.ts.floor("d").timestamp())
+        h = int(r.ts.floor("h").timestamp())
+        hourly.setdefault((d, h), set()).add(r.user_id)
+        daily.setdefault(d, set()).add(r.user_id)
+    got = {
+        (r["day_start"], r["hour_start"]): (r["hourly_users"], r["daily_users"])
+        for r in _rows(spark, "q_bitmap_distinct")
+    }
+    assert got == {
+        (d, h): (len(us), len(daily[d])) for (d, h), us in hourly.items()
+    }
+
+
+def test_sliding_distinct_reference(spark, ev):
+    """Trailing-7-day distinct users per day via naive per-window set
+    union — the correlated rescan the bitmap plan replaces."""
+    by_day: dict[int, set] = {}
+    for r in ev.itertuples():
+        by_day.setdefault(int(r.ts.floor("d").timestamp()) // 86400, set()).add(r.user_id)
+    got = {r["day_num"]: r["users_7d"] for r in _rows(spark, "q_sliding_distinct")}
+    assert set(got) == set(by_day)
+    for day in by_day:
+        window: set = set()
+        for k in range(7):
+            window |= by_day.get(day - k, set())
+        assert got[day] == len(window)
+
+
+def test_profile_cardinality_reference(spark):
+    li = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")
+    (row,) = _rows(spark, "q_profile_cardinality")
+    assert row["n_rows"] == len(li)
+    assert row["d_orderkey"] == li.l_orderkey.nunique()
+    assert row["d_partkey"] == li.l_partkey.nunique()
+    assert row["d_suppkey"] == li.l_suppkey.nunique()
+    assert row["d_returnflag"] == li.l_returnflag.nunique()
+    assert row["d_shipdate"] == li.l_shipdate.nunique()
+    assert row["partkey_uniq_ppm"] == 1_000_000 * li.l_partkey.nunique() // len(li)
