@@ -252,3 +252,81 @@ def test_geohash_reference(spark):
     # float ulp of a cell boundary; on this corpus they must agree
     # everywhere
     assert mismatch == 0
+
+
+def test_link_predict_reference(spark, adj_ref, edges_ref):
+    """Common-neighbor link scores by explicit wedge enumeration with
+    the degree-64 center cap; the emitted top-20 non-adjacent pairs
+    must match exactly."""
+    deg = {u: len(ns) for u, ns in adj_ref.items()}
+    common: dict[tuple, int] = {}
+    for center, nbrs in adj_ref.items():
+        if deg[center] > 64:  # _LINK_CENTER_CAP
+            continue
+        ns = sorted(nbrs)
+        for i in range(len(ns)):
+            for j in range(i + 1, len(ns)):
+                common[(ns[i], ns[j])] = common.get((ns[i], ns[j]), 0) + 1
+    cand = [
+        (-c, a, b, deg[a] + deg[b] - c)
+        for (a, b), c in common.items()
+        if (a, b) not in edges_ref
+    ]
+    cand.sort()
+    expect = [(a, b, -negc, u) for negc, a, b, u in cand[:20]]
+    got = [
+        (r["a"], r["b"], r["common"], r["union_size"])
+        for r in _rows(spark, "m_link_predict")
+    ]
+    assert got == expect
+
+
+def test_churn_labels_reference(spark):
+    """Forward-looking churn labels replayed with python sets; the
+    final (unknowable-label) week must be absent — the peek guard."""
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    ev["ts"] = pd.to_datetime(ev["ts"]).astype("datetime64[ns]")
+    wk = (ev["ts"].dt.floor("d").astype("int64") // 10**9 // 604800)
+    active: dict[tuple, int] = {}
+    for uid, w in zip(ev["user_id"], wk):
+        active[(uid, int(w))] = active.get((uid, int(w)), 0) + 1
+    max_wk = max(w for _, w in active)
+    expect = {
+        (u, w): (n, 0 if (u, w + 1) in active else 1)
+        for (u, w), n in active.items()
+        if w < max_wk
+    }
+    got = {
+        (r["user_id"], r["wk"]): (r["n_events"], r["churned_next_week"])
+        for r in _rows(spark, "m_churn_labels")
+    }
+    assert got == expect
+    assert all(w < max_wk for _, w in got)
+
+
+def test_record_linkage_reference(spark):
+    """Numeric-tolerance duplicate-suspect pairs replayed with an
+    explicit per-customer scan."""
+    orders = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")
+    orders["day_num"] = (
+        pd.to_datetime(orders["o_orderdate"]).astype("datetime64[ns]").astype("int64")
+        // 10**9 // 86400
+    )
+    orders["pc"] = (orders["o_totalprice"] * 100).apply(math.floor).astype("int64")
+    expect = {}
+    for _, grp in orders.groupby("o_custkey"):
+        rows = list(grp.itertuples())
+        for i in range(len(rows)):
+            for j in range(len(rows)):
+                a, b = rows[i], rows[j]
+                if b.o_orderkey > a.o_orderkey and abs(b.day_num - a.day_num) <= 1:
+                    expect[(a.o_orderkey, b.o_orderkey)] = (
+                        abs(a.day_num - b.day_num),
+                        abs(a.pc - b.pc),
+                        1 if abs(a.pc - b.pc) <= 2_000_000 else 0,
+                    )
+    got = {
+        (r["id_a"], r["id_b"]): (r["day_gap"], r["price_gap_centi"], r["suspect"])
+        for r in _rows(spark, "m_record_linkage_numeric")
+    }
+    assert got == expect
