@@ -289,3 +289,79 @@ def test_ngram_novelty_reference(spark, docs_pdf):
     }
     assert got == expect
     assert total_novel == len(seen)  # conservation of first-occurrences
+
+
+def test_minmax_scale_reference(spark):
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    ev["ts"] = pd.to_datetime(ev["ts"]).astype("datetime64[ns]")
+    ev["day"] = ev["ts"].dt.floor("d").astype("int64") // 10**9
+    ev["vc"] = (ev["value"] * 100).apply(math.floor).astype("int64")
+    got = {r["event_id"]: r for r in _rows(spark, "m_minmax_scale")}
+    for day, grp in ev.groupby("day"):
+        lo, hi = int(grp["vc"].min()), int(grp["vc"].max())
+        for r in grp.itertuples():
+            g = got[r.event_id]
+            assert g["day_start"] == day
+            want = 500 if hi == lo else (int(r.vc) - lo) * 1000 // (hi - lo)
+            assert g["scaled_permille"] == want
+            assert 0 <= g["scaled_permille"] <= 1000
+
+
+def test_quantile_bins_reference(spark, docs_pdf):
+    got = {r["doc_id"]: (r["lang"], r["length_bucket"]) for r in _rows(spark, "m_quantile_bins")}
+    for lang, grp in docs_pdf.groupby("lang"):
+        order = sorted(grp.itertuples(), key=lambda r: (r.n_chars, r.doc_id))
+        n = len(order)
+        from collections import Counter as _C
+
+        sizes = _C()
+        for rk, r in enumerate(order, start=1):
+            bucket = 4 * (rk - 1) // n
+            assert got[r.doc_id] == (lang, bucket)
+            sizes[bucket] += 1
+        # equal-frequency property: quartile sizes differ by at most 1
+        assert max(sizes.values()) - min(sizes.values()) <= 1
+
+
+def test_shard_balance_reference(spark, docs_pdf):
+    per = docs_pdf.groupby(docs_pdf.doc_id % 64).agg(
+        docs=("doc_id", "size"), chars=("n_chars", "sum")
+    )
+    total = int(per["chars"].sum())
+    got = {r["shard"]: r for r in _rows(spark, "m_shard_balance")}
+    assert set(got) == set(per.index)
+    for shard, row in per.iterrows():
+        g = got[shard]
+        assert g["docs"] == row["docs"] and g["chars"] == row["chars"]
+        assert g["load_vs_even_permille"] == int(row["chars"]) * len(per) * 1000 // total
+
+
+def test_temperature_mix_reference(spark, docs_pdf):
+    from decimal import ROUND_HALF_UP, Decimal
+
+    counts = Counter(docs_pdf.source)
+    w = {
+        s: int(
+            math.floor(
+                float(Decimal(repr(n ** 0.7)).quantize(Decimal("1e-6"), ROUND_HALF_UP))
+                * 1_000_000
+                + 0.5
+            )
+        )
+        for s, n in counts.items()
+    }
+    total = sum(w.values())
+    got = {r["source"]: r for r in _rows(spark, "m_temperature_mix")}
+    assert set(got) == set(counts)
+    for s, n in counts.items():
+        g = got[s]
+        assert g["n_docs"] == n and g["w_micro"] == w[s]
+        assert g["share_ppm"] == w[s] * 1_000_000 // total
+    # temperature < 1 compresses shares: smallest source gets MORE than
+    # its raw share, largest gets less (the operator's reason to exist)
+    smallest = min(counts, key=lambda s: (counts[s], s))
+    largest = max(counts, key=lambda s: (counts[s], s))
+    n_tot = sum(counts.values())
+    if counts[smallest] != counts[largest]:
+        assert got[smallest]["share_ppm"] > 1_000_000 * counts[smallest] // n_tot
+        assert got[largest]["share_ppm"] < 1_000_000 * counts[largest] // n_tot
