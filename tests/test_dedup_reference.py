@@ -365,3 +365,72 @@ def test_temperature_mix_reference(spark, docs_pdf):
     if counts[smallest] != counts[largest]:
         assert got[smallest]["share_ppm"] > 1_000_000 * counts[smallest] // n_tot
         assert got[largest]["share_ppm"] < 1_000_000 * counts[largest] // n_tot
+
+
+def test_source_mixture_reference(spark, docs_pdf):
+    a, m = 2654435761, 1_000_003
+    agg: dict[tuple, list] = defaultdict(lambda: [0, 0])
+    for r in docs_pdf.itertuples():
+        keep_pct = (int(r.source[3:]) % 4 + 1) * 20
+        key = (r.source, keep_pct)
+        agg[key][0] += 1
+        if (int(r.doc_id) * a % m) % 100 < keep_pct:
+            agg[key][1] += 1
+    got = {
+        (r["source"], r["keep_pct"]): (r["n_docs"], r["n_kept"])
+        for r in _rows(spark, "m_source_mixture")
+    }
+    assert got == {k: tuple(v) for k, v in agg.items()}
+    # observed keep rates track the configured rates (binomial-ish)
+    for (src, pct), (n, k) in got.items():
+        assert abs(k / n - pct / 100) < 0.25
+
+
+def test_quality_sample_reference(spark, docs_pdf):
+    a, m = 2654435761, 1_000_003
+    stopset = {"spark", "join", "filter", "window"}
+    agg: dict[str, list] = defaultdict(lambda: [0, 0, 0])
+    for r in docs_pdf.itertuples():
+        toks = r.text.split(" ")
+        n, s = len(toks), sum(1 for t in toks if t in stopset)
+        q = int(math.floor((0.5 * min(n, 50) / 50.0 + 0.5 * s / n) * 1_000_000))
+        h = (int(r.doc_id) * a % m) % 1_000_000
+        agg[r.lang][0] += 1
+        if h < q:
+            agg[r.lang][1] += 1
+            agg[r.lang][2] += q
+    got = {
+        r["lang"]: (r["n_docs"], r["n_kept"], r["kept_quality_mass"])
+        for r in _rows(spark, "m_quality_sample")
+    }
+    assert got == {k: tuple(v) for k, v in agg.items()}
+
+
+def test_budget_select_reference(spark, docs_pdf):
+    """The greedy token-budget knapsack replayed with an explicit sort;
+    the kept prefix must respect both the budget and the ranking, and
+    adding the next-ranked doc must exceed the budget (maximality)."""
+    stopset = {"spark", "join", "filter", "window"}
+    scored = []
+    for r in docs_pdf.itertuples():
+        toks = r.text.split(" ")
+        n, s = len(toks), sum(1 for t in toks if t in stopset)
+        q = 500 * min(n, 50) // 50 + 500 * s // n
+        scored.append((-q, r.doc_id, n))
+    scored.sort()
+    budget = sum(n for _, _, n in scored) // 4
+    cum = 0
+    expect = {}
+    cut_next = None
+    for rnk, (negq, d, n) in enumerate(scored, start=1):
+        cum += n
+        if cum <= budget:
+            expect[d] = (rnk, -negq, n, cum)
+        elif cut_next is None:
+            cut_next = cum
+    got = {
+        r["doc_id"]: (r["rnk"], r["quality_milli"], r["n_tokens"], r["cum_tokens"])
+        for r in _rows(spark, "m_budget_select")
+    }
+    assert got == expect
+    assert cut_next is not None and cut_next > budget  # maximal prefix
