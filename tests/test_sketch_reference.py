@@ -108,3 +108,71 @@ def test_freq_drift_reference(spark):
         for r in _rows(spark, "m_freq_drift")
     ]
     assert got == expect
+
+
+def test_hll_merge_equals_direct(spark):
+    """The segment-merged register bank must equal the directly-built
+    one from m_hll_registers (merge associativity on real data)."""
+    direct = {
+        r["bucket"]: r["register"] for r in _rows(spark, "m_hll_registers")
+    }
+    merged_rows = _rows(spark, "m_hll_merge")
+    cols = merged_rows[0].asDict().keys()
+    bcol = "bucket"
+    rcol = [c for c in cols if "reg" in c][0]
+    merged = {r[bcol]: r[rcol] for r in merged_rows}
+    assert merged == direct
+
+
+def test_embed_centroid_reference(spark):
+    """Per-label centroid norms recomputed with python Decimal sums on
+    the 6-dp grid and integer division."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    emb = pd.read_parquet(f"{SF_SMOKE}/embeddings.parquet")
+    per: dict[int, list] = {}
+    for r in emb.itertuples():
+        per.setdefault(r.label, []).append(r.embedding)
+    got = {r["label"]: r for r in _rows(spark, "m_embed_centroid")}
+    assert set(got) == set(per)
+    for lbl, vecs in per.items():
+        n = len(vecs)
+        micro = []
+        for d in range(len(vecs[0])):
+            # engine: round(v, 6) on the double (HALF_UP shortest-
+            # decimal), then CAST to DECIMAL(28,10) — replicate both
+            s = sum(
+                Decimal(
+                    repr(
+                        float(
+                            Decimal(repr(float(v[d]))).quantize(
+                                Decimal("1e-6"), ROUND_HALF_UP
+                            )
+                        )
+                    )
+                ).quantize(Decimal("1e-10"), ROUND_HALF_UP)
+                for v in vecs
+            )
+            scaled = int(s * 1_000_000)  # exact: decimal lattice
+            # BIGINT div truncates toward zero in Spark for the
+            # (possibly negative) sum — replicate sign-aware
+            q = abs(scaled) // n
+            micro.append(q if scaled >= 0 else -q)
+        g = got[lbl]
+        assert g["n_vectors"] == n
+        assert g["l1_micro"] == sum(abs(x) for x in micro)
+        assert g["linf_micro"] == max(abs(x) for x in micro)
+
+
+def test_token_count_reference(spark):
+    import re
+
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    pat = re.compile(r"[a-z]+|[0-9]+|[^a-z0-9 ]")
+    got = {r["doc_id"]: r for r in _rows(spark, "m_token_count")}
+    for r in docs.itertuples():
+        ws = len(r.text.split(" "))
+        bpe = len(pat.findall(r.text))
+        g = got[r.doc_id]
+        assert g["ws_tokens"] == ws and g["bpe_ish_tokens"] == bpe
+        assert g["fertility"] == bpe / ws
