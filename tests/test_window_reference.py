@@ -455,3 +455,97 @@ def test_profile_cardinality_reference(spark):
     assert row["d_returnflag"] == li.l_returnflag.nunique()
     assert row["d_shipdate"] == li.l_shipdate.nunique()
     assert row["partkey_uniq_ppm"] == 1_000_000 * li.l_partkey.nunique() // len(li)
+
+
+def test_ohlc_reference(spark, ev):
+    got = {r["hour_start"]: r for r in _rows(spark, "q_ohlc")}
+    hours = {}
+    for r in ev.itertuples():  # ev is event_id-sorted
+        h = int(r.ts.floor("h").timestamp())
+        hours.setdefault(h, []).append(r.value)
+    assert set(got) == set(hours)
+    for h, vals in hours.items():
+        g = got[h]
+        assert g["n"] == len(vals)
+        assert g["open"] == vals[0] and g["close"] == vals[-1]
+        assert g["high"] == max(vals) and g["low"] == min(vals)
+        assert g["low"] <= g["open"] <= g["high"]
+        assert g["low"] <= g["close"] <= g["high"]
+
+
+def test_skyline_reference(spark):
+    """Pareto frontier recomputed by the O(n^2) dominance definition —
+    the formulation the running-max plan replaces."""
+    parts = pd.read_parquet(f"{SF_SMOKE}/part.parquet")
+    pts: dict[tuple, int] = {}
+    for r in parts.itertuples():
+        key = (int(np.floor(r.p_retailprice * 100 + 0.5)), r.p_size)
+        pts[key] = pts.get(key, 0) + 1
+    keys = list(pts)
+    sky = set()
+    for p, s in keys:
+        dominated = any(
+            (p2 <= p and s2 >= s and (p2 < p or s2 > s)) for p2, s2 in keys
+        )
+        if not dominated:
+            sky.add((p, s))
+    got = {
+        (r["price_cents"], r["skyline_size"]): r["n_parts"]
+        for r in _rows(spark, "q_skyline")
+    }
+    assert set(got) == sky
+    for k, n in got.items():
+        assert n == pts[k]
+
+
+def test_peak_detect_reference(spark, ev):
+    got = {r["user_id"]: r for r in _rows(spark, "q_peak_detect")}
+    for uid, grp in ev.groupby("user_id"):
+        vals = grp["value"].to_list()
+        ids = grp["event_id"].to_list()
+        peaks = [
+            (ids[i], vals[i])
+            for i in range(1, len(vals) - 1)
+            if vals[i] > vals[i - 1] and vals[i] > vals[i + 1]
+        ]
+        g = got[uid]
+        assert g["n_peaks"] == len(peaks)
+        assert g["first_peak_id"] == (peaks[0][0] if peaks else -1)
+        want_max = max((int(np.floor(v * 1e6 + 0.5)) for _, v in peaks), default=0)
+        assert g["max_peak_micro"] == want_max
+
+
+def test_top_movers_reference(spark):
+    """Half-period revenue ranks replayed with explicit sorts; the
+    emitted 20 biggest gains must match, and every gain is consistent
+    with its two ranks."""
+    orders = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")
+    ep = (
+        pd.to_datetime(orders["o_orderdate"]).astype("datetime64[ns]").astype("int64")
+        // 10**9
+    )
+    lo, hi = int(ep.min()), int(ep.max())
+    half = np.where(2 * ep < lo + hi, 1, 2)
+    cents = (orders["o_totalprice"] * 100).apply(round).astype("int64")
+    rev: dict[tuple, int] = {}
+    for h, ck, c in zip(half, orders["o_custkey"], cents):
+        rev[(int(h), int(ck))] = rev.get((int(h), int(ck)), 0) + int(c) * 10000
+    ranks: dict[int, dict[int, int]] = {}
+    for h in (1, 2):
+        custs = sorted(
+            (ck for hh, ck in rev if hh == h),
+            key=lambda ck: (-rev[(h, ck)], ck),
+        )
+        ranks[h] = {ck: i + 1 for i, ck in enumerate(custs)}
+    both = set(ranks[1]) & set(ranks[2])
+    gains = sorted(
+        ((ranks[1][ck] - ranks[2][ck], ck) for ck in both),
+        key=lambda t: (-t[0], t[1]),
+    )[:20]
+    rows = _rows(spark, "q_top_movers")
+    cols = rows[0].asDict()
+    gain_col = [c for c in cols if "gain" in c][0]
+    got = sorted(
+        ((r[gain_col], r["custkey"]) for r in rows), key=lambda t: (-t[0], t[1])
+    )
+    assert got == gains
