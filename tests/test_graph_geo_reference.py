@@ -330,3 +330,54 @@ def test_record_linkage_reference(spark):
         for r in _rows(spark, "m_record_linkage_numeric")
     }
     assert got == expect
+
+
+def test_grid_agg_reference(spark):
+    """5-degree cell binning replayed with python floor arithmetic."""
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    agg: dict[tuple, list] = {}
+    for r in ev.itertuples():
+        cx = int(math.floor((r.value * 3.6 - 180 + 180) / 5))
+        cy = int((r.user_id * 7 % 180 - 90 + 90) // 5)
+        agg.setdefault((cx, cy), [0, 0.0])[0] += 1
+        agg[(cx, cy)][1] += r.value
+    got = {
+        (r["cell_x"], r["cell_y"]): (r["n_points"], r["sum_value"])
+        for r in _rows(spark, "g_grid_agg")
+    }
+    assert set(got) == set(agg)
+    for k, (n, s) in agg.items():
+        assert got[k][0] == n
+        assert abs(got[k][1] - s) < 1e-6
+    # latitude derives from user_id mod 180, so cell_y is bounded by
+    # the 36-cell grid; longitude is value-driven and unbounded above
+    assert all(0 <= y < 36 for _, y in got)
+
+
+def test_bearing_and_rose_reference(spark):
+    """Initial bearings via python math.atan2 (half-grid agreement)
+    and the 8-sector rose recomputed from those bearings — the rose
+    totals must also partition the purchase count."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    p = ev[ev.event_type == "purchase"]
+    got_b = {r["event_id"]: r["bearing_deg"] for r in _rows(spark, "g_bearing")}
+    sectors: dict[int, list] = {}
+    for r in p.itertuples():
+        lon = r.value * 3.6 - 180
+        lat = (r.user_id * 7 % 180) - 90
+        dlon = math.radians(13.405 - lon)
+        la1, la2 = math.radians(lat), math.radians(52.52)
+        y = math.sin(dlon) * math.cos(la2)
+        x = math.cos(la1) * math.sin(la2) - math.sin(la1) * math.cos(la2) * math.cos(dlon)
+        b = math.degrees(math.atan2(y, x))
+        assert abs(got_b[r.event_id] - b) <= 5.1e-5
+        grid_b = float(Decimal(repr(b)).quantize(Decimal("1e-4"), ROUND_HALF_UP)) + 0.0
+        sec = int(math.floor(((grid_b + 360.0) % 360.0) / 45.0))
+        sectors.setdefault(sec, [0, set()])[0] += 1
+        sectors[sec][1].add(r.user_id)
+    got_r = {r["sector"]: (r["n"], r["n_users"]) for r in _rows(spark, "g_rose_histogram")}
+    assert got_r == {s: (n, len(us)) for s, (n, us) in sectors.items()}
+    assert sum(n for n, _ in got_r.values()) == len(p)
+    assert set(got_r) <= set(range(8))
