@@ -549,3 +549,53 @@ def test_top_movers_reference(spark):
         ((r[gain_col], r["custkey"]) for r in rows), key=lambda t: (-t[0], t[1])
     )
     assert got == gains
+
+
+def test_snapshot_diff_reference(spark):
+    """The v1/v2 diff classes replayed with python dicts; class counts
+    must also satisfy the conservation identity
+    removed + modified + unchanged = |v1 ∩ key-space|."""
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    ids = set(int(d) for d in docs.doc_id)
+    removed = {d for d in ids if d % 17 == 0}
+    modified = {d for d in ids if d % 17 != 0 and d % 13 == 0}
+    added = {d + 1_000_000 for d in ids if d % 29 == 0}
+    unchanged = ids - removed - modified
+    rows = {r["change_type"]: r["n"] for r in _rows(spark, "q_snapshot_diff")}
+    assert rows["added"] == len(added)
+    assert rows["removed"] == len(removed)
+    assert rows["modified"] == len(modified)
+    assert rows["unchanged"] == len(unchanged)
+    assert rows["removed"] + rows["modified"] + rows["unchanged"] == len(ids)
+
+
+def test_key_skew_audit_reference(spark):
+    orders = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")
+    counts = orders.groupby("o_custkey").size()
+    per = sorted(
+        ((int(c), int(k)) for k, c in counts.items()), key=lambda t: (-t[0], t[1])
+    )
+    n_keys, total = len(per), int(counts.sum())
+    top = (n_keys + 99) // 100
+    (row,) = _rows(spark, "q_key_skew_audit")
+    assert row["n_keys"] == n_keys and row["total_rows"] == total
+    assert row["max_key_rows"] == per[0][0]
+    assert row["p99_key_rows"] == per[top - 1][0]
+    assert row["top1pct_share_permille"] == sum(c for c, _ in per[:top]) * 1000 // total
+
+
+def test_dq_checks_reference(spark):
+    """Every audit row replayed with pandas joins; a healthy synthetic
+    corpus must pass the referential checks (0 bad rows) while the
+    row counts stay exact."""
+    orders = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")
+    cust = pd.read_parquet(f"{SF_SMOKE}/customer.parquet")
+    li = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")
+    rows = {r["check_name"]: (r["n_rows"], r["n_bad"]) for r in _rows(spark, "q_dq_checks")}
+    assert rows["orders_null_custkey"] == (len(orders), int(orders.o_custkey.isna().sum()))
+    orphans_o = (~orders.o_custkey.isin(set(cust.c_custkey))).sum()
+    assert rows["orders_orphan_custkey"] == (len(orders), int(orphans_o))
+    orphans_l = (~li.l_orderkey.isin(set(orders.o_orderkey))).sum()
+    assert rows["lineitem_orphan_orderkey"] == (len(li), int(orphans_l))
+    # the generated corpus satisfies referential integrity
+    assert int(orphans_o) == 0 and int(orphans_l) == 0
