@@ -330,3 +330,48 @@ def test_collocations_reference(spark, doc_tokens):
         for r in _rows(spark, "m_collocations")
     ]
     assert got == expect
+
+
+def test_text_stats_reference(spark, docs_pdf, doc_tokens):
+    got = {r["doc_id"]: r for r in _rows(spark, "m_text_stats")}
+    for r in docs_pdf.itertuples():
+        n = len(doc_tokens[r.doc_id])
+        g = got[r.doc_id]
+        assert g["n_tokens"] == n and g["lang"] == r.lang
+        # single-space-joined: sum(token lens) = n_chars - (n-1)
+        assert g["avg_tok_len"] == (r.n_chars - (n - 1)) / n
+        assert g["avg_tok_len"] == sum(len(t) for t in doc_tokens[r.doc_id]) / n
+
+
+def test_term_freq_reference(spark, doc_tokens, docs_pdf):
+    per_source: dict[str, Counter] = {}
+    for r in docs_pdf.itertuples():
+        per_source.setdefault(r.source, Counter()).update(doc_tokens[r.doc_id])
+    expect = set()
+    for src, c in per_source.items():
+        top = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+        expect |= {(src, t, n) for t, n in top}
+    got = {(r["source"], r["tok"], r["n"]) for r in _rows(spark, "m_term_freq")}
+    assert got == expect
+
+
+def test_doc_len_hist_reference(spark, docs_pdf):
+    got = {r["bucket_lo"]: r for r in _rows(spark, "m_doc_len_hist")}
+    buckets = Counter((int(c) // 100) * 100 for c in docs_pdf.n_chars)
+    assert {b: (r["n"], r["frac"]) for b, r in got.items()} == {
+        b: (n, n / len(docs_pdf)) for b, n in buckets.items()
+    }
+    assert abs(sum(r["frac"] for r in got.values()) - 1.0) < 1e-12
+
+
+def test_corpus_stats_reference(spark, docs_pdf, doc_tokens):
+    (row,) = _rows(spark, "m_corpus_stats")
+    n = len(docs_pdf)
+    total_tokens = sum(len(t) for t in doc_tokens.values())
+    assert row["n_docs"] == n
+    assert row["n_exact_dups"] == n - docs_pdf.text.nunique()
+    assert row["n_langs"] == docs_pdf.lang.nunique()
+    assert row["n_sources"] == docs_pdf.source.nunique()
+    assert row["total_tokens"] == total_tokens
+    assert row["mean_chars_micro"] == 1_000_000 * int(docs_pdf.n_chars.sum()) // n
+    assert row["mean_tokens_micro"] == 1_000_000 * total_tokens // n
