@@ -107,6 +107,29 @@ def main() -> int:
     if missing_oracle:
         print(f"note: rows-only (no oracle): {missing_oracle}")
     print(f"\n{len(names) - n_fail}/{len(names)} passed")
+
+    # FULL-registry sweeps leave a committed, timestamp-free artifact
+    # (CHECKS.json) so "the whole registry is green at this scale" is
+    # verifiable evidence, not a log claim. Subset runs don't touch it.
+    if len(names) == len(qs):
+        import json
+
+        sf_tag = os.path.basename(SF_DIR.rstrip("/"))
+        art_path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "CHECKS.json")
+        try:
+            with open(art_path) as fh:
+                art = json.load(fh)
+        except (OSError, ValueError):
+            art = {}
+        art[sf_tag] = {
+            "n_queries": len(names),
+            "n_pass": len(names) - n_fail,
+            "n_fail": n_fail,
+            "rows_only": sorted(missing_oracle),
+        }
+        with open(art_path, "w") as fh:
+            json.dump(art, fh, indent=1, sort_keys=True)
+        print(f"wrote CHECKS.json[{sf_tag}]")
     return 1 if n_fail else 0
 
 
