@@ -434,3 +434,58 @@ def test_budget_select_reference(spark, docs_pdf):
     }
     assert got == expect
     assert cut_next is not None and cut_next > budget  # maximal prefix
+
+
+def test_capped_running_sum_reference(spark):
+    """The two-window closed form must equal the DIRECT sequential
+    recurrence b_i = max(0, b_{i-1} + x_i) — the identity the operator
+    rests on, replayed per user."""
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet").sort_values("event_id")
+    got = {r["event_id"]: r["balance_centi"] for r in _rows(spark, "q_capped_running_sum")}
+    for _, grp in ev.groupby("user_id"):
+        bal = 0
+        for r in grp.itertuples():
+            x = int(math.floor(r.value * 100)) - 5000
+            bal = max(0, bal + x)
+            assert got[r.event_id] == bal
+            assert bal >= 0
+
+
+def test_stratified_split_reference(spark, docs_pdf):
+    agg: dict[tuple, list] = defaultdict(lambda: [0, 0])
+    for r in docs_pdf.itertuples():
+        bucket = ((int(r.doc_id) % 1000003) * 2654435761 % 2147483647) % 1000
+        split = "train" if bucket < 800 else ("val" if bucket < 900 else "test")
+        agg[(split, r.lang)][0] += 1
+        agg[(split, r.lang)][1] += int(r.n_chars)
+    got = {
+        (r["split"], r["lang"]): (r["n_docs"], r["total_chars"])
+        for r in _rows(spark, "m_stratified_split")
+    }
+    assert got == {k: tuple(v) for k, v in agg.items()}
+    # the hash split lands near 80/10/10 overall
+    tot = Counter()
+    for (split, _), (n, _) in got.items():
+        tot[split] += n
+    n_all = sum(tot.values())
+    assert abs(tot["train"] / n_all - 0.8) < 0.05
+    assert abs(tot["val"] / n_all - 0.1) < 0.04
+    assert abs(tot["test"] / n_all - 0.1) < 0.04
+
+
+def test_filter_venn_reference(spark, docs_pdf):
+    agg: dict[tuple, list] = defaultdict(lambda: [0, 0])
+    for r in docs_pdf.itertuples():
+        cell = (
+            1 if r.n_chars >= 200 else 0,
+            1 if len(r.text.split(" ")) >= 30 else 0,
+            1 if ("spark" in r.text or "filter" in r.text) else 0,
+        )
+        agg[cell][0] += 1
+        agg[cell][1] += int(r.n_chars)
+    got = {
+        (r["pass_len"], r["pass_tok"], r["pass_kw"]): (r["n"], r["chars"])
+        for r in _rows(spark, "m_filter_venn")
+    }
+    assert got == {k: tuple(v) for k, v in agg.items()}
+    assert sum(n for n, _ in got.values()) == len(docs_pdf)  # cells partition
