@@ -379,3 +379,33 @@ def test_pagerank_strategies_agree(spark):
         for r in _pagerank_jvm(spark, spark.read.parquet(path), small=True).limit(10**9).collect()
     }
     assert k == j and len(k) == 50  # both paths emit the same top-50
+
+
+def test_bfs_strategies_agree(spark):
+    """m_graph_bfs size-selects between the broadcast-CSR kernel and
+    the salted JVM join loop; the full (node, dist) maps must match."""
+    from ukis_kafka_spark.ml.graph import _bfs_jvm, _bfs_kernel, coorder_edges
+
+    k = {(r["node"], r["dist"]) for r in _bfs_kernel(spark, SF_SMOKE).collect()}
+    j = {
+        (r["node"], r["dist"])
+        for r in _bfs_jvm(spark, SF_SMOKE, coorder_edges(spark, SF_SMOKE), small=True).collect()
+    }
+    assert k == j and len(k) > 0
+
+
+def test_kcore_strategies_agree(spark):
+    """m_graph_kcore's numpy peel must emit the identical 3 audit rows
+    as the broadcast-semi-join JVM dataflow."""
+    from ukis_kafka_spark.ml.graph import (
+        _kcore_jvm,
+        _kcore_kernel,
+        coorder_edges,
+        coorder_edges_path,
+    )
+
+    k = sorted(
+        map(tuple, _kcore_kernel(spark, coorder_edges_path(spark, SF_SMOKE)).collect())
+    )
+    j = sorted(map(tuple, _kcore_jvm(spark, coorder_edges(spark, SF_SMOKE)).collect()))
+    assert k == j and len(k) == 3

@@ -650,9 +650,22 @@ def m_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     is replicated across salts and broadcast-hinted when the graph fits
     the kernel budget. Levels are unioned and min-reduced in ONE final
     aggregate, so the whole query is ≤3 joins + 1 shuffle-agg over an
-    edge list materialized once at ingest."""
+    edge list materialized once at ingest.
+
+    Size-selected like pagerank/triangles: under the broadcast budget
+    the whole 3-hop expansion runs in a broadcast-CSR numpy kernel
+    (one shuffle-free stage; tests pin kernel == JVM); above it the
+    salted JVM dataflow below runs."""
     edges = coorder_edges(spark, sf_dir)
-    small = edges.count() <= _KERNEL_EDGE_BUDGET  # parquet metadata count
+    n_edges = edges.count()  # parquet metadata count
+    if n_edges <= _KERNEL_EDGE_BUDGET:
+        return _bfs_kernel(spark, sf_dir)
+    return _bfs_jvm(spark, sf_dir, edges, small=False)
+
+
+def _bfs_jvm(
+    spark: SparkSession, sf_dir: str, edges: DataFrame, small: bool
+) -> DataFrame:
     sym_raw = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
@@ -681,6 +694,67 @@ def m_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     for lv in levels[1:]:
         allv = allv.unionByName(lv)
     return allv.groupBy("node").agg(F.min("dist").alias("dist"))
+
+
+def _bfs_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-CSR multi-source BFS: every task holds the symmetric
+    edge arrays (shared broadcast with the pagerank kernel) plus the
+    seed set and runs the 3-hop expansion locally with numpy boolean
+    masks, emitting only its node-range slice of the (node, dist) map
+    — the same redundant-compute/zero-shuffle trade as
+    _pagerank_kernel, exact by construction (set expansion + min-hop
+    is deterministic integer logic)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    edges_path = coorder_edges_path(spark, sf_dir)
+    cache_key = (id(spark.sparkContext), edges_path)
+    if cache_key not in _PR_CSR_CACHE:
+        tbl = pq.read_table(edges_path, columns=["src", "dst"])
+        src = tbl.column("src").to_numpy()
+        dst = tbl.column("dst").to_numpy()
+        s = np.concatenate([src, dst])
+        t = np.concatenate([dst, src])
+        max_id = int(s.max()) if len(s) else 0
+        d = np.bincount(s, minlength=max_id + 1).astype(np.int64)
+        _PR_CSR_CACHE[cache_key] = (max_id, spark.sparkContext.broadcast((s, t, d)))
+    max_id, bc = _PR_CSR_CACHE[cache_key]
+    seeds = np.array(
+        [
+            r["p_partkey"]
+            for r in load_table(spark, sf_dir, "part")
+            .where(F.col("p_size") == 1)
+            .select("p_partkey")
+            .collect()  # bounded by spec: the flagged-seed set
+        ],
+        dtype=np.int64,
+    )
+    size = max(max_id + 1, (int(seeds.max()) + 1) if len(seeds) else 1)
+    bc_seeds = spark.sparkContext.broadcast(seeds)
+
+    def kernel(batches):
+        s, t, _d = bc.value
+        sd = bc_seeds.value
+        dist = np.full(size, -1, dtype=np.int64)
+        dist[sd] = 0
+        frontier = np.zeros(size, dtype=bool)
+        frontier[sd] = True
+        for k in range(1, _BFS_HOPS + 1):
+            hit = t[frontier[s]]
+            nxt = np.zeros(size, dtype=bool)
+            nxt[hit] = True
+            newly = nxt & (dist < 0)
+            dist[newly] = k
+            frontier = nxt  # full re-expansion, matching the JVM plan
+        for b in batches:
+            ids = b.id.to_numpy()
+            live = ids[dist[ids] >= 0]
+            yield pd.DataFrame({"node": live, "dist": dist[live]})
+
+    return spark.range(0, size, numPartitions=16).mapInPandas(
+        kernel, "node long, dist int"
+    )
 
 
 # Wedge centers above this degree are excluded from link prediction:
@@ -827,8 +901,58 @@ def m_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     round-4 trap). The carried edge list is checkpoint_df()ed per
     round to keep lineage flat (O(rounds), not O(rounds^2)) —
     localCheckpoint by default, reliable checkpoint when
-    UKIS_CHECKPOINT_DIR / spark.ukis.checkpointDir is set."""
-    edges = coorder_edges(spark, sf_dir)
+    UKIS_CHECKPOINT_DIR / spark.ukis.checkpointDir is set.
+
+    Size-selected like pagerank/triangles/BFS: under the broadcast
+    budget the peel runs in numpy over the cached edge arrays and the
+    3-row result is emitted as a literal VALUES plan (tests pin
+    kernel == JVM); above it the broadcast-semi-join dataflow below
+    runs."""
+    path = coorder_edges_path(spark, sf_dir)
+    edges = spark.read.parquet(path)
+    if edges.count() <= _KERNEL_EDGE_BUDGET:
+        return _kcore_kernel(spark, path)
+    return _kcore_jvm(spark, edges)
+
+
+def _kcore_kernel(spark: SparkSession, edges_path: str) -> DataFrame:
+    """The 3-round peel as numpy bincount/boolean-mask iterations over
+    the (shared-broadcast-cache) symmetric edge arrays; output is 3
+    rows of exact integers, emitted through a literal VALUES plan (a
+    pickled createDataFrame would cost a Python worker round —
+    CLAUDE.md tiny-dim rule)."""
+    import numpy as np
+
+    cache_key = (id(spark.sparkContext), edges_path)
+    if cache_key not in _PR_CSR_CACHE:
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(edges_path, columns=["src", "dst"])
+        src = tbl.column("src").to_numpy()
+        dst = tbl.column("dst").to_numpy()
+        s = np.concatenate([src, dst])
+        t = np.concatenate([dst, src])
+        max_id = int(s.max()) if len(s) else 0
+        d = np.bincount(s, minlength=max_id + 1).astype(np.int64)
+        _PR_CSR_CACHE[cache_key] = (max_id, spark.sparkContext.broadcast((s, t, d)))
+    max_id, bc = _PR_CSR_CACHE[cache_key]
+    s, t, _d = bc.value
+    rows = []
+    for r in range(1, _KCORE_ROUNDS + 1):
+        deg = np.bincount(s, minlength=max_id + 1)
+        alive = deg >= _KCORE_K
+        keep = alive[s] & alive[t]
+        s, t = s[keep], t[keep]
+        rows.append((r, int(alive.sum()), len(s) // 2))
+    values = ", ".join(
+        f"({r}, CAST({a} AS BIGINT), CAST({e} AS BIGINT))" for r, a, e in rows
+    )
+    return spark.sql(
+        f"SELECT * FROM VALUES {values} AS t(round, n_alive, n_edges)"
+    )
+
+
+def _kcore_jvm(spark: SparkSession, edges: DataFrame) -> DataFrame:
     sym = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
