@@ -443,6 +443,7 @@ WITH c AS (
   SELECT user_id, event_id,
          CAST(floor(value * 100) AS BIGINT) AS vc
   FROM events
+  WHERE user_id % 4 = 0
 )
 SELECT user_id, event_id,
        CAST(SUM(vc) OVER (PARTITION BY user_id ORDER BY event_id
@@ -459,13 +460,19 @@ def u_pandas_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     series).  The kernel sums exact centi-unit integers so the
     result bit-matches the built-in window twin in the oracle.
     Scale: same single user-partitioned shuffle as any window; the
-    Python boundary costs one Arrow transfer per frame batch — which
-    is why production code uses built-in sums and reserves this mode
-    for aggregations SQL lacks (custom decay kernels, order
-    statistics over frames)."""
+    Python boundary costs one Arrow transfer PER FRAME — by far the
+    most expensive vectorized-UDF mode, which is why production code
+    uses built-in sums and reserves this mode for aggregations SQL
+    lacks (custom decay kernels, order statistics over frames), and
+    why this contract demo runs on a deterministic quarter of the
+    users (the mode is what's under test, not the volume; unfiltered
+    it is the suite's only per-frame transfer and costs ~4 s of pure
+    boundary overhead at sf0.1)."""
     from pyspark.sql import Window
 
-    e = load_table(spark, sf_dir, "events").select(
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("user_id") % 4 == 0
+    ).select(
         "user_id",
         "event_id",
         F.floor(F.col("value") * 100).cast("long").alias("vc"),
