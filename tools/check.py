@@ -29,7 +29,9 @@ from ukis_kafka_spark import api  # noqa: E402
 from ukis_kafka_spark.plans import get_spark  # noqa: E402
 from ukis_kafka_spark.sources import TABLES  # noqa: E402
 
-SF_DIR = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
+SF_DIR = os.environ.get(
+    "SPARK_GRAFT_SF_DIR", os.environ.get("SF_DIR", "/root/testdata/sf0.01")
+)
 
 
 def _diff_sample(a_rows, b_rows, n=4):

@@ -3342,3 +3342,187 @@ def m_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rev_centi",
         F.expr("CAST(c div (total div 100) AS BIGINT)").alias("boundary_idx"),
     )
+
+
+@query(
+    "m_gopher_rules",
+    oracle="""
+SELECT lang, source,
+       COUNT(*) AS n_docs,
+       COUNT(CASE WHEN NOT ok_wc THEN 1 END) AS fail_wordcount,
+       COUNT(CASE WHEN NOT ok_mwl THEN 1 END) AS fail_meanwordlen,
+       COUNT(CASE WHEN NOT ok_stop THEN 1 END) AS fail_stopwords,
+       COUNT(CASE WHEN NOT ok_ttr THEN 1 END) AS fail_ttr,
+       COUNT(CASE WHEN ok_wc AND ok_mwl AND ok_stop AND ok_ttr THEN 1 END)
+         AS pass_all
+FROM (
+  SELECT lang, source,
+         n BETWEEN 20 AND 90 AS ok_wc,
+         CAST(n_chars - (n - 1) AS DOUBLE) / n BETWEEN 4.2 AND 4.8 AS ok_mwl,
+         stop >= 2 AS ok_stop,
+         CAST(nd AS DOUBLE) / n >= 0.32 AS ok_ttr
+  FROM (
+    SELECT lang, source, n_chars,
+           len(string_split(text, ' ')) AS n,
+           len(list_distinct(string_split(text, ' '))) AS nd,
+           len(list_filter(string_split(text, ' '),
+               w -> w IN ('the', 'a', 'value', 'table'))) AS stop
+    FROM documents)
+) GROUP BY lang, source
+""",
+)
+def m_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document quality gate report (Rae et al. 2021,
+    "Scaling Language Models: ... Gopher", Appendix A — the public
+    rule set most large-corpus curation pipelines start from): per
+    (lang, source) stratum, how many docs fail each heuristic and how
+    many clear all four.  Rules, with thresholds re-tuned to the
+    measured synthetic-corpus distribution so every rule actually
+    bites (~10-20% fail each at sf0.01 AND sf0.1 — a 0-fail rule is
+    vacuous evidence, see the round-4 thresholding note):
+
+    - word count in [20, 90]        (Gopher: [50, 100k])
+    - mean word length in [4.2, 4.8] (Gopher: [3, 10])
+    - >= 2 stop-word hits            (Gopher: >= 2 of 8 English stops)
+    - type-token ratio >= 0.32       (Gopher's repetition family)
+
+    Determinism: all rule inputs are exact integers; the two ratio
+    comparisons divide small exact ints in double (one correctly
+    rounded IEEE op, identical in both engines) against fixed literals
+    — comparisons can tie but never diverge, and the emitted columns
+    are pure BIGINT counts, so no rounding rule is ever exercised.
+    Scale: split once per doc (CSE keeps one split despite three
+    consumers — staged as columns per the when()-branch CSE note), no
+    explode, one partial-aggregated groupBy on a low-cardinality key:
+    I/O-bound at 100 TB.  COUNT(CASE ...) not SUM(CASE ...) in the
+    oracle (DuckDB SUM returns HUGEINT, hash-mismatches BIGINT)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    base = d.select(
+        "lang",
+        "source",
+        "n_chars",
+        F.size(toks).alias("n"),
+        F.size(F.array_distinct(toks)).alias("nd"),
+        F.size(
+            F.filter(toks, lambda w: w.isin("the", "a", "value", "table"))
+        ).alias("stop"),
+    )
+    mwl = (F.col("n_chars") - (F.col("n") - 1)).cast("double") / F.col("n")
+    flags = base.select(
+        "lang",
+        "source",
+        F.col("n").between(20, 90).alias("ok_wc"),
+        mwl.between(4.2, 4.8).alias("ok_mwl"),
+        (F.col("stop") >= 2).alias("ok_stop"),
+        ((F.col("nd").cast("double") / F.col("n")) >= 0.32).alias("ok_ttr"),
+    )
+    return flags.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(~F.col("ok_wc"), 1)).alias("fail_wordcount"),
+        F.count(F.when(~F.col("ok_mwl"), 1)).alias("fail_meanwordlen"),
+        F.count(F.when(~F.col("ok_stop"), 1)).alias("fail_stopwords"),
+        F.count(F.when(~F.col("ok_ttr"), 1)).alias("fail_ttr"),
+        F.count(
+            F.when(
+                F.col("ok_wc") & F.col("ok_mwl") & F.col("ok_stop") & F.col("ok_ttr"),
+                1,
+            )
+        ).alias("pass_all"),
+    )
+
+
+@query(
+    "m_ccnet_buckets",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), lm AS (
+  SELECT tok, count(*) AS c FROM toks GROUP BY tok
+), n_corpus AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n FROM lm
+), scored AS (
+  SELECT t.doc_id,
+         round(log2(CAST(nc.n AS DOUBLE) / lm.c), 6) AS bits
+  FROM toks t JOIN lm ON lm.tok = t.tok CROSS JOIN n_corpus nc
+), per_doc AS (
+  SELECT doc_id,
+         count(*) AS n_tok,
+         CAST(SUM(CAST(bits AS DECIMAL(28,10))) * 1000000 AS BIGINT) // count(*)
+           AS microbits
+  FROM scored GROUP BY doc_id
+), bucketed AS (
+  SELECT d.lang, p.n_tok, p.microbits,
+         ntile(3) OVER (PARTITION BY d.lang
+                        ORDER BY p.microbits, p.doc_id) AS bucket
+  FROM per_doc p JOIN documents d ON d.doc_id = p.doc_id
+)
+SELECT lang,
+       CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+         AS bucket,
+       count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+       CAST(sum(microbits) AS BIGINT) // count(*) AS avg_microbits
+FROM bucketed GROUP BY lang, bucket
+""",
+)
+def m_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail corpus split (Wenzek et al. 2019,
+    "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+    Data" — the public recipe behind most CommonCrawl-derived training
+    sets): score every document with a language-model quality signal,
+    then cut each LANGUAGE into perplexity terciles; downstream
+    pipelines keep "head", sample "middle", and drop "tail".  The score
+    here is the corpus-unigram cross-entropy in fixed-point micro-bits
+    (identical discipline to m_lm_cross_entropy: 6 dp-rounded
+    surprisal terms, exact DECIMAL sum, integer div — see the CLAUDE.md
+    midpoint-trap note), and the tercile cut is ntile(3) per lang
+    ordered by (microbits, doc_id) — the doc_id tiebreak makes the
+    window total-ordered, so ntile is deterministic across engines.
+    Output per (lang, bucket): doc count, token mass, and the bucket's
+    mean score in micro-bits (integer div of exact integers).
+    Scale shape: the LM is vocabulary-sized and broadcasts into the
+    scoring join (the exploded token stream never shuffles); the
+    tercile window shuffles one ~20-byte row per DOCUMENT (not token)
+    partitioned by lang — at 100 TB, per-language ranks would come
+    from a quantile sketch + range partitioning instead of a single
+    window sort, which is the documented evolution, not a rewrite."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    lm = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    n_corpus = lm.agg(F.sum("c").alias("n"))
+    scored = (
+        toks.join(F.broadcast(lm), "tok")
+        .crossJoin(F.broadcast(n_corpus))
+        .select(
+            "doc_id",
+            F.round(F.log2(F.col("n").cast("double") / F.col("c")), 6).alias("bits"),
+        )
+    )
+    per_doc = (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.sum(F.col("bits").cast("decimal(28,10)")).alias("s"),
+        )
+        .select(
+            "doc_id",
+            "n_tok",
+            F.expr("CAST(s * 1000000 AS BIGINT) div n_tok").alias("microbits"),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy("microbits", "doc_id")
+    bucketed = per_doc.join(d.select("doc_id", "lang"), "doc_id").select(
+        "lang", "n_tok", "microbits", F.ntile(3).over(w).alias("b")
+    )
+    return bucketed.groupBy(
+        "lang",
+        F.when(F.col("b") == 1, "head")
+        .when(F.col("b") == 2, "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        F.expr("CAST(sum(microbits) AS BIGINT) div count(*)").alias("avg_microbits"),
+    )
