@@ -358,3 +358,102 @@ def test_bmp_rejects_unsupported():
         decode_bmp(bytes(buf))
     with pytest.raises(ValueError, match="width"):
         encode_bmp(b"abc", 0)
+
+
+# ---- Avro object container round-trips (sources.avro) ----
+
+_AVRO_SCHEMA = {
+    "type": "record",
+    "name": "rec",
+    "fields": [
+        {"name": "k", "type": "long"},
+        {"name": "s", "type": "string"},
+        {"name": "d", "type": "double"},
+        {"name": "b", "type": "bytes"},
+        {"name": "flag", "type": "boolean"},
+        {"name": "opt", "type": ["null", "long"]},
+    ],
+}
+
+_avro_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=-(2**62), max_value=2**62),
+        st.text(max_size=40),
+        st.floats(allow_nan=False),
+        st.binary(max_size=30),
+        st.booleans(),
+        st.one_of(st.none(), st.integers(min_value=-(2**31), max_value=2**31)),
+    ),
+    max_size=60,
+)
+
+
+@settings(deadline=None, max_examples=40)
+@given(
+    rows=_avro_rows,
+    codec=st.sampled_from(["null", "deflate"]),
+    block_records=st.integers(1, 7),
+)
+def test_avro_container_roundtrip(rows, codec, block_records, tmp_path_factory):
+    """write → scan → decode must recover every record exactly, for
+    both codecs and any block split; the block scanner's planning
+    metadata (per-block counts) must account for every row."""
+    from ukis_kafka_spark.sources.avro import read_blocks, scan_blocks, write_avro
+
+    p = str(tmp_path_factory.mktemp("avro") / "t.avro")
+    write_avro(p, _AVRO_SCHEMA, rows, codec=codec, block_records=block_records)
+    schema, got_codec, blocks = scan_blocks(p)
+    assert got_codec == codec
+    assert sum(b[1] for b in blocks) == len(rows)
+    assert all(b[1] <= block_records for b in blocks)
+    back = list(read_blocks(p, schema, codec, blocks))
+    assert back == rows
+
+
+@settings(deadline=None, max_examples=25)
+@given(rows=_avro_rows, block_records=st.integers(1, 5))
+def test_avro_columnar_decode_matches_row_decode(rows, block_records, tmp_path_factory):
+    """The Arrow fast path (decode_columns) and the row generator are
+    two independent decoders of the same bytes — they must agree."""
+    import zlib
+
+    from ukis_kafka_spark.sources.avro import (
+        decode_columns,
+        read_blocks,
+        scan_blocks,
+        write_avro,
+    )
+
+    p = str(tmp_path_factory.mktemp("avro") / "t.avro")
+    write_avro(p, _AVRO_SCHEMA, rows, codec="deflate", block_records=block_records)
+    schema, codec, blocks = scan_blocks(p)
+    types = [f["type"] for f in schema["fields"]]
+    cols_rows = []
+    with open(p, "rb") as f:
+        for off, n_rec, size in blocks:
+            f.seek(off)
+            payload = zlib.decompress(f.read(size), -15)
+            cols = decode_columns(payload, types, n_rec)
+            cols_rows.extend(zip(*cols))
+    assert cols_rows == list(read_blocks(p, schema, codec, blocks))
+
+
+def test_avro_rejects_garbage(tmp_path):
+    import pytest
+
+    from ukis_kafka_spark.sources.avro import scan_blocks, write_avro
+
+    bad = tmp_path / "bad.avro"
+    bad.write_bytes(b"PAR1 not avro")
+    with pytest.raises(ValueError, match="container"):
+        scan_blocks(str(bad))
+    with pytest.raises(ValueError, match="codec"):
+        write_avro(str(tmp_path / "x.avro"), _AVRO_SCHEMA, [], codec="snappy")
+    # corrupt a sync marker: the scanner must refuse, not misparse
+    good = tmp_path / "good.avro"
+    write_avro(str(good), _AVRO_SCHEMA, [(1, "a", 0.5, b"", True, None)], codec="null")
+    buf = bytearray(good.read_bytes())
+    buf[-1] ^= 0xFF
+    good.write_bytes(bytes(buf))
+    with pytest.raises(ValueError, match="sync"):
+        scan_blocks(str(good))

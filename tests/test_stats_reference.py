@@ -390,3 +390,47 @@ def test_parallel_variance_reference(spark, events_pdf):
         assert r["var_scaled"] == n * ss - s * s
         var = r["var_scaled"] / (n * n)
         assert abs(var - float(np.var(x))) < 1e-6
+
+
+def test_ndcg_mrr_reference(spark, embeddings_pdf):
+    """MRR@10 / NDCG@10 re-derived in numpy + Decimal: exact integer
+    L2 on the 1e-4 grid, lexsort (d2, oid) ranking, replicated HALF_UP
+    6 dp discount grid, exact Decimal mass, truncating integer divs."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def round_spark(x, dp):
+        return float(Decimal(repr(x)).quantize(Decimal(f"1e-{dp}"), ROUND_HALF_UP))
+
+    disc = {
+        k: Decimal(repr(round_spark(1.0 / math.log2(k + 1), 6)))
+        for k in range(1, 11)
+    }
+    pdf = embeddings_pdf.sort_values("vec_id")
+    V = np.floor(np.stack(pdf.embedding.to_numpy()).astype(np.float64) * 10_000).astype(np.int64)
+    ids = pdf.vec_id.to_numpy()
+    labels = pdf.label.to_numpy()
+    got = {r["tid"]: r for r in _rows(spark, "m_ndcg_mrr")}
+    probe_rows = np.flatnonzero(ids < 40)
+    assert set(got) == {int(ids[i]) for i in probe_rows}
+    for i in probe_rows:
+        d2 = ((V - V[i]) ** 2).sum(axis=1)
+        mask = np.arange(len(ids)) != i
+        order = np.lexsort((ids[mask], d2[mask]))
+        top = order[:10]
+        rel = labels[mask][top] == labels[i]
+        first = int(np.flatnonzero(rel)[0]) + 1 if rel.any() else 0
+        dcg = sum(disc[k + 1] for k in range(len(top)) if rel[k])
+        n_rel = int(((labels == labels[i]) & mask).sum())
+        idcg = sum(disc[k] for k in range(1, min(n_rel, 10) + 1))
+        r = got[int(ids[i])]
+        assert r["label"] == int(labels[i])
+        assert r["first_rel_rank"] == first
+        assert r["rr_micro"] == (10**6 // first if first else 0)
+        assert r["dcg_micro"] == int(dcg * 10**6)
+        assert r["idcg_micro"] == int(idcg * 10**6)
+        expect_ndcg = (
+            (int(dcg * 10**6) * 1000) // int(idcg * 10**6)
+            if int(idcg * 10**6) else 0
+        )
+        assert r["ndcg_permille"] == expect_ndcg
+        assert 0 <= r["ndcg_permille"] <= 1000

@@ -375,3 +375,117 @@ def test_corpus_stats_reference(spark, docs_pdf, doc_tokens):
     assert row["total_tokens"] == total_tokens
     assert row["mean_chars_micro"] == 1_000_000 * int(docs_pdf.n_chars.sum()) // n
     assert row["mean_tokens_micro"] == 1_000_000 * total_tokens // n
+
+
+def test_gopher_rules_reference(spark, docs_pdf, doc_tokens):
+    """The four quality gates recomputed per doc in plain python and
+    tallied per (lang, source) — every fail counter and the pass-all
+    count must match exactly (all-integer inputs, no rounding)."""
+    got = {(r["lang"], r["source"]): r for r in _rows(spark, "m_gopher_rules")}
+    tallies = {}
+    for r in docs_pdf.itertuples():
+        toks = doc_tokens[int(r.doc_id)]
+        n, nd = len(toks), len(set(toks))
+        stop = sum(1 for w in toks if w in ("the", "a", "value", "table"))
+        ok = (
+            20 <= n <= 90,
+            4.2 <= (int(r.n_chars) - (n - 1)) / n <= 4.8,
+            stop >= 2,
+            nd / n >= 0.32,
+        )
+        t = tallies.setdefault((r.lang, r.source), [0, 0, 0, 0, 0, 0])
+        t[0] += 1
+        for i in range(4):
+            t[1 + i] += 0 if ok[i] else 1
+        t[5] += int(all(ok))
+    assert set(got) == set(tallies)
+    for k, t in tallies.items():
+        r = got[k]
+        assert (
+            r["n_docs"], r["fail_wordcount"], r["fail_meanwordlen"],
+            r["fail_stopwords"], r["fail_ttr"], r["pass_all"],
+        ) == tuple(t)
+        # every rule must actually bite somewhere (anti-vacuity)
+    assert sum(r["fail_wordcount"] for r in got.values()) > 0
+    assert sum(r["fail_meanwordlen"] for r in got.values()) > 0
+    assert sum(r["fail_stopwords"] for r in got.values()) > 0
+    assert sum(r["fail_ttr"] for r in got.values()) > 0
+
+
+def test_ccnet_buckets_reference(spark, docs_pdf, doc_tokens):
+    """Unigram cross-entropy scoring + per-lang terciles recomputed in
+    plain python (Counter LM, replicated HALF_UP 6 dp grid, exact
+    Decimal mass, truncating integer div, manual ntile split)."""
+    lm = Counter()
+    for toks in doc_tokens.values():
+        lm.update(toks)
+    n_corpus = sum(lm.values())
+    per_doc = {}
+    for d, toks in doc_tokens.items():
+        s = Decimal(0)
+        for w in toks:
+            s += Decimal(repr(_round_spark(math.log2(n_corpus / lm[w]), 6)))
+        per_doc[d] = (len(toks), int(s * 1_000_000) // len(toks))
+    langs = {int(r.doc_id): r.lang for r in docs_pdf.itertuples()}
+    by_lang = {}
+    for d, (n_tok, mb) in per_doc.items():
+        by_lang.setdefault(langs[d], []).append((mb, d, n_tok))
+    expect = {}
+    for lang, rows in by_lang.items():
+        rows.sort()
+        n = len(rows)
+        base, rem = divmod(n, 3)
+        sizes = [base + (1 if i < rem else 0) for i in range(3)]
+        pos = 0
+        for name, size in zip(("head", "middle", "tail"), sizes):
+            part = rows[pos : pos + size]
+            pos += size
+            if part:
+                expect[(lang, name)] = (
+                    len(part),
+                    sum(p[2] for p in part),
+                    sum(p[0] for p in part) // len(part),
+                )
+    got = {(r["lang"], r["bucket"]): r for r in _rows(spark, "m_ccnet_buckets")}
+    assert set(got) == set(expect)
+    for k, (n_docs, toks, avg) in expect.items():
+        r = got[k]
+        assert (r["n_docs"], r["total_tokens"], r["avg_microbits"]) == (n_docs, toks, avg)
+
+
+def test_bradley_terry_reference(spark, docs_pdf):
+    """Two MM rounds re-run with plain dicts and integer division —
+    wins, game counts and final micro-ratings must match exactly."""
+    docs = {int(r.doc_id): (r.source, int(r.n_chars)) for r in docs_pdf.itertuples()}
+    wins, games = Counter(), Counter()
+    for d, (src, ch) in docs.items():
+        nxt = docs.get(d + 1)
+        if not nxt or nxt[0] == src or nxt[1] == ch:
+            continue
+        w, l = (src, nxt[0]) if ch > nxt[1] else (nxt[0], src)
+        wins[w] += 1
+        games[(w, l)] += 1
+        games[(l, w)] += 1
+    players = sorted({s for s, _ in games})
+    tot = {s: sum(n for (a, _), n in games.items() if a == s) for s in players}
+    S = 10**12
+    p = {s: 10**6 for s in players}
+    for _ in range(2):
+        t = {
+            s: sum(
+                (n * S) // (p[a] + p[b]) if p[a] + p[b] else 0
+                for (a, b), n in games.items() if a == s
+            )
+            for s in players
+        }
+        p = {
+            s: (wins[s] * S) // t[s] if wins[s] and t[s] else 0
+            for s in players
+        }
+    got = {r["source"]: r for r in _rows(spark, "m_bradley_terry")}
+    assert set(got) == set(players)
+    for s in players:
+        r = got[s]
+        assert (r["games"], r["wins"], r["rating_micro"]) == (tot[s], wins[s], p[s])
+    # the solve must separate sources: not all ratings identical
+    assert len({r["rating_micro"] for r in got.values()}) > 1

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from .functions import scalars, udfs  # noqa: F401
 from .ml import chunking, dedup, graph, multimodal, similarity, sketch, text  # noqa: F401
 from .sinks import files as sink_files  # noqa: F401
+from .sources import avroscan as src_avroscan  # noqa: F401
 from .sources import jsonl as src_jsonl  # noqa: F401
 from .sources import props as src_props  # noqa: F401
 from .sources import pydatasource as src_pyds  # noqa: F401

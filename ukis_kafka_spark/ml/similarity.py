@@ -3275,3 +3275,160 @@ def m_filtered_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre-filtered by label before the distance kernel."""
     load_table(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
     return spark.sql(_filtered_knn_sql("spark"))
+
+
+_NDCG_NQ = 40
+_NDCG_K = 10
+
+
+def _ndcg_oracle() -> str:
+    return f"""
+WITH q AS (
+  SELECT e.vec_id, e.label, d,
+         CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT) AS v
+  FROM (SELECT vec_id, label, generate_subscripts(embedding, 1) AS d, unnest(embedding) AS x
+        FROM embeddings) e
+),
+probes AS (SELECT * FROM q WHERE vec_id < {_NDCG_NQ}),
+dist AS (
+  SELECT p.vec_id AS tid, p.label AS qlabel, r.vec_id AS oid, r.label AS olabel,
+         SUM((p.v - r.v) * (p.v - r.v)) AS d2
+  FROM probes p JOIN q r ON r.d = p.d AND r.vec_id <> p.vec_id
+  GROUP BY p.vec_id, p.label, r.vec_id, r.label
+),
+topk AS (
+  SELECT tid, qlabel, olabel, rn FROM (
+    SELECT tid, qlabel, olabel,
+           row_number() OVER (PARTITION BY tid ORDER BY d2 ASC, oid ASC) AS rn
+    FROM dist
+  ) WHERE rn <= {_NDCG_K}
+),
+nrel AS (
+  SELECT p.tid, count(*) AS n_rel FROM
+    (SELECT DISTINCT vec_id AS tid, label FROM probes) p
+    JOIN (SELECT DISTINCT vec_id, label FROM q) c
+      ON c.label = p.label AND c.vec_id <> p.tid
+  GROUP BY p.tid
+),
+gains AS (
+  SELECT tid,
+         min(CASE WHEN olabel = qlabel THEN rn END) AS first_rel,
+         CAST(SUM(CASE WHEN olabel = qlabel
+                  THEN CAST(round(1.0 / log2(rn + 1), 6) AS DECIMAL(28,10))
+                  ELSE CAST(0 AS DECIMAL(28,10)) END) * 1000000 AS BIGINT)
+           AS dcg_micro
+  FROM topk GROUP BY tid
+),
+ideal AS (
+  SELECT n.tid,
+         CAST(SUM(CAST(round(1.0 / log2(i + 1), 6) AS DECIMAL(28,10)))
+              * 1000000 AS BIGINT) AS idcg_micro
+  FROM nrel n JOIN generate_series(1, {_NDCG_K}) s(i)
+    ON s.i <= least(n.n_rel, {_NDCG_K})
+  GROUP BY n.tid
+)
+SELECT p.tid, p.qlabel AS label,
+       COALESCE(g.first_rel, 0) AS first_rel_rank,
+       CASE WHEN g.first_rel IS NULL THEN 0
+            ELSE 1000000 // g.first_rel END AS rr_micro,
+       COALESCE(g.dcg_micro, 0) AS dcg_micro,
+       i.idcg_micro,
+       CASE WHEN i.idcg_micro = 0 THEN 0
+            ELSE (COALESCE(g.dcg_micro, 0) * 1000) // i.idcg_micro
+       END AS ndcg_permille
+FROM (SELECT DISTINCT vec_id AS tid, label AS qlabel FROM probes) p
+JOIN ideal i ON i.tid = p.tid
+LEFT JOIN gains g ON g.tid = p.tid
+"""
+
+
+@query("m_ndcg_mrr", oracle=_ndcg_oracle())
+def m_ndcg_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality metrics for an embedding index — MRR@10 and
+    binary-relevance NDCG@10 per probe, the standard eval loop run
+    before trusting a retrieval-augmented pipeline's index (public
+    formulation: Järvelin & Kekäläinen 2002 for DCG; relevance = label
+    match, the same proxy m_ann_recall_eval pins recall with).
+
+    Hash-safety: distances are exact integer L2 on the 1e-4 grid with
+    the (d2, oid) total-order tie-break; the reciprocal rank is
+    ``1e6 div rank`` (exact positive integer div, truncating in both
+    engines); each DCG discount 1/log2(rank+1) is a transcendental —
+    rounded to 6 dp per term, summed in DECIMAL, scaled to micro-units
+    INSIDE decimal (the m_scaling_fit trap), and the final NDCG is an
+    integer div of the two micro masses, so no double rounding rule is
+    ever exercised.  IDCG re-derives the discount prefix from
+    least(n_rel, 10) ideal positions rather than a literal table, so
+    probes with thin label support at small SF stay exact.
+
+    Scale: the probe block is broadcast into the dim-key join exactly
+    like m_knn_eval (distances partial-combine map-side); everything
+    after the top-k window is |probes| rows.  At 100 TB the probe set
+    rides broadcast and the candidate scan stays one linear pass."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.select(
+        "vec_id",
+        "label",
+        F.posexplode(
+            F.transform("embedding", lambda x: F.floor(x.cast("double") * 10_000).cast("long"))
+        ).alias("d0", "v"),
+    ).select("vec_id", "label", (F.col("d0") + 1).alias("d"), "v")
+    probes = q.where(F.col("vec_id") < _NDCG_NQ).select(
+        F.col("vec_id").alias("tid"), F.col("label").alias("qlabel"), "d",
+        F.col("v").alias("pv"),
+    )
+    dist = (
+        q.join(F.broadcast(probes), "d")
+        .where(F.col("vec_id") != F.col("tid"))
+        .groupBy("tid", "qlabel", F.col("vec_id").alias("oid"), F.col("label").alias("olabel"))
+        .agg(F.sum((F.col("pv") - F.col("v")) * (F.col("pv") - F.col("v"))).alias("d2"))
+    )
+    wr = Window.partitionBy("tid").orderBy(F.col("d2").asc(), F.col("oid").asc())
+    topk = dist.withColumn("rn", F.row_number().over(wr)).where(F.col("rn") <= _NDCG_K)
+    disc = F.round(F.lit(1.0) / F.log2(F.col("rn") + 1), 6).cast("decimal(28,10)")
+    gains = topk.groupBy("tid").agg(
+        F.min(F.when(F.col("olabel") == F.col("qlabel"), F.col("rn"))).alias("first_rel"),
+        (
+            F.sum(F.when(F.col("olabel") == F.col("qlabel"), disc)
+                  .otherwise(F.lit(0).cast("decimal(28,10)")))
+            * 1_000_000
+        ).cast("bigint").alias("dcg_micro"),
+    )
+    plabel = probes.select("tid", "qlabel").distinct()
+    cand = q.select("vec_id", "label").distinct()
+    nrel = (
+        plabel.join(
+            cand,
+            (F.col("label") == F.col("qlabel")) & (F.col("vec_id") != F.col("tid")),
+        )
+        .groupBy("tid")
+        .agg(F.count(F.lit(1)).alias("n_rel"))
+    )
+    idisc = F.round(F.lit(1.0) / F.log2(F.col("i") + 1), 6).cast("decimal(28,10)")
+    ideal = (
+        nrel.select(
+            "tid",
+            F.explode(F.sequence(F.lit(1), F.least(F.col("n_rel"), F.lit(_NDCG_K)))).alias("i"),
+        )
+        .groupBy("tid")
+        .agg((F.sum(idisc) * 1_000_000).cast("bigint").alias("idcg_micro"))
+    )
+    return (
+        plabel.join(ideal, "tid")
+        .join(gains, "tid", "left")
+        .select(
+            "tid",
+            F.col("qlabel").alias("label"),
+            F.coalesce(F.col("first_rel"), F.lit(0)).cast("bigint").alias("first_rel_rank"),
+            F.when(F.col("first_rel").isNull(), F.lit(0))
+            .otherwise(F.expr("1000000 div first_rel"))
+            .cast("bigint")
+            .alias("rr_micro"),
+            F.coalesce(F.col("dcg_micro"), F.lit(0)).cast("bigint").alias("dcg_micro"),
+            "idcg_micro",
+            F.when(F.col("idcg_micro") == 0, F.lit(0))
+            .otherwise(F.expr("(COALESCE(dcg_micro, 0) * 1000) div idcg_micro"))
+            .cast("bigint")
+            .alias("ndcg_permille"),
+        )
+    )

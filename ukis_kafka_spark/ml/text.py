@@ -3526,3 +3526,140 @@ def m_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tok").cast("bigint").alias("total_tokens"),
         F.expr("CAST(sum(microbits) AS BIGINT) div count(*)").alias("avg_microbits"),
     )
+
+
+_BT_SCALE = 1_000_000_000_000  # wins and games mass lifted to 1e12
+
+
+def _bradley_terry_oracle() -> str:
+    terms = """
+  SELECT g.s1 AS s,
+         CAST(SUM(CASE WHEN pa.p + pb.p = 0 THEN 0
+                  ELSE (g.n * {S}) // (pa.p + pb.p) END) AS BIGINT) AS t
+  FROM games g JOIN {R} pa ON pa.s = g.s1 JOIN {R} pb ON pb.s = g.s2
+  GROUP BY g.s1
+"""
+    step = """
+  SELECT p.s,
+         CASE WHEN COALESCE(w.wins, 0) = 0 OR t.t = 0 THEN 0
+              ELSE (w.wins * {S}) // t.t END AS p
+  FROM players p LEFT JOIN wins w ON w.s = p.s JOIN {T} t ON t.s = p.s
+"""
+    return f"""
+WITH norm AS (
+  SELECT CASE WHEN a.n_chars > b.n_chars THEN a.source ELSE b.source END AS w,
+         CASE WHEN a.n_chars > b.n_chars THEN b.source ELSE a.source END AS l
+  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+  WHERE a.source <> b.source AND a.n_chars <> b.n_chars
+),
+wins AS (SELECT w AS s, count(*) AS wins FROM norm GROUP BY w),
+games AS (
+  SELECT s1, s2, count(*) AS n FROM (
+    SELECT w AS s1, l AS s2 FROM norm UNION ALL SELECT l AS s1, w AS s2 FROM norm
+  ) GROUP BY s1, s2
+),
+players AS (SELECT s1 AS s, CAST(SUM(n) AS BIGINT) AS games_tot FROM games GROUP BY s1),
+r0 AS (SELECT s, CAST(1000000 AS BIGINT) AS p FROM players),
+t1 AS ({terms.format(S=_BT_SCALE, R="r0")}),
+r1 AS ({step.format(S=_BT_SCALE, T="t1")}),
+t2 AS ({terms.format(S=_BT_SCALE, R="r1")}),
+r2 AS ({step.format(S=_BT_SCALE, T="t2")})
+SELECT p.s AS source, p.games_tot AS games,
+       CAST(COALESCE(w.wins, 0) AS BIGINT) AS wins,
+       r2.p AS rating_micro
+FROM players p LEFT JOIN wins w ON w.s = p.s JOIN r2 ON r2.s = p.s
+"""
+
+
+@query("m_bradley_terry", oracle=_bradley_terry_oracle())
+def m_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry strength ratings from pairwise preferences — the
+    model behind RLHF reward aggregation and chatbot-arena-style
+    leaderboards (public formulation: Bradley & Terry 1952; the
+    minorization-maximization update is Hunter 2004, eq. 2.1:
+    p_i' = W_i / Σ_j N_ij/(p_i+p_j), two unrolled rounds from a
+    uniform start).  Duels pair consecutive documents from different
+    sources, winner = longer text (the plug-in point for any pairwise
+    judge); sources are the players.
+
+    Hash-safety: the iteration is division-heavy, so it runs entirely
+    in fixed-point micro-units per the ml/graph.py discipline — every
+    term N_ij*1e12 div (P_i+P_j) is an exact positive-integer
+    truncating division (identical in both engines), summed exactly,
+    and zero-win players pin to rating 0 (guarding the 0/0 that two
+    zero-rated players would otherwise feed the next round).
+
+    Scale: the O(|corpus|) half is the duel scan + two counting
+    aggregates (one shuffle each on the tiny source key); the solve
+    itself runs on the |players|² ≤ 400-row matrix with broadcast
+    rating tables — at 100 TB the iteration cost is unchanged, only
+    the duel scan grows.  Documents pair via a co-partitioned
+    self-join on doc_id+1, not a global-order window."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    b = d.select(
+        (F.col("doc_id") - 1).alias("doc_id"),
+        F.col("source").alias("b_source"),
+        F.col("n_chars").alias("b_chars"),
+    )
+    norm = (
+        d.join(b, "doc_id")
+        .where((F.col("source") != F.col("b_source")) & (F.col("n_chars") != F.col("b_chars")))
+        .select(
+            F.when(F.col("n_chars") > F.col("b_chars"), F.col("source"))
+            .otherwise(F.col("b_source"))
+            .alias("w"),
+            F.when(F.col("n_chars") > F.col("b_chars"), F.col("b_source"))
+            .otherwise(F.col("source"))
+            .alias("l"),
+        )
+    )
+    wins = norm.groupBy(F.col("w").alias("s")).agg(F.count(F.lit(1)).alias("wins"))
+    games = (
+        norm.select(F.col("w").alias("s1"), F.col("l").alias("s2"))
+        .unionAll(norm.select(F.col("l").alias("s1"), F.col("w").alias("s2")))
+        .groupBy("s1", "s2")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    players = games.groupBy(F.col("s1").alias("s")).agg(
+        F.sum("n").cast("bigint").alias("games_tot")
+    )
+    rating = players.select("s", F.lit(1_000_000).cast("bigint").alias("p"))
+    for _ in range(2):
+        t = (
+            games.join(F.broadcast(rating.select(F.col("s").alias("s1"), F.col("p").alias("pa"))), "s1")
+            .join(F.broadcast(rating.select(F.col("s").alias("s2"), F.col("p").alias("pb"))), "s2")
+            .groupBy(F.col("s1").alias("s"))
+            .agg(
+                F.sum(
+                    F.when(F.col("pa") + F.col("pb") == 0, F.lit(0)).otherwise(
+                        F.expr(f"(n * {_BT_SCALE}) div (pa + pb)")
+                    )
+                )
+                .cast("bigint")
+                .alias("t")
+            )
+        )
+        rating = (
+            players.join(F.broadcast(wins), "s", "left")
+            .join(F.broadcast(t), "s")
+            .select(
+                "s",
+                F.when(
+                    (F.coalesce(F.col("wins"), F.lit(0)) == 0) | (F.col("t") == 0),
+                    F.lit(0),
+                )
+                .otherwise(F.expr(f"(wins * {_BT_SCALE}) div t"))
+                .cast("bigint")
+                .alias("p"),
+            )
+        )
+    return (
+        players.join(F.broadcast(wins), "s", "left")
+        .join(F.broadcast(rating), "s")
+        .select(
+            F.col("s").alias("source"),
+            F.col("games_tot").alias("games"),
+            F.coalesce(F.col("wins"), F.lit(0)).cast("bigint").alias("wins"),
+            F.col("p").alias("rating_micro"),
+        )
+    )
