@@ -1741,3 +1741,54 @@ def s_warm_start_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.read.parquet(target).localCheckpoint()
 
     return _with_scratch(go)
+
+
+@query(
+    "s_rocksdb_state",
+    oracle="""
+SELECT user_id, count(*) AS n_events,
+       CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS v_centi,
+       max(event_id) AS max_id
+FROM events
+GROUP BY user_id
+""",
+)
+def s_rocksdb_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed streaming aggregation under the **RocksDB state store
+    provider** — the backend that matters at 100 TB, where keyed state
+    outgrows the default in-heap HDFSBackedStateStore (RocksDB spills
+    to local SSD, bounds executor heap, and ships changelogs to the
+    checkpoint instead of full snapshots).  Functionally identical to
+    [s_stateful_count]'s complete-mode aggregate — the POINT is that
+    swapping the state backend never changes results, so the same
+    batch oracle pins it.  Per user: event count, centi-unit value
+    mass (floor(value*100) — one IEEE double product + floor, identical
+    in both engines), max event id.  The provider is set per-run and
+    restored; Spark reads it at query start, so the scope is exactly
+    this stream.  Scale: state is hash-partitioned by user_id across
+    executors; with RocksDB + changelog checkpointing the per-batch
+    checkpoint cost is O(delta), not O(state)."""
+
+    def go(work: str) -> DataFrame:
+        prev = spark.conf.get(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
+        )
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+        try:
+            stream = replay_events_as_stream(spark, sf_dir, work, n_chunks=4)
+            agg = stream.groupBy("user_id").agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.floor(F.col("value") * 100).cast("long"))
+                .cast("long")
+                .alias("v_centi"),
+                F.max("event_id").alias("max_id"),
+            )
+            return run_to_memory(agg, work, mode="complete").localCheckpoint()
+        finally:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+    return _with_scratch(go)
