@@ -204,3 +204,79 @@ def test_cli_produce_gpkg_layer_selection(tmp_path, capsys):
     with pytest.raises(ValueError, match="2 feature layers"):
         list(read_gpkg(str(gpkg)))
     assert [g for g, _, _ in read_gpkg(str(gpkg), layer="a")] == [("POINT", (1.0, 2.0))]
+
+
+def test_cli_consume_geojson_roundtrip(spark, tmp_path):
+    """Export leg: topic → GeoJSON, both output shapes, all six
+    geometry types — and the exported FeatureCollection must be
+    re-producible (export → produce → export is a fixed point)."""
+    import glob
+
+    geoms = {
+        0: {"type": "Point", "coordinates": [10.0, 50.0]},
+        1: {"type": "LineString", "coordinates": [[0.0, 0.0], [1.0, 1.5]]},
+        2: {
+            "type": "Polygon",
+            "coordinates": [[[0.0, 0.0], [2.0, 0.0], [2.0, 2.0], [0.0, 0.0]]],
+        },
+        3: {"type": "MultiPoint", "coordinates": [[1.0, 2.0], [3.0, 4.0]]},
+        4: {
+            "type": "MultiLineString",
+            "coordinates": [[[0.0, 0.0], [1.0, 0.0]], [[5.0, 5.0], [6.0, 5.5]]],
+        },
+        5: {
+            "type": "MultiPolygon",
+            "coordinates": [[[[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 0.0]]]],
+        },
+    }
+    fc = {
+        "type": "FeatureCollection",
+        "features": [
+            {"type": "Feature", "geometry": g, "properties": {"fid": i, "name": f"f{i}"}}
+            for i, g in geoms.items()
+        ],
+    }
+    gj = tmp_path / "in.geojson"
+    gj.write_text(json.dumps(fc))
+    topic = str(tmp_path / "topic")
+
+    assert cli.main(["produce", "--geojson", str(gj), "--topic-dir", topic, "--layer", "mix"]) == 0
+
+    # distributed GeoJSONSeq: one Feature per line, geometry + props intact
+    seq_out = str(tmp_path / "seq")
+    assert cli.main(["consume-geojson", "--topic-dir", topic, "--out", seq_out]) == 0
+    lines = []
+    for f in glob.glob(seq_out + "/part-*"):
+        with open(f) as fh:
+            lines += [json.loads(ln) for ln in fh if ln.strip()]
+    assert len(lines) == 6
+    by_fid = {f["properties"]["fid"]: f for f in lines}
+    assert all(by_fid[i]["geometry"] == g for i, g in geoms.items())
+    assert by_fid[3]["properties"]["name"] == "f3"
+
+    # single FeatureCollection: valid GeoJSON, offset-ordered, and a
+    # fixed point of the produce → export cycle
+    col_out = str(tmp_path / "out.geojson")
+    assert cli.main(
+        ["consume-geojson", "--topic-dir", topic, "--out", col_out, "--collection"]
+    ) == 0
+    fc2 = json.loads(open(col_out).read())
+    assert fc2["type"] == "FeatureCollection"
+    assert [f["properties"]["fid"] for f in fc2["features"]] == [0, 1, 2, 3, 4, 5]
+    assert [f["geometry"] for f in fc2["features"]] == [geoms[i] for i in range(6)]
+
+    topic2 = str(tmp_path / "topic2")
+    col_out2 = str(tmp_path / "out2.geojson")
+    assert cli.main(["produce", "--geojson", col_out, "--topic-dir", topic2, "--layer", "mix"]) == 0
+    assert cli.main(
+        ["consume-geojson", "--topic-dir", topic2, "--out", col_out2, "--collection"]
+    ) == 0
+    assert json.loads(open(col_out2).read()) == fc2
+
+    # layer filter: a second layer in the same topic is excluded
+    assert cli.main(["produce", "--geojson", str(gj), "--topic-dir", topic, "--layer", "other"]) == 0
+    only = str(tmp_path / "only.geojson")
+    assert cli.main(
+        ["consume-geojson", "--topic-dir", topic, "--out", only, "--collection", "--layer", "other"]
+    ) == 0
+    assert len(json.loads(open(only).read())["features"]) == 6

@@ -267,6 +267,78 @@ def cmd_consume_upsert(args: argparse.Namespace) -> int:
     return 0
 
 
+_GEOJSON_TYPE = {
+    "POINT": "Point",
+    "LINESTRING": "LineString",
+    "POLYGON": "Polygon",
+    "MULTIPOINT": "MultiPoint",
+    "MULTILINESTRING": "MultiLineString",
+    "MULTIPOLYGON": "MultiPolygon",
+}
+
+
+def _wkb_to_geojson_geom(buf: bytes) -> dict:
+    """Inverse of :func:`_geojson_geom_to_wkb` — WKB bytes back to a
+    GeoJSON geometry dict (coordinate tuples become lists)."""
+    from .spatial.wkb import decode_wkb
+
+    t, c = decode_wkb(buf)
+    if t == "POINT":
+        coords = list(c)
+    elif t in ("LINESTRING", "MULTIPOINT"):
+        coords = [list(p) for p in c]
+    elif t in ("POLYGON", "MULTILINESTRING"):
+        coords = [[list(p) for p in ring] for ring in c]
+    elif t == "MULTIPOLYGON":
+        coords = [[[list(p) for p in ring] for ring in poly] for poly in c]
+    else:  # decode_wkb only emits the six types above
+        raise ValueError(f"unsupported WKB geometry type: {t}")
+    return {"type": _GEOJSON_TYPE[t], "coordinates": coords}
+
+
+def cmd_consume_geojson(args: argparse.Namespace) -> int:
+    """R8 export leg: topic → GeoJSON. Default output is RFC 8142
+    GeoJSON Text Sequences (one Feature per line) written DISTRIBUTED
+    via the text sink — the shape that survives a 100 TB topic.
+    ``--collection`` assembles a single FeatureCollection file on the
+    driver instead (offset-ordered, deterministic) — only for exports
+    small enough to want one file."""
+    from pyspark.sql import functions as F
+
+    from .plans import get_spark
+
+    spark = get_spark("cli-consume-geojson")
+    feats = _decoded_features(spark, args.topic_dir)
+    if args.layer:
+        feats = feats.where(F.col("layer") == args.layer)
+
+    def to_feature(iter_pdf):
+        for pdf in iter_pdf:
+            lines = []
+            for wkb, props_json in zip(pdf["wkb"], pdf["props_json"]):
+                feat = {
+                    "type": "Feature",
+                    "geometry": _wkb_to_geojson_geom(bytes(wkb)),
+                    "properties": json.loads(props_json),
+                }
+                lines.append(json.dumps(feat, sort_keys=True))
+            yield pd.DataFrame({"offset": list(pdf["offset"]), "feature": lines})
+
+    fdf = feats.mapInPandas(to_feature, "offset long, feature string")
+    if args.collection:
+        rows = fdf.orderBy("offset", "feature").collect()
+        with open(args.out, "w") as fh:
+            fh.write('{"type": "FeatureCollection", "features": [\n')
+            fh.write(",\n".join(r["feature"] for r in rows))
+            fh.write("\n]}\n")
+        n = len(rows)
+    else:
+        fdf.select("feature").write.mode("overwrite").text(args.out)
+        n = spark.read.text(args.out).count()
+    print(f"exported {n} features to {args.out}")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="ukis_kafka_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -312,6 +384,20 @@ def main(argv: list[str] | None = None) -> int:
     pu.add_argument("--table", required=True)
     pu.add_argument("--key", default="fid")
     pu.set_defaults(fn=cmd_consume_upsert)
+
+    pj = sub.add_parser(
+        "consume-geojson",
+        help="topic dir → GeoJSON (RFC 8142 lines, or --collection for one FeatureCollection)",
+    )
+    pj.add_argument("--topic-dir", required=True)
+    pj.add_argument("--out", required=True)
+    pj.add_argument("--layer", default=None, help="export only this envelope layer")
+    pj.add_argument(
+        "--collection",
+        action="store_true",
+        help="write one FeatureCollection file (driver-side; small exports only)",
+    )
+    pj.set_defaults(fn=cmd_consume_geojson)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -437,3 +437,74 @@ def sink_merge_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "sink_timetravel",
+    oracle="""
+SELECT 1 AS version, count(*) AS n_rows,
+       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)
+         AS price_sum
+FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+UNION ALL
+SELECT 2 AS version, count(*) AS n_rows,
+       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)
+         AS price_sum
+FROM orders
+""",
+)
+def sink_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot time travel over an append-only table, the way Delta /
+    Iceberg implement it — each commit's MANIFEST pins the exact file
+    list, and reading "AS OF v1" means planning only v1's files, not
+    filtering v2's rows: commit v1 writes the pre-1998 orders, commit
+    v2 appends the rest, and each manifest is the file listing taken
+    at commit time.  The AS OF v1 read passes v1's pinned files to the
+    reader and must reproduce the source-side pre-1998 aggregate
+    exactly even though the directory now also holds v2's files — file
+    pinning, not predicate filtering, is what isolates the snapshot
+    (the oracle states both versions' aggregates from the source
+    table).  Scale: manifests make snapshot reads O(files-in-snapshot)
+    and immune to concurrent appends; the aggregates are one partial-
+    agg scan per version."""
+    work = _scratch_dir()
+    try:
+        data = os.path.join(work, "tt", "data")
+        src = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice", "o_orderdate"
+        )
+        cut = F.lit("1998-01-01 00:00:00").cast("timestamp")
+
+        def _files() -> list[str]:
+            return sorted(
+                os.path.join(r, f)
+                for r, _, fs in os.walk(data)
+                for f in fs
+                if f.endswith(".parquet")
+            )
+
+        src.where(F.col("o_orderdate") < cut).write.mode("overwrite").parquet(data)
+        manifest_v1 = _files()  # commit 1: pinned file list
+        src.where(~(F.col("o_orderdate") < cut)).write.mode("append").parquet(data)
+        manifest_v2 = _files()  # commit 2: superset of v1's files
+        assert set(manifest_v1) < set(manifest_v2)
+
+        def snap(files: list[str], version: int) -> DataFrame:
+            return (
+                spark.read.parquet(*files)
+                .agg(
+                    F.count(F.lit(1)).alias("n_rows"),
+                    F.min("o_orderkey").alias("min_key"),
+                    F.max("o_orderkey").alias("max_key"),
+                    F.sum(F.col("o_totalprice").cast("decimal(28,10)"))
+                    .cast("double")
+                    .alias("price_sum"),
+                )
+                .select(F.lit(version).alias("version"), "*")
+            )
+
+        return snap(manifest_v1, 1).unionByName(snap(manifest_v2, 2)).localCheckpoint()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
