@@ -458,3 +458,54 @@ def test_join_agg_chain_is_prefix_of_batch(spark):
     assert got, "no windows emitted"
     for h, n in got.items():
         assert full[h] == n, f"window {h}: stream {n} != batch {full[h]}"
+
+
+def test_rocksdb_state_matches_batch_and_engages_provider(spark, tmp_path):
+    """s_rocksdb_state must (a) equal the batch aggregate, (b) leave
+    the session's provider conf untouched, and (c) actually ENGAGE
+    RocksDB — asserted by running the same shape against a kept
+    checkpoint and finding RocksDB snapshot artifacts (zip/changelog)
+    instead of the HDFS-backed provider's N.delta files."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    before = spark.conf.get(key, "unset")
+    stream_result = api.queries()["s_rocksdb_state"](spark, SF_SMOKE)
+    assert spark.conf.get(key, "unset") == before  # restored
+
+    batch = (
+        load_table(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).cast("long").alias("v_centi"),
+            F.max("event_id").alias("max_id"),
+        )
+    )
+    cols = ("user_id", "n_events", "v_centi", "max_id")
+    assert _rows(stream_result, *cols) == _rows(batch, *cols)
+
+    # (c): tiny rate stream with the provider set, checkpoint kept
+    spark.conf.set(
+        key, "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    )
+    try:
+        ck = str(tmp_path / "ck")
+        df = (
+            spark.readStream.format("rate-micro-batch")
+            .option("rowsPerBatch", 50)
+            .load()
+        )
+        q = (
+            df.groupBy((F.col("value") % 5).alias("k")).count()
+            .writeStream.format("noop").outputMode("complete")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set(key, before) if before != "unset" else spark.conf.unset(key)
+    state_files = [
+        f for r, _, fs in os.walk(os.path.join(ck, "state")) for f in fs
+    ]
+    assert any(f.endswith((".zip", ".changelog")) for f in state_files), state_files
+    assert not any(f.endswith(".delta") for f in state_files), state_files

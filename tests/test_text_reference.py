@@ -489,3 +489,69 @@ def test_bradley_terry_reference(spark, docs_pdf):
         assert (r["games"], r["wins"], r["rating_micro"]) == (tot[s], wins[s], p[s])
     # the solve must separate sources: not all ratings identical
     assert len({r["rating_micro"] for r in got.values()}) > 1
+
+
+def test_kanonymity_reference(spark, docs_pdf):
+    """k-anonymity recomputed with a plain python dict over the raw
+    parquet: equivalence classes on (lang, source, n_chars//50), the
+    singleton / below-k=3 accounting, and the coarse re-audit must all
+    match the Spark result exactly (integers, no rounding rule)."""
+    from collections import Counter, defaultdict
+
+    fine = Counter(
+        (r.lang, r.source, int(r.n_chars) // 50) for r in docs_pdf.itertuples()
+    )
+    coarse = Counter((r.lang, int(r.n_chars) // 200) for r in docs_pdf.itertuples())
+    exp = defaultdict(lambda: [0, 0, 0, 0, 0, 0])  # n_docs fg fs far cg car
+    for (lang, _, _), n in fine.items():
+        e = exp[lang]
+        e[0] += n
+        e[1] += 1
+        e[2] += n == 1
+        e[3] += n if n < 3 else 0
+    for (lang, _), n in coarse.items():
+        e = exp[lang]
+        e[4] += 1
+        e[5] += n if n < 3 else 0
+    got = {
+        r.lang: [
+            r.n_docs, r.fine_groups, r.fine_singletons,
+            r.fine_at_risk, r.coarse_groups, r.coarse_at_risk,
+        ]
+        for r in _rows(spark, "m_kanonymity")
+    }
+    assert got == {k: list(v) for k, v in exp.items()}
+    # the audit must not be vacuous: some groups flagged, some not
+    assert any(v[3] > 0 for v in exp.values())
+    # ... and not total: somewhere, documents live in safe (n>=3) classes
+    assert any(v[0] > v[3] for v in exp.values())
+
+
+def test_ldiversity_reference(spark, docs_pdf):
+    """l-diversity recomputed with python sets: distinct sensitive
+    values (lang) per (source, n_chars//25) class, the l<3 violation
+    accounting and min/max diversity per source."""
+    from collections import defaultdict
+
+    langs = defaultdict(set)
+    sizes = defaultdict(int)
+    for r in docs_pdf.itertuples():
+        key = (r.source, int(r.n_chars) // 25)
+        langs[key].add(r.lang)
+        sizes[key] += 1
+    exp = defaultdict(lambda: [0, 0, 0, None, None])
+    for key, ls in langs.items():
+        src, l, n = key[0], len(ls), sizes[key]
+        e = exp[src]
+        e[0] += 1
+        e[1] += l < 3
+        e[2] += n if l < 3 else 0
+        e[3] = l if e[3] is None else min(e[3], l)
+        e[4] = l if e[4] is None else max(e[4], l)
+    got = {
+        r.source: [r.n_groups, r.viol_groups, r.docs_at_risk, r.min_l, r.max_l]
+        for r in _rows(spark, "m_ldiversity")
+    }
+    assert got == {k: list(v) for k, v in exp.items()}
+    assert any(v[1] for v in exp.values())  # some violations exist
+    assert any(v[0] > v[1] for v in exp.values())  # and some diversity

@@ -1770,12 +1770,10 @@ def s_rocksdb_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkpoint cost is O(delta), not O(state)."""
 
     def go(work: str) -> DataFrame:
-        prev = spark.conf.get(
-            "spark.sql.streaming.stateStore.providerClass",
-            "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
-        )
+        key = "spark.sql.streaming.stateStore.providerClass"
+        prev = spark.conf.get(key, None)
         spark.conf.set(
-            "spark.sql.streaming.stateStore.providerClass",
+            key,
             "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
         )
         try:
@@ -1789,6 +1787,11 @@ def s_rocksdb_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             return run_to_memory(agg, work, mode="complete").localCheckpoint()
         finally:
-            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+            # restore EXACTLY: an explicit set of the default is not the
+            # same session state as unset (and the test asserts so)
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
 
     return _with_scratch(go)
