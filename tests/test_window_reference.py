@@ -599,3 +599,35 @@ def test_dq_checks_reference(spark):
     assert rows["lineitem_orphan_orderkey"] == (len(li), int(orphans_l))
     # the generated corpus satisfies referential integrity
     assert int(orphans_o) == 0 and int(orphans_l) == 0
+
+
+def test_subseq_search_reference(spark):
+    """Subsequence search re-derived with a plain python sliding scan:
+    centi-integerize every user's event-ordered values, slide an
+    8-window, exact integer Euclidean distance to the lowest user's
+    first window, global top-10 with (dist, user, start) order."""
+    import math
+
+    pdf = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    pdf = pdf.sort_values(["user_id", "event_id"])
+    pdf["v"] = [int(math.floor(v * 100)) for v in pdf["value"]]
+    series = {
+        int(u): list(zip(g["event_id"], g["v"]))
+        for u, g in pdf.groupby("user_id")
+    }
+    pat = [v for _, v in series[min(series)][:8]]
+    cands = []
+    for u, s in series.items():
+        for i in range(len(s) - 7):
+            win = [v for _, v in s[i : i + 8]]
+            d = sum((a - b) * (a - b) for a, b in zip(win, pat))
+            cands.append((d, u, int(s[i][0])))
+    cands.sort()
+    exp = [(r + 1, u, sid, d) for r, (d, u, sid) in enumerate(cands[:10])]
+    got = [
+        (r.rnk, r.user_id, r.start_id, r.dist)
+        for r in _rows(spark, "q_subseq_search")
+    ]
+    assert sorted(got) == exp
+    assert exp[0][3] == 0  # the self-match pins pattern alignment
+    assert exp[1][3] > 0  # and everything else is a genuine neighbor

@@ -2901,3 +2901,89 @@ def q_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "active_users",
         F.sum("wk_value").over(wc).cast("bigint").alias("cum_value"),
     )
+
+
+@query(
+    "q_subseq_search",
+    oracle="""
+WITH ev AS (
+  SELECT user_id, event_id, CAST(floor(value * 100) AS BIGINT) AS v FROM events
+),
+pat AS (
+  SELECT list(v ORDER BY event_id) AS p
+  FROM (SELECT * FROM ev ORDER BY user_id, event_id LIMIT 8)
+),
+win AS (
+  SELECT user_id, event_id, list(v) OVER (
+    PARTITION BY user_id ORDER BY event_id
+    ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS wv
+  FROM ev
+),
+scored AS (
+  SELECT user_id, event_id AS start_id,
+         list_reduce(list_transform(range(1, 9),
+           i -> (wv[i] - p[i]) * (wv[i] - p[i])), (x, y) -> x + y) AS dist
+  FROM win, pat WHERE len(wv) = 8
+)
+SELECT CAST(row_number() OVER (ORDER BY dist, user_id, start_id) AS INTEGER) AS rnk,
+       user_id, start_id, dist
+FROM (SELECT * FROM scored ORDER BY dist, user_id, start_id LIMIT 10)
+""",
+)
+def q_subseq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series subsequence similarity search (the distributed
+    whole-matching shape of EDBT'19 "Time Series Similarity Search for
+    Streaming Data" / UCR-suite style scans): take an 8-event query
+    pattern (the lowest user's first window), slide an 8-wide window
+    over EVERY user's event-ordered value series, and return the 10
+    nearest windows by Euclidean distance.  Arithmetic is EXACT: values
+    are centi-integerized (floor(value*100) — one IEEE product, both
+    engines identical), so each distance is a BIGINT sum of 8 integer
+    squares — no rounding rule at all, and the self-match distance 0
+    pins the alignment.  The pattern rides a broadcast; windows never
+    leave their user partition (collect_list over a 7-FOLLOWING frame);
+    the global top-10 is TakeOrderedAndProject (per-partition heads,
+    one tiny final merge), NOT a full sort.  At 100 TB this is the
+    one-pass sliding-scan + broadcast-pattern dataflow the paper
+    distributes, with z-normalization and LB_Keogh pruning as the
+    declared extensions."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            "event_id",
+            F.floor(F.col("value") * 100).cast("long").alias("v"),
+        )
+    )
+    pat = (
+        ev.orderBy("user_id", "event_id")
+        .limit(8)
+        .agg(F.sort_array(F.collect_list(F.struct("event_id", "v"))).alias("s"))
+        .select(F.transform("s", lambda r: r["v"]).alias("p"))
+    )
+    w = Window.partitionBy("user_id").orderBy("event_id").rowsBetween(
+        Window.currentRow, 7
+    )
+    win = (
+        ev.withColumn("wv", F.collect_list("v").over(w))
+        .where(F.size("wv") == 8)
+        .crossJoin(F.broadcast(pat))
+    )
+    scored = win.select(
+        "user_id",
+        F.col("event_id").alias("start_id"),
+        F.aggregate(
+            F.zip_with("wv", "p", lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + t,
+        ).alias("dist"),
+    )
+    top = scored.orderBy("dist", "user_id", "start_id").limit(10)
+    return top.select(
+        F.row_number()
+        .over(Window.orderBy("dist", "user_id", "start_id"))
+        .alias("rnk"),
+        "user_id",
+        "start_id",
+        "dist",
+    )
