@@ -2987,3 +2987,114 @@ def q_subseq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         "start_id",
         "dist",
     )
+
+
+@query(
+    "q_subseq_znorm",
+    oracle="""
+WITH ev AS (
+  SELECT user_id, event_id, CAST(floor(value * 100) AS BIGINT) AS v FROM events
+),
+pat AS (
+  SELECT list(v ORDER BY event_id) AS p
+  FROM (SELECT * FROM ev ORDER BY user_id, event_id LIMIT 8)
+),
+win AS (
+  SELECT user_id, event_id, list(v) OVER (
+    PARTITION BY user_id ORDER BY event_id
+    ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS wv
+  FROM ev
+),
+st AS (
+  SELECT user_id, event_id AS start_id,
+    list_reduce(list_transform(range(1, 9), i -> wv[i] * p[i]), (x, y) -> x + y) AS sxy,
+    list_reduce(wv, (x, y) -> x + y) AS sx,
+    list_reduce(list_transform(wv, x -> x * x), (x, y) -> x + y) AS sxx,
+    list_reduce(p, (x, y) -> x + y) AS sy,
+    list_reduce(list_transform(p, x -> x * x), (x, y) -> x + y) AS syy
+  FROM win, pat WHERE len(wv) = 8
+),
+corr AS (
+  SELECT user_id, start_id,
+    round(CAST(8 * sxy - sx * sy AS DOUBLE)
+          / (sqrt(CAST(8 * sxx - sx * sx AS DOUBLE))
+             * sqrt(CAST(8 * syy - sy * sy AS DOUBLE))), 6) + 0.0 AS zcorr
+  FROM st WHERE 8 * sxx - sx * sx > 0
+)
+SELECT CAST(row_number() OVER (ORDER BY zcorr DESC, user_id, start_id) AS INTEGER) AS rnk,
+       user_id, start_id, zcorr
+FROM (SELECT * FROM corr ORDER BY zcorr DESC, user_id, start_id LIMIT 10)
+""",
+)
+def q_subseq_znorm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-NORMALIZED subsequence search — the UCR-suite / [q_subseq_search]
+    extension that matches SHAPE, not level: ranking by z-normalized
+    Euclidean distance equals ranking by Pearson correlation between
+    window and pattern, so the top-10 windows by correlation are the
+    z-norm nearest neighbors.  Hash-safety is STRONGER than the cosine
+    family's: all five sufficient statistics (sxy sx sxx sy syy) are
+    exact BIGINT folds over centi-integer values (< 2^53, so the
+    BIGINT→DOUBLE conversions are exact in both engines), leaving ONE
+    division of bit-identical doubles — the 6 dp round is engine-stable
+    by construction, `+ 0.0` kills −0.0.  Flat windows (zero variance)
+    are excluded on the exact integer predicate, dodging 0/0 in both
+    engines.  The self-match pins zcorr 1.0 at rank 1.  Scale: same
+    one-pass sliding scan + broadcast pattern as the raw variant; the
+    stats fold is 8 integer ops per window in the JVM."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            "event_id",
+            F.floor(F.col("value") * 100).cast("long").alias("v"),
+        )
+    )
+    pat = (
+        ev.orderBy("user_id", "event_id")
+        .limit(8)
+        .agg(F.sort_array(F.collect_list(F.struct("event_id", "v"))).alias("s"))
+        .select(F.transform("s", lambda r: r["v"]).alias("p"))
+    )
+    w = Window.partitionBy("user_id").orderBy("event_id").rowsBetween(
+        Window.currentRow, 7
+    )
+    zero = F.lit(0).cast("long")
+    isum = lambda arr: F.aggregate(arr, zero, lambda a, x: a + x)  # noqa: E731
+    win = (
+        ev.withColumn("wv", F.collect_list("v").over(w))
+        .where(F.size("wv") == 8)
+        .crossJoin(F.broadcast(pat))
+    )
+    st = win.select(
+        "user_id",
+        F.col("event_id").alias("start_id"),
+        isum(F.zip_with("wv", "p", lambda x, y: x * y)).alias("sxy"),
+        isum(F.col("wv")).alias("sx"),
+        isum(F.transform("wv", lambda x: x * x)).alias("sxx"),
+        isum(F.col("p")).alias("sy"),
+        isum(F.transform("p", lambda x: x * x)).alias("syy"),
+    )
+    num = 8 * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx = 8 * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = 8 * F.col("syy") - F.col("sy") * F.col("sy")
+    corr = st.where(varx > 0).select(
+        "user_id",
+        "start_id",
+        (
+            F.round(
+                num.cast("double")
+                / (F.sqrt(varx.cast("double")) * F.sqrt(vary.cast("double"))),
+                6,
+            )
+            + 0.0
+        ).alias("zcorr"),
+    )
+    top = corr.orderBy(F.desc("zcorr"), "user_id", "start_id").limit(10)
+    return top.select(
+        F.row_number()
+        .over(Window.orderBy(F.desc("zcorr"), "user_id", "start_id"))
+        .alias("rnk"),
+        "user_id",
+        "start_id",
+        "zcorr",
+    )
