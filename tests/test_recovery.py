@@ -231,3 +231,144 @@ def test_stateful_cdc_recovers_groupstate(spark):
             assert r.last_event_id >= p1_max.get(r.user_id, -1), r.user_id
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def test_stateful_subseq_recovers_array_state(spark):
+    """Array-valued GroupState recovery: the streaming subsequence
+    matcher carries the last 7 values per key as ARRAY state (a
+    different state-serialization path than the CDC test's scalars).
+    Kill after 4 of 8 chunks, restart from the checkpoint — the union
+    of matches must equal the batch sliding scan exactly, including
+    any window that SPANS the kill boundary (its first rows live only
+    in the restored arrays)."""
+    import glob
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    work = _scratch_dir()
+    try:
+        replay_events_as_stream(spark, SF_SMOKE, work)
+        src = os.path.join(work, "src")
+        held = os.path.join(work, "held")
+        os.makedirs(held)
+        files = sorted(os.listdir(src))
+        for f in files[4:]:
+            shutil.move(os.path.join(src, f), os.path.join(held, f))
+        ckpt = os.path.join(work, "ckpt_subseq")
+        log_dir = os.path.join(work, "subseq_log")
+
+        ev = load_table(spark, SF_SMOKE, "events").select(
+            "user_id", "event_id", F.floor(F.col("value") * 100).cast("long").alias("v")
+        )
+        pat_rows = ev.orderBy("user_id", "event_id").limit(8).collect()
+        pattern = [int(r["v"]) for r in sorted(pat_rows, key=lambda r: r["event_id"])]
+        thresh = 10_000_000_000  # generous: plenty of matches at sf0.001
+
+        def matcher(key, pdfs, state: GroupState):
+            ids, vs = ([], [])
+            if state.exists:
+                pids, pvs = state.get
+                ids, vs = [int(x) for x in pids], [int(x) for x in pvs]
+            pdf = pd.concat(list(pdfs)).sort_values("event_id")
+            out_sid, out_dist = [], []
+            evs = np.floor(pdf["value"].to_numpy() * 100).astype("int64")
+            for eid, v in zip(pdf["event_id"].to_numpy(), evs):
+                ids.append(int(eid))
+                vs.append(int(v))
+                if len(vs) >= 8:
+                    d = sum((a - b) * (a - b) for a, b in zip(vs[-8:], pattern))
+                    if d <= thresh:
+                        out_sid.append(ids[-8])
+                        out_dist.append(d)
+            state.update((ids[-7:], vs[-7:]))
+            yield pd.DataFrame(
+                {"user_id": [key[0]] * len(out_sid), "start_id": out_sid, "dist": out_dist}
+            )
+
+        def run_once(name: str):
+            stream = (
+                spark.readStream.schema(
+                    "event_id long, ts timestamp, user_id long, "
+                    "event_type string, value double, props string"
+                )
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            matches = (
+                stream.select("user_id", "event_id", "value")
+                .groupBy("user_id")
+                .applyInPandasWithState(
+                    matcher,
+                    outputStructType="user_id long, start_id long, dist long",
+                    stateStructType="ids array<long>, vs array<long>",
+                    outputMode="append",
+                    timeoutConf=GroupStateTimeout.NoTimeout,
+                )
+            )
+
+            def handle(batch_df, batch_id):
+                batch_df.write.mode("overwrite").parquet(
+                    os.path.join(log_dir, f"{name}_batch={batch_id}")
+                )
+
+            q = (
+                matches.writeStream.foreachBatch(handle)
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            parts = glob.glob(os.path.join(log_dir, f"{name}_batch=*"))
+            return spark.read.parquet(*parts).collect() if parts else []
+
+        phase1 = run_once("ss_rec_1")
+        boundary_files = set(os.listdir(src))
+        for f in files[4:]:
+            shutil.move(os.path.join(held, f), os.path.join(src, f))
+        phase2 = run_once("ss_rec_2")
+        got = {(r.user_id, r.start_id, r.dist) for r in list(phase1) + list(phase2)}
+        assert len(got) == len(list(phase1)) + len(list(phase2))  # no double-emit
+
+        from pyspark.sql import Window
+
+        w = (
+            Window.partitionBy("user_id")
+            .orderBy("event_id")
+            .rowsBetween(Window.currentRow, 7)
+        )
+        pat_lit = F.array(*[F.lit(p) for p in pattern])
+        batch = (
+            ev.withColumn("wv", F.collect_list("v").over(w))
+            .where(F.size("wv") == 8)
+            .select(
+                "user_id",
+                F.col("event_id").alias("start_id"),
+                F.aggregate(
+                    F.zip_with("wv", pat_lit, lambda x, y: (x - y) * (x - y)),
+                    F.lit(0).cast("long"),
+                    lambda acc, t: acc + t,
+                ).alias("dist"),
+            )
+            .where(F.col("dist") <= thresh)
+        )
+        expect = {(r.user_id, r.start_id, r.dist) for r in batch.collect()}
+        assert got == expect
+        assert expect  # non-vacuous
+
+        # at least one match window must SPAN the restart boundary:
+        # its start event arrived in phase 1 but it emitted in phase 2
+        p1 = {(r.user_id, r.start_id) for r in phase1}
+        spanning = {(r.user_id, r.start_id) for r in phase2} & {
+            (r.user_id, r.start_id)
+            for r in spark.read.parquet(
+                *[os.path.join(src, f) for f in boundary_files]
+            )
+            .select("user_id", F.col("event_id").alias("start_id"))
+            .collect()
+        }
+        assert spanning and spanning.isdisjoint(p1)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
