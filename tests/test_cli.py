@@ -280,3 +280,19 @@ def test_cli_consume_geojson_roundtrip(spark, tmp_path):
         ["consume-geojson", "--topic-dir", topic, "--out", only, "--collection", "--layer", "other"]
     ) == 0
     assert len(json.loads(open(only).read())["features"]) == 6
+
+
+def test_geo_lifecycle_demo_runs(spark):
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, "examples/geo_lifecycle_demo.py"],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-500:]
+    assert "geo_lifecycle OK" in r.stdout
+    assert "re-delivery is a no-op" in r.stdout
