@@ -1247,3 +1247,93 @@ def m_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus carries (verified non-empty at both gate scales)."""
     load_table(spark, sf_dir, "documents").createOrReplaceTempView("docs_incr")
     return spark.sql(_incr_dedup_sql("spark"))
+
+
+@query(
+    "m_winnowing",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS l,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+),
+kg AS (
+  SELECT doc_id, list_transform(generate_series(1, n - 4),
+           s -> md5(array_to_string(l[s : s+4], ' '))) AS g
+  FROM d WHERE n >= 5
+),
+sel AS (
+  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(g) - 3),
+           j -> list_aggregate(g[j : j+3], 'min'))) AS fps
+  FROM kg WHERE len(g) >= 4
+),
+fp AS (SELECT doc_id, unnest(fps) AS f FROM sel),
+cnt AS (SELECT doc_id, count(*) AS nf FROM fp GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+  FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING count(*) >= 3
+)
+SELECT id_a, id_b, shared, ca.nf AS n_a, cb.nf AS n_b
+FROM pairs
+JOIN cnt ca ON ca.doc_id = id_a
+JOIN cnt cb ON cb.doc_id = id_b
+""",
+)
+def m_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 —
+    the MOSS local-fingerprinting algorithm): hash every overlapping
+    5-token k-gram, keep the MINIMUM hash of each 4-wide window (the
+    winnowing selection — guarantees any shared run of ≥ 8 tokens
+    yields a shared fingerprint, unlike [m_passage_dedup]'s aligned
+    blocks which miss shifted copies), and report document pairs
+    sharing ≥ 3 selected fingerprints with both docs' fingerprint
+    counts (the containment denominators).  Window mins compare md5
+    HEX STRINGS — lexicographic byte order, identical in both engines,
+    no integer conversion needed.  Threshold on the MEASURED
+    distribution: 27 / 25 / 245 pairs at sf0.001/0.01/0.1, hottest
+    fingerprint shared by only 4 docs (no skew).  Scale: digests are
+    computed INSIDE the per-doc transform (explode ships 32-char
+    strings, never token arrays — the m_passage_dedup rule); expected
+    fingerprint density is 2/(w+1) per token; the pair join is
+    fingerprint-local, and at 100 TB a hot-fingerprint cap (drop
+    fingerprints above a document-frequency bound, they are
+    boilerplate by definition) bounds the quadratic corner exactly the
+    way the LSH band join does."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    kg = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 4),
+        lambda s: F.md5(F.array_join(F.slice(toks, s, 5), " ")),
+    )
+    g = d.where(F.size(toks) >= 5).select("doc_id", kg.alias("g"))
+    fps = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(F.col("g")) - 3),
+            lambda j: F.array_min(F.slice(F.col("g"), j, 4)),
+        )
+    )
+    fp = (
+        g.where(F.size(F.col("g")) >= 4)
+        .select("doc_id", F.explode(fps).alias("f"))
+        .transform(checkpoint_df)  # reused: counts + both sides of the pair join
+    )
+    cnt = fp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nf"))
+    a = fp.select(F.col("doc_id").alias("id_a"), "f")
+    b = fp.select(F.col("doc_id").alias("id_b"), "f")
+    pairs = (
+        a.join(b, "f")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .where(F.col("shared") >= 3)
+    )
+    return (
+        pairs.join(cnt.withColumnRenamed("doc_id", "id_a"), "id_a")
+        .withColumnRenamed("nf", "n_a")
+        .join(
+            cnt.withColumnRenamed("doc_id", "id_b").withColumnRenamed("nf", "n_b"),
+            "id_b",
+        )
+        .select("id_a", "id_b", "shared", "n_a", "n_b")
+    )
