@@ -240,3 +240,79 @@ def q_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY ALL
         """
     )
+
+
+@query(
+    "q_sql_scripting",
+    oracle="""
+WITH nc AS (
+  SELECT c_nationkey AS nk, count(*) AS n
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY c_nationkey
+),
+ranked AS (
+  SELECT nk, n, row_number() OVER (ORDER BY n DESC, nk ASC) AS r FROM nc
+),
+ks AS (SELECT unnest([4, 8, 16, 32, 64]) AS k),
+cum AS (
+  SELECT k, CAST(SUM(CASE WHEN r <= k THEN n END) AS BIGINT) AS cov,
+         (SELECT count(*) FROM orders) AS total
+  FROM ranked, ks GROUP BY k
+)
+SELECT CAST(k AS INTEGER) AS k, cov AS covered, total
+FROM cum WHERE cov * 5 >= total * 3 ORDER BY k LIMIT 1
+""",
+)
+def q_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scripting (Spark 4 BEGIN..END procedural blocks — the
+    feature that replaces driver-side orchestration loops for
+    SQL-first users): a geometric coverage search — DOUBLE k until the
+    top-k nations by order count cover >= 60% of all orders — written
+    as DECLARE + WHILE + scalar-subquery SET, with the loop's LIMIT
+    driven by the loop VARIABLE.  The oracle states the fixed point
+    closed-form (first k in 4,8,16,... of the cumulative ranking
+    past the threshold), so the script's terminating state is
+    hash-checked, not just "it ran".  All-integer: counts and the
+    5*cov >= 3*total cross-multiplied threshold (no division).
+    Doubling, not k+=1, because each scripted SET is one Spark job
+    (~0.3 s scheduling floor): the linear search measured 4.0 s at
+    sf0.1, the geometric one ~1.5 s for the same fixed point
+    guarantee-class.  The nation-count input is aggregated ONCE and
+    localCheckpointed before the loop — each WHILE iteration re-queries
+    25 materialized rows, not the orders×customer join (lazy temp
+    views re-execute lineage per iteration, the round-4 O(k²) trap).
+    Scale: one shuffle for the counts; the loop is O(log k) scans of a
+    nation-sized table."""
+    from ..registry import checkpoint_df
+    from pyspark.sql import functions as F
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    nc = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .transform(checkpoint_df)  # the WHILE body scans THIS, not the join
+    )
+    nc.createOrReplaceTempView("q_sql_scripting_counts")
+    total_df = o.groupBy().agg(F.count(F.lit(1)).alias("t")).transform(checkpoint_df)
+    total_df.createOrReplaceTempView("q_sql_scripting_total")
+    return spark.sql(
+        """
+BEGIN
+  DECLARE total BIGINT DEFAULT 0;
+  DECLARE k INT DEFAULT 0;
+  DECLARE cov BIGINT DEFAULT 0;
+  SET total = (SELECT t FROM q_sql_scripting_total);
+  SET k = 4;
+  SET cov = (SELECT sum(n) FROM (
+    SELECT n FROM q_sql_scripting_counts ORDER BY n DESC, nk ASC LIMIT k));
+  WHILE cov * 5 < total * 3 DO
+    SET k = k * 2;
+    SET cov = (SELECT sum(n) FROM (
+      SELECT n FROM q_sql_scripting_counts ORDER BY n DESC, nk ASC LIMIT k));
+  END WHILE;
+  SELECT k, cov AS covered, total;
+END
+"""
+    )
