@@ -552,3 +552,57 @@ def u_sql_table_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         LEFT JOIN counts c ON c.event_type = sp.event_type AND c.band = sp.band
         """
     )
+
+
+@query(
+    "u_udtf_polymorphic",
+    oracle="""
+SELECT doc_id,
+       l[1] AS p1, l[2] AS p2, l[3] AS p3, l[4] AS p4,
+       CAST(len(l) AS BIGINT) AS n_tokens
+FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+WHERE doc_id < 60
+""",
+)
+def u_udtf_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POLYMORPHIC Python UDTF (Spark 4 ``analyze()``): the output
+    schema is computed at PLAN TIME from a literal argument — here
+    ``head_cols(doc_id, text, 4)`` derives columns p1..p4 (+ the token
+    count) from the constant 4, the API that makes one UDTF serve any
+    width without string-built DDL.  [u_udtf] covers the static-schema
+    path; this covers schema-from-arguments, which Catalyst resolves
+    during analysis so downstream pruning/codegen see ordinary
+    columns.  Out-of-range positions yield NULL, exactly like the
+    oracle's list indexing.  Scale: embarrassingly parallel
+    one-in-N-out Arrow-batched lateral, no shuffle."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    @udtf
+    class HeadCols:
+        @staticmethod
+        def analyze(
+            doc_id: AnalyzeArgument, text: AnalyzeArgument, n: AnalyzeArgument
+        ) -> AnalyzeResult:
+            k = int(n.value)
+            fields = [T.StructField("doc_id", T.LongType())] + [
+                T.StructField(f"p{i + 1}", T.StringType()) for i in range(k)
+            ]
+            fields.append(T.StructField("n_tokens", T.LongType()))
+            return AnalyzeResult(T.StructType(fields))
+
+        def eval(self, doc_id, text, n):
+            toks = text.split(" ") if text is not None else []
+            yield tuple(
+                [doc_id]
+                + [(toks[i] if i < len(toks) else None) for i in range(n)]
+                + [len(toks)]
+            )
+
+    spark.udtf.register("head_cols", HeadCols)
+    load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 60
+    ).createOrReplaceTempView("docs_poly")
+    return spark.sql(
+        "SELECT s.* FROM docs_poly d, LATERAL head_cols(d.doc_id, d.text, 4) s"
+    )
