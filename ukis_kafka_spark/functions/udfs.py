@@ -606,3 +606,47 @@ def u_udtf_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT s.* FROM docs_poly d, LATERAL head_cols(d.doc_id, d.text, 4) s"
     )
+
+
+@query(
+    "u_apply_in_arrow",
+    oracle="""
+SELECT event_type,
+       count(*) AS n,
+       CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS v_centi,
+       min(event_id) AS min_id,
+       max(event_id) AS max_id
+FROM events
+GROUP BY event_type
+""",
+)
+def u_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map **applyInArrow** (Spark 4): the zero-pandas grouped
+    kernel — each group arrives as ONE pyarrow.Table and the kernel
+    runs entirely in pyarrow.compute (no pandas materialization, no
+    index machinery — the cheapest Python boundary Spark offers for
+    grouped logic).  [u_grouped_map] covers the pandas flavor; this is
+    the Arrow-native one.  The kernel is integer-exact per the repo's
+    rules: centi-unit value mass via floor(value*100) (one IEEE
+    product) summed as int64, plus count and id extrema.  Scale: one
+    hash shuffle on the group key, then embarrassingly parallel
+    per-group Arrow batches."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def stats(t: pa.Table) -> pa.Table:
+        centi = pc.cast(pc.floor(pc.multiply(t.column("value"), 100.0)), pa.int64())
+        return pa.table(
+            {
+                "event_type": [t.column("event_type")[0].as_py()],
+                "n": [t.num_rows],
+                "v_centi": [pc.sum(centi).as_py()],
+                "min_id": [pc.min(t.column("event_id")).as_py()],
+                "max_id": [pc.max(t.column("event_id")).as_py()],
+            }
+        )
+
+    e = load_table(spark, sf_dir, "events").select("event_type", "event_id", "value")
+    return e.groupBy("event_type").applyInArrow(
+        stats, schema="event_type string, n long, v_centi long, min_id long, max_id long"
+    )
