@@ -1724,3 +1724,65 @@ def g_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.max("value").alias("value_max"),
     )
+
+
+def _hexbin_sql(table: str) -> str:
+    """Axial hex binning (pointy-top, size 3°), one SQL text for BOTH
+    engines — cube rounding via floor(v+0.5) + largest-diff fix.
+    floor() types differ across engines (Spark BIGINT, DuckDB DOUBLE)
+    but every branch coerces back to double and the final CAST lands
+    on exactly-integral values, so both casts are exact."""
+    return f"""
+WITH pt AS (
+  SELECT event_id, user_id, CAST({_LON} AS DOUBLE) AS x,
+         CAST({_LAT} AS DOUBLE) AS y
+  FROM {table}
+),
+ax AS (
+  SELECT event_id, user_id,
+         (sqrt(3e0) / 3e0 * x - y / 3e0) / 3e0 AS xf,
+         (2e0 / 3e0 * y) / 3e0 AS zf
+  FROM pt
+),
+rnd AS (
+  SELECT event_id, user_id, xf, zf, (0.0 - xf - zf) AS yf,
+         floor(xf + 0.5) AS rx,
+         floor((0.0 - xf - zf) + 0.5) AS ry,
+         floor(zf + 0.5) AS rz
+  FROM ax
+),
+fixed AS (
+  SELECT event_id, user_id,
+    CASE WHEN abs(rx - xf) > abs(ry - yf) AND abs(rx - xf) > abs(rz - zf)
+         THEN 0.0 - ry - rz ELSE rx END AS hx,
+    CASE WHEN NOT (abs(rx - xf) > abs(ry - yf) AND abs(rx - xf) > abs(rz - zf))
+              AND NOT (abs(ry - yf) > abs(rz - zf))
+         THEN 0.0 - rx - ry ELSE rz END AS hz
+  FROM rnd
+)
+SELECT CAST(hx AS BIGINT) AS hq, CAST(hz AS BIGINT) AS hr,
+       count(*) AS n, count(DISTINCT user_id) AS n_users,
+       min(event_id) AS first_id
+FROM fixed GROUP BY hq, hr
+"""
+
+
+@query("g_hex_bin", oracle=_hexbin_sql("events"))
+def g_hex_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hexagonal spatial binning (the H3/Uber-style grid, here a pure
+    axial-coordinate implementation): every event point lands in a
+    pointy-top hex cell via the textbook axial transform + cube
+    rounding (round each cube coordinate with floor(v+0.5), then
+    re-derive the one with the largest rounding error so x+y+z = 0
+    holds).  Hexagons complete the spatial-index family next to
+    [g_geohash] (rectangles) and [g_zorder_key] (space-filling curve)
+    — equidistant neighbors make them the standard choice for
+    density/mobility analytics.  Determinism: one shared SQL text
+    drives BOTH engines; all decisions are IEEE comparisons on
+    identically-derived doubles, floor is exact, and the final casts
+    hit exactly-integral values (engine cast-rounding difference is
+    moot).  Scale: stateless per-row math + one partial-aggregated
+    groupBy on the cell key — the same one-shuffle shape as every grid
+    rollup here."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("hex_ev")
+    return spark.sql(_hexbin_sql("hex_ev"))
