@@ -1101,3 +1101,36 @@ def test_checkpoint_modes_agree(spark, tmp_path, monkeypatch):
     import os
 
     assert os.path.isdir(tmp_path / "ck") and any(os.scandir(tmp_path / "ck"))
+
+
+def test_sql_scripting_reference(spark):
+    """The scripted coverage search re-derived with a plain python
+    loop over pandas nation counts: same doubling schedule, same
+    cross-multiplied threshold, same terminating (k, covered, total).
+    Also pins the guarantee class: covered(k) >= 60% and, when k > 4,
+    covered(k/2) < 60% (the script stopped at the FIRST passing k)."""
+    import pandas as pd
+
+    from tests.conftest import SF_SMOKE
+    from ukis_kafka_spark import api
+
+    o = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")
+    c = pd.read_parquet(f"{SF_SMOKE}/customer.parquet")
+    m = o.merge(c, left_on="o_custkey", right_on="c_custkey")
+    counts = (
+        m.groupby("c_nationkey").size().reset_index(name="n")
+        .sort_values(["n", "c_nationkey"], ascending=[False, True])
+    )
+    total = len(o)
+
+    def cov(k):
+        return int(counts.head(k)["n"].sum())
+
+    k = 4
+    while cov(k) * 5 < total * 3:
+        k *= 2
+    row = api.queries()["q_sql_scripting"](spark, SF_SMOKE).collect()[0]
+    assert (row.k, row.covered, row.total) == (k, cov(k), total)
+    assert cov(k) * 5 >= total * 3
+    if k > 4:
+        assert cov(k // 2) * 5 < total * 3

@@ -489,3 +489,55 @@ def test_filter_venn_reference(spark, docs_pdf):
     }
     assert got == {k: tuple(v) for k, v in agg.items()}
     assert sum(n for n, _ in got.values()) == len(docs_pdf)  # cells partition
+
+
+def test_winnowing_reference(spark):
+    """Winnowing pairs re-derived with hashlib + explicit window-min
+    loops, plus the paper's guarantee probed directly: for the
+    reported pairs, shared fingerprints imply a shared 5-token k-gram
+    (winnowing selects REAL k-gram hashes, no false fingerprints)."""
+    import hashlib
+
+    pdf = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    fps = {}
+    grams = {}
+    for r in pdf.itertuples():
+        toks = r.text.split(" ")
+        if len(toks) < 5:
+            continue
+        g = [
+            hashlib.md5(" ".join(toks[i : i + 5]).encode()).hexdigest()
+            for i in range(len(toks) - 4)
+        ]
+        if len(g) < 4:
+            continue
+        sel = {min(g[j : j + 4]) for j in range(len(g) - 3)}
+        fps[int(r.doc_id)] = sel
+        grams[int(r.doc_id)] = set(g)
+    pairs = {}
+    docs = sorted(fps)
+    from collections import defaultdict
+
+    by_fp = defaultdict(list)
+    for d in docs:
+        for f in fps[d]:
+            by_fp[f].append(d)
+    for f, ds in by_fp.items():
+        for i in range(len(ds)):
+            for j in range(i + 1, len(ds)):
+                pairs[(ds[i], ds[j])] = pairs.get((ds[i], ds[j]), 0) + 1
+    exp = {
+        (a, b): (n, len(fps[a]), len(fps[b]))
+        for (a, b), n in pairs.items()
+        if n >= 3
+    }
+    got = {
+        (r.id_a, r.id_b): (r.shared, r.n_a, r.n_b)
+        for r in _rows(spark, "m_winnowing")
+    }
+    assert got == exp
+    assert exp  # non-vacuous
+    # every selected fingerprint IS one of the doc's k-gram hashes
+    for a, b in list(exp)[:5]:
+        assert fps[a] <= grams[a] and fps[b] <= grams[b]
+        assert fps[a] & fps[b]

@@ -381,3 +381,39 @@ def test_bearing_and_rose_reference(spark):
     assert got_r == {s: (n, len(us)) for s, (n, us) in sectors.items()}
     assert sum(n for n, _ in got_r.values()) == len(p)
     assert set(got_r) <= set(range(8))
+
+
+def test_hex_bin_reference(spark):
+    """Hex binning re-derived with the textbook float cube-round in
+    plain python (round half toward +inf via floor(v+0.5), largest-
+    diff fix) — cell assignment, counts, distinct users and first ids
+    must all match, and every cell must satisfy the cube invariant
+    q + (-q-r) + r = 0 trivially plus mass conservation."""
+    import math
+
+    pdf = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    cells = {}
+    for r in pdf.itertuples():
+        x = r.value * 3.6 - 180
+        y = float((r.user_id * 7 % 180) - 90)
+        xf = (math.sqrt(3.0) / 3.0 * x - y / 3.0) / 3.0
+        zf = (2.0 / 3.0 * y) / 3.0
+        yf = -xf - zf
+        rx, ry, rz = (math.floor(v + 0.5) for v in (xf, yf, zf))
+        dx, dy, dz = abs(rx - xf), abs(ry - yf), abs(rz - zf)
+        if dx > dy and dx > dz:
+            rx = -ry - rz
+        elif not (dy > dz):
+            rz = -rx - ry
+        key = (int(rx), int(rz))
+        c = cells.setdefault(key, [0, set(), None])
+        c[0] += 1
+        c[1].add(int(r.user_id))
+        c[2] = int(r.event_id) if c[2] is None else min(c[2], int(r.event_id))
+    got = {
+        (r.hq, r.hr): (r.n, r.n_users, r.first_id)
+        for r in _rows(spark, "g_hex_bin")
+    }
+    exp = {k: (v[0], len(v[1]), v[2]) for k, v in cells.items()}
+    assert got == exp
+    assert sum(v[0] for v in exp.values()) == len(pdf)  # mass conserved

@@ -631,3 +631,39 @@ def test_subseq_search_reference(spark):
     assert sorted(got) == exp
     assert exp[0][3] == 0  # the self-match pins pattern alignment
     assert exp[1][3] > 0  # and everything else is a genuine neighbor
+
+
+def test_subseq_znorm_reference(spark):
+    """Z-normalized subsequence rank re-derived with numpy Pearson
+    correlation (np.corrcoef — a different formulation than the
+    engine's five integer sufficient statistics): the selected top-10
+    windows must match, and each emitted zcorr must equal the numpy
+    value on the replicated HALF_UP 6 dp grid."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    pdf = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    pdf = pdf.sort_values(["user_id", "event_id"])
+    pdf["v"] = [int(math.floor(v * 100)) for v in pdf["value"]]
+    series = {
+        int(u): list(zip(g["event_id"], g["v"])) for u, g in pdf.groupby("user_id")
+    }
+    pat = np.array([v for _, v in series[min(series)][:8]], dtype=float)
+    cands = []
+    for u, s in series.items():
+        vs = np.array([v for _, v in s], dtype=float)
+        for i in range(len(s) - 7):
+            win = vs[i : i + 8]
+            if win.std() == 0:
+                continue
+            c = float(np.corrcoef(win, pat)[0, 1])
+            c6 = float(Decimal(repr(c)).quantize(Decimal("1e-6"), ROUND_HALF_UP)) + 0.0
+            cands.append((-c6, u, int(s[i][0])))
+    cands.sort()
+    exp = [(r + 1, u, sid, -negc) for r, (negc, u, sid) in enumerate(cands[:10])]
+    got = [
+        (r.rnk, r.user_id, r.start_id, r.zcorr)
+        for r in _rows(spark, "q_subseq_znorm")
+    ]
+    assert sorted(got) == exp
+    assert exp[0][3] == 1.0  # self-match pins the top
