@@ -863,3 +863,61 @@ def src_gpkg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("srid").alias("srid"),
         )
     )
+
+
+@query(
+    "src_json_multiline",
+    oracle="""
+SELECT p_brand,
+       count(*) AS n,
+       CAST(CAST(SUM(CAST(p_retailprice AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)
+         AS retail_sum,
+       max(p_name) AS max_name
+FROM part
+GROUP BY p_brand
+""",
+)
+def src_json_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """multiLine JSON ingestion: ONE file holding a single top-level
+    JSON ARRAY of objects — the REST-API-dump / config-export shape
+    that line-delimited readers ([src_jsonl_roundtrip]) reject.  Spark
+    needs ``multiLine=true``, which changes the execution contract:
+    the file is no longer splittable (one parse task per FILE, the
+    whole document must fit one task's memory), so at 100 TB the
+    medicine is many medium files, not one giant array — stated here
+    because the option looks free and is not.  The fixture is built
+    once per corpus fingerprint with stdlib json over a pandas read
+    (no Spark collect); numeric fidelity survives the round-trip
+    (shortest-repr doubles), so the brand aggregate hash-matches the
+    flat-table oracle."""
+    import json as _json
+
+    import pandas as pd
+
+    def build(into: str) -> None:
+        pdf = pd.read_parquet(os.path.join(sf_dir, "part.parquet"))[
+            ["p_partkey", "p_name", "p_brand", "p_retailprice"]
+        ]
+        recs = pdf.to_dict(orient="records")
+        os.makedirs(os.path.join(into, "ml"), exist_ok=True)
+        with open(os.path.join(into, "ml", "parts.json"), "w") as fh:
+            _json.dump(recs, fh)
+
+    src = os.path.join(
+        _cache_publish(
+            build, ("json_multiline", 1, _table_fingerprint(sf_dir, "part"))
+        ),
+        "ml",
+    )
+    back = (
+        spark.read.option("multiLine", "true")
+        .schema("p_partkey long, p_name string, p_brand string, p_retailprice double")
+        .json(src)
+    )
+    return back.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("p_retailprice").cast("decimal(28,10)"))
+        .cast("double")
+        .alias("retail_sum"),
+        F.max("p_name").alias("max_name"),
+    )
