@@ -304,3 +304,51 @@ def m_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(target_arr, " ").alias("target_text"),
         F.size(F.filter(idx, lambda i: (i - 1) % 7 < 2)).cast("bigint").alias("n_masked"),
     )
+
+
+def _fim_sql(table: str) -> str:
+    """Fill-in-the-middle transform, one SQL text for both engines.
+    Cut points derive from Lehmer-style modular hashes of doc_id
+    (products < 2^42, safe under ANSI); all arithmetic is integer."""
+    return f"""
+WITH d AS (
+  SELECT doc_id, text, n_chars AS n,
+         1 + (doc_id * 48271 % 2147483647) % (n_chars - 1) AS cut1
+  FROM {table} WHERE n_chars >= 3
+),
+c AS (
+  SELECT doc_id, text, n, cut1,
+         cut1 + 1 + (doc_id * 16807 % 2147483647) % (n - cut1) AS cut2
+  FROM d
+)
+SELECT doc_id,
+       cut1 AS len_prefix,
+       cut2 - cut1 AS len_middle,
+       n - cut2 AS len_suffix,
+       n,
+       md5(substring(text, 1, cut1) || '<SUF>'
+           || substring(text, cut2 + 1, n - cut2) || '<MID>'
+           || substring(text, cut1 + 1, cut2 - cut1)) AS psm_digest
+FROM c
+"""
+
+
+@query("m_fim_transform", oracle=_fim_sql("documents"))
+def m_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle transform (Bavarian et al. 2022 — the data
+    prep that gives code models infilling ability): split each
+    document at two pseudo-random character cuts into
+    prefix/middle/suffix and reassemble in PSM order
+    (prefix <SUF> suffix <MID> middle), so the model learns to emit
+    the middle conditioned on both sides.  Cut points are Lehmer-hash
+    functions of doc_id (deterministic, engine-neutral integer
+    arithmetic; cut1 in [1, n-1], cut2 in (cut1, n], middle always
+    non-empty) — the oracle recomputes the same cuts and the PSM
+    digest, so the reordered string itself is hash-checked, not just
+    the lengths (which the output also carries, with n, so length
+    conservation lp+lm+ls = n is checkable by eye).  One shared SQL
+    text drives both engines; corpus text is ASCII so char indexing ==
+    byte indexing in both.  Scale: stateless per-row string surgery,
+    map-only, no shuffle at all."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("fim_docs")
+    return spark.sql(_fim_sql("fim_docs"))
