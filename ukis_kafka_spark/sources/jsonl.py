@@ -921,3 +921,58 @@ def src_json_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("retail_sum"),
         F.max("p_name").alias("max_name"),
     )
+
+
+@query(
+    "src_csv_quoted_newlines",
+    oracle="""
+SELECT p_brand,
+       count(*) AS n,
+       min(md5(p_name || ',"' || chr(10) || p_brand)) AS min_digest,
+       max(md5(p_name || ',"' || chr(10) || p_brand)) AS max_digest
+FROM part
+GROUP BY p_brand
+""",
+)
+def src_csv_quoted_newlines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV quoting torture: fields carrying the delimiter, a double
+    quote AND an embedded NEWLINE round-trip through the CSV sink and
+    source.  [src_csv_roundtrip] covers quoted commas; the newline is
+    the edge that silently corrupts data without ``multiLine=true`` on
+    the read (a record then spans physical lines, and the default
+    line-splitting reader shreds it).  The adversarial field is
+    constructed deterministically from part columns, and the oracle
+    computes each field's md5 FROM THE SOURCE — so any mis-quoting,
+    mis-escaping or line-shredding on the Spark round-trip changes a
+    digest and fails the hash gate.  Scale note: multiLine CSV, like
+    multiLine JSON, makes files non-splittable — one parse task per
+    file; shard accordingly."""
+
+    def build(into: str) -> None:
+        p = load_table(spark, sf_dir, "part")
+        nasty = F.concat(
+            F.col("p_name"), F.lit(',"'), F.lit("\n"), F.col("p_brand")
+        )
+        p.select(
+            "p_partkey", "p_brand", nasty.alias("nasty")
+        ).write.mode("overwrite").option("header", "true").csv(
+            os.path.join(into, "csvnl")
+        )
+
+    src = os.path.join(
+        _cache_publish(
+            build, ("csv_newlines", 1, _table_fingerprint(sf_dir, "part"))
+        ),
+        "csvnl",
+    )
+    back = (
+        spark.read.schema("p_partkey long, p_brand string, nasty string")
+        .option("header", "true")
+        .option("multiLine", "true")
+        .csv(src)
+    )
+    return back.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(F.md5(F.col("nasty"))).alias("min_digest"),
+        F.max(F.md5(F.col("nasty"))).alias("max_digest"),
+    )
