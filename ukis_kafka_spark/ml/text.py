@@ -3784,3 +3784,81 @@ def m_ldiversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l").alias("min_l"),
         F.max("l").alias("max_l"),
     )
+
+
+@query(
+    "m_rank_fusion",
+    oracle="""
+WITH scored AS (
+  SELECT doc_id, n_chars,
+         len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_tok,
+         len(list_distinct(string_split(text, ' '))) AS n_uniq
+  FROM documents
+),
+ra AS (SELECT doc_id, row_number() OVER (ORDER BY n_chars DESC, doc_id) AS r
+       FROM scored),
+rb AS (SELECT doc_id, row_number() OVER (ORDER BY n_uniq DESC, n_tok DESC, doc_id) AS r
+       FROM scored),
+fused AS (
+  SELECT ra.doc_id, ra.r AS rank_len, rb.r AS rank_lex,
+         round(1e0 / (60 + ra.r) + 1e0 / (60 + rb.r), 6) + 0.0 AS rrf
+  FROM ra JOIN rb ON rb.doc_id = ra.doc_id
+)
+SELECT CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS INTEGER) AS rnk,
+       doc_id, rank_len, rank_lex, rrf
+FROM (SELECT * FROM fused ORDER BY rrf DESC, doc_id LIMIT 10)
+""",
+)
+def m_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009 — THE standard way
+    retrieval stacks combine rankers without score calibration): two
+    deterministic document rankings (by length; by lexical richness —
+    distinct words then BPE-ish token count) are fused as
+    1/(60+r_a) + 1/(60+r_b) and the top-10 fused documents returned
+    with both source ranks.  Ranks are exact integers with doc_id
+    tiebreaks, so the fusion arithmetic is two divisions and one add
+    on IDENTICAL doubles in both engines — the 6 dp round is stable by
+    construction (and `1e0`, not `1.0`: the round-5 decimal-literal
+    trap).  RRF's k=60 is the paper's constant.  Scale: two window
+    ranks over the scored corpus (each one exchange), a key join, and
+    a TakeOrdered top-10 — no per-pair work anywhere."""
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "n_chars",
+        F.size(F.expr(f"regexp_extract_all(text, '{_BPE_ISH}', 0)")).alias("n_tok"),
+        F.size(F.array_distinct(F.split(F.col("text"), " "))).alias("n_uniq"),
+    )
+    ra = scored.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("n_chars"), F.asc("doc_id")))
+        .alias("rank_len"),
+    )
+    rb = scored.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("n_uniq"), F.desc("n_tok"), F.asc("doc_id")))
+        .alias("rank_lex"),
+    )
+    fused = ra.join(rb, "doc_id").select(
+        "doc_id",
+        "rank_len",
+        "rank_lex",
+        (
+            F.round(
+                F.lit(1.0) / (F.lit(60) + F.col("rank_len"))
+                + F.lit(1.0) / (F.lit(60) + F.col("rank_lex")),
+                6,
+            )
+            + 0.0
+        ).alias("rrf"),
+    )
+    top = fused.orderBy(F.desc("rrf"), "doc_id").limit(10)
+    return top.select(
+        F.row_number().over(Window.orderBy(F.desc("rrf"), "doc_id")).alias("rnk"),
+        "doc_id",
+        "rank_len",
+        "rank_lex",
+        "rrf",
+    )
