@@ -240,12 +240,16 @@ def test_stateful_subseq_recovers_array_state(spark):
     Kill after 4 of 8 chunks, restart from the checkpoint — the union
     of matches must equal the batch sliding scan exactly, including
     any window that SPANS the kill boundary (its first rows live only
-    in the restored arrays)."""
+    in the restored arrays).  The matcher kernel is a DELIBERATE
+    re-implementation of s_subseq_stream's (different threshold, same
+    contract) so a production-kernel bug cannot hide here too."""
     import glob
 
     import numpy as np
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ukis_kafka_spark.streaming.jobs import _EVENT_SCHEMA
 
     work = _scratch_dir()
     try:
@@ -289,10 +293,7 @@ def test_stateful_subseq_recovers_array_state(spark):
 
         def run_once(name: str):
             stream = (
-                spark.readStream.schema(
-                    "event_id long, ts timestamp, user_id long, "
-                    "event_type string, value double, props string"
-                )
+                spark.readStream.schema(_EVENT_SCHEMA)
                 .option("maxFilesPerTrigger", 1)
                 .parquet(src)
             )

@@ -333,8 +333,16 @@ def cmd_consume_geojson(args: argparse.Namespace) -> int:
             fh.write("\n]}\n")
         n = len(rows)
     else:
-        fdf.select("feature").write.mode("overwrite").text(args.out)
-        n = spark.read.text(args.out).count()
+        # count via observe() so the export is written AND counted in
+        # one pass (re-reading a 100 TB export for a log line is real
+        # cost)
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        fdf.observe(obs, F.count(F.lit(1)).alias("n")).select("feature").write.mode(
+            "overwrite"
+        ).text(args.out)
+        n = obs.get["n"]
     print(f"exported {n} features to {args.out}")
     return 0
 

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..registry import query
+from ..registry import checkpoint_df, query
 from ..sources import load_table
 
 MOD = 1_000_000_007
@@ -3828,7 +3828,7 @@ def m_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         F.size(F.expr(f"regexp_extract_all(text, '{_BPE_ISH}', 0)")).alias("n_tok"),
         F.size(F.array_distinct(F.split(F.col("text"), " "))).alias("n_uniq"),
-    )
+    ).transform(checkpoint_df)  # both window ranks read it: tokenize once
     ra = scored.select(
         "doc_id",
         F.row_number()

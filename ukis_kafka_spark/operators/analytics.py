@@ -2903,10 +2903,13 @@ def q_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_subseq_search",
-    oracle="""
-WITH ev AS (
+
+# -- shared subsequence-search scaffolding ----------------------------------
+# One oracle CTE prefix and one Spark-side window builder feed all three
+# subsequence operators (q_subseq_search, q_subseq_znorm, and
+# s_subseq_stream's oracle in streaming/jobs.py): centi-integerized values,
+# the lowest user's first 8 events as the pattern, 8-wide per-user windows.
+SUBSEQ_ORACLE_PREFIX = """WITH ev AS (
   SELECT user_id, event_id, CAST(floor(value * 100) AS BIGINT) AS v FROM events
 ),
 pat AS (
@@ -2918,7 +2921,39 @@ win AS (
     PARTITION BY user_id ORDER BY event_id
     ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS wv
   FROM ev
-),
+)"""
+
+
+def _subseq_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 8-wide sliding windows (``wv``) with the broadcast
+    query pattern (``p``) attached — the Spark twin of
+    SUBSEQ_ORACLE_PREFIX."""
+    from ..sources import load_table as _lt
+
+    ev = _lt(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.floor(F.col("value") * 100).cast("long").alias("v"),
+    )
+    pat = (
+        ev.orderBy("user_id", "event_id")
+        .limit(8)
+        .agg(F.sort_array(F.collect_list(F.struct("event_id", "v"))).alias("s"))
+        .select(F.transform("s", lambda r: r["v"]).alias("p"))
+    )
+    w = Window.partitionBy("user_id").orderBy("event_id").rowsBetween(
+        Window.currentRow, 7
+    )
+    return (
+        ev.withColumn("wv", F.collect_list("v").over(w))
+        .where(F.size("wv") == 8)
+        .crossJoin(F.broadcast(pat))
+    )
+
+
+@query(
+    "q_subseq_search",
+    oracle=SUBSEQ_ORACLE_PREFIX + """,
 scored AS (
   SELECT user_id, event_id AS start_id,
          list_reduce(list_transform(range(1, 9),
@@ -2947,29 +2982,7 @@ def q_subseq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     one-pass sliding-scan + broadcast-pattern dataflow the paper
     distributes, with z-normalization and LB_Keogh pruning as the
     declared extensions."""
-    ev = (
-        load_table(spark, sf_dir, "events")
-        .select(
-            "user_id",
-            "event_id",
-            F.floor(F.col("value") * 100).cast("long").alias("v"),
-        )
-    )
-    pat = (
-        ev.orderBy("user_id", "event_id")
-        .limit(8)
-        .agg(F.sort_array(F.collect_list(F.struct("event_id", "v"))).alias("s"))
-        .select(F.transform("s", lambda r: r["v"]).alias("p"))
-    )
-    w = Window.partitionBy("user_id").orderBy("event_id").rowsBetween(
-        Window.currentRow, 7
-    )
-    win = (
-        ev.withColumn("wv", F.collect_list("v").over(w))
-        .where(F.size("wv") == 8)
-        .crossJoin(F.broadcast(pat))
-    )
-    scored = win.select(
+    scored = _subseq_windows(spark, sf_dir).select(
         "user_id",
         F.col("event_id").alias("start_id"),
         F.aggregate(
@@ -2991,20 +3004,7 @@ def q_subseq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_subseq_znorm",
-    oracle="""
-WITH ev AS (
-  SELECT user_id, event_id, CAST(floor(value * 100) AS BIGINT) AS v FROM events
-),
-pat AS (
-  SELECT list(v ORDER BY event_id) AS p
-  FROM (SELECT * FROM ev ORDER BY user_id, event_id LIMIT 8)
-),
-win AS (
-  SELECT user_id, event_id, list(v) OVER (
-    PARTITION BY user_id ORDER BY event_id
-    ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS wv
-  FROM ev
-),
+    oracle=SUBSEQ_ORACLE_PREFIX + """,
 st AS (
   SELECT user_id, event_id AS start_id,
     list_reduce(list_transform(range(1, 9), i -> wv[i] * p[i]), (x, y) -> x + y) AS sxy,
@@ -3019,7 +3019,7 @@ corr AS (
     round(CAST(8 * sxy - sx * sy AS DOUBLE)
           / (sqrt(CAST(8 * sxx - sx * sx AS DOUBLE))
              * sqrt(CAST(8 * syy - sy * sy AS DOUBLE))), 6) + 0.0 AS zcorr
-  FROM st WHERE 8 * sxx - sx * sx > 0
+  FROM st WHERE 8 * sxx - sx * sx > 0 AND 8 * syy - sy * sy > 0
 )
 SELECT CAST(row_number() OVER (ORDER BY zcorr DESC, user_id, start_id) AS INTEGER) AS rnk,
        user_id, start_id, zcorr
@@ -3041,31 +3041,9 @@ def q_subseq_znorm(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines.  The self-match pins zcorr 1.0 at rank 1.  Scale: same
     one-pass sliding scan + broadcast pattern as the raw variant; the
     stats fold is 8 integer ops per window in the JVM."""
-    ev = (
-        load_table(spark, sf_dir, "events")
-        .select(
-            "user_id",
-            "event_id",
-            F.floor(F.col("value") * 100).cast("long").alias("v"),
-        )
-    )
-    pat = (
-        ev.orderBy("user_id", "event_id")
-        .limit(8)
-        .agg(F.sort_array(F.collect_list(F.struct("event_id", "v"))).alias("s"))
-        .select(F.transform("s", lambda r: r["v"]).alias("p"))
-    )
-    w = Window.partitionBy("user_id").orderBy("event_id").rowsBetween(
-        Window.currentRow, 7
-    )
     zero = F.lit(0).cast("long")
     isum = lambda arr: F.aggregate(arr, zero, lambda a, x: a + x)  # noqa: E731
-    win = (
-        ev.withColumn("wv", F.collect_list("v").over(w))
-        .where(F.size("wv") == 8)
-        .crossJoin(F.broadcast(pat))
-    )
-    st = win.select(
+    st = _subseq_windows(spark, sf_dir).select(
         "user_id",
         F.col("event_id").alias("start_id"),
         isum(F.zip_with("wv", "p", lambda x, y: x * y)).alias("sxy"),
@@ -3077,7 +3055,10 @@ def q_subseq_znorm(spark: SparkSession, sf_dir: str) -> DataFrame:
     num = 8 * F.col("sxy") - F.col("sx") * F.col("sy")
     varx = 8 * F.col("sxx") - F.col("sx") * F.col("sx")
     vary = 8 * F.col("syy") - F.col("sy") * F.col("sy")
-    corr = st.where(varx > 0).select(
+    # guard BOTH variances: a flat window (varx) exists in the data; a
+    # flat PATTERN (vary) would otherwise NaN every row after a corpus
+    # regeneration — make the invariant explicit, not data-pinned
+    corr = st.where((varx > 0) & (vary > 0)).select(
         "user_id",
         "start_id",
         (

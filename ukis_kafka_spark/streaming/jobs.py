@@ -155,6 +155,15 @@ def _with_scratch(fn):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def _subseq_prefix() -> str:
+    """Shared subsequence-oracle CTE prefix — single source of truth in
+    operators/analytics.py (import is lazy only to keep this module's
+    import graph acyclic at definition time)."""
+    from ..operators.analytics import SUBSEQ_ORACLE_PREFIX
+
+    return SUBSEQ_ORACLE_PREFIX
+
+
 @query(
     "s_stateful_count",
     oracle="""
@@ -1799,20 +1808,7 @@ def s_rocksdb_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "s_subseq_stream",
-    oracle="""
-WITH ev AS (
-  SELECT user_id, event_id, CAST(floor(value * 100) AS BIGINT) AS v FROM events
-),
-pat AS (
-  SELECT list(v ORDER BY event_id) AS p
-  FROM (SELECT * FROM ev ORDER BY user_id, event_id LIMIT 8)
-),
-win AS (
-  SELECT user_id, event_id, list(v) OVER (
-    PARTITION BY user_id ORDER BY event_id
-    ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS wv
-  FROM ev
-),
+    oracle=_subseq_prefix() + """,
 scored AS (
   SELECT user_id, event_id AS start_id,
          list_reduce(list_transform(range(1, 9),
