@@ -930,3 +930,108 @@ def q_ewma_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         num.cast("bigint").alias("ewma_num"),
         den.cast("bigint").alias("ewma_den"),
     )
+
+
+@query(
+    "q_interpolate_linear",
+    oracle="""
+WITH pts AS (
+  SELECT event_id, user_id,
+         (event_id % 7 = 0) AS was_gap,
+         CASE WHEN event_id % 7 <> 0
+              THEN CAST(floor(value * 100) AS BIGINT) END AS vc
+  FROM events
+),
+nb AS (
+  SELECT event_id, user_id, was_gap,
+         last_value(vc IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v1,
+         last_value(CASE WHEN vc IS NOT NULL THEN event_id END IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS e1,
+         first_value(vc IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY event_id
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS v2,
+         first_value(CASE WHEN vc IS NOT NULL THEN event_id END IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY event_id
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS e2
+  FROM pts
+)
+SELECT event_id, user_id, was_gap,
+       COALESCE(
+         CASE WHEN v1 IS NOT NULL AND v2 IS NOT NULL AND e2 > e1 THEN
+           v1 * 1000000 + (CASE
+             WHEN (v2 - v1) * (event_id - e1) >= 0
+             THEN ((v2 - v1) * (event_id - e1) * 1000000) // (e2 - e1)
+             ELSE -(((v1 - v2) * (event_id - e1) * 1000000) // (e2 - e1))
+           END)
+         END,
+         v1 * 1000000, v2 * 1000000, 0) AS interp_micro
+FROM nb
+""",
+)
+def q_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINEAR-interpolation gap fill — the numeric twin of
+    [q_fill_forward]'s LOCF: the same deterministic holes (every 7th
+    event id loses its reading) are refilled by interpolating between
+    the previous and next KNOWN readings, positioned by event id.  The
+    interpolant is exact fixed-point: centi-integer values, micro-unit
+    output, and the fractional term is a SIGN-FACTORED integer division
+    (Spark `div` truncates toward zero, DuckDB `//` floors — on
+    magnitudes they agree; `/` on BIGINT in DuckDB is float and never
+    used).  Boundary holes (before the first / after the last known
+    point per user) degrade to LOCF / NOCB via COALESCE, so the output
+    is total.  Known rows interpolate to themselves exactly (e1 =
+    event_id → fraction 0), which pins alignment.  Scale: two window
+    specs over ONE user_id shuffle (forward + backward ignore-nulls
+    fills), then stateless arithmetic — no join, no spine table."""
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    pts = e.select(
+        "event_id",
+        "user_id",
+        (F.col("event_id") % 7 == 0).alias("was_gap"),
+        F.when(
+            F.col("event_id") % 7 != 0,
+            F.floor(F.col("value") * 100).cast("long"),
+        ).alias("vc"),
+    )
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    eid_known = F.when(F.col("vc").isNotNull(), F.col("event_id"))
+    nb = pts.select(
+        "event_id",
+        "user_id",
+        "was_gap",
+        F.last("vc", ignorenulls=True).over(wp).alias("v1"),
+        F.last(eid_known, ignorenulls=True).over(wp).alias("e1"),
+        F.first("vc", ignorenulls=True).over(wn).alias("v2"),
+        F.first(eid_known, ignorenulls=True).over(wn).alias("e2"),
+    )
+    num_pos = (F.col("v2") - F.col("v1")) * (F.col("event_id") - F.col("e1"))
+    interp = F.when(
+        F.col("v1").isNotNull() & F.col("v2").isNotNull() & (F.col("e2") > F.col("e1")),
+        F.col("v1") * 1000000
+        + F.when(
+            num_pos >= 0,
+            F.expr("((v2 - v1) * (event_id - e1) * 1000000) div (e2 - e1)"),
+        ).otherwise(
+            -F.expr("((v1 - v2) * (event_id - e1) * 1000000) div (e2 - e1)")
+        ),
+    )
+    return nb.select(
+        "event_id",
+        "user_id",
+        "was_gap",
+        F.coalesce(
+            interp, F.col("v1") * 1000000, F.col("v2") * 1000000, F.lit(0)
+        ).alias("interp_micro"),
+    )
