@@ -508,3 +508,82 @@ def sink_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
         return snap(manifest_v1, 1).unionByName(snap(manifest_v2, 2)).localCheckpoint()
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "sink_vacuum",
+    oracle="""
+SELECT count(*) AS n_rows,
+       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)
+         AS price_sum,
+       CAST(6 AS BIGINT) AS files_before,
+       CAST(4 AS BIGINT) AS files_removed,
+       CAST(2 AS BIGINT) AS files_after
+FROM orders
+""",
+)
+def sink_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VACUUM / retention — the garbage-collection half of the
+    [sink_timetravel] commit protocol: commit v1 writes the table as 4
+    files; commit v2 COMPACTS it into 2 new files whose manifest pins
+    only those, leaving v1's 4 files on disk as unreferenced garbage
+    (still readable by the old snapshot, exactly like Delta/Iceberg
+    before retention expires).  Vacuum deletes every file NOT in the
+    live manifest.  The output proves both halves: the deterministic
+    file accounting (6 on disk before the sweep, 4 removed, 2 left —
+    explicit repartition(4)/repartition(2) writes make these constants
+    the oracle can state) and, the part that matters, the post-vacuum
+    read through manifest v2 still reproduces the source-side
+    aggregate exactly, so the sweep touched ONLY garbage.  Scale:
+    vacuum is a metadata diff (directory listing minus manifest set)
+    plus deletes — O(files), no data read."""
+    work = _scratch_dir()
+    try:
+        data = os.path.join(work, "vac", "data")
+        src = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+
+        def _files() -> set[str]:
+            return {
+                os.path.join(r, f)
+                for r, _, fs in os.walk(data)
+                for f in fs
+                if f.endswith(".parquet")
+            }
+
+        src.repartition(4).write.mode("overwrite").parquet(data)
+        v1_files = _files()
+        # commit v2: compaction rewrite — new files; the manifest drops v1's
+        spark.read.parquet(*sorted(v1_files)).repartition(2).write.mode(
+            "append"
+        ).parquet(data)
+        manifest_v2 = _files() - v1_files
+        assert len(v1_files) == 4 and len(manifest_v2) == 2
+
+        before = _files()
+        garbage = before - manifest_v2
+        for f in garbage:  # the vacuum sweep: unreferenced files only
+            os.remove(f)
+        remaining = _files()
+        assert garbage == v1_files and remaining == manifest_v2
+
+        return (
+            spark.read.parquet(*sorted(remaining))
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.min("o_orderkey").alias("min_key"),
+                F.max("o_orderkey").alias("max_key"),
+                F.sum(F.col("o_totalprice").cast("decimal(28,10)"))
+                .cast("double")
+                .alias("price_sum"),
+            )
+            .select(
+                "*",
+                F.lit(len(before)).cast("long").alias("files_before"),
+                F.lit(len(garbage)).cast("long").alias("files_removed"),
+                F.lit(len(remaining)).cast("long").alias("files_after"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
