@@ -1,0 +1,79 @@
+"""Hypothesis property tests for the round-5 exact-arithmetic kernels:
+hex cube-rounding (g_hex_bin) and sign-factored fixed-point linear
+interpolation (q_interpolate_linear).  Pure-python replicas of the SQL
+formulas, probed over the full input lattice — the oracle gate proves
+engine parity on the corpus; these prove the FORMULAS' invariants on
+inputs the corpus never hits (negative slopes, cell boundaries, huge
+gaps)."""
+
+from __future__ import annotations
+
+import math
+from fractions import Fraction
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _hex_cell(x: float, y: float, size: float = 3.0):
+    """Replica of _hexbin_sql's axial transform + cube rounding."""
+    xf = (math.sqrt(3.0) / 3.0 * x - y / 3.0) / size
+    zf = (2.0 / 3.0 * y) / size
+    yf = -xf - zf
+    rx, ry, rz = (math.floor(v + 0.5) for v in (xf, yf, zf))
+    dx, dy, dz = abs(rx - xf), abs(ry - yf), abs(rz - zf)
+    if dx > dy and dx > dz:
+        rx = -ry - rz
+    elif not (dy > dz):
+        rz = -rx - ry
+    else:
+        ry = -rx - rz
+    return rx, ry, rz, (xf, yf, zf)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.floats(-180, 180, allow_nan=False), st.floats(-90, 90, allow_nan=False)
+)
+def test_hex_cube_round_invariants(x, y):
+    rx, ry, rz, (xf, yf, zf) = _hex_cell(x, y)
+    # the fixed cube coordinate always satisfies the hex-lattice plane
+    assert rx + ry + rz == 0
+    # and stays within one cell radius of the fractional cube point
+    # (cube rounding never teleports: each |delta| < 1)
+    assert abs(rx - xf) < 1 and abs(ry - yf) < 1 and abs(rz - zf) < 1
+
+
+def _interp_micro(v1: int, v2: int, e1: int, eid: int, e2: int) -> int:
+    """Replica of q_interpolate_linear's sign-factored integer kernel."""
+    num = (v2 - v1) * (eid - e1) * 1000000
+    den = e2 - e1
+    if num >= 0:
+        frac = num // den
+    else:
+        frac = -((-num) // den)
+    return v1 * 1000000 + frac
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.integers(-60000, 60000),
+    st.integers(-60000, 60000),
+    st.integers(0, 10**6),
+    st.integers(1, 10**5),
+    st.integers(1, 10**5),
+)
+def test_interpolation_kernel_properties(v1, v2, e1, off, extra):
+    eid = e1 + off
+    e2 = eid + extra
+    got = _interp_micro(v1, v2, e1, eid, e2)
+    # exact rational reference, truncated toward zero on the fraction
+    true = Fraction(v2 - v1) * Fraction(eid - e1, e2 - e1) * 1000000
+    trunc = math.trunc(true)
+    assert got == v1 * 1000000 + trunc
+    # endpoints are exact
+    assert _interp_micro(v1, v2, e1, e1, e2) == v1 * 1000000
+    assert _interp_micro(v1, v2, e1, e2, e2) == v2 * 1000000
+    # monotone bounds: interpolant lies between the endpoints
+    lo, hi = sorted((v1 * 1000000, v2 * 1000000))
+    assert lo <= got <= hi
