@@ -977,3 +977,54 @@ def q_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct(F.floor("value").cast("bigint")).alias("n_values"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query(
+    "q_relational_division",
+    oracle="""
+WITH per AS (
+  SELECT user_id, event_type, dayofweek(ts) + 1 AS d
+  FROM events GROUP BY user_id, event_type, dayofweek(ts) + 1
+),
+tot AS (
+  SELECT count(*) AS t FROM (
+    SELECT DISTINCT event_type, dayofweek(ts) + 1 FROM events)
+),
+u AS (SELECT user_id, count(*) AS covered FROM per GROUP BY user_id)
+SELECT user_id, covered, t AS total_combos, covered = t AS complete
+FROM u, tot WHERE covered >= 30
+""",
+)
+def q_relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational division (Codd's ÷ — "suppliers who supply ALL the
+    parts"): which users have events in EVERY (event_type, weekday)
+    combination the corpus exhibits, reported as coverage counting —
+    the division verdict is ``covered = total`` and the >= 30-of-35
+    near-division band keeps the result non-vacuous at every scale
+    factor (exact division holds for 0/0/6 users at sf0.001/0.01/0.1;
+    the band admits 9/81/841 of 15/150/1500 — measured).  dayofweek is
+    0-based in DuckDB, 1-based in Spark (the CLAUDE.md rule: +1 in the
+    oracle).  Scale: division-by-counting is THE scalable formulation —
+    a two-level distinct aggregate (partial-agg friendly, no expand
+    node) plus one broadcast scalar, versus the textbook
+    double-NOT-EXISTS which plans as two correlated anti-joins."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.dayofweek("ts").alias("d")
+    )
+    per = e.groupBy("user_id", "event_type", "d").agg(F.lit(1).alias("_one"))
+    tot = (
+        per.select("event_type", "d")
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    u = per.groupBy("user_id").agg(F.count(F.lit(1)).alias("covered"))
+    return (
+        u.crossJoin(F.broadcast(tot))
+        .where(F.col("covered") >= 30)
+        .select(
+            "user_id",
+            "covered",
+            F.col("t").alias("total_combos"),
+            (F.col("covered") == F.col("t")).alias("complete"),
+        )
+    )
