@@ -434,3 +434,80 @@ def test_ndcg_mrr_reference(spark, embeddings_pdf):
         )
         assert r["ndcg_permille"] == expect_ndcg
         assert 0 <= r["ndcg_permille"] <= 1000
+
+
+def _dec10(v: float):
+    """Spark's double→DECIMAL(28,10) cast: shortest-repr, HALF_UP."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return Decimal(repr(float(v))).quantize(Decimal("1e-10"), ROUND_HALF_UP)
+
+
+def test_agg_groupby_flagship_reference(spark):
+    """The FLAGSHIP TPC-H-Q1 pricing summary re-derived with python
+    decimals: per (returnflag, linestatus), exact DECIMAL(28,10) sums
+    of qty/price/disc_price/charge (the repo's hashsafe.money_sum) and
+    the one-double-division means — every float must match the Spark
+    result bit-for-bit."""
+    from collections import defaultdict
+    from decimal import Decimal
+
+    pdf = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")
+    pdf = pdf[pdf["l_shipdate"] <= pd.Timestamp("1998-09-02")]
+
+    zero = Decimal(0)
+    sums = defaultdict(lambda: [zero, zero, zero, zero, 0])
+    for r in pdf.itertuples():
+        k = (r.l_returnflag, r.l_linestatus)
+        disc_price = r.l_extendedprice * (1.0 - r.l_discount)
+        charge = disc_price * (1.0 + r.l_tax)
+        s = sums[k]
+        s[0] += _dec10(r.l_quantity)
+        s[1] += _dec10(r.l_extendedprice)
+        s[2] += _dec10(disc_price)
+        s[3] += _dec10(charge)
+        s[4] += 1
+    exp = {
+        k: (
+            float(s[0]), float(s[1]), float(s[2]), float(s[3]),
+            float(s[0]) / s[4], float(s[1]) / s[4],
+        )
+        for k, s in sums.items()
+    }
+    got = {}
+    for r in api.queries()["q_agg_groupby"](spark, SF_SMOKE).collect():
+        got[(r.l_returnflag, r.l_linestatus)] = (
+            r.sum_qty, r.sum_base_price, r.sum_disc_price, r.sum_charge,
+            r.avg_qty, r.avg_price,
+        )
+        assert r.count_order == sums[(r.l_returnflag, r.l_linestatus)][4]
+    assert got == exp
+
+
+def test_weighted_median_reference(spark):
+    """Weighted median re-derived with a plain sorted scan: per flag,
+    the centi-price where cumulative integral quantity first reaches
+    half the total (2*cw >= tw crossing rule, all integers)."""
+    import math as _m
+    from collections import defaultdict
+
+    pdf = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")
+    wt = defaultdict(lambda: defaultdict(int))
+    for r in pdf.itertuples():
+        wt[r.l_returnflag][int(_m.floor(r.l_extendedprice * 100))] += int(
+            _m.floor(r.l_quantity)
+        )
+    exp = {}
+    for flag, prices in wt.items():
+        total = sum(prices.values())
+        cw = 0
+        for p in sorted(prices):
+            cw += prices[p]
+            if 2 * cw >= total:
+                exp[flag] = (p, total)
+                break
+    got = {
+        r.flag: (r.wmedian_centi, r.total_weight)
+        for r in api.queries()["q_weighted_median"](spark, SF_SMOKE).collect()
+    }
+    assert got == exp

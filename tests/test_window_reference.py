@@ -667,3 +667,51 @@ def test_subseq_znorm_reference(spark):
     ]
     assert sorted(got) == exp
     assert exp[0][3] == 1.0  # self-match pins the top
+
+
+def test_join_asof_reference(spark):
+    """As-of join re-derived with a per-user bisect over the sorted
+    purchase timeline (completely different code than the engine's
+    union + last-ignore-nulls window): every event with a preceding
+    (<=) purchase must carry the LATEST such purchase's value."""
+    import bisect
+
+    pdf = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    purch = {}
+    for r in pdf[pdf["event_type"] == "purchase"].sort_values("ts").itertuples():
+        purch.setdefault(int(r.user_id), []).append((r.ts, float(r.value)))
+    exp = {}
+    for r in pdf.itertuples():
+        tl = purch.get(int(r.user_id))
+        if not tl:
+            continue
+        i = bisect.bisect_right([t for t, _ in tl], r.ts)
+        if i:
+            exp[int(r.event_id)] = (int(r.user_id), tl[i - 1][1])
+    got = {
+        r.event_id: (r.user_id, r.last_purchase_value)
+        for r in _rows(spark, "q_join_asof")
+    }
+    assert got == exp
+    assert exp  # non-vacuous
+
+
+def test_win_moving_reference(spark):
+    """4-row trailing moving average re-derived with python decimals:
+    exact DECIMAL(28,10) frame sum, one double division — bit-equal."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def dec10(v):
+        return Decimal(repr(float(v))).quantize(Decimal("1e-10"), ROUND_HALF_UP)
+
+    pdf = pd.read_parquet(f"{SF_SMOKE}/events.parquet").sort_values(
+        ["user_id", "event_id"]
+    )
+    exp = {}
+    for _, g in pdf.groupby("user_id"):
+        vals = [dec10(v) for v in g["value"]]
+        for i, eid in enumerate(g["event_id"]):
+            frame = vals[max(0, i - 3) : i + 1]
+            exp[int(eid)] = float(sum(frame)) / len(frame)
+    got = {r.event_id: r.moving_avg for r in _rows(spark, "q_win_moving")}
+    assert got == exp
