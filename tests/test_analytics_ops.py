@@ -1134,3 +1134,76 @@ def test_sql_scripting_reference(spark):
     assert cov(k) * 5 >= total * 3
     if k > 4:
         assert cov(k // 2) * 5 < total * 3
+
+
+def test_tpch_q5_q18_reference(spark):
+    """The two headline TPC-H shapes re-derived with pandas merges +
+    python decimals (different join order, different accumulation):
+    Q5's 6-table local-supplier revenue and Q18's large-order
+    customers, both bit-exact against the Spark results."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from tests.conftest import SF_SMOKE
+    from ukis_kafka_spark import api
+
+    import pandas as pd
+
+    def dec10(v):
+        return Decimal(repr(float(v))).quantize(Decimal("1e-10"), ROUND_HALF_UP)
+
+    d = {
+        t: pd.read_parquet(f"{SF_SMOKE}/{t}.parquet")
+        for t in ("customer", "orders", "lineitem", "supplier", "nation", "region")
+    }
+    # --- Q5 ---
+    m = (
+        d["lineitem"]
+        .merge(d["orders"], left_on="l_orderkey", right_on="o_orderkey")
+        .merge(d["customer"], left_on="o_custkey", right_on="c_custkey")
+        .merge(d["supplier"], left_on="l_suppkey", right_on="s_suppkey")
+        .merge(d["nation"], left_on="s_nationkey", right_on="n_nationkey")
+        .merge(d["region"], left_on="n_regionkey", right_on="r_regionkey")
+    )
+    m = m[
+        (m["r_name"] == "ASIA")
+        & (m["c_nationkey"] == m["s_nationkey"])
+        & (m["o_orderdate"] >= pd.Timestamp("1996-01-01"))
+        & (m["o_orderdate"] < pd.Timestamp("1998-01-01"))
+    ]
+    exp5 = {}
+    for r in m.itertuples():
+        rev, n = exp5.get(r.n_name, (Decimal(0), 0))
+        exp5[r.n_name] = (
+            rev + dec10(r.l_extendedprice * (1.0 - r.l_discount)),
+            n + 1,
+        )
+    got5 = {
+        r.n_name: (r.revenue, r.n_items)
+        for r in api.queries()["q_sql_q5"](spark, SF_SMOKE).collect()
+    }
+    assert got5 == {k: (float(v), n) for k, (v, n) in exp5.items()}
+    assert got5  # non-vacuous
+
+    # --- Q18 ---
+    li = d["lineitem"]
+    per_order = {}
+    for r in li.itertuples():
+        per_order[r.l_orderkey] = per_order.get(r.l_orderkey, Decimal(0)) + dec10(
+            r.l_quantity
+        )
+    big = {k for k, s in per_order.items() if s > 300}
+    o = d["orders"].merge(d["customer"], left_on="o_custkey", right_on="c_custkey")
+    exp18 = {}
+    for r in o.itertuples():
+        if r.o_orderkey in big:
+            exp18[(r.c_name, int(r.c_custkey), int(r.o_orderkey))] = (
+                str(r.o_orderdate.date()),
+                float(r.o_totalprice),
+                float(per_order[r.o_orderkey]),
+            )
+    got18 = {
+        (r.c_name, r.c_custkey, r.o_orderkey): (r.orderdate, r.o_totalprice, r.sum_qty)
+        for r in api.queries()["q_sql_q18"](spark, SF_SMOKE).collect()
+    }
+    assert got18 == exp18
+    assert got18  # non-vacuous at the smoke scale

@@ -417,3 +417,32 @@ def test_hex_bin_reference(spark):
     exp = {k: (v[0], len(v[1]), v[2]) for k, v in cells.items()}
     assert got == exp
     assert sum(v[0] for v in exp.values()) == len(pdf)  # mass conserved
+
+
+def test_zorder_key_reference(spark):
+    """Z-order keys re-derived with python's bit-interleave over the
+    textbook cell math: 16-bit cells from lon/lat, odd/even bit lanes."""
+
+    def interleave(cx: int, cy: int) -> int:
+        z = 0
+        for i in range(16):
+            z |= ((cx >> i) & 1) << (2 * i)
+            z |= ((cy >> i) & 1) << (2 * i + 1)
+        return z
+
+    pdf = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    exp = {}
+    for r in pdf.itertuples():
+        lon = r.value * 3.6 - 180
+        lat = float((r.user_id * 7 % 180) - 90)
+        cx = min(int(math.floor((lon + 180.0) / 360.0 * 65536.0)), 65535)
+        cy = min(int(math.floor((lat + 90.0) / 180.0 * 65536.0)), 65535)
+        exp[int(r.event_id)] = (cx, cy, interleave(cx, cy))
+    got = {
+        r.event_id: (r.cx, r.cy, r.zkey) for r in _rows(spark, "g_zorder_key")
+    }
+    assert got == exp
+    # the locality property z-order exists for: equal keys <=> equal cells
+    inv = {}
+    for eid, (cx, cy, z) in exp.items():
+        assert inv.setdefault(z, (cx, cy)) == (cx, cy)

@@ -715,3 +715,19 @@ def test_win_moving_reference(spark):
             exp[int(eid)] = float(sum(frame)) / len(frame)
     got = {r.event_id: r.moving_avg for r in _rows(spark, "q_win_moving")}
     assert got == exp
+
+
+def test_topk_per_group_reference(spark):
+    """Top-3 per segment re-derived with plain python sort + slice."""
+    pdf = pd.read_parquet(f"{SF_SMOKE}/customer.parquet")
+    exp = set()
+    for seg, g in pdf.groupby("c_mktsegment"):
+        rows = sorted(
+            g.itertuples(), key=lambda r: (-r.c_acctbal, r.c_custkey)
+        )[:3]
+        exp |= {(seg, int(r.c_custkey), float(r.c_acctbal)) for r in rows}
+    got = {
+        (r.c_mktsegment, r.c_custkey, r.c_acctbal)
+        for r in _rows(spark, "q_topk_per_group")
+    }
+    assert got == exp
