@@ -1207,3 +1207,53 @@ def test_tpch_q5_q18_reference(spark):
     }
     assert got18 == exp18
     assert got18  # non-vacuous at the smoke scale
+
+
+def test_pivot_and_cohort_matrix_reference(spark):
+    """PIVOT spread and the cohort retention matrix re-derived with
+    plain dict accumulation + python decimals."""
+    from collections import defaultdict
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pandas as pd
+
+    from tests.conftest import SF_SMOKE
+    from ukis_kafka_spark import api
+
+    def dec10(v):
+        return Decimal(repr(float(v))).quantize(Decimal("1e-10"), ROUND_HALF_UP)
+
+    li = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")
+    acc = defaultdict(lambda: [Decimal(0), Decimal(0), 0, 0])
+    for r in li.itertuples():
+        a = acc[r.l_returnflag]
+        if r.l_linestatus == "F":
+            a[0] += dec10(r.l_quantity)
+            a[2] += 1
+        elif r.l_linestatus == "O":
+            a[1] += dec10(r.l_quantity)
+            a[3] += 1
+    got = {
+        r.l_returnflag: (r.qty_f, r.qty_o, r.n_f, r.n_o)
+        for r in api.queries()["q_pivot"](spark, SF_SMOKE).collect()
+    }
+    assert got == {k: (float(a[0]), float(a[1]), a[2], a[3]) for k, a in acc.items()}
+
+    o = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")
+    om = {}
+    for r in o.itertuples():
+        m = r.o_orderdate.year * 12 + r.o_orderdate.month
+        om.setdefault(int(r.o_custkey), []).append(m)
+    cells = defaultdict(set)
+    for cust, months in om.items():
+        c = min(months)
+        label = f"{(c - 1) // 12:04d}-{((c - 1) % 12) + 1:02d}"
+        for m in months:
+            cells[(label, m - c)].add(cust)
+    exp = {k: len(v) for k, v in cells.items()}
+    gotc = {
+        (r.cohort_month, r.month_offset): r.n_active
+        for r in api.queries()["q_cohort_matrix"](spark, SF_SMOKE).collect()
+    }
+    assert gotc == exp
+    assert any(off > 0 for _, off in exp)  # retention beyond month 0 exists

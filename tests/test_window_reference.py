@@ -731,3 +731,65 @@ def test_topk_per_group_reference(spark):
         for r in _rows(spark, "q_topk_per_group")
     }
     assert got == exp
+
+
+def test_session_stats_reference(spark, ev):
+    """Session engagement re-derived with a python loop: 30-min gap
+    sessionization per user (event_id order, truncated-second epochs),
+    then exact integer means in ppm/ms."""
+    sessions = []
+    pdf = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    pdf["ep"] = (
+        pd.to_datetime(pdf["ts"]).astype("datetime64[ns]").dt.floor("s").astype("int64")
+        // 10**9
+    )
+    for _, g in pdf.sort_values("event_id").groupby("user_id"):
+        cur = []
+        prev = None
+        for r in g.itertuples():
+            if prev is not None and r.ep - prev > 1800:
+                sessions.append(cur)
+                cur = []
+            cur.append(r.ep)
+            prev = r.ep
+        sessions.append(cur)
+    n = len(sessions)
+    n_ev = sum(len(s) for s in sessions)
+    durs = [max(s) - min(s) for s in sessions]
+    exp = (
+        n,
+        n_ev,
+        (n_ev * 1000000) // n,
+        (sum(durs) * 1000) // n,
+        max(durs),
+        sum(1 for s in sessions if len(s) == 1),
+    )
+    r = _rows(spark, "q_session_stats")[0]
+    assert (
+        r.n_sessions, r.n_events, r.events_per_session_ppm,
+        r.mean_dur_ms, r.max_dur_s, r.n_bounces,
+    ) == exp
+    assert exp[0] > 1 and exp[5] >= 0
+
+
+def test_scd2_merge_reference(spark):
+    """SCD2 intervals re-derived with a plain run-length scan per user:
+    each run of equal event_type opens an interval at its first event
+    id; valid_to is the next run's start (NULL = current)."""
+    pdf = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    exp = set()
+    for uid, g in pdf.sort_values("event_id").groupby("user_id"):
+        starts = []
+        prev = None
+        for r in g.itertuples():
+            if prev is None or r.event_type != prev:
+                starts.append((int(r.event_id), r.event_type))
+            prev = r.event_type
+        for i, (vf, typ) in enumerate(starts):
+            vt = starts[i + 1][0] if i + 1 < len(starts) else None
+            exp.add((int(uid), typ, vf, vt, vt is None))
+    got = {
+        (r.user_id, r.event_type, r.valid_from_id, r.valid_to_id, r.is_current)
+        for r in _rows(spark, "q_scd2_merge")
+    }
+    assert got == exp
