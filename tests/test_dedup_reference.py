@@ -541,3 +541,51 @@ def test_winnowing_reference(spark):
     for a, b in list(exp)[:5]:
         assert fps[a] <= grams[a] and fps[b] <= grams[b]
         assert fps[a] & fps[b]
+
+
+def test_incremental_dedup_reference(spark):
+    """Incremental near-dedup re-derived end-to-end with hashlib +
+    python sets (shingles → md5-60-bit → 12 MinHashes → 4 bands →
+    new×old collisions → exact permille Jaccard): the production
+    incremental shape's full chain, independently."""
+    import hashlib
+
+    from ukis_kafka_spark.ml.dedup import _AS, _BS, _N_HASH, _P, _ROWS
+
+    pdf = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    shl, sigs = {}, {}
+    for r in pdf.itertuples():
+        toks = r.text.split(" ")
+        sh = list(dict.fromkeys(
+            " ".join(toks[i : i + 3]) for i in range(max(len(toks) - 2, 1))
+        ))
+        shl[int(r.doc_id)] = set(sh)
+        hv = [int(hashlib.md5(s.encode()).hexdigest()[:15], 16) for s in sh]
+        sigs[int(r.doc_id)] = [
+            min(((h % _P) * _AS[j] + _BS[j]) % _P for h in hv)
+            for j in range(_N_HASH)
+        ]
+    bands = {}
+    for d, sig in sigs.items():
+        for b in range(_N_HASH // _ROWS):
+            key = (b, "_".join(str(s) for s in sig[b * _ROWS : (b + 1) * _ROWS]))
+            bands.setdefault(key, []).append(d)
+    exp = {}
+    for ds in bands.values():
+        for n in ds:
+            if n % 7 != 0:
+                continue
+            for o in ds:
+                if o % 7 == 0:
+                    continue
+                j = (
+                    len(shl[n] & shl[o]) * 1000 // len(shl[n] | shl[o])
+                )
+                if j >= 500:
+                    exp[(n, o)] = j
+    got = {
+        (r.id_new, r.id_old): r.jacc_permille
+        for r in _rows(spark, "m_incremental_dedup")
+    }
+    assert got == exp
+    assert exp  # planted panel overlap keeps this non-vacuous

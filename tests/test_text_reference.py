@@ -555,3 +555,31 @@ def test_ldiversity_reference(spark, docs_pdf):
     assert got == {k: list(v) for k, v in exp.items()}
     assert any(v[1] for v in exp.values())  # some violations exist
     assert any(v[0] > v[1] for v in exp.values())  # and some diversity
+
+
+def test_fim_transform_reference(spark, docs_pdf):
+    """FIM re-derived with python string slicing + hashlib (the shared
+    _fim_sql text drives BOTH engines, so this is the only independent
+    check of the formulation): Lehmer cuts, PSM reassembly digest,
+    length conservation."""
+    import hashlib
+
+    exp = {}
+    for r in docs_pdf.itertuples():
+        n = int(r.n_chars)
+        if n < 3:
+            continue
+        cut1 = 1 + (r.doc_id * 48271 % 2147483647) % (n - 1)
+        cut2 = cut1 + 1 + (r.doc_id * 16807 % 2147483647) % (n - cut1)
+        pre, mid, suf = r.text[:cut1], r.text[cut1:cut2], r.text[cut2:]
+        psm = pre + "<SUF>" + suf + "<MID>" + mid
+        exp[int(r.doc_id)] = (
+            len(pre), len(mid), len(suf), n,
+            hashlib.md5(psm.encode()).hexdigest(),
+        )
+        assert len(pre) + len(mid) + len(suf) == n and len(mid) >= 1
+    got = {
+        r.doc_id: (r.len_prefix, r.len_middle, r.len_suffix, r.n, r.psm_digest)
+        for r in _rows(spark, "m_fim_transform")
+    }
+    assert got == exp
