@@ -477,3 +477,59 @@ def test_reproject_mercator_reference(spark):
         assert abs(lat_rt - lat) < 1e-6
         n_checked += 1
     assert n_checked == len(got)
+
+
+def test_reproject_epsg_reference(spark):
+    """Multi-SRID reprojection re-derived with an INDEPENDENT Snyder
+    implementation: my own transverse-Mercator (eq. 8-5/8-6) and
+    Lambert-conformal-conic (eq. 15-1..15-4) code, constants recomputed
+    from first principles rather than imported — routing, easting and
+    northing must agree within one cm-grid step for every point."""
+    R = 6378137.0
+    k0 = 0.9996
+
+    def tm(lon, lat, lon0):
+        B = math.cos(math.radians(lat)) * math.sin(math.radians(lon - lon0))
+        x = 500000.0 + k0 * R * 0.5 * math.log((1 + B) / (1 - B))
+        y = k0 * R * math.atan2(
+            math.tan(math.radians(lat)), math.cos(math.radians(lon - lon0))
+        )
+        return x, y
+
+    sp1, sp2 = math.radians(35.0), math.radians(65.0)
+    lat0, lon0_lcc = math.radians(52.0), 10.0
+    n = math.log(math.cos(sp1) / math.cos(sp2)) / math.log(
+        math.tan(math.pi / 4 + sp2 / 2) / math.tan(math.pi / 4 + sp1 / 2)
+    )
+    rf = R * math.cos(sp1) * math.tan(math.pi / 4 + sp1 / 2) ** n / n
+    rho0 = rf / math.tan(math.pi / 4 + lat0 / 2) ** n
+
+    def lcc(lon, lat):
+        rho = rf / math.tan(math.pi / 4 + math.radians(lat) / 2) ** n
+        th = n * math.radians(lon - lon0_lcc)
+        return rho * math.sin(th), rho0 - rho * math.cos(th)
+
+    pdf = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    got = {
+        r.event_id: (r.epsg, r.easting, r.northing)
+        for r in _rows(spark, "g_reproject_epsg")
+    }
+    n_checked = 0
+    for r in pdf.itertuples():
+        lon = r.value * 3.6 - 180
+        lat = float((r.user_id * 7 % 180) - 90)
+        if not (-80 <= lat <= 84):
+            assert int(r.event_id) not in got
+            continue
+        if 6 <= lon < 12:
+            epsg, (x, y) = 32632, tm(lon, lat, 9.0)
+        elif 12 <= lon < 18:
+            epsg, (x, y) = 32633, tm(lon, lat, 15.0)
+        else:
+            epsg, (x, y) = 3034, lcc(lon, lat)
+        ge, gx, gy = got[int(r.event_id)]
+        assert ge == epsg
+        assert abs(gx - x) <= 0.011 and abs(gy - y) <= 0.011
+        n_checked += 1
+    assert n_checked == len(got)
+    assert {e for e, _, _ in got.values()} == {32632, 32633, 3034}
