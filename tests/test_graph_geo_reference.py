@@ -533,3 +533,45 @@ def test_reproject_epsg_reference(spark):
         n_checked += 1
     assert n_checked == len(got)
     assert {e for e, _, _ in got.values()} == {32632, 32633, 3034}
+
+
+def test_morans_i_reference(spark):
+    """Moran's I sufficient statistics re-derived with an explicit
+    python dict grid and a direct double loop over rook neighbors —
+    plus the statistic itself assembled from the integers and checked
+    against the textbook formula on floats."""
+    pdf = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    grid = {}
+    for r in pdf.itertuples():
+        lon = r.value * 3.6 - 180
+        lat = float((r.user_id * 7 % 180) - 90)
+        key = (int(math.floor(lon / 2)), int(math.floor(lat / 2)))
+        grid[key] = grid.get(key, 0) + 1
+    n = len(grid)
+    s = sum(grid.values())
+    w_pairs = 0
+    cross = 0
+    for (cx, cy), xa in grid.items():
+        for nb in ((cx + 1, cy), (cx - 1, cy), (cx, cy + 1), (cx, cy - 1)):
+            if nb in grid:
+                w_pairs += 1
+                cross += (n * xa - s) * (n * grid[nb] - s)
+    sq = sum((n * x - s) ** 2 for x in grid.values())
+    (row,) = _rows(spark, "g_morans_i")
+    assert (row.n_cells, row.w_pairs, row.cross_dev_scaled, row.sq_dev_scaled) == (
+        n, w_pairs, cross, sq,
+    )
+    # assemble I and sanity-check against the float textbook formula
+    I = (n / w_pairs) * (cross / sq)
+    mean = s / n
+    num = sum(
+        (grid[a] - mean) * (grid[b] - mean)
+        for a in grid
+        for b in (
+            (a[0] + 1, a[1]), (a[0] - 1, a[1]), (a[0], a[1] + 1), (a[0], a[1] - 1)
+        )
+        if b in grid
+    )
+    den = sum((x - mean) ** 2 for x in grid.values())
+    assert abs(I - (n / w_pairs) * (num / den)) < 1e-9
+    assert -1.5 <= I <= 1.5  # Moran's I plausible band
