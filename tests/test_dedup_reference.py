@@ -589,3 +589,45 @@ def test_incremental_dedup_reference(spark):
     }
     assert got == exp
     assert exp  # planted panel overlap keeps this non-vacuous
+
+
+def test_entity_match_reference(spark):
+    """Entity matching re-derived with a textbook Wagner-Fischer edit
+    distance + brute-force ALL-pairs scan (no deletion-key blocking),
+    proving the blocking scheme misses nothing at distance <= 1."""
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    pdf = pd.read_parquet(f"{SF_SMOKE}/customer.parquet")
+    rows = sorted(
+        (int(r.c_custkey), r.c_name, int(r.c_nationkey)) for r in pdf.itertuples()
+    )
+    agg = {}
+    for i in range(len(rows)):
+        ka, na, xa = rows[i]
+        for j in range(i + 1, len(rows)):
+            kb, nb, xb = rows[j]
+            if abs(len(na) - len(nb)) > 1 or lev(na, nb) > 1:
+                continue
+            blk = ka % 16
+            a = agg.setdefault(blk, [0, 0, None, None])
+            code = ka * 100000000 + kb
+            a[0] += 1
+            a[1] += xa != xb
+            a[2] = code if a[2] is None else min(a[2], code)
+            a[3] = code if a[3] is None else max(a[3], code)
+    got = {
+        r.block: (r.n_pairs, r.n_cross_nation, r.min_pair_code, r.max_pair_code)
+        for r in _rows(spark, "m_entity_match")
+    }
+    assert got == {k: tuple(v) for k, v in agg.items()}
+    assert agg  # customer names contain <=1-edit neighbors by construction
