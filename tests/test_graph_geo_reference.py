@@ -575,3 +575,40 @@ def test_morans_i_reference(spark):
     den = sum((x - mean) ** 2 for x in grid.values())
     assert abs(I - (n / w_pairs) * (num / den)) < 1e-9
     assert -1.5 <= I <= 1.5  # Moran's I plausible band
+
+
+def test_heat_decay_reference(spark):
+    """Recency-decayed heat re-derived with python math.exp on the
+    replicated 6 dp HALF_UP lattice; counts exact, heat within the
+    lattice's accumulation budget, and the decay DIRECTION asserted:
+    every cell's heat is at most its event count and positive."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    pdf = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    ep = (
+        pd.to_datetime(pdf["ts"]).astype("datetime64[ns]").dt.floor("s").astype("int64")
+        // 10**9
+    )
+    mep = int(ep.max())
+    cells = {}
+    for (e, r) in zip(ep, pdf.itertuples()):
+        lon = r.value * 3.6 - 180
+        lat = float((r.user_id * 7 % 180) - 90)
+        cell = int(math.floor((lat + 90.0) / 6.0)) * 60 + int(
+            math.floor((lon + 180.0) / 6.0)
+        )
+        w = math.exp(-((mep - int(e)) / 3600.0) / 24.0)
+        w6 = Decimal(repr(w)).quantize(Decimal("1e-6"), ROUND_HALF_UP)
+        n, h = cells.get(cell, (0, Decimal(0)))
+        cells[cell] = (n + 1, h + w6)
+    got = {r.cell: (r.n_events, r.heat) for r in _rows(spark, "g_heat_decay")}
+    assert set(got) == set(cells)
+    for cell, (n, h) in cells.items():
+        gn, gh = got[cell]
+        assert gn == n
+        # python libm vs JVM libm: each 6 dp term can flip one grid
+        # step near a midpoint — budget n * 1e-6
+        assert abs(gh - float(h)) <= n * 1.1e-6
+        # events older than ~14.5 days round to a 0.0 contribution, so
+        # a stale-only cell can legitimately sit at exactly 0.0
+        assert 0.0 <= gh <= n
