@@ -631,3 +631,30 @@ def test_entity_match_reference(spark):
     }
     assert got == {k: tuple(v) for k, v in agg.items()}
     assert agg  # customer names contain <=1-edit neighbors by construction
+
+
+def test_dp_count_reference(spark):
+    """DP-style count release re-derived with hashlib: the md5-60-bit
+    cell noise, the [-10, 10] band, the non-negativity clamp — and the
+    mechanism's accuracy contract |released - true| <= 10 wherever the
+    clamp is inactive."""
+    import hashlib
+
+    pdf = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    true_n = pdf.groupby(["lang", "source"]).size().to_dict()
+    exp = {}
+    for (lang, src), n in true_n.items():
+        h = int(
+            hashlib.md5(f"{lang}|{src}|dp-v1".encode()).hexdigest()[:15], 16
+        )
+        noise = h % 21 - 10
+        exp[(lang, src)] = (noise, max(0, n + noise))
+    got = {
+        (r.lang, r.source): (r.noise, r.released_n)
+        for r in _rows(spark, "m_dp_count")
+    }
+    assert got == exp
+    for (k, (noise, rel)), n in zip(sorted(exp.items()), (true_n[k] for k in sorted(exp))):
+        if rel > 0:
+            assert abs(rel - n) <= 10
+    assert any(noise != 0 for noise, _ in exp.values())
