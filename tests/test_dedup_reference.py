@@ -658,3 +658,44 @@ def test_dp_count_reference(spark):
         if rel > 0:
             assert abs(rel - n) <= 10
     assert any(noise != 0 for noise, _ in exp.values())
+
+
+def test_embed_drift_reference(spark):
+    """Embedding drift re-derived with numpy: fixed-point centi-micro
+    centroids per (label, parity snapshot), sign-factored integer
+    means, L1/Linf displacement — exact equality per label, plus the
+    norm inequality Linf <= L1."""
+    import numpy as np
+
+    pdf = pd.read_parquet(f"{SF_SMOKE}/embeddings.parquet")
+    cents = {}
+    counts = {}
+    for r in pdf.itertuples():
+        key = (int(r.label), int(r.vec_id) % 2)
+        v = np.floor(np.asarray(r.embedding, dtype=np.float64) * 10000).astype(object)
+        if key in cents:
+            cents[key] = cents[key] + v
+            counts[key] += 1
+        else:
+            cents[key] = v
+            counts[key] = 1
+
+    def milli_mean(s: int, n: int) -> int:
+        return (s * 1000) // n if s >= 0 else -(((-s) * 1000) // n)
+
+    exp = {}
+    for label in {k for k, _ in cents}:
+        a, b = cents[(label, 0)], cents[(label, 1)]
+        na, nb = counts[(label, 0)], counts[(label, 1)]
+        diffs = [
+            abs(milli_mean(int(sa), na) - milli_mean(int(sb), nb))
+            for sa, sb in zip(a, b)
+        ]
+        exp[label] = (na, nb, sum(diffs), max(diffs))
+    got = {
+        r.label: (r.n_a, r.n_b, r.l1_milli, r.linf_milli)
+        for r in _rows(spark, "m_embed_drift")
+    }
+    assert got == exp
+    for _, _, l1, linf in exp.values():
+        assert 0 <= linf <= l1
