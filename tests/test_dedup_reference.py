@@ -699,3 +699,37 @@ def test_embed_drift_reference(spark):
     assert got == exp
     for _, _, l1, linf in exp.values():
         assert 0 <= linf <= l1
+
+
+def test_bloom_membership_reference(spark):
+    """Bloom membership re-derived with a python set-of-bits: same
+    double-hash positions, explicit per-key probe loop — exact counts,
+    the zero-false-negative guarantee asserted directly, and the FP
+    count within the design's expectation band."""
+    from ukis_kafka_spark.ml.dedup import (
+        _BLOOM_BITS_PER_KEY,
+        _BLOOM_HASHES,
+        _BLOOM_P,
+    )
+
+    pdf = pd.read_parquet(f"{SF_SMOKE}/part.parquet")
+    seeds = [int(r.p_partkey) for r in pdf.itertuples() if r.p_size < 10]
+    m = _BLOOM_BITS_PER_KEY * len(seeds)
+    bits = {
+        ((x * a + b) % _BLOOM_P) % m for x in seeds for a, b in _BLOOM_HASHES
+    }
+    hits = fps = 0
+    for r in pdf.itertuples():
+        x = int(r.p_partkey)
+        member = r.p_size < 10
+        hit = all(((x * a + b) % _BLOOM_P) % m in bits for a, b in _BLOOM_HASHES)
+        if member:
+            assert hit  # a Bloom filter NEVER false-negatives
+        hits += hit
+        fps += hit and not member
+    row = _rows(spark, "m_bloom_membership")[0]
+    assert (row.n_probes, row.n_members, row.n_bloom_hits, row.n_false_pos) == (
+        len(pdf), len(seeds), hits, fps,
+    )
+    # 3 hashes at 16 bits/key → fpr ≈ (1-e^(-3/16))^3 ≈ 0.5%; allow 5x
+    assert fps <= max(10, int(0.025 * (len(pdf) - len(seeds))))
