@@ -612,3 +612,33 @@ def test_heat_decay_reference(spark):
         # events older than ~14.5 days round to a 0.0 contribution, so
         # a stale-only cell can legitimately sit at exactly 0.0
         assert 0.0 <= gh <= n
+
+
+def test_tile_rollup_reference(spark):
+    """Tile pyramid re-derived with python dict counting, plus the
+    structural pyramid invariants: every level conserves total mass,
+    and each z+1 tile's count equals the sum of its <= 4 children."""
+    from collections import Counter
+
+    pdf = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    levels = Counter()
+    for r in pdf.itertuples():
+        cx = int(math.floor(((r.value * 3.6 - 180) + 180) / 5))
+        cy = int((r.user_id * 7 % 180) - 90 + 90) // 5
+        for z in range(4):
+            levels[(z, cx >> z, cy >> z)] += 1
+    got = Counter(
+        {(r.z, r.tx, r.ty): r.n_points for r in _rows(spark, "g_tile_rollup")}
+    )
+    assert got == levels
+    total = len(pdf)
+    for z in range(4):
+        assert sum(n for (zz, _, _), n in levels.items() if zz == z) == total
+    for (z, tx, ty), n in levels.items():
+        if z > 0:
+            kids = sum(
+                levels.get((z - 1, tx * 2 + dx, ty * 2 + dy), 0)
+                for dx in (0, 1)
+                for dy in (0, 1)
+            )
+            assert kids == n
