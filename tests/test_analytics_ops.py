@@ -1257,3 +1257,63 @@ def test_pivot_and_cohort_matrix_reference(spark):
     }
     assert gotc == exp
     assert any(off > 0 for _, off in exp)  # retention beyond month 0 exists
+
+
+def test_cohort_ltv_and_date_spine_reference(spark):
+    """LTV curve and the calendar-spine sparse hours re-derived with
+    python loops: week arithmetic on truncated-day epochs, centi-unit
+    spend accumulation, and an explicitly generated hourly spine."""
+    import math as _m
+    from collections import defaultdict
+
+    import pandas as pd
+
+    from tests.conftest import SF_SMOKE
+    from ukis_kafka_spark import api
+
+    pdf = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    day_ep = (
+        pd.to_datetime(pdf["ts"]).astype("datetime64[ns]").dt.floor("D").astype("int64")
+        // 10**9
+    )
+    pdf = pdf.assign(wk=day_ep // 604800)
+    first_wk = pdf.groupby("user_id")["wk"].min().to_dict()
+    cell_val = defaultdict(int)
+    cell_users = defaultdict(set)
+    for r in pdf.itertuples():
+        key = (first_wk[r.user_id], int(r.wk) - first_wk[r.user_id])
+        cell_val[key] += int(_m.floor(r.value * 100))
+        cell_users[key].add(int(r.user_id))
+    exp = {}
+    for cohort in {c for c, _ in cell_val}:
+        cum = 0
+        for age in sorted(a for c, a in cell_val if c == cohort):
+            cum += cell_val[(cohort, age)]
+            exp[(cohort, age)] = (
+                cell_val[(cohort, age)],
+                len(cell_users[(cohort, age)]),
+                cum,
+            )
+    got = {
+        (r.cohort_wk, r.age_wk): (r.wk_value, r.active_users, r.cum_value)
+        for r in api.queries()["q_cohort_ltv_curve"](spark, SF_SMOKE).collect()
+    }
+    assert got == exp
+
+    # --- date spine: 10 sparsest hours over the FULL generated range
+    hr_ep = (
+        pd.to_datetime(pdf["ts"]).astype("datetime64[ns]").dt.floor("h").astype("int64")
+        // 10**9
+    )
+    purch = pdf.assign(h=hr_ep)[pdf["event_type"].to_numpy() == "purchase"]
+    per_hour = purch.groupby("h").size().to_dict()
+    lo, hi = int(hr_ep.min()), int(hr_ep.max())
+    spine = [(per_hour.get(h, 0), h) for h in range(lo, hi + 1, 3600)]
+    spine.sort()
+    exp10 = [(h, n) for n, h in spine[:10]]
+    got10 = [
+        (r.hour_start, r.n)
+        for r in api.queries()["q_date_spine"](spark, SF_SMOKE).collect()
+    ]
+    assert got10 == exp10
+    assert any(n == 0 for _, n in exp10)  # the spine generates MISSING hours
