@@ -793,3 +793,48 @@ def test_scd2_merge_reference(spark):
         for r in _rows(spark, "q_scd2_merge")
     }
     assert got == exp
+
+
+def test_win_rank_reference(spark):
+    """rank / dense_rank / row_number re-derived with a python loop
+    over each customer's sorted orders — the tie semantics (rank gaps,
+    dense-rank compaction) checked explicitly."""
+    pdf = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")
+    exp = {}
+    for _, g in pdf.groupby("o_custkey"):
+        rows = sorted(g.itertuples(), key=lambda r: (-r.o_totalprice, r.o_orderkey))
+        rnk = drnk = 0
+        prev = None
+        for i, r in enumerate(rows, 1):
+            if r.o_totalprice != prev:
+                rnk = i
+                drnk += 1
+                prev = r.o_totalprice
+            exp[int(r.o_orderkey)] = (rnk, drnk, i)
+    got = {
+        r.o_orderkey: (r.rnk, r.drnk, r.rn) for r in _rows(spark, "q_win_rank")
+    }
+    assert got == exp
+
+
+def test_embed_dim_quantiles_reference(spark):
+    """Discrete per-dimension p10/p50/p90 re-derived by sorting each
+    dimension's values in numpy and SELECTING (never interpolating)
+    at ceil(q*n) — positions and order statistics must match, and
+    p10 <= p50 <= p90 must hold per dimension."""
+    pdf = pd.read_parquet(f"{SF_SMOKE}/embeddings.parquet").sort_values("vec_id")
+    M = np.stack(pdf.embedding.to_numpy())
+    n = M.shape[0]
+    exp = {}
+    for d in range(M.shape[1]):
+        xs = np.sort(M[:, d], kind="stable")
+        exp[d] = (
+            float(xs[(n + 9) // 10 - 1]),
+            float(xs[(n + 1) // 2 - 1]),
+            float(xs[(9 * n + 9) // 10 - 1]),
+            n,
+        )
+    got = {r.dim: (r.p10, r.p50, r.p90, r.n) for r in _rows(spark, "m_embed_dim_quantiles")}
+    assert got == exp
+    for p10, p50, p90, _ in exp.values():
+        assert p10 <= p50 <= p90
