@@ -511,3 +511,41 @@ def test_weighted_median_reference(spark):
         for r in api.queries()["q_weighted_median"](spark, SF_SMOKE).collect()
     }
     assert got == exp
+
+
+def test_agg_stats_reference(spark):
+    """Variance / stddev / correlation re-derived with numpy's own
+    (different) formulations — ddof=1 variance and np.corrcoef over the
+    raw columns — agreeing to float precision, plus exact replication
+    of the engine's decimal moment sums for the bit-level check."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    pdf = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")
+    got = {
+        r.l_returnflag: (r.var_price, r.std_price, r.corr_price_qty)
+        for r in api.queries()["q_agg_stats"](spark, SF_SMOKE).collect()
+    }
+
+    def dec(v, q):
+        return Decimal(repr(float(v))).quantize(Decimal(q), ROUND_HALF_UP)
+
+    for flag, g in pdf.groupby("l_returnflag"):
+        x = g["l_extendedprice"].to_numpy(dtype=np.float64)
+        y = g["l_quantity"].to_numpy(dtype=np.float64)
+        # numpy's textbook values — agreement to relative 1e-9
+        v, s, c = got[flag]
+        assert abs(v - x.var(ddof=1)) <= 1e-9 * abs(v)
+        assert abs(s - x.std(ddof=1)) <= 1e-9 * abs(s)
+        assert abs(c - np.corrcoef(x, y)[0, 1]) <= 1e-9
+        # bit-level: replicate the exact decimal moment pipeline
+        n = float(len(x))
+        sx = float(sum(dec(t, "1e-10") for t in x))
+        sxx = float(sum(dec(t * t, "1e-8") for t in x))
+        sy = float(sum(dec(t, "1e-10") for t in y))
+        syy = float(sum(dec(t * t, "1e-8") for t in y))
+        sxy = float(sum(dec(a * b, "1e-8") for a, b in zip(x, y)))
+        var = (sxx - sx * sx / n) / (n - 1)
+        corr = (sxy - sx * sy / n) / math.sqrt(
+            (sxx - sx * sx / n) * (syy - sy * sy / n)
+        )
+        assert v == var and s == math.sqrt(var) and c == corr
