@@ -583,3 +583,39 @@ def test_fim_transform_reference(spark, docs_pdf):
         for r in _rows(spark, "m_fim_transform")
     }
     assert got == exp
+
+
+def test_curation_pipeline_reference(spark, docs_pdf):
+    """The whole curation funnel replayed as three explicit python
+    stages (score → gate → exact-dedup survivors → per-lang stats),
+    plus the funnel monotonicity invariant: survivors <= gated <= all."""
+    from collections import defaultdict
+
+    stopset = {"spark", "join", "filter", "window"}
+    gated = []
+    for r in docs_pdf.itertuples():
+        toks = r.text.split(" ")
+        hits = sum(1 for t in toks if t in stopset)
+        if len(toks) >= 10 and hits * 25 >= len(toks):
+            gated.append((int(r.doc_id), r.lang, r.text, len(toks)))
+    by_text = {}
+    for doc_id, lang, text, n in gated:
+        cur = by_text.get(text)
+        if cur is None or doc_id < cur[0]:
+            keep_lang = min(lang, cur[1]) if cur else lang
+            by_text[text] = (
+                min(doc_id, cur[0]) if cur else doc_id,
+                keep_lang,
+                min(n, cur[2]) if cur else n,
+            )
+    stats = defaultdict(lambda: [0, 0])
+    for _, lang, n in by_text.values():
+        stats[lang][0] += 1
+        stats[lang][1] += n
+    got = {
+        r.lang: (r.n_docs, r.n_tokens_total)
+        for r in _rows(spark, "m_curation_pipeline")
+    }
+    assert got == {k: tuple(v) for k, v in stats.items()}
+    n_surv = sum(v[0] for v in stats.values())
+    assert 0 < n_surv <= len(gated) <= len(docs_pdf)
