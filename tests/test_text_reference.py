@@ -619,3 +619,25 @@ def test_curation_pipeline_reference(spark, docs_pdf):
     assert got == {k: tuple(v) for k, v in stats.items()}
     n_surv = sum(v[0] for v in stats.values())
     assert 0 < n_surv <= len(gated) <= len(docs_pdf)
+
+
+def test_filter_sweep_reference(spark, docs_pdf):
+    """Threshold-retention sweep re-derived with direct python filters
+    per threshold, plus the sweep's defining invariant: retention is
+    monotonically NON-INCREASING in the threshold on both axes."""
+    exp = {}
+    total_docs = len(docs_pdf)
+    total_chars = int(docs_pdf["n_chars"].sum())
+    for t in (100, 300, 1000, 3000, 10000):
+        kept = docs_pdf[docs_pdf["n_chars"] >= t]
+        kd, kc = len(kept), int(kept["n_chars"].sum())
+        exp[t] = (kd, kc, kd * 1000 // total_docs, kc * 1000 // total_chars)
+    got = {
+        r.min_chars: (r.kept_docs, r.kept_chars, r.docs_permille, r.chars_permille)
+        for r in _rows(spark, "m_filter_sweep")
+    }
+    assert got == exp
+    ts = sorted(exp)
+    for a, b in zip(ts, ts[1:]):
+        assert exp[a][0] >= exp[b][0] and exp[a][1] >= exp[b][1]
+    assert exp[ts[0]][0] > exp[ts[-1]][0]  # the sweep actually bites
