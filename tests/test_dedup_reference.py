@@ -733,3 +733,58 @@ def test_bloom_membership_reference(spark):
     )
     # 3 hashes at 16 bits/key → fpr ≈ (1-e^(-3/16))^3 ≈ 0.5%; allow 5x
     assert fps <= max(10, int(0.025 * (len(pdf) - len(seeds))))
+
+
+def test_ann_recall_eval_reference(spark):
+    """The full IVF recall audit re-derived in numpy: hash-sampled
+    centroids, nearest-list assignment, multi-probe candidates, exact
+    integer-L2 ground truth, per-query recall@k — exact equality, plus
+    the structural bound hits <= k and candidate-set sanity."""
+    import numpy as np
+
+    from ukis_kafka_spark.ml.similarity import (
+        _IVF_HASH_A,
+        _IVF_HASH_P,
+        _IVF_LISTS,
+        _IVF_PROBES,
+        _RECALL_K,
+        _RECALL_NQ,
+    )
+
+    pdf = pd.read_parquet(f"{SF_SMOKE}/embeddings.parquet").sort_values("vec_id")
+    ids = pdf.vec_id.to_numpy()
+    V = np.floor(np.stack(pdf.embedding.to_numpy()).astype(np.float64) * 10000).astype(
+        np.int64
+    )
+    idx_of = {int(v): i for i, v in enumerate(ids)}
+    cents = sorted(ids, key=lambda v: ((int(v) * _IVF_HASH_A) % _IVF_HASH_P, int(v)))[
+        :_IVF_LISTS
+    ]
+    C = np.stack([V[idx_of[int(c)]] for c in cents])
+
+    def list_ranks(vec):
+        d = ((C - vec) ** 2).sum(axis=1)
+        return sorted(range(_IVF_LISTS), key=lambda l: (d[l], l))
+
+    assign = {int(v): list_ranks(V[idx_of[int(v)]])[0] for v in ids}
+    exp = {}
+    for q in (int(v) for v in ids if v < _RECALL_NQ):
+        qv = V[idx_of[q]]
+        d2 = ((V - qv) ** 2).sum(axis=1)
+        order = sorted(
+            (int(v) for v in ids if int(v) != q),
+            key=lambda v: (d2[idx_of[v]], v),
+        )
+        truth = set(order[:_RECALL_K])
+        probes = set(list_ranks(qv)[:_IVF_PROBES])
+        cand = {int(v) for v in ids if int(v) != q and assign[int(v)] in probes}
+        approx = set(
+            sorted(cand, key=lambda v: (d2[idx_of[v]], v))[:_RECALL_K]
+        )
+        exp[q] = (len(cand), len(truth & approx))
+    got = {
+        r.qid: (r.n_cand, r.n_hits) for r in _rows(spark, "m_ann_recall_eval")
+    }
+    assert got == exp
+    assert all(h <= _RECALL_K for _, h in exp.values())
+    assert sum(h for _, h in exp.values()) > 0  # the index finds SOMETHING
