@@ -671,3 +671,50 @@ def test_cell_transitions_reference(spark):
     # sf0.01+ sees non-empty output); the UNDERLYING movement graph
     # must still be rich, so the empty result is threshold, not bug
     assert len(trans) > 100
+
+
+def test_speed_anomaly_reference(spark):
+    """Impossible-speed flags re-derived with python haversine hops on
+    the replicated HALF_UP 4 dp grid and truncated-second epochs; exact
+    row-set equality plus: every flagged hop really exceeds the cap."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from ukis_kafka_spark.spatial.geo import _SPEED_MAX_KMH
+
+    pdf = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    pdf = pdf.assign(
+        ep=pd.to_datetime(pdf["ts"]).astype("datetime64[ns]").dt.floor("s").astype("int64")
+        // 10**9
+    ).sort_values(["user_id", "event_id"])
+    exp = {}
+    for _, g in pdf.groupby("user_id"):
+        prev = None
+        for r in g.itertuples():
+            lon = r.value * 3.6 - 180
+            lat = float((r.user_id * 7 % 180) - 90)
+            if prev is not None:
+                plon, plat, pep = prev
+                a = (
+                    math.sin(math.radians(lat - plat) / 2) ** 2
+                    + math.cos(math.radians(plat))
+                    * math.cos(math.radians(lat))
+                    * math.sin(math.radians(lon - plon) / 2) ** 2
+                )
+                hop = float(
+                    Decimal(repr(2 * 6371.0088 * math.asin(math.sqrt(a)))).quantize(
+                        Decimal("1e-4"), ROUND_HALF_UP
+                    )
+                )
+                dt = int(r.ep) - pep
+                if (dt == 0 and hop > 0) or (dt > 0 and 3600.0 * hop / dt > _SPEED_MAX_KMH):
+                    speed = int(math.floor(3600.0 * hop / dt)) if dt > 0 else None
+                    exp[int(r.event_id)] = (int(r.user_id), hop, dt, speed)
+            prev = (lon, lat, int(r.ep))
+    got = {
+        r.event_id: (r.user_id, r.hop_km, r.dt, r.speed_kmh)
+        for r in _rows(spark, "g_speed_anomaly")
+    }
+    assert got == exp
+    assert exp  # global teleports exist by construction
+    for _, hop, dt, speed in exp.values():
+        assert dt == 0 or speed >= _SPEED_MAX_KMH
