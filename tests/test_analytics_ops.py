@@ -1317,3 +1317,25 @@ def test_cohort_ltv_and_date_spine_reference(spark):
     ]
     assert got10 == exp10
     assert any(n == 0 for _, n in exp10)  # the spine generates MISSING hours
+
+
+def test_agg_mode_reference(spark):
+    """Per-group mode re-derived with a Counter + explicit tiebreak."""
+    from collections import Counter
+
+    import pandas as pd
+
+    from tests.conftest import SF_SMOKE
+    from ukis_kafka_spark import api
+
+    pdf = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")
+    exp = {}
+    for status, g in pdf.groupby("o_orderstatus"):
+        c = Counter(g["o_orderpriority"])
+        prio, n = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        exp[status] = (prio, n)
+    got = {
+        r.o_orderstatus: (r.mode_priority, r.n)
+        for r in api.queries()["q_agg_mode"](spark, SF_SMOKE).collect()
+    }
+    assert got == exp

@@ -641,3 +641,18 @@ def test_filter_sweep_reference(spark, docs_pdf):
     for a, b in zip(ts, ts[1:]):
         assert exp[a][0] >= exp[b][0] and exp[a][1] >= exp[b][1]
     assert exp[ts[0]][0] > exp[ts[-1]][0]  # the sweep actually bites
+
+
+def test_doc_bigrams_reference(spark, docs_pdf):
+    """Corpus bigram top-20 re-derived with python regex splitting and
+    one Counter, same (count desc, bigram asc) order."""
+    import re
+    from collections import Counter
+
+    bg = Counter()
+    for r in docs_pdf.itertuples():
+        words = [w for w in re.split(r"[^a-z]+", r.text.lower()) if w]
+        bg.update(" ".join(p) for p in zip(words, words[1:]))
+    exp = sorted(bg.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = [(r.bigram, r.n) for r in _rows(spark, "m_doc_bigrams")]
+    assert got == exp
