@@ -718,3 +718,41 @@ def test_speed_anomaly_reference(spark):
     assert exp  # global teleports exist by construction
     for _, hop, dt, speed in exp.values():
         assert dt == 0 or speed >= _SPEED_MAX_KMH
+
+
+def test_trajectory_stops_reference(spark):
+    """Dwell detection re-derived with an explicit run-length walk per
+    user: maximal same-cell runs of >= 3 points with their enter/leave
+    ids and truncated-second dwell."""
+    pdf = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    pdf = pdf.assign(
+        ep=pd.to_datetime(pdf["ts"]).astype("datetime64[ns]").dt.floor("s").astype("int64")
+        // 10**9
+    ).sort_values(["user_id", "event_id"])
+    exp = set()
+    for uid, g in pdf.groupby("user_id"):
+        run = []
+        prev_cell = None
+        for r in g.itertuples():
+            cell = int(math.floor((r.value * 3.6 - 180 + 180.0) / 6.0)) * 60 + int(
+                math.floor((float((r.user_id * 7 % 180) - 90) + 90.0) / 6.0)
+            )
+            if cell != prev_cell and run:
+                if len(run) >= 3:
+                    exp.add(
+                        (int(uid), prev_cell, len(run), run[0][0], run[-1][0],
+                         max(e for _, e in run) - min(e for _, e in run))
+                    )
+                run = []
+            run.append((int(r.event_id), int(r.ep)))
+            prev_cell = cell
+        if len(run) >= 3:
+            exp.add(
+                (int(uid), prev_cell, len(run), run[0][0], run[-1][0],
+                 max(e for _, e in run) - min(e for _, e in run))
+            )
+    got = {
+        (r.user_id, r.cell, r.n_points, r.enter_event, r.leave_event, r.dwell_s)
+        for r in _rows(spark, "g_trajectory_stops")
+    }
+    assert got == exp
