@@ -788,3 +788,70 @@ def test_ann_recall_eval_reference(spark):
     assert got == exp
     assert all(h <= _RECALL_K for _, h in exp.values())
     assert sum(h for _, h in exp.values()) > 0  # the index finds SOMETHING
+
+
+def test_covariance_topk_reference(spark):
+    """Top-|cov| dimension pairs re-derived with one numpy outer-product
+    accumulation over object-dtype ints (exact n*Sxy - Sx*Sy masses),
+    plus a float sanity check against np.cov's own estimator sign."""
+    import numpy as np
+
+    pdf = pd.read_parquet(f"{SF_SMOKE}/embeddings.parquet").sort_values("vec_id")
+    V = np.floor(np.stack(pdf.embedding.to_numpy()).astype(np.float64) * 10000).astype(
+        np.int64
+    )
+    n, D = V.shape
+    Vo = V.astype(object)
+    S = Vo.sum(axis=0)
+    G = Vo.T @ Vo  # exact python-int gram
+    cand = []
+    for i in range(D):
+        for j in range(i + 1, D):
+            cand.append((int(n * G[i, j] - S[i] * S[j]), i + 1, j + 1))
+    cand.sort(key=lambda t: (-abs(t[0]), t[1], t[2]))
+    exp = [(di, dj, cm) for cm, di, dj in cand[:10]]
+    got = [(r.di, r.dj, r.cov_mass) for r in _rows(spark, "m_covariance_topk")]
+    assert got == exp
+    # sign sanity vs numpy's float covariance on the top pair
+    cm, di, dj = cand[0]
+    c = np.cov(V[:, di - 1].astype(float), V[:, dj - 1].astype(float))[0, 1]
+    assert (cm > 0) == (c > 0)
+
+
+def test_embed_dup_reference(spark):
+    """Embedding near-dup detection (planted perturbed copies) re-derived
+    with a numpy all-pairs cosine over the augmented corpus: every
+    planted copy must pair with its source at >= 0.99, and the full
+    >= 0.99 pair set must match exactly on the 6 dp grid."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+
+    pdf = pd.read_parquet(f"{SF_SMOKE}/embeddings.parquet").sort_values("vec_id")
+    ids = [int(v) for v in pdf.vec_id]
+    M = np.stack(pdf.embedding.to_numpy()).astype(np.float32)
+    aug_ids, aug = list(ids), [M[i] for i in range(len(ids))]
+    planted = []
+    for i, v in enumerate(ids):
+        if v % 100 == 0:
+            e = M[i].copy()
+            e[0] = np.float32(np.float64(e[0]) + 0.1)
+            aug_ids.append(v + 10000000)
+            aug.append(e)
+            planted.append((v, v + 10000000))
+    A = np.stack(aug).astype(np.float64)
+    nrm = np.sqrt((A * A).sum(axis=1))
+    cos = (A @ A.T) / np.outer(nrm, nrm)
+    exp = {}
+    for i in range(len(aug_ids)):
+        for j in range(len(aug_ids)):
+            if aug_ids[i] < aug_ids[j]:
+                r = float(
+                    Decimal(repr(cos[i, j])).quantize(Decimal("1e-6"), ROUND_HALF_UP)
+                )
+                if r >= 0.99:
+                    exp[(aug_ids[i], aug_ids[j])] = r
+    got = {(r.id_a, r.id_b): r.cos_sim for r in _rows(spark, "m_embed_dup")}
+    assert got == exp
+    for a, b in planted:
+        assert (a, b) in got  # every planted copy is caught
