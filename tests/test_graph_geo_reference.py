@@ -756,3 +756,59 @@ def test_trajectory_stops_reference(spark):
         for r in _rows(spark, "g_trajectory_stops")
     }
     assert got == exp
+
+
+def test_graph_cc_reference(spark):
+    """6-round min-label components re-derived with a python dict
+    simulation over the q45 co-order graph, PLUS a union-find
+    cross-check: every 6-hop label must lie inside the node's TRUE
+    component, and component counting must be consistent."""
+    from collections import defaultdict
+
+    from ukis_kafka_spark.ml.graph import _CC_ITERS
+
+    li = pd.read_parquet(
+        f"{SF_SMOKE}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_quantity"],
+    )
+    li = li[li["l_quantity"] > 45]
+    adj = defaultdict(set)
+    for _, grp in li.groupby("l_orderkey")["l_partkey"]:
+        ps = sorted(set(grp))
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                adj[ps[i]].add(ps[j])
+                adj[ps[j]].add(ps[i])
+    lbl = {v: v for v in adj}
+    for _ in range(_CC_ITERS):
+        nxt = {}
+        for v in adj:
+            nxt[v] = min(lbl[v], min(lbl[u] for u in adj[v]))
+        lbl = nxt
+    comp = defaultdict(list)
+    for v, l in lbl.items():
+        comp[l].append(v)
+    exp = {
+        l: (len(vs), min(vs), max(vs)) for l, vs in comp.items()
+    }
+    got = {
+        r.component: (r.n_nodes, r.min_node, r.max_node)
+        for r in _rows(spark, "m_graph_cc")
+    }
+    assert got == exp
+
+    # union-find ground truth: labels must refine true components
+    parent = {v: v for v in adj}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for v, ns in adj.items():
+        for u in ns:
+            parent[find(u)] = find(v)
+    for v, l in lbl.items():
+        assert find(v) == find(l)  # the label is in v's true component
+    assert len({find(v) for v in adj}) <= len(comp)
