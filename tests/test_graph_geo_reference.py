@@ -812,3 +812,26 @@ def test_graph_cc_reference(spark):
     for v, l in lbl.items():
         assert find(v) == find(l)  # the label is in v's true component
     assert len({find(v) for v in adj}) <= len(comp)
+
+
+def test_graph_pagerank_reference(spark, adj_ref):
+    """Fixed-point PageRank re-derived with a python dict loop: the
+    exact micro-unit update rank' = U*15//100 + 850*Σ(r//d)//1000 over
+    the full co-order graph, same iteration count — the top-50 must be
+    identical, and mass conservation must hold approximately (floor
+    divisions only ever LOSE mass, never create it)."""
+    from ukis_kafka_spark.ml.graph import _ITERS, _UNIT
+
+    deg = {v: len(ns) for v, ns in adj_ref.items()}
+    rank = {v: _UNIT for v in adj_ref}
+    total0 = sum(rank.values())
+    for _ in range(_ITERS):
+        contrib = {v: rank[v] // deg[v] for v in adj_ref}
+        nxt = {}
+        for v, ns in adj_ref.items():
+            nxt[v] = _UNIT * 15 // 100 + 850 * sum(contrib[u] for u in ns) // 1000
+        rank = nxt
+        assert sum(rank.values()) <= total0 + len(rank)  # no mass created
+    top = sorted(rank.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+    got = [(r.node, r.rank_u) for r in _rows(spark, "m_graph_pagerank")]
+    assert got == top
