@@ -855,3 +855,73 @@ def test_embed_dup_reference(spark):
     assert got == exp
     for a, b in planted:
         assert (a, b) in got  # every planted copy is caught
+
+
+def test_passage_dedup_reference(spark):
+    """Aligned-passage exact dedup re-derived with hashlib over python
+    slices: non-overlapping PASSAGE-token blocks, md5 digests, corpus
+    counts, only duplicated digests reported."""
+    import hashlib
+    from collections import defaultdict
+
+    from ukis_kafka_spark.ml.chunking import PASSAGE
+
+    pdf = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    occ = defaultdict(lambda: [0, set(), None])
+    for r in pdf.itertuples():
+        toks = r.text.split(" ")
+        for s in range(0, len(toks), PASSAGE):
+            h = hashlib.md5(" ".join(toks[s : s + PASSAGE]).encode()).hexdigest()
+            o = occ[h]
+            o[0] += 1
+            o[1].add(int(r.doc_id))
+            o[2] = int(r.doc_id) if o[2] is None else min(o[2], int(r.doc_id))
+    exp = {
+        h: (n, len(ds), first)
+        for h, (n, ds, first) in occ.items()
+        if n > 1
+    }
+    got = {
+        r.passage_hash: (r.n_occurrences, r.n_docs, r.first_doc)
+        for r in _rows(spark, "m_passage_dedup")
+    }
+    assert got == exp
+    assert exp  # duplicated passages exist by corpus construction
+
+
+def test_knn_label_reference(spark):
+    """5-NN majority vote re-derived with a numpy all-pairs cosine on
+    the replicated 6 dp grid: neighbor selection, vote counting and
+    the (votes desc, label asc) tiebreak."""
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+
+    pdf = pd.read_parquet(f"{SF_SMOKE}/embeddings.parquet").sort_values("vec_id")
+    ids = [int(v) for v in pdf.vec_id]
+    labels = {int(v): int(l) for v, l in zip(pdf.vec_id, pdf.label)}
+    M = np.stack(pdf.embedding.to_numpy()).astype(np.float64)
+    nrm = np.sqrt((M * M).sum(axis=1))
+    cos = (M @ M.T) / np.outer(nrm, nrm)
+    idx = {v: i for i, v in enumerate(ids)}
+    exp = {}
+    for q in (v for v in ids if v < 20):
+        scored = sorted(
+            (
+                (
+                    -float(
+                        Decimal(repr(cos[idx[q], idx[o]])).quantize(
+                            Decimal("1e-6"), ROUND_HALF_UP
+                        )
+                    ),
+                    o,
+                )
+                for o in ids
+                if o != q
+            )
+        )[:5]
+        votes = Counter(labels[o] for _, o in scored)
+        exp[q] = sorted(votes.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+    got = {r.qid: r.knn_label for r in _rows(spark, "m_knn_label")}
+    assert got == exp
