@@ -656,3 +656,45 @@ def test_doc_bigrams_reference(spark, docs_pdf):
     exp = sorted(bg.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
     got = [(r.bigram, r.n) for r in _rows(spark, "m_doc_bigrams")]
     assert got == exp
+
+
+def test_vocab_curve_and_pivot_lang_reference(spark, docs_pdf, doc_tokens):
+    """Vocabulary coverage curve + language pivot re-derived with one
+    Counter and dict counting; the curve must be monotone in k on both
+    n_types and coverage."""
+    from collections import Counter, defaultdict
+
+    from ukis_kafka_spark.ml.text import _VOCAB_KS
+
+    corpus = Counter()
+    for toks in doc_tokens.values():
+        corpus.update(toks)
+    ranked = sorted(corpus.items(), key=lambda kv: (-kv[1], kv[0]))
+    total = sum(corpus.values())
+    exp = {}
+    for k in _VOCAB_KS:
+        head = ranked[:k]
+        cov = sum(n for _, n in head)
+        exp[k] = (len(head), cov, 1000000 * cov // total)
+    got = {
+        r.vocab_k: (r.n_types, r.covered, r.coverage_ppm)
+        for r in _rows(spark, "m_vocab_curve")
+    }
+    assert got == exp
+    ks = sorted(exp)
+    for a, b in zip(ks, ks[1:]):
+        assert exp[a][0] <= exp[b][0] and exp[a][1] <= exp[b][1]
+
+    piv = defaultdict(lambda: defaultdict(int))
+    for r in docs_pdf.itertuples():
+        piv[r.source][r.lang] += 1
+    gotp = {
+        r.source: (r.de, r.en, r.es, r.fr, r.zh)
+        for r in _rows(spark, "m_pivot_lang")
+    }
+    expp = {
+        s: tuple(d.get(l, 0) for l in ("de", "en", "es", "fr", "zh"))
+        for s, d in piv.items()
+    }
+    assert gotp == expp
+    assert sum(sum(v) for v in expp.values()) == len(docs_pdf)  # pivot is total
