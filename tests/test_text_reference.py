@@ -698,3 +698,28 @@ def test_vocab_curve_and_pivot_lang_reference(spark, docs_pdf, doc_tokens):
     }
     assert gotp == expp
     assert sum(sum(v) for v in expp.values()) == len(docs_pdf)  # pivot is total
+
+
+def test_reward_pairs_reference(spark, docs_pdf):
+    """Preference-pair mining re-derived with explicit sorted slices:
+    rank-for-rank best-vs-worst pairing per language, positive margins
+    only — and the maximal-margin property (pair_rank 1 has the widest
+    margin in its language)."""
+    exp = {}
+    for lang, g in docs_pdf.groupby("lang"):
+        rows = sorted(g.itertuples(), key=lambda r: (-r.n_chars, r.doc_id))
+        worst = sorted(g.itertuples(), key=lambda r: (r.n_chars, r.doc_id))
+        for i in range(min(5, len(rows))):
+            t, b = rows[i], worst[i]
+            if t.n_chars > b.n_chars:
+                exp[(lang, i + 1)] = (
+                    int(t.doc_id), int(b.doc_id), int(t.n_chars - b.n_chars)
+                )
+    got = {
+        (r.lang, r.pair_rank): (r.chosen_id, r.rejected_id, r.margin)
+        for r in _rows(spark, "m_reward_pairs")
+    }
+    assert got == exp
+    for lang in {l for l, _ in exp}:
+        margins = [m for (l, _), (_, _, m) in exp.items() if l == lang]
+        assert margins[0] == max(margins)  # widest margin first
