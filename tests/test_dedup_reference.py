@@ -925,3 +925,64 @@ def test_knn_label_reference(spark):
         exp[q] = sorted(votes.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
     got = {r.qid: r.knn_label for r in _rows(spark, "m_knn_label")}
     assert got == exp
+
+
+def test_semdedup_reference(spark):
+    """SemDeDup re-derived end-to-end in numpy: the planted-clone
+    augmentation, hash-sampled centroids (from the ORIGINAL corpus
+    only), exact integer-L2 home assignment, bucket-LOCAL integer-dot
+    pairs at the 9e7 threshold, lowest-qualifying keeper — exact
+    equality, and every planted clone must be dropped against a keeper
+    in its own cluster."""
+    import numpy as np
+
+    from ukis_kafka_spark.ml.similarity import (
+        _IVF_HASH_A,
+        _IVF_HASH_P,
+        _SEM_LISTS,
+        _SEM_T,
+    )
+
+    pdf = pd.read_parquet(f"{SF_SMOKE}/embeddings.parquet").sort_values("vec_id")
+    ids = [int(v) for v in pdf.vec_id]
+    M32 = np.stack(pdf.embedding.to_numpy()).astype(np.float32)
+    aug_ids, aug = list(ids), [M32[i] for i in range(len(ids))]
+    for i, v in enumerate(ids):
+        if v % 50 == 0:
+            e = M32[i].copy()
+            e[0] = np.float32(np.float64(e[0]) + 0.1)
+            aug_ids.append(v + 10_000_000)
+            aug.append(e)
+    V = np.floor(np.stack(aug).astype(np.float64) * 10000).astype(np.int64)
+    idx = {v: i for i, v in enumerate(aug_ids)}
+    cents = sorted(ids, key=lambda v: ((v * _IVF_HASH_A) % _IVF_HASH_P, v))[:_SEM_LISTS]
+    C = np.stack([V[idx[c]] for c in cents])
+    home = {}
+    for v in aug_ids:
+        d = ((C - V[idx[v]]) ** 2).sum(axis=1)
+        home[v] = min(range(_SEM_LISTS), key=lambda l: (d[l], l))
+    pairs = {}
+    by_list = {}
+    for v in aug_ids:
+        by_list.setdefault(home[v], []).append(v)
+    for l, vs in by_list.items():
+        vs = sorted(vs)
+        for i in range(len(vs)):
+            for j in range(i + 1, len(vs)):
+                dot = int(V[idx[vs[i]]] @ V[idx[vs[j]]])
+                if dot >= _SEM_T:
+                    pairs.setdefault(vs[j], []).append((vs[i], l, dot))
+    exp = {}
+    for dup, cand in pairs.items():
+        keeper, l, dot = min(cand)
+        exp[dup] = (keeper, l, dot)
+    got = {
+        r.dup_id: (r.keeper_id, r.list_id, r.dot_keeper)
+        for r in _rows(spark, "m_semdedup")
+    }
+    assert got == exp
+    for v in ids:
+        if v % 50 == 0:
+            clone = v + 10_000_000
+            assert clone in exp  # every planted near-dup is caught
+            assert home[clone] == home[exp[clone][0]]
