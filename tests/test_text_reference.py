@@ -723,3 +723,32 @@ def test_reward_pairs_reference(spark, docs_pdf):
     for lang in {l for l, _ in exp}:
         margins = [m for (l, _), (_, _, m) in exp.items() if l == lang]
         assert margins[0] == max(margins)  # widest margin first
+
+
+def test_set_cover_greedy_reference(spark, doc_tokens):
+    """Greedy max-coverage re-derived with python sets: 3 rounds of
+    argmax marginal bigram gain with doc_id tiebreaks — selections and
+    gains exact, plus submodularity (gains non-increasing)."""
+    inc = {
+        d: {" ".join(p) for p in zip(toks, toks[1:])}
+        for d, toks in doc_tokens.items()
+        if len(toks) >= 2
+    }
+    covered = set()
+    chosen = []
+    exp = {}
+    for rnd in range(1, 4):
+        best = None
+        for d in sorted(inc):
+            if d in (c for c, _ in chosen):
+                continue
+            gain = len(inc[d] - covered)
+            if best is None or gain > best[1]:
+                best = (d, gain)
+        exp[rnd] = best
+        chosen.append(best)
+        covered |= inc[best[0]]
+    got = {r.round: (r.doc_id, r.gain) for r in _rows(spark, "m_set_cover_greedy")}
+    assert got == exp
+    gains = [exp[r][1] for r in (1, 2, 3)]
+    assert gains[0] >= gains[1] >= gains[2] > 0  # submodular, never dry
