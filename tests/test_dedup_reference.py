@@ -986,3 +986,36 @@ def test_semdedup_reference(spark):
             clone = v + 10_000_000
             assert clone in exp  # every planted near-dup is caught
             assert home[clone] == home[exp[clone][0]]
+
+
+def test_triplet_mining_reference(spark):
+    """Triplet mining re-derived with numpy integer L2 over the grid:
+    nearest same-label positive, nearest other-label negative, margin
+    and satisfaction flag — exact equality, plus the metric identity
+    margin == d_neg - d_pos and flag consistency."""
+    import numpy as np
+
+    from ukis_kafka_spark.ml.similarity import _TRIPLET_NQ
+
+    pdf = pd.read_parquet(f"{SF_SMOKE}/embeddings.parquet").sort_values("vec_id")
+    ids = [int(v) for v in pdf.vec_id]
+    labels = {int(v): int(l) for v, l in zip(pdf.vec_id, pdf.label)}
+    V = np.floor(np.stack(pdf.embedding.to_numpy()).astype(np.float64) * 10000).astype(
+        np.int64
+    )
+    idx = {v: i for i, v in enumerate(ids)}
+    exp = {}
+    for a in (v for v in ids if v < _TRIPLET_NQ):
+        d2 = ((V - V[idx[a]]) ** 2).sum(axis=1)
+        same = [(int(d2[idx[o]]), o) for o in ids if o != a and labels[o] == labels[a]]
+        other = [(int(d2[idx[o]]), o) for o in ids if labels[o] != labels[a]]
+        dp, pid = min(same)
+        dn, nid = min(other)
+        exp[a] = (pid, nid, dp, dn, dn - dp, dn > dp)
+    got = {
+        r.anchor_id: (r.pos_id, r.neg_id, r.d_pos, r.d_neg, r.margin, r.is_satisfied)
+        for r in _rows(spark, "m_triplet_mining")
+    }
+    assert got == exp
+    for _, _, dp, dn, m, sat in exp.values():
+        assert m == dn - dp and sat == (m > 0)
