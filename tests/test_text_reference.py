@@ -752,3 +752,37 @@ def test_set_cover_greedy_reference(spark, doc_tokens):
     assert got == exp
     gains = [exp[r][1] for r in (1, 2, 3)]
     assert gains[0] >= gains[1] >= gains[2] > 0  # submodular, never dry
+
+
+def test_stem_counts_reference(spark, doc_tokens):
+    """Suffix-stripper stemming re-derived with python string rules
+    (one shared CASE drives both engines, so this is the independent
+    check of the rule order — 'ing' before 'ed'/'er'/'es' before 's')."""
+    from collections import Counter, defaultdict
+
+    def stem(tok: str) -> str:
+        if len(tok) > 5 and tok.endswith("ing"):
+            return tok[:-3]
+        if len(tok) > 4 and (tok.endswith("ed") or tok.endswith("er") or tok.endswith("es")):
+            return tok[:-2]
+        if len(tok) > 3 and tok.endswith("s"):
+            return tok[:-1]
+        return tok
+
+    occ = Counter()
+    forms = defaultdict(set)
+    stripped = Counter()
+    for toks in doc_tokens.values():
+        for t in toks:
+            s = stem(t)
+            occ[s] += 1
+            forms[s].add(t)
+            if s != t:
+                stripped[s] += 1
+    exp = {s: (occ[s], len(forms[s]), stripped.get(s, 0)) for s in occ}
+    got = {
+        r.stem: (r.n_occ, r.n_forms, r.n_stripped)
+        for r in _rows(spark, "m_stem_counts")
+    }
+    assert got == exp
+    assert any(n > 0 for _, _, n in exp.values())  # the rules actually fire
