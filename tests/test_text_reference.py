@@ -786,3 +786,31 @@ def test_stem_counts_reference(spark, doc_tokens):
     }
     assert got == exp
     assert any(n > 0 for _, _, n in exp.values())  # the rules actually fire
+
+
+def test_langid_confusion_reference(spark, docs_pdf):
+    """Lang-ID confusion matrix re-derived with python string rules;
+    cell counts exact, the matrix totals the corpus, and diagonal
+    consistency n_correct = n iff true == pred."""
+    from collections import Counter
+
+    cm = Counter()
+    for r in docs_pdf.itertuples():
+        if "stream" in r.text or "window" in r.text:
+            p = "en"
+        elif "join" in r.text:
+            p = "de"
+        elif len(r.text.split(" ")) % 2 == 0:
+            p = "es"
+        else:
+            p = "fr"
+        cm[(r.lang, p)] += 1
+    got = {
+        (r.true_lang, r.lang_pred): (r.n, r.n_correct)
+        for r in _rows(spark, "m_langid_confusion")
+    }
+    exp = {
+        (t, p): (n, n if t == p else 0) for (t, p), n in cm.items()
+    }
+    assert got == exp
+    assert sum(n for n, _ in exp.values()) == len(docs_pdf)
