@@ -814,3 +814,28 @@ def test_langid_confusion_reference(spark, docs_pdf):
     }
     assert got == exp
     assert sum(n for n, _ in exp.values()) == len(docs_pdf)
+
+
+def test_sft_pairs_reference(spark, docs_pdf):
+    """SFT prompt/response shaping re-derived with python string
+    splitting: the first word boundary at/after char 40, length
+    accounting, the usability gate — and length conservation."""
+    exp = {}
+    for r in docs_pdf.itertuples():
+        rel = r.text[39:].find(" ") + 1  # 1-based within the tail, 0 absent
+        dot = rel + 39 if rel > 0 else 0
+        pc = dot if dot > 0 else 0
+        rc = len(r.text) - dot if dot > 0 else 0
+        exp[int(r.doc_id)] = (r.lang, pc, rc, 1 if dot > 0 and rc >= 120 else 0)
+    got = {
+        r.doc_id: (r.lang, r.prompt_chars, r.response_chars, r.usable)
+        for r in _rows(spark, "m_sft_pairs")
+    }
+    assert got == exp
+    for r in docs_pdf.itertuples():
+        _, pc, rc, u = exp[int(r.doc_id)]
+        if u:
+            assert pc + rc == len(r.text)
+    # the gate must be non-trivial in BOTH directions
+    us = [u for _, _, _, u in exp.values()]
+    assert 0 < sum(us) < len(us)

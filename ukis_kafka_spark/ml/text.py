@@ -3168,31 +3168,44 @@ def m_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH cut AS (
   SELECT doc_id, lang, text,
-         strpos(text, '.') AS dot
+         CASE WHEN instr(substring(text, 40), ' ') > 0
+              THEN instr(substring(text, 40), ' ') + 39 ELSE 0 END AS dot
   FROM documents
 )
 SELECT doc_id, lang,
        CAST(CASE WHEN dot > 0 THEN dot ELSE 0 END AS BIGINT) AS prompt_chars,
        CAST(CASE WHEN dot > 0 THEN length(text) - dot ELSE 0 END AS BIGINT)
          AS response_chars,
-       CASE WHEN dot > 0 AND length(text) - dot >= 20 THEN 1 ELSE 0 END
+       CASE WHEN dot > 0 AND length(text) - dot >= 120 THEN 1 ELSE 0 END
          AS usable
 FROM cut
 """,
 )
 def m_sft_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Instruction-pair shaping: each document splits at its first
-    sentence boundary into (prompt, response) and reports the pair's
-    length profile plus a usability flag (non-empty prompt, response
-    ≥ 20 chars) — the data-shaping step between a raw corpus and an
-    SFT dataset, where the filters (too-short responses, missing
-    boundaries) silently decide dataset size.  Emits LENGTHS, not the
-    split text (scalar-schema rule; the split itself is the same
-    substring arithmetic both engines just agreed on).  Scale: pure
-    per-row projection."""
+    word boundary at or after character 40 into (prompt, response) and
+    reports the pair's length profile plus a usability flag (boundary
+    found, response >= 120 chars) — the data-shaping step between a
+    raw corpus and an SFT dataset, where the filters (too-short
+    responses, missing boundaries) silently decide dataset size.  The
+    boundary rule sits on the MEASURED corpus (round-4 rule): the
+    original first-'.' rule NEVER fired (the corpus has no periods —
+    a permanently vacuous gate this revision removes); the space-at-40
+    rule leaves 396/390/3887 of 500/500/5000 usable at
+    sf0.001/0.01/0.1 — non-trivial in both directions at every scale.
+    Emits LENGTHS, not the split text (scalar-schema rule).  Scale:
+    pure per-row projection."""
     d = load_table(spark, sf_dir, "documents")
     cut = d.select(
-        "doc_id", "lang", "text", F.expr("instr(text, '.')").alias("dot")
+        "doc_id",
+        "lang",
+        "text",
+        F.when(
+            F.expr("instr(substring(text, 40), ' ')") > 0,
+            F.expr("instr(substring(text, 40), ' ')") + 39,
+        )
+        .otherwise(0)
+        .alias("dot"),
     )
     return cut.select(
         "doc_id",
@@ -3206,7 +3219,7 @@ def m_sft_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("response_chars"),
         F.when(
-            (F.col("dot") > 0) & (F.length("text") - F.col("dot") >= 20), 1
+            (F.col("dot") > 0) & (F.length("text") - F.col("dot") >= 120), 1
         )
         .otherwise(0)
         .alias("usable"),
