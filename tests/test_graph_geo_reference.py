@@ -198,17 +198,21 @@ def test_track_length_reference(spark):
 
 def test_track_area_reference(spark):
     """Shoelace area on the 1e-4-degree integer grid, closed loop, as
-    a python big-int sum; plus the translation-invariance identity."""
+    a python big-int sum; plus the translation-invariance identity and
+    the NON-degeneracy guard the round-5 audit added (per-user rings
+    were silently zero: constant per-user latitude telescopes the
+    cross sum — the operator now rings each event stream instead)."""
     ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet").sort_values("event_id")
-    got = {r["user_id"]: r for r in _rows(spark, "g_track_area")}
-    for uid, grp in ev.groupby("user_id"):
+    got = {r["event_type"]: r for r in _rows(spark, "g_track_area")}
+    for etype, grp in ev.groupby("event_type"):
         xs = [int(math.floor((v * 3.6 - 180) * 10000)) for v in grp["value"]]
         ys = [int(math.floor(((u * 7 % 180) - 90) * 10000)) for u in grp["user_id"]]
         n = len(xs)
         s = sum(xs[i] * ys[(i + 1) % n] - xs[(i + 1) % n] * ys[i] for i in range(n))
-        g = got[uid]
+        g = got[etype]
         assert g["n_pts"] == n
         assert g["area2_signed"] == s and g["area2_abs"] == abs(s)
+        assert s != 0  # the ring is non-degenerate
         # shoelace is translation-invariant: shifting the grid origin
         # must not change the signed area
         xs2 = [x + 12345 for x in xs]

@@ -1132,7 +1132,7 @@ WITH agg AS (
 SELECT count(*) AS n_small_lines,
        CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS small_qty_revenue
 FROM lineitem l
-JOIN part p ON p.p_partkey = l.l_partkey AND p.p_type LIKE 'small%'
+JOIN part p ON p.p_partkey = l.l_partkey AND p.p_type = 'SMALL'
 JOIN agg   ON agg.pk = l.l_partkey
 WHERE CAST(l.l_quantity AS DECIMAL(28,10)) * 5 * agg.n_qty < CAST(agg.sum_qty AS DECIMAL(38,10))
 """,
@@ -1145,9 +1145,12 @@ def q_sql_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact decimal integers (qty*5*n < sum_qty) — `0.2 * AVG(...)` is a
     rounded decimal quotient, exactly the midpoint-tie class CLAUDE.md
     bans from hash-checked queries. Adaptation: p_container filter →
-    p_type prefix (no container column)."""
+    p_type = 'SMALL' (no container column; an earlier LIKE 'small%'
+    matched NOTHING against this corpus's uppercase types — both
+    engines agreed on the empty join, the vacuous-agreement trap the
+    round-5 dead-column audit caught)."""
     l = load_table(spark, sf_dir, "lineitem")
-    p = load_table(spark, sf_dir, "part").where(F.col("p_type").like("small%"))
+    p = load_table(spark, sf_dir, "part").where(F.col("p_type") == "SMALL")
     agg = l.groupBy(F.col("l_partkey").alias("pk")).agg(
         F.sum(F.col("l_quantity").cast(DEC)).alias("sum_qty"),
         F.count(F.lit(1)).alias("n_qty"),

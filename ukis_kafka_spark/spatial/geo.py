@@ -756,53 +756,58 @@ def g_geohash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "g_track_area",
     oracle=f"""
 WITH pts AS (
-  SELECT user_id, event_id,
+  SELECT event_type, event_id,
          CAST(floor(({_LON}) * 10000) AS BIGINT) AS x,
          CAST(floor(CAST({_LAT} AS DOUBLE) * 10000) AS BIGINT) AS y
   FROM events
 ), seq AS (
-  SELECT user_id, x, y,
+  SELECT event_type, x, y,
          coalesce(lead(x) OVER w, first_value(x) OVER wf) AS xn,
          coalesce(lead(y) OVER w, first_value(y) OVER wf) AS yn
   FROM pts
-  WINDOW w AS (PARTITION BY user_id ORDER BY event_id),
-         wf AS (PARTITION BY user_id ORDER BY event_id
+  WINDOW w AS (PARTITION BY event_type ORDER BY event_id),
+         wf AS (PARTITION BY event_type ORDER BY event_id
                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
 )
-SELECT user_id,
+SELECT event_type,
        count(*) AS n_pts,
        CAST(SUM(x * yn - xn * y) AS BIGINT) AS area2_signed,
        CAST(abs(SUM(x * yn - xn * y)) AS BIGINT) AS area2_abs
 FROM seq
-GROUP BY user_id
+GROUP BY event_type
 """,
 )
 def g_track_area(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shoelace (signed) polygon area of each user's closed trajectory:
-    points ordered by the ts-monotone event_id, the closing edge wraps
-    back to the first point via first_value, and the cross-product sum
-    runs on 1e-4-degree integer grid coordinates — term magnitude
-    ≤ 3.3e12, so even a 10⁶-point track stays far inside BIGINT and
-    the sum is exact, order-independent integer math (no float
-    accumulation to disagree across engines). The signed sum also
-    tells winding direction — the standard geometry-validity input.
-    One shuffle on user_id (both window specs share it), then the
-    aggregate reuses the same partitioning — a single-exchange plan."""
+    """Shoelace (signed) polygon area of each event stream's closed
+    ring: the points of one event_type across all users, ordered by
+    the ts-monotone event_id, with the closing edge wrapping back to
+    the first point via first_value.  (Per-USER rings are degenerate
+    on this corpus — each user's latitude is constant, so y(x - xn)
+    telescopes to exactly 0 around any closed ring; the round-5
+    dead-column audit caught the vacuity and this revision re-keys the
+    ring to the event stream, where latitude varies.)  The
+    cross-product sum runs on 1e-4-degree integer grid coordinates —
+    term magnitude ≤ 3.3e12, so even a 10⁶-point ring stays far inside
+    BIGINT and the sum is exact, order-independent integer math.  The
+    signed sum also tells winding direction — the standard
+    geometry-validity input.  One shuffle on event_type (both window
+    specs share it), then the aggregate reuses the same partitioning —
+    a single-exchange plan."""
     e = load_table(spark, sf_dir, "events")
     x = F.floor(_lon() * 10000).cast("long")
     y = F.floor(_lat() * 10000).cast("long")
-    pts = e.select("user_id", "event_id", x.alias("x"), y.alias("y"))
-    w = Window.partitionBy("user_id").orderBy("event_id")
+    pts = e.select("event_type", "event_id", x.alias("x"), y.alias("y"))
+    w = Window.partitionBy("event_type").orderBy("event_id")
     wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     seq = pts.select(
-        "user_id",
+        "event_type",
         "x",
         "y",
         F.coalesce(F.lead("x").over(w), F.first("x").over(wf)).alias("xn"),
         F.coalesce(F.lead("y").over(w), F.first("y").over(wf)).alias("yn"),
     )
     cross = F.col("x") * F.col("yn") - F.col("xn") * F.col("y")
-    return seq.groupBy("user_id").agg(
+    return seq.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_pts"),
         F.sum(cross).cast("bigint").alias("area2_signed"),
         F.abs(F.sum(cross)).cast("bigint").alias("area2_abs"),
