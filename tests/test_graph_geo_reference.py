@@ -286,17 +286,22 @@ def test_link_predict_reference(spark, adj_ref, edges_ref):
 
 
 def test_churn_labels_reference(spark):
-    """Forward-looking churn labels replayed with python sets; the
-    final (unknowable-label) week must be absent — the peek guard."""
+    """Forward-looking purchase-churn labels replayed with python
+    sets; the final (unknowable-label) week must be absent — the peek
+    guard — and the label must fire at least once (the any-activity
+    variant never did)."""
     ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
     ev["ts"] = pd.to_datetime(ev["ts"]).astype("datetime64[ns]")
     wk = (ev["ts"].dt.floor("d").astype("int64") // 10**9 // 604800)
     active: dict[tuple, int] = {}
-    for uid, w in zip(ev["user_id"], wk):
+    purch = set()
+    for uid, w, et in zip(ev["user_id"], wk, ev["event_type"]):
         active[(uid, int(w))] = active.get((uid, int(w)), 0) + 1
+        if et == "purchase":
+            purch.add((uid, int(w)))
     max_wk = max(w for _, w in active)
     expect = {
-        (u, w): (n, 0 if (u, w + 1) in active else 1)
+        (u, w): (n, 0 if (u, w + 1) in purch else 1)
         for (u, w), n in active.items()
         if w < max_wk
     }
@@ -306,6 +311,7 @@ def test_churn_labels_reference(spark):
     }
     assert got == expect
     assert all(w < max_wk for _, w in got)
+    assert any(c for _, c in expect.values())  # the label fires
 
 
 def test_record_linkage_reference(spark):

