@@ -599,6 +599,11 @@ def test_dq_checks_reference(spark):
     assert rows["lineitem_orphan_orderkey"] == (len(li), int(orphans_l))
     # the generated corpus satisfies referential integrity
     assert int(orphans_o) == 0 and int(orphans_l) == 0
+    # ...and the planted-corruption self-test proves the DETECTOR works:
+    # every 997th order key remaps out of range and must be flagged
+    n_planted = int((orders.o_orderkey % 997 == 0).sum())
+    assert rows["detector_selftest"] == (len(orders), n_planted)
+    assert n_planted > 0
 
 
 def test_subseq_search_reference(spark):

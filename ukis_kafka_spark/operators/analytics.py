@@ -232,6 +232,14 @@ UNION ALL
 SELECT 'documents_len_mismatch',
        (SELECT COUNT(*) FROM documents),
        (SELECT COUNT(CASE WHEN n_chars <> length(text) THEN 1 END) FROM documents)
+UNION ALL
+SELECT 'detector_selftest',
+       (SELECT COUNT(*) FROM orders),
+       (SELECT COUNT(*) FROM (
+          SELECT CASE WHEN o_orderkey % 997 = 0
+                      THEN o_custkey + 1000000000 ELSE o_custkey END AS ck
+          FROM orders) o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.ck))
 """,
 )
 def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -240,10 +248,16 @@ def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The classic pre-training-ingest validation pass.  Each check is an
     independent aggregate (COUNT(CASE..) per the HUGEINT trap); the
-    orphan checks are anti joins on the FK.  Scale: each check is one
-    scan + at most one shuffle; Spark runs the seven branches as a
-    union of independent subplans, so they parallelize across the
-    stage boundary and the fact tables are scanned column-pruned.
+    orphan checks are anti joins on the FK.  The clean corpus passes
+    every real check with n_bad = 0 — which is itself vacuous evidence
+    that the DETECTORS work (round-5 dead-column audit), so the last
+    row runs the orphan detector against a deterministically-corrupted
+    derivative (every 997th order key remaps its customer out of
+    range, the g_geom_valid planted-corruption pattern) and must
+    report exactly that many bad rows.  Scale: each check is one
+    scan + at most one shuffle; Spark runs the branches as a union of
+    independent subplans, so they parallelize across the stage
+    boundary and the fact tables are scanned column-pruned.
     """
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
@@ -311,6 +325,20 @@ def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.when(F.col("n_chars") != F.length("text"), 1)
                 ).alias("n_bad")
             ),
+        ),
+        check(
+            "detector_selftest",
+            orders_rows,
+            o.select(
+                F.when(
+                    F.col("o_orderkey") % 997 == 0,
+                    F.col("o_custkey") + 1000000000,
+                )
+                .otherwise(F.col("o_custkey"))
+                .alias("ck")
+            )
+            .join(c, F.col("ck") == c.c_custkey, "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_bad")),
         ),
     ]
     out = checks[0]
