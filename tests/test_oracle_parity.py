@@ -87,20 +87,29 @@ def test_driver_window_self_rotates():
 
 
 def test_rotation_simulated_next_round(tmp_path):
-    """Simulate the round-5 driver window going green: copy the real
-    CORRECTNESS files plus a synthetic r05 marking the current head-50
-    hash-green, and assert _driver_green absorbs them — i.e. the
-    round-6 window would automatically drain 50 FRESH IDs with no
-    manual rotation (the failure mode that burned round 4)."""
+    """Simulate the NEXT driver window going green: copy the real
+    CORRECTNESS files plus a synthetic round (max existing + 1 — never
+    a hardcoded number: a hardcoded r05 overwrote the driver's real r05
+    rows in the tmp copy and failed the whole suite post-snapshot,
+    VERDICT r05 item 1) marking the current head-50 hash-green, and
+    assert _driver_green absorbs them — i.e. the following window would
+    automatically drain 50 FRESH IDs with no manual rotation (the
+    failure mode that burned round 4)."""
     import json
+    import re
     import shutil
     from pathlib import Path
 
     from ukis_kafka_spark.api import ORACLE, _driver_green
 
     repo = Path(__file__).resolve().parents[1]
-    for f in repo.glob("CORRECTNESS_r0*.json"):
+    rounds = []
+    for f in repo.glob("CORRECTNESS_r*.json"):
         shutil.copy(f, tmp_path / f.name)
+        m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", f.name)
+        if m:
+            rounds.append(int(m.group(1)))
+    next_round = max(rounds, default=0) + 1
     head = list(api.queries())[:50]
     fake = {
         n: (
@@ -110,7 +119,7 @@ def test_rotation_simulated_next_round(tmp_path):
         )
         for n in head
     }
-    (tmp_path / "CORRECTNESS_r05.json").write_text(json.dumps(fake))
+    (tmp_path / f"CORRECTNESS_r{next_round:02d}.json").write_text(json.dumps(fake))
     green_now = _driver_green()
     green_next = _driver_green(root=str(tmp_path))
     assert set(head) <= green_next

@@ -48,6 +48,11 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # missed — this mechanism makes a stale window structurally impossible
 # (tests/test_registry_contract.py pins it).
 _QUEUE = [
+    # round-6 leads (VERDICT r05 item 3): the two codec paths whose
+    # round-5 oracle upgrades (BMP decode / RIFF-WAVE decode) have only
+    # a stale r1 `no_oracle` driver row — float them so the upgraded
+    # oracle gets driver confirmation this round, not in ~3 rounds.
+    "m_multimodal_features", "m_audio_decode",
     # round-5 leads: the r4 red row (fixed — now emits scalar columns)
     # and the 8 rows-only->oracle upgrades whose only driver row is an
     # r1 `err: no_oracle` (VERDICT r04 items 1 and 3).
