@@ -457,3 +457,121 @@ def test_avro_rejects_garbage(tmp_path):
     good.write_bytes(bytes(buf))
     with pytest.raises(ValueError, match="sync"):
         scan_blocks(str(good))
+
+
+def test_avro_negative_meta_block_count(tmp_path):
+    """Spec-conformant writers MAY emit a negative metadata-map block
+    count (abs(n) items, prefixed by a byte-size long). The header
+    parser must consume that size long or the stream desyncs
+    (ADVICE r5). Hand-crafts such a header around a normal file's
+    metadata."""
+    from ukis_kafka_spark.sources.avro import (
+        _enc_bytes,
+        _enc_long,
+        read_header,
+        write_avro,
+    )
+
+    normal = tmp_path / "n.avro"
+    write_avro(str(normal), _AVRO_SCHEMA, [(1, "a", 0.5, b"x", True, 7)], codec="null")
+    import io
+    import json
+
+    schema_json = json.dumps(_AVRO_SCHEMA, sort_keys=True).encode()
+    items = _enc_bytes(b"avro.schema") + _enc_bytes(schema_json)
+    items += _enc_bytes(b"avro.codec") + _enc_bytes(b"null")
+    hdr = (
+        b"Obj\x01"
+        + _enc_long(-2)            # negative block count: 2 items follow...
+        + _enc_long(len(items))    # ...prefixed by their byte size
+        + items
+        + _enc_long(0)
+        + b"S" * 16
+    )
+    schema, codec, sync = read_header(io.BytesIO(hdr))
+    assert schema == _AVRO_SCHEMA and codec == "null" and sync == b"S" * 16
+
+
+def test_avro_negative_data_block_count_is_clear_error(tmp_path):
+    """A negative record count in a DATA block is malformed — the
+    scanner must raise a descriptive error, not desync into a
+    sync-marker mismatch (ADVICE r5)."""
+    import pytest
+
+    from ukis_kafka_spark.sources.avro import _enc_long, scan_blocks, write_avro
+
+    p = tmp_path / "neg.avro"
+    write_avro(str(p), _AVRO_SCHEMA, [], codec="null")
+    raw = bytearray(p.read_bytes())
+    # write_avro([]) emits header only; append a block with count=-1
+    raw += _enc_long(-1) + _enc_long(0) + raw[-16:]
+    p.write_bytes(bytes(raw))
+    with pytest.raises(ValueError, match="negative record count"):
+        scan_blocks(str(p))
+
+
+def test_avroscan_empty_dir_is_descriptive_error(tmp_path):
+    """An empty lake directory (only batch aborted) must raise a clear
+    'no .avro files' error, not IndexError (ADVICE r5)."""
+    import pytest
+
+    from ukis_kafka_spark.sources.avroscan import _resolve_files
+
+    with pytest.raises(ValueError, match="no .avro files"):
+        _resolve_files(str(tmp_path))
+
+
+def test_avroscan_directory_schema_mismatch_is_rejected(tmp_path):
+    """partitions() plans the read schema from the first file; a second
+    file with a different header schema must be rejected up front, not
+    misdecoded (ADVICE r5)."""
+    import pytest
+
+    from ukis_kafka_spark.sources.avro import write_avro
+    from ukis_kafka_spark.sources.avroscan import _AvroReader
+
+    other = {
+        "type": "record",
+        "name": "rec2",
+        "fields": [{"name": "x", "type": "long"}],
+    }
+    write_avro(
+        str(tmp_path / "a.avro"), _AVRO_SCHEMA,
+        [(1, "a", 0.5, b"", True, None)], codec="null",
+    )
+    write_avro(str(tmp_path / "b.avro"), other, [(9,)], codec="null")
+    with pytest.raises(ValueError, match="schema mismatch"):
+        _AvroReader(str(tmp_path)).partitions()
+    # homogeneous directory still plans fine
+    (tmp_path / "b.avro").unlink()
+    write_avro(
+        str(tmp_path / "c.avro"), _AVRO_SCHEMA,
+        [(2, "b", 1.5, b"y", False, 3)], codec="null",
+    )
+    parts = _AvroReader(str(tmp_path)).partitions()
+    assert sum(sum(b[1] for b in p.blocks) for p in parts) == 2
+
+
+def test_avro_sink_append_twice_keeps_both_batches(spark, tmp_path):
+    """Two append-mode save()s to the same directory must keep BOTH
+    batches' part files — the old part-NNNNN naming silently clobbered
+    batch 1 (ADVICE r5, medium)."""
+    import os
+
+    from ukis_kafka_spark.sources.avroscan import (
+        _ensure_registered,
+        _ensure_sink_registered,
+    )
+
+    _ensure_registered(spark)
+    _ensure_sink_registered(spark)
+    out = str(tmp_path / "lake")
+    os.makedirs(out)
+    df = spark.range(10).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+    for _ in range(2):
+        df.write.format("avrosink").option("path", out).mode("append").save()
+    files = [f for f in os.listdir(out) if f.endswith(".avro")]
+    assert len(files) >= 2, files
+    back = spark.read.format("avroscan").option("path", out).load()
+    assert back.count() == 20
+    assert back.groupBy("k").count().where("count <> 2").count() == 0

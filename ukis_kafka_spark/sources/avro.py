@@ -170,7 +170,14 @@ def read_header(f) -> Tuple[Dict[str, Any], str, bytes]:
         n = _dec_long(f)
         if n == 0:
             break
-        for _ in range(abs(n)):
+        if n < 0:
+            # Avro spec: a negative map/array block count means
+            # abs(count) items follow, PREFIXED by a long giving the
+            # block's byte size (for skipping). Consume it or the
+            # stream desyncs into a confusing varint error (ADVICE r5).
+            n = -n
+            _dec_long(f)
+        for _ in range(n):
             k = f.read(_dec_long(f)).decode()
             meta[k] = f.read(_dec_long(f))
     schema = json.loads(meta["avro.schema"])
@@ -191,6 +198,14 @@ def scan_blocks(path: str) -> Tuple[Dict[str, Any], str, List[Tuple[int, int, in
                 break
             f.seek(-1, io.SEEK_CUR)
             n_rec = _dec_long(f)
+            if n_rec < 0:
+                # Data-block record counts are plain non-negative longs
+                # in the container spec; fail loudly rather than desync
+                # on a malformed/exotic file (ADVICE r5).
+                raise ValueError(
+                    f"negative record count {n_rec} in data block of {path} "
+                    "— unsupported/malformed container file"
+                )
             size = _dec_long(f)
             blocks.append((f.tell(), n_rec, size))
             f.seek(size, io.SEEK_CUR)

@@ -49,11 +49,16 @@ class _AvroPartition(InputPartition):
 
 def _resolve_files(path: str) -> list:
     """A path is one container file or a directory of them — the lake
-    layout. Sorted for deterministic planning."""
+    layout. Sorted for deterministic planning.  An empty directory
+    (e.g. a sink path whose only batch aborted) is a descriptive error,
+    not an IndexError downstream (ADVICE r5)."""
     if os.path.isdir(path):
-        return sorted(
+        files = sorted(
             os.path.join(path, f) for f in os.listdir(path) if f.endswith(".avro")
         )
+        if not files:
+            raise ValueError(f"no .avro files found in directory: {path}")
+        return files
     return [path]
 
 
@@ -62,9 +67,21 @@ class _AvroReader(DataSourceReader):
         self.path = path
 
     def partitions(self):
+        import json as _json
+
         parts = []
+        first = None  # (path, canonical schema) — all files must agree
         for f in _resolve_files(self.path):
             schema, codec, blocks = scan_blocks(f)
+            canon = _json.dumps(schema, sort_keys=True)
+            if first is None:
+                first = (f, canon)
+            elif canon != first[1]:
+                raise ValueError(
+                    "avroscan: schema mismatch across directory — "
+                    f"{first[0]} and {f} have different header schemas "
+                    "(the planned read schema comes from the first file)"
+                )
             per = max(1, (len(blocks) + N_SPLITS - 1) // N_SPLITS)
             parts.extend(
                 _AvroPartition(f, schema, codec, blocks[i : i + per])
@@ -246,7 +263,12 @@ class _AvroWriter(DataSourceWriter):
     protocol as the JSONL sink (pydatasource.py): each task serializes
     its partition into a private temp container (deflate blocks),
     commit() renames the batch into place atomically, abort() removes
-    the temp files — exactly-once batch writes to an Avro lake."""
+    the temp files — exactly-once batch writes to an Avro lake.
+
+    Final part names carry a per-batch unique component
+    (``part-<batchid>-NNNNN.avro``): plain ``part-NNNNN`` names made a
+    second append-mode save() to the same directory silently clobber
+    the first batch's files via os.replace (ADVICE r5)."""
 
     def __init__(self, path: str, avro_schema: dict):
         self.path = path
@@ -265,9 +287,14 @@ class _AvroWriter(DataSourceWriter):
 
     def commit(self, messages):
         import os as _os
+        import uuid as _uuid
 
+        batch = _uuid.uuid4().hex[:12]
         for i, m in enumerate(messages):
-            _os.replace(m.tmp_path, _os.path.join(self.path, f"part-{i:05d}.avro"))
+            _os.replace(
+                m.tmp_path,
+                _os.path.join(self.path, f"part-{batch}-{i:05d}.avro"),
+            )
 
     def abort(self, messages):
         import os as _os
