@@ -101,3 +101,44 @@ def test_norm_df_canonicalization(spark):
     nan = norm_df(_df(spark, "SELECT CAST('NaN' AS DOUBLE) AS x").toPandas())
     nul = norm_df(_df(spark, "SELECT CAST(NULL AS DOUBLE) AS x").toPandas())
     assert nan == nul
+
+
+def test_dead_column_audit_flags_planted_vacuities(spark):
+    """The dead-column audit's detector itself (tools/dead_column_audit
+    .audit_df) must fire on planted vacuities — a numeric measure that
+    never fires (DEAD), a CASE label branch that never fires so the
+    string column is constant (CONST), a boolean that never flips, an
+    all-rows-identical group key — and stay silent on a healthy frame
+    (VERDICT r5 item 5: the round-5 numeric sweep caught 7 real
+    vacuities; string-shaped ones were invisible until this check)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+    from dead_column_audit import audit_df
+
+    planted = spark.sql("""
+        SELECT id,
+               0 * id                                   AS never_fires,
+               CASE WHEN id > 100 THEN 'big' ELSE 'small' END AS label,
+               id > 100                                 AS flag,
+               'NATION_0'                               AS grp_key,
+               id + 1                                   AS healthy_num,
+               CASE WHEN id % 2 = 0 THEN 'even' ELSE 'odd' END AS healthy_label
+        FROM range(10)
+    """)
+    flags = audit_df(planted)
+    assert flags["dead"] == ["never_fires"]
+    assert set(flags["const"]) == {"never_fires", "label", "flag", "grp_key"}
+
+    healthy = spark.sql(
+        "SELECT id, id + 1 AS v, CAST(id % 2 = 0 AS BOOLEAN) AS b, "
+        "concat('k', id) AS k FROM range(10)"
+    )
+    assert audit_df(healthy) == {"dead": [], "const": []}
+
+    # single-row results are exempt from CONST (a global aggregate is
+    # legitimately one row of constants) but not from DEAD
+    one = spark.sql("SELECT 0 AS z, 'tag' AS t")
+    flags1 = audit_df(one)
+    assert flags1["dead"] == ["z"] and flags1["const"] == []

@@ -509,3 +509,59 @@ def test_rocksdb_state_matches_batch_and_engages_provider(spark, tmp_path):
     ]
     assert any(f.endswith((".zip", ".changelog")) for f in state_files), state_files
     assert not any(f.endswith(".delta") for f in state_files), state_files
+
+
+def test_postgis_sink_online(spark):
+    """Online twin of the PostGIS sink (VERDICT r5 item 4) — runs only
+    where a real database (UKIS_PG_DSN) and a DB-API driver exist; the
+    offline harness records the skip. End-to-end against live
+    infrastructure: create-from-inferred-schema DDL, upsert a geometry
+    batch TWICE (R9 at-least-once: re-delivery must be absorbed
+    idempotently), assert row count and a WKB round-trip through
+    ST_AsBinary."""
+    import os
+
+    import pytest as _pytest
+
+    dsn = os.environ.get("UKIS_PG_DSN")
+    if not dsn:
+        _pytest.skip("no UKIS_PG_DSN configured (offline harness)")
+    try:
+        import psycopg2  # noqa: F401
+
+        def connect():
+            return psycopg2.connect(dsn)
+    except ImportError:
+        _pytest.skip("no DB-API driver (pip install psycopg2-binary)")
+
+    from ukis_kafka_spark.sinks.postgis import postgis_batch_writer
+    from ukis_kafka_spark.spatial.wkb import encode_wkb
+
+    table = "ukis_online_smoke"
+    conn = connect()
+    try:
+        with conn:
+            conn.cursor().execute(f'DROP TABLE IF EXISTS "{table}"')
+    finally:
+        conn.close()
+
+    rows = [
+        (i, f"f{i}", bytearray(encode_wkb(("POINT", (float(i), float(2 * i))))))
+        for i in range(10)
+    ]
+    batch = spark.createDataFrame(rows, "fid BIGINT, name STRING, geom BINARY")
+    writer = postgis_batch_writer(table, ["fid"], connect, geom_col="geom")
+    writer(batch, 0)
+    writer(batch, 1)  # re-delivery: ON CONFLICT must absorb it
+
+    conn = connect()
+    try:
+        cur = conn.cursor()
+        cur.execute(f'SELECT count(*) FROM "{table}"')
+        assert cur.fetchone()[0] == 10
+        cur.execute(
+            f'SELECT ST_AsBinary(geom) FROM "{table}" WHERE fid = 3'
+        )
+        assert bytes(cur.fetchone()[0]) == encode_wkb(("POINT", (3.0, 6.0)))
+    finally:
+        conn.close()
