@@ -77,3 +77,90 @@ def test_interpolation_kernel_properties(v1, v2, e1, off, extra):
     # monotone bounds: interpolant lies between the endpoints
     lo, hi = sorted((v1 * 1000000, v2 * 1000000))
     assert lo <= got <= hi
+
+
+# ---- distributed global ordering (functions/ranks.py) ----
+
+
+def test_with_global_order_matches_single_task_window(spark):
+    """The range-partitioned rank/cumsum/ntile must be value-identical
+    to the partition-less window it replaces, on data with duplicates
+    in the primary key (tie-broken by id) and negative values (a
+    signed cumsum's partition total is its LAST local value, not its
+    max)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ukis_kafka_spark.functions.ranks import with_global_order
+
+    df = spark.sql("""
+        SELECT id,
+               CAST(id % 7 AS BIGINT)            AS k,
+               CAST((id % 5) - 2 AS BIGINT)      AS v
+        FROM range(1000)
+    """)
+    order = [F.col("k").asc(), F.col("id").asc()]
+    got = with_global_order(
+        df, order, rank_col="rn", cumsum={"cv": F.col("v")}, ntile=("t", 7)
+    )
+    w = Window.orderBy(*order)
+    want = df.select(
+        "id", "k", "v",
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.ntile(7).over(w).cast("bigint").alias("t"),
+        F.sum("v").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cv"),
+    )
+    assert got.columns == ["id", "k", "v", "rn", "t", "cv"]
+    diff = got.select("id", "rn", "cv", "t").exceptAll(
+        want.select("id", "rn", "cv", "t")
+    )
+    assert diff.count() == 0
+    assert got.count() == 1000
+
+
+def test_with_global_order_partition_invariance(spark):
+    """Global ranks/cumsums depend only on the total order — never on
+    where the range boundaries fall. Recompute under wildly different
+    input partitioning and shuffle-partition counts."""
+    from pyspark.sql import functions as F
+
+    from ukis_kafka_spark.functions.ranks import with_global_order
+
+    base = spark.sql(
+        "SELECT id, CAST(id * 37 % 101 AS BIGINT) AS v FROM range(500)"
+    )
+    order = [F.col("v").asc(), F.col("id").asc()]
+
+    def run(df):
+        return {
+            (r["id"], r["rn"], r["cv"])
+            for r in with_global_order(
+                df, order, rank_col="rn", cumsum={"cv": F.col("v")}
+            ).collect()
+        }
+
+    a = run(base.repartition(1))
+    b = run(base.repartition(16, "id"))
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        c = run(base.repartition(7))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert a == b == c
+
+
+def test_with_global_order_ntile_small_n(spark):
+    """n < k: Spark's ntile gives every row its own bucket — the
+    derived-from-rank formula must reproduce that edge."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ukis_kafka_spark.functions.ranks import with_global_order
+
+    df = spark.range(4).select(F.col("id"))
+    got = with_global_order(df, [F.col("id").asc()], ntile=("t", 10))
+    want = df.select(
+        "id", F.ntile(10).over(Window.orderBy("id")).cast("bigint").alias("t")
+    )
+    assert got.exceptAll(want).count() == 0

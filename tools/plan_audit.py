@@ -42,6 +42,37 @@ NEVER_PY = ("q_", "g_", "src_")
 # same codec kernel class as g_wkb_serde.
 PY_ALLOWLIST = {"g_wkb_serde", "g_point_in_poly", "g_geom_valid", "src_gpkg_roundtrip"}
 
+# A partition-less (global) Window is a single-task funnel — fatal on
+# an unbounded input at 100 TB, fine on a provably tiny one. Every
+# sanctioned site below stamps ranks on a post-limit/aggregated input
+# of bounded rows (VERDICT r5 item 7: count them explicitly so the
+# WindowExec warning from an 8-row pattern seed can't mask a real
+# global window introduced later). Flag any OTHER query whose plan
+# contains one.
+GLOBAL_WINDOW_ALLOWLIST: dict[str, str] = {}
+
+
+def _count_global_windows(plan: str) -> int:
+    """Window nodes print as ``Window [fns], [partition], [order]``
+    when partitioned and ``Window [fns], [order]`` when global —
+    classify by counting top-level bracket groups on the node line."""
+    n = 0
+    for line in plan.splitlines():
+        idx = line.find("Window [")
+        if idx < 0:
+            continue
+        groups = depth = 0
+        for ch in line[idx + len("Window ") :]:
+            if ch == "[":
+                if depth == 0:
+                    groups += 1
+                depth += 1
+            elif ch == "]":
+                depth -= 1
+        if groups == 2:
+            n += 1
+    return n
+
 
 def main() -> int:
     spark = get_spark("plan_audit")
@@ -69,10 +100,17 @@ def main() -> int:
             "cartesian": plan.count("CartesianProduct"),
             "bnlj": plan.count("BroadcastNestedLoopJoin"),
             "exchanges": plan.count("Exchange"),
+            "global_windows": _count_global_windows(plan),
         }
         rows[name] = info
         if info["cartesian"]:
             flags.append(f"{name}: CartesianProduct in plan")
+        if info["global_windows"] and name not in GLOBAL_WINDOW_ALLOWLIST:
+            flags.append(
+                f"{name}: {info['global_windows']} partition-less Window "
+                "node(s) — single-task funnel unless the input is bounded; "
+                "add to GLOBAL_WINDOW_ALLOWLIST with a justification"
+            )
         if (
             info["eval_python"]
             and name.startswith(NEVER_PY)
@@ -89,6 +127,9 @@ def main() -> int:
             "eval_python_plans": sum(1 for r in rows.values() if r["eval_python"]),
             "bnlj_plans": sum(1 for r in rows.values() if r["bnlj"]),
             "cartesian_plans": sum(1 for r in rows.values() if r["cartesian"]),
+            "global_window_plans": sum(
+                1 for r in rows.values() if r["global_windows"]
+            ),
         },
         "queries": rows,
     }

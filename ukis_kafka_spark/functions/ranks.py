@@ -1,0 +1,125 @@
+"""Distributed global ordering primitives — the scale-safe replacement
+for partition-less WindowExec.
+
+A ``Window.orderBy(...)`` with no partition funnels EVERY row through
+one task: fine on a 10-row post-limit stamp, fatal on a 100 TB scan.
+The classical fix (Hadoop TeraSort's total-order partitioner, Spark's
+own ``zipWithIndex``) is implemented here on the DataFrame API:
+
+1. ``repartitionByRange`` on the total order — a distributed sort
+   shuffle whose partitions are ordered and non-overlapping;
+2. per-partition local ranks / running sums via a window PARTITIONED
+   by ``spark_partition_id()`` — fully parallel;
+3. per-partition totals (one row per partition — a few dozen rows)
+   cumulated into offsets and broadcast back.
+
+The results are **partition-invariant**: a row's global rank/cumsum
+depends only on the total order, never on where the range boundaries
+fall, so plans migrated from a global window to this helper are
+hash-identical (tests/test_numeric_properties.py pins both the parity
+and the partition-count invariance).
+
+The order MUST be total (tie-broken to uniqueness) — the same
+requirement every oracle-checked query already meets for hash safety.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+_PID = "__go_pid"
+_LRN = "__go_lrn"
+
+
+def with_global_order(
+    df: DataFrame,
+    order: list[Column],
+    *,
+    rank_col: str | None = None,
+    cumsum: dict[str, Column] | None = None,
+    ntile: tuple[str, int] | None = None,
+) -> DataFrame:
+    """Append global-order columns to ``df`` without a single-task
+    window:
+
+    - ``rank_col``: global ``row_number()`` over ``order`` (1-based);
+    - ``cumsum``: {out_name: value_col} running sums INCLUDING the
+      current row, in ``order``;
+    - ``ntile``: (out_name, n) — global ``ntile(n)`` over ``order``
+      (Spark's rule: the first ``count % n`` buckets get the extra
+      row), derived from the rank so it needs no second pass.
+
+    ``order`` must be a TOTAL order (unique tie-break). All appended
+    columns are BIGINT except cumsums, which keep SUM's type.
+
+    The per-partition offset table is one row per shuffle partition;
+    its own cumulation is a global window over those ~32 rows — the
+    sanctioned bounded case.  Both consumers of the ranged shuffle
+    (the rows and the totals) share one Exchange (Spark reuses it), so
+    partition ids are consistent; and because rank/cumsum are
+    invariant to WHERE the range boundaries fall, even a re-planned
+    exchange cannot change the result.
+    """
+    cumsum = dict(cumsum or {})
+    if rank_col is None and not cumsum and ntile is None:
+        raise ValueError("nothing to compute")
+    need_rank = rank_col or ntile
+
+    ranged = df.repartitionByRange(*order).withColumn(
+        _PID, F.spark_partition_id()
+    )
+    local = Window.partitionBy(_PID).orderBy(*order)
+    run = local.rowsBetween(Window.unboundedPreceding, 0)
+    out = ranged
+    if need_rank:
+        out = out.withColumn(_LRN, F.row_number().over(local))
+    for name, col in cumsum.items():
+        out = out.withColumn(f"__go_{name}", F.sum(col).over(run))
+
+    # one row per partition; cumulating them is a ~32-row global window
+    aggs = [F.count(F.lit(1)).alias("__go_cnt")]
+    aggs += [F.sum(col).alias(f"__go_tot_{n}") for n, col in cumsum.items()]
+    totals = ranged.groupBy(_PID).agg(*aggs)
+    prior = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
+    off_cols = [
+        F.coalesce(F.sum("__go_cnt").over(prior), F.lit(0)).alias("__go_off_rn"),
+        F.sum(F.col("__go_cnt")).over(
+            Window.orderBy(_PID).rangeBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("__go_n"),
+    ]
+    off_cols += [
+        F.coalesce(F.sum(f"__go_tot_{n}").over(prior), F.lit(0)).alias(
+            f"__go_off_{n}"
+        )
+        for n in cumsum
+    ]
+    offsets = totals.select(_PID, *off_cols)
+
+    out = out.join(F.broadcast(offsets), _PID)
+    proj = [F.col(c) for c in df.columns]
+    if rank_col or ntile:
+        grank = (F.col("__go_off_rn") + F.col(_LRN)).cast("bigint")
+    if rank_col:
+        proj.append(grank.alias(rank_col))
+    if ntile is not None:
+        name, k = ntile
+        n = F.col("__go_n")
+        # Spark's ntile: s = n div k, r = n mod k; buckets 1..r hold
+        # s+1 rows, the rest hold s (works for n < k too: s=0 ⇒ big=n
+        # ⇒ every rank lands in the ceil(rank/1)=rank branch)
+        r = n % F.lit(k)
+        s = F.floor(n / k).cast("bigint")
+        big = r * (s + 1)  # rows living in the (s+1)-sized buckets
+        tile = F.when(
+            grank <= big, F.ceil(grank / (s + F.lit(1)))
+        ).otherwise(r + F.ceil((grank - big) / s))
+        proj.append(tile.cast("bigint").alias(name))
+    for cname in cumsum:
+        proj.append(
+            (F.col(f"__go_off_{cname}") + F.col(f"__go_{cname}")).alias(cname)
+        )
+    return out.select(*proj)
