@@ -810,9 +810,7 @@ def m_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph.  Shapes: the light-center filter broadcasts, the wedge
     group-by is the only heavy shuffle, the adjacency anti-join and
     the two degree joins run on the ~|candidate| output, and the
-    global top-20 is a WindowGroupLimit."""
-    from pyspark.sql import Window
-
+    global top-20 is a TakeOrderedAndProject."""
     edges = coorder_edges(spark, sf_dir)
     sym = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -842,12 +840,11 @@ def m_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("da") + F.col("db") - F.col("common")).alias("union_size"),
         )
     )
-    w = Window.orderBy(F.col("common").desc(), F.col("a").asc(), F.col("b").asc())
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= 20)
-        .drop("rn")
-    )
+    # top-20 via TakeOrderedAndProject — not a partition-less rank
+    # window over every candidate pair
+    return scored.orderBy(
+        F.col("common").desc(), F.col("a").asc(), F.col("b").asc()
+    ).limit(20)
 
 
 _KCORE_K = 90

@@ -2125,7 +2125,8 @@ def m_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts / margins / ppm quotients exact integers; decile ntile
     carries the vec_id tiebreak.  Scale: reuses the centroid distance
     dataflow (one scan + broadcast centroids); margins are |corpus|
-    rows and the decile window runs on those alone.
+    rows, so their decile cut is RANGE-PARTITIONED
+    (functions.ranks.with_global_order), not a single-task window.
     """
     dist = _centroid_dist(spark, sf_dir)
     w = Window.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("c_label").asc())
@@ -2141,9 +2142,12 @@ def m_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     margins = r1.join(r2, r1.vec_id == r2.vid2).select(
         "vec_id", "correct", (F.col("d2_runner") - F.col("d2_best")).alias("margin")
     )
-    deciled = margins.withColumn(
-        "decile",
-        F.ntile(10).over(Window.orderBy(F.col("margin").asc(), F.col("vec_id").asc())),
+    from ..functions.ranks import with_global_order
+
+    deciled = with_global_order(
+        margins,
+        [F.col("margin").asc(), F.col("vec_id").asc()],
+        ntile=("decile", 10),
     )
     return deciled.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n"),
@@ -2880,13 +2884,15 @@ def m_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     model-targeting readout (top-decile lift is what a selection
     budget buys).  Same shared _centroid_dist table; a good scorer
     shows monotone-ish decreasing lift, asserted in tests.  Scale:
-    one classify join, a |vectors|-row window, a 10-row report."""
+    one classify join, a RANGE-PARTITIONED decile cut over |vectors|
+    rows (with_global_order), a 10-row report window (bounded)."""
+    from ..functions.ranks import with_global_order
+
     dist = _centroid_dist(spark, sf_dir)
-    scored = dist.where(F.col("c_label") == 0).select(
-        "vec_id",
-        "true_label",
-        "d2",
-        F.ntile(10).over(Window.orderBy(F.col("d2").asc(), F.col("vec_id").asc())).alias("decile"),
+    scored = with_global_order(
+        dist.where(F.col("c_label") == 0).select("vec_id", "true_label", "d2"),
+        [F.col("d2").asc(), F.col("vec_id").asc()],
+        ntile=("decile", 10),
     )
     per_dec = scored.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n"),

@@ -161,14 +161,9 @@ def m_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cnt").alias("total")
         ).select(F.lit(r).alias("r"), "slot", "total")
         cms = part if cms is None else cms.unionByName(part)
-    from pyspark.sql import Window
-
-    top = keyed.withColumn(
-        "rn",
-        F.row_number().over(
-            Window.orderBy(F.col("cnt").desc(), F.col("user_id").asc())
-        ),
-    ).where(F.col("rn") <= 10)
+    # top-10 via TakeOrderedAndProject (per-partition heads, one tiny
+    # merge) — not a partition-less rank window over every user
+    top = keyed.orderBy(F.col("cnt").desc(), F.col("user_id").asc()).limit(10)
     out = top
     for r in range(len(_CMS_HASHERS)):
         er = cms.where(F.col("r") == r).select(
@@ -207,9 +202,9 @@ def m_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     the classic explode → (tok, doc) dedup → per-token collect; at
     scale the posting lists are exactly the per-token state a search
     shard stores, and the build is two shuffles (dedup, group) with
-    nothing quadratic.  Top-20 tokens by df with a total tie-break."""
-    from pyspark.sql import Window
-
+    nothing quadratic.  Top-20 tokens by df with a total tie-break
+    (TakeOrderedAndProject — no partition-less rank window over the
+    whole vocabulary)."""
     d = load_table(spark, sf_dir, "documents")
     post = (
         d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
@@ -222,10 +217,9 @@ def m_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",", F.slice(F.sort_array(F.collect_list("doc_id")), 1, 50)
         ).alias("postings_head"),
     )
-    w = Window.orderBy(F.col("df").desc(), F.col("tok").asc())
     return (
-        lists.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= 20)
+        lists.orderBy(F.col("df").desc(), F.col("tok").asc())
+        .limit(20)
         .select("tok", "df", "postings_head")
     )
 

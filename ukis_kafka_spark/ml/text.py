@@ -1243,17 +1243,18 @@ def m_vocab_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     the rank once and aggregates per threshold bucket). Coverage is
     integer ppm via div."""
     d = load_table(spark, sf_dir, "documents")
+    from ..functions.ranks import with_global_order
+
     counts = (
         d.select(F.explode(F.split("text", " ")).alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    wr = Window.orderBy(F.col("n").desc(), F.col("tok").asc())
-    ranked = counts.select(
-        "n",
-        F.row_number().over(wr).alias("rnk"),
-        F.sum("n").over(Window.partitionBy()).cast("bigint").alias("total"),
-    )
+    # type-frequency rank is RANGE-PARTITIONED (vocabulary grows with
+    # the corpus); the scalar total rides a broadcast
+    ranked = with_global_order(
+        counts, [F.col("n").desc(), F.col("tok").asc()], rank_col="rnk"
+    ).crossJoin(F.broadcast(counts.agg(F.sum("n").cast("bigint").alias("total"))))
     out = None
     for k in _VOCAB_KS:
         lvl = (
@@ -1358,13 +1359,19 @@ def m_zipf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    wr = Window.orderBy(F.col("n").desc(), F.col("tok").asc())
-    wall = Window.partitionBy()
-    ranked = counts.select(
-        "n",
-        F.row_number().over(wr).alias("rnk"),
-        F.count(F.lit(1)).over(wall).alias("n_types"),
-        F.sum("n").over(wall).cast("bigint").alias("n_tokens"),
+    from ..functions.ranks import with_global_order
+
+    # vocabulary rank is RANGE-PARTITIONED (types grow with the
+    # corpus); the two scalar totals ride a broadcast
+    ranked = with_global_order(
+        counts, [F.col("n").desc(), F.col("tok").asc()], rank_col="rnk"
+    ).crossJoin(
+        F.broadcast(
+            counts.agg(
+                F.count(F.lit(1)).alias("n_types"),
+                F.sum("n").cast("bigint").alias("n_tokens"),
+            )
+        )
     )
     return ranked.select(
         "n",
@@ -1999,10 +2006,10 @@ def m_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     The budget is relative (total div 4), so the selection stays
     non-vacuous and partial at every corpus scale; ranking carries
     the doc_id tiebreak and the running token total is BIGINT-exact.
-    Scale: one scan to score, one global-rank window over doc-grain
-    rows; at 100 TB the window becomes a two-pass quantile cut (find
-    the quality threshold by histogram, then filter) — same result,
-    no global sort.
+    Scale: one scan to score, then a RANGE-PARTITIONED rank+running
+    total over doc-grain rows (functions.ranks.with_global_order — no
+    single-task window); a histogram-threshold two-pass cut is the
+    further refinement if even the ranged sort is too much.
     """
     d = load_table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
@@ -2022,17 +2029,14 @@ def m_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).cast("bigint").alias("quality_milli"),
     )
+    from ..functions.ranks import with_global_order
+
     budget = scored.agg(F.expr("sum(n_tokens) div 4").alias("b"))
-    w = Window.orderBy(F.col("quality_milli").desc(), F.col("doc_id").asc())
-    ranked = scored.select(
-        "doc_id",
-        "n_tokens",
-        "quality_milli",
-        F.row_number().over(w).alias("rnk"),
-        F.sum("n_tokens")
-        .over(w.rowsBetween(Window.unboundedPreceding, 0))
-        .cast("bigint")
-        .alias("cum_tokens"),
+    ranked = with_global_order(
+        scored,
+        [F.col("quality_milli").desc(), F.col("doc_id").asc()],
+        rank_col="rnk",
+        cumsum={"cum_tokens": F.col("n_tokens").cast("bigint")},
     )
     return (
         ranked.crossJoin(F.broadcast(budget))
@@ -2145,17 +2149,17 @@ def m_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("weight_micros"),
         )
     )
-    w = Window.orderBy(F.col("weight_micros").desc(), F.col("doc_id").asc())
-    return (
-        per_doc.select(
-            "doc_id",
-            "n_tokens",
-            "weight_micros",
-            F.row_number().over(w).cast("bigint").alias("rank"),
-        )
-        .where(F.col("rank") <= _DSIR_TOPK)
-        .orderBy("rank")
-    )
+    # top-k FIRST (TakeOrderedAndProject — per-partition heads, no
+    # global sort), THEN the rank stamp over k bounded rows
+    order = [F.col("weight_micros").desc(), F.col("doc_id").asc()]
+    top = per_doc.orderBy(*order).limit(_DSIR_TOPK)
+    w = Window.orderBy(*order)
+    return top.select(
+        "doc_id",
+        "n_tokens",
+        "weight_micros",
+        F.row_number().over(w).cast("bigint").alias("rank"),
+    ).orderBy("rank")
 
 
 @query(
@@ -3350,20 +3354,19 @@ def m_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     centi-unit mass, stride = total div 100, selection = "my interval
     contains a boundary" via two integer divisions — no RNG, no
     floats, reproducible across engines and runs by construction.
-    Scale: one aggregate + one ordered window over |customers|;
-    at extreme scale the cumsum runs per range-partition with offset
-    recombination (the q_max_concurrency note's pattern)."""
+    Scale: one aggregate, then the cumulative mass runs
+    RANGE-PARTITIONED with offset recombination
+    (functions.ranks.with_global_order) over |customers| rows — the
+    corpus-growing grain — and the scalar total rides a broadcast."""
+    from ..functions.ranks import with_global_order
+
     o = load_table(spark, sf_dir, "orders")
     per_cust = o.groupBy("o_custkey").agg(
         F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias("rev_centi")
     )
-    w = Window.orderBy("o_custkey").rowsBetween(Window.unboundedPreceding, 0)
-    cum = per_cust.select(
-        "o_custkey",
-        "rev_centi",
-        F.sum("rev_centi").over(w).alias("c"),
-        F.sum("rev_centi").over(Window.partitionBy()).alias("total"),
-    )
+    cum = with_global_order(
+        per_cust, [F.col("o_custkey").asc()], cumsum={"c": F.col("rev_centi")}
+    ).crossJoin(F.broadcast(per_cust.agg(F.sum("rev_centi").alias("total"))))
     return cum.where(
         F.expr("c div (total div 100) > (c - rev_centi) div (total div 100)")
     ).select(
@@ -3849,9 +3852,13 @@ def m_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiebreaks, so the fusion arithmetic is two divisions and one add
     on IDENTICAL doubles in both engines — the 6 dp round is stable by
     construction (and `1e0`, not `1.0`: the round-5 decimal-literal
-    trap).  RRF's k=60 is the paper's constant.  Scale: two window
-    ranks over the scored corpus (each one exchange), a key join, and
-    a TakeOrdered top-10 — no per-pair work anywhere."""
+    trap).  RRF's k=60 is the paper's constant.  Scale: two
+    RANGE-PARTITIONED ranks over the scored corpus (doc grain grows
+    with the corpus — no single-task window), a key join, and a
+    TakeOrdered top-10 — no per-pair work anywhere; the final rank
+    stamp rides 10 bounded rows."""
+    from ..functions.ranks import with_global_order
+
     d = load_table(spark, sf_dir, "documents")
     scored = d.select(
         "doc_id",
@@ -3859,18 +3866,16 @@ def m_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.expr(f"regexp_extract_all(text, '{_BPE_ISH}', 0)")).alias("n_tok"),
         F.size(F.array_distinct(F.split(F.col("text"), " "))).alias("n_uniq"),
     ).transform(checkpoint_df)  # both window ranks read it: tokenize once
-    ra = scored.select(
-        "doc_id",
-        F.row_number()
-        .over(Window.orderBy(F.desc("n_chars"), F.asc("doc_id")))
-        .alias("rank_len"),
-    )
-    rb = scored.select(
-        "doc_id",
-        F.row_number()
-        .over(Window.orderBy(F.desc("n_uniq"), F.desc("n_tok"), F.asc("doc_id")))
-        .alias("rank_lex"),
-    )
+    ra = with_global_order(
+        scored.select("doc_id", "n_chars"),
+        [F.desc("n_chars"), F.asc("doc_id")],
+        rank_col="rank_len",
+    ).select("doc_id", "rank_len")
+    rb = with_global_order(
+        scored.select("doc_id", "n_uniq", "n_tok"),
+        [F.desc("n_uniq"), F.desc("n_tok"), F.asc("doc_id")],
+        rank_col="rank_lex",
+    ).select("doc_id", "rank_lex")
     fused = ra.join(rb, "doc_id").select(
         "doc_id",
         "rank_len",

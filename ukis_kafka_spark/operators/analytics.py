@@ -57,8 +57,10 @@ def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     mass emitted as integer micro-units, and every ntile ordering
     carries the unique ``o_custkey`` tiebreak (both engines use the
     same ceil-first ntile bucket rule, so identical orderings give
-    identical buckets).  Scale: one shuffle to customer grain; the
-    three global ntiles run over the aggregated table only.
+    identical buckets).  Scale: one shuffle to customer grain, then
+    three RANGE-PARTITIONED ntiles (functions.ranks.with_global_order)
+    — customer grain still grows with the corpus, so no single-task
+    window anywhere in the plan.
     """
     o = load_table(spark, sf_dir, "orders")
     per_cust = o.groupBy("o_custkey").agg(
@@ -75,20 +77,22 @@ def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frequency",
         "monetary_micros",
     )
-    return per_cust.select(
-        "custkey",
-        "recency_days",
-        "frequency",
-        "monetary_micros",
-        F.ntile(5)
-        .over(Window.orderBy(F.col("recency_days").asc(), F.col("custkey").asc()))
-        .alias("r_bucket"),
-        F.ntile(5)
-        .over(Window.orderBy(F.col("frequency").desc(), F.col("custkey").asc()))
-        .alias("f_bucket"),
-        F.ntile(5)
-        .over(Window.orderBy(F.col("monetary_micros").desc(), F.col("custkey").asc()))
-        .alias("m_bucket"),
+    from ..functions.ranks import with_global_order
+
+    out = with_global_order(
+        per_cust,
+        [F.col("recency_days").asc(), F.col("custkey").asc()],
+        ntile=("r_bucket", 5),
+    )
+    out = with_global_order(
+        out,
+        [F.col("frequency").desc(), F.col("custkey").asc()],
+        ntile=("f_bucket", 5),
+    )
+    return with_global_order(
+        out,
+        [F.col("monetary_micros").desc(), F.col("custkey").asc()],
+        ntile=("m_bucket", 5),
     )
 
 
@@ -170,23 +174,25 @@ def q_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     thresholds compare ``cum*5 ≤ total*4`` / ``cum*20 ≤ total*19`` in
     exact BIGINT (no rounded share quotient — CLAUDE.md).  The
     products stay < 2^63 up to ~460 TB of revenue micro-mass.
-    Scale: one shuffle to part grain; rank/cumsum run over the
-    aggregated part table (≈200k rows/TB, single exchange).
+    Scale: one shuffle to part grain (≈200k rows/TB — still grows with
+    the corpus), then a RANGE-PARTITIONED rank+cumsum
+    (functions.ranks.with_global_order) and a broadcast scalar total —
+    no single-task window or partition-less sum anywhere.
     """
+    from ..functions.ranks import with_global_order
+
     li = load_table(spark, sf_dir, "lineitem")
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     per_part = li.groupBy("l_partkey").agg(
         (F.sum(revenue.cast(DEC)) * 1000000).cast("bigint").alias("revenue_micros")
     )
-    w = Window.orderBy(F.col("revenue_micros").desc(), F.col("l_partkey").asc())
-    ranked = per_part.select(
-        "l_partkey",
-        "revenue_micros",
-        F.row_number().over(w).alias("rnk"),
-        F.sum("revenue_micros")
-        .over(w.rowsBetween(Window.unboundedPreceding, 0))
-        .alias("cum_micros"),
-        F.sum("revenue_micros").over(Window.partitionBy()).alias("total_micros"),
+    ranked = with_global_order(
+        per_part,
+        [F.col("revenue_micros").desc(), F.col("l_partkey").asc()],
+        rank_col="rnk",
+        cumsum={"cum_micros": F.col("revenue_micros")},
+    ).crossJoin(
+        F.broadcast(per_part.agg(F.sum("revenue_micros").alias("total_micros")))
     )
     return ranked.select(
         F.col("l_partkey").alias("partkey"),
@@ -1311,14 +1317,20 @@ def q_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_rfm), and each decile's cumulative share is an exact
     ppm integer: cum*1e6 stays under 2^63 on the centi grid at sf0.1
     (~4e18; a 10x corpus moves the accumulators to DECIMAL(38,0)).
-    Scale: one shuffle to customer grain, then windows over 1.5k
-    customer rows and 10 decile rows."""
+    Scale: one shuffle to customer grain, a RANGE-PARTITIONED ntile
+    over the (corpus-growing) customer table, then one bounded 10-row
+    decile window."""
+    from ..functions.ranks import with_global_order
+
     o = load_table(spark, sf_dir, "orders")
     per_cust = o.groupBy("o_custkey").agg(
         F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias("rev_centi")
     )
-    wnt = Window.orderBy(F.col("rev_centi").asc(), F.col("o_custkey").asc())
-    ranked = per_cust.select("o_custkey", "rev_centi", F.ntile(10).over(wnt).alias("decile"))
+    ranked = with_global_order(
+        per_cust,
+        [F.col("rev_centi").asc(), F.col("o_custkey").asc()],
+        ntile=("decile", 10),
+    )
     per_dec = ranked.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n_customers"),
         F.sum("rev_centi").alias("dec_centi"),
@@ -1734,20 +1746,21 @@ def q_key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     join key, reduced to the numbers that matter at 1000 executors —
     hottest key, p99 key, and the permille of all rows carried by the
     top 1% of keys (if that share is large, one task inherits it
-    after the shuffle).  Exact integers; the rank window runs over
-    per-key COUNTS (|keys| rows), never facts.  m_graph_degree is the
-    graph twin of this audit; this is the relational one."""
+    after the shuffle).  Exact integers; the rank runs over per-key
+    COUNTS (|keys| rows — still corpus-growing, so it is a
+    RANGE-PARTITIONED rank, not a single-task window) and the two
+    scalar totals ride a broadcast.  m_graph_degree is the graph twin
+    of this audit; this is the relational one."""
+    from ..functions.ranks import with_global_order
+
     o = load_table(spark, sf_dir, "orders")
     per_key = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("c"))
-    wall = Window.partitionBy()
-    ranked = per_key.select(
-        "c",
-        F.row_number()
-        .over(Window.orderBy(F.col("c").desc(), F.col("o_custkey")))
-        .alias("rk"),
-        F.count(F.lit(1)).over(wall).alias("n_keys"),
-        F.sum("c").over(wall).alias("total"),
+    totals = per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"), F.sum("c").alias("total")
     )
+    ranked = with_global_order(
+        per_key, [F.col("c").desc(), F.col("o_custkey").asc()], rank_col="rk"
+    ).crossJoin(F.broadcast(totals))
     return ranked.agg(
         F.min("n_keys").cast("bigint").alias("n_keys"),
         F.min("total").cast("bigint").alias("total_rows"),
@@ -2157,8 +2170,11 @@ def q_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     the percentiles are type-1 SELECTIONS with the integer ceil-index
     arithmetic of m_embed_dim_quantiles, users who purchase before
     ever clicking are excluded explicitly (the fp >= fc rule, in
-    both engines).  Scale: one per-user aggregate, then one rank
-    window over |converted users| rows."""
+    both engines).  Scale: one per-user aggregate, then a
+    RANGE-PARTITIONED rank over |converted users| rows (corpus-growing
+    — no single-task window) with the count riding a broadcast."""
+    from ..functions.ranks import with_global_order
+
     e = load_table(spark, sf_dir, "events")
     sec = F.unix_timestamp(F.date_trunc("second", "ts"))
     firsts = e.groupBy("user_id").agg(
@@ -2168,11 +2184,9 @@ def q_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     lags = firsts.where(
         F.col("fc").isNotNull() & F.col("fp").isNotNull() & (F.col("fp") >= F.col("fc"))
     ).select("user_id", (F.col("fp") - F.col("fc")).alias("lag_s"))
-    ranked = lags.select(
-        "lag_s",
-        F.row_number().over(Window.orderBy("lag_s", "user_id")).alias("rk"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
-    )
+    ranked = with_global_order(
+        lags, [F.col("lag_s").asc(), F.col("user_id").asc()], rank_col="rk"
+    ).crossJoin(F.broadcast(lags.agg(F.count(F.lit(1)).alias("n"))))
     return ranked.agg(
         F.min("n").cast("bigint").alias("n_converted"),
         F.max(F.when(F.col("rk") == F.expr("(n + 1) div 2"), F.col("lag_s")))

@@ -33,19 +33,30 @@ SELECT o_orderkey, status_or_null, rn FROM (
 """,
 )
 def q_sort_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-key sort incl. NULLS FIRST placement, pinned via row_number."""
+    """Multi-key sort incl. NULLS FIRST placement, pinned via
+    row_number.  The top-500 is taken FIRST (orderBy+limit plans as
+    TakeOrderedAndProject — per-partition heads, one tiny merge, no
+    full sort); the rank stamp's partition-less window then rides 500
+    rows, the sanctioned bounded case, instead of the whole table."""
     o = load_table(spark, sf_dir, "orders")
     status = F.nullif(F.col("o_orderstatus"), F.lit("P"))
+    order = [
+        status.asc_nulls_first(),
+        F.col("o_totalprice").desc(),
+        F.col("o_orderkey").asc(),
+    ]
+    top = o.orderBy(*order).limit(500)
     w = Window.orderBy(
-        status.asc_nulls_first(), F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+        F.col("status_or_null").asc_nulls_first(),
+        F.col("o_totalprice").desc(),
+        F.col("o_orderkey").asc(),
     )
-    return (
-        o.select(
-            "o_orderkey",
-            status.alias("status_or_null"),
-            F.row_number().over(w).alias("rn"),
-        )
-        .where(F.col("rn") <= 500)
+    return top.select(
+        "o_orderkey", status.alias("status_or_null"), "o_totalprice"
+    ).select(
+        "o_orderkey",
+        "status_or_null",
+        F.row_number().over(w).alias("rn"),
     )
 
 
