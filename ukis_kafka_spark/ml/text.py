@@ -2923,48 +2923,50 @@ def m_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _set_cover_sql() -> str:
     """3 unrolled greedy set-cover rounds, shared verbatim by both
-    engines (pure ANSI constructs)."""
+    engines (pure ANSI constructs).  Each round's winner is an
+    ``ORDER BY ... LIMIT 1`` argmax — Spark plans it as
+    TakeOrderedAndProject (per-partition heads, one tiny merge), never
+    a partition-less rank window over the doc-grain gains table."""
     return """
 WITH dt AS (
   {incidence}
 ), r1 AS (
-  SELECT doc_id, count(*) AS gain,
-         row_number() OVER (ORDER BY count(*) DESC, doc_id ASC) AS rk
-  FROM dt GROUP BY doc_id
-), w1 AS (SELECT doc_id AS wd FROM r1 WHERE rk = 1),
+  SELECT doc_id, count(*) AS gain FROM dt GROUP BY doc_id
+), w1 AS (
+  SELECT doc_id AS wd, CAST(gain AS BIGINT) AS gain
+  FROM r1 ORDER BY gain DESC, wd ASC LIMIT 1
+),
 cov1 AS (SELECT DISTINCT tok FROM dt JOIN w1 ON dt.doc_id = w1.wd),
 r2 AS (
-  SELECT dt.doc_id, count(*) AS gain,
-         row_number() OVER (ORDER BY count(*) DESC, dt.doc_id ASC) AS rk
+  SELECT dt.doc_id, count(*) AS gain
   FROM dt
   WHERE dt.tok NOT IN (SELECT tok FROM cov1)
     AND dt.doc_id NOT IN (SELECT wd FROM w1)
   GROUP BY dt.doc_id
-), w2 AS (SELECT doc_id AS wd FROM r2 WHERE rk = 1),
+), w2 AS (
+  SELECT doc_id AS wd, CAST(gain AS BIGINT) AS gain
+  FROM r2 ORDER BY gain DESC, wd ASC LIMIT 1
+),
 cov2 AS (
   SELECT tok FROM cov1
   UNION
   SELECT DISTINCT tok FROM dt JOIN w2 ON dt.doc_id = w2.wd
 ),
 r3 AS (
-  SELECT dt.doc_id, count(*) AS gain,
-         row_number() OVER (ORDER BY count(*) DESC, dt.doc_id ASC) AS rk
+  SELECT dt.doc_id, count(*) AS gain
   FROM dt
   WHERE dt.tok NOT IN (SELECT tok FROM cov2)
     AND dt.doc_id NOT IN (SELECT wd FROM w1 UNION SELECT wd FROM w2)
   GROUP BY dt.doc_id
-), w3 AS (SELECT doc_id AS wd FROM r3 WHERE rk = 1)
-SELECT CAST(1 AS BIGINT) AS round, CAST(wd AS BIGINT) AS doc_id,
-       (SELECT CAST(gain AS BIGINT) FROM r1 WHERE rk = 1) AS gain
-FROM w1
+), w3 AS (
+  SELECT doc_id AS wd, CAST(gain AS BIGINT) AS gain
+  FROM r3 ORDER BY gain DESC, wd ASC LIMIT 1
+)
+SELECT CAST(1 AS BIGINT) AS round, CAST(wd AS BIGINT) AS doc_id, gain FROM w1
 UNION ALL
-SELECT CAST(2 AS BIGINT), CAST(wd AS BIGINT),
-       (SELECT CAST(gain AS BIGINT) FROM r2 WHERE rk = 1)
-FROM w2
+SELECT CAST(2 AS BIGINT), CAST(wd AS BIGINT), gain FROM w2
 UNION ALL
-SELECT CAST(3 AS BIGINT), CAST(wd AS BIGINT),
-       (SELECT CAST(gain AS BIGINT) FROM r3 WHERE rk = 1)
-FROM w3
+SELECT CAST(3 AS BIGINT), CAST(wd AS BIGINT), gain FROM w3
 """
 
 

@@ -2231,10 +2231,12 @@ def q_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(n²) self-join ("how many intervals contain t") formulation.
     Capacity planning's favorite number, exact integers end-to-end
     (second-truncated epochs).  Scale: deltas collapse to per-second
-    partials FIRST (map-side combine), so the global-order window
-    sees |distinct seconds| rows; at 100 TB, segment the sweep per
-    day and carry the boundary offset — same plan plus one tiny
-    recombine."""
+    partials FIRST (map-side combine), then the sweep runs
+    RANGE-PARTITIONED with boundary-offset recombination
+    (functions.ranks.with_global_order) over |distinct seconds| rows
+    — the timeline grows with the corpus, so no single-task window."""
+    from ..functions.ranks import with_global_order
+
     e = load_table(spark, sf_dir, "events")
     sec = F.unix_timestamp(F.date_trunc("second", "ts"))
     opens = e.select(sec.alias("t"), F.lit(1).alias("d"))
@@ -2242,8 +2244,9 @@ def q_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = opens.unionByName(closes).groupBy("t").agg(
         F.sum("d").alias("net")
     )
-    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
-    swept = merged.select("t", F.sum("net").over(w).alias("live"))
+    swept = with_global_order(
+        merged, [F.col("t").asc()], cumsum={"live": F.col("net")}
+    )
     return swept.groupBy(F.expr("CAST(t div 86400 AS BIGINT)").alias("day_num")).agg(
         F.max("live").cast("bigint").alias("peak_concurrency")
     )
@@ -2662,25 +2665,26 @@ def q_spearman_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the known closed forms ΣRy = n(n+1)/2, ΣRy² =
     n(n+1)(2n+1)/6.  Scale: value midranks come from a per-value
     aggregate joined back (no per-row correlated scan at execution —
-    Catalyst rewrites it to a join), time ranks one window.
+    Catalyst rewrites it to a join) with its exclusive prefix sum
+    RANGE-PARTITIONED (inclusive cumsum − own count), and the time
+    rank over RAW view events — the corpus-growing grain — is a
+    range-partitioned rank, not a single-task window.
     Magnitude: (2r)² ≤ 4n², summed ≤ 4n³ ≈ 3e13 at sf0.1."""
+    from ..functions.ranks import with_global_order
+
     e = load_table(spark, sf_dir, "events").where(F.col("event_type") == "view")
     s = e.select("event_id", F.floor(F.col("value") * 100).cast("long").alias("vc"))
     per_v = s.groupBy("vc").agg(F.count(F.lit(1)).alias("mc"))
-    wv = Window.orderBy("vc").rowsBetween(Window.unboundedPreceding, -1)
-    per_v = per_v.select(
-        "vc",
-        "mc",
-        F.coalesce(F.sum("mc").over(wv), F.lit(0)).alias("below"),
-    )
+    per_v = with_global_order(
+        per_v, [F.col("vc").asc()], cumsum={"upto": F.col("mc")}
+    ).select("vc", "mc", (F.col("upto") - F.col("mc")).alias("below"))
     rx = s.join(F.broadcast(per_v), "vc").select(
         "event_id",
         (2 * F.col("below") + F.col("mc") + 1).alias("rx2"),
     )
-    ry = s.select(
-        "event_id",
-        (2 * F.row_number().over(Window.orderBy("event_id"))).alias("ry2"),
-    )
+    ry = with_global_order(
+        s, [F.col("event_id").asc()], rank_col="ry"
+    ).select("event_id", (2 * F.col("ry")).alias("ry2"))
     return rx.join(ry, "event_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum(F.col("rx2") * F.col("ry2")).cast("bigint").alias("sxy4"),
@@ -2720,8 +2724,13 @@ def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     the median is a type-1 SELECTION of those doubles with (slope,
     h1, h2) as a total order — no averaging of middle elements, no
     accumulated float error anywhere.  Scale: the O(k²) pair join
-    runs on the HOUR-grain aggregate (k ≈ 720 → 260k pairs at any
-    fact volume); the fact table contributes one hash aggregate."""
+    runs on the HOUR-grain aggregate (k ≈ 720 → 260k pairs for a
+    month; the pair table quadratically tracks the calendar span, so
+    its median rank is RANGE-PARTITIONED, and a longer-horizon
+    deployment samples pairs before this same plan); the fact table
+    contributes one hash aggregate."""
+    from ..functions.ranks import with_global_order
+
     e = load_table(spark, sf_dir, "events")
     hourly = e.groupBy(
         F.expr(
@@ -2736,13 +2745,11 @@ def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
             "slope"
         ),
     )
-    ranked = pairs.select(
-        "slope",
-        F.row_number()
-        .over(Window.orderBy("slope", "h1", "h2"))
-        .alias("rk"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
-    )
+    ranked = with_global_order(
+        pairs,
+        [F.col("slope").asc(), F.col("h1").asc(), F.col("h2").asc()],
+        rank_col="rk",
+    ).crossJoin(F.broadcast(pairs.agg(F.count(F.lit(1)).alias("n"))))
     return ranked.agg(
         F.min("n").cast("bigint").alias("n_pairs"),
         F.max(F.when(F.col("rk") == F.expr("(n + 1) div 2"), F.col("slope"))).alias(
