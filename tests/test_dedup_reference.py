@@ -132,7 +132,7 @@ def test_seq_pack_reference(spark, docs_pdf):
     """Greedy concat-and-chunk packing re-derived with a running token
     offset per (source, shard) stream; bin totals must cover every
     document exactly once (mass conservation)."""
-    CTX, SHARD = 2048, 512
+    from ukis_kafka_spark.ml.chunking import CTX, SHARD
     agg: dict[tuple, list] = defaultdict(list)
     for _, grp in docs_pdf.groupby("source"):
         grp = grp.sort_values("doc_id")
@@ -158,6 +158,10 @@ def test_seq_pack_reference(spark, docs_pdf):
     assert sum(v[1] for v in got.values()) == sum(
         len(t.split(" ")) for t in docs_pdf.text
     )
+    # non-vacuity (round-6 dead-column audit): the packing must
+    # actually CUT — multiple bins and multiple shards at this scale
+    assert len({k[2] for k in got}) > 1, "bin never advanced"
+    assert len({k[1] for k in got}) > 1, "shard never split"
 
 
 def test_embed_quantize_reference(spark):
@@ -339,7 +343,7 @@ def test_shard_balance_reference(spark, docs_pdf):
 def test_temperature_mix_reference(spark, docs_pdf):
     from decimal import ROUND_HALF_UP, Decimal
 
-    counts = Counter(docs_pdf.source)
+    counts = Counter(docs_pdf.lang)
     w = {
         s: int(
             math.floor(
@@ -351,7 +355,7 @@ def test_temperature_mix_reference(spark, docs_pdf):
         for s, n in counts.items()
     }
     total = sum(w.values())
-    got = {r["source"]: r for r in _rows(spark, "m_temperature_mix")}
+    got = {r["lang"]: r for r in _rows(spark, "m_temperature_mix")}
     assert set(got) == set(counts)
     for s, n in counts.items():
         g = got[s]
@@ -362,9 +366,12 @@ def test_temperature_mix_reference(spark, docs_pdf):
     smallest = min(counts, key=lambda s: (counts[s], s))
     largest = max(counts, key=lambda s: (counts[s], s))
     n_tot = sum(counts.values())
-    if counts[smallest] != counts[largest]:
-        assert got[smallest]["share_ppm"] > 1_000_000 * counts[smallest] // n_tot
-        assert got[largest]["share_ppm"] < 1_000_000 * counts[largest] // n_tot
+    # langs are measured SKEWED in this corpus (rekeyed from uniform
+    # sources in round 6 — the dead-column audit showed equal masses
+    # made this assertion vacuous), so the property must always fire
+    assert counts[smallest] != counts[largest]
+    assert got[smallest]["share_ppm"] > 1_000_000 * counts[smallest] // n_tot
+    assert got[largest]["share_ppm"] < 1_000_000 * counts[largest] // n_tot
 
 
 def test_source_mixture_reference(spark, docs_pdf):

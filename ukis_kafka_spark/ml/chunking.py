@@ -33,9 +33,16 @@ STRIDE = 24
 
 # Packing context size (tokens) and shard width (docs per packing
 # window). Shards bound window-state size: each packing window sees at
-# most SHARD documents regardless of corpus size.
-CTX = 2048
-SHARD = 512
+# most SHARD documents regardless of corpus size. Sized to the
+# MEASURED corpus (round-6 dead-column audit): docs are 10-100 tokens
+# (~55 mean) and each source carries 25 docs/500 at sf0.01, so a
+# (source, shard-of-128) cell holds ~6 docs ≈ 350 tokens — CTX=128
+# advances the bin counter ~2-3x per cell and SHARD=128 splits even
+# the sf0.01 corpus into 4 shards. The original production-flavored
+# (2048, 512) left every doc in bin 0 of shard 0 at the gate scales:
+# vacuous agreement, the packing logic never demonstrated a cut.
+CTX = 128
+SHARD = 128
 
 # Passage dedup granularity (tokens). Small corpus vocabulary → 4-token
 # passages actually collide at sf0.01 (≈340 duplicated passages), so

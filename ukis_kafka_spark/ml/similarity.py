@@ -3003,6 +3003,11 @@ def m_adaboost_round(spark: SparkSession, sf_dir: str) -> DataFrame:
     every weight/error is a BIGINT (no float alpha; the weighted
     errors ARE the sufficient statistics from which alpha would be
     derived).  Ties in the argmin break on (polarity, threshold).
+    Dead-column audit justification: pol ≡ 0 at every scale because
+    the click rate is measured monotone-increasing in value on this
+    corpus (one signal direction — polarity 1 can never win), and the
+    REWEIGHTING is live: at sf0.1 round 2 picks t=27 after round 1's
+    t=28 (both-rounds-same-t at sf0.01 is legal AdaBoost re-picking).
     Scale: one fact scan builds the histogram (map-side combine);
     both boosting rounds are constant-size window arithmetic —
     exactly how histogram GBDT implementations amortize iterations."""

