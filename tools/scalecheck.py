@@ -206,6 +206,78 @@ def main() -> None:
 
         return timed
 
+    def ranged_rank(k: int):
+        """functions.ranks.with_global_order (round-6 primitive): range
+        repartition + per-partition windows + broadcast offsets, over a
+        corpus-growing per-user aggregate. The distributed replacement
+        for every partition-less rank/cumsum — must stay ~linear (one
+        ranged shuffle + one tiny offset broadcast)."""
+        from ukis_kafka_spark.functions.ranks import with_global_order
+
+        e = _replicate(ev, k, ["user_id", "event_id"])
+        per_user = e.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor("value")).cast("long").alias("mass"),
+        )
+        return with_global_order(
+            per_user,
+            [F.col("n").desc(), F.col("user_id").asc()],
+            rank_col="rn",
+            cumsum={"cmass": F.col("mass")},
+        )
+
+    def subseq_scan(k: int):
+        """q_subseq_search shape: 8-wide per-user sliding windows +
+        broadcast pattern + integer distance fold + TakeOrdered top-10.
+        One pass over the event stream — must stay ~linear."""
+        from pyspark.sql import Window
+
+        e = _replicate(
+            ev.select(
+                "user_id",
+                "event_id",
+                F.floor(F.col("value") * 100).cast("long").alias("v"),
+            ),
+            k,
+            ["user_id", "event_id"],
+        )
+        pat = spark.sql("SELECT array(1L,2L,3L,4L,5L,6L,7L,8L) AS p")
+        w = Window.partitionBy("user_id").orderBy("event_id").rowsBetween(
+            Window.currentRow, 7
+        )
+        wins = (
+            e.withColumn("wv", F.collect_list("v").over(w))
+            .where(F.size("wv") == 8)
+            .crossJoin(F.broadcast(pat))
+        )
+        scored = wins.select(
+            "user_id",
+            "event_id",
+            F.aggregate(
+                F.zip_with("wv", "p", lambda x, y: (x - y) * (x - y)),
+                F.lit(0).cast("long"),
+                lambda a, t: a + t,
+            ).alias("dist"),
+        )
+        return scored.orderBy("dist", "user_id", "event_id").limit(10)
+
+    def blocked_cosine(k: int):
+        """m_cosine_topk's exact GEMM kernel (block-pair applyInPandas,
+        in-kernel top-k pruning). Exact all-pairs is inherently
+        O(n²) COMPUTE — the expected curve is ~k× linear (quadratic
+        total), which is exactly WHY the ANN family (banded/bucketed,
+        measured linear above) is the 100 TB path; this entry
+        MEASURES that boundary instead of asserting it."""
+        from ukis_kafka_spark.ml.similarity import _blocked_cosine_pairs
+
+        emb = _replicate(
+            load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding"),
+            k,
+            ["vec_id"],
+        )
+        pairs = _blocked_cosine_pairs(emb, block=1024, local_topk=5)
+        return pairs.agg(F.count(F.lit(1)).alias("n"))
+
     shapes = {
         "scan_agg": scan_agg,
         "window_per_key": window_per_key,
@@ -214,6 +286,9 @@ def main() -> None:
         "iterative_graph": iterative_graph,
         "banded_dedup": banded_dedup,
         "stateful_stream": stateful_stream,
+        "ranged_rank": ranged_rank,
+        "subseq_scan": subseq_scan,
+        "blocked_cosine": blocked_cosine,
     }
 
     # warm the JVM + file index once; also pay the one-time streaming
