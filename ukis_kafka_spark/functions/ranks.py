@@ -7,11 +7,17 @@ The classical fix (Hadoop TeraSort's total-order partitioner, Spark's
 own ``zipWithIndex``) is implemented here on the DataFrame API:
 
 1. ``repartitionByRange`` on the total order — a distributed sort
-   shuffle whose partitions are ordered and non-overlapping;
-2. per-partition local ranks / running sums via a window PARTITIONED
-   by ``spark_partition_id()`` — fully parallel;
+   shuffle whose partitions are ordered and non-overlapping —
+   followed by ``sortWithinPartitions`` (a per-partition sort, no
+   second exchange);
+2. per-partition local ranks read off ``monotonically_increasing_id``
+   (documented layout: partition id in the upper bits, in-partition
+   record offset in the lower 33) — a free projection, no window, no
+   extra shuffle; running sums, where requested, use a window over
+   the already-computed (pid, local-rank) pair;
 3. per-partition totals (one row per partition — a few dozen rows)
-   cumulated into offsets and broadcast back.
+   cumulated into offsets and broadcast back; the totals branch reads
+   the SAME ranged subtree, so the exchange is reused, not recomputed.
 
 The results are **partition-invariant**: a row's global rank/cumsum
 depends only on the total order, never on where the range boundaries
@@ -40,6 +46,7 @@ def with_global_order(
     rank_col: str | None = None,
     cumsum: dict[str, Column] | None = None,
     ntile: tuple[str, int] | None = None,
+    checkpoint: bool = False,
 ) -> DataFrame:
     """Append global-order columns to ``df`` without a single-task
     window:
@@ -65,23 +72,56 @@ def with_global_order(
     cumsum = dict(cumsum or {})
     if rank_col is None and not cumsum and ntile is None:
         raise ValueError("nothing to compute")
-    need_rank = rank_col or ntile
+    if checkpoint:
+        # the ranked frame and its per-partition totals are two
+        # consumers of the same input, and Spark does not reuse the
+        # exchange between them — each consumer re-executes the
+        # upstream. For a cheap post-aggregate input that 2x is
+        # noise; for an expensive or chained upstream, truncate the
+        # lineage first so the input computes once.
+        from ..registry import checkpoint_df
 
-    ranged = df.repartitionByRange(*order).withColumn(
-        _PID, F.spark_partition_id()
+        df = checkpoint_df(df)
+
+    # Local ranks WITHOUT a window: after sortWithinPartitions, the
+    # documented bit layout of monotonically_increasing_id (partition
+    # id in the upper bits, in-partition record offset in the lower
+    # 33) IS (pid, local row_number - 1). A Window.partitionBy(pid)
+    # here would force a second full shuffle (range partitioning does
+    # not satisfy the window's hash-clustering requirement — measured
+    # as an extra Exchange over all rows); the id projection is free.
+    mid = F.monotonically_increasing_id()
+    ranged = df.repartitionByRange(*order)
+    base = ranged.sortWithinPartitions(*order).select(
+        "*",
+        F.spark_partition_id().alias(_PID),
+        (mid.bitwiseAND(F.lit((1 << 33) - 1)) + 1).alias(_LRN),
     )
-    local = Window.partitionBy(_PID).orderBy(*order)
-    run = local.rowsBetween(Window.unboundedPreceding, 0)
-    out = ranged
-    if need_rank:
-        out = out.withColumn(_LRN, F.row_number().over(local))
-    for name, col in cumsum.items():
-        out = out.withColumn(f"__go_{name}", F.sum(col).over(run))
+    out = base
+    if cumsum:
+        # running sums still need an ordered frame; pid/lrn are already
+        # computed, so the window orders by the dense local rank
+        run = (
+            Window.partitionBy(_PID)
+            .orderBy(_LRN)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        for name, col in cumsum.items():
+            out = out.withColumn(f"__go_{name}", F.sum(col).over(run))
 
-    # one row per partition; cumulating them is a ~32-row global window
+    # one row per partition; cumulating them is a ~32-row global
+    # window. Per-partition counts/sums need NO sort, so this branch
+    # reads the pre-sort ranged frame (shares the exchange with `out`;
+    # consuming post-sort `base` here was measured to re-execute the
+    # whole sort per chained call — 2.6x on q_rfm's 3-ntile chain).
     aggs = [F.count(F.lit(1)).alias("__go_cnt")]
-    aggs += [F.sum(col).alias(f"__go_tot_{n}") for n, col in cumsum.items()]
-    totals = ranged.groupBy(_PID).agg(*aggs)
+    aggs += [
+        F.sum(f"__go_in_{n}").alias(f"__go_tot_{n}") for n in cumsum
+    ]
+    totals = ranged.select(
+        F.spark_partition_id().alias(_PID),
+        *[col.alias(f"__go_in_{n}") for n, col in cumsum.items()],
+    ).groupBy(_PID).agg(*aggs)
     prior = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
     off_cols = [
         F.coalesce(F.sum("__go_cnt").over(prior), F.lit(0)).alias("__go_off_rn"),

@@ -88,11 +88,13 @@ def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         out,
         [F.col("frequency").desc(), F.col("custkey").asc()],
         ntile=("f_bucket", 5),
-    )
+        checkpoint=True,  # chained levels: truncate lineage so each
+    )  # level computes once (measured 2.16 -> 1.31 s on the chain)
     return with_global_order(
         out,
         [F.col("monetary_micros").desc(), F.col("custkey").asc()],
         ntile=("m_bucket", 5),
+        checkpoint=True,
     )
 
 
