@@ -164,3 +164,29 @@ def test_with_global_order_ntile_small_n(spark):
         "id", F.ntile(10).over(Window.orderBy("id")).cast("bigint").alias("t")
     )
     assert got.exceptAll(want).count() == 0
+
+
+def test_with_global_order_cummax_before(spark):
+    """Exclusive prefix max (the skyline frontier scan) must match the
+    single-task window exactly, including the NULL on the globally
+    first row and across different partitionings."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ukis_kafka_spark.functions.ranks import with_global_order
+
+    df = spark.sql(
+        "SELECT id, CAST((id * 53) % 97 - 48 AS BIGINT) AS v FROM range(400)"
+    )
+    order = [F.col("id").asc()]
+    got = with_global_order(df, order, cummax_before={"best": F.col("v")})
+    w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, -1)
+    want = df.select("id", "v", F.max("v").over(w).alias("best"))
+    assert got.exceptAll(want).count() == 0 and got.count() == 400
+    # first row must be NULL (no predecessor)
+    assert got.orderBy("id").first()["best"] is None
+    # partition-invariance
+    got2 = with_global_order(
+        df.repartition(13, "v"), order, cummax_before={"best": F.col("v")}
+    )
+    assert got2.exceptAll(want).count() == 0

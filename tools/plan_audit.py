@@ -73,12 +73,11 @@ GLOBAL_WINDOW_ALLOWLIST: dict[str, str] = {
     "q_mom_growth": "lag over month-grain aggregate",
     "q_rolling_corr": "24h frame over hour-grain aggregate",
     "q_rolling_variance": "24h frame over hour-grain aggregate",
-    # value-domain supports (distinct grid values, not corpus rows)
-    "q_ks_test": "ECDF cumsum over the bounded centi-value support",
-    "q_mann_whitney": "rank-sum cumsum over the bounded centi-value support",
-    "q_wilcoxon": "signed-rank cumsum over the bounded centi-|dev| support",
-    "q_skyline": "prefix-max over the bounded distinct price-cents grid",
 }
+# round-6 note: q_ks_test / q_mann_whitney / q_wilcoxon / q_skyline
+# were first allowlisted as value-domain-bounded, then migrated to
+# with_global_order anyway (cumsum / cummax_before) — the primitive
+# costs nothing extra and removes the justification burden.
 
 
 def _count_global_windows(plan: str) -> int:

@@ -46,6 +46,7 @@ def with_global_order(
     rank_col: str | None = None,
     cumsum: dict[str, Column] | None = None,
     ntile: tuple[str, int] | None = None,
+    cummax_before: dict[str, Column] | None = None,
     checkpoint: bool = False,
 ) -> DataFrame:
     """Append global-order columns to ``df`` without a single-task
@@ -56,7 +57,13 @@ def with_global_order(
       current row, in ``order``;
     - ``ntile``: (out_name, n) — global ``ntile(n)`` over ``order``
       (Spark's rule: the first ``count % n`` buckets get the extra
-      row), derived from the rank so it needs no second pass.
+      row), derived from the rank so it needs no second pass;
+    - ``cummax_before``: {out_name: value_col} prefix max over rows
+      STRICTLY BEFORE the current row (NULL for the globally first
+      row) — the skyline/frontier scan. Decomposes as
+      greatest(local exclusive running max, max over prior
+      partitions); ``F.greatest`` skips NULLs, matching the empty
+      frame's NULL exactly.
 
     ``order`` must be a TOTAL order (unique tie-break). All appended
     columns are BIGINT except cumsums, which keep SUM's type.
@@ -70,7 +77,8 @@ def with_global_order(
     exchange cannot change the result.
     """
     cumsum = dict(cumsum or {})
-    if rank_col is None and not cumsum and ntile is None:
+    cummax_before = dict(cummax_before or {})
+    if rank_col is None and not cumsum and not cummax_before and ntile is None:
         raise ValueError("nothing to compute")
     if checkpoint:
         # the ranked frame and its per-partition totals are two
@@ -98,16 +106,16 @@ def with_global_order(
         (mid.bitwiseAND(F.lit((1 << 33) - 1)) + 1).alias(_LRN),
     )
     out = base
-    if cumsum:
-        # running sums still need an ordered frame; pid/lrn are already
-        # computed, so the window orders by the dense local rank
-        run = (
-            Window.partitionBy(_PID)
-            .orderBy(_LRN)
-            .rowsBetween(Window.unboundedPreceding, 0)
-        )
+    if cumsum or cummax_before:
+        # running aggregates still need an ordered frame; pid/lrn are
+        # already computed, so the window orders by the dense local rank
+        local = Window.partitionBy(_PID).orderBy(_LRN)
+        run = local.rowsBetween(Window.unboundedPreceding, 0)
+        before = local.rowsBetween(Window.unboundedPreceding, -1)
         for name, col in cumsum.items():
             out = out.withColumn(f"__go_{name}", F.sum(col).over(run))
+        for name, col in cummax_before.items():
+            out = out.withColumn(f"__go_mx_{name}", F.max(col).over(before))
 
     # one row per partition; cumulating them is a ~32-row global
     # window. Per-partition counts/sums need NO sort, so this branch
@@ -118,9 +126,13 @@ def with_global_order(
     aggs += [
         F.sum(f"__go_in_{n}").alias(f"__go_tot_{n}") for n in cumsum
     ]
+    aggs += [
+        F.max(f"__go_inmx_{n}").alias(f"__go_totmx_{n}") for n in cummax_before
+    ]
     totals = ranged.select(
         F.spark_partition_id().alias(_PID),
         *[col.alias(f"__go_in_{n}") for n, col in cumsum.items()],
+        *[col.alias(f"__go_inmx_{n}") for n, col in cummax_before.items()],
     ).groupBy(_PID).agg(*aggs)
     prior = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
     off_cols = [
@@ -136,6 +148,12 @@ def with_global_order(
             f"__go_off_{n}"
         )
         for n in cumsum
+    ]
+    off_cols += [
+        # prefix max over PRIOR partitions — stays NULL for the first
+        # (the globally-first rows have no predecessor)
+        F.max(f"__go_totmx_{n}").over(prior).alias(f"__go_offmx_{n}")
+        for n in cummax_before
     ]
     offsets = totals.select(_PID, *off_cols)
 
@@ -161,5 +179,11 @@ def with_global_order(
     for cname in cumsum:
         proj.append(
             (F.col(f"__go_off_{cname}") + F.col(f"__go_{cname}")).alias(cname)
+        )
+    for cname in cummax_before:
+        proj.append(
+            F.greatest(
+                F.col(f"__go_mx_{cname}"), F.col(f"__go_offmx_{cname}")
+            ).alias(cname)
         )
     return out.select(*proj)

@@ -2499,9 +2499,9 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     compares outside the engine).  The drift detector that decides
     "did this feature's distribution change between snapshots" with
     zero distributional assumptions — the rigorous upgrade over
-    m_freq_drift's binned L1.  Scale: per-value partials first, one
-    ordered window over |distinct values| rows (range-partitionable
-    with offset recombination like the other global sweeps).
+    m_freq_drift's binned L1.  Scale: per-value partials first, then
+    the ECDF cumsums run RANGE-PARTITIONED with offset recombination
+    (with_global_order) over |distinct values| rows.
     Magnitude: c ≤ 2e4, n ≤ 2e4 → products < 4e8 « 2^63 at sf0.1;
     at 100x stage the counts as DECIMAL(38,0)."""
     e = load_table(spark, sf_dir, "events")
@@ -2516,16 +2516,16 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(vc.alias("v"))
         .agg(F.count(F.lit(1)).alias("cb0"))
     )
+    from ..functions.ranks import with_global_order
+
     support = a.select("v").unionByName(b.select("v")).distinct()
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    cum = (
-        support.join(a, "v", "left")
-        .join(b, "v", "left")
-        .select(
-            "v",
-            F.sum(F.coalesce("ca0", F.lit(0))).over(w).alias("ca"),
-            F.sum(F.coalesce("cb0", F.lit(0))).over(w).alias("cb"),
-        )
+    cum = with_global_order(
+        support.join(a, "v", "left").join(b, "v", "left"),
+        [F.col("v").asc()],
+        cumsum={
+            "ca": F.coalesce("ca0", F.lit(0)),
+            "cb": F.coalesce("cb0", F.lit(0)),
+        },
     )
     tot = e.agg(
         F.count(F.when(F.col("event_type") == "click", 1)).alias("na"),
@@ -2580,9 +2580,9 @@ def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     2·(count below) + (count at value) + 1 is always an odd integer,
     making the tied-rank sum and U = R_a − n_a(n_a+1)/2 exact BIGINTs
     (emitted doubled; U/2 and the normal approximation assemble
-    downstream).  Scale: per-value partials, one ordered window,
-    one aggregate — the q_ks_test dataflow with a rank-sum instead
-    of a sup."""
+    downstream).  Scale: per-value partials, a RANGE-PARTITIONED
+    prefix sum (exclusive = inclusive − own), one aggregate — the
+    q_ks_test dataflow with a rank-sum instead of a sup."""
     e = load_table(spark, sf_dir, "events")
     vc = F.floor(F.col("value") * 100).cast("long")
     a = (
@@ -2600,13 +2600,14 @@ def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("ca", F.lit(0)).alias("ca"),
         F.coalesce("cb", F.lit(0)).alias("cb"),
     )
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
-    ranked = merged.select(
+    from ..functions.ranks import with_global_order
+
+    ranked = with_global_order(
+        merged, [F.col("v").asc()], cumsum={"upto": F.col("ca") + F.col("cb")}
+    ).select(
         "ca",
         "cb",
-        F.coalesce(F.sum(F.col("ca") + F.col("cb")).over(w), F.lit(0)).alias(
-            "cum_before"
-        ),
+        (F.col("upto") - F.col("ca") - F.col("cb")).alias("cum_before"),
     )
     sums = ranked.agg(
         F.sum("ca").cast("bigint").alias("n_a"),
@@ -2819,11 +2820,12 @@ def q_wilcoxon(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("second_half") - F.col("first_half")).alias("d"),
         F.abs(F.col("second_half") - F.col("first_half")).alias("ad"),
     )
+    from ..functions.ranks import with_global_order
+
     per_ad = diffs.groupBy("ad").agg(F.count(F.lit(1)).alias("c"))
-    wr = Window.orderBy("ad").rowsBetween(Window.unboundedPreceding, -1)
-    ranked = per_ad.select(
-        "ad", "c", F.coalesce(F.sum("c").over(wr), F.lit(0)).alias("below")
-    )
+    ranked = with_global_order(
+        per_ad, [F.col("ad").asc()], cumsum={"upto": F.col("c")}
+    ).select("ad", "c", (F.col("upto") - F.col("c")).alias("below"))
     joined = diffs.join(F.broadcast(ranked), "ad")
     return joined.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_pairs"),

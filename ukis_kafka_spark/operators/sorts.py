@@ -131,19 +131,24 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join is quadratic; the 2-D skyline is O(n log n) as a
     running max: aggregate to distinct (price, size) points, keep per
     price only the max size, and a point survives iff its size beats
-    the best size seen at any STRICTLY cheaper price.  The global
-    window runs on the per-price aggregate (|distinct prices| rows,
-    already reduced by two shuffled aggs on the same key), never on
-    the base table — the one-partition window is metadata-sized at
-    any scale.  Prices in exact cents (floor(x·100+0.5); 2-dp data)."""
+    the best size seen at any STRICTLY cheaper price.  The frontier
+    scan runs RANGE-PARTITIONED over the per-price aggregate
+    (with_global_order's exclusive prefix max — |distinct prices|
+    grows with the price domain, so no single-task window even
+    there).  Prices in exact cents (floor(x·100+0.5); 2-dp data)."""
+    from ..functions.ranks import with_global_order
+
     p = load_table(spark, sf_dir, "part")
     price = F.floor(F.col("p_retailprice") * 100 + F.lit(0.5)).cast("bigint")
     pts = p.select(price.alias("price_cents"), "p_size").groupBy(
         "price_cents", "p_size"
     ).agg(F.count(F.lit(1)).alias("n_parts"))
     per_price = pts.groupBy("price_cents").agg(F.max("p_size").alias("smax"))
-    w = Window.orderBy("price_cents").rowsBetween(Window.unboundedPreceding, -1)
-    ranked = per_price.withColumn("best_before", F.max("smax").over(w))
+    ranked = with_global_order(
+        per_price,
+        [F.col("price_cents").asc()],
+        cummax_before={"best_before": F.col("smax")},
+    )
     return (
         pts.join(ranked, "price_cents")
         .where(
