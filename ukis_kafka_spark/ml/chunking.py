@@ -359,3 +359,126 @@ def m_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-only, no shuffle at all."""
     load_table(spark, sf_dir, "documents").createOrReplaceTempView("fim_docs")
     return spark.sql(_fim_sql("fim_docs"))
+
+
+_SHUFFLE_SHARDS = 16
+
+
+@query(
+    "m_global_shuffle",
+    oracle=f"""
+WITH h AS (
+  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hx FROM documents
+), r AS (
+  SELECT doc_id, hx, row_number() OVER (ORDER BY hx, doc_id) AS rn FROM h
+)
+SELECT CAST((rn - 1) % {_SHUFFLE_SHARDS} AS BIGINT) AS shard,
+       count(*) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS docid_sum,
+       min(hx) AS first_hash,
+       CAST(max(rn) AS BIGINT) AS last_pos
+FROM r GROUP BY 1
+""",
+)
+def m_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global corpus shuffle + reshard — the step every
+    training run performs before epoch 0 (sequential corpora carry
+    source/time locality that correlates adjacent batches; hash-order
+    breaks it reproducibly, no RNG state to ship).  Documents are
+    totally ordered by (md5(doc_id), doc_id) — both engines emit
+    identical lowercase-hex md5 strings, so the order is
+    engine-neutral — the global position comes from the
+    RANGE-PARTITIONED rank (functions.ranks.with_global_order: the
+    shuffle-order rank over the full corpus is exactly the
+    corpus-growing case that must not funnel through one task), and
+    shards are assigned round-robin on the position so every shard's
+    size is within 1 of the others (the balanced-shard property a
+    data loader wants).  The audit row per shard: size, a doc-id
+    checksum (catches drops/dupes), the first hash (pins the order
+    itself), and the last global position.  Scale: one ranged shuffle
+    + one hash aggregate; writing the shards is a partitionBy on the
+    shard column downstream."""
+    from ..functions.ranks import with_global_order
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(F.col("doc_id").cast("string")).alias("hx")
+    )
+    r = with_global_order(
+        d, [F.col("hx").asc(), F.col("doc_id").asc()], rank_col="rn"
+    )
+    return r.groupBy(
+        ((F.col("rn") - 1) % _SHUFFLE_SHARDS).cast("bigint").alias("shard")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").cast("bigint").alias("docid_sum"),
+        F.min("hx").alias("first_hash"),
+        F.max("rn").cast("bigint").alias("last_pos"),
+    )
+
+
+_BATCH_BUCKET = 16  # token-length bucket width
+_BATCH_SIZE = 8     # sequences per batch
+
+
+@query(
+    "m_length_batching",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents
+), b AS (
+  SELECT doc_id, n_tok, n_tok // {_BATCH_BUCKET} AS bucket,
+         row_number() OVER (PARTITION BY n_tok // {_BATCH_BUCKET}
+                            ORDER BY n_tok, doc_id) AS rnk
+  FROM t
+), batches AS (
+  SELECT bucket, (rnk - 1) // {_BATCH_SIZE} AS batch_id, n_tok, doc_id
+  FROM b
+)
+SELECT bucket, batch_id,
+       count(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS tok_mass,
+       CAST(MAX(n_tok) * count(*) AS BIGINT) AS padded_tokens,
+       CAST((MAX(n_tok) * count(*) - SUM(n_tok)) * 1000000
+            // (MAX(n_tok) * count(*)) AS BIGINT) AS waste_ppm,
+       min(doc_id) AS first_doc
+FROM batches
+GROUP BY bucket, batch_id
+""",
+)
+def m_length_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-grouped batch assembly (dynamic batching): sequences are
+    bucketed by token-length band, ordered (n_tok, doc_id) within the
+    band, and cut into fixed-size batches — the standard trick that
+    cuts padding waste versus random batching (a batch pads every
+    member to its max length, so batching near-equal lengths together
+    is the win; the emitted ``waste_ppm`` per batch IS the metric).
+    All integer arithmetic: token counts, padded mass = max·n, waste
+    in exact ppm via integer div.  Scale: the rank is PARTITIONED by
+    the length band (bands are ~fixed cardinality, rows within a band
+    distribute by the hash shuffle — no global window anywhere), one
+    aggregate per batch; at a real corpus the band window distributes
+    by (band, shard) exactly like m_seq_pack's packing streams."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.size(F.split("text", " ")).alias("n_tok"))
+    b = t.select(
+        "doc_id",
+        "n_tok",
+        F.expr(f"n_tok div {_BATCH_BUCKET}").alias("bucket"),
+    )
+    batches = b.select(
+        "bucket",
+        "n_tok",
+        "doc_id",
+        F.expr(f"(row_number() OVER (PARTITION BY bucket ORDER BY n_tok, doc_id) - 1) div {_BATCH_SIZE}").alias("batch_id"),
+    )
+    padded = F.max("n_tok") * F.count(F.lit(1))
+    return batches.groupBy("bucket", "batch_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("tok_mass"),
+        padded.cast("bigint").alias("padded_tokens"),
+        F.expr(
+            f"(MAX(n_tok) * count(1) - SUM(n_tok)) * 1000000"
+            f" div (MAX(n_tok) * count(1))"
+        ).alias("waste_ppm"),
+        F.min("doc_id").alias("first_doc"),
+    )
