@@ -479,3 +479,38 @@ def test_morans_adjacency_is_hash_equi_join(spark):
     plan = _formatted_plan(spark, "g_morans_i")
     assert "BroadcastNestedLoopJoin BuildRight, Inner" not in plan
     assert "EvalPython" not in plan
+
+
+def test_with_global_order_plan_shape(spark):
+    """Pins the round-6 optimization of functions.ranks: the data path
+    is ONE range exchange + per-partition sort — local ranks come from
+    monotonically_increasing_id, so NO Window (and no second
+    hash-on-pid Exchange, which a pid-partitioned window forces) may
+    appear over the data for rank/ntile-only calls; every Window in
+    the plan must be the offsets branch's one-row-per-partition
+    cumulation (identified by its __go_pid spec), and the offsets
+    join back by broadcast."""
+    from pyspark.sql import functions as F
+
+    from ukis_kafka_spark.functions.ranks import with_global_order
+
+    df = spark.range(1000).select("id", (F.col("id") % 7).alias("v"))
+    order = [F.col("v").asc(), F.col("id").asc()]
+
+    rank_only = with_global_order(df, order, rank_col="rn", ntile=("t", 4))
+    plan = rank_only._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    win_lines = [l for l in plan.splitlines() if "Window [" in l]
+    assert win_lines, "offsets cumulation window missing"
+    bad = [l for l in win_lines if "__go_pid" not in l]
+    assert not bad, f"data-path Window crept back in: {bad}"
+
+    # cumsum still needs an ordered frame — but only ever partitioned
+    # by the pid, never partition-less over the data
+    with_sum = with_global_order(df, order, cumsum={"cv": F.col("v")})
+    plan2 = with_sum._jdf.queryExecution().executedPlan().toString()
+    bad2 = [
+        l for l in plan2.splitlines() if "Window [" in l and "__go_pid" not in l
+    ]
+    assert not bad2, f"partition-less Window over data: {bad2}"
