@@ -823,12 +823,12 @@ WITH cells AS (
          least(CAST(floor(({_LAT} + 90.0) / 180.0 * {1 << _GH_BITS}.0) AS BIGINT), {(1 << _GH_BITS) - 1}) AS cy
   FROM events
 ), keyed AS (
-  SELECT event_id, user_id, ({_geohash_int_sql('cx', 'cy')}) >> 5 AS pkey FROM cells
+  SELECT event_id, user_id, ({_geohash_int_sql('cx', 'cy')}) >> 15 AS pkey FROM cells
 ), per_user AS (
   SELECT pkey, user_id, count(*) AS nu FROM keyed GROUP BY pkey, user_id
 )
 SELECT pkey,
-       {" || ".join(f"substring('{_GH_B32}', CAST((pkey >> {20 - 5 * j}) % 32 + 1 AS INT), 1)" for j in range(5))} AS prefix,
+       {" || ".join(f"substring('{_GH_B32}', CAST((pkey >> {10 - 5 * j}) % 32 + 1 AS INT), 1)" for j in range(3))} AS prefix,
        CAST(SUM(nu) AS BIGINT) AS n_pts,
        count(*) AS n_users,
        CAST((SUM(nu) * SUM(nu) - SUM(nu)) // 2 AS BIGINT) AS n_pairs,
@@ -838,12 +838,18 @@ GROUP BY pkey
 """,
 )
 def g_geohash_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Neighborhood statistics per 5-character geohash cell — the
+    """Neighborhood statistics per 3-character geohash cell — the
     consumer of g_geohash's prefix-bucketing claim: how many
     co-located point pairs (and cross-user pairs, the contact-graph
-    candidate count) exist in each ~5 km cell, computed from per-cell
-    counting identities (n·(n−1)/2, (n² − Σnᵤ²)/2) WITHOUT enumerating
-    a single pair.  This is the pre-join cardinality audit you run
+    candidate count) exist in each ~150 km cell, computed from
+    per-cell counting identities (n·(n−1)/2, (n² − Σnᵤ²)/2) WITHOUT
+    enumerating a single pair.  The cell grain is tuned to the
+    MEASURED corpus density (round-6 dead-column audit): at 5 chars
+    every cell held one user at both gate scales, so the cross-user
+    column — the whole point of the contact audit — was vacuously
+    zero; at 3 chars it fires at sf0.01 (3,810 cross pairs, ≤2
+    users/cell) AND sf0.1 (891,807, ≤17) while sf0.001 stays honestly
+    empty (500 events over a continent).  This is the pre-join cardinality audit you run
     before an actual spatial pair join at 100 TB — it tells you the
     join's output size and which cells are hot, for two cheap
     aggregates (cell×user, then cell) and zero pair rows.  Integer bit
@@ -861,15 +867,15 @@ def g_geohash_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
             1 << (28 - 2 * i)
         )
         gh = t if gh is None else gh + t
-    keyed = cells.select("user_id", F.shiftright(gh, 5).alias("pkey"))
+    keyed = cells.select("user_id", F.shiftright(gh, 15).alias("pkey"))
     per_user = keyed.groupBy("pkey", "user_id").agg(F.count(F.lit(1)).alias("nu"))
     alphabet = F.array(*[F.lit(c) for c in _GH_B32])
     prefix = F.concat(
         *[
             F.element_at(
-                alphabet, (F.shiftright(F.col("pkey"), 20 - 5 * j) % 32 + 1).cast("int")
+                alphabet, (F.shiftright(F.col("pkey"), 10 - 5 * j) % 32 + 1).cast("int")
             )
-            for j in range(5)
+            for j in range(3)
         ]
     )
     return per_user.groupBy("pkey").agg(
