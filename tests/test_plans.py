@@ -482,14 +482,18 @@ def test_morans_adjacency_is_hash_equi_join(spark):
 
 
 def test_with_global_order_plan_shape(spark):
-    """Pins the round-6 optimization of functions.ranks: the data path
-    is ONE range exchange + per-partition sort — local ranks come from
-    monotonically_increasing_id, so NO Window (and no second
-    hash-on-pid Exchange, which a pid-partitioned window forces) may
-    appear over the data for rank/ntile-only calls; every Window in
-    the plan must be the offsets branch's one-row-per-partition
-    cumulation (identified by its __go_pid spec), and the offsets
-    join back by broadcast."""
+    """Pins functions.ranks' physical shape after the round-6
+    hardening: the stamped frame is MATERIALIZED (checkpoint_df → the
+    plan reads an ExistingRDD scan) so BOTH consumers — the rows and
+    the per-partition totals — read one pinned partition map. Two
+    declaratively re-planned branches are NOT safe: column pruning
+    defeats exchange canonicalization and the independently executed
+    range shuffles can coalesce/sample to different partition maps
+    (code-review r6 finding — the pid join then drops rows at scale).
+    Local ranks still come from monotonically_increasing_id, so NO
+    Window appears over the data for rank/ntile-only calls; every
+    Window must be the offsets branch's one-row-per-partition
+    cumulation (its __go_pid spec), and offsets join back broadcast."""
     from pyspark.sql import functions as F
 
     from ukis_kafka_spark.functions.ranks import with_global_order
@@ -499,7 +503,10 @@ def test_with_global_order_plan_shape(spark):
 
     rank_only = with_global_order(df, order, rank_col="rn", ntile=("t", 4))
     plan = rank_only._jdf.queryExecution().executedPlan().toString()
-    assert "rangepartitioning" in plan
+    # the materialization guard: both branches must read the pinned
+    # checkpointed frame, never re-plan the range exchange
+    assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan
+    assert "rangepartitioning" not in plan, "re-planned range exchange"
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
     win_lines = [l for l in plan.splitlines() if "Window [" in l]
     assert win_lines, "offsets cumulation window missing"

@@ -575,3 +575,33 @@ def test_avro_sink_append_twice_keeps_both_batches(spark, tmp_path):
     back = spark.read.format("avroscan").option("path", out).load()
     assert back.count() == 20
     assert back.groupBy("k").count().where("count <> 2").count() == 0
+
+
+def test_avro_sink_overwrite_replaces_previous_batch(spark, tmp_path):
+    """mode('overwrite') must REPLACE the directory's previous batch —
+    with unique per-batch part names the old deterministic-name
+    clobbering no longer happens implicitly, so commit() now clears
+    prior part files when the overwrite flag is set (code-review r6:
+    overwrite had silently become append-with-duplicates)."""
+    import os
+
+    from ukis_kafka_spark.sources.avroscan import (
+        _ensure_registered,
+        _ensure_sink_registered,
+    )
+
+    _ensure_registered(spark)
+    _ensure_sink_registered(spark)
+    out = str(tmp_path / "lake")
+    os.makedirs(out)
+    df10 = spark.range(10).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+    df4 = spark.range(4).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+    df10.write.format("avrosink").option("path", out).mode("overwrite").save()
+    df4.write.format("avrosink").option("path", out).mode("overwrite").save()
+    back = spark.read.format("avroscan").option("path", out).load()
+    assert back.count() == 4
+    assert back.groupBy("k").count().where("count <> 1").count() == 0
+    # and append-after-overwrite still accumulates
+    df10.write.format("avrosink").option("path", out).mode("append").save()
+    back2 = spark.read.format("avroscan").option("path", out).load()
+    assert back2.count() == 14

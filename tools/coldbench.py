@@ -55,13 +55,19 @@ def main() -> int:
     out = {}
     for fam, name in REPS.items():
         code = _CHILD.format(repo=REPO, name=name)
-        proc = subprocess.run(
-            [sys.executable, "-c", code],
-            capture_output=True,
-            text=True,
-            timeout=600,
-            cwd=REPO,
-        )
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-c", code],
+                capture_output=True,
+                text=True,
+                timeout=600,
+                cwd=REPO,
+            )
+        except subprocess.TimeoutExpired:
+            # a hung representative must not abort the whole profile —
+            # record it like any other per-family failure
+            out[fam] = {"query": name, "error": "timeout after 600s"}
+            continue
         line = [l for l in proc.stdout.splitlines() if l.startswith("{")]
         if not line:
             out[fam] = {"query": name, "error": proc.stderr[-300:]}

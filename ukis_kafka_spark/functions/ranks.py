@@ -15,9 +15,11 @@ own ``zipWithIndex``) is implemented here on the DataFrame API:
    record offset in the lower 33) — a free projection, no window, no
    extra shuffle; running sums, where requested, use a window over
    the already-computed (pid, local-rank) pair;
-3. per-partition totals (one row per partition — a few dozen rows)
-   cumulated into offsets and broadcast back; the totals branch reads
-   the SAME ranged subtree, so the exchange is reused, not recomputed.
+3. the stamped frame is MATERIALIZED once (checkpoint_df — this is a
+   correctness requirement, see with_global_order's docstring), then
+   per-partition totals (one row per partition — a few dozen rows)
+   are cumulated into offsets and broadcast back; both consumers read
+   the same pinned partition map.
 
 The results are **partition-invariant**: a row's global rank/cumsum
 depends only on the total order, never on where the range boundaries
@@ -47,7 +49,6 @@ def with_global_order(
     cumsum: dict[str, Column] | None = None,
     ntile: tuple[str, int] | None = None,
     cummax_before: dict[str, Column] | None = None,
-    checkpoint: bool = False,
 ) -> DataFrame:
     """Append global-order columns to ``df`` without a single-task
     window:
@@ -70,26 +71,30 @@ def with_global_order(
 
     The per-partition offset table is one row per shuffle partition;
     its own cumulation is a global window over those ~32 rows — the
-    sanctioned bounded case.  Both consumers of the ranged shuffle
-    (the rows and the totals) share one Exchange (Spark reuses it), so
-    partition ids are consistent; and because rank/cumsum are
-    invariant to WHERE the range boundaries fall, even a re-planned
-    exchange cannot change the result.
+    sanctioned bounded case.
+
+    CORRECTNESS REQUIRES the stamped frame to be MATERIALIZED before
+    its two consumers (the rows and the per-partition totals) read it
+    — so this function is EAGER (checkpoint_df). Two declaratively
+    re-planned branches are NOT safe: column pruning makes the two
+    range exchanges non-canonical so Spark executes both (verified on
+    4.1.2 — zero ReusedExchange), and once they execute independently
+    the partition MAPS can diverge (AQE coalesces the small pruned
+    totals shuffle to a different partition count than the wide data
+    shuffle; independently sampled range bounds differ when upstream
+    layouts differ — measured 840/300k rows switching partitions),
+    after which the pid join drops rows or misaligns every offset.
+    Gate scales mask it (AQE coalesces both tiny shuffles to one
+    partition) — exactly the vacuous-evidence trap. The checkpoint
+    pins one physical partition map that both consumers read; it also
+    makes chained calls compute each level once (measured
+    2.16 → 1.31 s on q_rfm's 3-ntile chain).
     """
     cumsum = dict(cumsum or {})
     cummax_before = dict(cummax_before or {})
     if rank_col is None and not cumsum and not cummax_before and ntile is None:
         raise ValueError("nothing to compute")
-    if checkpoint:
-        # the ranked frame and its per-partition totals are two
-        # consumers of the same input, and Spark does not reuse the
-        # exchange between them — each consumer re-executes the
-        # upstream. For a cheap post-aggregate input that 2x is
-        # noise; for an expensive or chained upstream, truncate the
-        # lineage first so the input computes once.
-        from ..registry import checkpoint_df
-
-        df = checkpoint_df(df)
+    from ..registry import checkpoint_df
 
     # Local ranks WITHOUT a window: after sortWithinPartitions, the
     # documented bit layout of monotonically_increasing_id (partition
@@ -99,12 +104,18 @@ def with_global_order(
     # not satisfy the window's hash-clustering requirement — measured
     # as an extra Exchange over all rows); the id projection is free.
     mid = F.monotonically_increasing_id()
-    ranged = df.repartitionByRange(*order)
-    base = ranged.sortWithinPartitions(*order).select(
-        "*",
-        F.spark_partition_id().alias(_PID),
-        (mid.bitwiseAND(F.lit((1 << 33) - 1)) + 1).alias(_LRN),
+    base = (
+        df.repartitionByRange(*order)
+        .sortWithinPartitions(*order)
+        .select(
+            "*",
+            F.spark_partition_id().alias(_PID),
+            (mid.bitwiseAND(F.lit((1 << 33) - 1)) + 1).alias(_LRN),
+        )
     )
+    # ONE execution, pinned partition map — see docstring. Both `out`
+    # and `totals` below read the materialized frame.
+    base = checkpoint_df(base)
     out = base
     if cumsum or cummax_before:
         # running aggregates still need an ordered frame; pid/lrn are
@@ -118,10 +129,8 @@ def with_global_order(
             out = out.withColumn(f"__go_mx_{name}", F.max(col).over(before))
 
     # one row per partition; cumulating them is a ~32-row global
-    # window. Per-partition counts/sums need NO sort, so this branch
-    # reads the pre-sort ranged frame (shares the exchange with `out`;
-    # consuming post-sort `base` here was measured to re-execute the
-    # whole sort per chained call — 2.6x on q_rfm's 3-ntile chain).
+    # window. Reads the CHECKPOINTED frame — zero recompute, and the
+    # pids are the same physical partitions `out` reads by definition.
     aggs = [F.count(F.lit(1)).alias("__go_cnt")]
     aggs += [
         F.sum(f"__go_in_{n}").alias(f"__go_tot_{n}") for n in cumsum
@@ -129,8 +138,8 @@ def with_global_order(
     aggs += [
         F.max(f"__go_inmx_{n}").alias(f"__go_totmx_{n}") for n in cummax_before
     ]
-    totals = ranged.select(
-        F.spark_partition_id().alias(_PID),
+    totals = base.select(
+        _PID,
         *[col.alias(f"__go_in_{n}") for n, col in cumsum.items()],
         *[col.alias(f"__go_inmx_{n}") for n, col in cummax_before.items()],
     ).groupBy(_PID).agg(*aggs)

@@ -1163,7 +1163,10 @@ def m_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_micro = F.floor(
         F.round(F.pow(F.col("n").cast("double"), 0.7), 6) * 1_000_000 + 0.5
     ).cast("bigint")
-    w = s.select("lang", F.col("n").alias("n_docs"), w_micro.alias("w_micro"))
+    w = s.select(
+        "lang", F.col("n").alias("n_docs"), w_micro.alias("w_micro")
+    ).transform(checkpoint_df)  # |langs| rows; both consumers (rows +
+    # total) read it without re-scanning documents (code-review r6)
     return w.crossJoin(
         F.broadcast(w.agg(F.sum("w_micro").alias("tot")))
     ).select(
@@ -1260,10 +1263,14 @@ def m_vocab_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
     )
     # type-frequency rank is RANGE-PARTITIONED (vocabulary grows with
-    # the corpus); the scalar total rides a broadcast
-    ranked = with_global_order(
+    # the corpus); the scalar total rides a broadcast computed from
+    # the helper output (reuses its checkpoint — no second explode)
+    base = with_global_order(
         counts, [F.col("n").desc(), F.col("tok").asc()], rank_col="rnk"
-    ).crossJoin(F.broadcast(counts.agg(F.sum("n").cast("bigint").alias("total"))))
+    )
+    ranked = base.crossJoin(
+        F.broadcast(base.agg(F.sum("n").cast("bigint").alias("total")))
+    )
     out = None
     for k in _VOCAB_KS:
         lvl = (
@@ -1374,12 +1381,14 @@ def m_zipf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.ranks import with_global_order
 
     # vocabulary rank is RANGE-PARTITIONED (types grow with the
-    # corpus); the two scalar totals ride a broadcast
-    ranked = with_global_order(
+    # corpus); the two scalar totals ride a broadcast computed from
+    # the helper output (reuses its checkpoint — no second explode)
+    base = with_global_order(
         counts, [F.col("n").desc(), F.col("tok").asc()], rank_col="rnk"
-    ).crossJoin(
+    )
+    ranked = base.crossJoin(
         F.broadcast(
-            counts.agg(
+            base.agg(
                 F.count(F.lit(1)).alias("n_types"),
                 F.sum("n").cast("bigint").alias("n_tokens"),
             )
@@ -3378,9 +3387,12 @@ def m_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_cust = o.groupBy("o_custkey").agg(
         F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias("rev_centi")
     )
-    cum = with_global_order(
+    base = with_global_order(
         per_cust, [F.col("o_custkey").asc()], cumsum={"c": F.col("rev_centi")}
-    ).crossJoin(F.broadcast(per_cust.agg(F.sum("rev_centi").alias("total"))))
+    )
+    # the grand total IS the last cumulative value; computing it from
+    # the helper output reuses the checkpoint (no second pass)
+    cum = base.crossJoin(F.broadcast(base.agg(F.max("c").alias("total"))))
     return cum.where(
         F.expr("c div (total div 100) > (c - rev_centi) div (total div 100)")
     ).select(

@@ -88,13 +88,11 @@ def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         out,
         [F.col("frequency").desc(), F.col("custkey").asc()],
         ntile=("f_bucket", 5),
-        checkpoint=True,  # chained levels: truncate lineage so each
-    )  # level computes once (measured 2.16 -> 1.31 s on the chain)
+    )
     return with_global_order(
         out,
         [F.col("monetary_micros").desc(), F.col("custkey").asc()],
         ntile=("m_bucket", 5),
-        checkpoint=True,
     )
 
 
@@ -188,13 +186,16 @@ def q_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_part = li.groupBy("l_partkey").agg(
         (F.sum(revenue.cast(DEC)) * 1000000).cast("bigint").alias("revenue_micros")
     )
-    ranked = with_global_order(
+    base = with_global_order(
         per_part,
         [F.col("revenue_micros").desc(), F.col("l_partkey").asc()],
         rank_col="rnk",
         cumsum={"cum_micros": F.col("revenue_micros")},
-    ).crossJoin(
-        F.broadcast(per_part.agg(F.sum("revenue_micros").alias("total_micros")))
+    )
+    # grand total from the helper output (reuses its checkpoint), not
+    # a second pass over the part-grain aggregate
+    ranked = base.crossJoin(
+        F.broadcast(base.agg(F.sum("revenue_micros").alias("total_micros")))
     )
     return ranked.select(
         F.col("l_partkey").alias("partkey"),
@@ -1757,12 +1758,15 @@ def q_key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = load_table(spark, sf_dir, "orders")
     per_key = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("c"))
-    totals = per_key.agg(
+    base = with_global_order(
+        per_key, [F.col("c").desc(), F.col("o_custkey").asc()], rank_col="rk"
+    )
+    # totals from the helper output — reuses its checkpoint, no second
+    # pass over the per-key aggregate
+    totals = base.agg(
         F.count(F.lit(1)).alias("n_keys"), F.sum("c").alias("total")
     )
-    ranked = with_global_order(
-        per_key, [F.col("c").desc(), F.col("o_custkey").asc()], rank_col="rk"
-    ).crossJoin(F.broadcast(totals))
+    ranked = base.crossJoin(F.broadcast(totals))
     return ranked.agg(
         F.min("n_keys").cast("bigint").alias("n_keys"),
         F.min("total").cast("bigint").alias("total_rows"),
@@ -2186,9 +2190,12 @@ def q_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     lags = firsts.where(
         F.col("fc").isNotNull() & F.col("fp").isNotNull() & (F.col("fp") >= F.col("fc"))
     ).select("user_id", (F.col("fp") - F.col("fc")).alias("lag_s"))
-    ranked = with_global_order(
+    base = with_global_order(
         lags, [F.col("lag_s").asc(), F.col("user_id").asc()], rank_col="rk"
-    ).crossJoin(F.broadcast(lags.agg(F.count(F.lit(1)).alias("n"))))
+    )
+    # count from the helper output — reuses its checkpoint, no
+    # second pass over the per-user firsts aggregate
+    ranked = base.crossJoin(F.broadcast(base.agg(F.count(F.lit(1)).alias("n"))))
     return ranked.agg(
         F.min("n").cast("bigint").alias("n_converted"),
         F.max(F.when(F.col("rk") == F.expr("(n + 1) div 2"), F.col("lag_s")))
@@ -2748,11 +2755,14 @@ def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
             "slope"
         ),
     )
-    ranked = with_global_order(
+    base = with_global_order(
         pairs,
         [F.col("slope").asc(), F.col("h1").asc(), F.col("h2").asc()],
         rank_col="rk",
-    ).crossJoin(F.broadcast(pairs.agg(F.count(F.lit(1)).alias("n"))))
+    )
+    # scalar total from the helper OUTPUT: reuses its checkpointed
+    # frame instead of re-running the O(k²) pair join (code-review r6)
+    ranked = base.crossJoin(F.broadcast(base.agg(F.count(F.lit(1)).alias("n"))))
     return ranked.agg(
         F.min("n").cast("bigint").alias("n_pairs"),
         F.max(F.when(F.col("rk") == F.expr("(n + 1) div 2"), F.col("slope"))).alias(

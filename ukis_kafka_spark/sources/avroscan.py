@@ -270,9 +270,10 @@ class _AvroWriter(DataSourceWriter):
     second append-mode save() to the same directory silently clobber
     the first batch's files via os.replace (ADVICE r5)."""
 
-    def __init__(self, path: str, avro_schema: dict):
+    def __init__(self, path: str, avro_schema: dict, overwrite: bool = False):
         self.path = path
         self.avro_schema = avro_schema
+        self.overwrite = overwrite
 
     def write(self, rows):
         import os as _os
@@ -289,6 +290,15 @@ class _AvroWriter(DataSourceWriter):
         import os as _os
         import uuid as _uuid
 
+        if self.overwrite:
+            # honor mode("overwrite"): clear the PREVIOUS batches'
+            # part files only now, at commit time — an aborted job
+            # leaves the old data intact. Without this, the unique
+            # per-batch part names turned overwrite into silent
+            # append-with-duplicates (code-review r6).
+            for f in _os.listdir(self.path):
+                if f.endswith(".avro") and not f.startswith("_tmp_"):
+                    _os.remove(_os.path.join(self.path, f))
         batch = _uuid.uuid4().hex[:12]
         for i, m in enumerate(messages):
             _os.replace(
@@ -314,7 +324,9 @@ class AvroSinkDataSource(DataSource):
         return "avrosink"
 
     def writer(self, schema, overwrite: bool) -> DataSourceWriter:
-        return _AvroWriter(self.options["path"], _avro_schema_of(schema))
+        return _AvroWriter(
+            self.options["path"], _avro_schema_of(schema), overwrite
+        )
 
 
 def _ensure_sink_registered(spark: SparkSession) -> None:
