@@ -211,20 +211,29 @@ def main() -> None:
         repartition + per-partition windows + broadcast offsets, over a
         corpus-growing per-user aggregate. The distributed replacement
         for every partition-less rank/cumsum — must stay ~linear (one
-        ranged shuffle + one tiny offset broadcast)."""
+        ranged shuffle, one pinned materialization, one tiny offset
+        broadcast). The helper checkpoints EAGERLY (partition-map
+        consistency), so the whole build runs inside the timed thunk —
+        returning the DataFrame would leave the expensive ranged sort
+        in the untimed staging phase."""
         from ukis_kafka_spark.functions.ranks import with_global_order
 
-        e = _replicate(ev, k, ["user_id", "event_id"])
-        per_user = e.groupBy("user_id").agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.floor("value")).cast("long").alias("mass"),
-        )
-        return with_global_order(
-            per_user,
-            [F.col("n").desc(), F.col("user_id").asc()],
-            rank_col="rn",
-            cumsum={"cmass": F.col("mass")},
-        )
+        def timed():
+            e = _replicate(ev, k, ["user_id", "event_id"])
+            per_user = e.groupBy("user_id").agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.floor("value")).cast("long").alias("mass"),
+            )
+            _force(
+                with_global_order(
+                    per_user,
+                    [F.col("n").desc(), F.col("user_id").asc()],
+                    rank_col="rn",
+                    cumsum={"cmass": F.col("mass")},
+                )
+            )
+
+        return timed
 
     def subseq_scan(k: int):
         """q_subseq_search shape: 8-wide per-user sliding windows +
