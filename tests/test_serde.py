@@ -605,3 +605,38 @@ def test_avro_sink_overwrite_replaces_previous_batch(spark, tmp_path):
     df10.write.format("avrosink").option("path", out).mode("append").save()
     back2 = spark.read.format("avroscan").option("path", out).load()
     assert back2.count() == 14
+
+
+@settings(deadline=None, max_examples=40)
+@given(
+    frames=st.lists(st.binary(min_size=48, max_size=48), max_size=6),
+)
+def test_avi_container_roundtrip(frames):
+    """encode_avi → parse_avi must recover every frame byte-exactly,
+    agree on the header counts, and cross-check movi against idx1."""
+    from ukis_kafka_spark.ml.multimodal import encode_avi, parse_avi
+
+    buf = encode_avi(frames)
+    hdr, back = parse_avi(buf)
+    assert back == frames
+    assert hdr["n_frames"] == len(frames)
+    assert (hdr["width"], hdr["height"]) == (4, 4)
+
+
+def test_avi_rejects_malformed():
+    import struct
+
+    import pytest
+
+    from ukis_kafka_spark.ml.multimodal import encode_avi, parse_avi
+
+    with pytest.raises(ValueError, match="RIFF"):
+        parse_avi(b"JUNKJUNKJUNKJUNK")
+    with pytest.raises(ValueError, match="frame must be"):
+        encode_avi([b"short"])
+    # corrupt the avih frame count: idx1/movi cross-check must fire
+    good = bytearray(encode_avi([b"\x01" * 48, b"\x02" * 48]))
+    pos = good.find(b"avih") + 8 + 16  # dwTotalFrames offset in avih
+    good[pos:pos + 4] = struct.pack("<I", 9)
+    with pytest.raises(ValueError, match="mismatch"):
+        parse_avi(bytes(good))
