@@ -92,13 +92,17 @@ def _count_global_windows(plan: str) -> int:
         idx = line.find("Window [")
         if idx < 0:
             continue
-        if "__go_" in line:
-            # functions.ranks.with_global_order's internal offset
-            # cumulation — one row per shuffle partition by
-            # construction, the sanctioned bounded case
+        rest = line[idx + len("Window ") :]
+        if "more fields" in rest:
+            # spark.sql.debug.maxToStringFields truncation ("... N
+            # more fields") can swallow the spec groups — count it
+            # conservatively so the sweep FLAGS it for a human rather
+            # than silently passing a possibly-global window (ADVICE
+            # r6: the old wholesale skip was a silent false negative)
+            n += 1
             continue
         groups, depth, start = [], 0, None
-        for i, ch in enumerate(line[idx + len("Window ") :]):
+        for i, ch in enumerate(rest):
             if ch == "[":
                 if depth == 0:
                     start = i
@@ -106,9 +110,26 @@ def _count_global_windows(plan: str) -> int:
             elif ch == "]":
                 depth -= 1
                 if depth == 0:
-                    groups.append(line[idx + len("Window ") :][start : i + 1])
-        if len(groups) == 2 and (" ASC" in groups[1] or " DESC" in groups[1]):
-            n += 1
+                    groups.append(rest[start : i + 1])
+        if depth != 0:
+            n += 1  # unbalanced/cut-off spec — flag, don't skip
+            continue
+        if len(groups) != 2 or not (" ASC" in groups[1] or " DESC" in groups[1]):
+            continue  # partitioned or partition-only window — distributes
+        # the ONE sanctioned global window: with_global_order's
+        # internal offsets cumulation — one row per shuffle partition
+        # by construction, SUM/MAX over __go_cnt/__go_tot*/__go_totmx*
+        # ordered by __go_pid. Scoped to the PARSED groups: a genuine
+        # global window whose expressions merely mention __go_ columns
+        # is still counted (ADVICE r6 scoped this down from a
+        # line-wide substring skip).
+        if "__go_pid" in groups[1] and (
+            "__go_cnt" in groups[0]
+            or "__go_tot" in groups[0]
+            or "__go_totmx" in groups[0]
+        ):
+            continue
+        n += 1
     return n
 
 

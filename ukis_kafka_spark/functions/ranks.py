@@ -168,22 +168,28 @@ def with_global_order(
 
     out = out.join(F.broadcast(offsets), _PID)
     proj = [F.col(c) for c in df.columns]
-    if rank_col or ntile:
-        grank = (F.col("__go_off_rn") + F.col(_LRN)).cast("bigint")
     if rank_col:
+        grank = (F.col("__go_off_rn") + F.col(_LRN)).cast("bigint")
         proj.append(grank.alias(rank_col))
     if ntile is not None:
         name, k = ntile
-        n = F.col("__go_n")
         # Spark's ntile: s = n div k, r = n mod k; buckets 1..r hold
         # s+1 rows, the rest hold s (works for n < k too: s=0 ⇒ big=n
-        # ⇒ every rank lands in the ceil(rank/1)=rank branch)
-        r = n % F.lit(k)
-        s = F.floor(n / k).cast("bigint")
-        big = r * (s + 1)  # rows living in the (s+1)-sized buckets
-        tile = F.when(
-            grank <= big, F.ceil(grank / (s + F.lit(1)))
-        ).otherwise(r + F.ceil((grank - big) / s))
+        # ⇒ every rank lands in the (grank+0) div 1 = grank branch;
+        # the div-by-zero ELSE is unreachable — CASE short-circuits).
+        # All-BIGINT `div` arithmetic: the old F.ceil(x / y) went
+        # through double division, exact only below 2^53 —
+        # inconsistent with the 100 TB framing (ADVICE r6).
+        # ceil(a/b) ≡ (a + b - 1) div b for positive ints.
+        k = int(k)
+        g = f"(__go_off_rn + {_LRN})"
+        s = f"(__go_n div {k})"
+        r = f"(__go_n % {k})"
+        big = f"({r} * ({s} + 1))"
+        tile = F.expr(
+            f"CASE WHEN {g} <= {big} THEN ({g} + {s}) div ({s} + 1) "
+            f"ELSE {r} + ({g} - {big} + {s} - 1) div {s} END"
+        )
         proj.append(tile.cast("bigint").alias(name))
     for cname in cumsum:
         proj.append(

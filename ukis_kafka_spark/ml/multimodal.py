@@ -372,13 +372,20 @@ def encode_avi(frames: list, width: int = _AVI_W, height: int = _AVI_H,
     def lst(fourcc: bytes, payload: bytes) -> bytes:
         return chunk(b"LIST", fourcc + payload)
 
+    # rate is DERIVED from usec_per_frame (dwScale=usec_per_frame,
+    # dwRate=1e6 → rate/scale = frames/sec exactly), and
+    # dwMaxBytesPerSec from the same rate — a non-default frame
+    # duration used to get self-inconsistent hardcoded 25 fps headers
+    # (ADVICE r6).
+    max_bps = (fb * 1_000_000) // usec_per_frame
     avih = struct.pack(
-        "<14I", usec_per_frame, fb * 25, 0, 0x10, len(frames), 0, 1, fb,
+        "<14I", usec_per_frame, max_bps, 0, 0x10, len(frames), 0, 1, fb,
         width, height, 0, 0, 0, 0,
     )
     strh = struct.pack(
         "<4s4sIHHIIIIIIiI4H",
-        b"vids", b"DIB ", 0, 0, 0, 0, 1, 25, 0, len(frames), fb, -1, 0,
+        b"vids", b"DIB ", 0, 0, 0, 0, usec_per_frame, 1_000_000, 0,
+        len(frames), fb, -1, 0,
         0, 0, width, height,
     )
     strf = struct.pack(
@@ -411,6 +418,14 @@ def parse_avi(buf: bytes):
         while pos + 8 <= len(data):
             fourcc = data[pos : pos + 4]
             (size,) = struct.unpack_from("<I", data, pos + 4)
+            if pos + 8 + size > len(data):
+                # Python slicing clamps silently — a corrupted declared
+                # size would yield SHORT frame bytes instead of the
+                # promised raise (ADVICE r6)
+                raise ValueError(
+                    f"chunk {fourcc!r} declares {size} bytes at offset "
+                    f"{pos} but only {len(data) - pos - 8} remain"
+                )
             payload = data[pos + 8 : pos + 8 + size]
             yield fourcc, payload
             pos += 8 + size + (size % 2)

@@ -290,21 +290,34 @@ class _AvroWriter(DataSourceWriter):
         import os as _os
         import uuid as _uuid
 
+        old_parts: list[str] = []
         if self.overwrite:
-            # honor mode("overwrite"): clear the PREVIOUS batches'
-            # part files only now, at commit time — an aborted job
-            # leaves the old data intact. Without this, the unique
-            # per-batch part names turned overwrite into silent
-            # append-with-duplicates (code-review r6).
-            for f in _os.listdir(self.path):
-                if f.endswith(".avro") and not f.startswith("_tmp_"):
-                    _os.remove(_os.path.join(self.path, f))
+            # honor mode("overwrite"): snapshot the PREVIOUS batches'
+            # part files NOW, but delete them only AFTER every new
+            # part is renamed into place (rename-first). The old
+            # delete-then-rename order could lose the previous batch
+            # with nothing in its place if the commit crashed between
+            # the two loops, and would also delete a concurrently
+            # committed append batch landing mid-commit (ADVICE r6).
+            # A part appended after this snapshot is never touched;
+            # a crash mid-commit leaves old, old+new, or new — never
+            # an empty directory.
+            old_parts = [
+                f
+                for f in _os.listdir(self.path)
+                if f.endswith(".avro") and not f.startswith("_tmp_")
+            ]
         batch = _uuid.uuid4().hex[:12]
         for i, m in enumerate(messages):
             _os.replace(
                 m.tmp_path,
                 _os.path.join(self.path, f"part-{batch}-{i:05d}.avro"),
             )
+        for f in old_parts:
+            try:
+                _os.remove(_os.path.join(self.path, f))
+            except OSError:
+                pass  # already gone — a racing overwrite beat us to it
 
     def abort(self, messages):
         import os as _os
