@@ -15,11 +15,11 @@ own ``zipWithIndex``) is implemented here on the DataFrame API:
    record offset in the lower 33) — a free projection, no window, no
    extra shuffle; running sums, where requested, use a window over
    the already-computed (pid, local-rank) pair;
-3. the stamped frame is MATERIALIZED once (checkpoint_df — this is a
-   correctness requirement, see with_global_order's docstring), then
-   per-partition totals (one row per partition — a few dozen rows)
-   are cumulated into offsets and broadcast back; both consumers read
-   the same pinned partition map.
+3. the stamped frame is compiled to ONE pinned RDD (checkpoint_df,
+   lazy — this is a correctness requirement, see with_global_order's
+   docstring), then per-partition totals (one row per partition — a
+   few dozen rows) are cumulated into offsets and broadcast back;
+   both consumers read the same pinned partition map.
 
 The results are **partition-invariant**: a row's global rank/cumsum
 depends only on the total order, never on where the range boundaries
@@ -73,11 +73,12 @@ def with_global_order(
     its own cumulation is a global window over those ~32 rows — the
     sanctioned bounded case.
 
-    CORRECTNESS REQUIRES the stamped frame to be MATERIALIZED before
-    its two consumers (the rows and the per-partition totals) read it
-    — so this function is EAGER (checkpoint_df). Two declaratively
-    re-planned branches are NOT safe: column pruning makes the two
-    range exchanges non-canonical so Spark executes both (verified on
+    CORRECTNESS REQUIRES the stamped frame to be compiled ONCE — one
+    physical RDD whose frozen shuffle dependency both consumers (the
+    rows and the per-partition totals) read — so this function
+    checkpoints (checkpoint_df). Two declaratively re-planned
+    branches are NOT safe: column pruning makes the two range
+    exchanges non-canonical so Spark executes both (verified on
     4.1.2 — zero ReusedExchange), and once they execute independently
     the partition MAPS can diverge (AQE coalesces the small pruned
     totals shuffle to a different partition count than the wide data
@@ -88,7 +89,15 @@ def with_global_order(
     partition) — exactly the vacuous-evidence trap. The checkpoint
     pins one physical partition map that both consumers read; it also
     makes chained calls compute each level once (measured
-    2.16 → 1.31 s on q_rfm's 3-ntile chain).
+    2.16 → 1.31 s on q_rfm's 3-ntile chain). The checkpoint is LAZY
+    (round 7): pinning comes from plan compilation, not from WHEN
+    blocks store, so the totals/broadcast job doubles as the
+    materializer — one job saved per call (q_rfm 1.94 → 1.67 s).
+    Block recompute after a lost executor reuses the frozen
+    RangePartitioner (bounds are captured in the dependency, never
+    re-sampled), so laziness does not reopen the divergence hazard;
+    on a cluster, UKIS_CHECKPOINT_DIR upgrades storage to reliable
+    exactly as before.
     """
     cumsum = dict(cumsum or {})
     cummax_before = dict(cummax_before or {})
@@ -113,9 +122,15 @@ def with_global_order(
             (mid.bitwiseAND(F.lit((1 << 33) - 1)) + 1).alias(_LRN),
         )
     )
-    # ONE execution, pinned partition map — see docstring. Both `out`
-    # and `totals` below read the materialized frame.
-    base = checkpoint_df(base)
+    # ONE compiled RDD, pinned partition map — see docstring. Both
+    # `out` and `totals` below read the same frozen shuffle
+    # dependency (its RangePartitioner bounds are sampled exactly
+    # once, at compile time), so the round-6 divergent-map hazard —
+    # two independently PLANNED range exchanges — cannot occur.
+    # LAZY: block storage happens during the totals/broadcast job
+    # that runs first anyway, saving one materialization job per call
+    # (q_rfm's 3-call chain: 1.94 → 1.67 s at sf0.1).
+    base = checkpoint_df(base, eager=False)
     out = base
     if cumsum or cummax_before:
         # running aggregates still need an ordered frame; pid/lrn are

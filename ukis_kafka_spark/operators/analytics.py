@@ -78,7 +78,14 @@ def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "monetary_micros",
     )
     from ..functions.ranks import with_global_order
+    from ..registry import checkpoint_df
 
+    # lazy-checkpoint the customer-grain aggregate so the first
+    # ntile's range-bounds sample job doesn't execute the groupBy a
+    # second time (the sample materializes the blocks; the shuffle
+    # map then reads them) — measured ~0.1 s at sf0.1, and at scale
+    # it halves the reads of the aggregation
+    per_cust = checkpoint_df(per_cust, eager=False)
     out = with_global_order(
         per_cust,
         [F.col("recency_days").asc(), F.col("custkey").asc()],

@@ -83,7 +83,7 @@ def _tune(spark: SparkSession) -> None:
     _ship_package(spark)
 
 
-def checkpoint_df(df: DataFrame) -> DataFrame:
+def checkpoint_df(df: DataFrame, *, eager: bool = True) -> DataFrame:
     """Truncate lineage for a table carried across iterations.
 
     Default is ``localCheckpoint()`` — correct and fast on ``local[*]``
@@ -95,6 +95,17 @@ def checkpoint_df(df: DataFrame) -> DataFrame:
     reliable ``checkpoint()`` into that directory.  Results are
     identical either way (tests/test_graph.py pins equal hashes both
     modes); only fault-tolerance changes.
+
+    ``eager=False`` still compiles the plan to ONE pinned RDD (the
+    plan shows the same ExistingRDD scan and every consumer shares the
+    one frozen shuffle dependency — the round-6 partition-map fix is
+    about plan-compilation count, not about WHEN blocks materialize),
+    but defers block storage to the first downstream action, fusing
+    the materialization job into work that runs anyway.  Measured on
+    with_global_order: one job saved per call (q_rfm 1.94 → 1.67 s at
+    sf0.1).  Keep the default EAGER for iterative loops, where the
+    point is to stop the next iteration's planner from re-executing
+    the carried lineage at staging time.
     """
     import os
 
@@ -106,8 +117,8 @@ def checkpoint_df(df: DataFrame) -> DataFrame:
         sc = spark.sparkContext
         if not sc.getCheckpointDir():
             sc.setCheckpointDir(ckdir)
-        return df.checkpoint()
-    return df.localCheckpoint()
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)
 
 
 def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn]:
