@@ -142,3 +142,45 @@ def test_dead_column_audit_flags_planted_vacuities(spark):
     one = spark.sql("SELECT 0 AS z, 'tag' AS t")
     flags1 = audit_df(one)
     assert flags1["dead"] == ["z"] and flags1["const"] == []
+
+
+def test_deadcols_baseline_fresh_and_reviewed():
+    """The dead-column RATCHET (VERDICT r6 item 8): DEADCOLS.json is
+    the committed, human-reviewed vacuity baseline written by
+    ``tools/dead_column_audit.py --write`` at sf0.01.
+
+    (a) FRESHNESS — every registered batch query must have an audit
+        row: a new operator fails the suite until the sweep is re-run;
+    (b) REVIEWED — every flag row must carry ``reviewed: true``: the
+        --write tool stamps a NEW or CHANGED flag set ``false``, so a
+        freshly-landed vacuous column fails until a human judges it
+        (honest zero / by-design constant → flip by hand; real
+        vacuity → fix the operator and re-run);
+    (c) no stale rows for queries that no longer exist.
+    """
+    import json
+    from pathlib import Path
+
+    from ukis_kafka_spark import api
+
+    path = Path(__file__).resolve().parents[1] / "DEADCOLS.json"
+    data = json.loads(path.read_text())
+    batch = {
+        n for n in api.QUERIES if not n.startswith(("s_", "sink_", "src_"))
+    }
+    audited = set(data["audited"])
+    missing = batch - audited
+    assert not missing, (
+        f"operators missing from the dead-column baseline: {sorted(missing)} "
+        "— run `python tools/dead_column_audit.py --write`, review any new "
+        "flags, and commit DEADCOLS.json"
+    )
+    stale = audited - batch
+    assert not stale, f"stale audit rows for removed queries: {sorted(stale)}"
+    unreviewed = [n for n, v in data["flags"].items() if not v.get("reviewed")]
+    assert not unreviewed, (
+        f"unreviewed vacuity flags: {unreviewed} — judge each column "
+        "(honest zero / by-design constant / real vacuity) before flipping "
+        "reviewed: true in DEADCOLS.json"
+    )
+    assert set(data["flags"]) <= audited

@@ -521,3 +521,41 @@ def test_with_global_order_plan_shape(spark):
         l for l in plan2.splitlines() if "Window [" in l and "__go_pid" not in l
     ]
     assert not bad2, f"partition-less Window over data: {bad2}"
+
+
+def test_global_window_allowlist_only_shrinks():
+    """Ratchet on plan_audit's GLOBAL_WINDOW_ALLOWLIST (VERDICT r6
+    item 7): the round-6 cleanup took 48 partition-less-window sites
+    down to 17 bounded-by-construction exceptions.  Pin that set so it
+    can only SHRINK silently — any addition must edit THIS test too,
+    which forces the justified-bounded review (post-limit stamp /
+    fixed grid / calendar grain / value-domain support) to happen in
+    the same diff.  Every entry must also carry a non-trivial
+    justification string and point at a live registered query."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+    from plan_audit import GLOBAL_WINDOW_ALLOWLIST
+
+    from ukis_kafka_spark.registry import QUERIES
+
+    PINNED = {
+        "m_adaboost_round", "m_ann_recall_eval", "m_decile_lift",
+        "m_decision_stump", "m_importance_resample", "m_neyman_allocation",
+        "m_rank_fusion", "q_changepoint", "q_cumulative_distinct",
+        "q_lorenz_deciles", "q_mom_growth", "q_quantile_hist",
+        "q_rolling_corr", "q_rolling_variance", "q_sort_multi",
+        "q_subseq_search", "q_subseq_znorm",
+    }
+    grown = set(GLOBAL_WINDOW_ALLOWLIST) - PINNED
+    assert not grown, (
+        f"GLOBAL_WINDOW_ALLOWLIST grew by {sorted(grown)} — a new "
+        "partition-less window must be individually justified as bounded "
+        "by construction AND added to PINNED here in the same commit"
+    )
+    for name, why in GLOBAL_WINDOW_ALLOWLIST.items():
+        assert name in QUERIES, f"stale allowlist entry: {name}"
+        assert isinstance(why, str) and len(why) >= 20, (
+            f"allowlist entry {name} needs a real justification, got {why!r}"
+        )
