@@ -212,10 +212,11 @@ def main() -> None:
         corpus-growing per-user aggregate. The distributed replacement
         for every partition-less rank/cumsum — must stay ~linear (one
         ranged shuffle, one pinned materialization, one tiny offset
-        broadcast). The helper checkpoints EAGERLY (partition-map
-        consistency), so the whole build runs inside the timed thunk —
-        returning the DataFrame would leave the expensive ranged sort
-        in the untimed staging phase."""
+        broadcast). The helper pins via checkpoint_df (lazy since
+        round 7, but the materialization still happens during the
+        first downstream job), so the whole build runs inside the
+        timed thunk — returning the DataFrame would leave the
+        expensive ranged sort in the untimed staging phase."""
         from ukis_kafka_spark.functions.ranks import with_global_order
 
         def timed():
@@ -228,6 +229,41 @@ def main() -> None:
                 with_global_order(
                     per_user,
                     [F.col("n").desc(), F.col("user_id").asc()],
+                    rank_col="rn",
+                    cumsum={"cmass": F.col("mass")},
+                )
+            )
+
+        return timed
+
+    def ranged_rank_skew(k: int):
+        """with_global_order under a HOT ORDER KEY (VERDICT r6 item 6:
+        the one distribution that could re-funnel a range partitioner)
+        — half of all users share ONE value of the leading order
+        column. The primitive REQUIRES a total order, so the unique
+        tiebreak (user_id) is part of the range key: repartitionByRange
+        partitions on the COMPOSITE (hot, user_id), splitting the hot
+        value's ties across partitions by tiebreak. This entry
+        MEASURES that the tiebreak genuinely absorbs the skew (curve
+        must match the uniform ranged_rank shape, no single-partition
+        funnel)."""
+        from ukis_kafka_spark.functions.ranks import with_global_order
+
+        def timed():
+            e = _replicate(ev, k, ["user_id", "event_id"])
+            per_user = e.groupBy("user_id").agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.floor("value")).cast("long").alias("mass"),
+            )
+            # 50% of users collapse onto hot=0; the rest keep n
+            skewed = per_user.withColumn(
+                "hot",
+                F.when(F.col("user_id") % 2 == 0, F.lit(0)).otherwise(F.col("n")),
+            )
+            _force(
+                with_global_order(
+                    skewed,
+                    [F.col("hot").asc(), F.col("user_id").asc()],
                     rank_col="rn",
                     cumsum={"cmass": F.col("mass")},
                 )
@@ -296,6 +332,7 @@ def main() -> None:
         "banded_dedup": banded_dedup,
         "stateful_stream": stateful_stream,
         "ranged_rank": ranged_rank,
+        "ranged_rank_skew": ranged_rank_skew,
         "subseq_scan": subseq_scan,
         "blocked_cosine": blocked_cosine,
     }
