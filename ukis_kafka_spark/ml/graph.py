@@ -606,6 +606,94 @@ def m_graph_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LPA_ITERS = 3
+
+
+def _oracle_lpa() -> str:
+    parts = [
+        """
+WITH edges AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a
+  JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  WHERE a.l_quantity > 45 AND b.l_quantity > 45
+),
+sym AS (SELECT src, dst FROM edges UNION ALL SELECT dst AS src, src AS dst FROM edges),
+l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM sym)"""
+    ]
+    for k in range(_LPA_ITERS):
+        parts.append(
+            f""",
+l{k + 1} AS (
+  SELECT node, lbl FROM (
+    SELECT s.src AS node, lb.lbl,
+           row_number() OVER (PARTITION BY s.src
+                              ORDER BY count(*) DESC, lb.lbl ASC) AS rn
+    FROM sym s JOIN l{k} lb ON lb.node = s.dst
+    GROUP BY s.src, lb.lbl
+  ) t WHERE rn = 1
+)"""
+        )
+    parts.append(
+        f"""
+SELECT lbl AS community, count(*) AS n_nodes, min(node) AS min_node, max(node) AS max_node
+FROM l{_LPA_ITERS} GROUP BY lbl"""
+    )
+    return "".join(parts)
+
+
+@query("m_graph_lpa", oracle=_oracle_lpa())
+def m_graph_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label propagation (community detection) on the
+    bulk-order co-purchase graph: each round every node adopts the
+    MOST FREQUENT label among its neighbors, ties broken to the
+    smallest label — with a FIXED {3}-round horizon the update is
+    deterministic integer selection, so the whole iteration is
+    hash-checked against an unrolled DuckDB oracle (the m_graph_cc
+    trick; contrast with min-label CC, which finds components — mode
+    propagation splits dense components into communities).  Scale:
+    identical physical shape to m_graph_cc — one (join, count, argmax)
+    round trip per iteration, hub keys salted, labels checkpointed per
+    round so the carried lineage never re-executes; the per-node
+    argmax is a window PARTITIONED by node (distributes; never
+    global)."""
+    edges = coorder_edges(spark, sf_dir, variant="q45")
+    small = edges.count() <= _KERNEL_EDGE_BUDGET  # parquet metadata count
+    sym_raw = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = (
+        sym_raw.groupBy("dst")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .withColumnRenamed("dst", "node")
+    )
+    hubs = deg.where(F.col("d") >= _HUB_MIN_DEG).select("node")
+    from pyspark.sql import Window
+
+    sym = _salt_edges(sym_raw, "dst", "src", hubs).transform(checkpoint_df)
+    labels = sym.select(F.col("src").alias("node")).distinct().withColumn(
+        "lbl", F.col("node")
+    )
+    w_mode = Window.partitionBy("src").orderBy(
+        F.col("cnt").desc(), F.col("lbl").asc()
+    )
+    for _ in range(_LPA_ITERS):
+        labels = (
+            sym.join(_replicate_salts(labels, "dst", small), ["dst", "salt"])
+            .groupBy("src", "lbl")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .withColumn("rn", F.row_number().over(w_mode))
+            .where(F.col("rn") == 1)
+            .select(F.col("src").alias("node"), "lbl")
+            .transform(checkpoint_df)  # truncate iterative lineage
+        )
+    return labels.groupBy(F.col("lbl").alias("community")).agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.min("node").alias("min_node"),
+        F.max("node").alias("max_node"),
+    )
+
+
 _BFS_HOPS = 3
 
 

@@ -2318,6 +2318,114 @@ def m_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MAT_TRUNC_D = 16
+
+
+@query(
+    "m_matryoshka_recall",
+    oracle=f"""
+WITH qv AS (
+  SELECT vec_id, d, CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT) AS v
+  FROM (SELECT vec_id, generate_subscripts(embedding, 1) AS d, unnest(embedding) AS x
+        FROM embeddings)
+),
+qblock AS (SELECT vec_id AS qid, d, v AS qv FROM qv WHERE vec_id < {_RECALL_NQ}),
+d2 AS (
+  SELECT b.qid, a.vec_id AS nid,
+         SUM((a.v - b.qv) * (a.v - b.qv)) AS d2_full,
+         SUM(CASE WHEN a.d <= {_MAT_TRUNC_D}
+                  THEN (a.v - b.qv) * (a.v - b.qv) ELSE 0 END) AS d2_trunc
+  FROM qv a JOIN qblock b USING (d)
+  WHERE a.vec_id <> b.qid
+  GROUP BY b.qid, a.vec_id
+),
+ranked AS (
+  SELECT qid, nid,
+         row_number() OVER (PARTITION BY qid ORDER BY d2_full ASC, nid ASC) AS rn_full,
+         row_number() OVER (PARTITION BY qid ORDER BY d2_trunc ASC, nid ASC) AS rn_trunc
+  FROM d2
+),
+hits AS (
+  SELECT qid,
+         COUNT(CASE WHEN rn_full <= {_RECALL_K} AND rn_trunc <= {_RECALL_K}
+                    THEN 1 END) AS n_hits
+  FROM ranked GROUP BY qid
+),
+nnrank AS (
+  SELECT qid, rn_trunc AS nn_trunc_rank FROM ranked WHERE rn_full = 1
+)
+SELECT h.qid, h.n_hits, r.nn_trunc_rank,
+       h.n_hits * 1000000 // {_RECALL_K} AS recall_ppm
+FROM hits h JOIN nnrank r USING (qid)
+""",
+)
+def m_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation audit: how much nearest-neighbor quality
+    survives keeping only the FIRST {_MAT_TRUNC_D} of 64 embedding
+    dimensions — recall@{_RECALL_K} of truncated-metric search against
+    full-metric ground truth, plus the truncated rank of each query's
+    TRUE nearest neighbor.  The production question behind it: can the
+    ANN index run on a 4x-cheaper prefix (matryoshka-style nested
+    embeddings) and refine with full vectors later?
+
+    Hash-safety: distances are exact BIGINT sums over 1e4-quantized
+    components (the m_ann_recall_eval convention), rankings carry the
+    nid tiebreak, recall is integer ppm.  Scale: BOTH metrics come out
+    of ONE aggregation pass (d2_full and the d<=16 partial sum per
+    candidate pair) over the dim-exploded corpus joined to the
+    broadcast 20-query block — the prefix property means truncated
+    distance is a prefix sum of the same products, so the audit costs
+    zero extra scans; per-query ranking windows are bounded by the
+    probe count."""
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = e.select(
+        "vec_id",
+        F.posexplode(
+            F.transform("embedding", lambda x: F.floor(x.cast("double") * 10_000).cast("long"))
+        ).alias("d0", "v"),
+    ).select("vec_id", (F.col("d0") + 1).alias("d"), "v")
+    qblock = qv.where(F.col("vec_id") < _RECALL_NQ).select(
+        F.col("vec_id").alias("qid"), "d", F.col("v").alias("qv")
+    )
+    dd = (F.col("v") - F.col("qv")) * (F.col("v") - F.col("qv"))
+    d2 = (
+        qv.join(F.broadcast(qblock), "d")
+        .where(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", F.col("vec_id").alias("nid"))
+        .agg(
+            F.sum(dd).alias("d2_full"),
+            F.sum(F.when(F.col("d") <= _MAT_TRUNC_D, dd).otherwise(F.lit(0))).alias(
+                "d2_trunc"
+            ),
+        )
+    )
+    wf = Window.partitionBy("qid").orderBy(F.col("d2_full").asc(), F.col("nid").asc())
+    wt = Window.partitionBy("qid").orderBy(F.col("d2_trunc").asc(), F.col("nid").asc())
+    ranked = d2.select(
+        "qid",
+        "nid",
+        F.row_number().over(wf).alias("rn_full"),
+        F.row_number().over(wt).alias("rn_trunc"),
+    )
+    hits = ranked.groupBy("qid").agg(
+        F.count(
+            F.when((F.col("rn_full") <= _RECALL_K) & (F.col("rn_trunc") <= _RECALL_K), 1)
+        ).alias("n_hits")
+    )
+    nnrank = ranked.where(F.col("rn_full") == 1).select(
+        "qid", F.col("rn_trunc").alias("nn_trunc_rank")
+    )
+    return (
+        hits.join(nnrank, "qid")
+        .select(
+            "qid",
+            "n_hits",
+            "nn_trunc_rank",
+            F.expr(f"n_hits * 1000000 div {_RECALL_K}").alias("recall_ppm"),
+        )
+    )
+
+
 @query(
     "m_embed_drift",
     oracle="""

@@ -1177,6 +1177,77 @@ def m_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EPOCH_CAP = 3     # no document repeats more than 3 epochs
+_EPOCH_BUDGET = 2  # sample 2x the corpus mass overall
+
+
+def _epoch_cap_sql(dialect: str) -> str:
+    """Engine-shared SQL for the epoch-cap waterfill (``{div}`` is the
+    only dialect difference: Spark ``div`` / DuckDB ``//``, both exact
+    BIGINT division on the non-negative values used here)."""
+    div = "div" if dialect == "spark" else "//"
+    rounds = []
+    prev = "r0"
+    for k in range(1, 6):
+        rounds.append(
+            f"""r{k} AS (
+  SELECT lang, n, cap, b,
+         capped OR (
+           (b - CAST(COALESCE((SELECT SUM(cap) FROM {prev} WHERE capped), 0) AS BIGINT))
+           {div} CAST((SELECT COUNT(*) FROM {prev} WHERE NOT capped) AS BIGINT)
+         ) > cap AS capped
+  FROM {prev}
+)"""
+        )
+        prev = f"r{k}"
+    rounds_sql = ",\n".join(rounds)
+    return f"""
+WITH langs AS (SELECT lang, count(*) AS n FROM {{documents}} GROUP BY lang),
+r0 AS (
+  SELECT lang, CAST(n AS BIGINT) AS n, CAST({_EPOCH_CAP} * n AS BIGINT) AS cap,
+         CAST({_EPOCH_BUDGET} * (SELECT SUM(n) FROM langs) AS BIGINT) AS b,
+         FALSE AS capped
+  FROM langs
+),
+{rounds_sql},
+fin AS (
+  SELECT lang, n, cap, capped,
+         b - CAST(COALESCE((SELECT SUM(cap) FROM r5 WHERE capped), 0) AS BIGINT) AS rem,
+         CAST((SELECT COUNT(*) FROM r5 WHERE NOT capped) AS BIGINT) AS nu
+  FROM r5
+)
+SELECT lang, n AS n_docs, cap AS cap_docs,
+       CAST(CASE WHEN capped THEN cap ELSE rem {div} nu END AS BIGINT) AS alloc_docs,
+       CASE WHEN capped THEN 1 ELSE 0 END AS capped,
+       CAST((CASE WHEN capped THEN cap ELSE rem {div} nu END) * 1000000 {div} n
+         AS BIGINT) AS epochs_ppm
+FROM fin
+"""
+
+
+@query("m_epoch_cap_mix", oracle=_epoch_cap_sql("duck").format(documents="documents"))
+def m_epoch_cap_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-capped mixture waterfill: allocate a training budget of
+    {_EPOCH_BUDGET}x the corpus mass UNIFORMLY across languages, but
+    no language may repeat beyond {_EPOCH_CAP} epochs of its own mass
+    — the "repeat small sources at most k times" rule every
+    data-constrained pretraining mix applies. Surplus from capped
+    languages re-splits equally among the uncapped each round; five
+    unrolled rounds is a fixed point for any 5-language corpus (each
+    round either caps a new language or changes nothing). Keyed by
+    lang — measured SKEWED (en 218 / fr 64 at sf0.01), so the cap
+    genuinely binds (fr wants 200 > cap 192) and the redistribution
+    fires; keying by the round-robin-uniform source column would make
+    every branch dead (round-6 audit rule). All arithmetic is BIGINT
+    with explicit integer division — the identical SQL text runs on
+    both engines modulo the div token (the m_adaboost_round pattern).
+    Scale: one group-by scan to lang grain; every round is scalar
+    aggregates over the |langs|-row frame — arithmetic at any corpus
+    size."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("docs_ecm")
+    return spark.sql(_epoch_cap_sql("spark").format(documents="docs_ecm"))
+
+
 _FOLD_K = 5
 
 
