@@ -409,3 +409,48 @@ def test_kcore_strategies_agree(spark):
     )
     j = sorted(map(tuple, _kcore_jvm(spark, coorder_edges(spark, SF_SMOKE)).collect()))
     assert k == j and len(k) == 3
+
+
+def test_matryoshka_recall_reference(spark):
+    """m_matryoshka_recall re-derived with numpy: quantize to the 1e4
+    integer grid, exact int64 distances full vs 16-dim prefix, top-5
+    overlap and the true-NN's truncated rank — must match exactly.
+    Also pins the audit's own informativeness: truncation must not be
+    a perfect proxy (some query loses a hit) nor useless (some query
+    keeps one)."""
+    import numpy as np
+    import pandas as pd
+
+    from ukis_kafka_spark.ml.similarity import _MAT_TRUNC_D, _RECALL_K, _RECALL_NQ
+
+    emb = pd.read_parquet(f"{SF_SMOKE}/embeddings.parquet")
+    V = np.floor(np.stack(emb["embedding"].to_numpy()).astype(np.float64) * 10_000).astype(np.int64)
+    ids = emb["vec_id"].to_numpy()
+    order = np.argsort(ids)
+    V, ids = V[order], ids[order]
+    exp = {}
+    for qpos in np.where(ids < _RECALL_NQ)[0]:
+        qid = int(ids[qpos])
+        diff = V - V[qpos]
+        d2f = (diff * diff).sum(axis=1)
+        d2t = (diff[:, :_MAT_TRUNC_D] * diff[:, :_MAT_TRUNC_D]).sum(axis=1)
+        mask = ids != qid
+        cand = ids[mask]
+
+        def rank(d2):
+            key = sorted(zip(d2[mask], cand))
+            return {int(nid): r + 1 for r, (_, nid) in enumerate(key)}
+
+        rf, rt = rank(d2f), rank(d2t)
+        truth = {n for n, r in rf.items() if r <= _RECALL_K}
+        approx = {n for n, r in rt.items() if r <= _RECALL_K}
+        nn = min(rf, key=lambda n: rf[n])
+        exp[qid] = (len(truth & approx), rt[nn], len(truth & approx) * 1_000_000 // _RECALL_K)
+    got = {
+        r.qid: (r.n_hits, r.nn_trunc_rank, r.recall_ppm)
+        for r in api.queries()["m_matryoshka_recall"](spark, SF_SMOKE).collect()
+    }
+    assert got == exp
+    hits = [h for h, _, _ in exp.values()]
+    assert min(hits) < _RECALL_K, "truncation never loses a hit — vacuous audit"
+    assert max(hits) > 0, "truncation never keeps a hit — vacuous audit"

@@ -845,3 +845,62 @@ def test_graph_pagerank_reference(spark, adj_ref):
     top = sorted(rank.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
     got = [(r.node, r.rank_u) for r in _rows(spark, "m_graph_pagerank")]
     assert got == top
+
+
+def test_graph_lpa_reference(spark):
+    """3-round synchronous label propagation re-derived with a python
+    dict simulation over the q45 co-order graph: each round every node
+    adopts its neighbors' MODE label (ties -> min).  Also checks the
+    refinement property: every LPA community must lie inside one true
+    connected component (a propagated label is always a reachable
+    node's id), and the node universe must match m_graph_cc's."""
+    from collections import Counter, defaultdict
+
+    from ukis_kafka_spark.ml.graph import _LPA_ITERS
+
+    li = pd.read_parquet(
+        f"{SF_SMOKE}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_quantity"],
+    )
+    li = li[li["l_quantity"] > 45]
+    adj = defaultdict(set)
+    for _, grp in li.groupby("l_orderkey")["l_partkey"]:
+        ps = sorted(set(grp))
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                adj[ps[i]].add(ps[j])
+                adj[ps[j]].add(ps[i])
+    lbl = {v: v for v in adj}
+    for _ in range(_LPA_ITERS):
+        nxt = {}
+        for v in adj:
+            cnt = Counter(lbl[u] for u in adj[v])
+            top = max(cnt.values())
+            nxt[v] = min(l for l, c in cnt.items() if c == top)
+        lbl = nxt
+    comm = defaultdict(list)
+    for v, l in lbl.items():
+        comm[l].append(v)
+    exp = {l: (len(vs), min(vs), max(vs)) for l, vs in comm.items()}
+    got = {
+        r.community: (r.n_nodes, r.min_node, r.max_node)
+        for r in _rows(spark, "m_graph_lpa")
+    }
+    assert got == exp
+    # node conservation vs the component query (same subgraph)
+    assert sum(n for n, _, _ in got.values()) == len(adj)
+    # refinement: a community's label is a member of the community's
+    # component (labels only travel along edges)
+    parent = {v: v for v in adj}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for v, ns in adj.items():
+        for u in ns:
+            parent[find(u)] = find(v)
+    for v, l in lbl.items():
+        assert find(v) == find(l), f"label {l} escaped {v}'s component"

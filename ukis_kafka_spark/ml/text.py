@@ -1177,8 +1177,13 @@ def m_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_EPOCH_CAP = 3     # no document repeats more than 3 epochs
-_EPOCH_BUDGET = 2  # sample 2x the corpus mass overall
+# Tuned on MEASURED per-lang masses at all three SFs (round-5 rule:
+# thresholds must fire everywhere, and cap==budget would degenerate to
+# a constant epochs column): budget 3x / cap 4 binds 2 langs at
+# sf0.001 (with a second-round CASCADE: capping de pushes zh over),
+# 4 langs at sf0.01/0.1, and the uncapped remainder always differs.
+_EPOCH_CAP = 4     # no document repeats more than 4 epochs
+_EPOCH_BUDGET = 3  # sample 3x the corpus mass overall
 
 
 def _epoch_cap_sql(dialect: str) -> str:
