@@ -694,6 +694,98 @@ def m_graph_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WALK_STEPS = 3
+
+
+def _oracle_hash_walks() -> str:
+    # big-endian value of the first 8 md5 hex digits (32 bits, sign-
+    # safe) — the repo's engine-neutral derived-randomness idiom
+    def hex8(expr: str) -> str:
+        return " + ".join(
+            f"(strpos('0123456789abcdef', substring(md5({expr}), {i + 1}, 1)) - 1)"
+            f" * {16 ** (7 - i)}"
+            for i in range(8)
+        )
+
+    parts = [
+        """
+WITH edges AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a
+  JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  WHERE a.l_quantity > 45 AND b.l_quantity > 45
+),
+sym AS (SELECT src, dst FROM edges UNION ALL SELECT dst AS src, src AS dst FROM edges),
+w0 AS (SELECT DISTINCT src AS start_node, src AS cur FROM sym)"""
+    ]
+    for k in range(1, _WALK_STEPS + 1):
+        h = hex8(f"concat(w.start_node, ':', {k}, ':', s.dst)")
+        parts.append(
+            f""",
+w{k} AS (
+  SELECT start_node, dst AS cur FROM (
+    SELECT w.start_node, s.dst,
+           row_number() OVER (PARTITION BY w.start_node
+                              ORDER BY CAST({h} AS BIGINT) ASC, s.dst ASC) AS rn
+    FROM w{k - 1} w JOIN sym s ON s.src = w.cur
+  ) t WHERE rn = 1
+)"""
+        )
+    hops = ", ".join(
+        f"(SELECT cur FROM w{k} WHERE w{k}.start_node = w0.start_node) AS hop{k}"
+        for k in range(1, _WALK_STEPS + 1)
+    )
+    parts.append(f"""
+SELECT start_node, {hops} FROM w0""")
+    return "".join(parts)
+
+
+@query("m_hash_walks", oracle=_oracle_hash_walks())
+def m_hash_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic {3}-step random-walk sampling from EVERY node of
+    the bulk-order co-purchase graph — the corpus generator for
+    node2vec/DeepWalk-style graph embeddings, RNG-free: step k moves
+    the walker to the neighbor minimizing the md5-derived 32-bit hash
+    of (start, step, neighbor), so walks are reproducible across
+    engines and re-runs (the repo's derived-randomness idiom) yet
+    uncorrelated across walkers and steps.  Scale: one edge-list join
+    per step with the per-walker argmin as groupBy min(struct) —
+    map-side combined, no window over anything unbounded; the frontier
+    stays exactly |V| rows; ``{3}`` steps = 3 shuffles."""
+    edges = coorder_edges(spark, sf_dir, variant="q45")
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).transform(checkpoint_df)
+    walks = sym.select(F.col("src").alias("start_node")).distinct().withColumn(
+        "cur", F.col("start_node")
+    )
+    for k in range(1, _WALK_STEPS + 1):
+        hv = F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("start_node"), F.lit(k), F.col("dst"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        walks = (
+            walks.join(sym, walks.cur == sym.src)
+            .select("start_node", *[F.col(f"hop{j}") for j in range(1, k)], "dst", hv.alias("hv"))
+            .groupBy("start_node", *[f"hop{j}" for j in range(1, k)])
+            .agg(F.min(F.struct("hv", "dst")).alias("pick"))
+            .select(
+                "start_node",
+                *[f"hop{j}" for j in range(1, k)],
+                F.col("pick.dst").alias(f"hop{k}"),
+            )
+            .withColumn("cur", F.col(f"hop{k}"))
+        )
+    return walks.select(
+        "start_node", *[f"hop{k}" for k in range(1, _WALK_STEPS + 1)]
+    )
+
+
 _BFS_HOPS = 3
 
 
