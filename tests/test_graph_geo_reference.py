@@ -904,3 +904,49 @@ def test_graph_lpa_reference(spark):
             parent[find(u)] = find(v)
     for v, l in lbl.items():
         assert find(v) == find(l), f"label {l} escaped {v}'s component"
+
+
+def test_hash_walks_reference(spark):
+    """3-step hash-walks re-derived with python dicts + hashlib.md5:
+    every hop must equal the argmin-hash neighbor, every step must
+    follow a real edge, and the walk distribution must be non-trivial
+    (walkers do not all collapse onto one node)."""
+    import hashlib
+    from collections import defaultdict
+
+    from ukis_kafka_spark.ml.graph import _WALK_STEPS
+
+    li = pd.read_parquet(
+        f"{SF_SMOKE}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_quantity"],
+    )
+    li = li[li["l_quantity"] > 45]
+    adj = defaultdict(set)
+    for _, grp in li.groupby("l_orderkey")["l_partkey"]:
+        ps = sorted(set(grp))
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                adj[ps[i]].add(ps[j])
+                adj[ps[j]].add(ps[i])
+
+    def h(start, k, nbr):
+        return int(hashlib.md5(f"{start}:{k}:{nbr}".encode()).hexdigest()[:8], 16)
+
+    exp = {}
+    for start in adj:
+        cur, hops = start, []
+        for k in range(1, _WALK_STEPS + 1):
+            cur = min(adj[cur], key=lambda n: (h(start, k, n), n))
+            hops.append(cur)
+        exp[start] = tuple(hops)
+    got = {
+        r.start_node: (r.hop1, r.hop2, r.hop3)
+        for r in _rows(spark, "m_hash_walks")
+    }
+    assert got == exp
+    for start, hops in exp.items():
+        path = [start, *hops]
+        for a, b in zip(path, path[1:]):
+            assert b in adj[a], f"walk {start} left the graph at {a}->{b}"
+    # non-degenerate: more than one distinct endpoint across walkers
+    assert len({hops[-1] for hops in exp.values()}) > 1

@@ -700,3 +700,32 @@ def test_image_ahash_reference(spark):
     }
     assert max(c16.values()) > 1, "coarse hash never buckets — vacuous"
     assert sum(1 for v in c64.values() if v == 1) > len(exp) * 0.9
+
+
+def test_audio_energy_reference(spark):
+    """m_audio_energy re-derived from raw text bytes with plain python
+    (independent of the wave-module path the query rides): per-10ms
+    frame sum((b-128)^2), earliest argmax, totals — and the peak must
+    genuinely move (not always frame 0)."""
+    import pandas as pd
+
+    from tests.conftest import SF_SMOKE
+    from ukis_kafka_spark import api
+    from ukis_kafka_spark.ml.multimodal import _ENERGY_WIN
+
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet", columns=["doc_id", "text"])
+    exp = {}
+    for r in docs.itertuples():
+        sq = [(b - 128) * (b - 128) for b in r.text.encode()]
+        wins = [
+            sum(sq[k * _ENERGY_WIN : (k + 1) * _ENERGY_WIN])
+            for k in range(-(-len(sq) // _ENERGY_WIN))
+        ]
+        peak = wins.index(max(wins))
+        exp[int(r.doc_id)] = (len(wins), sum(sq), peak, wins[peak])
+    got = {
+        r.doc_id: (r.n_win, r.total_energy, r.peak_win, r.peak_energy)
+        for r in api.queries()["m_audio_energy"](spark, SF_SMOKE).collect()
+    }
+    assert got == exp
+    assert {p for _, _, p, _ in exp.values()} != {0}, "peak never moves — vacuous"
