@@ -880,3 +880,30 @@ def test_epoch_cap_mix_reference(spark, docs_pdf):
     assert all(a <= c for _, c, a, _, _ in exp.values())
     flags = [f for _, _, _, f, _ in exp.values()]
     assert 0 < sum(flags) < len(flags), "cap never binds (or always binds) — vacuous"
+
+
+def test_train_val_embargo_reference(spark):
+    """The purged temporal split re-derived with plain python over the
+    raw events parquet: exact second truncation, 80% boundary, 1h
+    embargo band, user overlap — and the embargo band must be
+    non-empty (a zero-width band would make the purge vacuous)."""
+    from ukis_kafka_spark.ml.text import _EMBARGO_S, _TRAIN_FRAC_PCT
+
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet", columns=["user_id", "ts"])
+    # truncate to whole seconds unit-safely (pandas may surface the
+    # TIMESTAMP(NANOS) column as datetime64[us])
+    secs = ev["ts"].astype("datetime64[s]").astype("int64").to_numpy()
+    mn, mx = secs.min(), secs.max()
+    t_split = mn + (mx - mn) * _TRAIN_FRAC_PCT // 100
+    train = secs <= t_split
+    val = secs > t_split + _EMBARGO_S
+    emb = ~train & ~val
+    users = ev["user_id"].to_numpy()
+    both = len(set(users[train]) & set(users[val]))
+    row = _rows(spark, "m_train_val_embargo")[0]
+    assert (row.n_train, row.n_val, row.n_embargoed, row.n_users_both) == (
+        int(train.sum()), int(val.sum()), int(emb.sum()), both
+    )
+    assert row.train_frac_ppm == int(train.sum()) * 1_000_000 // len(secs)
+    assert row.n_embargoed > 0, "embargo band empty — purge demonstrates nothing"
+    assert row.n_val > 0 and row.n_train > 0

@@ -1187,9 +1187,11 @@ _EPOCH_BUDGET = 3  # sample 3x the corpus mass overall
 
 
 def _epoch_cap_sql(dialect: str) -> str:
-    """Engine-shared SQL for the epoch-cap waterfill (``{div}`` is the
-    only dialect difference: Spark ``div`` / DuckDB ``//``, both exact
-    BIGINT division on the non-negative values used here)."""
+    """Unrolled-CTE SQL for the epoch-cap waterfill — ORACLE ONLY.
+    DuckDB materializes chained CTEs so the five rounds are linear;
+    running this same text on Spark inlines them and the two scalar
+    subqueries per round blow up 3^5 (see m_epoch_cap_mix docstring),
+    which is why the Spark side is a checkpointed loop instead."""
     div = "div" if dialect == "spark" else "//"
     rounds = []
     prev = "r0"
@@ -1241,16 +1243,77 @@ def m_epoch_cap_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     unrolled rounds is a fixed point for any 5-language corpus (each
     round either caps a new language or changes nothing). Keyed by
     lang — measured SKEWED (en 218 / fr 64 at sf0.01), so the cap
-    genuinely binds (fr wants 200 > cap 192) and the redistribution
-    fires; keying by the round-robin-uniform source column would make
-    every branch dead (round-6 audit rule). All arithmetic is BIGINT
-    with explicit integer division — the identical SQL text runs on
-    both engines modulo the div token (the m_adaboost_round pattern).
-    Scale: one group-by scan to lang grain; every round is scalar
-    aggregates over the |langs|-row frame — arithmetic at any corpus
-    size."""
-    load_table(spark, sf_dir, "documents").createOrReplaceTempView("docs_ecm")
-    return spark.sql(_epoch_cap_sql("spark").format(documents="docs_ecm"))
+    genuinely binds and the redistribution fires; keying by the
+    round-robin-uniform source column would make every branch dead
+    (round-6 audit rule). All arithmetic is BIGINT with explicit
+    integer division; the DuckDB oracle runs the waterfill as five
+    unrolled CTE rounds.
+
+    The Spark side is a checkpointed DataFrame LOOP, not the same
+    unrolled SQL: Spark INLINES chained CTEs, and each round's two
+    scalar subqueries re-plan the previous round's whole subtree —
+    T(k)=3·T(k-1) ≈ 3^5 re-executions, measured 13.4 s at sf0.1 for a
+    5-row computation (the q_sql_scripting trap in CTE form). Each
+    round here is one scalar aggregate over the checkpointed 5-row
+    state crossJoined back — arithmetic at any corpus size; only the
+    initial lang group-by touches the corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    langs = d.groupBy("lang").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    total = langs.agg(F.sum("n").cast("bigint").alias("t"))
+    state = (
+        langs.crossJoin(F.broadcast(total))
+        .select(
+            "lang",
+            "n",
+            (F.lit(_EPOCH_CAP) * F.col("n")).alias("cap"),
+            (F.lit(_EPOCH_BUDGET) * F.col("t")).alias("b"),
+            F.lit(False).alias("capped"),
+        )
+        .transform(checkpoint_df)  # |langs| rows
+    )
+    for _ in range(5):
+        round_agg = state.agg(
+            F.coalesce(
+                F.sum(F.when(F.col("capped"), F.col("cap"))), F.lit(0)
+            ).cast("bigint").alias("fixed"),
+            F.count(F.when(~F.col("capped"), 1)).cast("bigint").alias("nu"),
+        )
+        state = (
+            state.crossJoin(F.broadcast(round_agg))
+            .select(
+                "lang",
+                "n",
+                "cap",
+                "b",
+                (
+                    F.col("capped")
+                    | (F.expr("(b - fixed) div nu") > F.col("cap"))
+                ).alias("capped"),
+            )
+            .transform(lambda df: checkpoint_df(df, eager=False))
+        )
+    fin = state.agg(
+        F.coalesce(F.sum(F.when(F.col("capped"), F.col("cap"))), F.lit(0))
+        .cast("bigint")
+        .alias("fixed"),
+        F.count(F.when(~F.col("capped"), 1)).cast("bigint").alias("nu"),
+    )
+    return (
+        state.crossJoin(F.broadcast(fin))
+        .select(
+            "lang",
+            F.col("n").alias("n_docs"),
+            F.col("cap").alias("cap_docs"),
+            F.expr(
+                "CAST(CASE WHEN capped THEN cap ELSE (b - fixed) div nu END AS BIGINT)"
+            ).alias("alloc_docs"),
+            F.when(F.col("capped"), 1).otherwise(0).alias("capped"),
+            F.expr(
+                "CAST((CASE WHEN capped THEN cap ELSE (b - fixed) div nu END)"
+                " * 1000000 div n AS BIGINT)"
+            ).alias("epochs_ppm"),
+        )
+    )
 
 
 _FOLD_K = 5
@@ -3159,6 +3222,102 @@ def m_position_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
             F.count_distinct("tok").alias("n_types"),
         )
+    )
+
+
+# 1 day (measured: a 1 h gap is EMPTY at sf0.001 — ~1.4 events/h —
+# which would make the purge vacuous at smoke scale; 1 day catches
+# 33 / 345 / 3365 events at sf0.001/0.01/0.1)
+_EMBARGO_S = 86400
+_TRAIN_FRAC_PCT = 80   # temporal split point at 80% of the span
+
+
+@query(
+    "m_train_val_embargo",
+    oracle=f"""
+WITH es AS (
+  SELECT user_id,
+         CAST(floor(epoch(date_trunc('second', ts))) AS BIGINT) AS s
+  FROM events
+),
+bounds AS (
+  SELECT min(s) AS mn,
+         min(s) + (max(s) - min(s)) * {_TRAIN_FRAC_PCT} // 100 AS t_split
+  FROM es
+),
+tagged AS (
+  SELECT user_id,
+         CASE WHEN s <= t_split THEN 'train'
+              WHEN s > t_split + {_EMBARGO_S} THEN 'val'
+              ELSE 'embargo' END AS split
+  FROM es CROSS JOIN bounds
+),
+per_user AS (
+  SELECT user_id,
+         max(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS in_train,
+         max(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS in_val
+  FROM tagged GROUP BY user_id
+)
+SELECT
+  (SELECT COUNT(CASE WHEN split = 'train' THEN 1 END) FROM tagged) AS n_train,
+  (SELECT COUNT(CASE WHEN split = 'val' THEN 1 END) FROM tagged) AS n_val,
+  (SELECT COUNT(CASE WHEN split = 'embargo' THEN 1 END) FROM tagged) AS n_embargoed,
+  (SELECT COUNT(CASE WHEN in_train = 1 AND in_val = 1 THEN 1 END) FROM per_user)
+    AS n_users_both,
+  (SELECT COUNT(CASE WHEN split = 'train' THEN 1 END) * 1000000 // COUNT(*)
+   FROM tagged) AS train_frac_ppm
+""",
+)
+def m_train_val_embargo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal train/validation split with a PURGE EMBARGO: the split
+    point is {80}% through the corpus time span and a {86400}-second
+    gap after it belongs to NEITHER side — the leakage guard
+    backtesting pipelines apply so that forward-looking features
+    computed at train time cannot peek across the boundary (purged
+    splits, López de Prado's rule).  The report also counts users
+    active on BOTH sides — the entity-overlap statistic that decides
+    whether a user-level split is needed instead.  Hash-safety: the
+    boundary is exact BIGINT second arithmetic on truncated-to-second
+    epochs (never raw ns timestamps), fractions are integer ppm.
+    Scale: one bounds aggregate broadcast back over one scan, plus a
+    user-grain aggregate for the overlap — two shuffles total."""
+    e = load_table(spark, sf_dir, "events")
+    s = F.expr("CAST(unix_timestamp(date_trunc('second', ts)) AS BIGINT)")
+    es = e.select("user_id", s.alias("s"))
+    bounds = es.agg(
+        F.min("s").alias("mn"),
+        F.expr(f"min(s) + (max(s) - min(s)) * {_TRAIN_FRAC_PCT} div 100").alias(
+            "t_split"
+        ),
+    )
+    tagged = es.crossJoin(F.broadcast(bounds)).select(
+        "user_id",
+        F.when(F.col("s") <= F.col("t_split"), "train")
+        .when(F.col("s") > F.col("t_split") + _EMBARGO_S, "val")
+        .otherwise("embargo")
+        .alias("split"),
+    )
+    per_user = tagged.groupBy("user_id").agg(
+        F.max(F.when(F.col("split") == "train", 1).otherwise(0)).alias("in_train"),
+        F.max(F.when(F.col("split") == "val", 1).otherwise(0)).alias("in_val"),
+    )
+    overlap = per_user.agg(
+        F.count(
+            F.when((F.col("in_train") == 1) & (F.col("in_val") == 1), 1)
+        ).alias("n_users_both")
+    )
+    return (
+        tagged.agg(
+            F.count(F.when(F.col("split") == "train", 1)).alias("n_train"),
+            F.count(F.when(F.col("split") == "val", 1)).alias("n_val"),
+            F.count(F.when(F.col("split") == "embargo", 1)).alias("n_embargoed"),
+            F.expr(
+                "count(CASE WHEN split = 'train' THEN 1 END) * 1000000"
+                " div count(*)"
+            ).alias("train_frac_ppm"),
+        )
+        .crossJoin(F.broadcast(overlap))
+        .select("n_train", "n_val", "n_embargoed", "n_users_both", "train_frac_ppm")
     )
 
 
