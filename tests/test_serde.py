@@ -729,3 +729,40 @@ def test_audio_energy_reference(spark):
     }
     assert got == exp
     assert {p for _, _, p, _ in exp.values()} != {0}, "peak never moves — vacuous"
+
+
+@given(
+    usec=st.integers(min_value=1, max_value=2_000_000),
+    n=st.integers(min_value=0, max_value=4),
+)
+@settings(deadline=None, max_examples=40)
+def test_avi_rate_headers_derive_from_usec(usec, n):
+    """ADVICE r6: strh's (dwScale, dwRate) and avih's dwMaxBytesPerSec
+    must be DERIVED from usec_per_frame, not hardcoded 25 fps —
+    rate/scale must equal 1e6/usec exactly and the parsed header must
+    echo usec; truncated-size chunks must raise, not clamp."""
+    import struct
+
+    from ukis_kafka_spark.ml.multimodal import encode_avi, parse_avi
+
+    frames = [bytes([i]) * 48 for i in range(n)]
+    buf = encode_avi(frames, usec_per_frame=usec)
+    hdr, back = parse_avi(buf)
+    assert hdr["usec_per_frame"] == usec and back == frames
+    pos = buf.find(b"strh") + 8
+    scale, rate = struct.unpack_from("<II", buf, pos + 20)
+    assert (scale, rate) == (usec, 1_000_000)
+    max_bps = struct.unpack_from("<I", buf, buf.find(b"avih") + 8 + 4)[0]
+    assert max_bps == 48 * 1_000_000 // usec
+    # declared-size overrun must raise (the old slice-clamp was
+    # silent). Only meaningful when the cut lands INSIDE a declared
+    # payload: with n=0 frames the idx1 payload is empty, so a 3-byte
+    # cut removes part of a trailing chunk HEADER, which a RIFF walk
+    # legitimately ignores.
+    if n >= 1:
+        cut = buf[: len(buf) - 3]
+        try:
+            parse_avi(cut)
+            raise AssertionError("truncated AVI parsed silently")
+        except ValueError:
+            pass
