@@ -572,12 +572,17 @@ def test_kafka_source_online(spark):
     where a real broker (UKIS_KAFKA_BROKERS), a Python Kafka producer
     client, and the spark-sql-kafka connector jar all exist; the
     offline harness records the skip (symmetric with
-    test_postgis_sink_online). End-to-end against live infrastructure:
-    produce the msgpack envelope corpus to a fresh unique topic, read
-    it back through the SAME envelope_raw_stream(format("kafka")) →
-    decode_feature_stream path that src_kafka_shape drives through the
-    file twin offline, and assert the decoded per-type aggregate
-    equals what was produced."""
+    test_postgis_sink_online). Complements (does not duplicate)
+    test_envelope_source_kafka_online above: that test produces
+    through Spark's OWN Kafka batch sink — a same-jar round-trip —
+    while this one validates interop against an INDEPENDENT producer
+    client (kafka-python/confluent-kafka, the way the reference's
+    non-Spark producers write), and drives the full src_kafka_shape
+    aggregate rather than just the decode. End-to-end: produce the
+    msgpack envelope corpus to a fresh unique topic, read it back
+    through the SAME envelope_raw_stream(format("kafka")) →
+    decode_feature_stream path the file twin drives offline, and
+    assert the decoded per-type aggregate equals what was produced."""
     import os
     import tempfile
     import uuid
