@@ -884,7 +884,7 @@ def test_epoch_cap_mix_reference(spark, docs_pdf):
 
 def test_train_val_embargo_reference(spark):
     """The purged temporal split re-derived with plain python over the
-    raw events parquet: exact second truncation, 80% boundary, 1h
+    raw events parquet: exact second truncation, 80% boundary, 1-day
     embargo band, user overlap — and the embargo band must be
     non-empty (a zero-width band would make the purge vacuous)."""
     from ukis_kafka_spark.ml.text import _EMBARGO_S, _TRAIN_FRAC_PCT

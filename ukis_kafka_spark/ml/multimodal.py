@@ -535,6 +535,11 @@ def m_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
                 s = np.frombuffer(frames, dtype=np.uint8).astype(np.int64) - 128
                 sq = s * s
                 n_win = -(-len(sq) // _ENERGY_WIN)
+                if n_win == 0:
+                    # mirror the oracle: a zero-sample payload produces
+                    # NO row (the position explode is empty), rather
+                    # than crashing max() on an empty range
+                    continue
                 energies = [
                     int(sq[k * _ENERGY_WIN : (k + 1) * _ENERGY_WIN].sum())
                     for k in range(n_win)

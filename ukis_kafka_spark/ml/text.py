@@ -1186,13 +1186,15 @@ _EPOCH_CAP = 4     # no document repeats more than 4 epochs
 _EPOCH_BUDGET = 3  # sample 3x the corpus mass overall
 
 
-def _epoch_cap_sql(dialect: str) -> str:
+def _epoch_cap_sql() -> str:
     """Unrolled-CTE SQL for the epoch-cap waterfill — ORACLE ONLY.
     DuckDB materializes chained CTEs so the five rounds are linear;
-    running this same text on Spark inlines them and the two scalar
-    subqueries per round blow up 3^5 (see m_epoch_cap_mix docstring),
-    which is why the Spark side is a checkpointed loop instead."""
-    div = "div" if dialect == "spark" else "//"
+    running equivalent text on Spark would INLINE them and the two
+    scalar subqueries per round blow up 3^5 (see m_epoch_cap_mix
+    docstring, measured 13.4 s) — which is why there is no dialect
+    parameter: the Spark side is a checkpointed loop, and this SQL
+    must never grow a Spark caller."""
+    div = "//"
     rounds = []
     prev = "r0"
     for k in range(1, 6):
@@ -1232,7 +1234,7 @@ FROM fin
 """
 
 
-@query("m_epoch_cap_mix", oracle=_epoch_cap_sql("duck").format(documents="documents"))
+@query("m_epoch_cap_mix", oracle=_epoch_cap_sql().format(documents="documents"))
 def m_epoch_cap_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Epoch-capped mixture waterfill: allocate a training budget of
     {_EPOCH_BUDGET}x the corpus mass UNIFORMLY across languages, but
