@@ -559,3 +559,52 @@ def test_global_window_allowlist_only_shrinks():
         assert isinstance(why, str) and len(why) >= 20, (
             f"allowlist entry {name} needs a real justification, got {why!r}"
         )
+
+
+def test_hash_walks_argmin_is_partial_aggregate(spark):
+    """The per-walker argmin must be a map-side-combined min(struct),
+    never a window over an unbounded neighbor group (a hub's adjacency
+    would otherwise funnel into one task at 100 TB) — and the hash
+    derivation stays JVM-side."""
+    plan = _formatted_plan(spark, "m_hash_walks")
+    assert "partial_min" in plan
+    assert "Window" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_image_ahash_kernel_then_partitioned_windows(spark):
+    """One Arrow kernel for the codec+hash, then the two collision
+    counts must be HASH-PARTITIONED window counts (they distribute);
+    no global window, no cartesian."""
+    plan = _formatted_plan(spark, "m_image_ahash")
+    assert plan.count("ArrowEvalPython") + plan.count("MapInPandas") >= 1
+    assert "CartesianProduct" not in plan
+    for line in plan.splitlines():
+        if "Window [" in line:
+            # every window spec must carry a partition column
+            assert "ahash" in line, f"unpartitioned window: {line}"
+
+
+def test_matryoshka_both_metrics_one_aggregation(spark):
+    """d2_full and the d<=16 prefix partial must come out of ONE
+    aggregation over the dim-exploded join (partial_sum twice in the
+    same HashAggregate), with the 20-query block broadcast."""
+    plan = _formatted_plan(spark, "m_matryoshka_recall")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    agg_lines = [l for l in plan.splitlines() if "partial_sum" in l]
+    assert any(l.count("partial_sum") >= 2 for l in agg_lines), (
+        "full+truncated sums must share one aggregate pass"
+    )
+
+
+def test_epoch_cap_loop_reads_checkpointed_state(spark):
+    """The waterfill loop must read the CHECKPOINTED 5-row state
+    (ExistingRDD) — re-planned chained CTEs inline exponentially on
+    Spark (3^5 subtree executions, measured 13.4 s; the round-7 fix)."""
+    plan = _formatted_plan(spark, "m_epoch_cap_mix")
+    assert "ExistingRDD" in plan
+    assert "documents" not in plan.lower() or plan.lower().count("parquet") == 0, (
+        "final plan must not re-scan the corpus — rounds read the "
+        "checkpointed lang state"
+    )
