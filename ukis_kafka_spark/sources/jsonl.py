@@ -274,6 +274,68 @@ def src_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "src_fixed_width",
+    oracle="""
+SELECT o_orderstatus,
+       count(*) AS n,
+       CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(28,10)) * 1000000 AS BIGINT))
+            AS BIGINT) AS price_micro_sum,
+       min(o_orderkey) AS min_id,
+       max(o_orderkey) AS max_id
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+def src_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width text source (COBOL/mainframe copybook layout — the
+    format enterprise batch feeds still arrive in, which Spark has no
+    native reader for): orders are rendered to a fixed-column layout
+    (orderkey 12 / custkey 12 / status 1 / totalprice-in-micros 20 /
+    orderdate 10, all zero-padded numerics via format_string), read
+    back as ONE text column, and the fields are sliced out with pure
+    JVM substring+cast — the column-pruned, codegen'd way to parse a
+    positional format (never a per-row Python splitter).  Price rides
+    as integer MICRO-units in the wire format, so the round-trip is
+    exact and the decimal-sum rule is respected end-to-end.  Scale:
+    the render is one narrow map done once into the build-once cache;
+    the read is a plain text scan that parallelizes by line split."""
+
+    def build(into: str) -> None:
+        (
+            load_table(spark, sf_dir, "orders")
+            .select(
+                F.format_string(
+                    "%012d%012d%1s%020d%10s",
+                    F.col("o_orderkey"),
+                    F.col("o_custkey"),
+                    F.col("o_orderstatus"),
+                    (F.col("o_totalprice").cast("decimal(28,10)") * 1_000_000)
+                    .cast("bigint"),
+                    F.col("o_orderdate").cast("string"),
+                ).alias("value")
+            )
+            .write.mode("overwrite")
+            .text(os.path.join(into, "fw"))
+        )
+
+    src = os.path.join(
+        _cache_publish(build, ("fixedwidth", 1, _table_fingerprint(sf_dir))), "fw"
+    )
+    lines = spark.read.text(src)
+    parsed = lines.select(
+        F.substring("value", 1, 12).cast("long").alias("o_orderkey"),
+        F.substring("value", 25, 1).alias("o_orderstatus"),
+        F.substring("value", 26, 20).cast("long").alias("price_micro"),
+    )
+    return parsed.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("price_micro").alias("price_micro_sum"),
+        F.min("o_orderkey").alias("min_id"),
+        F.max("o_orderkey").alias("max_id"),
+    )
+
+
+@query(
     "src_xml_roundtrip",
     oracle="""
 SELECT s_nationkey,
