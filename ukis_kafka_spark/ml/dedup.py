@@ -465,6 +465,71 @@ def m_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _survivorship_oracle() -> str:
+    return f"""
+WITH clusters AS (
+  SELECT doc_id, cluster_id FROM ({_dedup_clusters_oracle()})
+),
+ranked AS (
+  SELECT c.cluster_id, c.doc_id, d.n_chars,
+         row_number() OVER (PARTITION BY c.cluster_id
+                            ORDER BY d.n_chars DESC, c.doc_id ASC) AS rn
+  FROM clusters c JOIN documents d USING (doc_id)
+)
+SELECT cluster_id,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(min(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT) AS canonical_doc,
+       CAST(min(CASE WHEN rn = 1 THEN n_chars END) AS BIGINT) AS kept_chars,
+       CAST(SUM(CASE WHEN rn > 1 THEN n_chars ELSE 0 END) AS BIGINT)
+         AS dropped_chars
+FROM ranked
+GROUP BY cluster_id
+"""
+
+
+@query("m_dedup_survivorship", oracle=_survivorship_oracle())
+def m_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship POLICY over near-duplicate clusters — the MDM step
+    after resolution: within each cluster keep the RICHEST record
+    (longest text, doc_id tiebreak) rather than m_dedup_clusters'
+    positional min-id, and account for what the policy keeps vs drops
+    (the content-mass saving a dedup pass reports).  The two operators
+    together express the real pipeline: resolve once, then apply an
+    auditable, swappable canonicalization rule.  Scale: the cluster
+    table joins the doc metadata on the id hash, the per-cluster
+    argmax is a window PARTITIONED by cluster (bounded groups — band
+    clusters are near-cliques of single-digit size), and the final
+    aggregate is map-side combinable."""
+    from pyspark.sql import Window
+
+    clusters = QUERIES["m_dedup_clusters"](spark, sf_dir).select(
+        "doc_id", "cluster_id"
+    )
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    ranked = clusters.join(d, "doc_id").withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("cluster_id").orderBy(
+                F.col("n_chars").desc(), F.col("doc_id").asc()
+            )
+        ),
+    )
+    return ranked.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.min(F.when(F.col("rn") == 1, F.col("doc_id")))
+        .cast("bigint")
+        .alias("canonical_doc"),
+        F.min(F.when(F.col("rn") == 1, F.col("n_chars")))
+        .cast("bigint")
+        .alias("kept_chars"),
+        F.coalesce(
+            F.sum(F.when(F.col("rn") > 1, F.col("n_chars")).otherwise(0)), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("dropped_chars"),
+    )
+
+
 _SUB_A = 2654435761  # Knuth multiplicative constant
 _SUB_M = 1_000_003
 
