@@ -7,11 +7,11 @@ oracle-hash-checked; see SURVEY.md §2.3).
 
 Stages:
 1. profile  — corpus card + Zipf health + language mix
-2. dedup    — MinHash pairs → clusters → APPLY (drop non-survivors)
+2. dedup    — MinHash pairs → clusters → survivorship → APPLY
 3. curate   — quality-weighted sampling + benchmark decontamination
-4. mix      — temperature-scaled source weights
+4. mix      — temperature-scaled lang weights + epoch-cap waterfill
 5. pretrain — span-corruption pairs + fixed-context packing
-6. eval     — k-fold splits + kNN label-quality audit
+6. eval     — k-fold + purged temporal splits, kNN + matryoshka audits
 """
 
 from __future__ import annotations
@@ -49,6 +49,10 @@ def main() -> None:
     kept = sum(r.n_docs_out for r in applied.values())
     total = sum(r.n_docs_in for r in applied.values())
     print(f"   near-dup resolution keeps {kept}/{total} docs")
+    surv = run("m_dedup_survivorship").collect()
+    dropped = sum(r.dropped_chars for r in surv)
+    print(f"   survivorship over {len(surv)} clusters: richest-record "
+          f"policy drops {dropped} chars of near-dup mass")
 
     print("== 3. curate")
     qs = {r.lang: r for r in run("m_quality_sample").collect()}
@@ -58,8 +62,14 @@ def main() -> None:
     print(f"   decontamination: {decon} clean docs")
 
     print("== 4. mix")
-    for r in sorted(run("m_temperature_mix").collect(), key=lambda r: r.source):
-        print(f"   {r.source}: n={r.n_docs} share={r.share_ppm / 10000:.2f}%")
+    # m_temperature_mix was re-keyed source -> lang in round 6 (sources
+    # are round-robin uniform in this corpus; langs are the skewed key)
+    for r in sorted(run("m_temperature_mix").collect(), key=lambda r: r.lang):
+        print(f"   {r.lang}: n={r.n_docs} share={r.share_ppm / 10000:.2f}%")
+    for r in sorted(run("m_epoch_cap_mix").collect(), key=lambda r: r.lang):
+        tag = "CAPPED" if r.capped else "uncapped"
+        print(f"   epoch-cap: {r.lang} alloc={r.alloc_docs} "
+              f"({r.epochs_ppm / 10000:.2f}% epochs, {tag})")
 
     print("== 5. pretrain transforms")
     span = run("m_span_corruption")
@@ -76,6 +86,13 @@ def main() -> None:
     n_t = sum(r.n_test for r in acc)
     n_c = sum(r.n_correct for r in acc)
     print(f"   kNN label audit: {n_c}/{n_t} consistent")
+    emb = run("m_train_val_embargo").collect()[0]
+    print(f"   purged temporal split: {emb.n_train} train / {emb.n_val} val, "
+          f"{emb.n_embargoed} embargoed, {emb.n_users_both} users on both sides")
+    mat = run("m_matryoshka_recall").collect()
+    hits = sum(r.n_hits for r in mat)
+    print(f"   matryoshka audit: 16/64-dim prefix keeps {hits}/{5 * len(mat)} "
+          f"of exact top-5 neighbors")
     print("done.")
 
 

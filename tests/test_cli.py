@@ -296,3 +296,31 @@ def test_geo_lifecycle_demo_runs(spark):
     assert r.returncode == 0, r.stderr[-500:]
     assert "geo_lifecycle OK" in r.stdout
     assert "re-delivery is a no-op" in r.stdout
+
+
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest as _pt
+
+
+@_pt.mark.parametrize(
+    "script",
+    ["llm_data_pipeline.py", "geo_lifecycle_demo.py", "pipeline_demo.py"],
+)
+def test_examples_run_clean(script):
+    """Every examples/ script must run end-to-end at the smoke scale —
+    round 6's m_temperature_mix re-key (source -> lang) silently broke
+    llm_data_pipeline.py for a full round because nothing executed it
+    (code-review r7); each spawns its own SparkSession so they run as
+    subprocesses. ~30 s each on a warm FS."""
+    repo = Path(__file__).resolve().parents[1]
+    proc = subprocess.run(
+        [sys.executable, str(repo / "examples" / script)],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        cwd=str(repo),
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
