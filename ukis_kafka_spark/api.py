@@ -53,7 +53,7 @@ _QUEUE = [
     # the ~110-ID backlog drains
     "m_matryoshka_recall", "m_image_ahash", "m_epoch_cap_mix", "m_graph_lpa",
     "m_audio_energy", "m_hash_walks", "m_train_val_embargo",
-    "src_fixed_width", "m_dedup_survivorship",
+    "src_fixed_width", "m_dedup_survivorship", "m_backoff_lm",
     # round-6 leads (VERDICT r05 item 3): the two codec paths whose
     # round-5 oracle upgrades (BMP decode / RIFF-WAVE decode) have only
     # a stale r1 `no_oracle` driver row — float them so the upgraded

