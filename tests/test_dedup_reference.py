@@ -1026,3 +1026,40 @@ def test_triplet_mining_reference(spark):
     assert got == exp
     for _, _, dp, dn, m, sat in exp.values():
         assert m == dn - dp and sat == (m > 0)
+
+
+def test_dedup_survivorship_reference(spark):
+    """Survivorship must be consistent with m_dedup_clusters' own
+    resolution: same clusters, canonical = the member with max n_chars
+    (doc_id tiebreak), and kept+dropped must equal the cluster's total
+    content mass. Re-derived from the two queries' outputs plus the
+    raw parquet — no shared code with the operator."""
+    import pandas as pd
+
+    from tests.conftest import SF_SMOKE
+    from ukis_kafka_spark import api
+
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet", columns=["doc_id", "n_chars"])
+    chars = dict(zip(docs["doc_id"], docs["n_chars"]))
+    clusters: dict[int, list[int]] = {}
+    for r in api.queries()["m_dedup_clusters"](spark, SF_SMOKE).collect():
+        clusters.setdefault(r.cluster_id, []).append(r.doc_id)
+    exp = {}
+    for cid, members in clusters.items():
+        canon = max(members, key=lambda d: (chars[d], -d))
+        exp[cid] = (
+            len(members),
+            canon,
+            chars[canon],
+            sum(chars[m] for m in members) - chars[canon],
+        )
+    got = {
+        r.cluster_id: (r.n_members, r.canonical_doc, r.kept_chars, r.dropped_chars)
+        for r in api.queries()["m_dedup_survivorship"](spark, SF_SMOKE).collect()
+    }
+    assert got == exp
+    # the policy must differ from min-id somewhere, else it's the same
+    # operator twice
+    assert any(exp[c][1] != min(m) for c, m in clusters.items()), (
+        "longest-text canonical always equals min-id — policy vacuous"
+    )

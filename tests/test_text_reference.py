@@ -907,3 +907,65 @@ def test_train_val_embargo_reference(spark):
     assert row.train_frac_ppm == int(train.sum()) * 1_000_000 // len(secs)
     assert row.n_embargoed > 0, "embargo band empty — purge demonstrates nothing"
     assert row.n_val > 0 and row.n_train > 0
+
+
+def test_backoff_lm_reference(spark, docs_pdf):
+    """Stupid-backoff held-out scoring re-derived with Counters and the
+    replicated HALF_UP 6dp grid: per-position level selection (trigram
+    / x0.4 bigram / x0.16 add-1 unigram), exact branch counts, and the
+    fixed-point micro-bits — plus the non-vacuity gates: the trigram
+    level AND at least one backoff level must fire."""
+    from ukis_kafka_spark.ml.text import _MIX_A, _MIX_M
+
+    halves = {
+        int(r.doc_id): (int(r.doc_id) * _MIX_A % _MIX_M) % 2
+        for r in docs_pdf.itertuples()
+    }
+    toks = {int(r.doc_id): r.text.split(" ") for r in docs_pdf.itertuples()}
+    c3, c2b, c1f = Counter(), Counter(), Counter()
+    n_train = 0
+    for d, ts in toks.items():
+        if halves[d]:
+            continue
+        n_train += len(ts)
+        c1f.update(ts)
+        for a, b in zip(ts, ts[1:]):
+            c2b[(a, b)] += 1
+        for a, b, c in zip(ts, ts[1:], ts[2:]):
+            c3[(a, b, c)] += 1
+    c2p = Counter()
+    for (a, b, _), n in c3.items():
+        c2p[(a, b)] += n
+    c1 = Counter()
+    for (a, _), n in c2b.items():
+        c1[a] += n
+    nv = n_train + len(c1f)
+    exp = {}
+    for d, ts in toks.items():
+        if not halves[d] or len(ts) < 3:
+            continue
+        lv, bits = [], []
+        for a, b, c in zip(ts, ts[1:], ts[2:]):
+            if (a, b, c) in c3:
+                lv.append(0)
+                bits.append(_round_spark(math.log2(c2p[(a, b)] / c3[(a, b, c)]), 6))
+            elif (b, c) in c2b:
+                lv.append(1)
+                bits.append(_round_spark(math.log2(c1[b] * 2.5 / c2b[(b, c)]), 6))
+            else:
+                lv.append(2)
+                bits.append(_round_spark(math.log2(nv * 6.25 / (c1f[c] + 1)), 6))
+        micro = int(
+            sum(Decimal(repr(x)) for x in bits) * 1_000_000
+        ) // len(bits)
+        exp[d] = (len(bits), lv.count(0), lv.count(1), lv.count(2), micro)
+    got = {
+        r.doc_id: (
+            r.n_scored, r.n_tri_hits, r.n_bigram_backoffs,
+            r.n_unigram_floors, r.avg_microbits,
+        )
+        for r in _rows(spark, "m_backoff_lm")
+    }
+    assert got == exp
+    assert sum(v[1] for v in exp.values()) > 0
+    assert sum(v[2] + v[3] for v in exp.values()) > 0, "backoff never fires"
