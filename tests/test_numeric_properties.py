@@ -190,3 +190,72 @@ def test_with_global_order_cummax_before(spark):
         df.repartition(13, "v"), order, cummax_before={"best": F.col("v")}
     )
     assert got2.exceptAll(want).count() == 0
+
+
+@given(
+    st.lists(st.integers(min_value=1, max_value=10**6), min_size=1, max_size=5),
+    st.integers(min_value=1, max_value=4),
+    st.integers(min_value=1, max_value=6),
+)
+@settings(max_examples=300, deadline=None)
+def test_epoch_waterfill_unrolled_rounds_reach_fixed_point(masses, budget_mult, cap_mult):
+    """m_epoch_cap_mix unrolls exactly 5 rounds; the claim is that
+    |langs| rounds is ALWAYS a fixed point (each round either caps a
+    new language or changes nothing). Verified against a run-to-
+    convergence while-loop over arbitrary masses and cap/budget
+    multipliers, plus the invariants: caps respected, budget never
+    exceeded, equal shares for the uncapped."""
+    b = budget_mult * sum(masses)
+    cap = [cap_mult * m for m in masses]
+
+    def run(max_rounds):
+        capped: set[int] = set()
+        share = None
+        for _ in range(max_rounds):
+            rem = b - sum(cap[i] for i in capped)
+            unc = [i for i in range(len(masses)) if i not in capped]
+            if not unc:
+                break
+            share = rem // len(unc)
+            new = {i for i in unc if share > cap[i]}
+            if not new:
+                break
+            capped |= new
+        return capped, share
+
+    converged = run(10**6)
+    unrolled = run(len(masses))
+    assert unrolled == converged
+    capped, share = converged
+    if len(capped) < len(masses):
+        alloc = [cap[i] if i in capped else share for i in range(len(masses))]
+        assert all(a <= c for a, c in zip(alloc, cap))
+        assert sum(alloc) <= b
+
+
+@given(
+    st.integers(min_value=1, max_value=10**12),
+    st.integers(min_value=1, max_value=100),
+    st.data(),
+)
+@settings(max_examples=300, deadline=None)
+def test_ntile_bigint_formula_matches_definition(n, k, data):
+    """The all-BIGINT ntile arithmetic in functions/ranks.py
+    (ceil-as-div: (g+s) div (s+1) / r + (g-big+s-1) div s) must equal
+    the SQL-standard ntile definition — first n%k buckets hold
+    ceil(n/k) rows — for any rank, including n < k and the huge-n
+    range where the old double division was inexact."""
+    g = data.draw(st.integers(min_value=1, max_value=n))
+    s, r = n // k, n % k
+    big = r * (s + 1)
+    if g <= big:
+        tile = (g + s) // (s + 1)
+    else:
+        tile = r + (g - big + s - 1) // s
+    # definition: bucket sizes are (s+1) for the first r buckets, s after
+    if g <= big:
+        want = (g - 1) // (s + 1) + 1
+    else:
+        want = r + (g - big - 1) // s + 1
+    assert tile == want
+    assert 1 <= tile <= min(k, n)
