@@ -89,6 +89,12 @@ def main() -> None:
     emb = run("m_train_val_embargo").collect()[0]
     print(f"   purged temporal split: {emb.n_train} train / {emb.n_val} val, "
           f"{emb.n_embargoed} embargoed, {emb.n_users_both} users on both sides")
+    bo = run("m_backoff_lm").collect()
+    n_pos = sum(r.n_scored for r in bo)
+    n_bk = sum(r.n_bigram_backoffs + r.n_unigram_floors for r in bo)
+    avg = sum(r.avg_microbits for r in bo) / (1e6 * len(bo))
+    print(f"   held-out stupid-backoff LM: {len(bo)} val docs, "
+          f"{n_bk}/{n_pos} positions backed off, ~{avg:.2f} bits/token")
     mat = run("m_matryoshka_recall").collect()
     hits = sum(r.n_hits for r in mat)
     print(f"   matryoshka audit: 16/64-dim prefix keeps {hits}/{5 * len(mat)} "
