@@ -608,3 +608,27 @@ def test_epoch_cap_loop_reads_checkpointed_state(spark):
         "final plan must not re-scan the corpus — rounds read the "
         "checkpointed lang state"
     )
+
+
+def test_backoff_lm_ngram_joins_not_forced_broadcast(spark):
+    """The corpus-growing n-gram count tables (c3/c2p/c2b — distinct
+    trigrams MEASURED still growing 9,964->26,893 across a 10x
+    scale-up) must NOT carry a compile-time broadcast hint: AQE
+    converts those joins to broadcast at runtime only when the built
+    side is actually small, and degrades to a shuffle join at 100x
+    where a forced broadcast would OOM the driver.  Only the
+    vocabulary-sized c1/c1f and the scalar nv keep hints (r7 verdict
+    "what's wrong" #1)."""
+    df = api.queries()["m_backoff_lm"](spark, SF_SMOKE)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    join_lines = [l for l in opt.splitlines() if "Join " in l]
+    hinted = [l for l in join_lines if "strategy=broadcast" in l]
+    assert len(hinted) == 3, (
+        f"expected exactly 3 hinted joins (c1/c1f/nv), got {len(hinted)}: "
+        f"{hinted}"
+    )
+    # the trigram join (3-key equi join) and both 2-key n-gram joins
+    # must be hint-free
+    for l in join_lines:
+        if l.count(" = ") >= 2:  # multi-key joins = the n-gram tables
+            assert "Hint" not in l, f"n-gram count join carries a hint: {l}"

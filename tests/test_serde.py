@@ -607,6 +607,53 @@ def test_avro_sink_overwrite_replaces_previous_batch(spark, tmp_path):
     assert back2.count() == 14
 
 
+def test_avro_sink_crashed_overwrite_leaves_no_duplicates(spark, tmp_path):
+    """A crash between an overwrite's rename loop and its delete loop
+    leaves old+new part files on disk; the _LIVE manifest (published
+    atomically at the commit point) must make readers see ONLY the new
+    batch — previously that half-committed state silently read as
+    duplicated rows with no marker to detect it (ADVICE r7).  Legacy
+    directories without a manifest keep plain-listing semantics."""
+    import os
+    import shutil
+
+    from ukis_kafka_spark.sources.avroscan import (
+        MANIFEST,
+        _ensure_registered,
+        _ensure_sink_registered,
+    )
+
+    _ensure_registered(spark)
+    _ensure_sink_registered(spark)
+    out = str(tmp_path / "lake")
+    os.makedirs(out)
+    df10 = spark.range(10).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+    df4 = spark.range(4).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+    df10.write.format("avrosink").option("path", out).mode("overwrite").save()
+    batch1 = {f for f in os.listdir(out) if f.endswith(".avro")}
+    # stash batch 1's parts, run the second overwrite, then restore
+    # them — byte-identical to a commit that crashed before its
+    # delete loop (manifest lists only batch 2; batch 1 back on disk)
+    stash = tmp_path / "stash"
+    os.makedirs(stash)
+    for f in batch1:
+        shutil.copy2(os.path.join(out, f), stash / f)
+    df4.write.format("avrosink").option("path", out).mode("overwrite").save()
+    for f in batch1:
+        shutil.copy2(stash / f, os.path.join(out, f))
+    assert len([f for f in os.listdir(out) if f.endswith(".avro")]) >= 2
+    back = spark.read.format("avroscan").option("path", out).load()
+    assert back.count() == 4, "crashed overwrite must not read as duplicates"
+    assert back.groupBy("k").count().where("count <> 1").count() == 0
+    # the orphans are garbage-collected by the next overwrite commit
+    df4.write.format("avrosink").option("path", out).mode("overwrite").save()
+    on_disk = {f for f in os.listdir(out) if f.endswith(".avro")}
+    assert not (on_disk & batch1), "next overwrite must GC crash orphans"
+    # legacy directory (no manifest) keeps plain-listing semantics
+    os.remove(os.path.join(out, MANIFEST))
+    assert spark.read.format("avroscan").option("path", out).load().count() == 4
+
+
 @settings(deadline=None, max_examples=40)
 @given(
     frames=st.lists(st.binary(min_size=48, max_size=48), max_size=6),

@@ -48,7 +48,7 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # missed — this mechanism makes a stale window structurally impossible
 # (tests/test_registry_contract.py pins it).
 _QUEUE = [
-    # round-7 leads: the seven round-7 additions — float them so the
+    # round-7 leads: the ten round-7 additions — float them so the
     # fresh operators get driver confirmation this round, not after
     # the ~110-ID backlog drains
     "m_matryoshka_recall", "m_image_ahash", "m_epoch_cap_mix", "m_graph_lpa",

@@ -93,11 +93,14 @@ def with_global_order(
     (round 7): pinning comes from plan compilation, not from WHEN
     blocks store, so the totals/broadcast job doubles as the
     materializer — one job saved per call (q_rfm 1.94 → 1.67 s).
-    Block recompute after a lost executor reuses the frozen
-    RangePartitioner (bounds are captured in the dependency, never
-    re-sampled), so laziness does not reopen the divergence hazard;
-    on a cluster, UKIS_CHECKPOINT_DIR upgrades storage to reliable
-    exactly as before.
+    Laziness does not reopen the divergence hazard: both consumers
+    read the SAME compiled RDD, whose frozen RangePartitioner (bounds
+    captured in the shuffle dependency, never re-sampled) governs any
+    recompute that happens BEFORE the blocks first materialize.  After
+    materialization, localCheckpoint has truncated the lineage, so a
+    lost executor fails the job outright (loudly, never wrongly) —
+    re-run it, or set UKIS_CHECKPOINT_DIR to upgrade storage to a
+    reliable checkpoint that survives executor loss.
     """
     cumsum = dict(cumsum or {})
     cummax_before = dict(cummax_before or {})

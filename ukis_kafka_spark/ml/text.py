@@ -1396,10 +1396,20 @@ def m_backoff_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     log2, so both engines hand log2 the identical double; each
     position's bits are rounded to 6 dp and summed in DECIMAL, and
     the per-doc average is fixed-point micro-bits (the
-    m_lm_cross_entropy discipline).  Scale: n-gram count tables are
-    vocabulary-sized and broadcast into the scoring joins; one
-    ordered-window trigram build per doc (PARTITIONED by doc — groups
-    bounded by doc length); one final per-doc aggregate."""
+    m_lm_cross_entropy discipline).  Scale: the trigram/bigram count
+    tables grow with TRAINING-CORPUS MASS, not vocabulary — MEASURED
+    at sf0.01→sf0.1 distinct trigrams go 9,964→26,893 (still growing
+    at 10×) while c2p/c2b saturate near vocab² (900/943→902/962 on
+    the 31-token synthetic vocab; on real text they grow too) — so
+    c3/c2p/c2b are joined WITHOUT a broadcast hint: AQE converts the
+    join to broadcast at runtime when the built side is actually
+    small (the engine-native size gate, from accurate post-shuffle
+    sizes) and degrades to a shuffle join at 100× where a forced
+    broadcast would OOM.  Only the genuinely vocabulary-sized c1/c1f
+    and the scalar nv keep compile-time hints
+    (tests/test_plans.py pins this shape).  One ordered-window
+    trigram build per doc (PARTITIONED by doc — groups bounded by doc
+    length); one final per-doc aggregate."""
     from pyspark.sql import Window
 
     d = load_table(spark, sf_dir, "documents").select(
@@ -1448,9 +1458,9 @@ def m_backoff_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     val = tri.where(F.col("half") == 1)
     scored = (
-        val.join(F.broadcast(c3), ["t1", "t2", "t3"], "left")
-        .join(F.broadcast(c2p), ["t1", "t2"], "left")
-        .join(F.broadcast(c2b), ["t2", "t3"], "left")
+        val.join(c3, ["t1", "t2", "t3"], "left")
+        .join(c2p, ["t1", "t2"], "left")
+        .join(c2b, ["t2", "t3"], "left")
         .join(F.broadcast(c1), ["t2"], "left")
         .join(F.broadcast(c1f), F.col("t3") == F.col("t3f"), "left")
         .crossJoin(F.broadcast(nv))

@@ -47,17 +47,34 @@ class _AvroPartition(InputPartition):
         self.blocks = blocks
 
 
+MANIFEST = "_LIVE"
+
+
 def _resolve_files(path: str) -> list:
     """A path is one container file or a directory of them — the lake
     layout. Sorted for deterministic planning.  An empty directory
     (e.g. a sink path whose only batch aborted) is a descriptive error,
-    not an IndexError downstream (ADVICE r5)."""
+    not an IndexError downstream (ADVICE r5).
+
+    When a ``_LIVE`` manifest is present (written atomically by every
+    sink commit), only parts it lists are read: a crash between an
+    overwrite's rename loop and its delete loop leaves old+new part
+    files on disk, and without the manifest that half-committed state
+    silently read as duplicated rows (ADVICE r7).  Parts listed but
+    since deleted are skipped (the manifest is written BEFORE the
+    delete loop, so that gap is normal); parts on disk but unlisted
+    are orphans of a crashed commit and are ignored — the next
+    overwrite commit garbage-collects them."""
     if os.path.isdir(path):
-        files = sorted(
-            os.path.join(path, f) for f in os.listdir(path) if f.endswith(".avro")
-        )
+        names = {f for f in os.listdir(path) if f.endswith(".avro")}
+        mpath = os.path.join(path, MANIFEST)
+        if os.path.exists(mpath):
+            with open(mpath) as fh:
+                listed = {ln.strip() for ln in fh if ln.strip()}
+            names &= listed
+        files = sorted(os.path.join(path, f) for f in names)
         if not files:
-            raise ValueError(f"no .avro files found in directory: {path}")
+            raise ValueError(f"no live .avro files found in directory: {path}")
         return files
     return [path]
 
@@ -268,7 +285,11 @@ class _AvroWriter(DataSourceWriter):
     Final part names carry a per-batch unique component
     (``part-<batchid>-NNNNN.avro``): plain ``part-NNNNN`` names made a
     second append-mode save() to the same directory silently clobber
-    the first batch's files via os.replace (ADVICE r5)."""
+    the first batch's files via os.replace (ADVICE r5).  Every commit
+    atomically publishes a ``_LIVE`` manifest of the directory's live
+    parts; readers honor it, which makes the overwrite commit's
+    rename→delete sequence crash-safe in BOTH directions (see
+    ``_resolve_files`` / the commit-point comment below, ADVICE r7)."""
 
     def __init__(self, path: str, avro_schema: dict, overwrite: bool = False):
         self.path = path
@@ -313,6 +334,30 @@ class _AvroWriter(DataSourceWriter):
                 m.tmp_path,
                 _os.path.join(self.path, f"part-{batch}-{i:05d}.avro"),
             )
+        # Commit point: publish the _LIVE manifest (tmp + atomic
+        # replace) BETWEEN the rename and delete loops. It lists the
+        # directory's current parts minus the superseded snapshot —
+        # adoptive, so legacy pre-manifest parts and a concurrent
+        # append's parts landing mid-overwrite stay visible. Crash
+        # windows: before the manifest lands, readers keep the
+        # previous state (new parts are invisible orphans, GC'd by
+        # the next overwrite's snapshot+delete); after it lands,
+        # readers see exactly the new state even if the delete loop
+        # never ran — the silent-duplicate window (ADVICE r7) is
+        # closed. Manifest maintenance assumes one committing driver
+        # per directory at a time (Spark's own batch-commit model);
+        # concurrent READERS are always safe.
+        live = sorted(
+            f
+            for f in _os.listdir(self.path)
+            if f.endswith(".avro")
+            and not f.startswith("_tmp_")
+            and f not in set(old_parts)
+        )
+        mtmp = _os.path.join(self.path, f"_tmp_manifest_{batch}")
+        with open(mtmp, "w") as fh:
+            fh.write("\n".join(live) + "\n")
+        _os.replace(mtmp, _os.path.join(self.path, MANIFEST))
         for f in old_parts:
             try:
                 _os.remove(_os.path.join(self.path, f))
