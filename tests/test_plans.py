@@ -632,3 +632,81 @@ def test_backoff_lm_ngram_joins_not_forced_broadcast(spark):
     for l in join_lines:
         if l.count(" = ") >= 2:  # multi-key joins = the n-gram tables
             assert "Hint" not in l, f"n-gram count join carries a hint: {l}"
+
+
+def test_broadcast_hint_allowlist_only_shrinks():
+    """Ratchet on plan_audit's BROADCAST_HINT_ALLOWLIST (VERDICT r7
+    item 4): the round-8 broadcast-lineage sweep found 48 flagged
+    query plans, de-hinted 18 of them (corpus-growing dims: part/
+    supplier/customer TPC-H sides, user cohort maps, candidate-pair
+    dims, the modularity node dim — AQE re-broadcasts them at runtime
+    while they are actually small), and justified the remaining 17 as
+    bounded (vocabulary/Heaps, value-domain supports, pin-joins to
+    literal seed lists, the sanctioned exact-GEMM baselines).  Pin
+    the set so it only SHRINKS silently — any new compile-time
+    F.broadcast over corpus lineage must be justified here in the
+    same diff."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+    from plan_audit import BROADCAST_HINT_ALLOWLIST
+
+    from ukis_kafka_spark.registry import QUERIES
+
+    PINNED = {
+        "m_backoff_lm", "m_naive_bayes", "m_collocations",
+        "m_lm_cross_entropy", "m_ccnet_buckets", "m_position_bias",
+        "m_tok_fertility", "m_bpe_apply", "q_sliding_distinct",
+        "m_cosine_topk", "m_embed_dup", "m_ivf_balance",
+        "m_ann_recall_eval", "m_filter_sweep", "q_null_routed_join",
+        "q_scd2_merge", "m_bradley_terry",
+    }
+    grown = set(BROADCAST_HINT_ALLOWLIST) - PINNED
+    assert not grown, (
+        f"BROADCAST_HINT_ALLOWLIST grew by {sorted(grown)} — a new "
+        "forced broadcast over corpus lineage must be individually "
+        "justified as bounded AND added to PINNED here in the same commit"
+    )
+    for name, why in BROADCAST_HINT_ALLOWLIST.items():
+        assert name in QUERIES, f"stale allowlist entry: {name}"
+        assert isinstance(why, str) and len(why) >= 20, (
+            f"allowlist entry {name} needs a real justification, got {why!r}"
+        )
+
+
+def test_broadcast_lineage_detector_self_check(spark):
+    """The detector that backs the sweep must keep catching the bug
+    class it was built for (the r7 m_backoff_lm finding): a forced
+    broadcast of a corpus-grain aggregate, a vocabulary table, and a
+    whole-table projection FLAG; a bounded-domain aggregate, a scalar
+    aggregate, a LIMIT, and a literal-bounded id filter PASS."""
+    import sys
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+    from plan_audit import broadcast_hint_findings
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+
+    def findings(df):
+        return broadcast_hint_findings(
+            df._jdf.queryExecution().analyzed().toString()
+        )
+
+    agg = docs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    assert findings(docs.join(F.broadcast(agg), "doc_id")), "doc-grain agg"
+    toks = docs.select(F.explode(F.split("text", " ")).alias("tok"))
+    assert findings(toks.join(F.broadcast(toks.groupBy("tok").count()), "tok")), "vocab"
+    assert findings(docs.join(F.broadcast(docs.select("doc_id", "lang")), "doc_id")), "full table"
+
+    by_lang = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    assert not findings(docs.join(F.broadcast(by_lang), "lang")), "lang agg"
+    scalar = docs.agg(F.max("doc_id").alias("mx"))
+    assert not findings(docs.crossJoin(F.broadcast(scalar))), "scalar agg"
+    top = docs.orderBy("doc_id").limit(10)
+    assert not findings(docs.join(F.broadcast(top.select("doc_id")), "doc_id")), "limit"
+    seed = docs.where(F.col("doc_id") < 20).select("doc_id")
+    assert not findings(docs.join(F.broadcast(seed), "doc_id")), "id filter"

@@ -79,6 +79,209 @@ GLOBAL_WINDOW_ALLOWLIST: dict[str, str] = {
 # with_global_order anyway (cumsum / cummax_before) — the primitive
 # costs nothing extra and removes the justification burden.
 
+# ---- broadcast-lineage audit (VERDICT r7 item 4) -------------------
+# A compile-time F.broadcast hint is a PROMISE that the hinted frame
+# stays executor-memory-sized at any corpus scale. m_backoff_lm broke
+# that promise (corpus-growing trigram tables, fixed round 8); this
+# sweep catches the whole class: every ResolvedHint subtree in the
+# ANALYZED logical plan that reaches a corpus-table relation must
+# pass through a BOUNDING node on the way — a scalar aggregate, a
+# LIMIT, or an aggregate whose every grouping key is a bounded
+# domain. Anything else needs an entry here with a justification.
+#
+# Bounded domains on this corpus (measured, see CLAUDE.md): lang
+# (skewed, 8 values), source (uniform round-robin), event_type,
+# nation/region keys, calendar grains (hour/day/month of a fixed
+# window), fixed grids (cell/band/bucket/shard/list ids), fold ids,
+# shuffle-partition ids. Token-keyed (vocabulary) aggregates are NOT
+# auto-bounded — Heaps-law growth is sublinear but real — so
+# vocabulary broadcasts carry explicit allowlist entries.
+# fullmatch alternation over the LOWERCASED key name (prefix/suffix
+# wildcards where a family of derived names shares a bounded domain,
+# e.g. cell_x/cell_y, bin_id/bin_lo)
+_BOUNDED_KEY_RE = (
+    r"\w*lang\w*|language|source|src|event_type|etype|fold|pid|__go_pid|"
+    r"bucket\w*|band\w*|cell\w*|gx|gy|c\d*[xy]|shard\w*|list_id|"
+    r"(?:\w+_)?(?:hour|day|dow|month|year|week|date)(?:_\w+)?|"
+    r"grid\w*|bin\w*|tile\w*|level|lvl|round|"
+    r"r_regionkey|n_nationkey|n_name|r_name|region\w*|nation\w*|"
+    # p_brand is a 25-value TPC-H categorical (sb/db = src/dst brand)
+    r"\w*brand\w*|sb|db|"
+    r"label|cls|topic|period|half|q|k|i|j|idx|dim|d|code|"
+    # k-seeded assignment ids: every `cluster`/`cl` column in this
+    # codebase is an argmin over a literal-bounded seed block
+    # (vec_id < k), so the key domain is k, not the corpus
+    r"cluster\w*|cl|cid"
+)
+
+BROADCAST_HINT_ALLOWLIST: dict[str, str] = {
+    # vocabulary-keyed count tables: distinct-token growth is
+    # Heaps-law sublinear (measured vocab 31 on the synthetic corpus;
+    # ~millions on real text — broadcastable far beyond the point
+    # where the corpus itself is 100 TB). The n-gram tables that are
+    # NOT sublinear (trigram/bigram types) were de-hinted in round 8
+    # (m_backoff_lm) — these entries cover unigram/word tables only.
+    "m_backoff_lm": "c1/c1f unigram tables — vocabulary-sized (Heaps)",
+    "m_naive_bayes": "lang x vocab token count table (Heaps)",
+    "m_collocations": "unigram document-frequency table (Heaps)",
+    "m_lm_cross_entropy": "unigram count table (Heaps)",
+    "m_ccnet_buckets": "unigram count table for the held-out LM (Heaps)",
+    "m_position_bias": "token->common/rare class map (Heaps)",
+    "m_tok_fertility": "BPE word->segmentation map — distinct WORDS (Heaps)",
+    "m_bpe_apply": "BPE word->segmentation map — distinct WORDS (Heaps)",
+    "q_sliding_distinct": "distinct-word dim for the day x word grid (Heaps)",
+    # sanctioned quadratic baselines: the block-pair dim grows as
+    # (n/B)^2 — these two are the EXACT all-pairs references whose
+    # 64x curve SCALE.json publishes precisely to justify the ANN/LSH
+    # operators as the 100 TB path; the broadcast dies with the rest
+    # of the quadratic long before the hint is the problem.
+    "m_cosine_topk": "block-pair dim of the documented exact-GEMM baseline",
+    "m_embed_dup": "block-pair dim of the documented exact-GEMM baseline",
+    # bounded-by-join shapes the lineage walker cannot see: the
+    # corpus relation is pinned to a k-row id list by an equi-join
+    # (vec_id = cid, cid from a <16-row literal/limit seed)
+    "m_ivf_balance": "16 centroid vectors fetched by vec_id=cid pin join",
+    "m_ann_recall_eval": "16 centroid vectors fetched by vec_id=cid pin join",
+    # value-domain supports
+    "m_filter_sweep": "doc-length support table (distinct n_chars values)",
+    "q_null_routed_join": "floor(value) in [50,100) — 50-row dim",
+    # bounded by operation semantics, not by the corpus
+    "q_scd2_merge": "per-merge CDC change-batch key set — bounded by "
+    "the batch size contract, not corpus mass",
+    "m_bradley_terry": "every broadcast is source-keyed (players <= "
+    "|sources|, 20 on this corpus; leaderboards are player-bounded)",
+}
+
+
+def _node_col(line: str) -> int:
+    """Column where the node name starts (tree depth proxy)."""
+    i = 0
+    while i < len(line) and line[i] in " :+-":
+        i += 1
+    return i
+
+
+_CORPUS_FIRST_COLS = (
+    "c_custkey",
+    "s_suppkey",
+    "p_partkey",
+    "o_orderkey",
+    "l_orderkey",
+    "event_id",
+    "doc_id",
+    "emb_id",
+)
+
+
+def _is_corpus_relation(line: str) -> bool:
+    s = line.strip().lstrip("+-: ")
+    if not s.startswith(("Relation", "LogicalRelation")):
+        return False
+    cols = s.split("[", 1)[1] if "[" in s else ""
+    first = cols.split(",", 1)[0].split("#", 1)[0].strip()
+    # region/nation are fixed 5/25-row dims — bounded by construction
+    return first in _CORPUS_FIRST_COLS or (
+        first not in ("r_regionkey", "n_nationkey") and "parquet" in s
+    )
+
+
+def _is_bounding(line: str) -> bool:
+    import re
+
+    s = line.strip().lstrip("+-: ").rstrip()
+    if s.startswith(("GlobalLimit", "LocalLimit")):
+        return True
+    if s.startswith("Filter ") and re.search(
+        r"\w+#\d+L? (?:<|<=|=) (?:\d+|cast\(\d+ as \w+\))(?:\)|$| )", s
+    ):
+        # value-domain bound: a literal upper bound / pin on an id
+        # column (the 20-query ANN blocks, fixed seed sets). Modular
+        # predicates (% k = 0) deliberately do NOT match — they keep
+        # a constant FRACTION, not a constant COUNT.
+        return True
+    if s.startswith("Aggregate ["):
+        body = s[len("Aggregate ") :]
+        # split top-level "], [" — scalar aggregates print ONE group
+        depth, groups, start = 0, [], 0
+        for i, ch in enumerate(body):
+            if ch == "[":
+                depth += 1
+                if depth == 1:
+                    start = i + 1
+            elif ch == "]":
+                depth -= 1
+                if depth == 0:
+                    groups.append(body[start:i])
+        if len(groups) <= 1:
+            return True  # scalar aggregate — one row
+        keys = groups[0]
+        if not keys.strip():
+            return True
+        parts = []
+        d = 0
+        cur = ""
+        for ch in keys:
+            if ch == "," and d == 0:
+                parts.append(cur)
+                cur = ""
+            else:
+                d += ch in "([<"
+                d -= ch in ")]>"
+                cur += ch
+        parts.append(cur)
+        for p in parts:
+            # calendar-grain expression keys (date_trunc(...)) are
+            # bounded by the data's time window regardless of name
+            if "date_trunc(" in p:
+                continue
+            # a grouping key is bounded if its NAME (last identifier
+            # before the #id) matches the bounded-domain patterns
+            name = re.split(r"[#(]", p.strip().split(" AS ")[-1].strip())[0]
+            name = name.split(".")[-1].strip().lower()
+            if not re.fullmatch(_BOUNDED_KEY_RE, name):
+                return False
+        return True
+    return False
+
+
+def broadcast_hint_findings(analyzed: str) -> list[str]:
+    """Unbounded-broadcast findings for one query's analyzed plan:
+    each ResolvedHint(broadcast) subtree reaching a corpus relation
+    with no bounding ancestor on the path hint→relation."""
+    lines = analyzed.splitlines()
+    findings = []
+    for hi, line in enumerate(lines):
+        if "ResolvedHint" not in line or "broadcast" not in line:
+            continue
+        hcol = _node_col(line)
+        # subtree = following lines until depth returns to <= hcol
+        sub = []
+        for j in range(hi + 1, len(lines)):
+            if _node_col(lines[j]) <= hcol and lines[j].strip():
+                break
+            sub.append(j)
+        for j in sub:
+            if not _is_corpus_relation(lines[j]):
+                continue
+            # ancestor chain: walk up through strictly-decreasing
+            # node columns from the relation back to the hint
+            col = _node_col(lines[j])
+            bounded = False
+            for k in range(j - 1, hi, -1):
+                c = _node_col(lines[k])
+                if c < col:
+                    col = c
+                    if _is_bounding(lines[k]):
+                        bounded = True
+                        break
+            if not bounded:
+                findings.append(
+                    "broadcast hint over unbounded corpus lineage: "
+                    + lines[j].strip()[:90]
+                )
+                break  # one finding per hint is enough
+    return findings
+
 
 def _count_global_windows(plan: str) -> int:
     """Window nodes print as ``Window [fns], [partition], [order]``
@@ -145,21 +348,20 @@ def main() -> int:
             skipped.append(name)
             continue
         try:
-            plan = (
-                fn(spark, SF_DIR)
-                ._jdf.queryExecution()
-                .executedPlan()
-                .toString()
-            )
+            qe = fn(spark, SF_DIR)._jdf.queryExecution()
+            plan = qe.executedPlan().toString()
+            analyzed = qe.analyzed().toString()
         except Exception as exc:  # pragma: no cover - audit robustness
             flags.append(f"{name}: plan build failed: {exc}")
             continue
+        bcast = broadcast_hint_findings(analyzed)
         info = {
             "eval_python": plan.count("EvalPython"),
             "cartesian": plan.count("CartesianProduct"),
             "bnlj": plan.count("BroadcastNestedLoopJoin"),
             "exchanges": plan.count("Exchange"),
             "global_windows": _count_global_windows(plan),
+            "unbounded_broadcast_hints": len(bcast),
         }
         rows[name] = info
         if info["cartesian"]:
@@ -176,6 +378,13 @@ def main() -> int:
             and name not in PY_ALLOWLIST
         ):
             flags.append(f"{name}: Python eval in a JVM-only family")
+        if bcast and name not in BROADCAST_HINT_ALLOWLIST:
+            for b in bcast:
+                flags.append(
+                    f"{name}: {b} — drop the hint (AQE converts small "
+                    "sides at runtime) or add to BROADCAST_HINT_ALLOWLIST "
+                    "with a justification"
+                )
 
     out = {
         "sf_dir": SF_DIR,
@@ -183,6 +392,7 @@ def main() -> int:
         "n_skipped_streaming": len(skipped),
         "flags": flags,
         "global_window_allowlist": GLOBAL_WINDOW_ALLOWLIST,
+        "broadcast_hint_allowlist": BROADCAST_HINT_ALLOWLIST,
         "totals": {
             "eval_python_plans": sum(1 for r in rows.values() if r["eval_python"]),
             "bnlj_plans": sum(1 for r in rows.values() if r["bnlj"]),

@@ -831,7 +831,9 @@ def m_entity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     band join shuffles (id, 8-byte key) only — a hash collision can
     only ADD a candidate and the levenshtein verify filters it, so
     the result is still exact; names/nations re-join onto the distinct
-    candidate pairs afterwards (broadcast dim)."""
+    candidate pairs afterwards — UNHINTED, because the customer name
+    dim grows with the corpus (AQE broadcasts it while small, shuffle
+    join beyond; round-8 broadcast-lineage audit)."""
     c = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", "c_nationkey"
     )
@@ -863,8 +865,8 @@ def m_entity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_nationkey").alias("nat_b"),
     )
     pairs = (
-        cand.join(F.broadcast(dim_a), "id_a")
-        .join(F.broadcast(dim_b), "id_b")
+        cand.join(dim_a, "id_a")
+        .join(dim_b, "id_b")
         .where(F.levenshtein("name_a", "name_b") <= 1)
         .select(
             "id_a", "id_b",

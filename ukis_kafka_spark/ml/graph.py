@@ -1199,18 +1199,21 @@ def m_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg_c <= 2m and e_c <= m keep both products under 2^63 beyond a
     100x corpus (m ~ 1e8 -> ~6e16).  Scale: edges come from the
     ingest-time co-order cache (built once, coorder_edges); brands
-    join via the broadcast part dim; everything else is two hash
-    aggregates over edges — no iteration, one shuffle each."""
+    join via the part node dim UNHINTED — part grows with the corpus,
+    so AQE broadcasts it only while it is actually small and degrades
+    to a shuffle join at 100x (round-8 broadcast-lineage audit);
+    everything else is two hash aggregates over edges — no iteration,
+    one shuffle each."""
     edges = coorder_edges(spark, sf_dir)
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     mtot = edges.agg(F.count(F.lit(1)).alias("m"))
     bs = (
         edges.join(
-            F.broadcast(part.select(F.col("p_partkey").alias("src"), F.col("p_brand").alias("sb"))),
+            part.select(F.col("p_partkey").alias("src"), F.col("p_brand").alias("sb")),
             "src",
         )
         .join(
-            F.broadcast(part.select(F.col("p_partkey").alias("dst"), F.col("p_brand").alias("db"))),
+            part.select(F.col("p_partkey").alias("dst"), F.col("p_brand").alias("db")),
             "dst",
         )
     )
@@ -1220,7 +1223,7 @@ def m_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = sym.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
     degb = (
         deg.join(
-            F.broadcast(part.select(F.col("p_partkey").alias("node"), "p_brand")), "node"
+            part.select(F.col("p_partkey").alias("node"), "p_brand"), "node"
         )
         .groupBy("p_brand")
         .agg(F.count(F.lit(1)).alias("n_nodes"), F.sum("d").alias("deg_sum"))

@@ -1744,7 +1744,7 @@ def m_perceptron_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mis = margin.where(F.col("y") * F.col("m") <= 0).select("vec_id")
     upd = (
-        ex.join(F.broadcast(mis), "vec_id")
+        ex.join(mis.hint("shuffle_hash"), "vec_id")
         .groupBy("d")
         .agg(F.coalesce(F.sum(F.col("y") * F.col("qx")), F.lit(0)).cast("bigint").alias("delta"))
     )

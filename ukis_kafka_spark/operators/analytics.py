@@ -1417,7 +1417,7 @@ def q_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
     per_nation = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"))
         .agg((F.sum(rev) * 1000000).cast("bigint").alias("rev_micros"))
@@ -1911,7 +1911,7 @@ def q_percent_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region")
     rev = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
@@ -2970,7 +2970,7 @@ def q_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(unix_timestamp(date_trunc('day', ts)) AS BIGINT) div 604800"
     )
     firsts = e.groupBy("user_id").agg(F.min(wk).alias("cohort_wk"))
-    spend = e.join(F.broadcast(firsts), "user_id").select(
+    spend = e.join(firsts, "user_id").select(
         "user_id",
         "cohort_wk",
         (wk - F.col("cohort_wk")).alias("age_wk"),

@@ -560,7 +560,7 @@ def q_sql_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = (
         c.join(o, c.c_custkey == o.o_custkey)
         .join(l, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .where(
@@ -782,7 +782,7 @@ def q_sql_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
     zero = F.lit(0).cast(DEC)
     agg = (
-        l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        l.join(p, F.col("p_partkey") == F.col("l_partkey"))
         .groupBy(F.month("l_shipdate").cast("long").alias("ship_month"))
         .agg(
             F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero))
@@ -1026,8 +1026,8 @@ def q_sql_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
     o = load_table(spark, sf_dir, "orders")
     joined = (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        l.join(p, l.l_partkey == p.p_partkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(o, o.o_orderkey == l.l_orderkey)
     )
@@ -1156,7 +1156,7 @@ def q_sql_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_qty"),
     )
     joined = (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .join(agg, F.col("pk") == l.l_partkey)
         .where(
             F.col("l_quantity").cast(DEC) * 5 * F.col("n_qty")
@@ -1257,15 +1257,15 @@ def q_sql_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "n_name")
     )
     cost = (
-        l.join(F.broadcast(eu), l.l_suppkey == F.col("s_suppkey"))
+        l.join(eu, l.l_suppkey == F.col("s_suppkey"))
         .groupBy(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk"))
         .agg(F.sum(F.col("l_extendedprice").cast(DEC)).alias("supply_value"))
     )
     w = Window.partitionBy("pk").orderBy(F.col("supply_value").asc(), F.col("sk").asc())
     best = cost.withColumn("rk", F.row_number().over(w)).where(F.col("rk") == 1)
     return (
-        best.join(F.broadcast(p), F.col("pk") == p.p_partkey)
-        .join(F.broadcast(eu), F.col("sk") == F.col("s_suppkey"))
+        best.join(p, F.col("pk") == p.p_partkey)
+        .join(eu, F.col("sk") == F.col("s_suppkey"))
         .select(
             "p_partkey",
             "p_brand",
@@ -1311,7 +1311,7 @@ def q_sql_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_7")
     vbp = (
-        l.join(F.broadcast(s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)),
+        l.join(s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey),
                l.l_suppkey == F.col("s_suppkey"))
         .groupBy(F.col("l_partkey").alias("pk"))
         .agg(F.sum(F.col("l_extendedprice").cast(DEC)).alias("part_value"))
@@ -1387,7 +1387,7 @@ def q_sql_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(1, 4, 7)
     )
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .groupBy("p_brand", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -1436,7 +1436,7 @@ def q_sql_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     fr = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
     return (
         sp.join(pt, "pk")
-        .join(F.broadcast(fr), F.col("sk") == F.col("s_suppkey"))
+        .join(fr, F.col("sk") == F.col("s_suppkey"))
         .where(F.col("supp_qty").cast("decimal(38,10)") * 8 > F.col("total_qty"))
         .groupBy("s_suppkey", "s_name")
         .agg(F.count(F.lit(1)).alias("n_dominated_parts"))
@@ -1492,7 +1492,7 @@ def q_sql_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         flags.join(per_order, "l_orderkey")
         .where((F.col("was_late") == 1) & (F.col("n_supp") > 1) & (F.col("n_late") == 1))
-        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
         .groupBy("s_suppkey", "s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )

@@ -1248,8 +1248,11 @@ def g_radius_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     linked = (
         # explode wrecks Catalyst's size estimate (working-notes trap):
         # left unhinted, Spark broadcasts the 9x-exploded PROBE side
-        # (~900k rows) -- pin the build side to the un-exploded points
-        probes.join(F.broadcast(b), ["kx", "ky"])
+        # (~900k rows). Pin the UN-EXPLODED points as the build side
+        # with shuffle_hash, not F.broadcast: b is the full corpus, so
+        # a forced broadcast OOMs at 100x while shuffle-hash builds
+        # per-partition tables (round-8 broadcast-lineage audit)
+        probes.join(b.hint("shuffle_hash"), ["kx", "ky"])
         .where(
             (F.abs(F.col("lon") - F.col("b_lon")) <= 2.0)
             & (F.abs(F.col("lat") - F.col("b_lat")) <= 2.0)
@@ -1351,8 +1354,9 @@ def g_dbscan_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cy").alias("ky"),
     )
     pairs = (
-        # same build-side pin as g_radius_neighbors (explode estimate trap)
-        probes.join(F.broadcast(b), ["kx", "ky"])
+        # same build-side pin as g_radius_neighbors (explode estimate
+        # trap; shuffle_hash not broadcast — b is corpus-sized)
+        probes.join(b.hint("shuffle_hash"), ["kx", "ky"])
         .where(
             (F.abs(F.col("lon") - F.col("b_lon")) <= 2.0)
             & (F.abs(F.col("lat") - F.col("b_lat")) <= 2.0)
@@ -1371,14 +1375,17 @@ def g_dbscan_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("core_id")
     )
     # Border probe prunes FIRST: non-core points have < minPts pairs
-    # each, so broadcasting the (small) non-core id set shrinks the
-    # pair list to a few rows per candidate before the core join and
-    # the distinct — probing all pairs made this the dominant cost.
+    # each, so joining the non-core id set in first shrinks the pair
+    # list to a few rows per candidate before the core join and the
+    # distinct — probing all pairs made this the dominant cost. The
+    # non-core set is a corpus FRACTION, so it rides a shuffle-hash
+    # build, not a forced broadcast (AQE still broadcasts it at small
+    # scale on its own).
     noncore = counts.where(F.col("n_neighbors") < 4).select(
         F.col("event_id").alias("nc_id")
     )
     border = (
-        pairs.join(F.broadcast(noncore), pairs.a_id == F.col("nc_id"))
+        pairs.join(noncore.hint("shuffle_hash"), pairs.a_id == F.col("nc_id"))
         .join(core, pairs.b_id == F.col("core_id"))
         .select(F.col("a_id").alias("event_id"))
         .distinct()
@@ -1480,13 +1487,16 @@ def g_trajectory_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     movement models consume; latitude is a per-user constant in the
     synthetic frame, so longitude is the resampled coordinate).  The
     spine is sequence()-generated between the panel's slot extent and
-    cross-joined with the (broadcast) user panel; per-slot "last ping
-    wins" uses max_by on the unique event_id.  The emitted longitude
-    is pure double arithmetic on a stored value — no rounding grid
-    needed.  Scale: per-(user, slot) partials collapse the facts
-    first; the ffill window is one shuffle on user, state one value;
-    the spine is |users| x |slots| rows — the resampled output
-    itself."""
+    cross-joined onto the user panel; per-slot "last ping wins" uses
+    max_by on the unique event_id.  The emitted longitude is pure
+    double arithmetic on a stored value — no rounding grid needed.
+    Scale: per-(user, slot) partials collapse the facts first; the
+    ffill window is one shuffle on user, state one value; the spine
+    is |users| x |slots| rows — the resampled output itself.  The
+    BROADCAST side of the spine cross join is the SLOT GRID (bounded
+    by the corpus time window — calendar grain), never the user
+    panel, which grows with the corpus (round-8 broadcast-lineage
+    audit)."""
     e = load_table(spark, sf_dir, "events").where(F.col("user_id") % 97 == 0)
     panel = e.select(
         "user_id",
@@ -1500,7 +1510,7 @@ def g_trajectory_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds = panel.agg(F.min("slot").alias("mn"), F.max("slot").alias("mx"))
     slots = bounds.select(F.explode(F.sequence("mn", "mx")).alias("slot"))
     users = panel.select("user_id").distinct()
-    spine = slots.crossJoin(F.broadcast(users))
+    spine = users.crossJoin(F.broadcast(slots))
     wff = (
         Window.partitionBy("user_id")
         .orderBy("slot")
