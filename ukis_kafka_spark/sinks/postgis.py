@@ -46,13 +46,21 @@ def create_table_ddl(
     key_cols: list[str],
     geom_col: str | None = None,
     srid: int = 4326,
+    plain_wkb: bool = False,
 ) -> str:
     """CREATE TABLE IF NOT EXISTS from a Spark schema — the reference's
     inferred sink DDL. The geometry column is typed GEOMETRY(srid) and
-    fed WKB (PostGIS's native binary ingest format)."""
+    fed WKB (PostGIS's native binary ingest format).
+
+    ``plain_wkb=True`` is the no-PostGIS degrade: the geometry column
+    is stored as raw WKB BYTEA (no ST_* functions anywhere in the
+    generated SQL), so the sink's full dataflow — inferred DDL,
+    idempotent per-batch upsert, WKB round-trip — runs against a
+    PLAIN PostgreSQL server.  The online twin test provisions a real
+    throwaway cluster and exercises exactly this path."""
     cols = []
     for f in schema.fields:
-        if f.name == geom_col:
+        if f.name == geom_col and not plain_wkb:
             cols.append(f'"{f.name}" GEOMETRY(GEOMETRY, {srid})')
         else:
             cols.append(f'"{f.name}" {pg_type(f.dataType)}')
@@ -65,15 +73,19 @@ def create_table_ddl(
 
 
 def upsert_sql(
-    schema: T.StructType, table: str, key_cols: list[str], geom_col: str | None = None, srid: int = 4326
+    schema: T.StructType, table: str, key_cols: list[str], geom_col: str | None = None, srid: int = 4326,
+    plain_wkb: bool = False,
 ) -> str:
     """INSERT ... ON CONFLICT DO UPDATE for one row of placeholders —
     the reference's idempotent per-feature write (R7+R9: at-least-once
-    delivery requires the sink to absorb re-delivery)."""
+    delivery requires the sink to absorb re-delivery).  With
+    ``plain_wkb`` the geometry placeholder stays a raw ``%s`` (BYTEA
+    WKB, no ST_GeomFromWKB — see create_table_ddl)."""
     names = [f.name for f in schema.fields]
     collist = ", ".join(f'"{n}"' for n in names)
     params = ", ".join(
-        f"ST_GeomFromWKB(%s, {srid})" if n == geom_col else "%s" for n in names
+        f"ST_GeomFromWKB(%s, {srid})" if (n == geom_col and not plain_wkb) else "%s"
+        for n in names
     )
     conflict = ", ".join(f'"{c}"' for c in key_cols)
     updates = ", ".join(
@@ -92,6 +104,7 @@ def postgis_batch_writer(
     connection_factory: Callable,
     geom_col: str | None = None,
     srid: int = 4326,
+    plain_wkb: bool = False,
 ):
     """foreachBatch callback: executes the DDL once on the driver, then
     upserts every row of the micro-batch in one transaction per
@@ -104,8 +117,8 @@ def postgis_batch_writer(
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         schema = batch_df.schema
-        ddl = create_table_ddl(schema, table, key_cols, geom_col, srid)
-        sql = upsert_sql(schema, table, key_cols, geom_col, srid)
+        ddl = create_table_ddl(schema, table, key_cols, geom_col, srid, plain_wkb)
+        sql = upsert_sql(schema, table, key_cols, geom_col, srid, plain_wkb)
 
         # DDL runs once, on the driver: concurrent CREATE TABLE IF NOT
         # EXISTS from partitions races inside Postgres
