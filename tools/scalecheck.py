@@ -323,6 +323,68 @@ def main() -> None:
         pairs = _blocked_cosine_pairs(emb, block=1024, local_topk=5)
         return pairs.agg(F.count(F.lit(1)).alias("n"))
 
+    def hash_walks(k: int):
+        """m_hash_walks' physical shape (VERDICT r7 item 6): per step,
+        frontier ⋈ edge list then per-walker argmin as groupBy
+        min(struct) — map-side combined, frontier stays |V|. Expected
+        ~linear: each step is one shuffle whose input is |E| matches,
+        and edge count scales with k here (keys offset per replica).
+        checkpoint_df is EAGER in this harness, so the walk loop runs
+        inside the timed thunk like iterative_graph.  Edge sample is
+        50k (vs iterative_graph's 200k): the per-step intermediate is
+        Σ deg(cur) over walkers, and order→supplier hubs concentrate
+        walkers after step 1, so 200k edges at 64x produced ~640M-row
+        join intermediates that OOM'd the single-JVM 8g harness heap —
+        on a cluster that's a spilled shuffle, here it would measure
+        the allocator, not the plan shape."""
+        from ukis_kafka_spark.registry import checkpoint_df
+
+        def timed():
+            e = _replicate(
+                li.select("l_orderkey", "l_suppkey").limit(50_000),
+                k,
+                ["l_orderkey", "l_suppkey"],
+            )
+            edges = e.select(
+                F.col("l_orderkey").alias("src"), F.col("l_suppkey").alias("dst")
+            )
+            sym = checkpoint_df(
+                edges.unionByName(
+                    edges.select(
+                        F.col("dst").alias("src"), F.col("src").alias("dst")
+                    )
+                )
+            )
+            walks = (
+                sym.select(F.col("src").alias("start"))
+                .distinct()
+                .withColumn("cur", F.col("start"))
+            )
+            for step in range(1, 4):
+                hv = F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                ":", F.col("start"), F.lit(step), F.col("dst")
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                walks = (
+                    walks.join(sym, walks.cur == sym.src)
+                    .select("start", "dst", hv.alias("hv"))
+                    .groupBy("start")
+                    .agg(F.min(F.struct("hv", "dst")).alias("pick"))
+                    .select("start", F.col("pick.dst").alias("cur"))
+                )
+            _force(walks.groupBy("cur").agg(F.count(F.lit(1)).alias("n")))
+
+        return timed
+
     shapes = {
         "scan_agg": scan_agg,
         "window_per_key": window_per_key,
@@ -335,6 +397,7 @@ def main() -> None:
         "ranged_rank_skew": ranged_rank_skew,
         "subseq_scan": subseq_scan,
         "blocked_cosine": blocked_cosine,
+        "hash_walks": hash_walks,
     }
 
     # warm the JVM + file index once; also pay the one-time streaming
@@ -343,6 +406,13 @@ def main() -> None:
     # stateful_stream 1x point and make the curve look super-sub-linear)
     _force(scan_agg(1))
     stateful_stream(1)()
+
+    only = {s for s in os.environ.get("SCALE_ONLY", "").split(",") if s}
+    if only:
+        unknown = only - set(shapes)
+        if unknown:
+            raise SystemExit(f"unknown SCALE_ONLY shapes: {sorted(unknown)}")
+        shapes = {n: f for n, f in shapes.items() if n in only}
 
     out: dict[str, dict[str, float]] = {}
     for name, fn in shapes.items():
@@ -362,8 +432,19 @@ def main() -> None:
         out[name] = {"sec": times, "vs_linear": ratios}
         print(name, json.dumps(out[name]))
 
-    with open(os.path.join(REPO, "SCALE.json"), "w") as fh:
-        json.dump({"sf_dir": SF_DIR, "reps": list(REPS), "shapes": out}, fh, indent=1)
+    path = os.path.join(REPO, "SCALE.json")
+    doc = {"sf_dir": SF_DIR, "reps": list(REPS), "shapes": out}
+    if only and os.path.exists(path):
+        # partial run: merge the re-measured shapes into the record,
+        # keeping the other curves (same sf_dir/reps contract)
+        with open(path) as fh:
+            prev = json.load(fh)
+        if prev.get("sf_dir") == SF_DIR and prev.get("reps") == list(REPS):
+            merged = dict(prev.get("shapes", {}))
+            merged.update(out)
+            doc["shapes"] = merged
+    with open(path, "w") as fh:
+        json.dump(doc, fh, indent=1)
     print("wrote SCALE.json")
 
 
