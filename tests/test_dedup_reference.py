@@ -1063,3 +1063,42 @@ def test_dedup_survivorship_reference(spark):
     assert any(exp[c][1] != min(m) for c, m in clusters.items()), (
         "longest-text canonical always equals min-id — policy vacuous"
     )
+
+
+def test_prefix_dedup_reference(spark, docs_pdf):
+    """Brute-force O(n^2) prefix containment over the raw parquet —
+    the banded Spark plan must find exactly these pairs, folded into
+    the same 8-block audit."""
+    docs = [(int(r.doc_id), r.text) for r in docs_pdf.itertuples()]
+    pairs = [
+        (a, b, len(ta))
+        for a, ta in docs
+        for b, tb in docs
+        if a != b and tb.startswith(ta + " ")
+    ]
+    assert pairs, "no prefix pairs at smoke scale — operator untestable"
+    expect: dict[int, list] = {}
+    for a, b, chars in pairs:
+        expect.setdefault(a % 8, []).append((a * 100000000 + b, chars))
+    want = {
+        blk: (
+            len(v),
+            sum(c for _, c in v),
+            min(code for code, _ in v),
+            max(code for code, _ in v),
+        )
+        for blk, v in expect.items()
+    }
+    got = {
+        int(r["block"]): (
+            int(r["n_pairs"]),
+            int(r["chars_redundant"]),
+            int(r["min_pair_code"]),
+            int(r["max_pair_code"]),
+        )
+        for r in _rows(spark, "m_prefix_dedup")
+    }
+    assert got == want
+    # band completeness argument is only valid if every doc has >= 3
+    # tokens (the first-3-token band) — pin the measured corpus fact
+    assert all(len(t.split(" ")) >= 3 for _, t in docs)

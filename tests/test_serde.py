@@ -813,3 +813,47 @@ def test_avi_rate_headers_derive_from_usec(usec, n):
             raise AssertionError("truncated AVI parsed silently")
         except ValueError:
             pass
+
+
+# ---- varint framing (sources.jsonl src_varint_frames codec) ----
+
+
+@settings(deadline=None, max_examples=200)
+@given(st.integers(0, 2**63 - 1))
+def test_uvarint_roundtrip(n):
+    from ukis_kafka_spark.sources.jsonl import decode_uvarint, encode_uvarint
+
+    enc = encode_uvarint(n)
+    assert 1 <= len(enc) <= 10
+    # continuation bit set on every byte but the last
+    assert all(b & 0x80 for b in enc[:-1]) and not (enc[-1] & 0x80)
+    val, off = decode_uvarint(enc + b"trailing", 0)
+    assert (val, off) == (n, len(enc))
+
+
+@settings(deadline=None, max_examples=60)
+@given(st.lists(st.binary(max_size=40), max_size=12))
+def test_varint_frame_stream_roundtrip(payloads):
+    from ukis_kafka_spark.sources.jsonl import encode_uvarint, iter_varint_frames
+
+    stream = b"".join(encode_uvarint(len(p)) + p for p in payloads)
+    assert list(iter_varint_frames(stream)) == payloads
+
+
+def test_varint_frame_errors():
+    import pytest
+
+    from ukis_kafka_spark.sources.jsonl import (
+        decode_uvarint,
+        encode_uvarint,
+        iter_varint_frames,
+    )
+
+    with pytest.raises(ValueError):
+        decode_uvarint(b"\x80\x80", 0)  # truncated continuation
+    with pytest.raises(ValueError):
+        decode_uvarint(b"\x80" * 10 + b"\x01", 0)  # overlong
+    with pytest.raises(ValueError):
+        list(iter_varint_frames(encode_uvarint(5) + b"ab"))  # overrun
+    with pytest.raises(ValueError):
+        encode_uvarint(-1)

@@ -969,3 +969,145 @@ def test_backoff_lm_reference(spark, docs_pdf):
     assert got == exp
     assert sum(v[1] for v in exp.values()) > 0
     assert sum(v[2] + v[3] for v in exp.values()) > 0, "backoff never fires"
+
+
+_MIX_A = 2654435761
+
+
+def _heldout_unigram_bits(doc_tokens):
+    """Shared re-derivation of the round-8 held-out add-1 unigram LM:
+    {val_doc_id: [per-token bits rounded like Spark]} plus the train
+    Counter — explicit loops, no DataFrames."""
+    train, val = {}, {}
+    for d, toks in doc_tokens.items():
+        (train if (d * _MIX_A % 2147483648) % 2 == 0 else val)[d] = toks
+    c = Counter()
+    for toks in train.values():
+        c.update(toks)
+    nv = sum(c.values()) + len(c)
+    bits = {
+        d: [_round_spark(math.log2(nv / (c.get(t, 0) + 1)), 6) for t in toks]
+        for d, toks in val.items()
+    }
+    return bits, train, c
+
+
+def _micro_avg(bit_list):
+    s = sum(Decimal(repr(b)) for b in bit_list)
+    return int(s * 1_000_000) // len(bit_list) if s >= 0 else -((-int(s * 1_000_000)) // len(bit_list))
+
+
+def test_ppl_buckets_reference(spark, docs_pdf, doc_tokens):
+    """Deciles recomputed with explicit loops: per-val-doc micro-bits
+    under the held-out add-1 unigram LM, ceil-first ntile(10) over
+    (micro, doc_id), per-decile mass — every column exact."""
+    bits, _, _ = _heldout_unigram_bits(doc_tokens)
+    meta = {int(r.doc_id): (int(r.n_chars), r.lang) for r in docs_pdf.itertuples()}
+    per_doc = sorted((_micro_avg(b), d) for d, b in bits.items())
+    n = len(per_doc)
+    s, r = divmod(n, 10)
+    expect = {}
+    idx = 0
+    for tile in range(1, 11):
+        size = s + (1 if tile <= r else 0)
+        members = per_doc[idx : idx + size]
+        idx += size
+        if not members:
+            continue
+        expect[tile] = (
+            len(members),
+            members[0][0],
+            members[-1][0],
+            sum(meta[d][0] for _, d in members),
+            sum(1 for _, d in members if meta[d][1] == "en"),
+        )
+    got = {
+        int(row["decile"]): (
+            int(row["n_docs"]),
+            int(row["lo_microbits"]),
+            int(row["hi_microbits"]),
+            int(row["chars"]),
+            int(row["n_en"]),
+        )
+        for row in _rows(spark, "m_ppl_buckets")
+    }
+    assert got == expect
+    # the filter signal must be non-vacuous: deciles must not all
+    # share one score
+    assert len({v[1] for v in expect.values()}) > 1
+
+
+def test_doremi_round_reference(spark, docs_pdf, doc_tokens):
+    """One multiplicative-weights round recomputed with Counters: the
+    excess-loss ladder, the power-of-two weights, and the truncated
+    permille mix must match exactly; both the excess>0 and the
+    clamped-to-0 branch must fire (vacuity guard)."""
+    bits, train, _ = _heldout_unigram_bits(doc_tokens)
+    lang_of = {int(r.doc_id): r.lang for r in docs_pdf.itertuples()}
+    by_lang: dict[str, list[float]] = {}
+    all_bits: list[float] = []
+    for d, bl in bits.items():
+        by_lang.setdefault(lang_of[d], []).extend(bl)
+        all_bits.extend(bl)
+    ref_micro = _micro_avg(all_bits)
+    w0 = Counter()
+    for d, toks in train.items():
+        w0[lang_of[d]] += len(toks)
+    expect = {}
+    for lang, bl in by_lang.items():
+        micro = _micro_avg(bl)
+        excess = max(micro - ref_micro, 0)
+        shift = min(excess // 250, 8)
+        expect[lang] = (len(bl), micro, excess, shift, w0[lang] << shift)
+    tot = sum(v[4] for v in expect.values())
+    rows = {r["lang"]: r for r in _rows(spark, "m_doremi_round")}
+    assert set(rows) == set(expect)
+    for lang, (n_tok, micro, excess, shift, raw) in expect.items():
+        r = rows[lang]
+        assert (
+            int(r["n_tok"]),
+            int(r["micro"]),
+            int(r["excess_microbits"]),
+            int(r["shift"]),
+            int(r["weight_raw"]),
+            int(r["weight_permille"]),
+        ) == (n_tok, micro, excess, shift, raw, raw * 1000 // tot)
+    assert any(v[2] > 0 for v in expect.values()), "excess branch dead"
+    assert any(v[2] == 0 for v in expect.values()), "clamp branch dead"
+
+
+def test_best_of_n_reference(spark, doc_tokens):
+    """Block argmax recomputed with explicit loops: distinct-token
+    permille, winner = highest score then smallest doc_id."""
+    score = {
+        d: 1000 * len(set(toks)) // len(toks) for d, toks in doc_tokens.items()
+    }
+    blocks: dict[int, list[int]] = {}
+    for d in score:
+        blocks.setdefault(d // 8, []).append(d)
+    expect = {}
+    for b, ids in blocks.items():
+        winner = max(ids, key=lambda d: (score[d], -d))
+        expect[b] = (
+            len(ids),
+            winner,
+            max(score[d] for d in ids),
+            sum(score[d] for d in ids),
+        )
+    got = {
+        int(r["block"]): (
+            int(r["n_cand"]),
+            int(r["winner_id"]),
+            int(r["winner_permille"]),
+            int(r["sum_permille"]),
+        )
+        for r in _rows(spark, "m_best_of_n")
+    }
+    assert got == expect
+    # tiebreak must actually decide at least one block somewhere, or
+    # the -doc_id term is untested; ties are common on short docs
+    tied = [
+        b for b, ids in blocks.items()
+        if sum(1 for d in ids if score[d] == expect[b][2]) > 1
+    ]
+    assert tied, "no score-tied block at smoke scale — tiebreak untested"

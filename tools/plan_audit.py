@@ -40,7 +40,15 @@ NEVER_PY = ("q_", "g_", "src_")
 # ray casting are sanctioned Arrow kernels even in the g_/src_
 # families). src_gpkg_roundtrip decodes msgpack envelopes + WKB — the
 # same codec kernel class as g_wkb_serde.
-PY_ALLOWLIST = {"g_wkb_serde", "g_point_in_poly", "g_geom_valid", "src_gpkg_roundtrip"}
+PY_ALLOWLIST = {
+    "g_wkb_serde",
+    "g_point_in_poly",
+    "g_geom_valid",
+    "src_gpkg_roundtrip",
+    # LEB128 varint framing is a variable-length binary codec — same
+    # sanctioned Arrow-kernel class as the WKB/GPKG decoders above
+    "src_varint_frames",
+}
 
 # A partition-less (global) Window is a single-task funnel — fatal on
 # an unbounded input at 100 TB, fine on a provably tiny one. Every

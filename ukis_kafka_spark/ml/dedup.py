@@ -928,6 +928,84 @@ def m_suffix_prefix_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "m_prefix_dedup",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, text, length(text) AS L FROM documents
+), pairs AS (
+  SELECT a.doc_id AS pa, b.doc_id AS pb, a.L AS pref_chars
+  FROM t a
+  JOIN t b
+    ON array_to_string(string_split(a.text, ' ')[1:3], ' ')
+     = array_to_string(string_split(b.text, ' ')[1:3], ' ')
+   AND a.doc_id <> b.doc_id
+   AND substring(b.text, 1, CAST(a.L + 1 AS INT)) = a.text || ' '
+)
+SELECT pa % 8 AS block,
+       count(*) AS n_pairs,
+       CAST(SUM(pref_chars) AS BIGINT) AS chars_redundant,
+       min(pa * 100000000 + pb) AS min_pair_code,
+       max(pa * 100000000 + pb) AS max_pair_code
+FROM pairs
+GROUP BY pa % 8
+""",
+)
+def m_prefix_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated-duplicate detection: document pairs (A, B) where A is
+    a strict TOKEN-PREFIX of B (B = A + ' ' + more) — the shape left
+    by re-crawls that appended boilerplate, partial fetches, and
+    max-length truncation, and a case MinHash under-weights (a short
+    prefix of a long doc has low Jaccard despite being 100% redundant
+    text).  Complements m_suffix_prefix_dup, which finds 12-char GLUE
+    SEAMS between different docs; this finds whole-doc containment.
+
+    Candidates come from a first-3-token band (every prefix pair
+    shares it by construction — docs are all >= 3 tokens, MEASURED 0
+    short docs at three scales), so the verify step runs on band-local
+    pairs only: bands are tiny (max size 4 at sf0.1) and the pair
+    count is non-vacuous at every scale (MEASURED 28 / 25 / 248 pairs
+    at sf0.001/0.01/0.1).  Shapes: the band key shuffles as an 8-byte
+    xxhash64 digest, never the text (CLAUDE.md explode/shuffle
+    hygiene; a digest collision can only ADD a candidate and the
+    exact substring verify filters it).  Verification is
+    engine-neutral pure string equality: substring(B, 1, len(A)+1) =
+    A || ' ' — no LIKE, so metacharacters in text can't wildcard.
+    Output folds pairs into 8 audit blocks with the redundant prefix
+    mass (the bytes a dedup pass would reclaim) and exact pair-code
+    envelopes."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    band = F.xxhash64(F.array_join(F.slice(F.split("text", " "), 1, 3), " "))
+    a = d.select(
+        F.col("doc_id").alias("pa"),
+        F.col("text").alias("ta"),
+        band.alias("bk"),
+    )
+    b = d.select(
+        F.col("doc_id").alias("pb"),
+        F.col("text").alias("tb"),
+        band.alias("bk"),
+    )
+    pairs = (
+        a.join(b, "bk")
+        .where(
+            (F.col("pa") != F.col("pb"))
+            & (
+                F.expr("substring(tb, 1, length(ta) + 1)")
+                == F.concat(F.col("ta"), F.lit(" "))
+            )
+        )
+        .select("pa", "pb", F.length("ta").cast("bigint").alias("pref_chars"))
+    )
+    code = F.col("pa") * 100000000 + F.col("pb")
+    return pairs.groupBy((F.col("pa") % 8).alias("block")).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("pref_chars").cast("bigint").alias("chars_redundant"),
+        F.min(code).alias("min_pair_code"),
+        F.max(code).alias("max_pair_code"),
+    )
+
+
+@query(
     "m_cdc_chunks",
     oracle="""
 WITH d AS (

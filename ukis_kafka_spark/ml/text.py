@@ -872,6 +872,122 @@ _MIX_M = 1_000_003
 
 
 @query(
+    "m_ppl_buckets",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, text, n_chars, lang,
+         (doc_id * {_MIX_A} % 2147483648) % 2 AS half
+  FROM documents
+), toks AS (
+  SELECT doc_id, half, unnest(string_split(text, ' ')) AS tok FROM d
+), lm AS (
+  SELECT tok, count(*) AS c FROM toks WHERE half = 0 GROUP BY tok
+), nv AS (
+  SELECT CAST(count(*) + count(DISTINCT tok) AS BIGINT) AS nv
+  FROM toks WHERE half = 0
+), scored AS (
+  SELECT t.doc_id,
+         round(log2(CAST(nv.nv AS DOUBLE) / (coalesce(lm.c, 0) + 1)), 6) AS bits
+  FROM toks t LEFT JOIN lm ON lm.tok = t.tok CROSS JOIN nv
+  WHERE t.half = 1
+), per_doc AS (
+  SELECT s.doc_id,
+         CAST(SUM(CAST(bits AS DECIMAL(28,10))) * 1000000 AS BIGINT)
+           // count(*) AS micro,
+         min(d.n_chars) AS n_chars,
+         min(d.lang) AS lang
+  FROM scored s JOIN d ON d.doc_id = s.doc_id
+  GROUP BY s.doc_id
+), ranked AS (
+  SELECT *, ntile(10) OVER (ORDER BY micro ASC, doc_id ASC) AS decile
+  FROM per_doc
+)
+SELECT decile,
+       count(*) AS n_docs,
+       min(micro) AS lo_microbits,
+       max(micro) AS hi_microbits,
+       CAST(SUM(n_chars) AS BIGINT) AS chars,
+       COUNT(CASE WHEN lang = 'en' THEN 1 END) AS n_en
+FROM ranked
+GROUP BY decile
+""",
+)
+def m_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-bucket composition — the decision table behind
+    perplexity FILTERING (CCNet / Wenzek et al. 2020: score every doc
+    under a reference LM, keep by quantile): a held-out add-1 unigram
+    LM is trained on the hash-half of the corpus, the other half is
+    scored in bits/token, val docs are cut into GLOBAL deciles of the
+    score, and each decile reports its mass and language mix — the
+    audit a pipeline reads before choosing the keep threshold.
+
+    Numerics: per-token surprisal log2((N+V)/(c+1)) has an
+    exact-integer-ratio argument (both engines hand log2 the identical
+    double), each term rounds to 6 dp, sums in DECIMAL, and the
+    per-doc average is fixed-point micro-bits (the m_lm_cross_entropy
+    discipline); deciles order by (micro, doc_id) — total, so the
+    shared ceil-first ntile rule gives identical buckets (the q_rfm
+    precedent).  Scale: the vocabulary join is UNHINTED (AQE
+    broadcasts the Heaps-sublinear token table while small); the
+    decile cut is functions.ranks.with_global_order — a ranged ntile,
+    no single-task window; lang mix is non-vacuous because lang is
+    the corpus's SKEWED key (en 218 / fr 64 at sf0.01)."""
+    from ..functions.ranks import with_global_order
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        "n_chars",
+        "lang",
+        ((F.col("doc_id") * _MIX_A % 2147483648) % 2).alias("half"),
+    )
+    toks = d.select(
+        "doc_id", "half", F.explode(F.split("text", " ")).alias("tok")
+    )
+    train = toks.where(F.col("half") == 0)
+    lm = train.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    nv = train.agg(
+        (F.count(F.lit(1)) + F.countDistinct("tok")).cast("bigint").alias("nv")
+    )
+    scored = (
+        toks.where(F.col("half") == 1)
+        .join(lm, "tok", "left")
+        .crossJoin(F.broadcast(nv))
+        .select(
+            "doc_id",
+            F.round(
+                F.log2(
+                    F.col("nv").cast("double")
+                    / (F.coalesce(F.col("c"), F.lit(0)) + 1)
+                ),
+                6,
+            ).alias("bits"),
+        )
+    )
+    per_doc = (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum(F.col("bits").cast("decimal(28,10)")).alias("s"),
+            F.count(F.lit(1)).alias("n_tok"),
+        )
+        .select("doc_id", F.expr("CAST(s * 1000000 AS BIGINT) div n_tok").alias("micro"))
+        .join(d.select("doc_id", "n_chars", "lang"), "doc_id")
+    )
+    ranked = with_global_order(
+        per_doc,
+        [F.col("micro").asc(), F.col("doc_id").asc()],
+        ntile=("decile", 10),
+    )
+    return ranked.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("micro").alias("lo_microbits"),
+        F.max("micro").alias("hi_microbits"),
+        F.sum("n_chars").cast("bigint").alias("chars"),
+        F.count(F.when(F.col("lang") == "en", 1)).alias("n_en"),
+    )
+
+
+@query(
     "m_source_mixture",
     oracle=f"""
 WITH rated AS (
@@ -1506,6 +1622,217 @@ def m_backoff_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _FOLD_K = 5
+
+
+@query(
+    "m_doremi_round",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, text, lang,
+         (doc_id * {_MIX_A} % 2147483648) % 2 AS half
+  FROM documents
+), toks AS (
+  SELECT doc_id, half, lang, unnest(string_split(text, ' ')) AS tok FROM d
+), lm AS (
+  SELECT tok, count(*) AS c FROM toks WHERE half = 0 GROUP BY tok
+), nv AS (
+  SELECT CAST(count(*) + count(DISTINCT tok) AS BIGINT) AS nv
+  FROM toks WHERE half = 0
+), w0 AS (
+  SELECT lang, count(*) AS w0 FROM toks WHERE half = 0 GROUP BY lang
+), scored AS (
+  SELECT t.lang,
+         round(log2(CAST(nv.nv AS DOUBLE) / (coalesce(lm.c, 0) + 1)), 6) AS bits
+  FROM toks t LEFT JOIN lm ON lm.tok = t.tok CROSS JOIN nv
+  WHERE t.half = 1
+), per_lang AS (
+  SELECT lang,
+         count(*) AS n_tok,
+         CAST(SUM(CAST(bits AS DECIMAL(28,10))) * 1000000 AS BIGINT)
+           // count(*) AS micro
+  FROM scored GROUP BY lang
+), ref AS (
+  SELECT CAST(SUM(CAST(bits AS DECIMAL(28,10))) * 1000000 AS BIGINT)
+           // count(*) AS ref_micro
+  FROM scored
+), upd AS (
+  SELECT p.lang, w0.w0, p.n_tok, p.micro, ref.ref_micro,
+         greatest(p.micro - ref.ref_micro, 0) AS excess,
+         least(greatest(p.micro - ref.ref_micro, 0) // 250, 8) AS shift
+  FROM per_lang p JOIN w0 USING (lang) CROSS JOIN ref
+), raw AS (
+  SELECT *, w0 * (CAST(1 AS BIGINT) << CAST(shift AS INT)) AS weight_raw
+  FROM upd
+)
+SELECT lang, n_tok, micro, excess AS excess_microbits, shift,
+       weight_raw,
+       (weight_raw * 1000) // (SELECT CAST(SUM(weight_raw) AS BIGINT) FROM raw)
+         AS weight_permille
+FROM raw
+""",
+)
+def m_doremi_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One DoReMi-style domain-reweighting round (Xie et al. 2023,
+    public formulation: raise the sampling weight of domains whose
+    proxy-model loss EXCEEDS the reference loss, multiplicatively):
+    domains are languages, the proxy loss is held-out unigram
+    bits/token per lang (train = hash-half 0, the m_ppl_buckets
+    scorer), the reference is the all-domain held-out loss, and the
+    multiplicative update runs entirely in INTEGERS — one weight
+    doubling per 250 micro-bits of excess loss, capped at 2^8, on a
+    base weight of the domain's train token mass.  The step is tuned
+    on the MEASURED excess distribution (97–5,488 microbits across
+    the three scales — the synthetic langs share most word stock, so
+    losses sit close together; a naive 0.25-bit step left the shift
+    column DEAD at every scale, the vacuous-gate trap).  exp(eta*excess) is
+    replaced by the exact power-of-two ladder so no transcendental or
+    float division ever enters the hash-checked path; the final mix is
+    emitted both raw and as truncated permille of the total
+    (positive-integer div — identical in both engines).  Non-vacuous:
+    langs differ in held-out loss (skewed lang mix, disjoint
+    word stock), so both the excess>0 and the clamped-to-0 branch
+    fire at every scale (MEASURED via the three-scale gate).  Scale:
+    two scans of the token stream (LM build + scoring), the per-lang
+    solve is |langs| rows, vocabulary join unhinted (AQE)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        "lang",
+        ((F.col("doc_id") * _MIX_A % 2147483648) % 2).alias("half"),
+    )
+    toks = d.select(
+        "lang", "half", F.explode(F.split("text", " ")).alias("tok")
+    )
+    train = toks.where(F.col("half") == 0)
+    lm = train.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    nv = train.agg(
+        (F.count(F.lit(1)) + F.countDistinct("tok")).cast("bigint").alias("nv")
+    )
+    w0 = train.groupBy("lang").agg(F.count(F.lit(1)).alias("w0"))
+    scored = (
+        toks.where(F.col("half") == 1)
+        .join(lm, "tok", "left")
+        .crossJoin(F.broadcast(nv))
+        .select(
+            "lang",
+            F.round(
+                F.log2(
+                    F.col("nv").cast("double")
+                    / (F.coalesce(F.col("c"), F.lit(0)) + 1)
+                ),
+                6,
+            ).alias("bits"),
+        )
+    )
+    per_lang = scored.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_tok"),
+        F.sum(F.col("bits").cast("decimal(28,10)")).alias("s"),
+    ).select(
+        "lang", "n_tok", F.expr("CAST(s * 1000000 AS BIGINT) div n_tok").alias("micro")
+    )
+    ref = scored.agg(
+        F.expr(
+            "CAST(SUM(CAST(bits AS DECIMAL(28,10))) * 1000000 AS BIGINT)"
+            " div count(*)"
+        ).alias("ref_micro")
+    )
+    upd = (
+        per_lang.join(F.broadcast(w0), "lang")
+        .crossJoin(F.broadcast(ref))
+        .select(
+            "lang",
+            "n_tok",
+            "micro",
+            F.greatest(F.col("micro") - F.col("ref_micro"), F.lit(0)).alias(
+                "excess_microbits"
+            ),
+            "w0",
+        )
+        .select(
+            "lang",
+            "n_tok",
+            "micro",
+            "excess_microbits",
+            F.least(F.expr("excess_microbits div 250"), F.lit(8))
+            .cast("bigint")
+            .alias("shift"),
+            "w0",
+        )
+        .select(
+            "*",
+            (
+                F.col("w0")
+                * F.expr("shiftleft(CAST(1 AS BIGINT), CAST(shift AS INT))")
+            ).alias("weight_raw"),
+        )
+    )
+    total = upd.agg(F.sum("weight_raw").cast("bigint").alias("tot"))
+    return (
+        upd.crossJoin(F.broadcast(total))
+        .select(
+            "lang",
+            "n_tok",
+            "micro",
+            "excess_microbits",
+            "shift",
+            "weight_raw",
+            F.expr("(weight_raw * 1000) div tot").alias("weight_permille"),
+        )
+    )
+
+
+@query(
+    "m_best_of_n",
+    oracle="""
+WITH scored AS (
+  SELECT doc_id,
+         doc_id // 8 AS block,
+         (1000 * len(list_distinct(string_split(text, ' '))))
+           // len(string_split(text, ' ')) AS permille
+  FROM documents
+)
+SELECT block,
+       count(*) AS n_cand,
+       arg_max(doc_id, permille * 10000000 - doc_id) AS winner_id,
+       max(permille) AS winner_permille,
+       CAST(SUM(permille) AS BIGINT) AS sum_permille
+FROM scored
+GROUP BY block
+""",
+)
+def m_best_of_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-of-N selection — the rejection-sampling step of an RLHF /
+    synthetic-data pipeline: candidates are grouped into fixed blocks
+    of 8 consecutive doc_ids (in production: the N generations of one
+    prompt) and the block keeps its argmax under a deterministic
+    integer reward, here the distinct-token ratio in permille (the
+    repetition-quality scorer).  The argmax is exact and total:
+    max_by on the scalar key permille*1e7 - doc_id breaks score ties
+    toward the SMALLEST doc_id identically in both engines (one
+    BIGINT compare — DuckDB 1.0's arg_max rejects struct keys, and
+    the id term stays strictly below one score step).  Per-block audit keeps candidate
+    count, the winner, and the score mass the block left behind — the
+    acceptance-rate curve a best-of-N sweep reads.  Scale: one
+    projection + one hash aggregate (map-side combinable), no window,
+    no join; the scorer is a higher-order function, never an
+    explode."""
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        F.expr("doc_id div 8").alias("block"),
+        F.expr(
+            "(1000 * size(array_distinct(split(text, ' '))))"
+            " div size(split(text, ' '))"
+        ).alias("permille"),
+    )
+    return scored.groupBy("block").agg(
+        F.count(F.lit(1)).alias("n_cand"),
+        F.max_by(
+            "doc_id", F.col("permille") * 10000000 - F.col("doc_id")
+        ).alias("winner_id"),
+        F.max("permille").alias("winner_permille"),
+        F.sum("permille").cast("bigint").alias("sum_permille"),
+    )
 
 
 @query(

@@ -209,6 +209,59 @@ def q_sql_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_lateral_alias",
+    oracle="""
+SELECT l_returnflag,
+       count(*) AS n,
+       CAST(SUM(net_centi) AS BIGINT) AS net_centi_sum,
+       CAST(SUM(charged_centi) AS BIGINT) AS charged_centi_sum
+FROM (
+  SELECT l_returnflag,
+         CAST(floor(l_extendedprice * (1e0 - l_discount) * 1e2) AS BIGINT)
+           AS net_centi,
+         net_centi
+           + CAST(floor(l_extendedprice * l_tax * 1e2) AS BIGINT)
+           AS charged_centi
+  FROM lineitem
+)
+GROUP BY l_returnflag
+""",
+)
+def q_lateral_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral column aliases (Spark 3.4+): a SELECT item referencing
+    an alias defined EARLIER in the same SELECT list (charged_centi
+    builds on net_centi) — the surface that removes one subquery
+    nesting level per derived column in wide feature projections;
+    DuckDB resolves the same syntax, so the oracle is near-verbatim.
+    Hash-safety: both derived columns floor pure-double products into
+    integer centi-units (same IEEE doubles in both engines, floor not
+    round — no tie sites), sums stay BIGINT (oracle casts DuckDB's
+    HUGEINT back).  Literal arithmetic is e-notation per the
+    round-5 decimal-literal trap.  Scale: one scan, one hash
+    aggregate; the alias chain is inlined by the analyzer, so the
+    plan is identical to the spelled-out expression."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("li_lat")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               count(*) AS n,
+               SUM(net_centi) AS net_centi_sum,
+               SUM(charged_centi) AS charged_centi_sum
+        FROM (
+          SELECT l_returnflag,
+                 CAST(floor(l_extendedprice * (1e0 - l_discount) * 1e2) AS BIGINT)
+                   AS net_centi,
+                 net_centi
+                   + CAST(floor(l_extendedprice * l_tax * 1e2) AS BIGINT)
+                   AS charged_centi
+          FROM li_lat
+        )
+        GROUP BY l_returnflag
+        """
+    )
+
+
+@query(
     "q_group_by_all",
     oracle="""
 SELECT event_type,

@@ -1038,3 +1038,168 @@ def src_csv_quoted_newlines(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.md5(F.col("nasty"))).alias("min_digest"),
         F.max(F.md5(F.col("nasty"))).alias("max_digest"),
     )
+
+
+# ---- varint-framed binary records (protobuf-style wire framing) ----
+
+def encode_uvarint(n: int) -> bytes:
+    """Unsigned LEB128 — the length/integer encoding of the protobuf
+    wire format (public spec: protobuf.dev/programming-guides/encoding)."""
+    if n < 0:
+        raise ValueError("uvarint is unsigned")
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def decode_uvarint(buf: bytes, off: int) -> tuple[int, int]:
+    """(value, next_offset); raises on truncation or >10-byte runs."""
+    val = 0
+    shift = 0
+    while True:
+        if off >= len(buf):
+            raise ValueError("truncated uvarint")
+        if shift > 63:
+            raise ValueError("uvarint overlong")
+        b = buf[off]
+        off += 1
+        val |= (b & 0x7F) << shift
+        if not (b & 0x80):
+            return val, off
+        shift += 7
+
+
+def iter_varint_frames(buf: bytes):
+    """Yield payload slices of a [uvarint length][payload] stream."""
+    off = 0
+    n = len(buf)
+    while off < n:
+        ln, off = decode_uvarint(buf, off)
+        if off + ln > n:
+            raise ValueError(f"frame overruns buffer at offset {off}")
+        yield buf[off : off + ln]
+        off += ln
+
+
+def _varint_decode_batches(file_iter):
+    """mapInPandas kernel: binaryFile rows -> decoded event records.
+    Payload layout: uvarint event_id | uvarint user_id | uvarint
+    value_centi | uvarint type_len | type bytes (ASCII)."""
+    import pandas as _pd
+
+    for pdf in file_iter:
+        for content in pdf["content"]:
+            buf = bytes(content)
+            eids, uids, vcs, ets = [], [], [], []
+            for payload in iter_varint_frames(buf):
+                eid, o = decode_uvarint(payload, 0)
+                uid, o = decode_uvarint(payload, o)
+                vc, o = decode_uvarint(payload, o)
+                tl, o = decode_uvarint(payload, o)
+                if o + tl != len(payload):
+                    raise ValueError("payload length mismatch")
+                eids.append(eid)
+                uids.append(uid)
+                vcs.append(vc)
+                ets.append(payload[o : o + tl].decode("ascii"))
+            yield _pd.DataFrame(
+                {
+                    "event_id": _pd.Series(eids, dtype="int64"),
+                    "user_id": _pd.Series(uids, dtype="int64"),
+                    "value_centi": _pd.Series(vcs, dtype="int64"),
+                    "event_type": ets,
+                }
+            )
+
+
+@query(
+    "src_varint_frames",
+    oracle="""
+SELECT event_type,
+       count(*) AS n,
+       CAST(SUM(CAST(floor(value * 1e2) AS BIGINT)) AS BIGINT) AS value_centi_sum,
+       min(event_id) AS min_id,
+       max(event_id) AS max_id
+FROM events
+GROUP BY event_type
+""",
+)
+def src_varint_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Varint-framed binary record source — the protobuf wire-format
+    framing ([LEB128 length][payload], payload itself a varint field
+    sequence) that log shippers and RPC dumps arrive in, and that
+    Spark has no native reader for.  Events are rendered ONCE into 8
+    frame files by executor tasks (distributed write, no driver
+    collect: each task serializes its partition and writes one file
+    into the build-once cache), read back through ``binaryFile``, and
+    decoded by an Arrow-batched mapInPandas kernel — the sanctioned
+    binary-codec boundary (README design rule 3, same class as the
+    BMP/WAV/GPKG codecs; a JVM expression can't parse variable-length
+    integers).  value rides as floor(value*100) centi-units, so the
+    round-trip is exact integer mass and the aggregate hash-matches
+    the parquet oracle.  Scale: one file per task at build, one task
+    per file at read; frames decode sequentially WITHIN a file but
+    files parallelize, which is the same split model as any
+    container format (the 8-file fixture stands in for thousands of
+    shipper segments)."""
+
+    def build(into: str) -> None:
+        fdir = os.path.join(into, "frames")
+        os.makedirs(fdir, exist_ok=True)
+        ev = (
+            load_table(spark, sf_dir, "events")
+            .select(
+                "event_id",
+                "user_id",
+                F.floor(F.col("value") * 100.0).cast("long").alias("value_centi"),
+                "event_type",
+            )
+            .repartition(8, F.col("event_id") % 8)
+        )
+
+        def write_part(rows):
+            import os as _os
+            import uuid as _uuid
+
+            buf = bytearray()
+            for r in rows:
+                payload = (
+                    encode_uvarint(r["event_id"])
+                    + encode_uvarint(r["user_id"])
+                    + encode_uvarint(r["value_centi"])
+                    + encode_uvarint(len(r["event_type"]))
+                    + r["event_type"].encode("ascii")
+                )
+                buf += encode_uvarint(len(payload)) + payload
+            if buf:
+                tmp = _os.path.join(fdir, f"_tmp_{_uuid.uuid4().hex}")
+                with open(tmp, "wb") as fh:
+                    fh.write(bytes(buf))
+                _os.replace(tmp, _os.path.join(fdir, f"part-{_uuid.uuid4().hex}.vf"))
+            return iter(())
+
+        ev.rdd.mapPartitions(write_part).count()
+
+    src = os.path.join(
+        _cache_publish(
+            build, ("varintframes", 1, _table_fingerprint(sf_dir, "events"))
+        ),
+        "frames",
+    )
+    files = spark.read.format("binaryFile").load(src).select("content")
+    decoded = files.mapInPandas(
+        _varint_decode_batches,
+        schema="event_id long, user_id long, value_centi long, event_type string",
+    )
+    return decoded.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value_centi").cast("bigint").alias("value_centi_sum"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+    )
