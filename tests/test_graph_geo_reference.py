@@ -950,3 +950,80 @@ def test_hash_walks_reference(spark):
             assert b in adj[a], f"walk {start} left the graph at {a}->{b}"
     # non-degenerate: more than one distinct endpoint across walkers
     assert len({hops[-1] for hops in exp.values()}) > 1
+
+
+def test_simplify_split_reference(spark):
+    """One Douglas-Peucker level recomputed with explicit loops:
+    integer cross products on the (epoch-second, centi-lon) grid,
+    chord from min/max event_id, split = smallest id attaining the
+    max deviation; both verdict branches must fire."""
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    got = {r["user_id"]: r for r in _rows(spark, "g_simplify_split")}
+    n_split = n_keep = 0
+    for uid, grp in ev.groupby("user_id"):
+        grp = grp.sort_values("event_id")
+        if len(grp) < 3:
+            assert uid not in got
+            continue
+        xs = (grp["ts"].astype("datetime64[s]").astype("int64")).to_numpy()
+        ys = np.floor((grp["value"].to_numpy() * 3.6 - 180) * 100).astype("int64")
+        eids = grp["event_id"].to_numpy()
+        x0, y0, xe, ye = int(xs[0]), int(ys[0]), int(xs[-1]), int(ys[-1])
+        devs = [
+            abs((xe - x0) * (int(y) - y0) - (ye - y0) * (int(x) - x0))
+            for x, y in zip(xs, ys)
+        ]
+        mx = max(devs)
+        split_id = min(int(e) for e, d in zip(eids, devs) if d == mx)
+        g = got[uid]
+        assert (g["n_pts"], g["max_dev"], g["split_event_id"]) == (len(grp), mx, split_id)
+        assert g["needs_split"] == (1 if mx > 167_000_000_000 else 0)
+        n_split += g["needs_split"]
+        n_keep += 1 - g["needs_split"]
+    assert n_split and n_keep, "tolerance gate vacuous at smoke scale"
+
+
+def test_active_learning_margin_reference(spark):
+    """Margin-based uncertainty sampling recomputed by explicit
+    loops: fixed-point centroids (1e4 grid, milli-scaled truncating
+    signed means), exact integer L2 to every centroid, margin =
+    second-best minus best, global top-20 by (margin, vec_id)."""
+    emb = pd.read_parquet(f"{SF_SMOKE}/embeddings.parquet").sort_values("vec_id")
+    V = {
+        int(r.vec_id): (
+            int(r.label),
+            [int(math.floor(float(x) * 10000)) for x in r.embedding],
+        )
+        for r in emb.itertuples()
+    }
+    by_label: dict[int, list[list[int]]] = {}
+    for lab, vec in V.values():
+        by_label.setdefault(lab, []).append(vec)
+    cents = {}
+    for lab, vecs in by_label.items():
+        n = len(vecs)
+        cents[lab] = [
+            (s * 1000) // n if s >= 0 else -(((-s) * 1000) // n)
+            for s in (sum(col) for col in zip(*vecs))
+        ]
+    rows = []
+    for vid, (lab, vec) in V.items():
+        d2s = sorted(
+            (
+                sum((v * 1000 - c) ** 2 for v, c in zip(vec, cvec)),
+                clab,
+            )
+            for clab, cvec in cents.items()
+        )
+        (best_d2, best_lab), (second_d2, _) = d2s[0], d2s[1]
+        rows.append((second_d2 - best_d2, vid, lab, best_lab, best_d2))
+    rows.sort()
+    expect = [
+        (vid, lab, best_lab, best_d2, margin)
+        for margin, vid, lab, best_lab, best_d2 in rows[:20]
+    ]
+    got = [
+        (r["vec_id"], r["true_label"], r["best_label"], r["best_d2"], r["margin"])
+        for r in _rows(spark, "m_active_learning_margin")
+    ]
+    assert sorted(got) == sorted(expect)

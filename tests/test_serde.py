@@ -517,7 +517,7 @@ def test_avroscan_empty_dir_is_descriptive_error(tmp_path):
 
     from ukis_kafka_spark.sources.avroscan import _resolve_files
 
-    with pytest.raises(ValueError, match="no .avro files"):
+    with pytest.raises(ValueError, match="no live .avro files"):
         _resolve_files(str(tmp_path))
 
 

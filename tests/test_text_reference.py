@@ -1111,3 +1111,38 @@ def test_best_of_n_reference(spark, doc_tokens):
         if sum(1 for d in ids if score[d] == expect[b][2]) > 1
     ]
     assert tied, "no score-tied block at smoke scale — tiebreak untested"
+
+
+def test_jm_interp_lm_reference(spark, doc_tokens):
+    """Jelinek-Mercer interpolation recomputed with Counters and the
+    exact-rational mixture (3*c12*NV + c1*(cu+1)) / (4*c1*NV) —
+    per-doc micro-bits and novel-bigram counts must match exactly."""
+    train, val = {}, {}
+    for d, toks in doc_tokens.items():
+        (train if (d * _MIX_A % 2147483648) % 2 == 0 else val)[d] = toks
+    c12 = Counter()
+    cu = Counter()
+    for toks in train.values():
+        cu.update(toks)
+        c12.update(zip(toks, toks[1:]))
+    c1 = Counter()
+    for (w1, _), n in c12.items():
+        c1[w1] += n
+    nv = sum(cu.values()) + len(cu)
+    got = {int(r["doc_id"]): r for r in _rows(spark, "m_jm_interp_lm")}
+    total_novel = 0
+    for d, toks in val.items():
+        bits, novel = [], 0
+        for w1, w2 in zip(toks, toks[1:]):
+            a, b, c = c12.get((w1, w2), 0), c1.get(w1, 0), cu.get(w2, 0) + 1
+            novel += a == 0
+            arg = (4 * b * nv) / (3 * a * nv + b * c) if b > 0 else nv / c
+            bits.append(_round_spark(math.log2(arg), 6))
+        if not bits:
+            assert d not in got
+            continue
+        r = got[d]
+        assert (int(r["n_scored"]), int(r["n_novel_bigrams"])) == (len(bits), novel)
+        assert int(r["avg_microbits"]) == _micro_avg(bits)
+        total_novel += novel
+    assert total_novel > 0, "novel-bigram branch dead at smoke scale"

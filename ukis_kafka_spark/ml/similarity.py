@@ -1819,6 +1819,64 @@ WITH q AS (
 
 
 @query(
+    "m_active_learning_margin",
+    oracle=_CENTROID_CTE + """
+, two AS (
+  SELECT vec_id, true_label,
+         MAX(CASE WHEN rn = 1 THEN c_label END) AS best_label,
+         MAX(CASE WHEN rn = 1 THEN d2 END) AS best_d2,
+         MAX(CASE WHEN rn = 2 THEN d2 END) AS second_d2
+  FROM ranked WHERE rn <= 2 GROUP BY vec_id, true_label
+)
+SELECT vec_id, true_label, best_label, best_d2,
+       second_d2 - best_d2 AS margin
+FROM two
+ORDER BY margin ASC, vec_id ASC
+LIMIT 20
+""",
+)
+def m_active_learning_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncertainty sampling for active learning / human labeling
+    queues: the 20 vectors whose nearest-centroid decision is
+    CLOSEST (smallest margin between best and second-best integer L2
+    distance) — the classic margin-based acquisition rule, i.e. the
+    points a labeling budget should be spent on.  Shares the
+    fixed-point centroid table with m_centroid_eval (_centroid_dist:
+    1e4-grid dims, milli-scaled sign-factored integer means), so the
+    margin is an exact BIGINT difference and the (margin, vec_id)
+    order is total — both engines select the identical 20 rows.
+    Scale: the per-vector rank window is PARTITIONED by vec_id
+    (|labels| rows per group), and the global top-20 is
+    orderBy().limit() = TakeOrderedAndProject — per-partition heaps,
+    no global sort, no window over the corpus."""
+    dist = _centroid_dist(spark, sf_dir)
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("d2").asc(), F.col("c_label").asc()
+    )
+    two = (
+        dist.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 2)
+        .groupBy("vec_id", "true_label")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("c_label"))).alias("best_label"),
+            F.max(F.when(F.col("rn") == 1, F.col("d2"))).alias("best_d2"),
+            F.max(F.when(F.col("rn") == 2, F.col("d2"))).alias("second_d2"),
+        )
+    )
+    return (
+        two.select(
+            "vec_id",
+            "true_label",
+            "best_label",
+            "best_d2",
+            (F.col("second_d2") - F.col("best_d2")).alias("margin"),
+        )
+        .orderBy(F.col("margin").asc(), F.col("vec_id").asc())
+        .limit(20)
+    )
+
+
+@query(
     "m_centroid_eval",
     oracle=_CENTROID_CTE + """
 , conf AS (

