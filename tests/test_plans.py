@@ -710,3 +710,20 @@ def test_broadcast_lineage_detector_self_check(spark):
     assert not findings(docs.join(F.broadcast(top.select("doc_id")), "doc_id")), "limit"
     seed = docs.where(F.col("doc_id") < 20).select("doc_id")
     assert not findings(docs.join(F.broadcast(seed), "doc_id")), "id filter"
+
+
+def test_rfm_branches_read_pinned_frames(spark):
+    """q_rfm's round-8 restructure: three INDEPENDENT narrow ntile
+    branches over one checkpointed customer aggregate, re-joined on
+    custkey. The final plan must read only pinned frames (ExistingRDD
+    — the input pre-checkpoint plus each branch's with_global_order
+    pin) with ZERO re-planned range exchanges (the round-6
+    divergent-map hazard) and no partition-less data window."""
+    df = api.queries()["q_rfm"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan ExistingRDD") >= 4, plan.count("Scan ExistingRDD")
+    assert "rangepartitioning" not in plan.lower(), "re-planned range exchange"
+    bad = [
+        l for l in plan.splitlines() if "Window [" in l and "__go_pid" not in l
+    ]
+    assert not bad, f"partition-less data window: {bad}"
