@@ -857,3 +857,85 @@ def test_varint_frame_errors():
         list(iter_varint_frames(encode_uvarint(5) + b"ab"))  # overrun
     with pytest.raises(ValueError):
         encode_uvarint(-1)
+
+
+# ---- Arrow IPC stream source (sources.jsonl src_arrow_ipc) ----
+
+
+def test_arrow_ipc_kernel_multibatch_roundtrip():
+    """The mapInArrow decode kernel re-emits the embedded record
+    batches of each binaryFile row: build two IPC streams in memory
+    (one multi-batch via max_chunksize), wrap them as the binaryFile
+    batch shape, and check rows AND batch boundaries survive."""
+    import io
+
+    import pyarrow as pa
+
+    from ukis_kafka_spark.sources.jsonl import _arrow_ipc_decode
+
+    schema = pa.schema(
+        [("doc_id", pa.int64()), ("source", pa.string()),
+         ("lang", pa.string()), ("text", pa.string())]
+    )
+
+    def stream_bytes(ids):
+        tbl = pa.table(
+            {"doc_id": ids, "source": ["s"] * len(ids),
+             "lang": ["en"] * len(ids), "text": [f"t{i}" for i in ids]},
+            schema=schema,
+        )
+        sink = io.BytesIO()
+        with pa.ipc.new_stream(sink, schema) as w:
+            w.write_table(tbl, max_chunksize=3)
+        return sink.getvalue()
+
+    content = pa.array([stream_bytes(list(range(7))), stream_bytes([100, 101])])
+    in_batch = pa.record_batch([content], names=["content"])
+    out = list(_arrow_ipc_decode(iter([in_batch])))
+    # 7 rows at chunksize 3 -> 3 batches; 2 rows -> 1 batch
+    assert [b.num_rows for b in out] == [3, 3, 1, 2]
+    got = pa.Table.from_batches(out)
+    assert got.column("doc_id").to_pylist() == [0, 1, 2, 3, 4, 5, 6, 100, 101]
+    assert got.column("text").to_pylist()[:2] == ["t0", "t1"]
+
+
+def test_arrow_ipc_source_matches_pandas(spark):
+    """End-to-end: the src_arrow_ipc aggregate equals a pandas
+    re-derivation from the raw parquet."""
+    import pandas as pd
+
+    from tests.conftest import SF_SMOKE
+    from ukis_kafka_spark import api
+
+    d = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    want = {
+        (src, lang): (len(g), int(g.doc_id.min()), int(g.doc_id.max()),
+                      int(g.text.str.len().sum()))
+        for (src, lang), g in d.groupby(["source", "lang"])
+    }
+    rows = api.queries()["src_arrow_ipc"](spark, SF_SMOKE).collect()
+    got = {
+        (r["source"], r["lang"]): (r["n_docs"], r["min_doc"], r["max_doc"], r["chars_total"])
+        for r in rows
+    }
+    assert got == want
+
+
+def test_sequencefile_source_matches_pandas(spark):
+    """src_sequencefile aggregate equals a pandas re-derivation."""
+    import math
+
+    import pandas as pd
+
+    from tests.conftest import SF_SMOKE
+    from ukis_kafka_spark import api
+
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet", columns=["user_id", "value", "event_type"])
+    ev["vc"] = ev.value.map(lambda v: math.floor(v * 100))
+    want = {
+        et: (len(g), int(g.user_id.min()), int(g.user_id.max()), int(g.vc.sum()))
+        for et, g in ev.groupby("event_type")
+    }
+    rows = api.queries()["src_sequencefile"](spark, SF_SMOKE).collect()
+    got = {r["event_type"]: (r["n"], r["min_user"], r["max_user"], r["value_centi_sum"]) for r in rows}
+    assert got == want

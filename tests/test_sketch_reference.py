@@ -176,3 +176,47 @@ def test_token_count_reference(spark):
         g = got[r.doc_id]
         assert g["ws_tokens"] == ws and g["bpe_ish_tokens"] == bpe
         assert g["fertility"] == bpe / ws
+
+
+def test_kmv_distinct_reference(spark):
+    """KMV re-derived with hashlib: bottom-64 md5-60bit hashes per
+    parity shard, estimator (k-1)*2^60 // v_k, merge from sketch
+    state only; and the estimate must sit inside the published KMV
+    error envelope (~1/sqrt(k-2) relative std, pinned at 4 sigma)."""
+    li = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet", columns=["l_partkey"])
+    keys = sorted(set(int(k) for k in li.l_partkey))
+
+    def h60(v: int) -> int:
+        return int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+
+    sketches = {}
+    for half in (0, 1):
+        hs = sorted({h60(k) for k in keys if k % 2 == half})[:64]
+        sketches[half] = hs
+    merged = sorted(sketches[0] + sketches[1])[:64]
+
+    def est(hs):
+        return len(hs) if len(hs) < 64 else (63 << 60) // max(hs[-1], 1)
+
+    lns = sorted(set(int(v) for v in pd.read_parquet(
+        f"{SF_SMOKE}/lineitem.parquet", columns=["l_linenumber"]).l_linenumber))
+    tiny = sorted({h60(v) for v in lns})[:64]
+    want = {
+        "half0": (len(sketches[0]), sketches[0][-1], len([k for k in keys if k % 2 == 0])),
+        "half1": (len(sketches[1]), sketches[1][-1], len([k for k in keys if k % 2 == 1])),
+        "merged": (len(merged), merged[-1], len(keys)),
+        "tiny": (len(tiny), tiny[-1], len(lns)),
+    }
+    by_scope = {"half0": sketches[0], "half1": sketches[1], "merged": merged, "tiny": tiny}
+    rows = api.queries()["m_kmv_distinct"](spark, SF_SMOKE).collect()
+    assert len(rows) == 4
+    for r in rows:
+        n, kth, tru = want[r["scope"]]
+        assert (r["n_sketch"], r["kth"], r["true_distinct"]) == (n, kth, tru)
+        assert r["est_distinct"] == est(by_scope[r["scope"]])
+        # error envelope: 4 sigma of 1/sqrt(k-2) ~ 51% relative
+        if n == 64:
+            assert abs(r["est_distinct"] - tru) <= 0.51 * tru
+    # the under-capacity branch genuinely fires: tiny is exact
+    assert want["tiny"][0] < 64
+    assert {r["scope"]: r["est_distinct"] for r in rows}["tiny"] == len(lns)

@@ -549,3 +549,30 @@ def test_agg_stats_reference(spark):
             (sxx - sx * sx / n) * (syy - sy * sy / n)
         )
         assert v == var and s == math.sqrt(var) and c == corr
+
+
+def test_chi_square_reference(spark):
+    """Pearson chi-square contingency terms re-derived with exact
+    Fraction arithmetic from raw parquet (textbook (O-E)^2/E), floored
+    to micro-units — proves the integer-lattice formulation equals the
+    definition, not just engine parity."""
+    from fractions import Fraction
+
+    o = pd.read_parquet(
+        f"{SF_SMOKE}/orders.parquet", columns=["o_orderpriority", "o_orderstatus"]
+    )
+    obs = Counter(zip(o.o_orderpriority, o.o_orderstatus))
+    rm = Counter(o.o_orderpriority)
+    cm = Counter(o.o_orderstatus)
+    n = len(o)
+    rows = api.queries()["q_chi_square"](spark, SF_SMOKE).collect()
+    assert len(rows) == len(obs)
+    for r in rows:
+        k = (r["priority"], r["status"])
+        e = Fraction(rm[k[0]] * cm[k[1]], n)
+        term = (Fraction(obs[k]) - e) ** 2 / e
+        assert r["observed"] == obs[k]
+        assert r["expected_micro"] == (e * 1_000_000).__floor__()
+        assert r["chi2_term_micro"] == (term * 1_000_000).__floor__()
+    # non-vacuity: contributions spread across cells
+    assert len({r["chi2_term_micro"] for r in rows}) > 10

@@ -1146,3 +1146,145 @@ def test_jm_interp_lm_reference(spark, doc_tokens):
         assert int(r["avg_microbits"]) == _micro_avg(bits)
         total_novel += novel
     assert total_novel > 0, "novel-bigram branch dead at smoke scale"
+
+
+def test_feature_mi_reference(spark):
+    """Mutual information I(token-presence; lang) re-derived with
+    explicit per-cell python loops (decimal 6-dp term grid mirrored
+    with round())."""
+    import math
+    from decimal import Decimal
+
+    d = pd.read_parquet(f"{SF_SMOKE}/documents.parquet", columns=["doc_id", "lang", "text"])
+    n = len(d)
+    langs = d.groupby("lang").size().to_dict()
+    dfl: dict[tuple[str, str], int] = {}
+    for lang, text in zip(d.lang, d.text):
+        for tok in set(text.split(" ")):
+            dfl[(tok, lang)] = dfl.get((tok, lang), 0) + 1
+    toks = sorted({t for t, _ in dfl})
+    mi: dict[str, Decimal] = {}
+    dft: dict[str, int] = {}
+    for t in toks:
+        df = sum(dfl.get((t, l), 0) for l in langs)
+        dft[t] = df
+        s = Decimal(0)
+        for l, nl in langs.items():
+            k = dfl.get((t, l), 0)
+            if k > 0:
+                s += Decimal(str(round((k / n) * math.log2((k * n) / (df * nl)), 6)))
+            if nl - k > 0 and n - df > 0:
+                s += Decimal(
+                    str(round(((nl - k) / n) * math.log2(((nl - k) * n) / ((n - df) * nl)), 6))
+                )
+        mi[t] = s
+    top = sorted(toks, key=lambda t: (-mi[t], t))[:20]
+    rows = _rows(spark, "m_feature_mi")
+    got = [(r["tok"], r["df_docs"], r["mi_ubits"]) for r in rows]
+    want = [(t, dft[t], int(mi[t] * 1_000_000)) for t in top]
+    assert got == want
+    # non-vacuity: MI spreads and the absence cells contributed
+    assert len({v for _, _, v in want}) > 10
+
+
+def test_lr_schedule_reference(spark):
+    """Noam schedule re-derived in plain python/math from raw parquet."""
+    import math
+
+    d = pd.read_parquet(f"{SF_SMOKE}/documents.parquet", columns=["text"])
+    tot = int(sum(len(t.split(" ")) for t in d.text))
+    steps = -(-tot // 2048)
+    w = max(steps // 20, 4)
+    grid = sorted({max(1, (i * steps) // 64) for i in range(1, 65)})
+    want = {
+        s: (s * 2048, 1 if s < w else 0, math.floor(1_000_000 * min(s / w, math.sqrt(w / s))))
+        for s in grid
+    }
+    rows = api.queries()["m_lr_schedule"](spark, SF_SMOKE).collect()
+    got = {r["step"]: (r["tokens_seen"], r["in_warmup"], r["lr_u"]) for r in rows}
+    assert got == want
+    # non-vacuity: warmup fires AND decay fires
+    assert any(v[1] == 1 for v in want.values())
+    assert any(v[1] == 0 for v in want.values())
+    assert len({v[2] for v in want.values()}) > 5
+
+
+def test_moe_balance_reference(spark):
+    """Hash-router top-2 assignment re-derived with hashlib loops."""
+    import hashlib
+
+    d = pd.read_parquet(f"{SF_SMOKE}/documents.parquet", columns=["text"])
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    n1 = [0] * 4
+    n2 = [0] * 4
+    t = 0
+    for text in d.text:
+        for tok in text.split(" "):
+            combined = sorted(h60(f"{tok}#{e}") * 4 + e for e in range(4))
+            n1[combined[-1] % 4] += 1
+            n2[combined[-2] % 4] += 1
+            t += 1
+    rows = {r["expert"]: r for r in api.queries()["m_moe_balance"](spark, SF_SMOKE).collect()}
+    for e in range(4):
+        r = rows[e]
+        assert (r["n_top1"], r["n_top2"]) == (n1[e], n2[e])
+        assert r["load_ppm"] == (n1[e] + n2[e]) * 1_000_000 // (2 * t)
+        assert r["loss_contrib_micro"] == n1[e] * n1[e] * 4 * 1_000_000 // (t * t)
+    # non-vacuity: genuinely imbalanced routing
+    assert len(set(n1)) == 4 and max(n1) > min(n1) * 1.2
+
+
+def test_textrank_reference(spark):
+    """TextRank re-derived with dict loops: adjacency counts, weighted
+    damped integer pagerank, 3 rounds."""
+    d = pd.read_parquet(f"{SF_SMOKE}/documents.parquet", columns=["text"])
+    ew: dict[tuple[str, str], int] = {}
+    for text in d.text:
+        ts = text.split(" ")
+        for x, y in zip(ts, ts[1:]):
+            if x != y:
+                k = (min(x, y), max(x, y))
+                ew[k] = ew.get(k, 0) + 1
+    sym: dict[str, dict[str, int]] = {}
+    for (a, b), w in ew.items():
+        sym.setdefault(a, {})[b] = sym.setdefault(a, {}).get(b, 0) + w
+        sym.setdefault(b, {})[a] = sym.setdefault(b, {}).get(a, 0) + w
+    ws = {u: sum(nbrs.values()) for u, nbrs in sym.items()}
+    rank = {u: 1_000_000 for u in sym}
+    for _ in range(3):
+        nxt = {}
+        for u, nbrs in sym.items():
+            s = 0
+            for v, w in nbrs.items():
+                s += (rank[v] * w) // ws[v]
+            nxt[u] = 1_000_000 * 15 // 100 + 850 * s // 1000
+        rank = nxt
+    top = sorted(rank, key=lambda t: (-rank[t], t))[:20]
+    rows = api.queries()["m_textrank_keywords"](spark, SF_SMOKE).collect()
+    got = [(r["tok"], r["cooc_mass"], r["rank_u"]) for r in rows]
+    assert got == [(t, ws[t], rank[t]) for t in top]
+    assert len({r[2] for r in got}) > 10  # ranks genuinely vary
+
+
+def test_simpson_diversity_reference(spark):
+    """Simpson index re-derived with Counter + Fraction."""
+    from collections import Counter
+    from fractions import Fraction
+
+    d = pd.read_parquet(f"{SF_SMOKE}/documents.parquet", columns=["lang", "text"])
+    rows = {r["lang"]: r for r in api.queries()["m_simpson_diversity"](spark, SF_SMOKE).collect()}
+    langs = d.lang.unique()
+    assert set(rows) == set(langs)
+    vals = set()
+    for lang in langs:
+        c = Counter(tok for t in d[d.lang == lang].text for tok in t.split(" "))
+        n = sum(c.values())
+        D = Fraction(sum(v * (v - 1) for v in c.values()), n * (n - 1))
+        r = rows[lang]
+        assert r["n_tokens"] == n and r["n_types"] == len(c)
+        assert r["simpson_ppb"] == (D * 1_000_000_000).__floor__()
+        vals.add(r["simpson_ppb"])
+    assert len(vals) == len(langs)  # the index genuinely varies by lang

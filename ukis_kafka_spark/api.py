@@ -48,8 +48,11 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # missed — this mechanism makes a stale window structurally impossible
 # (tests/test_registry_contract.py pins it).
 _QUEUE = [
-    # round-8 leads: the nine round-8 additions — float them so the
+    # round-8 leads: the round-8 additions — float them so the
     # fresh operators get driver confirmation this round
+    "m_graph_hits", "m_feature_mi", "q_chi_square", "m_lr_schedule",
+    "src_arrow_ipc", "m_graph_closeness", "m_kmv_distinct", "m_moe_balance",
+    "m_textrank_keywords", "m_simpson_diversity", "src_sequencefile",
     "m_prefix_dedup", "m_ppl_buckets", "m_doremi_round", "m_best_of_n",
     "src_varint_frames", "q_lateral_alias", "m_active_learning_margin",
     "g_simplify_split", "m_jm_interp_lm",

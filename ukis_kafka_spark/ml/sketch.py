@@ -302,3 +302,128 @@ def m_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates, partial-combined map-side."""
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("li_hllm")
     return spark.sql(_hll_merge_sql("spark").replace("FROM lineitem", "FROM li_hllm"))
+
+
+_KMV_K = 64
+_M60 = 1 << 60  # hash-space size of the 60-bit md5 prefix
+
+
+def _kmv_sql(engine: str) -> str:
+    key = "CAST(l_partkey AS VARCHAR)" if engine == "duck" else "CAST(l_partkey AS STRING)"
+    h = _h60(engine, key)
+    tiny_key = (
+        "CAST(l_linenumber AS VARCHAR)" if engine == "duck" else "CAST(l_linenumber AS STRING)"
+    )
+    h_tiny = _h60(engine, tiny_key)
+    big = "HUGEINT" if engine == "duck" else "DECIMAL(28,0)"
+    idiv = "//" if engine == "duck" else "div"
+    est = (
+        f"CASE WHEN n_sketch < {_KMV_K} THEN n_sketch "
+        f"ELSE CAST((CAST({_KMV_K - 1} AS {big}) * {_M60}) {idiv} GREATEST(kth, 1) AS BIGINT) END"
+    )
+    return f"""
+WITH h AS MATERIALIZED (
+  SELECT DISTINCT l_partkey % 2 AS half, {h} AS hv FROM lineitem
+),
+t AS MATERIALIZED (
+  SELECT l_partkey % 2 AS half, CAST(count(DISTINCT l_partkey) AS BIGINT) AS tru
+  FROM lineitem GROUP BY 1
+),
+s0 AS MATERIALIZED (SELECT hv FROM h WHERE half = 0 ORDER BY hv LIMIT {_KMV_K}),
+s1 AS MATERIALIZED (SELECT hv FROM h WHERE half = 1 ORDER BY hv LIMIT {_KMV_K}),
+sm AS MATERIALIZED (
+  SELECT hv FROM (SELECT hv FROM s0 UNION ALL SELECT hv FROM s1) u
+  ORDER BY hv LIMIT {_KMV_K}
+),
+st AS MATERIALIZED (
+  SELECT hv FROM (SELECT DISTINCT {h_tiny} AS hv FROM lineitem) q
+  ORDER BY hv LIMIT {_KMV_K}
+),
+rows_ AS (
+  SELECT 'half0' AS scope, (SELECT CAST(count(*) AS BIGINT) FROM s0) AS n_sketch,
+         (SELECT max(hv) FROM s0) AS kth, (SELECT tru FROM t WHERE half = 0) AS true_distinct
+  UNION ALL
+  SELECT 'half1', (SELECT CAST(count(*) AS BIGINT) FROM s1),
+         (SELECT max(hv) FROM s1), (SELECT tru FROM t WHERE half = 1)
+  UNION ALL
+  SELECT 'merged', (SELECT CAST(count(*) AS BIGINT) FROM sm),
+         (SELECT max(hv) FROM sm), (SELECT CAST(SUM(tru) AS BIGINT) FROM t)
+  UNION ALL
+  SELECT 'tiny', (SELECT CAST(count(*) AS BIGINT) FROM st),
+         (SELECT max(hv) FROM st),
+         (SELECT CAST(count(DISTINCT l_linenumber) AS BIGINT) FROM lineitem)
+)
+SELECT scope, n_sketch, kth, true_distinct, {est} AS est_distinct
+FROM rows_
+"""
+
+
+@query("m_kmv_distinct", oracle=_kmv_sql("duck"))
+def m_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values / bottom-k theta) distinct sketch for
+    l_partkey with an explicit MERGE demonstration: the corpus is
+    split into two shards (partkey parity), each shard keeps only the
+    64 smallest 60-bit md5 hashes of its distinct keys, and the merged
+    estimate is computed FROM THE TWO SKETCH STATES ALONE (union the
+    128 survivors, re-take the bottom 64) — the defining mergeability
+    property a per-segment lakehouse summary needs. Estimator: the
+    k-th minimum v_k of n>=k uniform 60-bit hashes gives
+    est = (k-1)·2^60 div v_k (exact integer via DECIMAL/HUGEINT —
+    63·2^60 exceeds int64, the q_chi_square route); a shard whose
+    distinct count is below k reports it exactly — the 'tiny' scope
+    (l_linenumber, 7 distinct values at every scale) exists to keep
+    that branch MEASURABLY live; with partkey shards alone n_sketch
+    was constant 64 and the under-k gate dead (vacuity audit). Unlike
+    approx_count_distinct's private HLL++ every value here is
+    hash-checked cross-engine; the companion property test pins the
+    estimator inside the published KMV error envelope. Scale shape:
+    one distinct-hash shuffle, then three TakeOrderedAndProject
+    top-64s (per-partition heads merged on the driver — never a
+    global sort or window) and scalar assembly; sketch state is O(k)
+    per shard at any corpus size."""
+    from ..registry import checkpoint_df
+
+    li = load_table(spark, sf_dir, "lineitem")
+    hv = F.expr(_h60("spark", "CAST(l_partkey AS STRING)"))
+    h = (
+        li.select((F.col("l_partkey") % 2).alias("half"), hv.alias("hv"))
+        .distinct()
+        .transform(checkpoint_df)  # read by all three top-k branches
+    )
+    tru = li.groupBy((F.col("l_partkey") % 2).alias("half")).agg(
+        F.countDistinct("l_partkey").cast("bigint").alias("tru")
+    ).transform(checkpoint_df)  # 2 rows
+
+    s0 = h.where(F.col("half") == 0).orderBy("hv").limit(_KMV_K)
+    s1 = h.where(F.col("half") == 1).orderBy("hv").limit(_KMV_K)
+    sm = s0.select("hv").unionByName(s1.select("hv")).orderBy("hv").limit(_KMV_K)
+    hv_tiny = F.expr(_h60("spark", "CAST(l_linenumber AS STRING)"))
+    st = li.select(hv_tiny.alias("hv")).distinct().orderBy("hv").limit(_KMV_K)
+    tt = li.agg(F.countDistinct("l_linenumber").cast("bigint").alias("true_distinct"))
+
+    def sketch_row(s: DataFrame, scope: str, true_df: DataFrame) -> DataFrame:
+        agg = s.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sketch"),
+            F.max("hv").alias("kth"),
+        )
+        return agg.crossJoin(F.broadcast(true_df)).select(
+            F.lit(scope).alias("scope"), "n_sketch", "kth", "true_distinct"
+        )
+
+    t0 = tru.where(F.col("half") == 0).select(F.col("tru").alias("true_distinct"))
+    t1 = tru.where(F.col("half") == 1).select(F.col("tru").alias("true_distinct"))
+    tm = tru.agg(F.sum("tru").cast("bigint").alias("true_distinct"))
+    rows = (
+        sketch_row(s0, "half0", t0)
+        .unionByName(sketch_row(s1, "half1", t1))
+        .unionByName(sketch_row(sm, "merged", tm))
+        .unionByName(sketch_row(st, "tiny", tt))
+    )
+    est = (
+        f"CASE WHEN n_sketch < {_KMV_K} THEN n_sketch "
+        f"ELSE CAST((CAST({_KMV_K - 1} AS DECIMAL(28,0)) * {_M60})"
+        f" div GREATEST(kth, 1) AS BIGINT) END"
+    )
+    return rows.select(
+        "scope", "n_sketch", "kth", "true_distinct", F.expr(est).alias("est_distinct")
+    )

@@ -4827,3 +4827,445 @@ def m_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank_lex",
         "rrf",
     )
+
+
+_MI_TOPK = 20
+
+
+@query(
+    "m_feature_mi",
+    oracle=f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+  FROM documents
+), dfl AS (
+  SELECT tok, lang, count(*) AS k FROM toks GROUP BY tok, lang
+), dft AS (
+  SELECT tok, CAST(SUM(k) AS BIGINT) AS df FROM dfl GROUP BY tok
+), langs AS (
+  SELECT lang, count(*) AS nl FROM documents GROUP BY lang
+), tot AS (SELECT count(*) AS n FROM documents),
+grid AS (
+  SELECT t.tok, t.df, l.nl, COALESCE(d.k, 0) AS k, (SELECT n FROM tot) AS n
+  FROM dft t CROSS JOIN langs l
+  LEFT JOIN dfl d ON d.tok = t.tok AND d.lang = l.lang
+), cells AS (
+  SELECT tok, max(df) AS df_docs, SUM(
+    CASE WHEN k = 0 THEN CAST(0 AS DECIMAL(28,10))
+         ELSE CAST(round((CAST(k AS DOUBLE) / n)
+              * log2(CAST(k * n AS DOUBLE) / (df * nl)), 6) AS DECIMAL(28,10)) END
+    + CASE WHEN nl - k = 0 OR n - df = 0 THEN CAST(0 AS DECIMAL(28,10))
+         ELSE CAST(round((CAST(nl - k AS DOUBLE) / n)
+              * log2(CAST((nl - k) * n AS DOUBLE) / ((n - df) * nl)), 6) AS DECIMAL(28,10)) END
+  ) AS mi
+  FROM grid GROUP BY tok
+)
+SELECT tok, df_docs, CAST(mi * 1000000 AS BIGINT) AS mi_ubits
+FROM cells ORDER BY mi DESC, tok ASC LIMIT {_MI_TOPK}
+""",
+)
+def m_feature_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information I(token-presence; lang) per vocabulary item —
+    the classic filter-method feature selector (and the score behind
+    'which tokens give away the language', the leakage audit a
+    lang-balanced training split runs). For each token the full
+    2×|langs| contingency grid is scored: present cells (k = per-lang
+    doc frequency) AND absent cells (nl−k) both contribute, with the
+    p=0 convention term=0 — on this corpus both cell kinds fire at
+    every scale and top-MI values spread 8.3k→14.4k µbits at sf0.01
+    (measured; vacuity-audited). Hash-safety: every log2 argument is a
+    ratio of exact BIGINT products (≤1e12 at 100× — double-exact); each
+    p·log2 term is rounded to 6 dp and summed in DECIMAL (order-free),
+    and the output is exact integer µbits scaled INSIDE decimal (the
+    round-4 double-scaling trap). Exact-integer cases (k·n = df·nl, or
+    power-of-two ratios with N = 250·10^k) land ON the 6 dp grid, never
+    midpoints. Scale shape: distinct-per-doc explode (array_distinct
+    BEFORE explode), two hash aggs, a |vocab|×|langs| grid built by
+    crossJoin against the BROADCAST lang dim (bounded-domain grouping
+    key) and the scalar N — one shuffle per agg, top-k via
+    TakeOrderedAndProject, no windows, no Python."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    toks = d.select(
+        "lang", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+    )
+    dfl = toks.groupBy("tok", "lang").agg(F.count(F.lit(1)).alias("k"))
+    dft = dfl.groupBy("tok").agg(F.sum("k").cast("bigint").alias("df"))
+    langs = d.groupBy("lang").agg(F.count(F.lit(1)).alias("nl"))
+    tot = d.agg(F.count(F.lit(1)).alias("n"))
+    grid = (
+        dft.crossJoin(F.broadcast(langs))
+        .crossJoin(F.broadcast(tot))
+        .join(dfl, ["tok", "lang"], "left")
+        .select("tok", "df", "nl", "n", F.coalesce("k", F.lit(0)).alias("k"))
+    )
+    dec = "DECIMAL(28,10)"
+    cell1 = (
+        f"CASE WHEN k = 0 THEN CAST(0 AS {dec}) "
+        f"ELSE CAST(round((CAST(k AS DOUBLE) / n) "
+        f"* log2(CAST(k * n AS DOUBLE) / (df * nl)), 6) AS {dec}) END"
+    )
+    cell0 = (
+        f"CASE WHEN nl - k = 0 OR n - df = 0 THEN CAST(0 AS {dec}) "
+        f"ELSE CAST(round((CAST(nl - k AS DOUBLE) / n) "
+        f"* log2(CAST((nl - k) * n AS DOUBLE) / ((n - df) * nl)), 6) AS {dec}) END"
+    )
+    cells = grid.groupBy("tok").agg(
+        F.max("df").alias("df_docs"),
+        F.sum(F.expr(f"{cell1} + {cell0}")).alias("mi"),
+    )
+    return (
+        cells.orderBy(F.col("mi").desc(), F.col("tok").asc())
+        .limit(_MI_TOPK)
+        .select(
+            "tok",
+            "df_docs",
+            F.expr("CAST(mi * 1000000 AS BIGINT)").alias("mi_ubits"),
+        )
+    )
+
+
+_LR_TOKENS_PER_STEP = 2048
+_LR_GRID = 64
+_LR_PEAK_U = 1_000_000
+
+
+@query(
+    "m_lr_schedule",
+    oracle=f"""
+WITH tot AS (
+  SELECT CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS t FROM documents
+), p AS (
+  SELECT (t + {_LR_TOKENS_PER_STEP - 1}) // {_LR_TOKENS_PER_STEP} AS steps,
+         GREATEST((t + {_LR_TOKENS_PER_STEP - 1}) // {_LR_TOKENS_PER_STEP} // 20, 4) AS w
+  FROM tot
+), grid AS (
+  SELECT DISTINCT GREATEST(1, (g.i * p.steps) // {_LR_GRID}) AS s, p.steps, p.w
+  FROM p, generate_series(1, {_LR_GRID}) AS g(i)
+)
+SELECT s AS step,
+       s * {_LR_TOKENS_PER_STEP} AS tokens_seen,
+       CASE WHEN s < w THEN 1 ELSE 0 END AS in_warmup,
+       CAST(floor({_LR_PEAK_U} * least(CAST(s AS DOUBLE) / w,
+                                       sqrt(CAST(w AS DOUBLE) / s))) AS BIGINT) AS lr_u
+FROM grid
+""",
+)
+def m_lr_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training learning-rate schedule table derived from the measured
+    corpus token mass: steps = ceil(total_tokens / {tokens_per_step}),
+    linear warmup to peak over w = max(steps div 20, 4) steps, then
+    inverse-sqrt (Noam) decay — the schedule artifact a pretraining
+    run derives from its data budget, sampled at 64 evenly spaced
+    checkpoints. The warmup floor of 4 is load-bearing: steps div 20
+    is 0 at sf0.001/0.01 (14 steps measured; 133 at sf0.1), which
+    would leave the warmup branch structurally dead — with the floor
+    it fires at every scale (steps 1-3 / 1-3 / 1-5). Inverse-sqrt
+    rather than cosine BY DESIGN: IEEE sqrt/division/multiplication
+    are correctly rounded, so both engines compute bit-identical
+    doubles and floor() agrees everywhere, whereas cos differs ~1 ULP
+    between JVM and libm (the CLAUDE.md transcendental trap — there
+    is no grid coarse enough to be PROVABLY midpoint-free for a
+    schedule table). Non-integer rationals s/w sit >=1/w from any
+    integer, so the warmup floor is also exact. Scale shape: ONE
+    corpus scan to a scalar, then a 64-row literal grid exploded from
+    it — the output is O(1) regardless of corpus size; no window, no
+    Python, broadcast bounded by scalar agg."""
+    d = load_table(spark, sf_dir, "documents")
+    tot = d.agg(
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("t")
+    )
+    p = tot.select(
+        F.expr(f"(t + {_LR_TOKENS_PER_STEP - 1}) div {_LR_TOKENS_PER_STEP}").alias("steps")
+    ).select(
+        "steps", F.expr("greatest(steps div 20, 4)").alias("w")
+    )
+    grid = (
+        p.select(F.explode(F.sequence(F.lit(1), F.lit(_LR_GRID))).alias("i"), "steps", "w")
+        .select(F.expr(f"greatest(1, (i * steps) div {_LR_GRID})").alias("s"), "steps", "w")
+        .distinct()
+    )
+    return grid.select(
+        F.col("s").alias("step"),
+        (F.col("s") * _LR_TOKENS_PER_STEP).alias("tokens_seen"),
+        F.when(F.col("s") < F.col("w"), 1).otherwise(0).alias("in_warmup"),
+        F.expr(
+            f"CAST(floor({_LR_PEAK_U} * least(CAST(s AS DOUBLE) / w,"
+            " sqrt(CAST(w AS DOUBLE) / s))) AS BIGINT)"
+        ).alias("lr_u"),
+    )
+
+
+_MOE_EXPERTS = 4
+
+
+def _moe_duck_h(e: int) -> str:
+    return " + ".join(
+        f"(strpos('0123456789abcdef', substring(md5(tok || '#{e}'), {i + 1}, 1)) - 1)"
+        f" * {16 ** (14 - i)}"
+        for i in range(15)
+    )
+
+
+@query(
+    "m_moe_balance",
+    oracle=f"""
+WITH toks AS MATERIALIZED (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+), asn AS MATERIALIZED (
+  SELECT list_sort([
+    ({_moe_duck_h(0)}) * 4 + 0, ({_moe_duck_h(1)}) * 4 + 1,
+    ({_moe_duck_h(2)}) * 4 + 2, ({_moe_duck_h(3)}) * 4 + 3
+  ]) AS l
+  FROM toks
+), picks AS (
+  SELECT CAST(l[4] % 4 AS BIGINT) AS e1, CAST(l[3] % 4 AS BIGINT) AS e2 FROM asn
+), tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM picks),
+ex AS (SELECT CAST(range AS BIGINT) AS expert FROM range({_MOE_EXPERTS})),
+n1 AS (SELECT e1 AS expert, CAST(count(*) AS BIGINT) AS n FROM picks GROUP BY e1),
+n2 AS (SELECT e2 AS expert, CAST(count(*) AS BIGINT) AS n FROM picks GROUP BY e2)
+SELECT ex.expert,
+       COALESCE(n1.n, 0) AS n_top1,
+       COALESCE(n2.n, 0) AS n_top2,
+       (COALESCE(n1.n, 0) + COALESCE(n2.n, 0)) * 1000000 // (2 * t) AS load_ppm,
+       CAST((CAST(COALESCE(n1.n, 0) AS HUGEINT) * COALESCE(n1.n, 0)
+             * {_MOE_EXPERTS} * 1000000) // (CAST(t AS HUGEINT) * t) AS BIGINT)
+         AS loss_contrib_micro
+FROM ex LEFT JOIN n1 USING (expert) LEFT JOIN n2 USING (expert) CROSS JOIN tot
+""",
+)
+def m_moe_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-of-experts router load-balance audit: every token
+    instance routes to its top-2 of {E} experts by deterministic hash
+    'logits' (md5(token#e) — the degenerate-but-reproducible router
+    every MoE data-pipeline dry-run uses before a trained gate
+    exists), and the output is the per-expert top-1/top-2 assignment
+    counts, the load in ppm of total slots, and each expert's
+    contribution E·f_e²·1e6 to the Switch-style auxiliary balance
+    loss (p_e≈f_e under a hard router). On this corpus the routing is
+    token-TYPE-level (31-word vocabulary), so loads are genuinely
+    imbalanced — 183/250/233/334 permille measured, stable across all
+    three scales — and every output value varies per expert (vacuity
+    audit). Exact integer math: combined keys h·4+e stay under 2^62;
+    the squared-count loss routes through DECIMAL/HUGEINT (n² ·4e6
+    passes int64 at 100×, the q_chi_square rule). Scale shape: the
+    top-2 selection happens INSIDE a transform on the token array
+    BEFORE the explode (derived scalars only ride the shuffle —
+    explode hygiene rule), then two bounded-key hash aggs joined onto
+    a 4-row literal grid; one corpus scan, no windows, no Python."""
+    d = load_table(spark, sf_dir, "documents")
+
+    def combined(t, e: int):
+        hv = F.conv(F.substring(F.md5(F.concat(t, F.lit(f"#{e}"))), 1, 15), 16, 10).cast(
+            "long"
+        )
+        return hv * 4 + e
+
+    def picks_struct(t):
+        arr = F.array_sort(F.array(*[combined(t, e) for e in range(_MOE_EXPERTS)]))
+        return F.struct(
+            F.pmod(F.element_at(arr, -1), F.lit(4)).cast("long").alias("e1"),
+            F.pmod(F.element_at(arr, -2), F.lit(4)).cast("long").alias("e2"),
+        )
+
+    picks = (
+        d.select(F.explode(F.transform(F.split("text", " "), picks_struct)).alias("p"))
+        .select("p.e1", "p.e2")
+        .transform(checkpoint_df)  # read by both count branches + total
+    )
+    tot = picks.agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+    n1 = picks.groupBy(F.col("e1").alias("expert")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n1")
+    )
+    n2 = picks.groupBy(F.col("e2").alias("expert")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n2")
+    )
+    grid = spark.range(_MOE_EXPERTS).select(F.col("id").cast("bigint").alias("expert"))
+    return (
+        grid.join(F.broadcast(n1), "expert", "left")
+        .join(F.broadcast(n2), "expert", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "expert",
+            F.coalesce("n1", F.lit(0)).alias("n_top1"),
+            F.coalesce("n2", F.lit(0)).alias("n_top2"),
+            F.expr(
+                "(coalesce(n1, 0) + coalesce(n2, 0)) * 1000000 div (2 * t)"
+            ).alias("load_ppm"),
+            F.expr(
+                f"CAST((CAST(coalesce(n1, 0) AS DECIMAL(28,0)) * coalesce(n1, 0)"
+                f" * {_MOE_EXPERTS} * 1000000) div (CAST(t AS DECIMAL(28,0)) * t) AS BIGINT)"
+            ).alias("loss_contrib_micro"),
+        )
+    )
+
+
+_TR_ITERS = 3
+_TR_UNIT = 1_000_000
+_TR_TOPK = 20
+
+
+def _oracle_textrank() -> str:
+    head = f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+), adj AS MATERIALIZED (
+  SELECT least(tok, lead(tok, 1) OVER w) AS a,
+         greatest(tok, lead(tok, 1) OVER w) AS b
+  FROM toks
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  QUALIFY lead(tok, 1) OVER w IS NOT NULL AND lead(tok, 1) OVER w <> tok
+), ew AS MATERIALIZED (
+  SELECT a, b, CAST(count(*) AS BIGINT) AS w FROM adj GROUP BY a, b
+), sym AS MATERIALIZED (
+  SELECT a AS src, b AS dst, w FROM ew UNION ALL SELECT b AS src, a AS dst, w FROM ew
+), wsum AS MATERIALIZED (
+  SELECT src AS node, CAST(SUM(w) AS BIGINT) AS ws FROM sym GROUP BY src
+),
+r0 AS MATERIALIZED (SELECT node, CAST({_TR_UNIT} AS BIGINT) AS rank_u FROM wsum)"""
+    parts = [head]
+    for k in range(1, _TR_ITERS + 1):
+        parts.append(
+            f""",
+r{k} AS MATERIALIZED (
+  SELECT s.dst AS node,
+         CAST({_TR_UNIT} AS BIGINT) * 15 // 100
+           + 850 * CAST(SUM((r.rank_u * s.w) // ws.ws) AS BIGINT) // 1000 AS rank_u
+  FROM sym s
+  JOIN r{k - 1} r ON r.node = s.src
+  JOIN wsum ws ON ws.node = s.src
+  GROUP BY s.dst
+)"""
+        )
+    parts.append(
+        f"""
+SELECT r.node AS tok, ws.ws AS cooc_mass, r.rank_u
+FROM r{_TR_ITERS} r JOIN wsum ws ON ws.node = r.node
+ORDER BY r.rank_u DESC, r.node ASC LIMIT {_TR_TOPK}"""
+    )
+    return "".join(parts)
+
+
+@query("m_textrank_keywords", oracle=_oracle_textrank())
+def m_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): damped
+    PageRank over the token ADJACENCY graph — undirected edges between
+    consecutive tokens, weighted by corpus-wide co-occurrence count —
+    then the top-20 ranked vocabulary items, the classic unsupervised
+    keyword/keyphrase scorer a curation pipeline runs for topic
+    tagging. Same fixed-point discipline as ml/graph.py's pagerank
+    (micro-unit BIGINT ranks, damping as the exact rational 850/1000,
+    per-edge contribution (rank·w) div strength) so all 3 iterations
+    hash-check; the oracle unrolls them with MATERIALIZED CTEs.
+    Products stay ≤ rank·w ≈ 1e6·1e7 at 100× — int64-safe. Scale
+    shape: adjacency pairs are built INSIDE the row via
+    arrays_zip(slice, slice) — consecutive-token structs exist before
+    the explode, so only scalar pairs ride the shuffle (explode
+    hygiene; the positional self-join alternative would shuffle the
+    corpus twice); the graph is vocabulary-bounded (Heaps' law) while
+    edge WEIGHTS carry the corpus mass, so the 3 iteration joins run
+    over |V|-sized frames at any corpus size. Window-free on the
+    Spark side (the oracle's per-doc lead() is DuckDB-only)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    pairs = d.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(toks, 1, F.size(toks) - 1).alias("x"),
+                F.slice(toks, 2, F.size(toks) - 1).alias("y"),
+            )
+        ).alias("p")
+    ).where(F.col("p.x") != F.col("p.y"))
+    ew = (
+        pairs.select(
+            F.least("p.x", "p.y").alias("a"), F.greatest("p.x", "p.y").alias("b")
+        )
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+    )
+    sym = ew.selectExpr("a AS src", "b AS dst", "w").unionByName(
+        ew.selectExpr("b AS src", "a AS dst", "w")
+    )
+    wsum = sym.groupBy("src").agg(F.sum("w").cast("bigint").alias("ws")).withColumnRenamed(
+        "src", "node"
+    )
+    sym_w = (
+        sym.join(wsum.withColumnRenamed("node", "src"), "src")
+        .select("src", "dst", "w", "ws")
+        .transform(checkpoint_df)  # reused every iteration
+    )
+    ranks = wsum.select("node", F.lit(_TR_UNIT).cast("long").alias("rank_u"))
+    for _ in range(_TR_ITERS):
+        contrib = sym_w.join(
+            ranks.withColumnRenamed("node", "src"), "src"
+        ).select("dst", F.expr("(rank_u * w) div ws").alias("c"))
+        ranks = (
+            contrib.groupBy("dst")
+            .agg(
+                (
+                    F.lit(_TR_UNIT * 15 // 100).cast("long")
+                    + F.expr("850 * sum(c) div 1000")
+                ).alias("rank_u")
+            )
+            .withColumnRenamed("dst", "node")
+            .transform(checkpoint_df)  # O(1) lineage per round
+        )
+    return (
+        ranks.join(wsum, "node")
+        .select(F.col("node").alias("tok"), F.col("ws").alias("cooc_mass"), "rank_u")
+        .orderBy(F.col("rank_u").desc(), F.col("tok").asc())
+        .limit(_TR_TOPK)
+    )
+
+
+@query(
+    "m_simpson_diversity",
+    oracle="""
+WITH toks AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents
+), counts AS (
+  SELECT lang, tok, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY lang, tok
+)
+SELECT lang,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_types,
+       CAST((CAST(SUM(c * (c - 1)) AS HUGEINT) * 1000000000)
+            // (CAST(SUM(c) AS HUGEINT) * (SUM(c) - 1)) AS BIGINT) AS simpson_ppb
+FROM counts
+GROUP BY lang
+""",
+)
+def m_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language Simpson concentration index over unigram counts:
+    D = Σ nᵢ(nᵢ−1) / (N(N−1)) — the probability two tokens drawn
+    without replacement are the same type; high D = repetitive
+    vocabulary (the diversity twin of m_token_entropy's per-doc
+    signal, here at corpus/language grain — the mix-design audit for
+    'is a language's slice degenerate'). EXACT arithmetic end to end:
+    D is a ratio of integer sums emitted in ppb via the
+    DECIMAL/HUGEINT integer-div route (Σnᵢ² passes 2^53 — and at
+    100× int64 — so neither double division nor BIGINT products are
+    safe; q_chi_square rule). Keyed by lang (measured SKEWED — the
+    round-6 rule; per-lang unigram distributions differ, so the index
+    genuinely varies). n_types is a DEADCOLS-reviewed by-design
+    constant on this corpus: the synthetic 31-word vocabulary
+    saturates in every language at every scale (measured 31/31/31) —
+    the column carries signal only on corpora with unsaturated
+    vocabularies, like m_ppl_buckets' n_docs precedent. Scale shape: explode → one (lang, tok) hash
+    agg → one 5-row agg; both shuffles partial-aggregate map-side, no
+    window, no Python."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select("lang", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    return counts.groupBy("lang").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.expr(
+            "CAST((CAST(SUM(c * (c - 1)) AS DECIMAL(28,0)) * 1000000000)"
+            " div (CAST(SUM(c) AS DECIMAL(28,0)) * (SUM(c) - 1)) AS BIGINT)"
+        ).alias("simpson_ppb"),
+    )
