@@ -1100,3 +1100,29 @@ def test_graph_closeness_reference(spark, adj_ref):
     # non-vacuity: hop-2/3 frontiers genuinely fire and differ by seed
     assert any(v[2] > 0 for v in want.values())
     assert len({v[4] for v in want.values()}) > 1
+
+
+def test_mcc_reference(spark):
+    """One-vs-rest MCC re-derived from m_confusion_matrix's own cells
+    (a different already-verified operator), assembling the float MCC
+    and checking sign(num)*sqrt(mcc2/1e9) against it."""
+    conf = {(r["true_label"], r["pred_label"]): r["n"] for r in _rows(spark, "m_confusion_matrix")}
+    labels = sorted({t for t, _ in conf} | {p for _, p in conf})
+    rows = {r["label"]: r for r in _rows(spark, "m_mcc")}
+    assert set(rows) == {t for t, _ in conf}
+    mccs = set()
+    for lab, r in rows.items():
+        tp = conf.get((lab, lab), 0)
+        fp = sum(n for (t, p), n in conf.items() if t != lab and p == lab)
+        fn = sum(n for (t, p), n in conf.items() if t == lab and p != lab)
+        tn = sum(n for (t, p), n in conf.items() if t != lab and p != lab)
+        assert (r["tp"], r["fp"], r["fn"], r["tn"]) == (tp, fp, fn, tn)
+        num = tp * tn - fp * fn
+        den = (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)
+        assert r["mcc_num"] == num
+        assert r["mcc2_ppb"] == num * num * 1_000_000_000 // max(den, 1)
+        mcc = (1 if num > 0 else -1 if num < 0 else 0) * math.sqrt(r["mcc2_ppb"] / 1e9)
+        ref = num / math.sqrt(den) if den else 0.0
+        assert abs(mcc - ref) < 1e-4
+        mccs.add(r["mcc2_ppb"])
+    assert len(mccs) == len(rows)  # per-label skill genuinely varies

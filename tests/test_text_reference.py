@@ -1288,3 +1288,158 @@ def test_simpson_diversity_reference(spark):
         assert r["simpson_ppb"] == (D * 1_000_000_000).__floor__()
         vals.add(r["simpson_ppb"])
     assert len(vals) == len(langs)  # the index genuinely varies by lang
+
+
+def test_kneser_ney_lm_reference(spark, doc_tokens):
+    """Interpolated KN (D=3/4) recomputed with Counters and the exact
+    rational [max(4c12-3,0)*BV + 3*N1w1*(Ncw2+1)] / (4*c1*BV)."""
+    train, val = {}, {}
+    for d, toks in doc_tokens.items():
+        (train if (d * _MIX_A % 2147483648) % 2 == 0 else val)[d] = toks
+    c12 = Counter()
+    vocab = Counter()
+    for toks in train.values():
+        vocab.update(toks)
+        c12.update(zip(toks, toks[1:]))
+    c1, n1w1, ncw2 = Counter(), Counter(), Counter()
+    for (w1, w2), n in c12.items():
+        c1[w1] += n
+        n1w1[w1] += 1
+        ncw2[w2] += 1
+    bv = len(c12) + len(vocab)
+    got = {int(r["doc_id"]): r for r in _rows(spark, "m_kneser_ney_lm")}
+    total_floors = 0
+    for d, toks in val.items():
+        bits, floors = [], 0
+        for w1, w2 in zip(toks, toks[1:]):
+            a = c12.get((w1, w2), 0)
+            b = c1.get(w1, 0)
+            floors += a == 0
+            if b > 0:
+                arg = (4 * b * bv) / (
+                    max(4 * a - 3, 0) * bv + 3 * n1w1[w1] * (ncw2.get(w2, 0) + 1)
+                )
+            else:
+                arg = bv / (ncw2.get(w2, 0) + 1)
+            bits.append(_round_spark(math.log2(arg), 6))
+        if not bits:
+            assert d not in got
+            continue
+        r = got[d]
+        assert (int(r["n_scored"]), int(r["n_discount_floors"])) == (len(bits), floors)
+        assert int(r["avg_microbits"]) == _micro_avg(bits)
+        total_floors += floors
+    assert total_floors > 0, "discount-floor branch dead at smoke scale"
+
+
+def test_cogrouped_map_reference(spark):
+    """u_cogrouped_map drift stats recomputed with pandas groupbys."""
+    import math as _math
+
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet", columns=["event_id", "value", "event_type"])
+    ev["vc"] = ev.value.map(lambda v: _math.floor(v * 100))
+    a = ev[ev.event_id % 2 == 0].groupby("event_type").vc.agg(["count", "sum"])
+    b = ev[ev.event_id % 2 == 1].groupby("event_type").vc.agg(["count", "sum"])
+    rows = {r["event_type"]: r for r in _rows(spark, "u_cogrouped_map")}
+    for et in set(a.index) | set(b.index):
+        na = int(a["count"].get(et, 0)); ma = int(a["sum"].get(et, 0))
+        nb = int(b["count"].get(et, 0)); mb = int(b["sum"].get(et, 0))
+        r = rows[et]
+        assert (r["n_a"], r["n_b"], r["mass_a"], r["mass_b"]) == (na, nb, ma, mb)
+        assert r["drift_scaled"] == abs(ma * nb - mb * na)
+    assert len(rows) == len(set(a.index) | set(b.index))
+
+
+def test_wilson_bounds_reference(spark):
+    """Wilson interval re-derived in python math with the identical
+    z=2 closed form; plus a sanity containment check."""
+    d = pd.read_parquet(f"{SF_SMOKE}/documents.parquet", columns=["lang", "text"])
+    rows = {r["lang"]: r for r in _rows(spark, "m_wilson_bounds")}
+    for lang, g in d.groupby("lang"):
+        n = len(g)
+        k = int((g.text.str.split(" ").str.len() >= 50).sum())
+        lo = math.floor(1e6 * ((k + 2 - 2 * math.sqrt(k * (n - k) / n + 1)) / (n + 4)))
+        hi = math.floor(1e6 * ((k + 2 + 2 * math.sqrt(k * (n - k) / n + 1)) / (n + 4)))
+        r = rows[lang]
+        assert (r["n"], r["k"], r["p_hat_ppm"]) == (n, k, k * 1_000_000 // n)
+        assert (r["wilson_lo_ppm"], r["wilson_hi_ppm"]) == (lo, hi)
+        assert lo <= r["p_hat_ppm"] <= hi
+        assert 0 < k < n  # the gate genuinely splits every lang
+
+
+def test_jsd_matrix_reference(spark):
+    """Pairwise JSD re-derived with Counters, 6dp-decimal terms."""
+    d = pd.read_parquet(f"{SF_SMOKE}/documents.parquet", columns=["lang", "text"])
+    cnt: dict[str, Counter] = {}
+    for lang, g in d.groupby("lang"):
+        cnt[lang] = Counter(tok for t in g.text for tok in t.split(" "))
+    vocab = sorted(set().union(*[set(c) for c in cnt.values()]))
+    langs = sorted(cnt)
+    rows = {(r["lang_a"], r["lang_b"]): r for r in _rows(spark, "m_jsd_matrix")}
+    assert set(rows) == {(a, b) for i, a in enumerate(langs) for b in langs[i + 1:]}
+    vals = set()
+    for (a, b), r in rows.items():
+        na, nb = sum(cnt[a].values()), sum(cnt[b].values())
+        sa = sb = Decimal(0)
+        for t in vocab:
+            ca, cb = cnt[a].get(t, 0), cnt[b].get(t, 0)
+            if ca:
+                sa += Decimal(repr(_round_spark(
+                    (ca / na) * math.log2((2 * ca * nb) / (ca * nb + cb * na)), 6)))
+            if cb:
+                sb += Decimal(repr(_round_spark(
+                    (cb / nb) * math.log2((2 * cb * na) / (ca * nb + cb * na)), 6)))
+        assert r["kl_am_ubits"] == int(sa * 1_000_000)
+        assert r["kl_bm_ubits"] == int(sb * 1_000_000)
+        assert r["jsd2x_ubits"] == int((sa + sb) * 1_000_000)
+        # JSD bounded: 0 <= JSD <= 1 bit -> 2*JSD <= 2e6 ubits
+        assert 0 <= r["jsd2x_ubits"] <= 2_000_000
+        vals.add(r["jsd2x_ubits"])
+    assert len(vals) == len(rows)  # divergences genuinely vary by pair
+
+
+def test_cond_entropy_reference(spark, doc_tokens, docs_pdf):
+    """H(W2|W1) per lang re-derived with Counters; also pins the
+    textbook relation 0 <= H(W2|W1) <= unigram entropy."""
+    lang_of = dict(zip(docs_pdf.doc_id, docs_pdf.lang))
+    c12: dict[str, Counter] = {}
+    for d, toks in doc_tokens.items():
+        c12.setdefault(lang_of[d], Counter()).update(zip(toks, toks[1:]))
+    rows = {r["lang"]: r for r in _rows(spark, "m_cond_entropy")}
+    assert set(rows) == set(c12)
+    for lang, c in c12.items():
+        c1 = Counter()
+        for (w1, _), n in c.items():
+            c1[w1] += n
+        s = Decimal(0)
+        for (w1, _), n in c.items():
+            s += Decimal(repr(_round_spark(n * math.log2(c1[w1] / n), 6)))
+        r = rows[lang]
+        n_total = sum(c.values())
+        assert (r["n_bigrams"], r["n_bigram_types"]) == (n_total, len(c))
+        assert r["sum_ubits"] == int(s * 1_000_000)
+        assert r["cond_entropy_ubits"] == int(s * 1_000_000) // n_total
+        assert 0 < r["cond_entropy_ubits"] < 5_000_000  # < log2(31) bits
+
+
+def test_burstiness_reference(spark, doc_tokens, docs_pdf):
+    """Fano factor re-derived with Counters + Fraction over ALL docs
+    (zeros included), floored to ppm."""
+    from fractions import Fraction
+
+    n = len(docs_pdf)
+    per_tok: dict[str, list[int]] = {}
+    for d, toks in doc_tokens.items():
+        for t, c in Counter(toks).items():
+            per_tok.setdefault(t, []).append(c)
+    rows = {r["tok"]: r for r in _rows(spark, "m_burstiness")}
+    assert set(rows) == set(per_tok)
+    vals = set()
+    for t, cs in per_tok.items():
+        s, q = sum(cs), sum(c * c for c in cs)
+        vmr = Fraction(n * q - s * s, (n - 1) * s)
+        r = rows[t]
+        assert (r["n_docs"], r["total_count"]) == (len(cs), s)
+        assert r["vmr_ppm"] == (vmr * 1_000_000).__floor__()
+        vals.add(r["vmr_ppm"])
+    assert len(vals) > 20  # dispersion genuinely varies across the vocab

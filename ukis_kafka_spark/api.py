@@ -53,6 +53,8 @@ _QUEUE = [
     "m_graph_hits", "m_feature_mi", "q_chi_square", "m_lr_schedule",
     "src_arrow_ipc", "m_graph_closeness", "m_kmv_distinct", "m_moe_balance",
     "m_textrank_keywords", "m_simpson_diversity", "src_sequencefile",
+    "u_cogrouped_map", "m_kneser_ney_lm", "m_wilson_bounds", "m_mcc",
+    "m_jsd_matrix", "m_cond_entropy", "m_burstiness",
     "m_prefix_dedup", "m_ppl_buckets", "m_doremi_round", "m_best_of_n",
     "src_varint_frames", "q_lateral_alias", "m_active_learning_margin",
     "g_simplify_split", "m_jm_interp_lm",

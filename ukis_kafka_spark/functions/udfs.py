@@ -650,3 +650,74 @@ def u_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy("event_type").applyInArrow(
         stats, schema="event_type string, n long, v_centi long, min_id long, max_id long"
     )
+
+
+@query(
+    "u_cogrouped_map",
+    oracle="""
+WITH a AS (
+  SELECT event_type, count(*) AS n_a,
+         CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS mass_a
+  FROM events WHERE event_id % 2 = 0 GROUP BY event_type
+), b AS (
+  SELECT event_type, count(*) AS n_b,
+         CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS mass_b
+  FROM events WHERE event_id % 2 = 1 GROUP BY event_type
+)
+SELECT COALESCE(a.event_type, b.event_type) AS event_type,
+       COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b,
+       COALESCE(mass_a, 0) AS mass_a, COALESCE(mass_b, 0) AS mass_b,
+       CAST(abs(COALESCE(mass_a, 0) * COALESCE(n_b, 0)
+              - COALESCE(mass_b, 0) * COALESCE(n_a, 0)) AS BIGINT) AS drift_scaled
+FROM a FULL OUTER JOIN b ON a.event_type = b.event_type
+""",
+)
+def u_cogrouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COGROUPED-map ``applyInPandas`` — the last pandas-UDF API
+    surface the u_* family was missing: ``groupBy(k).cogroup(
+    other.groupBy(k))`` hands BOTH datasets' rows for a key to one
+    Python kernel (the primitive behind custom as-of merges,
+    train-vs-serve feature reconciliation, model-per-key fit+score).
+    Here the two halves of the event stream (event_id parity — a
+    stand-in for yesterday's batch vs today's) are reconciled per
+    event type: counts, exact centi-unit mass, and the cross-frame
+    drift |mass_a·n_b − mass_b·n_a| (the mean-difference numerator
+    cross-multiplied to stay in exact integers — n·mass products are
+    ≤2^53·100 headroom at 100×, within int64 for this corpus family;
+    numpy sums go through object ints so an overflow would raise, not
+    wrap). The oracle is the equivalent FULL OUTER JOIN of two
+    filtered aggregates. Scale: one co-partitioned shuffle on the key
+    (Spark aligns both sides), 5 bounded groups; per-key rows must
+    fit one worker — the documented cogroup constraint (skewed or
+    unbounded key domains belong in a join, not a cogroup kernel)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.floor(F.col("value") * 100).cast("long").alias("vc")
+    )
+    a = e.where(F.col("event_id") % 2 == 0).select("event_type", "vc")
+    b = e.where(F.col("event_id") % 2 == 1).select("event_type", "vc")
+
+    def reconcile(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        key = (left if len(left) else right)["event_type"].iloc[0]
+        na, nb = len(left), len(right)
+        ma = int(left["vc"].astype(object).sum()) if na else 0
+        mb = int(right["vc"].astype(object).sum()) if nb else 0
+        return pd.DataFrame(
+            {
+                "event_type": [key],
+                "n_a": [na],
+                "n_b": [nb],
+                "mass_a": [ma],
+                "mass_b": [mb],
+                "drift_scaled": [abs(ma * nb - mb * na)],
+            }
+        )
+
+    return (
+        a.groupBy("event_type")
+        .cogroup(b.groupBy("event_type"))
+        .applyInPandas(
+            reconcile,
+            "event_type string, n_a bigint, n_b bigint,"
+            " mass_a bigint, mass_b bigint, drift_scaled bigint",
+        )
+    )

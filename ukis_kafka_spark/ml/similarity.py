@@ -3609,3 +3609,123 @@ def m_ndcg_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("ndcg_permille"),
         )
     )
+
+
+@query(
+    "m_mcc",
+    oracle=_CENTROID_CTE + """
+, conf AS MATERIALIZED (
+  SELECT true_label, pred_label, CAST(count(*) AS BIGINT) AS n
+  FROM pred GROUP BY 1, 2
+), labels AS (SELECT DISTINCT true_label AS label FROM conf),
+cells AS (
+  SELECT l.label,
+    CAST(COALESCE(SUM(CASE WHEN c.true_label = l.label AND c.pred_label = l.label
+                           THEN c.n END), 0) AS BIGINT) AS tp,
+    CAST(COALESCE(SUM(CASE WHEN c.true_label <> l.label AND c.pred_label = l.label
+                           THEN c.n END), 0) AS BIGINT) AS fp,
+    CAST(COALESCE(SUM(CASE WHEN c.true_label = l.label AND c.pred_label <> l.label
+                           THEN c.n END), 0) AS BIGINT) AS fn,
+    CAST(COALESCE(SUM(CASE WHEN c.true_label <> l.label AND c.pred_label <> l.label
+                           THEN c.n END), 0) AS BIGINT) AS tn
+  FROM labels l CROSS JOIN conf c GROUP BY l.label
+)
+SELECT label, tp, fp, fn, tn,
+  tp * tn - fp * fn AS mcc_num,
+  CAST((CAST(tp * tn - fp * fn AS HUGEINT) * (tp * tn - fp * fn) * 1000000000)
+    // GREATEST(CAST(tp + fp AS HUGEINT) * (tp + fn) * (tn + fp) * (tn + fn), 1)
+    AS BIGINT) AS mcc2_ppb
+FROM cells
+""",
+)
+def m_mcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label Matthews correlation of the nearest-centroid
+    classifier in one-vs-rest binarization — the chance-corrected
+    eval metric that stays honest under class imbalance (accuracy and
+    F1 both inflate on skewed labels; MCC is the binary-confusion
+    Pearson phi). Emitted EXACTLY: the signed numerator tp·tn − fp·fn
+    (carries the direction — a sign column would be by-design
+    constant here, the classifier beats chance on every label at
+    every scale, measured) and MCC² in ppb via DECIMAL/HUGEINT
+    integer division (tp·tn − fp·fn squared and the 4-factor marginal
+    product both pass int64 at 100× — the q_chi_square route);
+    MCC = sign(mcc_num)·sqrt(mcc2_ppb/1e9) reconstructs client-side,
+    keeping the sqrt OFF the hash-checked surface entirely. Shares
+    _centroid_dist (broadcast centroids, one linear classify pass)
+    and collapses to the |labels|²-row confusion table BEFORE the
+    one-vs-rest expansion, so the per-label pass is bounded-by-labels
+    work at any corpus size."""
+    dist = _centroid_dist(spark, sf_dir)
+    w = Window.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("c_label").asc())
+    pred = (
+        dist.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("true_label", F.col("c_label").alias("pred_label"))
+    )
+    conf = (
+        pred.groupBy("true_label", "pred_label")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .transform(checkpoint_df)  # |labels|^2 rows, read twice
+    )
+    labels = conf.select(F.col("true_label").alias("label")).distinct()
+    cells = (
+        F.broadcast(labels)
+        .crossJoin(conf)
+        .groupBy("label")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col("true_label") == F.col("label"))
+                        & (F.col("pred_label") == F.col("label")),
+                        F.col("n"),
+                    )
+                ),
+                F.lit(0),
+            ).cast("bigint").alias("tp"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col("true_label") != F.col("label"))
+                        & (F.col("pred_label") == F.col("label")),
+                        F.col("n"),
+                    )
+                ),
+                F.lit(0),
+            ).cast("bigint").alias("fp"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col("true_label") == F.col("label"))
+                        & (F.col("pred_label") != F.col("label")),
+                        F.col("n"),
+                    )
+                ),
+                F.lit(0),
+            ).cast("bigint").alias("fn"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col("true_label") != F.col("label"))
+                        & (F.col("pred_label") != F.col("label")),
+                        F.col("n"),
+                    )
+                ),
+                F.lit(0),
+            ).cast("bigint").alias("tn"),
+        )
+    )
+    return cells.select(
+        "label",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        (F.col("tp") * F.col("tn") - F.col("fp") * F.col("fn")).alias("mcc_num"),
+        F.expr(
+            "CAST((CAST(tp * tn - fp * fn AS DECIMAL(28,0)) * (tp * tn - fp * fn)"
+            " * 1000000000)"
+            " div GREATEST(CAST(tp + fp AS DECIMAL(28,0)) * (tp + fn) * (tn + fp)"
+            " * (tn + fn), 1) AS BIGINT)"
+        ).alias("mcc2_ppb"),
+    )

@@ -5269,3 +5269,473 @@ def m_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (CAST(SUM(c) AS DECIMAL(28,0)) * (SUM(c) - 1)) AS BIGINT)"
         ).alias("simpson_ppb"),
     )
+
+
+@query(
+    "m_kneser_ney_lm",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, text,
+         (doc_id * {_MIX_A} % 2147483648) % 2 AS half
+  FROM documents
+), toks AS (
+  SELECT doc_id, half, tok, i FROM (
+    SELECT doc_id, half,
+           unnest(string_split(text, ' ')) AS tok,
+           generate_subscripts(string_split(text, ' '), 1) AS i
+    FROM d)
+), bi AS (
+  SELECT doc_id, half, tok AS w1,
+         lead(tok) OVER (PARTITION BY doc_id ORDER BY i) AS w2
+  FROM toks
+), c12 AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bi
+  WHERE half = 0 AND w2 IS NOT NULL GROUP BY w1, w2
+), c1 AS (
+  SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+         CAST(count(*) AS BIGINT) AS n1w1
+  FROM c12 GROUP BY w1
+), cont AS (
+  SELECT w2, CAST(count(*) AS BIGINT) AS ncw2 FROM c12 GROUP BY w2
+), bv AS (
+  SELECT CAST((SELECT count(*) FROM c12)
+            + (SELECT count(DISTINCT tok) FROM toks WHERE half = 0) AS BIGINT) AS bv
+), scored AS (
+  SELECT b.doc_id,
+         CASE WHEN coalesce(c12.c12, 0) = 0 THEN 1 ELSE 0 END AS floored,
+         round(log2(
+           CASE WHEN coalesce(c1.c1, 0) > 0
+                THEN CAST(4 * c1.c1 * bv.bv AS DOUBLE)
+                     / (GREATEST(4 * coalesce(c12.c12, 0) - 3, 0) * bv.bv
+                        + 3 * c1.n1w1 * (coalesce(cont.ncw2, 0) + 1))
+                ELSE CAST(bv.bv AS DOUBLE) / (coalesce(cont.ncw2, 0) + 1)
+           END), 6) AS bits
+  FROM bi b
+  LEFT JOIN c12 ON c12.w1 = b.w1 AND c12.w2 = b.w2
+  LEFT JOIN c1 ON c1.w1 = b.w1
+  LEFT JOIN cont ON cont.w2 = b.w2
+  CROSS JOIN bv
+  WHERE b.half = 1 AND b.w2 IS NOT NULL
+)
+SELECT doc_id,
+       count(*) AS n_scored,
+       COUNT(CASE WHEN floored = 1 THEN 1 END) AS n_discount_floors,
+       CAST(SUM(CAST(bits AS DECIMAL(28,10))) * 1000000 AS BIGINT)
+         // count(*) AS avg_microbits
+FROM scored GROUP BY doc_id
+""",
+)
+def m_kneser_ney_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram scoring (Kneser & Ney 1995;
+    Chen & Goodman 1999 eq. 18) — the third member of the held-out
+    smoothing family next to m_backoff_lm (switching) and
+    m_jm_interp_lm (fixed-weight blending): absolute discounting
+    max(c12−D, 0)/c1 plus the DISCOUNT MASS D·N1+(w1·)/c1 times the
+    CONTINUATION probability (N1+(·w2)+1)/(B+V) — 'how many contexts
+    does w2 complete' rather than raw frequency, the insight that
+    made KN the strongest classical n-gram smoother.
+
+    Hash-safety (the m_jm_interp_lm rule): with D = 3/4 (exact
+    binary) the whole probability is ONE exact integer rational
+    [max(4·c12−3,0)·BV + 3·N1w1·(Ncw2+1)] / (4·c1·BV), so both
+    engines hand log2 a single identical double quotient — no float
+    addition of partial terms. The numerator is never 0 when c1 > 0
+    (N1w1 ≥ 1 by construction); the c1 = 0 fallback scores the
+    smoothed continuation alone (unreachable on the closed 31-token
+    vocab, guards a division not a gate). Per-position bits round to
+    6 dp, DECIMAL-sum, fixed-point micro-bits per doc.
+    n_discount_floors counts positions where the discount zeroes the
+    bigram term (c12 = 0) — fires exactly where m_jm_interp_lm's
+    novelty column fires (measured 6 docs at the sf0.01 audit scale,
+    saturating to 0 at sf0.1, the documented coverage curve). Scale:
+    two hash aggregates for counts, n-gram-keyed UNHINTED scoring
+    joins (corpus-growing tables — the m_backoff_lm round-8 rule);
+    4·c12·BV < 2^63 up to ~1e8 distinct bigram types, beyond which
+    the ratio moves to micro-ppm integer scaling."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        ((F.col("doc_id") * _MIX_A % 2147483648) % 2).alias("half"),
+    )
+    toks = d.select(
+        "doc_id", "half", F.posexplode(F.split("text", " ")).alias("i", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("i")
+    bi = toks.select(
+        "doc_id",
+        "half",
+        F.col("tok").alias("w1"),
+        F.lead("tok").over(w).alias("w2"),
+    ).where(F.col("w2").isNotNull())
+    c12 = (
+        bi.where(F.col("half") == 0)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c12"))
+    )
+    c1 = c12.groupBy("w1").agg(
+        F.sum("c12").cast("bigint").alias("c1"),
+        F.count(F.lit(1)).cast("bigint").alias("n1w1"),
+    )
+    cont = c12.groupBy("w2").agg(F.count(F.lit(1)).cast("bigint").alias("ncw2"))
+    b_types = c12.agg(F.count(F.lit(1)).cast("bigint").alias("b"))
+    v_types = (
+        toks.where(F.col("half") == 0)
+        .agg(F.countDistinct("tok").cast("bigint").alias("v"))
+    )
+    bv = b_types.crossJoin(F.broadcast(v_types)).select(
+        (F.col("b") + F.col("v")).alias("bv")
+    )
+    val = bi.where(F.col("half") == 1)
+    scored = (
+        val.join(c12, ["w1", "w2"], "left")
+        .join(c1, ["w1"], "left")
+        .join(cont, ["w2"], "left")
+        .crossJoin(F.broadcast(bv))
+        .select(
+            "doc_id",
+            F.when(F.coalesce(F.col("c12"), F.lit(0)) == 0, 1)
+            .otherwise(0)
+            .alias("floored"),
+            F.round(
+                F.log2(
+                    F.when(
+                        F.coalesce(F.col("c1"), F.lit(0)) > 0,
+                        (F.lit(4) * F.col("c1") * F.col("bv")).cast("double")
+                        / (
+                            F.greatest(
+                                F.lit(4) * F.coalesce(F.col("c12"), F.lit(0)) - 3,
+                                F.lit(0),
+                            )
+                            * F.col("bv")
+                            + F.lit(3)
+                            * F.col("n1w1")
+                            * (F.coalesce(F.col("ncw2"), F.lit(0)) + 1)
+                        ),
+                    ).otherwise(
+                        F.col("bv").cast("double")
+                        / (F.coalesce(F.col("ncw2"), F.lit(0)) + 1)
+                    )
+                ),
+                6,
+            ).alias("bits"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_scored"),
+        F.count(F.when(F.col("floored") == 1, 1)).alias("n_discount_floors"),
+        F.expr(
+            "CAST(SUM(CAST(bits AS DECIMAL(28,10))) * 1000000 AS BIGINT)"
+            " div count(*)"
+        ).alias("avg_microbits"),
+    )
+
+
+# shared across engines VERBATIM: every step (integer ratio, sqrt,
+# multiply, divide) is IEEE-correctly-rounded, so identical expression
+# text yields bit-identical doubles in Spark and DuckDB.
+_WILSON_LO = (
+    "CAST(floor(1000000 * ((k + 2 - 2 * sqrt(CAST(k * (n - k) AS DOUBLE) / n + 1))"
+    " / (n + 4))) AS BIGINT)"
+)
+_WILSON_HI = (
+    "CAST(floor(1000000 * ((k + 2 + 2 * sqrt(CAST(k * (n - k) AS DOUBLE) / n + 1))"
+    " / (n + 4))) AS BIGINT)"
+)
+
+
+@query(
+    "m_wilson_bounds",
+    oracle=f"""
+WITH s AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n,
+         CAST(count(CASE WHEN len(string_split(text, ' ')) >= 50 THEN 1 END)
+              AS BIGINT) AS k
+  FROM documents GROUP BY lang
+)
+SELECT lang, n, k,
+       k * 1000000 // n AS p_hat_ppm,
+       {_WILSON_LO} AS wilson_lo_ppm,
+       {_WILSON_HI} AS wilson_hi_ppm
+FROM s
+""",
+)
+def m_wilson_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language Wilson score interval for the acceptance rate of a
+    length gate (docs with ≥50 tokens — fires at 50-65% in every lang
+    at every scale, measured) — the confidence interval a curation
+    pipeline attaches to per-slice filter pass-rates before deciding
+    a slice is under-filtered (plain ±z·se misbehaves at small n and
+    p near 0/1; Wilson is the standard fix). With z = 2 the interval
+    reduces to [k+2 ∓ 2·√(k(n−k)/n + 1)] / (n+4) — shared VERBATIM
+    as one SQL fragment between the engines, and every step in it
+    (exact-integer ratio, sqrt, multiply, divide) is IEEE
+    correctly-rounded, so both engines produce bit-identical doubles
+    and the µ-ppm floor agrees by construction (the m_lr_schedule
+    sqrt discipline — this is why z is 2, not 1.96: a z² that is not
+    exactly representable would force a transcendental grid).
+    k(n−k) < 2^53 to ~9e7 docs per lang; beyond that the ratio moves
+    inside DECIMAL. Scale: one scan, one bounded-key hash agg, five
+    rows out, no window, no Python."""
+    d = load_table(spark, sf_dir, "documents")
+    s = d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.count(F.when(F.size(F.split("text", " ")) >= 50, 1))
+        .cast("bigint")
+        .alias("k"),
+    )
+    return s.select(
+        "lang",
+        "n",
+        "k",
+        F.expr("k * 1000000 div n").alias("p_hat_ppm"),
+        F.expr(_WILSON_LO).alias("wilson_lo_ppm"),
+        F.expr(_WILSON_HI).alias("wilson_hi_ppm"),
+    )
+
+
+@query(
+    "m_jsd_matrix",
+    oracle="""
+WITH toks AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents
+), cnt AS (
+  SELECT lang, tok, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY lang, tok
+), nl AS (
+  SELECT lang, CAST(SUM(c) AS BIGINT) AS n FROM cnt GROUP BY lang
+), vocab AS (SELECT DISTINCT tok FROM cnt),
+grid AS (
+  SELECT v.tok, l.lang, l.n, COALESCE(c.c, 0) AS c
+  FROM vocab v CROSS JOIN nl l
+  LEFT JOIN cnt c ON c.tok = v.tok AND c.lang = l.lang
+), pairs AS (
+  SELECT a.lang AS lang_a, b.lang AS lang_b, a.tok,
+         a.c AS ca, a.n AS na, b.c AS cb, b.n AS nb
+  FROM grid a JOIN grid b ON a.tok = b.tok AND a.lang < b.lang
+), terms AS (
+  SELECT lang_a, lang_b,
+    CASE WHEN ca = 0 THEN CAST(0 AS DECIMAL(28,10))
+         ELSE CAST(round((CAST(ca AS DOUBLE) / na)
+              * log2(CAST(2 * ca * nb AS DOUBLE) / (ca * nb + cb * na)), 6)
+              AS DECIMAL(28,10)) END AS ta,
+    CASE WHEN cb = 0 THEN CAST(0 AS DECIMAL(28,10))
+         ELSE CAST(round((CAST(cb AS DOUBLE) / nb)
+              * log2(CAST(2 * cb * na AS DOUBLE) / (ca * nb + cb * na)), 6)
+              AS DECIMAL(28,10)) END AS tb
+  FROM pairs
+)
+SELECT lang_a, lang_b,
+       CAST(SUM(ta) * 1000000 AS BIGINT) AS kl_am_ubits,
+       CAST(SUM(tb) * 1000000 AS BIGINT) AS kl_bm_ubits,
+       CAST((SUM(ta) + SUM(tb)) * 1000000 AS BIGINT) AS jsd2x_ubits
+FROM terms GROUP BY lang_a, lang_b
+""",
+)
+def m_jsd_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between per-language unigram
+    distributions — the bounded, symmetric distance a mixture designer
+    uses to decide which domains are near-duplicates of each other and
+    which add diversity (KL alone is asymmetric and unbounded; JSD =
+    ½KL(A‖M)+½KL(B‖M) with M the midpoint). Emitted as the two
+    one-sided KL(·‖M) components plus their sum = 2·JSD, all in exact
+    µbits — the sum is emitted DOUBLED because halving a 6 dp decimal
+    sum can land on a half-µbit (no exact integer); clients divide by
+    2. Hash-safety: every log2 argument is a ratio of exact BIGINT
+    products (2·c·n ≤ 1.8e13 at 100× — double-exact); each p·log2
+    term rounds to 6 dp and sums in DECIMAL (m_feature_mi rules). The
+    c=0 convention terms exist for open vocabularies but are
+    UNREACHABLE here (the 31-token vocab saturates every lang —
+    m_simpson_diversity's measured fact): they guard a log(0), not a
+    gate. Scale shape: one (lang, tok) hash agg, the dense
+    |vocab|×|langs| grid (crossJoin against the broadcast 5-row lang
+    dim), then a vocab-keyed self-join producing |vocab|·C(5,2) rows
+    — everything vocab-bounded (Heaps) after one corpus scan; no
+    windows, no Python."""
+    d = load_table(spark, sf_dir, "documents")
+    cnt = (
+        d.select("lang", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    nl = cnt.groupBy("lang").agg(F.sum("c").cast("bigint").alias("n"))
+    vocab = cnt.select("tok").distinct()
+    grid = (
+        vocab.crossJoin(F.broadcast(nl))
+        .join(cnt, ["tok", "lang"], "left")
+        .select("tok", "lang", "n", F.coalesce("c", F.lit(0)).alias("c"))
+        .transform(checkpoint_df)  # both sides of the pair join read it
+    )
+    a = grid.select(
+        F.col("tok"), F.col("lang").alias("lang_a"), F.col("c").alias("ca"), F.col("n").alias("na")
+    )
+    b = grid.select(
+        F.col("tok"), F.col("lang").alias("lang_b"), F.col("c").alias("cb"), F.col("n").alias("nb")
+    )
+    pairs = a.join(b, "tok").where(F.col("lang_a") < F.col("lang_b"))
+    dec = "DECIMAL(28,10)"
+    ta = (
+        f"CASE WHEN ca = 0 THEN CAST(0 AS {dec}) "
+        f"ELSE CAST(round((CAST(ca AS DOUBLE) / na)"
+        f" * log2(CAST(2 * ca * nb AS DOUBLE) / (ca * nb + cb * na)), 6) AS {dec}) END"
+    )
+    tb = (
+        f"CASE WHEN cb = 0 THEN CAST(0 AS {dec}) "
+        f"ELSE CAST(round((CAST(cb AS DOUBLE) / nb)"
+        f" * log2(CAST(2 * cb * na AS DOUBLE) / (ca * nb + cb * na)), 6) AS {dec}) END"
+    )
+    return (
+        pairs.groupBy("lang_a", "lang_b")
+        .agg(
+            F.sum(F.expr(ta)).alias("sa"),
+            F.sum(F.expr(tb)).alias("sb"),
+        )
+        .select(
+            "lang_a",
+            "lang_b",
+            F.expr("CAST(sa * 1000000 AS BIGINT)").alias("kl_am_ubits"),
+            F.expr("CAST(sb * 1000000 AS BIGINT)").alias("kl_bm_ubits"),
+            F.expr("CAST((sa + sb) * 1000000 AS BIGINT)").alias("jsd2x_ubits"),
+        )
+    )
+
+
+@query(
+    "m_cond_entropy",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, lang, tok, i FROM (
+    SELECT doc_id, lang,
+           unnest(string_split(text, ' ')) AS tok,
+           generate_subscripts(string_split(text, ' '), 1) AS i
+    FROM documents)
+), bi AS (
+  SELECT lang, tok AS w1, lead(tok) OVER (PARTITION BY doc_id ORDER BY i) AS w2
+  FROM toks
+), c12 AS (
+  SELECT lang, w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bi
+  WHERE w2 IS NOT NULL GROUP BY lang, w1, w2
+), c1 AS (
+  SELECT lang, w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM c12 GROUP BY lang, w1
+), terms AS (
+  SELECT c12.lang, c12.c12,
+         CAST(round(c12.c12 * log2(CAST(c1.c1 AS DOUBLE) / c12.c12), 6)
+              AS DECIMAL(28,10)) AS t
+  FROM c12 JOIN c1 ON c1.lang = c12.lang AND c1.w1 = c12.w1
+)
+SELECT lang,
+       CAST(SUM(c12) AS BIGINT) AS n_bigrams,
+       CAST(count(*) AS BIGINT) AS n_bigram_types,
+       CAST(SUM(t) * 1000000 AS BIGINT) AS sum_ubits,
+       CAST(SUM(t) * 1000000 AS BIGINT) // CAST(SUM(c12) AS BIGINT)
+         AS cond_entropy_ubits
+FROM terms GROUP BY lang
+""",
+)
+def m_cond_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language bigram conditional entropy H(W₂|W₁) =
+    Σ c₁₂·log2(c₁/c₁₂) / N — the sequence-level redundancy statistic
+    (how predictable is the next token given the current one): the
+    gap H(W) − H(W₂|W₁) is the information the bigram structure
+    carries, the classic signal for 'this slice is templated' that
+    unigram entropy (m_token_entropy) cannot see. Hash-safety:
+    c₁/c₁₂ is a ratio of exact BIGINTs; each c₁₂·log2 term rounds to
+    6 dp and sums in DECIMAL (order-free); the per-token average is
+    fixed-point integer division of exact µbit mass (the
+    m_lm_cross_entropy rule — never round a quotient of decimals).
+    Exact-integral cases (c₁ = c₁₂, ratios that are powers of two
+    times integer c₁₂) land ON the grid. Keyed by lang (measured
+    SKEWED — round-6 rule). Scale shape: per-doc lead window (bounded
+    partitions), two hash aggs, one n-gram-keyed join, a 5-row
+    output; no corpus-grown broadcast, no Python."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", F.posexplode(F.split("text", " ")).alias("i", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("i")
+    bi = toks.select(
+        "lang", F.col("tok").alias("w1"), F.lead("tok").over(w).alias("w2")
+    ).where(F.col("w2").isNotNull())
+    c12 = bi.groupBy("lang", "w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c12")
+    )
+    c1 = c12.groupBy("lang", "w1").agg(F.sum("c12").cast("bigint").alias("c1"))
+    terms = c12.join(c1, ["lang", "w1"]).select(
+        "lang",
+        "c12",
+        F.round(
+            F.col("c12") * F.log2(F.col("c1").cast("double") / F.col("c12")), 6
+        )
+        .cast("decimal(28,10)")
+        .alias("t"),
+    )
+    return terms.groupBy("lang").agg(
+        F.sum("c12").cast("bigint").alias("n_bigrams"),
+        F.count(F.lit(1)).cast("bigint").alias("n_bigram_types"),
+        F.expr("CAST(SUM(t) * 1000000 AS BIGINT)").alias("sum_ubits"),
+        F.expr(
+            "CAST(SUM(t) * 1000000 AS BIGINT) div CAST(SUM(c12) AS BIGINT)"
+        ).alias("cond_entropy_ubits"),
+    )
+
+
+@query(
+    "m_burstiness",
+    oracle="""
+WITH perdoc AS (
+  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY doc_id, tok
+), n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+stats AS (
+  SELECT tok,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(SUM(c) AS BIGINT) AS s,
+         CAST(SUM(c * c) AS BIGINT) AS q
+  FROM perdoc GROUP BY tok
+)
+SELECT tok, n_docs, s AS total_count,
+       CAST((CAST(n.n AS HUGEINT) * q - CAST(s AS HUGEINT) * s) * 1000000
+         // (CAST(n.n - 1 AS HUGEINT) * s) AS BIGINT) AS vmr_ppm
+FROM stats CROSS JOIN n
+""",
+)
+def m_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-token burstiness: the variance-to-mean ratio (Fano factor)
+    of per-document counts over ALL N docs — VMR = 1 means Poisson
+    scatter, VMR > 1 means the token clumps into few documents (the
+    dispersion signal that separates topical content words from
+    function words; Church & Gale 1995). Zero-count docs are counted
+    through the sufficient statistics: variance·(N−1)·N =
+    N·Σc² − (Σc)², with the sum over only the n_docs rows that have
+    the token — zeros contribute nothing to Σc/Σc² but N carries
+    them, so no dense doc×token grid is ever built. Exact fixed
+    point: VMR_ppm = (N·Σc² − S²)·1e6 div ((N−1)·S) via
+    DECIMAL/HUGEINT (N·Σc²·1e6 passes int64 at 100× — q_chi_square
+    rule); every value is a ratio of exact integers, no rounding
+    surface. Scale shape: one (doc, tok) hash agg, one (tok) hash
+    agg, scalar N crossJoined broadcast; |vocab| rows out; no window,
+    no Python."""
+    d = load_table(spark, sf_dir, "documents")
+    perdoc = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    n = d.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    stats = perdoc.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("c").cast("bigint").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("q"),
+    )
+    return stats.crossJoin(F.broadcast(n)).select(
+        "tok",
+        "n_docs",
+        F.col("s").alias("total_count"),
+        F.expr(
+            "CAST((CAST(n AS DECIMAL(28,0)) * q - CAST(s AS DECIMAL(28,0)) * s)"
+            " * 1000000 div (CAST(n - 1 AS DECIMAL(28,0)) * s) AS BIGINT)"
+        ).alias("vmr_ppm"),
+    )
