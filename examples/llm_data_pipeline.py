@@ -99,6 +99,31 @@ def main() -> None:
     hits = sum(r.n_hits for r in mat)
     print(f"   matryoshka audit: 16/64-dim prefix keeps {hits}/{5 * len(mat)} "
           f"of exact top-5 neighbors")
+
+    print("== 7. round-8 additions: smoothing family, schedules, routing")
+    kn = run("m_kneser_ney_lm").collect()
+    jm = run("m_jm_interp_lm").collect()
+    kn_avg = sum(r.avg_microbits for r in kn) / (1e6 * len(kn))
+    jm_avg = sum(r.avg_microbits for r in jm) / (1e6 * len(jm))
+    print(f"   held-out bits/token — Kneser-Ney {kn_avg:.2f} vs "
+          f"Jelinek-Mercer {jm_avg:.2f} ({len(kn)} val docs)")
+    lr = sorted(run("m_lr_schedule").collect(), key=lambda r: r.step)
+    peak = max(r.lr_u for r in lr)
+    print(f"   LR schedule: {len(lr)} checkpoints over {lr[-1].step} steps, "
+          f"peak {peak / 1e6:.2f}, final {lr[-1].lr_u / 1e6:.3f}")
+    moe = sorted(run("m_moe_balance").collect(), key=lambda r: r.expert)
+    loads = "/".join(str(r.load_ppm // 1000) for r in moe)
+    aux = sum(r.loss_contrib_micro for r in moe) / 1e6
+    print(f"   MoE hash-router loads (permille): {loads}, aux loss {aux:.3f}")
+    jsd = run("m_jsd_matrix").collect()
+    worst = max(jsd, key=lambda r: r.jsd2x_ubits)
+    print(f"   most divergent lang pair: {worst.lang_a}/{worst.lang_b} "
+          f"(JSD {worst.jsd2x_ubits / 2e6:.4f} bits)")
+    wil = sorted(run("m_wilson_bounds").collect(), key=lambda r: r.lang)
+    w0 = wil[0]
+    print(f"   length-gate pass rate ({w0.lang}): "
+          f"{w0.p_hat_ppm / 1e4:.1f}% in [{w0.wilson_lo_ppm / 1e4:.1f}, "
+          f"{w0.wilson_hi_ppm / 1e4:.1f}] (Wilson z=2)")
     print("done.")
 
 

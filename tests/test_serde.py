@@ -939,3 +939,53 @@ def test_sequencefile_source_matches_pandas(spark):
     rows = api.queries()["src_sequencefile"](spark, SF_SMOKE).collect()
     got = {r["event_type"]: (r["n"], r["min_user"], r["max_user"], r["value_centi_sum"]) for r in rows}
     assert got == want
+
+
+# ---- WARC codec (sources.jsonl src_warc) ----
+
+
+def test_warc_roundtrip_and_strictness():
+    """parse_warc round-trips hand-built records and raises on every
+    corruption class (bad version, overrun payload, missing separator)."""
+    import pytest as _pytest
+
+    from ukis_kafka_spark.sources.jsonl import parse_warc
+
+    def rec(rid, payload: bytes, lang="en"):
+        hdr = (
+            f"WARC/1.0\r\nWARC-Type: resource\r\n"
+            f"WARC-Record-ID: <urn:corpus:{rid}>\r\n"
+            f"WARC-Target-URI: warc://corpus/s/{rid}\r\n"
+            f"X-Corpus-Lang: {lang}\r\nContent-Length: {len(payload)}\r\n\r\n"
+        ).encode()
+        return hdr + payload + b"\r\n\r\n"
+
+    buf = rec(1, b"hello world") + rec(2, b"") + rec(3, b"a\r\n\r\nb")  # payload may contain CRLFCRLF
+    got = list(parse_warc(buf))
+    assert [(h["WARC-Record-ID"], p) for h, p in got] == [
+        ("<urn:corpus:1>", b"hello world"),
+        ("<urn:corpus:2>", b""),
+        ("<urn:corpus:3>", b"a\r\n\r\nb"),
+    ]
+    with _pytest.raises(ValueError, match="WARC version"):
+        list(parse_warc(b"HTTP/1.1 200\r\nContent-Length: 0\r\n\r\n\r\n\r\n"))
+    with _pytest.raises(ValueError, match="overruns"):
+        list(parse_warc(rec(1, b"hello")[:-9]))
+    with _pytest.raises(ValueError, match="separator"):
+        list(parse_warc(rec(1, b"x")[:-2]))
+
+
+def test_warc_source_matches_pandas(spark):
+    import pandas as pd
+
+    from tests.conftest import SF_SMOKE
+    from ukis_kafka_spark import api
+
+    d = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    want = {
+        lang: (len(g), g.source.nunique(), int(g.text.str.len().sum()), int(g.doc_id.sum()))
+        for lang, g in d.groupby("lang")
+    }
+    rows = api.queries()["src_warc"](spark, SF_SMOKE).collect()
+    got = {r["lang"]: (r["n_docs"], r["n_sources"], r["bytes_total"], r["id_mass"]) for r in rows}
+    assert got == want

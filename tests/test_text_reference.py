@@ -1443,3 +1443,48 @@ def test_burstiness_reference(spark, doc_tokens, docs_pdf):
         assert r["vmr_ppm"] == (vmr * 1_000_000).__floor__()
         vals.add(r["vmr_ppm"])
     assert len(vals) > 20  # dispersion genuinely varies across the vocab
+
+
+def test_ldp_estimate_reference(spark, docs_pdf):
+    """Randomized response re-derived with hashlib; inversion estimate
+    pinned inside the 4-sigma RR error envelope (~0.87/sqrt(n))."""
+    import hashlib
+
+    rows = {r["lang"]: r for r in _rows(spark, "m_ldp_estimate")}
+    by_lang: dict[str, list[tuple[int, int]]] = {}
+    for doc_id, lang, text in zip(docs_pdf.doc_id, docs_pdf.lang, docs_pdf.text):
+        truth = 1 if len(text.split(" ")) >= 50 else 0
+        flip = 1 if int(hashlib.md5(str(doc_id).encode()).hexdigest()[0], 16) < 4 else 0
+        by_lang.setdefault(lang, []).append((truth, (1 - truth) if flip else truth))
+    for lang, pairs in by_lang.items():
+        n = len(pairs)
+        k_true = sum(t for t, _ in pairs)
+        k_obs = sum(o for _, o in pairs)
+        num = 4 * k_obs - n
+        est = (num * 1_000_000) // (2 * n) if num >= 0 else -((-num) * 1_000_000 // (2 * n))
+        r = rows[lang]
+        assert (r["n"], r["k_true"], r["k_obs"]) == (n, k_true, k_obs)
+        assert r["est_ppm"] == est
+        assert r["true_ppm"] == k_true * 1_000_000 // n
+        assert r["err_ppm"] == est - k_true * 1_000_000 // n
+        # 4-sigma randomized-response envelope
+        assert abs(r["err_ppm"]) <= 4 * 0.87 / math.sqrt(n) * 1_000_000
+
+
+def test_neg_sampling_reference(spark, doc_tokens):
+    """c^(3/4) table re-derived with math.sqrt chains; checks the
+    flattening property (head share shrinks, tail share grows)."""
+    c = Counter(tok for toks in doc_tokens.values() for tok in toks)
+    w = {t: math.floor(1e6 * math.sqrt(math.sqrt(float(n) * n * n))) for t, n in c.items()}
+    tw, tc = sum(w.values()), sum(c.values())
+    rows = {r["tok"]: r for r in _rows(spark, "m_neg_sampling")}
+    assert set(rows) == set(c)
+    for t in c:
+        r = rows[t]
+        assert (r["c"], r["w_micro"]) == (c[t], w[t])
+        assert r["share_ppm"] == w[t] * 1_000_000 // tw
+        assert r["raw_ppm"] == c[t] * 1_000_000 // tc
+    head = max(c, key=lambda t: c[t])
+    tail = min(c, key=lambda t: c[t])
+    assert rows[head]["share_ppm"] < rows[head]["raw_ppm"]
+    assert rows[tail]["share_ppm"] > rows[tail]["raw_ppm"]

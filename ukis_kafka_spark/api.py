@@ -55,6 +55,7 @@ _QUEUE = [
     "m_textrank_keywords", "m_simpson_diversity", "src_sequencefile",
     "u_cogrouped_map", "m_kneser_ney_lm", "m_wilson_bounds", "m_mcc",
     "m_jsd_matrix", "m_cond_entropy", "m_burstiness",
+    "src_warc", "m_neg_sampling", "m_ldp_estimate",
     "m_prefix_dedup", "m_ppl_buckets", "m_doremi_round", "m_best_of_n",
     "src_varint_frames", "q_lateral_alias", "m_active_learning_margin",
     "g_simplify_split", "m_jm_interp_lm",

