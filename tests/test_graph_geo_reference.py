@@ -1050,13 +1050,21 @@ def test_graph_hits_reference(spark):
         raw_a = {s: 0 for s in supps}
         for (c, s), w in edges.items():
             raw_a[s] += w * h[c]
+        # structural mass invariant (ml/graph.py m_graph_hits docstring):
+        # the normalization cap engages every round on any graph where
+        # every node keeps an edge — and post-round mass < 2·n·UNIT
+        # regardless, so the clamp can never compound into overflow.
+        assert sum(raw_a.values()) >= ns * unit
         div = max(sum(raw_a.values()) // (ns * unit), 1)
         a = {s: v // div for s, v in raw_a.items()}
+        assert sum(a.values()) < 2 * ns * unit
         raw_h = {c: 0 for c in custs}
         for (c, s), w in edges.items():
             raw_h[c] += w * a[s]
+        assert sum(raw_h.values()) >= nc * unit
         div = max(sum(raw_h.values()) // (nc * unit), 1)
         h = {c: v // div for c, v in raw_h.items()}
+        assert sum(h.values()) < 2 * nc * unit
     top_auth = sorted(a.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
     top_hub = sorted(h.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
     rows = _rows(spark, "m_graph_hits")

@@ -1384,9 +1384,16 @@ def m_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     587k edges, nc=14,999, ns=1,000 measured) and int64 never
     overflows at ANY corpus scale (a raw·UNIT formulation would pass
     2^63 near 100×; divide-first caps magnitudes structurally). The
-    divisor ≥ avg degree ≥ 1 whenever every node has an edge (true by
-    construction), with GREATEST(,1) as the identical-in-both-engines
-    guard. Scale shape: the edge list materializes once
+    GREATEST(,1) clamp is SELF-LIMITING, no corpus-shape assumption
+    needed: when S ≥ n·UNIT the divisor D = S // (n·UNIT) satisfies
+    D > S/(2·n·UNIT), so post-round mass Σscore ≤ S/D < 2·n·UNIT;
+    when S < n·UNIT the clamp passes scores through unnormalized but
+    their total IS S < n·UNIT already. Either way every round ends
+    with Σscore < 2·n·UNIT, so the next round's raw sums are bounded
+    by max_weighted_degree · 2·n·UNIT (< 2^63 even at 100× with
+    degree 1e6) — the overflow headroom is structural, not a
+    measured-corpus fact (tests/test_graph_geo_reference.py pins the
+    invariant per round). Scale shape: the edge list materializes once
     (checkpoint_df) and each round is two edge-sized shuffles
     (groupBy s, groupBy c) plus two scalar aggregates crossJoined
     back broadcast — the Pregel-as-joins dataflow; state is

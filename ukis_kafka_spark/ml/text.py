@@ -5231,7 +5231,8 @@ SELECT lang,
        CAST(SUM(c) AS BIGINT) AS n_tokens,
        CAST(count(*) AS BIGINT) AS n_types,
        CAST((CAST(SUM(c * (c - 1)) AS HUGEINT) * 1000000000)
-            // (CAST(SUM(c) AS HUGEINT) * (SUM(c) - 1)) AS BIGINT) AS simpson_ppb
+            // GREATEST(CAST(SUM(c) AS HUGEINT) * (SUM(c) - 1), 1)
+            AS BIGINT) AS simpson_ppb
 FROM counts
 GROUP BY lang
 """,
@@ -5246,7 +5247,11 @@ def m_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     D is a ratio of integer sums emitted in ppb via the
     DECIMAL/HUGEINT integer-div route (Σnᵢ² passes 2^53 — and at
     100× int64 — so neither double division nor BIGINT products are
-    safe; q_chi_square rule). Keyed by lang (measured SKEWED — the
+    safe; q_chi_square rule); the denominator is GREATEST(·,1)-guarded
+    in both engines against a single-token language slice (N=1 →
+    N(N−1)=0 — unreachable on this corpus, but ANSI Spark would throw
+    and DuckDB would error on a degenerate slice; m_graph_hits/m_mcc
+    pattern). Keyed by lang (measured SKEWED — the
     round-6 rule; per-lang unigram distributions differ, so the index
     genuinely varies). n_types is a DEADCOLS-reviewed by-design
     constant on this corpus: the synthetic 31-word vocabulary
@@ -5266,7 +5271,8 @@ def m_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_types"),
         F.expr(
             "CAST((CAST(SUM(c * (c - 1)) AS DECIMAL(28,0)) * 1000000000)"
-            " div (CAST(SUM(c) AS DECIMAL(28,0)) * (SUM(c) - 1)) AS BIGINT)"
+            " div GREATEST(CAST(SUM(c) AS DECIMAL(28,0)) * (SUM(c) - 1), 1)"
+            " AS BIGINT)"
         ).alias("simpson_ppb"),
     )
 

@@ -1167,6 +1167,8 @@ def src_varint_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
             import os as _os
             import uuid as _uuid
 
+            from pyspark import TaskContext as _TC
+
             buf = bytearray()
             for r in rows:
                 payload = (
@@ -1178,17 +1180,23 @@ def src_varint_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 buf += encode_uvarint(len(payload)) + payload
             if buf:
+                # Final name is keyed by PARTITION INDEX, not a uuid:
+                # a retried/speculated task re-replaces the same file,
+                # so at-least-once task execution stays exactly-once at
+                # the file level (the committer property df.write gets
+                # for free).
+                pid = _TC.get().partitionId()
                 tmp = _os.path.join(fdir, f"_tmp_{_uuid.uuid4().hex}")
                 with open(tmp, "wb") as fh:
                     fh.write(bytes(buf))
-                _os.replace(tmp, _os.path.join(fdir, f"part-{_uuid.uuid4().hex}.vf"))
+                _os.replace(tmp, _os.path.join(fdir, f"part-{pid:05d}.vf"))
             return iter(())
 
         ev.rdd.mapPartitions(write_part).count()
 
     src = os.path.join(
         _cache_publish(
-            build, ("varintframes", 1, _table_fingerprint(sf_dir, "events"))
+            build, ("varintframes", 2, _table_fingerprint(sf_dir, "events"))
         ),
         "frames",
     )
@@ -1287,16 +1295,22 @@ def src_arrow_ipc(spark: SparkSession, sf_dir: str) -> DataFrame:
                 },
                 schema=schema,
             )
+            # Partition-index naming: retries re-replace the same file
+            # (idempotent), matching the committer guarantee df.write
+            # paths get — a uuid name would duplicate rows on retry.
+            from pyspark import TaskContext as _TC
+
+            pid = _TC.get().partitionId()
             tmp = _os.path.join(fdir, f"_tmp_{_uuid.uuid4().hex}")
             with _pa.ipc.new_stream(tmp, schema) as writer:
                 writer.write_table(tbl, max_chunksize=256)
-            _os.replace(tmp, _os.path.join(fdir, f"part-{_uuid.uuid4().hex}.arrows"))
+            _os.replace(tmp, _os.path.join(fdir, f"part-{pid:05d}.arrows"))
             return iter(())
 
         d.rdd.mapPartitions(write_part).count()
 
     src = os.path.join(
-        _cache_publish(build, ("arrowipc", 1, _table_fingerprint(sf_dir, "documents"))),
+        _cache_publish(build, ("arrowipc", 2, _table_fingerprint(sf_dir, "documents"))),
         "ipc",
     )
     files = spark.read.format("binaryFile").load(src).select("content")
@@ -1498,16 +1512,22 @@ def src_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).encode("ascii")
                 buf += hdr + payload + b"\r\n\r\n"
             if buf:
+                # Partition-index naming: a retried/speculated task
+                # re-replaces its own shard instead of adding a second
+                # uuid-named one (idempotent, committer-equivalent).
+                from pyspark import TaskContext as _TC
+
+                pid = _TC.get().partitionId()
                 tmp = _os.path.join(fdir, f"_tmp_{_uuid.uuid4().hex}")
                 with open(tmp, "wb") as fh:
                     fh.write(bytes(buf))
-                _os.replace(tmp, _os.path.join(fdir, f"part-{_uuid.uuid4().hex}.warc"))
+                _os.replace(tmp, _os.path.join(fdir, f"part-{pid:05d}.warc"))
             return iter(())
 
         d.rdd.mapPartitions(write_part).count()
 
     src = os.path.join(
-        _cache_publish(build, ("warc", 1, _table_fingerprint(sf_dir, "documents"))),
+        _cache_publish(build, ("warc", 2, _table_fingerprint(sf_dir, "documents"))),
         "warc",
     )
     files = spark.read.format("binaryFile").load(src).select("content")
