@@ -55,8 +55,9 @@ def main() -> None:
     # happens to run first made that query's number meaningless.
     from ukis_kafka_spark.streaming import jobs as _jobs
 
-    # (4, None) serves most s_* queries; (2, None) the four
-    # floor-shaved round-7 jobs; (8, 0) is the late-data replay.
+    # (4, None) serves most s_* queries; (2, None) the round-7
+    # floor-shaved jobs plus the two round-9-shaved stream-stream
+    # joins; (8, 0) is the late-data replay.
     for n_chunks, shuffle_chunk in ((4, None), (2, None), (8, 0)):
         _jobs._replay_chunk_cache(spark, sf_dir, n_chunks, shuffle_chunk)
     for warm in ("src_kafka_shape", "src_jsonl_roundtrip", "src_csv_roundtrip"):

@@ -62,6 +62,39 @@ def test_stream_join_equals_batch_range_join(spark):
     )
 
 
+def test_stream_join_chunk_count_invariant(spark, monkeypatch):
+    """The round-9 replay shave (4 → 2 micro-batches) rests on the
+    docstring proof that the inner join's emission set is
+    chunk-count-invariant under ts-ordered arrival; pin it by running
+    the SAME job at both chunkings and comparing the full sets."""
+    from ukis_kafka_spark.streaming import jobs
+
+    at2 = _rows(api.queries()["s_stream_join"](spark, SF_SMOKE),
+                "click_id", "purchase_id", "user_id")
+    monkeypatch.setattr(jobs, "_STREAM_JOIN_CHUNKS", 4)
+    at4 = _rows(api.queries()["s_stream_join"](spark, SF_SMOKE),
+                "click_id", "purchase_id", "user_id")
+    assert at2 == at4 and len(at2) > 0
+
+
+def test_fullouter_join_chunk_count_invariant(spark, monkeypatch):
+    """Full-outer adds NULL rows whose closure set depends only on the
+    FINAL watermark (a function of the total corpus, not the
+    chunking) — 2-vs-4 chunk runs must emit identical sets, including
+    both NULL classes (asserted non-empty so the invariance claim is
+    exercised on the withheld-row logic, not just the matches)."""
+    from ukis_kafka_spark.streaming import jobs
+
+    at2 = _rows(api.queries()["s_stream_fullouter_join"](spark, SF_SMOKE),
+                "click_id", "purchase_id", "user_id")
+    monkeypatch.setattr(jobs, "_STREAM_JOIN_CHUNKS", 4)
+    at4 = _rows(api.queries()["s_stream_fullouter_join"](spark, SF_SMOKE),
+                "click_id", "purchase_id", "user_id")
+    assert at2 == at4
+    assert any(c is None for c, _, _ in at2)  # unmatched purchases fired
+    assert any(p is None for _, p, _ in at2)  # unmatched clicks fired
+
+
 def test_upsert_parquet_semantics(spark, tmp_path):
     from ukis_kafka_spark.sinks.files import upsert_parquet
 

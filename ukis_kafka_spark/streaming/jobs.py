@@ -290,6 +290,12 @@ def s_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _with_scratch(go)
 
 
+# Micro-batch count for the two stream-stream joins. Module-level so
+# the chunk-count-invariance test can monkeypatch it and assert the
+# 4-chunk replay emits the identical set (the proof in each docstring).
+_STREAM_JOIN_CHUNKS = 2
+
+
 @query(
     "s_stream_join",
     oracle="""
@@ -308,10 +314,23 @@ def s_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Timestamps are compared at their native precision but never
     emitted (ns-vs-µs parity), so only ids/user survive to the output.
-    """
+
+    2 micro-batches (round-9 shave, the s_custom_state precedent):
+    the emitted set is PROVABLY chunk-count-invariant because the
+    replay is timestamp-ordered. A matched pair (c, p) can only be
+    lost if the click is evicted before the purchase's batch — but
+    eviction needs watermark > click_ts + 1 h, the watermark entering
+    batch M is max(ts before M) − 10 min ≤ p_ts − 10 min (ordered
+    arrival), and p_ts ≤ click_ts + 1 h, so the click is always still
+    in state; inner matches emit in the batch they form, hence the
+    emission set equals the full batch range join for ANY chunking
+    ≥ 1 — exactly the oracle, which has no closure rule.
+    tests/test_streaming.py::test_stream_join_chunk_count_invariant
+    pins 2-vs-4 equality; each dropped batch saves a full state-store
+    commit round (measured 6.5 s → ~4 s in-pass at sf0.1)."""
 
     def go(work: str) -> DataFrame:
-        stream = replay_events_as_stream(spark, sf_dir, work, n_chunks=4)
+        stream = replay_events_as_stream(spark, sf_dir, work, n_chunks=_STREAM_JOIN_CHUNKS)
         clicks = (
             stream.where(F.col("event_type") == "click")
             .select(
@@ -987,10 +1006,22 @@ def s_stream_fullouter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     Policy default), and rows whose closure point the final watermark
     never reached stay withheld when the stream drains. The oracle
     states all three row classes directly. State on both sides stays
-    watermark-bounded at any scale."""
+    watermark-bounded at any scale.
+
+    2 micro-batches (round-9 shave): chunk-count-invariant like
+    s_stream_join (ts-ordered arrival means matched pairs are never
+    lost to early eviction — proof in that docstring) PLUS the NULL
+    rows' closure set depends only on the FINAL watermark,
+    min(max click_ts, max p_ts) − 10 min, a function of the total
+    corpus alone; the trailing no-data micro-batch
+    (noDataMicroBatches, on by default) applies it identically at any
+    chunking. Intermediate watermark values differ across chunkings —
+    only emission TIMING moves, never the set.
+    tests/test_streaming.py::test_fullouter_join_chunk_count_invariant
+    pins 2-vs-4 equality."""
 
     def go(work: str) -> DataFrame:
-        stream = replay_events_as_stream(spark, sf_dir, work, n_chunks=4)
+        stream = replay_events_as_stream(spark, sf_dir, work, n_chunks=_STREAM_JOIN_CHUNKS)
         clicks = (
             stream.where(F.col("event_type") == "click")
             .select(
