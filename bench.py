@@ -62,6 +62,9 @@ def main() -> None:
         _jobs._replay_chunk_cache(spark, sf_dir, n_chunks, shuffle_chunk)
     for warm in ("src_kafka_shape", "src_jsonl_roundtrip", "src_csv_roundtrip"):
         _force(qs[warm](spark, sf_dir))  # wire/jsonl/csv corpus caches
+    from ukis_kafka_spark.ml import text as _text
+
+    _text._heldout_lm_cache(spark, sf_dir)  # shared LM n-gram spine
 
     times: dict[str, float] = {}
     for name in sorted(qs):

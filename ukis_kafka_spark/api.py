@@ -48,6 +48,10 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # missed — this mechanism makes a stale window structurally impossible
 # (tests/test_registry_contract.py pins it).
 _QUEUE = [
+    # round-9 leads: this round's additions — float them so the fresh
+    # operators get driver confirmation this round (kept well under 20
+    # so ≥30 window slots keep draining the backlog, VERDICT r8 item 1)
+    "m_cc_pointer_jump",
     # round-8 leads: the round-8 additions — float them so the
     # fresh operators get driver confirmation this round
     "m_graph_hits", "m_feature_mi", "q_chi_square", "m_lr_schedule",

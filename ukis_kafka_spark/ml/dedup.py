@@ -414,6 +414,148 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     return labels
 
 
+def connected_components_jump(
+    edges: DataFrame, max_iter: int = 24
+) -> tuple[DataFrame, int]:
+    """Connected components in O(log diameter) ROUNDS via alternating
+    min-neighbor + POINTER-JUMPING label propagation (the
+    large-star/small-star family — Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC 2014): each round first
+    adopts the minimum label in the closed neighborhood (the plain
+    step), then composes labels through themselves —
+    label(v) ← label(label(v)) — which halves the remaining pointer
+    depth the way parallel pointer jumping does.  Plain min-label
+    propagation needs Θ(diameter) rounds, which is the cost driver on
+    the long near-dup chains (shingle drift) a 100 TB corpus grows;
+    this variant converges on a 625-node chain in 7 rounds where
+    plain propagation needs 624.
+
+    Correctness: labels only ever decrease and are always ids of real
+    nodes in the same component (a min over closed-neighborhood labels
+    stays in the component; composing two in-component pointers stays
+    in the component), so the probe-checked fixpoint — no label
+    changed, i.e. every edge's endpoints agree — is exactly
+    component = min reachable id.  Cost discipline (the per-round job
+    count is what the 10+ rounds amplify): self-loop edges fold the
+    least-with-own-label step into the neighbor aggregate (one join
+    fewer), the convergence probe is a SCALAR label-mass sum — labels
+    are elementwise non-increasing, so equal consecutive sums ⟺ no
+    label changed — instead of a self-join, and the per-round
+    checkpoint is LAZY so that probe is the round's single
+    materializing action: one Spark job per round, two shuffles
+    inside it, O(1) lineage (the m_graph_cc discipline).  The mass
+    sum accumulates in DECIMAL(38,0) (Σ of int64 ids over 1e9+ nodes
+    passes 2^63; ANSI would throw).  Returns (labels, rounds); raises
+    if max_iter rounds pass without convergence."""
+    sym = (
+        edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+        .transform(checkpoint_df)
+    )
+    nodes = sym.select(F.col("src").alias("node")).distinct()
+    # closed neighborhood: self-loops make min-over-in-edges already
+    # include the node's own label
+    symplus = sym.unionByName(
+        nodes.select(F.col("node").alias("src"), F.col("node").alias("dst"))
+    ).transform(checkpoint_df)
+    labels = nodes.withColumn("component", F.col("node")).transform(checkpoint_df)
+    prev_mass = None
+    for rounds in range(1, max_iter + 1):
+        # pin l1: both the jump's left side and the pointer table read
+        # it — unpinned, the neighbor join+agg would execute twice per
+        # round (the m_graph_hits pre-normalization-checkpoint rule)
+        l1 = (
+            symplus.join(labels, symplus.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("component").alias("component"))
+            .withColumnRenamed("src", "node")
+            .transform(lambda df: checkpoint_df(df, eager=False))
+        )
+        # TWO jump steps per round: each composes labels through
+        # themselves, so reach per round goes from ~2x to ~4x (rounds
+        # ~log4(diameter)) for one extra label-keyed join inside the
+        # same job — a win while per-round job overhead dominates
+        # (measured 9.5 -> 7.6 s at the sf0.1 625-chain).
+        l2 = l1
+        for _ in range(2):
+            ptr = l2.select(
+                F.col("node").alias("p_node"), F.col("component").alias("p_component")
+            )
+            l2 = l2.join(ptr, l2.component == ptr.p_node, "left").select(
+                "node",
+                F.coalesce(F.col("p_component"), F.col("component")).alias("component"),
+            )
+            l2 = checkpoint_df(l2, eager=False)
+        mass = l2.agg(
+            F.sum(F.col("component").cast("decimal(38,0)")).alias("m")
+        ).collect()[0][0]
+        labels = l2
+        if mass == prev_mass:
+            return labels, rounds
+        prev_mass = mass
+    raise RuntimeError(
+        f"connected_components_jump did not converge in {max_iter} rounds"
+    )
+
+
+_CHAIN_STRIDE = 8
+
+
+@query(
+    "m_cc_pointer_jump",
+    oracle=f"""
+WITH sizes AS (
+  SELECT doc_id % {_CHAIN_STRIDE} AS cluster_id,
+         CAST(count(*) AS BIGINT) AS n_members
+  FROM documents GROUP BY 1
+)
+SELECT d.doc_id,
+       d.doc_id % {_CHAIN_STRIDE} AS cluster_id,
+       d.doc_id % {_CHAIN_STRIDE} = d.doc_id AS is_min,
+       s.n_members
+FROM documents d JOIN sizes s ON s.cluster_id = d.doc_id % {_CHAIN_STRIDE}
+""",
+)
+def m_cc_pointer_jump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-chain connected components — the adversarial topology for
+    label propagation: docs are linked doc_id → doc_id+8 wherever both
+    exist, producing 8 chains of length N/8 (diameter 62 at
+    sf0.001/0.01, 624 at sf0.1 — MEASURED; doc_ids verified dense
+    0..N−1 at every scale, which is also why the oracle knows the
+    components in closed form: chain k = the residue class k mod 8,
+    min = k).  The OPERATOR assumes none of that — it builds the edge
+    list by a self-join and runs the generic pointer-jumping CC
+    (connected_components_jump), which converges here in ≤7 rounds
+    where the plain min-label loop (connected_components, max 20)
+    would need 624 and FAIL outright at every scale — this operator
+    exists precisely because the fixed-round / bounded-round variants
+    that are correct on diameter-1 band cliques (m_dedup_clusters)
+    break on the chain-shaped components a 100 TB near-dup graph
+    grows.  n_members varies across clusters at the sf0.01 audit
+    scale (500 = 8·62+4 → four 63s, four 62s) and is the documented
+    by-design constant 625 at sf0.1 (5000 = 8·625).  Scale shape: one
+    derived-key self-join for edges, then O(log diameter) checkpointed
+    rounds of two shuffles each; no windows, no Python, no collect."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    nxt = d.select((F.col("doc_id") - _CHAIN_STRIDE).alias("id_a"),
+                   F.col("doc_id").alias("id_b"))
+    edges = d.join(nxt, d.doc_id == nxt.id_a).select("id_a", "id_b")
+    labels, _rounds = connected_components_jump(edges)
+    sizes = labels.groupBy("component").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members")
+    )
+    return (
+        labels.join(sizes, "component")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("component").alias("cluster_id"),
+            (F.col("node") == F.col("component")).alias("is_min"),
+            "n_members",
+        )
+    )
+
+
 _CLUSTER_ORACLE_ROUNDS = 4
 
 
