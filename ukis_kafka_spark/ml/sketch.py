@@ -427,3 +427,209 @@ def m_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rows.select(
         "scope", "n_sketch", "kth", "true_distinct", F.expr(est).alias("est_distinct")
     )
+
+
+_THETA_PAIRS = (("A", "N"), ("A", "R"), ("N", "R"))
+
+
+def _theta_sql() -> str:
+    """DuckDB oracle for m_theta_intersect — the same bottom-64 theta
+    set algebra, unrolled per flag pair, every CTE MATERIALIZED (the
+    round-8 CTE-inlining rule)."""
+    h = _h60("duck", "CAST(k AS VARCHAR)")
+    m = _M60
+    k = _KMV_K
+    parts = [
+        f"""
+WITH dk AS MATERIALIZED (
+  SELECT DISTINCT l_returnflag AS f, l_partkey AS k FROM lineitem
+),
+h AS MATERIALIZED (SELECT f, {h} AS hv FROM dk),
+fl AS MATERIALIZED (
+  SELECT k,
+         max(CASE WHEN f = 'A' THEN 1 ELSE 0 END) AS fa,
+         max(CASE WHEN f = 'N' THEN 1 ELSE 0 END) AS fn,
+         max(CASE WHEN f = 'R' THEN 1 ELSE 0 END) AS fr
+  FROM dk GROUP BY k
+),
+tr AS MATERIALIZED (
+  SELECT CAST(SUM(fa * fn) AS BIGINT) AS i_an,
+         CAST(SUM(GREATEST(fa, fn)) AS BIGINT) AS u_an,
+         CAST(SUM(fa * fr) AS BIGINT) AS i_ar,
+         CAST(SUM(GREATEST(fa, fr)) AS BIGINT) AS u_ar,
+         CAST(SUM(fn * fr) AS BIGINT) AS i_nr,
+         CAST(SUM(GREATEST(fn, fr)) AS BIGINT) AS u_nr
+  FROM fl
+),
+s_a AS MATERIALIZED (SELECT hv FROM h WHERE f = 'A' ORDER BY hv LIMIT {k}),
+s_n AS MATERIALIZED (SELECT hv FROM h WHERE f = 'N' ORDER BY hv LIMIT {k}),
+s_r AS MATERIALIZED (SELECT hv FROM h WHERE f = 'R' ORDER BY hv LIMIT {k})"""
+    ]
+    rows = []
+    for f1, f2 in _THETA_PAIRS:
+        a, b = f1.lower(), f2.lower()
+        parts.append(
+            f""",
+th_{a}{b} AS MATERIALIZED (
+  SELECT LEAST(
+    CASE WHEN (SELECT count(*) FROM s_{a}) < {k} THEN {m}
+         ELSE (SELECT max(hv) FROM s_{a}) END,
+    CASE WHEN (SELECT count(*) FROM s_{b}) < {k} THEN {m}
+         ELSE (SELECT max(hv) FROM s_{b}) END) AS theta
+),
+un_{a}{b} AS MATERIALIZED (
+  SELECT hv FROM (SELECT hv FROM s_{a} UNION SELECT hv FROM s_{b}) q
+  ORDER BY hv LIMIT {k}
+)"""
+        )
+        rows.append(
+            f"""
+SELECT '{f1}|{f2}' AS pair,
+       t.theta,
+       CAST((SELECT count(*) FROM s_{a} x JOIN s_{b} y USING (hv)
+             WHERE hv < t.theta) AS BIGINT) AS n_inter,
+       CAST((CAST((SELECT count(*) FROM s_{a} x JOIN s_{b} y USING (hv)
+                   WHERE hv < t.theta) AS HUGEINT) * {m})
+            // GREATEST(t.theta, 1) AS BIGINT) AS est_inter,
+       (SELECT i_{a}{b} FROM tr) AS true_inter,
+       CASE WHEN (SELECT count(*) FROM un_{a}{b}) < {k}
+            THEN (SELECT CAST(count(*) AS BIGINT) FROM un_{a}{b})
+            ELSE CAST((CAST({k - 1} AS HUGEINT) * {m})
+                      // GREATEST((SELECT max(hv) FROM un_{a}{b}), 1) AS BIGINT)
+       END AS est_union,
+       (SELECT u_{a}{b} FROM tr) AS true_union
+FROM th_{a}{b} t"""
+        )
+    parts.append("\n" + "\nUNION ALL\n".join(rows))
+    return "".join(parts)
+
+
+@query("m_theta_intersect", oracle=_theta_sql())
+def m_theta_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch SET ALGEBRA (Dasgupta et al., the DataSketches
+    theta family): intersection and union cardinality estimates for
+    the three l_returnflag partkey sets computed FROM THE BOTTOM-64
+    SKETCH STATES ALONE — the capability that makes bottom-k sketches
+    an algebra rather than a counter (m_kmv_distinct demonstrates
+    merge-union; this adds the intersection rule θ = min(θ_A, θ_B),
+    survivors = S_A ∩ S_B below θ, est = |survivors|·2^60 div θ).
+    At 100 TB these are the per-partition summaries an audience-
+    overlap / slice-intersection dashboard reads without touching the
+    fact table.  l_returnflag is the fixed 3-value TPC-H domain
+    (measured A/N/R present with ~equal distinct-key sets at every
+    scale — heavy overlap, which is exactly the regime where the
+    intersection estimator is interesting); true_inter/true_union are
+    computed exactly in one flag-bitmap pass for error inspection.
+    All arithmetic is the exact-integer KMV route (DECIMAL/HUGEINT
+    for 63·2^60 > int64; md5-60bit hashes identical cross-engine —
+    no rounding grid anywhere).  Under-k sketches set θ = 2^60 so
+    the estimate degrades to the EXACT survivor count (the formula's
+    graceful floor; with 200 keys/flag at sf0.001 the sketches are
+    full-k at every scale).  Scale shape: one distinct shuffle, one
+    bitmap aggregate, three TakeOrderedAndProject top-64s, then
+    sketch-state-only scalar assembly (every broadcast is a scalar
+    agg or LIMIT-bounded — detector-green by construction)."""
+    from ..registry import checkpoint_df
+
+    li = load_table(spark, sf_dir, "lineitem")
+    dk = li.select("l_returnflag", "l_partkey").distinct().transform(checkpoint_df)
+    h = dk.select(
+        "l_returnflag",
+        F.expr(_h60("spark", "CAST(l_partkey AS STRING)")).alias("hv"),
+    ).transform(checkpoint_df)
+    fl = dk.groupBy("l_partkey").agg(
+        *[
+            F.max(F.when(F.col("l_returnflag") == f, 1).otherwise(0)).alias(
+                "f" + f.lower()
+            )
+            for f in ("A", "N", "R")
+        ]
+    )
+    truth = fl.agg(
+        *[
+            e
+            for f1, f2 in _THETA_PAIRS
+            for e in (
+                F.sum(F.col("f" + f1.lower()) * F.col("f" + f2.lower()))
+                .cast("bigint")
+                .alias(f"i_{f1.lower()}{f2.lower()}"),
+                F.sum(F.greatest(F.col("f" + f1.lower()), F.col("f" + f2.lower())))
+                .cast("bigint")
+                .alias(f"u_{f1.lower()}{f2.lower()}"),
+            )
+        ]
+    ).transform(checkpoint_df)
+    sk = {
+        f: h.where(F.col("l_returnflag") == f)
+        .select("hv")
+        .orderBy("hv")
+        .limit(_KMV_K)
+        .transform(checkpoint_df)
+        for f in ("A", "N", "R")
+    }
+    out = None
+    for f1, f2 in _THETA_PAIRS:
+        a, b = f1.lower(), f2.lower()
+        st = (
+            sk[f1]
+            .agg(F.count(F.lit(1)).alias("n1"), F.max("hv").alias("kth1"))
+            .crossJoin(
+                F.broadcast(
+                    sk[f2].agg(F.count(F.lit(1)).alias("n2"), F.max("hv").alias("kth2"))
+                )
+            )
+            .select(
+                F.least(
+                    F.when(F.col("n1") < _KMV_K, F.lit(_M60)).otherwise(F.col("kth1")),
+                    F.when(F.col("n2") < _KMV_K, F.lit(_M60)).otherwise(F.col("kth2")),
+                ).alias("theta")
+            )
+        )
+        n_inter = (
+            sk[f1]
+            .join(sk[f2], "hv")
+            .crossJoin(F.broadcast(st))
+            .agg(
+                F.count(F.when(F.col("hv") < F.col("theta"), 1))
+                .cast("bigint")
+                .alias("n_inter")
+            )
+        )
+        un = (
+            sk[f1]
+            .unionByName(sk[f2])
+            .distinct()
+            .orderBy("hv")
+            .limit(_KMV_K)
+            .agg(F.count(F.lit(1)).alias("n_u"), F.max("hv").alias("kth_u"))
+        )
+        row = (
+            n_inter.crossJoin(F.broadcast(st))
+            .crossJoin(F.broadcast(un))
+            .crossJoin(
+                F.broadcast(
+                    truth.select(
+                        F.col(f"i_{a}{b}").alias("true_inter"),
+                        F.col(f"u_{a}{b}").alias("true_union"),
+                    )
+                )
+            )
+            .select(
+                F.lit(f"{f1}|{f2}").alias("pair"),
+                "theta",
+                "n_inter",
+                F.expr(
+                    f"CAST((CAST(n_inter AS DECIMAL(28,0)) * {_M60})"
+                    " div GREATEST(theta, 1) AS BIGINT)"
+                ).alias("est_inter"),
+                "true_inter",
+                F.expr(
+                    f"CASE WHEN n_u < {_KMV_K} THEN CAST(n_u AS BIGINT)"
+                    f" ELSE CAST((CAST({_KMV_K - 1} AS DECIMAL(28,0)) * {_M60})"
+                    " div GREATEST(kth_u, 1) AS BIGINT) END"
+                ).alias("est_union"),
+                "true_union",
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

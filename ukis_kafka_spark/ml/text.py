@@ -366,6 +366,132 @@ def m_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "m_split_leakage",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, lang, text, string_split(text, ' ') AS tk,
+         (doc_id * {2654435761} % 2147483648) % 2 AS half
+  FROM documents
+),
+ex AS (
+  SELECT doc_id, lang, half,
+         md5(text) AS h,
+         md5(array_to_string(tk[1:16], ' ')) AS p16
+  FROM d
+),
+tr_exact AS (SELECT DISTINCT h FROM ex WHERE half = 0),
+tr_pre AS (SELECT DISTINCT p16 FROM ex WHERE half = 0),
+pos AS (
+  SELECT doc_id, lang, half, tk, generate_subscripts(tk, 1) AS i,
+         unnest(tk) AS u
+  FROM d
+),
+g AS (
+  SELECT doc_id, half,
+         substring(md5(array_to_string(tk[i:i+11], ' ')), 1, 16) AS g12
+  FROM pos WHERE i <= len(tk) - 11
+),
+trg AS (SELECT DISTINCT g12 FROM g WHERE half = 0),
+gleak AS (
+  SELECT DISTINCT doc_id FROM g
+  WHERE half = 1 AND g12 IN (SELECT g12 FROM trg)
+)
+SELECT v.lang,
+       CAST(count(*) AS BIGINT) AS n_val,
+       CAST(COUNT(CASE WHEN te.h IS NOT NULL THEN 1 END) AS BIGINT)
+         AS n_exact_leak,
+       CAST(COUNT(CASE WHEN tp.p16 IS NOT NULL THEN 1 END) AS BIGINT)
+         AS n_prefix16_leak,
+       CAST(COUNT(CASE WHEN gl.doc_id IS NOT NULL THEN 1 END) AS BIGINT)
+         AS n_gram12_leak
+FROM ex v
+LEFT JOIN tr_exact te ON te.h = v.h
+LEFT JOIN tr_pre tp ON tp.p16 = v.p16
+LEFT JOIN gleak gl ON gl.doc_id = v.doc_id
+WHERE v.half = 1
+GROUP BY v.lang
+""",
+)
+def m_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val split contamination audit at three severities — the
+    split-wise twin of m_decontaminate's benchmark check, run on the
+    SAME mod-2^31 hash split the held-out LM family scores against
+    (a leaked val doc inflates every perplexity number that family
+    reports): per language, how many validation docs (1) are EXACT
+    text duplicates of a training doc, (2) share their 16-token
+    prefix with one (truncation/boilerplate twins), (3) share any
+    12-gram with the training half (the GPT-3-style n-gram
+    contamination rule).  MEASURED firing: prefix 9/11/107 and
+    12-gram 10/11/114 val docs at sf0.001/0.01/0.1 — both fire at
+    every scale; exact is 0/0/4 (fires at sf0.1 only — zero at small
+    scales IS the signal, the planted near-dups there differ by >0
+    tokens; DEADCOLS-reviewed).  Hash-safety: membership is by md5 of
+    the exact gram/prefix/text strings — md5 is bit-identical across
+    engines, so no numeric grid is needed; counts are exact BIGINTs.
+    Scale shape: digests are computed INSIDE transform BEFORE the
+    explode (the m_passage_dedup rule — only 16-char keys ride the
+    gram shuffle), the train sets are corpus-growing so all three
+    membership joins are UNHINTED shuffle joins on the digest, and
+    the final per-lang aggregate is map-side combinable."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "text",
+        F.split("text", " ").alias("tk"),
+        ((F.col("doc_id") * 2654435761 % 2147483648) % 2).alias("half"),
+    )
+    ex = d.select(
+        "doc_id",
+        "lang",
+        "half",
+        F.md5("text").alias("h"),
+        F.md5(F.concat_ws(" ", F.slice("tk", 1, 16))).alias("p16"),
+    )
+    tr_exact = ex.where(F.col("half") == 0).select("h").distinct()
+    tr_pre = ex.where(F.col("half") == 0).select("p16").distinct()
+    grams = d.select(
+        "doc_id",
+        "half",
+        F.explode(
+            F.when(
+                F.size("tk") >= 12,
+                F.expr(
+                    "transform(sequence(1, size(tk) - 11),"
+                    " i -> substring(md5(array_join(slice(tk, i, 12), ' ')), 1, 16))"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("g12"),
+    )
+    trg = grams.where(F.col("half") == 0).select("g12").distinct()
+    gleak = (
+        grams.where(F.col("half") == 1)
+        .join(trg, "g12", "semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("g_hit", F.lit(1))
+    )
+    val = ex.where(F.col("half") == 1)
+    return (
+        val.join(tr_exact.withColumn("e_hit", F.lit(1)), "h", "left")
+        .join(tr_pre.withColumn("p_hit", F.lit(1)), "p16", "left")
+        .join(gleak, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_val"),
+            F.count(F.when(F.col("e_hit").isNotNull(), 1))
+            .cast("bigint")
+            .alias("n_exact_leak"),
+            F.count(F.when(F.col("p_hit").isNotNull(), 1))
+            .cast("bigint")
+            .alias("n_prefix16_leak"),
+            F.count(F.when(F.col("g_hit").isNotNull(), 1))
+            .cast("bigint")
+            .alias("n_gram12_leak"),
+        )
+    )
+
+
+@query(
     "m_pii_scrub",
     oracle="""
 WITH planted AS (
@@ -1808,6 +1934,135 @@ def m_jm_interp_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_scored"),
         F.count(F.when(F.col("novel") == 1, 1)).alias("n_novel_bigrams"),
+        F.expr(
+            "CAST(SUM(CAST(bits AS DECIMAL(28,10))) * 1000000 AS BIGINT)"
+            " div count(*)"
+        ).alias("avg_microbits"),
+    )
+
+
+@query(
+    "m_witten_bell_lm",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, text,
+         (doc_id * {_MIX_A} % 2147483648) % 2 AS half
+  FROM documents
+), toks AS (
+  SELECT doc_id, half, tok, i FROM (
+    SELECT doc_id, half,
+           unnest(string_split(text, ' ')) AS tok,
+           generate_subscripts(string_split(text, ' '), 1) AS i
+    FROM d)
+), bi AS (
+  SELECT doc_id, half, tok AS w1,
+         lead(tok) OVER (PARTITION BY doc_id ORDER BY i) AS w2
+  FROM toks
+), c12 AS (
+  SELECT w1, w2, count(*) AS c12 FROM bi
+  WHERE half = 0 AND w2 IS NOT NULL GROUP BY w1, w2
+), c1 AS (
+  SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+         CAST(count(*) AS BIGINT) AS n1w1
+  FROM c12 GROUP BY w1
+), cu AS (
+  SELECT tok AS w2u, count(*) AS cu FROM toks WHERE half = 0 GROUP BY tok
+), nv AS (
+  SELECT CAST(count(*) + count(DISTINCT tok) AS BIGINT) AS nv
+  FROM toks WHERE half = 0
+), scored AS (
+  SELECT b.doc_id,
+         coalesce(c1.n1w1, 0) AS n1w1,
+         round(log2(
+           CASE WHEN coalesce(c1.c1, 0) > 0
+                THEN CAST((c1.c1 + c1.n1w1) * nv.nv AS DOUBLE)
+                     / (coalesce(c12.c12, 0) * nv.nv
+                        + c1.n1w1 * (coalesce(cu.cu, 0) + 1))
+                ELSE CAST(nv.nv AS DOUBLE) / (coalesce(cu.cu, 0) + 1)
+           END), 6) AS bits
+  FROM bi b
+  LEFT JOIN c12 ON c12.w1 = b.w1 AND c12.w2 = b.w2
+  LEFT JOIN c1 ON c1.w1 = b.w1
+  LEFT JOIN cu ON cu.w2u = b.w2
+  CROSS JOIN nv
+  WHERE b.half = 1 AND b.w2 IS NOT NULL
+)
+SELECT doc_id,
+       count(*) AS n_scored,
+       CAST(SUM(n1w1) AS BIGINT) AS ctx_diversity_sum,
+       CAST(SUM(CAST(bits AS DECIMAL(28,10))) * 1000000 AS BIGINT)
+         // count(*) AS avg_microbits
+FROM scored GROUP BY doc_id
+""",
+)
+def m_witten_bell_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Witten-Bell interpolated bigram scoring (Witten & Bell 1991;
+    Chen & Goodman 1999 eq. 16) — the FOURTH smoothing variant on the
+    shared _heldout_lm_cache spine, and the round-9 proof that the
+    spine made new smoothers a ~50-line add: unlike JM's fixed λ, the
+    mixing weight is learned per context from the data itself,
+    λ(w1) = c1/(c1 + N1+(w1·)) — contexts that produced many DISTINCT
+    continuations get more smoothing mass (they are likely to produce
+    another new one; the same "novel events ≈ observed novelty"
+    estimator family as Good-Turing).
+
+    Hash-safety: λ(w1) is a ratio of exact integers, and the whole
+    mixed probability collapses to the single exact rational
+    [c12·NV + n1w1·(cu+1)] / [(c1+n1w1)·NV], so both engines hand
+    log2 one identical double quotient (the m_jm_interp_lm rule —
+    no float addition of partial ratios). The numerator is ≥ 1
+    whenever c1 > 0 (n1w1 ≥ 1 by construction); the c1 = 0 fallback
+    is the smoothed unigram (division guard, not a gate).
+    Per-position bits round to 6 dp, DECIMAL-sum, fixed-point
+    micro-bits per doc. ctx_diversity_sum (Σ N1+(w1·) over scored
+    positions — the quantity WB is ABOUT) is an always-firing exact
+    BIGINT that varies per doc at every scale (no threshold gate to
+    go vacuous). Scale: identical shape to m_jm_interp_lm — cached
+    count tables, one rollup, n-gram-keyed UNHINTED scoring joins;
+    c12·NV < 2^63 to ~1e9 train tokens, then micro-ppm scaling."""
+    cache = _heldout_lm_cache(spark, sf_dir)
+    c12 = spark.read.parquet(os.path.join(cache, "c12_p")).select(
+        "w1", "w2", F.col("c").alias("c12")
+    )
+    c1 = c12.groupBy("w1").agg(
+        F.sum("c12").cast("bigint").alias("c1"),
+        F.count(F.lit(1)).cast("bigint").alias("n1w1"),
+    )
+    cu_p = spark.read.parquet(os.path.join(cache, "cu_p"))
+    cu = cu_p.select(F.col("tok").alias("w2u"), F.col("c").alias("cu"))
+    nv = cu_p.agg(
+        (F.sum("c") + F.count(F.lit(1))).cast("bigint").alias("nv")
+    )
+    val = spark.read.parquet(os.path.join(cache, "bi_val_p"))
+    scored = (
+        val.join(c12, ["w1", "w2"], "left")
+        .join(c1, ["w1"], "left")
+        .join(cu, F.col("w2") == F.col("w2u"), "left")
+        .crossJoin(F.broadcast(nv))
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n1w1"), F.lit(0)).alias("n1w1"),
+            F.round(
+                F.log2(
+                    F.when(
+                        F.coalesce(F.col("c1"), F.lit(0)) > 0,
+                        ((F.col("c1") + F.col("n1w1")) * F.col("nv")).cast("double")
+                        / (
+                            F.coalesce(F.col("c12"), F.lit(0)) * F.col("nv")
+                            + F.col("n1w1") * (F.coalesce(F.col("cu"), F.lit(0)) + 1)
+                        ),
+                    ).otherwise(
+                        F.col("nv").cast("double")
+                        / (F.coalesce(F.col("cu"), F.lit(0)) + 1)
+                    )
+                ),
+                6,
+            ).alias("bits"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_scored"),
+        F.sum("n1w1").cast("bigint").alias("ctx_diversity_sum"),
         F.expr(
             "CAST(SUM(CAST(bits AS DECIMAL(28,10))) * 1000000 AS BIGINT)"
             " div count(*)"
