@@ -3729,3 +3729,67 @@ def m_mcc(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * (tn + fn), 1) AS BIGINT)"
         ).alias("mcc2_ppb"),
     )
+
+
+@query(
+    "m_embed_norm_audit",
+    oracle="""
+WITH comp AS (
+  SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+), per AS (
+  SELECT vec_id, CAST(label AS BIGINT) AS label,
+         CAST(SUM(CAST(round(v * v, 6) AS DECIMAL(28,10))) * 1000000
+              AS BIGINT) AS sq_micro,
+         COUNT(CASE WHEN v < 0 THEN 1 END) AS n_neg
+  FROM comp GROUP BY vec_id, label
+)
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(n_neg) AS BIGINT) AS neg_components,
+       min(sq_micro) AS sqnorm_micro_min,
+       max(sq_micro) AS sqnorm_micro_max,
+       CAST(CAST(SUM(sq_micro) AS HUGEINT) // count(*) AS BIGINT)
+         AS sqnorm_micro_avg
+FROM per GROUP BY label
+""",
+)
+def m_embed_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-table QA audit — the check a similarity pipeline runs
+    BEFORE trusting cosine math on a delivered vector column: per
+    label, vector count, squared-L2-norm distribution (min/max/mean),
+    and total negative components (a centered-embedding sanity signal;
+    the corpus has zero exact-0.0 components at every scale, so a
+    zero-count column would be vacuous — measured).  Un-normalized or
+    near-zero vectors silently corrupt cosine top-k; this surfaces
+    them as out-of-band norm extremes.  Numeric discipline: norms
+    stay in SQUARED micro-units (no sqrt — IEEE-exact end to end):
+    each component square is rounded to 6 dp (components are
+    arbitrary floats, never on a 6 dp midpoint), summed in
+    DECIMAL(28,10) (order-independent), scaled ×1e6 to an exact
+    BIGINT, and the mean is integer `div` (the m_embed_centroid
+    fixed-point route).  Scale shape: posexplode → per-vector
+    partial+final hash agg → label rollup — the standard vector-
+    aggregate dataflow; no windows, no Python, no collect."""
+    e = load_table(spark, sf_dir, "embeddings")
+    comp = e.select(
+        "vec_id",
+        F.col("label").cast("bigint").alias("label"),
+        F.explode("embedding").alias("v0"),
+    ).select("vec_id", "label", F.col("v0").cast("double").alias("v"))
+    per = comp.groupBy("vec_id", "label").agg(
+        F.expr(
+            "CAST(SUM(CAST(round(v * v, 6) AS DECIMAL(28,10))) * 1000000"
+            " AS BIGINT)"
+        ).alias("sq_micro"),
+        F.count(F.when(F.col("v") < 0, 1)).alias("n_neg"),
+    )
+    return per.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.sum("n_neg").cast("bigint").alias("neg_components"),
+        F.min("sq_micro").alias("sqnorm_micro_min"),
+        F.max("sq_micro").alias("sqnorm_micro_max"),
+        F.expr("CAST(SUM(sq_micro) AS BIGINT) div count(*)").alias(
+            "sqnorm_micro_avg"
+        ),
+    )

@@ -3241,3 +3241,153 @@ def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chi2_term_micro"),
         )
     )
+
+
+@query(
+    "m_cuped",
+    oracle="""
+WITH ev AS (
+  SELECT user_id,
+         (user_id * 2654435761 % 2147483648) % 2 AS arm,
+         CAST(floor(epoch(date_trunc('second', ts))) AS BIGINT) AS ep,
+         CAST(floor(value * 1e2) AS BIGINT) AS cent
+  FROM events
+),
+bounds AS (
+  SELECT (min(ep) + max(ep)) // 2 AS mid FROM ev
+),
+per_user AS (
+  SELECT user_id, arm,
+         CAST(SUM(CASE WHEN ep <= b.mid THEN cent ELSE 0 END) AS BIGINT) AS x,
+         CAST(SUM(CASE WHEN ep > b.mid THEN cent ELSE 0 END) AS BIGINT) AS y
+  FROM ev, bounds b
+  GROUP BY user_id, arm, b.mid
+),
+mom AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n,
+         CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+         CAST(SUM(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+         CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+         CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+  FROM per_user
+),
+theta AS (
+  SELECT CAST(CASE WHEN n * sxy - sx * sy >= 0
+              THEN (n * sxy - sx * sy) * 1000000
+                   // GREATEST(n * sxx - sx * sx, 1)
+              ELSE -((sx * sy - n * sxy) * 1000000
+                     // GREATEST(n * sxx - sx * sx, 1))
+         END AS BIGINT) AS theta_ppm,
+         CAST(sx * 1000000 // n AS BIGINT) AS x_all_micro
+  FROM mom
+),
+arms AS (
+  SELECT arm,
+         CAST(count(*) AS BIGINT) AS n_users,
+         CAST(CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) * 1000000
+              // count(*) AS BIGINT) AS x_mean_micro,
+         CAST(CAST(SUM(CAST(y AS HUGEINT)) AS HUGEINT) * 1000000
+              // count(*) AS BIGINT) AS y_mean_micro
+  FROM per_user GROUP BY arm
+)
+SELECT a.arm, a.n_users, a.x_mean_micro, a.y_mean_micro, t.theta_ppm,
+       a.y_mean_micro
+       - CAST(CASE WHEN CAST(t.theta_ppm AS HUGEINT)
+                        * (a.x_mean_micro - t.x_all_micro) >= 0
+              THEN (CAST(t.theta_ppm AS HUGEINT)
+                    * (a.x_mean_micro - t.x_all_micro)) // 1000000
+              ELSE -((-(CAST(t.theta_ppm AS HUGEINT)
+                        * (a.x_mean_micro - t.x_all_micro))) // 1000000)
+         END AS BIGINT) AS y_adj_micro
+FROM arms a, theta t
+""",
+)
+def m_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng, Xu, Kohavi & Walker, WSDM 2013)
+    — the experimentation-platform adjustment every large A/B system
+    runs: per experiment arm, the post-period metric mean is adjusted
+    by θ·(x̄_arm − x̄_all) where x is the user's PRE-period metric and
+    θ = cov(x,y)/var(x), removing the variance explained by stable
+    user-level behavior.  Arms are the deterministic user-hash split
+    (mod-2^31 parity), pre/post is the corpus time midpoint
+    ((min+max) epoch-seconds div 2 — the epoch(date_trunc('second'))
+    rule).  Exactness end to end: per-user pre/post masses are
+    centi-unit BIGINTs, the moment sums accumulate in
+    DECIMAL(38,0)/HUGEINT (n·Σxy passes 2^63 beyond sf0.1 — the
+    q_chi_square rule), θ lands in ppm via SIGN-FACTORED integer
+    division (num can be negative; Spark truncates where DuckDB
+    floors — the m_rater_kappa rule; den = n·Σx²−(Σx)² ≥ 0 by
+    Cauchy-Schwarz, GREATEST(,1)-guarded), and the adjustment product
+    θ_ppm·Δx̄_micro (≈1e22 at 100×) routes through DECIMAL before its
+    own sign-factored div.  θ_ppm repeats on both arm rows by design
+    (a global statistic shown with each arm's adjustment — the
+    cross-engine check pins it twice).  Scale shape: one events scan
+    + scalar bounds broadcast, one user-grain hash agg, then two
+    scalar aggregates crossJoined back broadcast; no windows, no
+    Python."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        ((F.col("user_id") * 2654435761 % 2147483648) % 2).alias("arm"),
+        F.floor(F.unix_timestamp(F.date_trunc("second", F.col("ts"))))
+        .cast("bigint")
+        .alias("ep"),
+        F.floor(F.col("value") * 1e2).cast("bigint").alias("cent"),
+    )
+    bounds = ev.agg(
+        F.expr("CAST((min(ep) + max(ep)) div 2 AS BIGINT)").alias("mid")
+    )
+    per_user = (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id", "arm")
+        .agg(
+            F.sum(F.when(F.col("ep") <= F.col("mid"), F.col("cent")).otherwise(0))
+            .cast("bigint")
+            .alias("x"),
+            F.sum(F.when(F.col("ep") > F.col("mid"), F.col("cent")).otherwise(0))
+            .cast("bigint")
+            .alias("y"),
+        )
+    )
+    mom = per_user.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)")).alias("sxy"),
+    )
+    theta = mom.select(
+        F.expr(
+            "CAST(CASE WHEN n * sxy - sx * sy >= 0"
+            " THEN (n * sxy - sx * sy) * 1000000"
+            "      div GREATEST(n * sxx - sx * sx, 1)"
+            " ELSE -((sx * sy - n * sxy) * 1000000"
+            "        div GREATEST(n * sxx - sx * sx, 1))"
+            " END AS BIGINT)"
+        ).alias("theta_ppm"),
+        F.expr("CAST(sx * 1000000 div n AS BIGINT)").alias("x_all_micro"),
+    )
+    arms = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.expr(
+            "CAST(SUM(CAST(x AS DECIMAL(38,0))) * 1000000 div count(*) AS BIGINT)"
+        ).alias("x_mean_micro"),
+        F.expr(
+            "CAST(SUM(CAST(y AS DECIMAL(38,0))) * 1000000 div count(*) AS BIGINT)"
+        ).alias("y_mean_micro"),
+    )
+    return arms.crossJoin(F.broadcast(theta)).select(
+        "arm",
+        "n_users",
+        "x_mean_micro",
+        "y_mean_micro",
+        "theta_ppm",
+        F.expr(
+            "y_mean_micro - CAST(CASE WHEN CAST(theta_ppm AS DECIMAL(38,0))"
+            " * (x_mean_micro - x_all_micro) >= 0"
+            " THEN (CAST(theta_ppm AS DECIMAL(38,0))"
+            "       * (x_mean_micro - x_all_micro)) div 1000000"
+            " ELSE -((-(CAST(theta_ppm AS DECIMAL(38,0))"
+            "           * (x_mean_micro - x_all_micro))) div 1000000)"
+            " END AS BIGINT)"
+        ).alias("y_adj_micro"),
+    )
