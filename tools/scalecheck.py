@@ -206,6 +206,83 @@ def main() -> None:
 
         return timed
 
+    def stream_join(k: int):
+        """Stateful stream-stream join (the s_stream_join family shape
+        — VERDICT r8 item 8, the one expensive s_* shape without a
+        curve): k x 100k events replayed through a watermarked
+        click-purchase inner join with a 1-hour event-time bound,
+        4 state partitions, availableNow drain. Both sides' state is
+        watermark-bounded, so the cost model is rows x state-commit
+        I/O — the curve must stay ~linear. Staging (replication +
+        parquet write) is untimed."""
+        import tempfile
+        import uuid as _uuid
+
+        stage = tempfile.mkdtemp(prefix=f"scalesjoin_{k}_")
+        src_dir = os.path.join(stage, "in")
+        (
+            _replicate(
+                ev.select(
+                    F.col("ts").cast("timestamp").alias("ts"),
+                    "event_id",
+                    "user_id",
+                    "event_type",
+                ),
+                k,
+                ["user_id", "event_id"],
+            )
+            .repartition(8)
+            .write.mode("overwrite")
+            .parquet(src_dir)
+        )
+        schema = spark.read.parquet(src_dir).schema
+
+        def timed():
+            prev = spark.conf.get("spark.sql.shuffle.partitions")
+            spark.conf.set("spark.sql.shuffle.partitions", "4")
+            try:
+                stream = spark.readStream.schema(schema).parquet(src_dir)
+                clicks = (
+                    stream.where(F.col("event_type") == "click")
+                    .select(
+                        F.col("event_id").alias("click_id"),
+                        "user_id",
+                        F.col("ts").alias("click_ts"),
+                    )
+                    .withWatermark("click_ts", "10 minutes")
+                )
+                purchases = (
+                    stream.where(F.col("event_type") == "purchase")
+                    .select(
+                        F.col("event_id").alias("purchase_id"),
+                        F.col("user_id").alias("p_user_id"),
+                        F.col("ts").alias("p_ts"),
+                    )
+                    .withWatermark("p_ts", "10 minutes")
+                )
+                joined = clicks.join(
+                    purchases,
+                    (F.col("user_id") == F.col("p_user_id"))
+                    & (F.col("p_ts") >= F.col("click_ts"))
+                    & (F.col("p_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+                    "inner",
+                )
+                q = (
+                    joined.writeStream.format("noop")
+                    .outputMode("append")
+                    .option(
+                        "checkpointLocation",
+                        os.path.join(stage, "ck_" + _uuid.uuid4().hex[:8]),
+                    )
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination()
+            finally:
+                spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+        return timed
+
     def ranged_rank(k: int):
         """functions.ranks.with_global_order (round-6 primitive): range
         repartition + per-partition windows + broadcast offsets, over a
@@ -422,6 +499,7 @@ def main() -> None:
         "iterative_graph": iterative_graph,
         "banded_dedup": banded_dedup,
         "stateful_stream": stateful_stream,
+        "stream_join": stream_join,
         "ranged_rank": ranged_rank,
         "ranged_rank_skew": ranged_rank_skew,
         "subseq_scan": subseq_scan,

@@ -51,7 +51,9 @@ _QUEUE = [
     # round-9 leads: this round's additions — float them so the fresh
     # operators get driver confirmation this round (kept well under 20
     # so ≥30 window slots keep draining the backlog, VERDICT r8 item 1)
-    "m_cc_pointer_jump",
+    "m_cc_pointer_jump", "m_witten_bell_lm", "m_split_leakage",
+    "m_theta_intersect", "src_zip", "src_xml", "m_embed_norm_audit",
+    "m_cuped",
     # round-8 leads: the round-8 additions — float them so the
     # fresh operators get driver confirmation this round
     "m_graph_hits", "m_feature_mi", "q_chi_square", "m_lr_schedule",
