@@ -510,3 +510,95 @@ def test_matryoshka_recall_reference(spark):
     hits = [h for h, _, _ in exp.values()]
     assert min(hits) < _RECALL_K, "truncation never loses a hit — vacuous audit"
     assert max(hits) > 0, "truncation never keeps a hit — vacuous audit"
+
+
+def test_embed_norm_audit_reference(spark):
+    """Per-label squared-norm audit recomputed with pandas + Decimal
+    (6 dp component squares, exact decimal sums, integer div)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pandas as pd
+
+    emb = pd.read_parquet(f"{SF_SMOKE}/embeddings.parquet")
+    per = {}
+    for lab, vec in zip(emb.label.astype(int), emb.embedding):
+        sq = Decimal(0)
+        neg = 0
+        for v in vec:
+            x = float(v)
+            sq += Decimal(repr(x * x)).quantize(
+                Decimal("1e-6"), ROUND_HALF_UP
+            )
+            neg += x < 0
+        micro = int(sq * 1_000_000)
+        n, tneg, mn, mx, tot = per.get(lab, (0, 0, None, None, 0))
+        per[lab] = (
+            n + 1,
+            tneg + neg,
+            micro if mn is None else min(mn, micro),
+            micro if mx is None else max(mx, micro),
+            tot + micro,
+        )
+    want = {
+        lab: (n, tneg, mn, mx, tot // n)
+        for lab, (n, tneg, mn, mx, tot) in per.items()
+    }
+    got = {
+        int(r["label"]): (
+            int(r["n_vecs"]),
+            int(r["neg_components"]),
+            int(r["sqnorm_micro_min"]),
+            int(r["sqnorm_micro_max"]),
+            int(r["sqnorm_micro_avg"]),
+        )
+        for r in api.queries()["m_embed_norm_audit"](spark, SF_SMOKE).collect()
+    }
+    assert got == want
+    # non-vacuity: norms spread within labels (min < max everywhere)
+    assert all(mn < mx for _, _, mn, mx, _ in want.values())
+
+
+def test_zip_source_kernel_is_strict(spark):
+    """A corrupted member payload (CRC drift) must raise, not resync."""
+    import io
+    import zipfile
+
+    import pandas as pd
+
+    from ukis_kafka_spark.sources.jsonl import _zip_decode_batches
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("web/en/doc_00000001.txt", b"hello corpus")
+    raw = bytearray(buf.getvalue())
+    # flip one payload byte ('hello' is stored uncompressed-ish small;
+    # flip inside the file data region after the 30-byte local header
+    # + filename)
+    raw[30 + len("web/en/doc_00000001.txt") + 2] ^= 0xFF
+    pdf = pd.DataFrame({"content": [bytes(raw)]})
+    with pytest.raises(Exception):
+        list(_zip_decode_batches(iter([pdf])))
+    # the intact archive decodes cleanly
+    good = pd.DataFrame({"content": [buf.getvalue()]})
+    out = list(_zip_decode_batches(iter([good])))[0]
+    assert list(out.doc_id) == [1] and list(out.n_bytes) == [12]
+
+
+def test_xml_source_kernel_is_strict(spark):
+    """A wrong root element must raise; entity-escaped text must
+    round-trip through the real parser."""
+    import pandas as pd
+
+    from ukis_kafka_spark.sources.jsonl import _xml_decode_batches
+
+    bad = pd.DataFrame({"content": [b"<notcorpus></notcorpus>"]})
+    with pytest.raises(ValueError):
+        list(_xml_decode_batches(iter([bad])))
+    xml = (
+        b'<corpus><doc id="7" source="web" lang="en">'
+        b"<text>a &amp;&lt;b&gt; c</text></doc></corpus>"
+    )
+    out = list(_xml_decode_batches(iter([pd.DataFrame({"content": [xml]})])))[0]
+    assert list(out.doc_id) == [7]
+    assert list(out.n_chars) == [len("a &<b> c")]
+    assert list(out.n_toks) == [3]  # 'a', '&<b>', 'c' on single-space split

@@ -220,3 +220,50 @@ def test_kmv_distinct_reference(spark):
     # the under-capacity branch genuinely fires: tiny is exact
     assert want["tiny"][0] < 64
     assert {r["scope"]: r["est_distinct"] for r in rows}["tiny"] == len(lns)
+
+
+def test_theta_intersect_reference(spark):
+    """Theta-sketch set algebra recomputed with python hashlib: per
+    lang pair the bottom-64 trigram-hash states, theta = min rule,
+    survivor count, and both estimators must match the operator
+    exactly; the estimates must also land near the exact truths."""
+    d = pd.read_parquet(f"{SF_SMOKE}/documents.parquet", columns=["lang", "text"])
+    sets: dict[str, set[str]] = {l: set() for l in ("en", "fr", "de")}
+    for lang, text in zip(d.lang, d.text):
+        if lang not in sets:
+            continue
+        toks = text.split(" ")
+        sets[lang].update(
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        )
+    K, M = 64, 1 << 60
+    sk = {f: sorted(_h60(g) for g in sets[f])[:K] for f in sets}
+    got = {r["pair"]: r for r in _rows(spark, "m_theta_intersect")}
+    assert set(got) == {"en|fr", "en|de", "fr|de"}
+    for f1, f2 in (("en", "fr"), ("en", "de"), ("fr", "de")):
+        s1, s2 = sk[f1], sk[f2]
+        th1 = M if len(s1) < K else max(s1)
+        th2 = M if len(s2) < K else max(s2)
+        theta = min(th1, th2)
+        surv = [h for h in set(s1) & set(s2) if h < theta]
+        est_i = len(surv) * M // max(theta, 1)
+        u = sorted(set(s1) | set(s2))[:K]
+        est_u = len(u) if len(u) < K else (K - 1) * M // max(max(u), 1)
+        true_i = len(sets[f1] & sets[f2])
+        true_u = len(sets[f1] | sets[f2])
+        r = got[f"{f1}|{f2}"]
+        assert (
+            int(r["theta"]),
+            int(r["n_inter"]),
+            int(r["est_inter"]),
+            int(r["true_inter"]),
+            int(r["est_union"]),
+            int(r["true_union"]),
+        ) == (theta, len(surv), est_i, true_i, est_u, true_u)
+        # estimator quality: union is the plain KMV bound
+        # (~1/sqrt(k-2) ≈ 13%); the intersection estimator compounds
+        # both sketches' noise on partially-overlapping sets — allow
+        # a generous envelope, the exact-match assertions above are
+        # the real check.
+        assert abs(est_u - true_u) <= 0.4 * true_u
+        assert abs(est_i - true_i) <= 0.9 * true_i

@@ -576,3 +576,65 @@ def test_chi_square_reference(spark):
         assert r["chi2_term_micro"] == (term * 1_000_000).__floor__()
     # non-vacuity: contributions spread across cells
     assert len({r["chi2_term_micro"] for r in rows}) > 10
+
+
+def test_cuped_reference(spark):
+    """CUPED recomputed with exact python integers from raw parquet:
+    per-user centi masses split at the epoch midpoint, HUGEINT-style
+    moment sums, sign-factored theta_ppm, and the per-arm adjusted
+    means must match the operator bit for bit."""
+    ev = pd.read_parquet(
+        f"{SF_SMOKE}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+    ep = ev.ts.astype("datetime64[s]").astype("int64")
+    cent = np.floor(ev.value.to_numpy() * 100).astype("int64")
+    mid = (int(ep.min()) + int(ep.max())) // 2
+    per: dict[int, list[int]] = {}
+    for u, e, c in zip(ev.user_id.astype(int), ep, cent):
+        x, y = per.setdefault(u, [0, 0])
+        if e <= mid:
+            per[u][0] = x + int(c)
+        else:
+            per[u][1] = y + int(c)
+    n = len(per)
+    sx = sum(x for x, _ in per.values())
+    sy = sum(y for _, y in per.values())
+    sxx = sum(x * x for x, _ in per.values())
+    sxy = sum(x * y for x, y in per.values())
+    num, den = n * sxy - sx * sy, max(n * sxx - sx * sx, 1)
+    theta_ppm = (
+        num * 1_000_000 // den if num >= 0 else -((-num) * 1_000_000 // den)
+    )
+    x_all = sx * 1_000_000 // n
+    want = {}
+    for arm in (0, 1):
+        xs = [
+            (x, y)
+            for u, (x, y) in per.items()
+            if (u * 2654435761 % 2147483648) % 2 == arm
+        ]
+        na = len(xs)
+        xm = sum(x for x, _ in xs) * 1_000_000 // na
+        ym = sum(y for _, y in xs) * 1_000_000 // na
+        adj_num = theta_ppm * (xm - x_all)
+        adj = (
+            adj_num // 1_000_000
+            if adj_num >= 0
+            else -((-adj_num) // 1_000_000)
+        )
+        want[arm] = (na, xm, ym, theta_ppm, ym - adj)
+    rows = api.queries()["m_cuped"](spark, SF_SMOKE).collect()
+    got = {
+        int(r["arm"]): (
+            int(r["n_users"]),
+            int(r["x_mean_micro"]),
+            int(r["y_mean_micro"]),
+            int(r["theta_ppm"]),
+            int(r["y_adj_micro"]),
+        )
+        for r in rows
+    }
+    assert got == want
+    # non-vacuity: theta engaged and the two arms' adjustments differ
+    assert want[0][4] != want[0][2] or want[1][4] != want[1][2]
+    assert want[0][1] != want[1][1]

@@ -429,45 +429,52 @@ def m_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_THETA_PAIRS = (("A", "N"), ("A", "R"), ("N", "R"))
+_THETA_PAIRS = (("en", "fr"), ("en", "de"), ("fr", "de"))
 
 
 def _theta_sql() -> str:
     """DuckDB oracle for m_theta_intersect — the same bottom-64 theta
-    set algebra, unrolled per flag pair, every CTE MATERIALIZED (the
-    round-8 CTE-inlining rule)."""
-    h = _h60("duck", "CAST(k AS VARCHAR)")
+    set algebra over per-language trigram sets, unrolled per lang
+    pair, every CTE MATERIALIZED (the round-8 CTE-inlining rule)."""
+    h = _h60("duck", "g3")
     m = _M60
     k = _KMV_K
     parts = [
         f"""
-WITH dk AS MATERIALIZED (
-  SELECT DISTINCT l_returnflag AS f, l_partkey AS k FROM lineitem
+WITH d AS MATERIALIZED (
+  SELECT lang, string_split(text, ' ') AS tk FROM documents
 ),
-h AS MATERIALIZED (SELECT f, {h} AS hv FROM dk),
+pos AS MATERIALIZED (
+  SELECT lang, tk, generate_subscripts(tk, 1) AS i, unnest(tk) AS u FROM d
+),
+dk AS MATERIALIZED (
+  SELECT DISTINCT lang, array_to_string(tk[i:i+2], ' ') AS g3
+  FROM pos WHERE i <= len(tk) - 2
+),
+h AS MATERIALIZED (SELECT lang, {h} AS hv FROM dk),
 fl AS MATERIALIZED (
-  SELECT k,
-         max(CASE WHEN f = 'A' THEN 1 ELSE 0 END) AS fa,
-         max(CASE WHEN f = 'N' THEN 1 ELSE 0 END) AS fn,
-         max(CASE WHEN f = 'R' THEN 1 ELSE 0 END) AS fr
-  FROM dk GROUP BY k
+  SELECT g3,
+         max(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS f_en,
+         max(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS f_fr,
+         max(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS f_de
+  FROM dk GROUP BY g3
 ),
 tr AS MATERIALIZED (
-  SELECT CAST(SUM(fa * fn) AS BIGINT) AS i_an,
-         CAST(SUM(GREATEST(fa, fn)) AS BIGINT) AS u_an,
-         CAST(SUM(fa * fr) AS BIGINT) AS i_ar,
-         CAST(SUM(GREATEST(fa, fr)) AS BIGINT) AS u_ar,
-         CAST(SUM(fn * fr) AS BIGINT) AS i_nr,
-         CAST(SUM(GREATEST(fn, fr)) AS BIGINT) AS u_nr
+  SELECT CAST(SUM(f_en * f_fr) AS BIGINT) AS i_enfr,
+         CAST(SUM(GREATEST(f_en, f_fr)) AS BIGINT) AS u_enfr,
+         CAST(SUM(f_en * f_de) AS BIGINT) AS i_ende,
+         CAST(SUM(GREATEST(f_en, f_de)) AS BIGINT) AS u_ende,
+         CAST(SUM(f_fr * f_de) AS BIGINT) AS i_frde,
+         CAST(SUM(GREATEST(f_fr, f_de)) AS BIGINT) AS u_frde
   FROM fl
 ),
-s_a AS MATERIALIZED (SELECT hv FROM h WHERE f = 'A' ORDER BY hv LIMIT {k}),
-s_n AS MATERIALIZED (SELECT hv FROM h WHERE f = 'N' ORDER BY hv LIMIT {k}),
-s_r AS MATERIALIZED (SELECT hv FROM h WHERE f = 'R' ORDER BY hv LIMIT {k})"""
+s_en AS MATERIALIZED (SELECT hv FROM h WHERE lang = 'en' ORDER BY hv LIMIT {k}),
+s_fr AS MATERIALIZED (SELECT hv FROM h WHERE lang = 'fr' ORDER BY hv LIMIT {k}),
+s_de AS MATERIALIZED (SELECT hv FROM h WHERE lang = 'de' ORDER BY hv LIMIT {k})"""
     ]
     rows = []
     for f1, f2 in _THETA_PAIRS:
-        a, b = f1.lower(), f2.lower()
+        a, b = f1, f2
         parts.append(
             f""",
 th_{a}{b} AS MATERIALIZED (
@@ -508,41 +515,58 @@ FROM th_{a}{b} t"""
 def m_theta_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theta-sketch SET ALGEBRA (Dasgupta et al., the DataSketches
     theta family): intersection and union cardinality estimates for
-    the three l_returnflag partkey sets computed FROM THE BOTTOM-64
-    SKETCH STATES ALONE — the capability that makes bottom-k sketches
-    an algebra rather than a counter (m_kmv_distinct demonstrates
+    the en/fr/de TRIGRAM sets computed FROM THE BOTTOM-64 SKETCH
+    STATES ALONE — the capability that makes bottom-k sketches an
+    algebra rather than a counter (m_kmv_distinct demonstrates
     merge-union; this adds the intersection rule θ = min(θ_A, θ_B),
     survivors = S_A ∩ S_B below θ, est = |survivors|·2^60 div θ).
-    At 100 TB these are the per-partition summaries an audience-
-    overlap / slice-intersection dashboard reads without touching the
-    fact table.  l_returnflag is the fixed 3-value TPC-H domain
-    (measured A/N/R present with ~equal distinct-key sets at every
-    scale — heavy overlap, which is exactly the regime where the
-    intersection estimator is interesting); true_inter/true_union are
-    computed exactly in one flag-bitmap pass for error inspection.
-    All arithmetic is the exact-integer KMV route (DECIMAL/HUGEINT
-    for 63·2^60 > int64; md5-60bit hashes identical cross-engine —
-    no rounding grid anywhere).  Under-k sketches set θ = 2^60 so
-    the estimate degrades to the EXACT survivor count (the formula's
-    graceful floor; with 200 keys/flag at sf0.001 the sketches are
-    full-k at every scale).  Scale shape: one distinct shuffle, one
-    bitmap aggregate, three TakeOrderedAndProject top-64s, then
-    sketch-state-only scalar assembly (every broadcast is a scalar
-    agg or LIMIT-bounded — detector-green by construction)."""
+    At 100 TB these are the per-slice summaries a corpus-overlap
+    dashboard reads without re-scanning text.  Scoping is
+    load-bearing for non-vacuity: per-lang trigram sets GENUINELY
+    diverge (measured en 8136 / fr 4369 / de 3591 distinct at
+    sf0.001 with pair intersections 1435/1182/601 — partial overlap
+    at every scale), where the first cut's per-returnflag partkey
+    sets were all-identical at sf0.01 (every partkey hits every
+    flag) and the whole row set collapsed to one repeated value —
+    the DEADCOLS audit caught it.  true_inter/true_union are exact
+    from one trigram-bitmap pass.  All arithmetic is the
+    exact-integer KMV route (DECIMAL/HUGEINT for 63·2^60 > int64;
+    md5-60bit hashes identical cross-engine — no rounding grid).
+    Under-k sketches set θ = 2^60 so the estimate degrades to the
+    exact survivor count.  Scale shape: trigram strings are built
+    inside `transform` BEFORE the explode (m_passage_dedup rule),
+    one distinct shuffle, one bitmap aggregate, three
+    TakeOrderedAndProject top-64s, then sketch-state-only scalar
+    assembly (every broadcast is a scalar agg or LIMIT-bounded —
+    detector-green by construction)."""
     from ..registry import checkpoint_df
 
-    li = load_table(spark, sf_dir, "lineitem")
-    dk = li.select("l_returnflag", "l_partkey").distinct().transform(checkpoint_df)
-    h = dk.select(
-        "l_returnflag",
-        F.expr(_h60("spark", "CAST(l_partkey AS STRING)")).alias("hv"),
-    ).transform(checkpoint_df)
-    fl = dk.groupBy("l_partkey").agg(
+    d = load_table(spark, sf_dir, "documents").select(
+        "lang", F.split("text", " ").alias("tk")
+    )
+    dk = (
+        d.select(
+            "lang",
+            F.explode(
+                F.when(
+                    F.size("tk") >= 3,
+                    F.expr(
+                        "transform(sequence(1, size(tk) - 2),"
+                        " i -> array_join(slice(tk, i, 3), ' '))"
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("g3"),
+        )
+        .distinct()
+        .transform(checkpoint_df)
+    )
+    h = dk.select("lang", F.expr(_h60("spark", "g3")).alias("hv")).transform(
+        checkpoint_df
+    )
+    fl = dk.groupBy("g3").agg(
         *[
-            F.max(F.when(F.col("l_returnflag") == f, 1).otherwise(0)).alias(
-                "f" + f.lower()
-            )
-            for f in ("A", "N", "R")
+            F.max(F.when(F.col("lang") == l, 1).otherwise(0)).alias("f_" + l)
+            for l in ("en", "fr", "de")
         ]
     )
     truth = fl.agg(
@@ -550,26 +574,25 @@ def m_theta_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
             e
             for f1, f2 in _THETA_PAIRS
             for e in (
-                F.sum(F.col("f" + f1.lower()) * F.col("f" + f2.lower()))
+                F.sum(F.col("f_" + f1) * F.col("f_" + f2))
                 .cast("bigint")
-                .alias(f"i_{f1.lower()}{f2.lower()}"),
-                F.sum(F.greatest(F.col("f" + f1.lower()), F.col("f" + f2.lower())))
+                .alias(f"i_{f1}{f2}"),
+                F.sum(F.greatest(F.col("f_" + f1), F.col("f_" + f2)))
                 .cast("bigint")
-                .alias(f"u_{f1.lower()}{f2.lower()}"),
+                .alias(f"u_{f1}{f2}"),
             )
         ]
     ).transform(checkpoint_df)
     sk = {
-        f: h.where(F.col("l_returnflag") == f)
+        l: h.where(F.col("lang") == l)
         .select("hv")
         .orderBy("hv")
         .limit(_KMV_K)
         .transform(checkpoint_df)
-        for f in ("A", "N", "R")
+        for l in ("en", "fr", "de")
     }
     out = None
     for f1, f2 in _THETA_PAIRS:
-        a, b = f1.lower(), f2.lower()
         st = (
             sk[f1]
             .agg(F.count(F.lit(1)).alias("n1"), F.max("hv").alias("kth1"))
@@ -609,8 +632,8 @@ def m_theta_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
             .crossJoin(
                 F.broadcast(
                     truth.select(
-                        F.col(f"i_{a}{b}").alias("true_inter"),
-                        F.col(f"u_{a}{b}").alias("true_union"),
+                        F.col(f"i_{f1}{f2}").alias("true_inter"),
+                        F.col(f"u_{f1}{f2}").alias("true_union"),
                     )
                 )
             )

@@ -3319,9 +3319,13 @@ def m_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     floors — the m_rater_kappa rule; den = n·Σx²−(Σx)² ≥ 0 by
     Cauchy-Schwarz, GREATEST(,1)-guarded), and the adjustment product
     θ_ppm·Δx̄_micro (≈1e22 at 100×) routes through DECIMAL before its
-    own sign-factored div.  θ_ppm repeats on both arm rows by design
-    (a global statistic shown with each arm's adjustment — the
-    cross-engine check pins it twice).  Scale shape: one events scan
+    own sign-factored div.  Two DEADCOLS-reviewed by-design constants:
+    θ_ppm repeats on both arm rows (a global statistic shown with
+    each arm's adjustment — the cross-engine check pins it twice),
+    and n_users ties across arms wherever the corpus user-id space is
+    dense (hash parity splits 0..N−1 exactly evenly: measured 75/75
+    at sf0.01 and 750/750 at sf0.1, but 8/7 at sf0.001 — the column
+    carries signal on any non-dense id space).  Scale shape: one events scan
     + scalar bounds broadcast, one user-grain hash agg, then two
     scalar aggregates crossJoined back broadcast; no windows, no
     Python."""

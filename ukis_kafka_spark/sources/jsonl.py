@@ -1719,10 +1719,15 @@ def src_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
     mapInPandas kernel using the same real parser (round-tripping
     through an actual XML library is the point: regex-scraping dumps
     is the classic corpus-corruption bug this source exists to
-    avoid). Aggregate proves the round-trip per (source, lang): doc
-    count, exact char and token mass, id mass. Scale: one shard per
-    task at build, one task per shard at read; a real deployment
-    points the same kernel at bz2-multistream dump segments."""
+    avoid). The complement of src_xml_roundtrip (Spark's NATIVE XML
+    data source over flat row-per-record XML): dumps are one DEEP
+    document per file — root > doc > nested text elements — which the
+    rowTag-based native reader does not model; this is the
+    binaryFile-plus-kernel path for that shape. Aggregate proves the
+    round-trip per (source, lang): doc count, exact char and token
+    mass, id mass. Scale: one shard per task at build, one task per
+    shard at read; a real deployment points the same kernel at
+    bz2-multistream dump segments."""
 
     def build(into: str) -> None:
         fdir = os.path.join(into, "xml")
