@@ -597,7 +597,12 @@ def m_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds over it — band-collision clusters are near-cliques
     (measured diameter 1 at sf0.01/0.1), so 4 rounds is the converged
     fixpoint the Spark-side loop also reaches, and the whole
-    dedup-resolve pipeline is hash-checked end to end."""
+    dedup-resolve pipeline is hash-checked end to end.  The Spark
+    loop is convergence-CHECKED (not fixed-round), so correctness
+    never rests on the diameter-1 fact; for graphs that grow LONG
+    chains (shingle drift at 100 TB) connected_components_jump /
+    m_cc_pointer_jump is the O(log diameter) variant — its planted
+    64-chain test shows exactly where a fixed-round resolve breaks."""
     pairs = QUERIES["m_near_dedup"](spark, sf_dir).select("id_a", "id_b")
     comp = connected_components(pairs)
     return comp.select(
