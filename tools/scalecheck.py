@@ -521,6 +521,22 @@ def main() -> None:
         if unknown:
             raise SystemExit(f"unknown SCALE_ONLY shapes: {sorted(unknown)}")
         shapes = {n: f for n, f in shapes.items() if n in only}
+        # fail BEFORE measuring if the partial run can't merge — the
+        # write-time check below would still protect the record, but
+        # only after wasting the whole measurement
+        path0 = os.path.join(REPO, "SCALE.json")
+        if os.path.exists(path0):
+            with open(path0) as fh:
+                prev0 = json.load(fh)
+            if prev0.get("sf_dir") != SF_DIR or prev0.get("reps") != list(REPS):
+                raise SystemExit(
+                    f"SCALE_ONLY partial run contract mismatch: existing "
+                    f"record has sf_dir={prev0.get('sf_dir')} "
+                    f"reps={prev0.get('reps')}, this run has "
+                    f"sf_dir={SF_DIR} reps={list(REPS)} — set SCALE_REPS/"
+                    f"SPARK_GRAFT_SF_DIR to match (or run without "
+                    f"SCALE_ONLY to re-measure all)"
+                )
 
     out: dict[str, dict[str, float]] = {}
     for name, fn in shapes.items():
@@ -551,6 +567,17 @@ def main() -> None:
             merged = dict(prev.get("shapes", {}))
             merged.update(out)
             doc["shapes"] = merged
+        else:
+            # a partial run that can't merge would silently DROP every
+            # other curve (it did once, round 9 — SCALE_REPS defaulted
+            # to 1,4,16 against a 1,4,16,64 record). Refuse instead.
+            raise SystemExit(
+                f"SCALE_ONLY partial run contract mismatch: existing "
+                f"record has sf_dir={prev.get('sf_dir')} "
+                f"reps={prev.get('reps')}, this run has sf_dir={SF_DIR} "
+                f"reps={list(REPS)} — set SCALE_REPS/SPARK_GRAFT_SF_DIR "
+                f"to match (or run without SCALE_ONLY to re-measure all)"
+            )
     with open(path, "w") as fh:
         json.dump(doc, fh, indent=1)
     print("wrote SCALE.json")
