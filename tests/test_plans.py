@@ -727,3 +727,38 @@ def test_rfm_branches_read_pinned_frames(spark):
         l for l in plan.splitlines() if "Window [" in l and "__go_pid" not in l
     ]
     assert not bad, f"partition-less data window: {bad}"
+
+
+def test_pointer_jump_cc_final_plan_reads_pinned_labels(spark):
+    """The converged-labels frame must be the ONLY data source of the
+    final plan: both consumers (label rows + the size rollup) scan the
+    same checkpointed ExistingRDD and no corpus parquet scan survives
+    the loop (the m_epoch_cap_mix lineage rule — an unpinned loop
+    re-plans the whole iteration at the final job)."""
+    plan = _formatted_plan(spark, "m_cc_pointer_jump")
+    assert "ExistingRDD" in plan
+    assert plan.lower().count("scan parquet") == 0, (
+        "final pointer-jump plan re-scans the corpus — the loop's "
+        "checkpoint discipline regressed"
+    )
+
+
+def test_split_leakage_membership_joins_not_forced_broadcast(spark):
+    """All three train-side membership sets (exact text / prefix-16 /
+    12-gram digests) grow with corpus mass — no compile-time broadcast
+    hint may appear anywhere in the plan (AQE may still choose
+    broadcast at runtime from measured sizes, which is the point)."""
+    df = api.queries()["m_split_leakage"](spark, SF_SMOKE)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "strategy=broadcast" not in opt, (
+        "a corpus-growing membership set carries a broadcast hint"
+    )
+    assert "LeftSemi" in opt  # the gram-membership probe stays a semi-join
+
+
+def test_theta_intersect_sketches_are_top_k_not_sorts(spark):
+    """Every bottom-64 sketch must plan as TakeOrderedAndProject
+    (per-partition heads merged on the driver) — a global Sort for a
+    64-row head would be the classic single-task-window regression."""
+    plan = _formatted_plan(spark, "m_theta_intersect")
+    assert "TakeOrderedAndProject" in plan
