@@ -56,8 +56,9 @@ def main() -> None:
     from ukis_kafka_spark.streaming import jobs as _jobs
 
     # (4, None) serves most s_* queries; (2, None) the round-7
-    # floor-shaved jobs plus the two round-9-shaved stream-stream
-    # joins; (8, 0) is the late-data replay.
+    # floor-shaved jobs plus the three round-9-shaved jobs (both
+    # stream-stream joins, s_static_join); (8, 0) is the late-data
+    # replay.
     for n_chunks, shuffle_chunk in ((4, None), (2, None), (8, 0)):
         _jobs._replay_chunk_cache(spark, sf_dir, n_chunks, shuffle_chunk)
     for warm in ("src_kafka_shape", "src_jsonl_roundtrip", "src_csv_roundtrip"):
