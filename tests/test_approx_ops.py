@@ -602,3 +602,45 @@ def test_xml_source_kernel_is_strict(spark):
     assert list(out.doc_id) == [7]
     assert list(out.n_chars) == [len("a &<b> c")]
     assert list(out.n_toks) == [3]  # 'a', '&<b>', 'c' on single-space split
+
+
+def test_pointer_jump_cc_randomized_against_union_find(spark):
+    """30 seeded-random graphs (mixed density, including near-trees
+    whose diameters exceed the old fixed-round regime) in disjoint id
+    spaces, resolved in ONE Spark run and compared against a plain
+    python union-find — the property check for the new primitive."""
+    import random
+
+    from ukis_kafka_spark.ml.dedup import connected_components_jump
+
+    rng = random.Random(9)
+    edges = []
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for g in range(30):
+        base = g * 10_000
+        n = rng.randint(2, 60)
+        nodes = [base + i for i in range(n)]
+        for x in nodes:
+            parent[x] = x
+        # near-tree density: long chains and sparse extras
+        m = rng.randint(n - 1, n + 3)
+        for _ in range(m):
+            a, b = rng.sample(nodes, 2)
+            edges.append((a, b))
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    labels, rounds = connected_components_jump(df)
+    got = {r["node"]: r["component"] for r in labels.collect()}
+    touched = {v for e in edges for v in e}
+    want = {x: find(x) for x in touched}
+    assert got == want
+    assert rounds <= 12
