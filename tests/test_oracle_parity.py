@@ -124,8 +124,12 @@ def test_rotation_simulated_next_round(tmp_path):
     green_next = _driver_green(root=str(tmp_path))
     assert set(head) <= green_next
     assert green_next >= green_now
-    # the simulated round-6 head-50 is entirely fresh
+    # the simulated next-round head is entirely fresh, and sized
+    # min(50, remaining-backlog) — a hardcoded ==50 broke the suite the
+    # moment the backlog drained below 100 (VERDICT r09 item 1: the
+    # success condition must survive the backlog reaching zero).
     queue = list(api.queries())
     next_head = [n for n in queue if n not in green_next][:50]
     assert not (set(next_head) & set(head))
-    assert len(next_head) == 50  # plenty of queue left to drain
+    assert green_next <= set(queue), "driver rows reference unknown IDs"
+    assert len(next_head) == min(50, len(queue) - len(green_next))
