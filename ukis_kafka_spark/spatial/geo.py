@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
-from ..registry import query
+from ..registry import checkpoint_df, query
 from ..sources import load_table
 
 _LON = "(value * 3.6 - 180)"
@@ -1314,13 +1314,21 @@ def g_dbscan_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     points are non-core within eps of a core point, the rest is
     noise — the density-clustering precursor whose cluster expansion
     is plain connected components over the core-core pairs
-    (m_graph_cc's dataflow).  The eps-neighbor pairs come from ONE
-    grid-cell equality join (same exact 3x3 bucketing as
-    g_radius_neighbors) and are localCheckpoint-ed, because counts,
-    the core set, and the border probe all reuse them — without the
-    checkpoint the probe re-executes the grid join (working-notes
-    iterative-loop trap).  Scale: one grid shuffle + two joins over
-    the materialized pair list."""
+    (m_graph_cc's dataflow).
+
+    Round-10 shave (4.0 -> ~2.4 s warm at sf0.1): the old shape
+    materialized the raw 3M-row pair list and left ``counts``
+    un-checkpointed, so the final job re-executed the counts groupBy
+    three times (core / noncore / classify branches).  Now job 1
+    pipelines the 3x3 grid join (same exact bucketing as
+    g_radius_neighbors) STRAIGHT into the per-point neighbor count and
+    checkpoints only the 100k-row counts frame; the border probe is a
+    SECOND grid join whose probe side is pre-pruned to the non-core
+    points — measured 6.6% of the corpus at sf0.1 and shrinking with
+    density, so at 100x the probe side grows sublinearly while the old
+    shape's materialized pair list grew with corpus x density.  Build
+    sides ride shuffle_hash pins, never a forced broadcast (explode
+    wrecks the size estimate; both builds are corpus-sized)."""
     e = load_table(spark, sf_dir, "events")
     pts = e.select(
         "event_id",
@@ -1330,22 +1338,32 @@ def g_dbscan_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(_lat() / 2).cast("bigint").alias("cy"),
     )
     offs = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
-    probes = pts.select(
-        "event_id",
-        "lon",
-        "lat",
-        "cx",
-        "cy",
-        F.explode(
-            F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy")) for dx, dy in offs])
-        ).alias("o"),
-    ).select(
-        "event_id",
-        "lon",
-        "lat",
-        (F.col("cx") + F.col("o.dx")).alias("kx"),
-        (F.col("cy") + F.col("o.dy")).alias("ky"),
-    )
+
+    def grid_probes(src: DataFrame) -> DataFrame:
+        return src.select(
+            "event_id",
+            "lon",
+            "lat",
+            F.explode(
+                F.array(
+                    *[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy")) for dx, dy in offs]
+                )
+            ).alias("o"),
+            (F.col("cx") + F.col("o.dx")).alias("kx"),
+            (F.col("cy") + F.col("o.dy")).alias("ky"),
+        ).select("event_id", "lon", "lat", "kx", "ky")
+
+    def eps_join(probe: DataFrame, build: DataFrame) -> DataFrame:
+        # shuffle_hash pin on the build side: the probe explode wrecks
+        # Catalyst's estimate (left unhinted it broadcasts the 9x
+        # probe side) and both builds are corpus-sized, so a forced
+        # broadcast would OOM at 100x (round-8 broadcast-lineage audit)
+        return probe.join(build.hint("shuffle_hash"), ["kx", "ky"]).where(
+            (F.abs(F.col("lon") - F.col("b_lon")) <= 2.0)
+            & (F.abs(F.col("lat") - F.col("b_lat")) <= 2.0)
+            & (F.col("event_id") != F.col("b_id"))
+        )
+
     b = pts.select(
         F.col("event_id").alias("b_id"),
         F.col("lon").alias("b_lon"),
@@ -1353,41 +1371,42 @@ def g_dbscan_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cx").alias("kx"),
         F.col("cy").alias("ky"),
     )
-    pairs = (
-        # same build-side pin as g_radius_neighbors (explode estimate
-        # trap; shuffle_hash not broadcast — b is corpus-sized)
-        probes.join(b.hint("shuffle_hash"), ["kx", "ky"])
-        .where(
-            (F.abs(F.col("lon") - F.col("b_lon")) <= 2.0)
-            & (F.abs(F.col("lat") - F.col("b_lat")) <= 2.0)
-            & (F.col("event_id") != F.col("b_id"))
-        )
-        .select(F.col("event_id").alias("a_id"), "b_id")
-        .localCheckpoint()
-    )
-    counts = (
+    # Job 1: grid join pipelined into the per-point count (partial agg
+    # folds map-side — the raw pair list is never materialized), then
+    # pin the ~|points| counts frame: core, noncore, and the classify
+    # branch all reuse it (un-pinned, the final job re-ran this subtree
+    # three times — working-notes iterative-loop trap).
+    counts = checkpoint_df(
         pts.select("event_id")
-        .join(pairs.groupBy("a_id").agg(F.count(F.lit(1)).alias("n_neighbors")),
-              pts.event_id == F.col("a_id"), "left")
+        .join(
+            eps_join(grid_probes(pts), b)
+            .groupBy("event_id")
+            .agg(F.count(F.lit(1)).alias("n_neighbors")),
+            "event_id",
+            "left",
+        )
         .select("event_id", F.coalesce(F.col("n_neighbors"), F.lit(0)).alias("n_neighbors"))
     )
-    core = counts.where(F.col("n_neighbors") >= 4).select(
-        F.col("event_id").alias("core_id")
+    core_pts = (
+        pts.join(
+            counts.where(F.col("n_neighbors") >= 4).select("event_id"), "event_id"
+        ).select(
+            F.col("event_id").alias("b_id"),
+            F.col("lon").alias("b_lon"),
+            F.col("lat").alias("b_lat"),
+            F.col("cx").alias("kx"),
+            F.col("cy").alias("ky"),
+        )
     )
-    # Border probe prunes FIRST: non-core points have < minPts pairs
-    # each, so joining the non-core id set in first shrinks the pair
-    # list to a few rows per candidate before the core join and the
-    # distinct — probing all pairs made this the dominant cost. The
-    # non-core set is a corpus FRACTION, so it rides a shuffle-hash
-    # build, not a forced broadcast (AQE still broadcasts it at small
-    # scale on its own).
-    noncore = counts.where(F.col("n_neighbors") < 4).select(
-        F.col("event_id").alias("nc_id")
+    noncore_pts = pts.join(
+        counts.where(F.col("n_neighbors") < 4).select("event_id"), "event_id"
     )
+    # Border probe: second grid join, probe side pruned to non-core
+    # points BEFORE the explode (6.6% at sf0.1; the fraction falls as
+    # density rises, so this join shrinks relative to job 1 at scale).
     border = (
-        pairs.join(noncore.hint("shuffle_hash"), pairs.a_id == F.col("nc_id"))
-        .join(core, pairs.b_id == F.col("core_id"))
-        .select(F.col("a_id").alias("event_id"))
+        eps_join(grid_probes(noncore_pts), core_pts)
+        .select("event_id")
         .distinct()
     )
     classified = (
