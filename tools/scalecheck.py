@@ -166,9 +166,15 @@ def main() -> None:
         file-source replay of k x 100k events through a watermarked
         1-hour windowed count, 4 state partitions, availableNow drain.
         Input chunks are staged OUTSIDE the timed region."""
+        import atexit
+        import shutil
         import tempfile
 
         stage = tempfile.mkdtemp(prefix=f"scalestream_{k}_")
+        # staged replicas + checkpoints reach several GB across a full
+        # REPS sweep (ADVICE r09) — reclaim them at interpreter exit
+        # (not after the drain: the timed thunk re-runs per rep)
+        atexit.register(shutil.rmtree, stage, True)
         src_dir = os.path.join(stage, "in")
         (
             _replicate(
@@ -215,10 +221,13 @@ def main() -> None:
         watermark-bounded, so the cost model is rows x state-commit
         I/O — the curve must stay ~linear. Staging (replication +
         parquet write) is untimed."""
+        import atexit
+        import shutil
         import tempfile
         import uuid as _uuid
 
         stage = tempfile.mkdtemp(prefix=f"scalesjoin_{k}_")
+        atexit.register(shutil.rmtree, stage, True)  # see stateful_stream
         src_dir = os.path.join(stage, "in")
         (
             _replicate(

@@ -48,6 +48,11 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # missed — this mechanism makes a stale window structurally impossible
 # (tests/test_registry_contract.py pins it).
 _QUEUE = [
+    # round-10 leads: this round's 7 additions — float them for driver
+    # confirmation; the remaining 43 window slots drain the 58-ID
+    # backlog to a ~15-ID tail for r11 (VERDICT r09 item 2's arithmetic)
+    "m_ngram_speculate", "m_keyword_odds", "m_pack_mask_stats", "q_anova",
+    "src_tar", "g_knn_join", "m_curriculum_pacing",
     # round-9 leads: this round's additions — float them so the fresh
     # operators get driver confirmation this round (kept well under 20
     # so ≥30 window slots keep draining the backlog, VERDICT r8 item 1)

@@ -148,6 +148,103 @@ def m_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "m_pack_mask_stats",
+    oracle=f"""
+WITH packed AS (
+  SELECT source, doc_id, n_tok,
+         (CAST(SUM(n_tok) OVER (PARTITION BY source, doc_id // {SHARD}
+                                ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+          - n_tok) AS start,
+         doc_id // {SHARD} AS shard
+  FROM (SELECT source, doc_id,
+               len(string_split(text, ' ')) AS n_tok
+        FROM documents)
+), segs AS (
+  SELECT source, shard, b AS bin,
+         least(start + n_tok, (b + 1) * {CTX})
+           - greatest(start, b * {CTX}) AS seg,
+         n_tok
+  FROM packed,
+       unnest(generate_series(start // {CTX}, (start + n_tok - 1) // {CTX})) AS t(b)
+)
+SELECT source, shard, bin,
+       count(*) AS n_segments,
+       count(CASE WHEN seg < n_tok THEN 1 END) AS n_splits,
+       CAST(SUM(seg) AS BIGINT) AS seg_tokens,
+       CAST(SUM(seg * seg) AS BIGINT) AS mask_mass,
+       (1000000 * CAST(SUM(seg * seg) AS BIGINT))
+         // (CAST(SUM(seg) AS BIGINT) * CAST(SUM(seg) AS BIGINT)) AS density_ppm
+FROM segs
+GROUP BY source, shard, bin
+""",
+)
+def m_pack_mask_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attention-mask efficiency audit for packed context windows —
+    the companion measurement to ``m_seq_pack``: when documents are
+    greedily concatenated into CTX-token windows and attention is
+    masked at document boundaries (the standard "sample packing with
+    block-diagonal mask" training setup), each window's usable
+    attention fraction is Σ seg_i² / (Σ seg_i)² over the document
+    SEGMENTS that land in it. Unlike m_seq_pack (which bins a doc by
+    its start offset), this op SPLITS spanning documents across every
+    window they touch — n_splits counts the boundary-crossing
+    fragments whose attention the mask severs, and density_ppm is the
+    block-diagonal mask's fill rate in fixed-point ppm (exact BIGINT
+    floor-division — no rounding surface).
+
+    All arithmetic is integer (token offsets on the CTX grid), so the
+    hash surface is exact; n_splits fires at every scale (docs are
+    10-100 tokens on a 128-token grid, so ~40% of docs cross a
+    boundary). Scale: the same (source, shard)-bounded running-sum
+    window as m_seq_pack — never a global cumsum — plus a per-row
+    sequence/explode over the 1-2 bins a doc touches."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        F.expr(f"doc_id div {SHARD}").alias("shard"),
+        F.size(F.split(F.col("text"), " ")).alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("source", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = d.withColumn("start", F.sum("n_tok").over(w) - F.col("n_tok"))
+    segs = packed.select(
+        "source",
+        "shard",
+        "n_tok",
+        "start",
+        F.explode(
+            F.sequence(
+                F.expr(f"start div {CTX}"),
+                F.expr(f"(start + n_tok - 1) div {CTX}"),
+            )
+        ).alias("bin"),
+    ).select(
+        "source",
+        "shard",
+        "bin",
+        "n_tok",
+        (
+            F.least(F.col("start") + F.col("n_tok"), (F.col("bin") + 1) * CTX)
+            - F.greatest(F.col("start"), F.col("bin") * CTX)
+        ).alias("seg"),
+    )
+    return segs.groupBy("source", "shard", "bin").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.count(F.when(F.col("seg") < F.col("n_tok"), 1)).alias("n_splits"),
+        F.sum("seg").cast("bigint").alias("seg_tokens"),
+        F.sum(F.col("seg") * F.col("seg")).cast("bigint").alias("mask_mass"),
+        F.expr(
+            "(1000000 * CAST(SUM(seg * seg) AS BIGINT))"
+            " div (CAST(SUM(seg) AS BIGINT) * CAST(SUM(seg) AS BIGINT))"
+        ).alias("density_ppm"),
+    )
+
+
+@query(
     "m_passage_dedup",
     oracle=f"""
 SELECT h AS passage_hash,
@@ -481,4 +578,85 @@ def m_length_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" div (MAX(n_tok) * count(1))"
         ).alias("waste_ppm"),
         F.min("doc_id").alias("first_doc"),
+    )
+
+
+_PACING_EPOCHS = 5
+
+
+@query(
+    "m_curriculum_pacing",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents
+), r AS (
+  SELECT doc_id, n_tok,
+         row_number() OVER (ORDER BY n_tok, doc_id) AS rn,
+         CAST(SUM(n_tok) OVER (ORDER BY n_tok, doc_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tok_mass,
+         count(*) OVER () AS n
+  FROM t
+), ep AS (
+  SELECT epoch,
+         CAST(floor(n * sqrt(CAST(epoch AS DOUBLE) / 5e0)) AS BIGINT) AS n_visible
+  FROM (VALUES (1), (2), (3), (4), (5)) e(epoch)
+  CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS n FROM t)
+)
+SELECT ep.epoch, ep.n_visible,
+       r.tok_mass AS visible_tok_mass,
+       r.doc_id AS frontier_doc,
+       CAST(r.n_tok AS BIGINT) AS frontier_ntok
+FROM ep JOIN r ON r.rn = ep.n_visible
+""",
+)
+def m_curriculum_pacing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-learning pacing schedule (Bengio et al. 2009;
+    root pacing function g(e) = sqrt(e/E), the competence-based
+    curriculum of Platanios et al. 2019): documents are totally
+    ordered easy-to-hard (token count, doc_id tiebreak) and epoch e
+    of E=5 trains on the first floor(N·sqrt(e/E)) of them. Emits the
+    schedule a data loader executes: per epoch, the visible-prefix
+    size, its exact token mass, and the frontier document (the
+    hardest example admitted that epoch).
+
+    The corpus-growing easy-to-hard rank/cumsum rides
+    functions.ranks.with_global_order (range shuffle + offset
+    recombination — NEVER a partition-less window, the round-6 rule);
+    the epoch dim is a 5-row spark.sql VALUES literal (not
+    createDataFrame — pickled-RDD trap) crossed with one scalar agg.
+    Hash surface: sqrt/division/floor on exact integers are all
+    correctly-rounded single ops (the Wilson rule — both engines hand
+    floor the identical double), everything else is exact BIGINT.
+    Scale: one ranged shuffle + a 5-row broadcast probe join."""
+    from ..functions.ranks import with_global_order
+
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.size(F.split("text", " ")).alias("n_tok"))
+    r = with_global_order(
+        t,
+        [F.col("n_tok").asc(), F.col("doc_id").asc()],
+        rank_col="rn",
+        cumsum={"tok_mass": F.col("n_tok")},
+    )
+    n = t.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    ep = (
+        spark.sql(
+            "SELECT epoch FROM VALUES "
+            + ", ".join(f"({e})" for e in range(1, _PACING_EPOCHS + 1))
+            + " AS e(epoch)"
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "epoch",
+            F.expr(
+                "CAST(floor(n * sqrt(CAST(epoch AS DOUBLE) / 5e0)) AS BIGINT)"
+            ).alias("n_visible"),
+        )
+    )
+    return r.join(F.broadcast(ep), r.rn == ep.n_visible).select(
+        "epoch",
+        "n_visible",
+        F.col("tok_mass").cast("bigint").alias("visible_tok_mass"),
+        F.col("doc_id").alias("frontier_doc"),
+        F.col("n_tok").cast("bigint").alias("frontier_ntok"),
     )

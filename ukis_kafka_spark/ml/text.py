@@ -1631,21 +1631,31 @@ def _heldout_lm_cache(spark: SparkSession, sf_dir: str) -> str:
                 .groupBy(F.col("t1").alias("t2"), F.col("t2").alias("t3"))
                 .agg(F.count(F.lit(1)).cast("bigint").alias("c")),
             "c2b_m")
-        put(toks.where(F.col("half_m") == 0).groupBy("tok")
+        # unigram counts come off the checkpointed grams frame too —
+        # it has exactly one row per token position (t1 = the token at
+        # i), so counting t1 equals counting toks and all SEVEN writes
+        # read the single materialized pass (reading `toks` here
+        # re-ran the corpus posexplode twice more, ADVICE r09)
+        put(grams.where(F.col("half_m") == 0)
+                .groupBy(F.col("t1").alias("tok"))
                 .agg(F.count(F.lit(1)).cast("bigint").alias("c")),
             "cu_m")
         put(bi.where(F.col("half_p") == 0)
                 .groupBy(F.col("t1").alias("w1"), F.col("t2").alias("w2"))
                 .agg(F.count(F.lit(1)).cast("bigint").alias("c")),
             "c12_p")
-        put(toks.where(F.col("half_p") == 0).groupBy("tok")
+        put(grams.where(F.col("half_p") == 0)
+                .groupBy(F.col("t1").alias("tok"))
                 .agg(F.count(F.lit(1)).cast("bigint").alias("c")),
             "cu_p")
 
     from ..cache import cache_publish, table_fingerprint
 
     return cache_publish(
-        build, ("heldout_lm", 1, table_fingerprint(sf_dir, "documents"))
+        # v2: unigram counts derived from the checkpointed grams frame
+        # (one corpus pass); counts identical, key bumped so the new
+        # build path is what every check exercises
+        build, ("heldout_lm", 2, table_fingerprint(sf_dir, "documents"))
     )
 
 
@@ -2067,6 +2077,164 @@ def m_witten_bell_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(SUM(CAST(bits AS DECIMAL(28,10))) * 1000000 AS BIGINT)"
             " div count(*)"
         ).alias("avg_microbits"),
+    )
+
+
+@query(
+    "m_ngram_speculate",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, text,
+         (doc_id * {_MIX_A} % {_MIX_M}) % 2 AS half
+  FROM documents
+), toks AS (
+  SELECT doc_id, half, tok, i FROM (
+    SELECT doc_id, half,
+           unnest(string_split(text, ' ')) AS tok,
+           generate_subscripts(string_split(text, ' '), 1) AS i
+    FROM d)
+), tri AS (
+  SELECT a.doc_id, a.half, a.tok AS t1, b.tok AS t2, c.tok AS t3
+  FROM toks a
+  JOIN toks b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+  JOIN toks c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+), c3 AS (
+  SELECT t1, t2, t3, count(*) AS c FROM tri WHERE half = 0 GROUP BY 1, 2, 3
+), cmax AS (
+  SELECT t1, t2, max(c) AS cmax FROM c3 GROUP BY t1, t2
+), pred AS (
+  SELECT c3.t1, c3.t2, min(c3.t3) AS draft
+  FROM c3 JOIN cmax ON cmax.t1 = c3.t1 AND cmax.t2 = c3.t2
+  WHERE c3.c = cmax.cmax
+  GROUP BY c3.t1, c3.t2
+)
+SELECT v.doc_id,
+       count(*) AS n_positions,
+       count(p.draft) AS n_drafted,
+       count(CASE WHEN p.draft = v.t3 THEN 1 END) AS n_accepted
+FROM tri v LEFT JOIN pred p ON p.t1 = v.t1 AND p.t2 = v.t2
+WHERE v.half = 1
+GROUP BY v.doc_id
+""",
+)
+def m_ngram_speculate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Speculative-decoding acceptance-rate audit (Leviathan et al.
+    2023's accept/reject bookkeeping, with the cheapest possible draft
+    model — a greedy trigram table): for every held-out trigram
+    position the draft proposes argmax_w c(t1, t2, w) from the train
+    half, and the position is ACCEPTED when the proposal equals the
+    actual continuation. The per-doc acceptance profile is the
+    go/no-go measurement for n-gram draft tables in a
+    speculative-decoding pipeline, and doubles as a memorization probe
+    (high acceptance = highly predictable text).
+
+    Rides the shared ``_heldout_lm_cache`` spine (fifth consumer): the
+    draft table is one groupBy over the cached c3_m counts. The
+    TRIGRAM context is deliberate — a bigram draft saturated
+    (n_drafted == n_positions at every scale: the corpus word stock
+    is shared enough that every unigram context is seen; the round-8
+    "prefer a scope that makes the branch fire" rule), while two-token
+    contexts genuinely miss, so the no-draft branch fires at every
+    scale. Argmax tiebreak is engine-shared WITHOUT composite arg_max
+    (round-8 DuckDB trap): max count per context, then min(t3) among
+    rows at the max. All outputs are exact BIGINT counts — no
+    rounding surface at all. Scale: two aggregates over the cached
+    count table + one n-gram-keyed UNHINTED scoring join."""
+    cache = _heldout_lm_cache(spark, sf_dir)
+    c3 = spark.read.parquet(os.path.join(cache, "c3_m")).select(
+        "t1", "t2", "t3", F.col("c").alias("c3")
+    )
+    cmax = c3.groupBy("t1", "t2").agg(F.max("c3").alias("cmax"))
+    pred = (
+        c3.join(cmax, ["t1", "t2"])
+        .where(F.col("c3") == F.col("cmax"))
+        .groupBy("t1", "t2")
+        .agg(F.min("t3").alias("draft"))
+    )
+    val = spark.read.parquet(os.path.join(cache, "tri_val_m"))
+    return (
+        val.join(pred, ["t1", "t2"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_positions"),
+            F.count("draft").alias("n_drafted"),
+            F.count(F.when(F.col("draft") == F.col("t3"), 1)).alias("n_accepted"),
+        )
+    )
+
+
+@query(
+    "m_keyword_odds",
+    oracle="""
+WITH toks AS (
+  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_en,
+         unnest(string_split(text, ' ')) AS tok
+  FROM documents
+), cnt AS (
+  SELECT tok,
+         count(CASE WHEN is_en = 1 THEN 1 END) AS c_en,
+         count(CASE WHEN is_en = 0 THEN 1 END) AS c_rest
+  FROM toks GROUP BY tok
+), tot AS (
+  SELECT CAST(SUM(c_en) AS BIGINT) AS n_en,
+         CAST(SUM(c_rest) AS BIGINT) AS n_rest
+  FROM cnt
+)
+SELECT tok, c_en, c_rest,
+       (1000000 * c_en * (n_rest - c_rest + 1))
+         // ((n_en - c_en + 1) * (c_rest + 1)) AS odds_ppm
+FROM cnt CROSS JOIN tot
+WHERE c_en >= 5
+ORDER BY odds_ppm DESC, tok ASC
+LIMIT 20
+""",
+)
+def m_keyword_odds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinctive-keyword extraction by smoothed odds ratio (the
+    log-odds corpus-comparison family, Monroe et al. 2008, minus the
+    log — the log is monotone, so the RANKING is identical and the
+    whole surface stays exact-integer): for every token, the odds of
+    appearing in English text vs the odds in the rest of the corpus,
+    Haldane-Anscombe (+1) smoothed, emitted in fixed-point ppm via
+    BIGINT floor-division (positive operands — Spark div and DuckDB //
+    agree). Top-20 by (odds_ppm, token) is ORDER BY .. LIMIT — a
+    TakeOrderedAndProject, bounded output over a corpus-growing vocab
+    (the round-6 global-window rule).
+
+    The c_en >= 5 support gate fires non-vacuously at every scale
+    (en is the majority lang — 218/500 docs at sf0.01 — so common
+    tokens clear it even at sf0.001). Overflow bound: the ppm
+    numerator is 1e6 * c_en * N_rest <= 1e6 * (2.6e5)^2 ~ 7e16 at
+    sf0.1 and stays < 2^63 to ~3e6-token corpora per side; beyond
+    that, scale to per-shard counts first. Scale: one explode + one
+    hash aggregate + a broadcast scalar — no window, no all-pairs."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("is_en"),
+        F.explode(F.split("text", " ")).alias("tok"),
+    )
+    cnt = toks.groupBy("tok").agg(
+        F.count(F.when(F.col("is_en") == 1, 1)).alias("c_en"),
+        F.count(F.when(F.col("is_en") == 0, 1)).alias("c_rest"),
+    )
+    tot = cnt.agg(
+        F.sum("c_en").cast("bigint").alias("n_en"),
+        F.sum("c_rest").cast("bigint").alias("n_rest"),
+    )
+    return (
+        cnt.where(F.col("c_en") >= 5)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "tok",
+            "c_en",
+            "c_rest",
+            F.expr(
+                "(1000000 * c_en * (n_rest - c_rest + 1))"
+                " div ((n_en - c_en + 1) * (c_rest + 1))"
+            ).alias("odds_ppm"),
+        )
+        .orderBy(F.col("odds_ppm").desc(), F.col("tok").asc())
+        .limit(20)
     )
 
 

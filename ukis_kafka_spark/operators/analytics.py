@@ -1202,6 +1202,76 @@ def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_anova",
+    oracle="""
+WITH y AS (
+  SELECT doc_id % 5 AS g,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS v
+  FROM documents
+), per_g AS (
+  SELECT g, count(*) AS m,
+         CAST(SUM(v) AS BIGINT) AS s,
+         CAST(SUM(v * v) AS BIGINT) AS ss
+  FROM y GROUP BY g
+), tot AS (
+  SELECT CAST(SUM(m) AS BIGINT) AS n,
+         CAST(SUM(s) AS BIGINT) AS s,
+         CAST(SUM(ss) AS BIGINT) AS ss,
+         CAST(SUM(s * s) AS BIGINT) AS sum_sg2
+  FROM per_g
+)
+SELECT 5 AS k, n,
+       5 * sum_sg2 - s * s AS ssb_scaled,
+       n * ss - 5 * sum_sg2 AS ssw_scaled,
+       CAST((5 * sum_sg2 - s * s) * (n - 5) AS DOUBLE)
+         / CAST((n * ss - 5 * sum_sg2) * 4 AS DOUBLE) AS f_stat
+FROM tot
+""",
+)
+def q_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F-statistic over a BALANCED 5-group design
+    (doc_id % 5 on a contiguous 0..N-1 id space with 5 | N at every
+    scale — verified 100/100/1000 docs per group), response = document
+    token count. Balance is what keeps the whole surface exact: with
+    equal group sizes m = n/5, n·SSB = 5·ΣS_g² − S² and
+    n·SSW = n·SS − 5·ΣS_g² are exact BIGINTs (no per-group rational
+    S_g²/n_g), and F = (n·SSB·(n−k)) / (n·SSW·(k−1)) is ONE division
+    of two exact integers — both < 2^53 at sf0.1 (n·SS ≤ 2.5e11,
+    ×(n−5) ≤ 1.25e15), so the double quotient is correctly rounded
+    and identical across engines with no rounding grid (the Wilson
+    rule: IEEE-exact ops only). The sufficient statistics ship
+    alongside so a reader can recompute any textbook variant.
+    Scale: one scan, 5-row partial aggregate, scalar combine —
+    map-side combine does all the work."""
+    d = load_table(spark, sf_dir, "documents")
+    y = d.select(
+        F.expr("doc_id % 5").alias("g"),
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("v"),
+    )
+    per_g = y.groupBy("g").agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("v").cast("bigint").alias("s"),
+        F.sum(F.col("v") * F.col("v")).cast("bigint").alias("ss"),
+    )
+    tot = per_g.agg(
+        F.sum("m").cast("bigint").alias("n"),
+        F.sum("s").cast("bigint").alias("s"),
+        F.sum("ss").cast("bigint").alias("ss"),
+        F.sum(F.col("s") * F.col("s")).cast("bigint").alias("sum_sg2"),
+    )
+    return tot.select(
+        F.lit(5).alias("k"),
+        "n",
+        (F.lit(5) * F.col("sum_sg2") - F.col("s") * F.col("s")).alias("ssb_scaled"),
+        (F.col("n") * F.col("ss") - F.lit(5) * F.col("sum_sg2")).alias("ssw_scaled"),
+        F.expr(
+            "CAST((5 * sum_sg2 - s * s) * (n - 5) AS DOUBLE)"
+            " / CAST((n * ss - 5 * sum_sg2) * 4 AS DOUBLE)"
+        ).alias("f_stat"),
+    )
+
+
+@query(
     "q_rolling_variance",
     oracle="""
 WITH hourly AS (

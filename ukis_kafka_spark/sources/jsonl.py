@@ -1547,12 +1547,13 @@ def src_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _zip_decode_batches(file_iter):
     """mapInPandas kernel: binaryFile rows -> one row per ZIP member.
-    Member path encodes <source>/<lang>/doc_<id>.txt; the payload CRC
-    is recomputed and checked against the central directory (silent
-    CRC drift is how archive pipelines ship corrupt shards)."""
+    Member path encodes <source>/<lang>/doc_<id>.txt.  CRC integrity
+    comes from ``ZipFile.read()`` itself — it verifies the stored
+    CRC-32 as it inflates and raises ``BadZipFile`` on mismatch
+    (ADVICE r09: a manual recompute here was redundant); the explicit
+    message below only rewraps that failure with the member name."""
     import io as _io
     import zipfile as _zf
-    import zlib as _zlib
 
     import pandas as _pd
 
@@ -1561,9 +1562,12 @@ def _zip_decode_batches(file_iter):
             ids, srcs, langs, nb = [], [], [], []
             with _zf.ZipFile(_io.BytesIO(bytes(content))) as z:
                 for info in z.infolist():
-                    payload = z.read(info.filename)
-                    if _zlib.crc32(payload) != info.CRC:
-                        raise ValueError(f"CRC mismatch in {info.filename}")
+                    try:
+                        payload = z.read(info.filename)
+                    except _zf.BadZipFile as exc:
+                        raise ValueError(
+                            f"CRC mismatch in {info.filename}"
+                        ) from exc
                     source, lang, leaf = info.filename.split("/")
                     ids.append(int(leaf[4:-4]))  # doc_<id>.txt
                     srcs.append(source)
@@ -1658,6 +1662,164 @@ def src_zip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.countDistinct("lang").alias("n_langs"),
         F.sum("n_bytes").cast("bigint").alias("bytes_total"),
+        F.sum("doc_id").cast("bigint").alias("id_mass"),
+    )
+
+
+# ---- tar / WebDataset source (the multimodal training-shard shape) ----
+
+def _tar_decode_batches(file_iter):
+    """mapInPandas kernel: binaryFile rows -> one row per WebDataset
+    SAMPLE. A sample is the group of adjacent tar members sharing a
+    key prefix (``<key>.txt`` payload, ``<key>.json`` metadata,
+    ``<key>.cls`` label) — the WebDataset layout (Aizman et al. 2019)
+    that large-scale multimodal training loaders stream. The kernel
+    enforces the grouping contract strictly: members of one sample
+    must be ADJACENT (WebDataset's own requirement — loaders stream
+    tars sequentially and cannot reassemble scattered members) and
+    every sample must carry exactly the three expected suffixes."""
+    import io as _io
+    import json as _json
+    import tarfile as _tf
+
+    import pandas as _pd
+
+    expected = {".txt", ".json", ".cls"}
+    for pdf in file_iter:
+        for content in pdf["content"]:
+            ids, srcs, langs, nb, cls = [], [], [], [], []
+            with _tf.open(fileobj=_io.BytesIO(bytes(content)), mode="r:") as t:
+                cur_key, parts = None, {}
+
+                def flush(key, parts):
+                    if set(parts) != expected:
+                        raise ValueError(
+                            f"sample {key!r} has members {sorted(parts)}, "
+                            f"expected {sorted(expected)}"
+                        )
+                    meta = _json.loads(parts[".json"].decode("ascii"))
+                    ids.append(int(key.rsplit("/", 1)[1]))
+                    srcs.append(meta["source"])
+                    langs.append(meta["lang"])
+                    nb.append(len(parts[".txt"]))
+                    cls.append(int(parts[".cls"].decode("ascii")))
+
+                for m in t:
+                    if not m.isfile():
+                        continue
+                    key, dot, suffix = m.name.rpartition(".")
+                    if cur_key is not None and key != cur_key:
+                        flush(cur_key, parts)
+                        parts = {}
+                    cur_key = key
+                    parts[dot + suffix] = t.extractfile(m).read()
+                if cur_key is not None:
+                    flush(cur_key, parts)
+            yield _pd.DataFrame(
+                {
+                    "doc_id": _pd.Series(ids, dtype="int64"),
+                    "source": srcs,
+                    "lang": langs,
+                    "n_bytes": _pd.Series(nb, dtype="int64"),
+                    "n_tok": _pd.Series(cls, dtype="int64"),
+                }
+            )
+
+
+@query(
+    "src_tar",
+    oracle="""
+SELECT source,
+       count(*) AS n_samples,
+       count(DISTINCT lang) AS n_langs,
+       CAST(SUM(len(text)) AS BIGINT) AS bytes_total,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tok_mass,
+       CAST(SUM(doc_id) AS BIGINT) AS id_mass
+FROM documents
+GROUP BY source
+""",
+)
+def src_tar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset tar-shard source — the container format multimodal
+    training corpora actually ship in (LAION, DataComp): each document
+    is rendered ONCE into 8 POSIX tar shards as a three-member SAMPLE
+    (``<source>/<id>.txt`` payload, ``.json`` metadata, ``.cls``
+    label = token count), members of a sample adjacent as WebDataset
+    requires, then read back via ``binaryFile`` + an Arrow-batched
+    mapInPandas kernel that re-groups members by key prefix and
+    enforces the sample contract (missing/extra member raises —
+    loaders that resync silently drop modalities). Differs from
+    src_zip in exactly the dimension that matters: zip proves the
+    random-access central-directory shape, tar proves the STREAMED
+    sequential-sample shape with multi-member grouping. Aggregate
+    proves the three modalities round-trip per source: sample count,
+    langs from the .json, byte mass from the .txt, token mass from
+    the .cls, id mass from the key. Scale: one shard per task both
+    ways; samples never leave the executor ungrouped."""
+
+    def build(into: str) -> None:
+        fdir = os.path.join(into, "tar")
+        os.makedirs(fdir, exist_ok=True)
+        d = (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id", "source", "lang", "text")
+            .repartition(8, F.col("doc_id") % 8)
+        )
+
+        def write_part(rows):
+            import io as _io
+            import json as _json
+            import os as _os
+            import tarfile as _tf
+            import uuid as _uuid
+
+            from pyspark import TaskContext as _TC
+
+            buf = _io.BytesIO()
+            n = 0
+            with _tf.open(fileobj=buf, mode="w") as t:
+
+                def add(name, payload):
+                    info = _tf.TarInfo(name)
+                    info.size = len(payload)
+                    info.mtime = 0  # deterministic shard bytes
+                    t.addfile(info, _io.BytesIO(payload))
+
+                for r in rows:
+                    key = f"{r['source']}/{r['doc_id']:08d}"
+                    meta = _json.dumps(
+                        {"source": r["source"], "lang": r["lang"]}
+                    ).encode("ascii")
+                    text = r["text"].encode("ascii")
+                    n_tok = str(r["text"].count(" ") + 1).encode("ascii")
+                    add(key + ".txt", text)
+                    add(key + ".json", meta)
+                    add(key + ".cls", n_tok)
+                    n += 1
+            if n:
+                pid = _TC.get().partitionId()
+                tmp = _os.path.join(fdir, f"_tmp_{_uuid.uuid4().hex}")
+                with open(tmp, "wb") as fh:
+                    fh.write(buf.getvalue())
+                _os.replace(tmp, _os.path.join(fdir, f"part-{pid:05d}.tar"))
+            return iter(())
+
+        d.rdd.mapPartitions(write_part).count()
+
+    src = os.path.join(
+        _cache_publish(build, ("tarsrc", 1, _table_fingerprint(sf_dir, "documents"))),
+        "tar",
+    )
+    files = spark.read.format("binaryFile").load(src).select("content")
+    decoded = files.mapInPandas(
+        _tar_decode_batches,
+        schema="doc_id long, source string, lang string, n_bytes long, n_tok long",
+    )
+    return decoded.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_samples"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum("n_bytes").cast("bigint").alias("bytes_total"),
+        F.sum("n_tok").cast("bigint").alias("tok_mass"),
         F.sum("doc_id").cast("bigint").alias("id_mass"),
     )
 

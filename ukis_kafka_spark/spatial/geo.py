@@ -1422,6 +1422,125 @@ def g_dbscan_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "g_knn_join",
+    oracle=f"""
+WITH pts AS (
+  SELECT event_id, {_LON} AS lon, CAST({_LAT} AS DOUBLE) AS lat,
+         CAST(floor({_LON} / 2) AS BIGINT) AS cx,
+         CAST(floor(CAST({_LAT} AS DOUBLE) / 2) AS BIGINT) AS cy
+  FROM events
+), offs AS (
+  SELECT dx, dy FROM (VALUES (-1), (0), (1)) a(dx), (VALUES (-1), (0), (1)) b(dy)
+), pairs AS (
+  SELECT a.event_id AS a_id, b.event_id AS b_id,
+         (a.lon - b.lon) * (a.lon - b.lon)
+           + (a.lat - b.lat) * (a.lat - b.lat) AS d2
+  FROM (SELECT p.event_id, p.lon, p.lat, p.cx + o.dx AS kx, p.cy + o.dy AS ky
+        FROM pts p, offs o) a
+  JOIN pts b ON b.cx = a.kx AND b.cy = a.ky
+  WHERE abs(a.lon - b.lon) <= 2.0 AND abs(a.lat - b.lat) <= 2.0
+        AND b.event_id <> a.event_id
+), ranked AS (
+  SELECT a_id, b_id, d2,
+         count(*) OVER (PARTITION BY a_id) AS n_within,
+         row_number() OVER (PARTITION BY a_id ORDER BY d2, b_id) AS rn
+  FROM pairs
+), picked AS (
+  SELECT a_id, b_id, d2, n_within FROM ranked
+  WHERE rn = least(4, n_within)
+)
+SELECT p.event_id,
+       coalesce(k.n_within, 0) AS n_within,
+       CASE WHEN k.n_within >= 4 THEN k.b_id END AS knn4_id,
+       CASE WHEN k.n_within >= 4 THEN k.d2 END AS knn4_d2
+FROM pts p LEFT JOIN picked k ON k.a_id = p.event_id
+""",
+)
+def g_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-nearest-neighbor join (k = 4) within the 2-degree L-inf
+    eps-ball — the spatial kNN primitive (reverse-geocode candidates,
+    density-adaptive smoothing, kNN feature joins) built on the same
+    EXACT 3x3 grid bucketing as g_radius_neighbors: with cell size ==
+    eps every candidate lies in the 9 adjacent cells, so one grid
+    equality join replaces the quadratic distance join and the kNN
+    rank is evaluated per point over its bounded candidate set. Emits
+    per point the eps-neighbor count and the 4th-nearest neighbor
+    (id + squared euclidean degree distance) when one exists — the
+    null band fires at every scale in one direction or the other
+    (mean neighbor count ~2.5 at sf0.01, ~25 at sf0.1).
+
+    Hash surface: d2 = dx*dx + dy*dy is mul/add only (IEEE-exact ops,
+    identical expression both engines — the Wilson rule, no rounding
+    grid) and ranking ties break on b_id. Scale: one grid shuffle +
+    one window partitioned BY POINT (candidate sets are eps-ball
+    bounded, never corpus-wide); count + row_number share the single
+    partition pass."""
+    e = load_table(spark, sf_dir, "events")
+    pts = e.select(
+        "event_id",
+        _lon().alias("lon"),
+        _lat().alias("lat"),
+        F.floor(_lon() / 2).cast("bigint").alias("cx"),
+        F.floor(_lat() / 2).cast("bigint").alias("cy"),
+    )
+    offs = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+    probes = pts.select(
+        "event_id",
+        "lon",
+        "lat",
+        F.explode(
+            F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy")) for dx, dy in offs])
+        ).alias("o"),
+        (F.col("cx") + F.col("o.dx")).alias("kx"),
+        (F.col("cy") + F.col("o.dy")).alias("ky"),
+    ).select("event_id", "lon", "lat", "kx", "ky")
+    b = pts.select(
+        F.col("event_id").alias("b_id"),
+        F.col("lon").alias("b_lon"),
+        F.col("lat").alias("b_lat"),
+        F.col("cx").alias("kx"),
+        F.col("cy").alias("ky"),
+    )
+    pairs = (
+        # shuffle_hash pin as in g_dbscan_classify: the probe explode
+        # wrecks the size estimate and b is corpus-sized
+        probes.join(b.hint("shuffle_hash"), ["kx", "ky"])
+        .where(
+            (F.abs(F.col("lon") - F.col("b_lon")) <= 2.0)
+            & (F.abs(F.col("lat") - F.col("b_lat")) <= 2.0)
+            & (F.col("event_id") != F.col("b_id"))
+        )
+        .select(
+            F.col("event_id").alias("a_id"),
+            "b_id",
+            (
+                (F.col("lon") - F.col("b_lon")) * (F.col("lon") - F.col("b_lon"))
+                + (F.col("lat") - F.col("b_lat")) * (F.col("lat") - F.col("b_lat"))
+            ).alias("d2"),
+        )
+    )
+    wp = Window.partitionBy("a_id")
+    ranked = pairs.select(
+        "a_id",
+        "b_id",
+        "d2",
+        F.count(F.lit(1)).over(wp).alias("n_within"),
+        F.row_number().over(wp.orderBy("d2", "b_id")).alias("rn"),
+    )
+    picked = ranked.where(F.col("rn") == F.least(F.lit(4), F.col("n_within")))
+    return (
+        pts.select("event_id")
+        .join(picked, pts.event_id == picked.a_id, "left")
+        .select(
+            "event_id",
+            F.coalesce(F.col("n_within"), F.lit(0)).alias("n_within"),
+            F.when(F.col("n_within") >= 4, F.col("b_id")).alias("knn4_id"),
+            F.when(F.col("n_within") >= 4, F.col("d2")).alias("knn4_d2"),
+        )
+    )
+
+
+@query(
     "g_rose_histogram",
     oracle=f"""
 WITH b AS (
