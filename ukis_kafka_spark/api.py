@@ -53,6 +53,9 @@ _QUEUE = [
     # backlog to a ~15-ID tail for r11 (VERDICT r09 item 2's arithmetic)
     "m_ngram_speculate", "m_keyword_odds", "m_pack_mask_stats", "q_anova",
     "src_tar", "g_knn_join", "m_curriculum_pacing",
+    # round-10 refloats: the four LM scorers re-planned by the v2
+    # LM-cache build (see _REFLOAT_MIN_ROUND) need post-refactor rows
+    "m_backoff_lm", "m_jm_interp_lm", "m_kneser_ney_lm",
     # round-9 leads: this round's additions — float them so the fresh
     # operators get driver confirmation this round (kept well under 20
     # so ≥30 window slots keep draining the backlog, VERDICT r8 item 1)
@@ -64,18 +67,18 @@ _QUEUE = [
     "m_graph_hits", "m_feature_mi", "q_chi_square", "m_lr_schedule",
     "src_arrow_ipc", "m_graph_closeness", "m_kmv_distinct", "m_moe_balance",
     "m_textrank_keywords", "m_simpson_diversity", "src_sequencefile",
-    "u_cogrouped_map", "m_kneser_ney_lm", "m_wilson_bounds", "m_mcc",
+    "u_cogrouped_map", "m_wilson_bounds", "m_mcc",
     "m_jsd_matrix", "m_cond_entropy", "m_burstiness",
     "src_warc", "m_neg_sampling", "m_ldp_estimate",
     "m_prefix_dedup", "m_ppl_buckets", "m_doremi_round", "m_best_of_n",
     "src_varint_frames", "q_lateral_alias", "m_active_learning_margin",
-    "g_simplify_split", "m_jm_interp_lm",
+    "g_simplify_split",
     # round-7 leads: the ten round-7 additions — float them so the
     # fresh operators get driver confirmation this round, not after
     # the ~110-ID backlog drains
     "m_matryoshka_recall", "m_image_ahash", "m_epoch_cap_mix", "m_graph_lpa",
     "m_audio_energy", "m_hash_walks", "m_train_val_embargo",
-    "src_fixed_width", "m_dedup_survivorship", "m_backoff_lm",
+    "src_fixed_width", "m_dedup_survivorship",
     # round-6 leads (VERDICT r05 item 3): the two codec paths whose
     # round-5 oracle upgrades (BMP decode / RIFF-WAVE decode) have only
     # a stale r1 `no_oracle` driver row — float them so the upgraded
@@ -193,30 +196,60 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES[FLAGSHIP](spark, SMOKE_SF_DIR)
 
 
+# Physical-plan refloats (VERDICT r09 stretch item 7): IDs whose
+# implementation was REFACTORED after their latest driver row, mapped
+# to the first round whose rows post-date the refactor. A green row
+# from an earlier round is evidence about the OLD plan, so it does not
+# count — the ID floats back into the head-50 until a row from
+# >= the named round lands. Current entries: the four held-out LM
+# scorers, re-planned by the _heldout_lm_cache v2 build (round 10 —
+# unigram counts now derive from the checkpointed grams frame).
+# Maintenance rule: when refactoring a shipped operator's physical
+# plan, add/update its entry to the upcoming round number.
+_REFLOAT_MIN_ROUND = {
+    "m_backoff_lm": 10,
+    "m_jm_interp_lm": 10,
+    "m_kneser_ney_lm": 10,
+    "m_witten_bell_lm": 10,
+}
+
+
 def _driver_green(root: str | None = None) -> set[str]:
     """IDs whose LATEST driver CORRECTNESS row satisfies their current
     check level: hash-green for oracle-checked queries, a clean
     rows-only row (``err == 'no_oracle'`` with a row count) for queries
     that have no oracle by design. An ID upgraded rows-only->oracle
     after its last driver window is NOT green (its old row is weaker
-    than its current contract) and floats back into the head-50."""
+    than its current contract) and floats back into the head-50; an ID
+    in ``_REFLOAT_MIN_ROUND`` is green only if its satisfying row comes
+    from that round or later (pre-refactor rows tested a different
+    physical plan)."""
     import glob
     import json
     import os
+    import re
 
     if root is None:
         root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     latest: dict[str, dict] = {}
+    latest_round: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", os.path.basename(path))
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as fh:
                 rows = json.load(fh)
         except (OSError, ValueError):
             continue
         if isinstance(rows, dict):
-            latest.update((k, v) for k, v in rows.items() if isinstance(v, dict))
+            for k, v in rows.items():
+                if isinstance(v, dict):
+                    latest[k] = v
+                    latest_round[k] = rnd
     green = set()
     for name, row in latest.items():
+        if latest_round.get(name, 0) < _REFLOAT_MIN_ROUND.get(name, 0):
+            continue
         if row.get("hash_match"):
             green.add(name)
         elif (
