@@ -416,62 +416,76 @@ def main() -> None:
         intersection FROM SKETCH STATE ALONE. The property this entry
         documents: the sketch state is k-BOUNDED (64 rows per lang,
         TakeOrderedAndProject = per-partition heads + a
-        |partitions|x64 merge), so set-algebra cost stays CONSTANT
-        while the scan grows — total must track the scan (~linear or
-        better), never the universe pair count. The replica id is
-        mixed into the trigram hash (banded_dedup's rule): replicated
-        corpora otherwise keep the distinct-set size constant, which
-        would measure the scan but not the growing-universe sketch."""
-        d = _replicate(
-            load_table(spark, SF_DIR, "documents").select("doc_id", "lang", "text"),
-            k,
-            ["doc_id"],
-        )
-        rep_of = F.expr("doc_id div 100000000")
-        # stage the token array as a column FIRST — split() referenced
-        # inside the transform lambda re-splits per element (the
-        # m_repetition CSE trap, measured ~10 s of the 1x point)
-        dk = d.select(
-            "lang", rep_of.alias("rep"), F.split("text", " ").alias("tk")
-        ).select(
-            "lang",
-            F.explode(
-                F.when(
-                    F.size("tk") >= 3,
-                    F.expr(
-                        "transform(sequence(1, size(tk) - 2),"
-                        " i -> array_join(slice(tk, i, 3), ' '))"
-                    ),
-                ).otherwise(F.array().cast("array<string>"))
-            ).alias("g3"),
-            "rep",
-        ).select(
-            "lang",
-            # 60-bit non-negative key, replica-salted so distincts grow
-            F.expr("xxhash64(g3, rep) & 1152921504606846975").alias("hv"),
-        ).distinct()
+        |partitions|x64 merge), so the end-to-end cost must track the
+        SCAN (~linear or better), never the universe pair count — the
+        set algebra itself is constant work on 64-row pins at every
+        scale. The replica id is mixed into the trigram hash
+        (banded_dedup's rule): replicated corpora otherwise keep the
+        distinct-set size constant, which would measure the scan but
+        not the growing-universe sketch. The whole build (explode,
+        distinct, bottom-64 pins, intersections) runs inside the
+        timed closure — eager checkpoints OUTSIDE it would silently
+        move the scan into untimed staging (caught in this shape's
+        first cut: the 128x point read 0.2 s)."""
         from ukis_kafka_spark.registry import checkpoint_df as _ckpt
 
-        hv = _ckpt(dk)
-        sk = {
-            l: _ckpt(hv.where(F.col("lang") == l).select("hv").orderBy("hv").limit(64))
-            for l in ("en", "fr", "de")
-        }
-        counts = None
-        for f1, f2 in (("en", "fr"), ("en", "de"), ("fr", "de")):
-            st = (
-                sk[f1].agg(F.max("hv").alias("k1"))
-                .crossJoin(F.broadcast(sk[f2].agg(F.max("hv").alias("k2"))))
-                .select(F.least("k1", "k2").alias("theta"))
+        def timed():
+            d = _replicate(
+                load_table(spark, SF_DIR, "documents").select(
+                    "doc_id", "lang", "text"
+                ),
+                k,
+                ["doc_id"],
             )
-            c = (
-                sk[f1].join(sk[f2], "hv")
-                .crossJoin(F.broadcast(st))
-                .agg(F.count(F.when(F.col("hv") < F.col("theta"), 1)).alias("n"))
-                .select(F.lit(f1 + f2).alias("pair"), "n")
-            )
-            counts = c if counts is None else counts.unionByName(c)
-        return counts
+            rep_of = F.expr("doc_id div 100000000")
+            # stage the token array as a column FIRST — split()
+            # referenced inside the transform lambda re-splits per
+            # element (the m_repetition CSE trap, ~10 s of the 1x pt)
+            dk = d.select(
+                "lang", rep_of.alias("rep"), F.split("text", " ").alias("tk")
+            ).select(
+                "lang",
+                F.explode(
+                    F.when(
+                        F.size("tk") >= 3,
+                        F.expr(
+                            "transform(sequence(1, size(tk) - 2),"
+                            " i -> array_join(slice(tk, i, 3), ' '))"
+                        ),
+                    ).otherwise(F.array().cast("array<string>"))
+                ).alias("g3"),
+                "rep",
+            ).select(
+                "lang",
+                # 60-bit non-negative key, replica-salted so distincts grow
+                F.expr("xxhash64(g3, rep) & 1152921504606846975").alias("hv"),
+            ).distinct()
+            hv = _ckpt(dk)
+            sk = {
+                l: _ckpt(
+                    hv.where(F.col("lang") == l).select("hv").orderBy("hv").limit(64)
+                )
+                for l in ("en", "fr", "de")
+            }
+            counts = None
+            for f1, f2 in (("en", "fr"), ("en", "de"), ("fr", "de")):
+                st = (
+                    sk[f1].agg(F.max("hv").alias("k1"))
+                    .crossJoin(F.broadcast(sk[f2].agg(F.max("hv").alias("k2"))))
+                    .select(F.least("k1", "k2").alias("theta"))
+                )
+                c = (
+                    sk[f1].join(sk[f2], "hv")
+                    .crossJoin(F.broadcast(st))
+                    .agg(
+                        F.count(F.when(F.col("hv") < F.col("theta"), 1)).alias("n")
+                    )
+                    .select(F.lit(f1 + f2).alias("pair"), "n")
+                )
+                counts = c if counts is None else counts.unionByName(c)
+            _force(counts)
+
+        return timed
 
     def hash_walks(k: int):
         """m_hash_walks' physical shape (VERDICT r7 item 6): per step,
