@@ -35,6 +35,42 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+# Per-family wall-clock budgets at sf0.1 (seconds; BASELINE.md "family
+# profiles"). A query over 2x its family budget is a perf regression
+# surfacing IN-round — loudly, on stderr, and in BENCH_FULL.json —
+# instead of at judging.
+BUDGETS = {"q": 2.0, "u": 2.0, "g": 2.5, "src": 2.5, "s": 6.0, "m": 8.0}
+DEFAULT_BUDGET = 8.0
+
+
+def adjudicate_violations(times, rerun, budgets=BUDGETS):
+    """Self-adjudicating budget check (VERDICT r09 item 5): every
+    query whose in-pass time exceeds 2x its family budget is re-run
+    ALONE via ``rerun(name) -> seconds`` and BOTH numbers ship —
+    an `isolated` at or under 2x budget while `in_pass` blew it is
+    the host-contention signature (BASELINE.md four-run table);
+    an isolated value still over 2x REPRODUCES and is a real flag.
+    `in_pass` stays in the totals (the honest end-to-end number);
+    `isolated` is its control. Returns {name: {in_pass, isolated,
+    budget}} worst-first. Unit-tested in tests/test_harness.py —
+    zero-violation benches never execute this path in anger."""
+    violations = {}
+    for name, t in sorted(times.items(), key=lambda kv: -kv[1]):
+        fam = name.split("_", 1)[0]
+        budget = budgets.get(fam, DEFAULT_BUDGET)
+        if t <= 2 * budget:
+            continue
+        isolated = round(rerun(name), 3)
+        violations[name] = {"in_pass": t, "isolated": isolated, "budget": budget}
+        print(
+            f"BUDGET: {name} took {t:.2f}s in-pass > 2x the {fam}_* family "
+            f"budget ({budget:.1f}s); isolated re-run {isolated:.2f}s "
+            f"({'host-noise signature' if isolated <= 2 * budget else 'REPRODUCES in isolation'})",
+            file=sys.stderr,
+        )
+    return violations
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -85,38 +121,12 @@ def main() -> None:
 
     total = round(sum(times.values()), 3)
 
-    # Per-family wall-clock budgets at sf0.1 (seconds; BASELINE.md
-    # "family profiles"). A query over 2x its family budget is a
-    # perf regression surfacing IN-round — loudly, on stderr, and in
-    # BENCH_FULL.json — instead of at judging. Families: relational
-    # q_* get the 2 s budget; heavier families get the profile the
-    # baseline measurements established.
-    budgets = {"q": 2.0, "u": 2.0, "g": 2.5, "src": 2.5, "s": 6.0, "m": 8.0}
-    # Self-adjudicating violations (VERDICT r09 item 5): every >2x
-    # violator is re-run ALONE at the end of the same session and BOTH
-    # numbers ship in BENCH_FULL.json — an `isolated` well under the
-    # budget while `in_pass` blew it is the host-contention signature
-    # (BASELINE.md four-run table: violations rotate across unrelated
-    # sub-second queries under load), so judges stop having to hand-run
-    # the adjudication three rounds in a row. `isolated` does NOT
-    # replace `in_pass` in the totals: the pass number is the honest
-    # end-to-end measurement; the isolated number is its control.
-    violations = {}
-    for name, t in sorted(times.items(), key=lambda kv: -kv[1]):
-        fam = name.split("_", 1)[0]
-        budget = budgets.get(fam, 8.0)
-        if t <= 2 * budget:
-            continue
+    def _rerun(name: str) -> float:
         t0 = time.time()
         _force(qs[name](spark, sf_dir))
-        isolated = round(time.time() - t0, 3)
-        violations[name] = {"in_pass": t, "isolated": isolated, "budget": budget}
-        print(
-            f"BUDGET: {name} took {t:.2f}s in-pass > 2x the {fam}_* family "
-            f"budget ({budget:.1f}s); isolated re-run {isolated:.2f}s "
-            f"({'host-noise signature' if isolated <= 2 * budget else 'REPRODUCES in isolation'})",
-            file=sys.stderr,
-        )
+        return time.time() - t0
+
+    violations = adjudicate_violations(times, _rerun)
 
     full = {
         "metric": "total_query_wall",

@@ -184,3 +184,43 @@ def test_deadcols_baseline_fresh_and_reviewed():
         "reviewed: true in DEADCOLS.json"
     )
     assert set(data["flags"]) <= audited
+
+
+def test_bench_violation_adjudication_hook():
+    """bench.py's self-adjudicating budget hook (VERDICT r09 item 5)
+    runs only when a pass has violations, so healthy zero-violation
+    benches never execute it — this test drives the extracted function
+    directly: (a) only >2x-budget queries are re-run, worst first;
+    (b) the emitted record carries both numbers and the family budget;
+    (c) the in-pass number is never replaced by the isolated one."""
+    import importlib.util
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", Path(__file__).resolve().parents[1] / "bench.py"
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    times = {
+        "q_fast": 1.0,          # within budget — untouched
+        "q_blown": 9.0,         # 4.5x the 2.0 q-budget — adjudicated
+        "m_heavy_ok": 12.0,     # 1.5x the 8.0 m-budget — NOT a violation
+        "s_blown": 13.0,        # 2.2x the 6.0 s-budget — adjudicated
+    }
+    reruns = []
+
+    def rerun(name):
+        reruns.append(name)
+        return 0.8  # isolated run comes back healthy (host noise)
+
+    v = bench.adjudicate_violations(times, rerun)
+    assert reruns == ["s_blown", "q_blown"]  # worst-first, only violators
+    assert set(v) == {"q_blown", "s_blown"}
+    assert v["q_blown"] == {"in_pass": 9.0, "isolated": 0.8, "budget": 2.0}
+    assert v["s_blown"]["budget"] == 6.0
+    assert times["q_blown"] == 9.0  # in-pass number not overwritten
+
+    # a violation that REPRODUCES in isolation stays fully recorded
+    v2 = bench.adjudicate_violations({"q_blown": 9.0}, lambda n: 8.5)
+    assert v2["q_blown"]["isolated"] == 8.5
