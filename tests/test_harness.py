@@ -186,6 +186,64 @@ def test_deadcols_baseline_fresh_and_reviewed():
     assert set(data["flags"]) <= audited
 
 
+def test_plan_fingerprints_fresh():
+    """Physical-plan fingerprint RATCHET (VERDICT r10 stretch item 7):
+    PLAN_FINGERPRINTS.json is the committed per-query plan-hash record
+    that lets tools/plan_audit.py detect a refactored plan whose old
+    driver row still counts as green (the _REFLOAT_MIN_ROUND discipline,
+    harness-enforced). Freshness contract mirrors DEADCOLS: every batch
+    query has a fingerprint, no stale rows. The hash COMPARISON runs in
+    plan_audit (plan builds are too expensive for the suite); this test
+    only pins record coverage so a new operator forces a sweep."""
+    import json
+    from pathlib import Path
+
+    from ukis_kafka_spark import api
+
+    path = Path(__file__).resolve().parents[1] / "PLAN_FINGERPRINTS.json"
+    data = json.loads(path.read_text())
+    batch = {n for n in api.QUERIES if not n.startswith(("s_", "sink_"))}
+    missing = batch - set(data)
+    assert not missing, (
+        f"operators missing from PLAN_FINGERPRINTS.json: {sorted(missing)} "
+        "— run `python tools/plan_audit.py --write-fingerprints` and commit"
+    )
+    stale = set(data) - batch
+    assert not stale, f"stale fingerprints for removed queries: {sorted(stale)}"
+
+
+def test_plan_fingerprint_canonicalization():
+    """plan_fingerprint must be invariant to the run-to-run noise in a
+    physical-plan string (expression IDs, RDD numbers, staging paths,
+    statistics) and sensitive to the operator tree."""
+    import importlib.util
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "plan_audit", Path(__file__).resolve().parents[1] / "tools" / "plan_audit.py"
+    )
+    pa = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(pa)
+
+    a = (
+        "*(2) HashAggregate(keys=[lang#123], functions=[sum(v#45L)])\n"
+        "+- Exchange hashpartitioning(lang#123, 32), true, [id=#77]\n"
+        "   +- Scan ExistingRDD[doc_id#12L,lang#123] MapPartitionsRDD[41]\n"
+        "      +- FileScan parquet [v#45L] Location InMemoryFileIndex(1 paths)"
+        "[file:/tmp/spark-graft-cache/ab12cd/x.parquet], Statistics(sizeInBytes=1.2 KiB)"
+    )
+    b = (
+        "*(2) HashAggregate(keys=[lang#9], functions=[sum(v#2L)])\n"
+        "+- Exchange hashpartitioning(lang#9, 32), true, [id=#3]\n"
+        "   +- Scan ExistingRDD[doc_id#5L,lang#9] MapPartitionsRDD[7]\n"
+        "      +- FileScan parquet [v#2L] Location InMemoryFileIndex(1 paths)"
+        "[file:/tmp/spark-graft-cache/ff99ee/y.parquet], Statistics(sizeInBytes=88.0 B)"
+    )
+    assert pa.plan_fingerprint(a) == pa.plan_fingerprint(b)
+    c = a.replace("HashAggregate", "SortAggregate")
+    assert pa.plan_fingerprint(a) != pa.plan_fingerprint(c)
+
+
 def test_bench_violation_adjudication_hook():
     """bench.py's self-adjudicating budget hook (VERDICT r09 item 5)
     runs only when a pass has violations, so healthy zero-violation

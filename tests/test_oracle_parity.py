@@ -69,21 +69,102 @@ def test_queue_is_clean_and_queries_complete():
 
 
 def test_driver_window_self_rotates():
-    """The head-50 of queries() (the driver's per-round correctness
-    window) must contain ZERO IDs whose latest committed driver row
-    already satisfies their check level — a stale window burned the
-    whole round-4 slot (VERDICT r04 item 2). Also pins the green
-    semantics: an oracle upgrade invalidates an old rows-only row."""
-    from ukis_kafka_spark.api import ORACLE, _driver_green
+    """Every non-green ID must lead queries() IN QUEUE ORDER before any
+    green ID — a stale window burned the whole round-4 slot (VERDICT
+    r04 item 2). NOTE the assert is backlog-size-invariant: once the
+    backlog drops below 50 the head-50 *necessarily* back-fills with
+    green IDs, so 'zero green in head' is a stale success condition —
+    that exact assert class produced the round's only red mark twice
+    (r9: the simulated-next-round ==50; r10: this test's zero-green).
+    Green back-fill order is pinned separately: oldest satisfying
+    driver round first (VERDICT r10 item 3 — each round refreshes the
+    stalest evidence, not the newest)."""
+    from ukis_kafka_spark.api import ORACLE, _driver_evidence
 
-    green = _driver_green()
-    head = list(api.queries())[:50]
-    stale = [n for n in head if n in green]
-    assert not stale, f"driver window would re-check already-green IDs: {stale}"
-    # the r1 rows-only rows of since-upgraded queries must NOT be green
+    green, rounds = _driver_evidence()
+    ordered = list(api.queries())
+    nongreen = [n for n in ordered if n not in green]
+    k = min(50, len(nongreen))
+    head = ordered[:50]
+    # 1. no green ID is ordered before any non-green ID
+    assert head[:k] == nongreen[:k], (
+        f"green IDs ordered before non-green ones in the driver window: "
+        f"{[n for n in head[:k] if n in green]}"
+    )
+    # 2. the green tail is oldest-evidence-first (non-decreasing rounds)
+    tail_rounds = [rounds[n] for n in ordered[len(nongreen):]]
+    assert tail_rounds == sorted(tail_rounds), "green tail not oldest-evidence-first"
+    # 3. the r1 rows-only rows of since-upgraded queries must NOT be green
     for name in ["m_near_dedup", "m_simhash", "g_point_in_poly", "g_wkb_serde"]:
         if name in ORACLE and name not in green:
             assert name in head, f"{name} upgraded rows-only->oracle but not in window"
+
+
+@pytest.mark.parametrize("backlog", [0, 19, 100])
+def test_rotation_at_simulated_backlogs(tmp_path, backlog):
+    """Rotation invariants at backlogs 0, 19 and 100 (VERDICT r10 item
+    1's done-bar): build a synthetic CORRECTNESS set in tmp_path that
+    leaves exactly ``backlog`` queue-leading IDs non-green and spreads
+    the green rows across three synthetic rounds, then assert the
+    ordering contract at each size — non-green lead in queue order,
+    green tail oldest-round-first, head length always 50 (the driver
+    window never shrinks; it back-fills)."""
+    import json
+
+    from ukis_kafka_spark.api import (
+        ORACLE,
+        QUERIES,
+        _QUEUE,
+        _REFLOAT_MIN_ROUND,
+        _driver_evidence,
+        _ordered_names,
+    )
+
+    queue = list(dict.fromkeys([n for n in _QUEUE if n in QUERIES] + list(QUERIES)))
+    nongreen_ids = set(queue[:backlog])
+    # refloated IDs can only be green with a row >= their min round —
+    # use a synthetic round far above every real entry
+    base = max(_REFLOAT_MIN_ROUND.values(), default=0) + 1
+    by_round: dict[int, dict] = {base: {}, base + 1: {}, base + 2: {}}
+    for i, n in enumerate(queue):
+        if n in nongreen_ids:
+            continue
+        row = (
+            {"hash_match": True, "err": None, "spark_rows": 1}
+            if n in ORACLE
+            else {"hash_match": None, "err": "no_oracle", "spark_rows": 1}
+        )
+        by_round[base + (i % 3)][n] = row
+    for rnd, rows in by_round.items():
+        (tmp_path / f"CORRECTNESS_r{rnd:02d}.json").write_text(json.dumps(rows))
+    green, rounds = _driver_evidence(root=str(tmp_path))
+    assert green == set(queue) - nongreen_ids
+    ordered = _ordered_names(root=str(tmp_path))
+    assert set(ordered) == set(queue) and len(ordered) == len(queue)
+    assert ordered[:backlog] == queue[:backlog]
+    tail_rounds = [rounds[n] for n in ordered[backlog:]]
+    assert tail_rounds == sorted(tail_rounds)
+    assert len(ordered[:50]) == 50
+
+
+def test_correctness_files_sorted_numerically(tmp_path):
+    """'Latest row wins' must survive unpadded filenames: an
+    CORRECTNESS_r9.json (no zero-pad) alongside r10 sorts AFTER it
+    lexicographically — the round number, not the filename, decides
+    recency (ADVICE r10)."""
+    import json
+
+    from ukis_kafka_spark.api import _driver_evidence
+
+    (tmp_path / "CORRECTNESS_r9.json").write_text(
+        json.dumps({"q_filter_basic": {"hash_match": False, "err": "boom"}})
+    )
+    (tmp_path / "CORRECTNESS_r10.json").write_text(
+        json.dumps({"q_filter_basic": {"hash_match": True, "err": None, "spark_rows": 1}})
+    )
+    green, rounds = _driver_evidence(root=str(tmp_path))
+    assert "q_filter_basic" in green
+    assert rounds["q_filter_basic"] == 10
 
 
 def test_rotation_simulated_next_round(tmp_path):

@@ -266,3 +266,16 @@ def test_tar_kernel_rejects_incomplete_sample():
     )
     with pytest.raises(ValueError):
         _decode(scattered)
+    # two same-suffix members for one key: a dict overwrite would
+    # decode the shard silently and still satisfy set(parts) ==
+    # expected — the strict contract must reject it (ADVICE r10)
+    duped = _mini_tar(
+        [
+            ("web/00000007.txt", b"hello"),
+            ("web/00000007.txt", b"shadowed"),
+            ("web/00000007.json", meta),
+            ("web/00000007.cls", b"1"),
+        ]
+    )
+    with pytest.raises(ValueError, match="duplicate member suffix"):
+        _decode(duped)

@@ -161,6 +161,48 @@ BROADCAST_HINT_ALLOWLIST: dict[str, str] = {
 }
 
 
+# ---- physical-plan fingerprints (VERDICT r10 stretch item 7) ------
+# _REFLOAT_MIN_ROUND is a manual discipline ("when refactoring a
+# shipped operator's plan, add an entry so its stale driver row stops
+# counting"). This sweep makes the harness catch a missed entry: each
+# batch query's canonicalized physical-plan hash is committed to
+# PLAN_FINGERPRINTS.json; a query whose CURRENT fingerprint differs
+# from the committed one while it still counts as driver-green means
+# its green row tested a DIFFERENT plan — flagged until the builder
+# either adds the refloat entry (the ID then drops out of green and
+# the flag clears) or re-records with --write-fingerprints (for
+# no-op/cosmetic plan-string changes, e.g. a Spark upgrade).
+import hashlib  # noqa: E402
+import re as _re  # noqa: E402
+
+_FP_STRIP: list[tuple] = [
+    (_re.compile(r"#\d+"), "#"),  # expression IDs vary by alloc order
+    (_re.compile(r"plan_id=\d+"), "plan_id="),
+    (_re.compile(r"\[id=#?\d+\]"), "[id=]"),
+    (_re.compile(r"@[0-9a-fA-F]{6,}"), "@"),
+    (_re.compile(r"0x[0-9a-fA-F]+"), "0x"),
+    (_re.compile(r"RDD\[\d+\]"), "RDD[]"),
+    (_re.compile(r"rdd_\d+_\d+"), "rdd_"),
+    (_re.compile(r"Statistics\([^)]*\)"), "Statistics()"),
+    (_re.compile(r"(sizeInBytes|size|rowCount|numFiles)=\d+(\.\d+)?\s?\w*"), r"\1="),
+    # build-once cache + tmp staging paths carry run-unique fingerprint
+    # directories; the LOGICAL identity is "reads the cache", not which
+    # incarnation of it
+    (_re.compile(r"/tmp/[^\s,\]\)]+"), "/tmp/_"),
+    (_re.compile(r"Location [A-Za-z]*FileIndex\([^)]*\)\[[^\]]*\]"), "Location[]"),
+]
+
+
+def plan_fingerprint(plan: str) -> str:
+    """16-hex canonical hash of a physical-plan string: expression
+    IDs, RDD numbers, statistics, and staging paths stripped so the
+    hash is stable across sessions and data incarnations but changes
+    whenever the OPERATOR TREE changes."""
+    for rx, rep in _FP_STRIP:
+        plan = rx.sub(rep, plan)
+    return hashlib.sha256(plan.encode()).hexdigest()[:16]
+
+
 def _node_col(line: str) -> int:
     """Column where the node name starts (tree depth proxy)."""
     i = 0
@@ -348,6 +390,15 @@ def main() -> int:
     spark = get_spark("plan_audit")
     spark.sparkContext.setLogLevel("ERROR")
 
+    write_fps = "--write-fingerprints" in sys.argv
+    fp_path = os.path.join(REPO, "PLAN_FINGERPRINTS.json")
+    prev_fps: dict[str, str] = {}
+    if os.path.exists(fp_path):
+        with open(fp_path) as fh:
+            prev_fps = json.load(fh)
+    cur_fps: dict[str, str] = {}
+    green = api._driver_green()
+
     rows: dict[str, dict[str, int]] = {}
     flags: list[str] = []
     skipped: list[str] = []
@@ -362,6 +413,21 @@ def main() -> int:
         except Exception as exc:  # pragma: no cover - audit robustness
             flags.append(f"{name}: plan build failed: {exc}")
             continue
+        cur_fps[name] = plan_fingerprint(plan)
+        if (
+            not write_fps
+            and name in prev_fps
+            and prev_fps[name] != cur_fps[name]
+            and name in green
+        ):
+            flags.append(
+                f"{name}: physical plan changed since PLAN_FINGERPRINTS.json "
+                "was recorded but the ID still counts as driver-green — its "
+                "green row tested the OLD plan. Add it to "
+                "api._REFLOAT_MIN_ROUND (upcoming round) and re-record with "
+                "--write-fingerprints, or re-record alone if the change is "
+                "cosmetic (plan-string only)."
+            )
         bcast = broadcast_hint_findings(analyzed)
         info = {
             "eval_python": plan.count("EvalPython"),
@@ -413,6 +479,10 @@ def main() -> int:
     }
     with open(os.path.join(REPO, "PLANS_AUDIT.json"), "w") as fh:
         json.dump(out, fh, indent=1, sort_keys=True)
+    if write_fps or not os.path.exists(fp_path):
+        with open(fp_path, "w") as fh:
+            json.dump(cur_fps, fh, indent=1, sort_keys=True)
+        print(f"wrote PLAN_FINGERPRINTS.json ({len(cur_fps)} fingerprints)")
     print(
         f"audited {len(rows)} plans, skipped {len(skipped)} streaming/sink; "
         f"flags: {len(flags)}"

@@ -409,6 +409,96 @@ def main() -> None:
         pairs = _blocked_cosine_pairs(emb, block=1024, local_topk=5)
         return pairs.agg(F.count(F.lit(1)).alias("n"))
 
+    def ann_query(k: int):
+        """The ANN QUERY path (VERDICT r10 item 4): per-vector nearest
+        neighbor via random-hyperplane LSH buckets + per-bucket numpy
+        GEMM with IN-KERNEL per-row argmax — the family SURVEY §6.1
+        routes 100 TB similarity to, measured instead of asserted.
+        Two honesty rules: (1) the bit count grows with log2(k) so
+        bucket occupancy stays ~constant (~625) — the real-world scale
+        lever (at 100 TB you grow bits/lists with the corpus to bound
+        per-bucket GEMMs; a fixed bit count would re-derive
+        blocked_cosine's quadratic); (2) replicas are sign-flipped per
+        replica id (a signed permutation of a gaussian vector is
+        gaussian), so new data is genuinely NEW vectors spread across
+        buckets, not same-bucket artifact collisions (banded_dedup's
+        rule — an unperturbed copy lands in its original's bucket at
+        ANY bit count). Expected curve: ~linear — sig cost/vector
+        grows log k, shuffle is tables x corpus, GEMM work/vector is
+        occupancy-bounded, output is one row per (vector, table)
+        reduced to one per vector. Contrast with blocked_cosine's
+        measured 1.31x-super-linear crossover at 128x."""
+        import math
+
+        import numpy as _np
+        import pandas as _pd
+        from pyspark.sql import types as _T
+        from pyspark.sql.functions import pandas_udf as _pudf
+
+        from ukis_kafka_spark.ml.similarity import _DIM, _hyperplane_int
+
+        n_tables = 8
+        n_bits = 4 + int(round(math.log2(k)))
+        planes = _np.array(
+            [_hyperplane_int(t, b) for t in range(n_tables) for b in range(n_bits)],
+            dtype=_np.int64,
+        ).T  # dim x (tables*bits)
+        pow2 = 1 << _np.arange(n_bits, dtype=_np.int64)
+
+        @_pudf(_T.ArrayType(_T.LongType()))
+        def lsh_buckets(emb: _pd.Series) -> _pd.Series:
+            M = _np.floor(
+                _np.stack(emb.to_numpy()).astype(_np.float64) * 10000
+            ).astype(_np.int64)
+            bits = (M @ planes >= 0).astype(_np.int64)
+            ids = bits.reshape(len(M), n_tables, n_bits) @ pow2
+            return _pd.Series(list(ids))
+
+        def bucket_nn(pdf):
+            if len(pdf) < 2:
+                return _pd.DataFrame(
+                    {"vec_id": _pd.Series(dtype="int64"),
+                     "nb_id": _pd.Series(dtype="int64"),
+                     "cos_sim": _pd.Series(dtype="float64")}
+                )
+            M = _np.stack(pdf.embedding.to_numpy()).astype(_np.float64)
+            ids = pdf.vec_id.to_numpy()
+            nrm = _np.sqrt(_np.einsum("ij,ij->i", M, M))
+            cos = (M @ M.T) / _np.outer(nrm, nrm)
+            _np.fill_diagonal(cos, -2.0)
+            j = cos.argmax(axis=1)
+            return _pd.DataFrame(
+                {"vec_id": ids, "nb_id": ids[j],
+                 "cos_sim": cos[_np.arange(len(ids)), j]}
+            )
+
+        e = _replicate(
+            load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding"),
+            k,
+            ["vec_id"],
+        )
+        # sign-flip perturbation per replica (rep 0 = the real corpus)
+        pert = e.select(
+            "vec_id",
+            F.expr(
+                "transform(embedding, (x, i) -> IF("
+                "  pmod(xxhash64(vec_id div 100000000, i), 2) = 0 "
+                "  OR vec_id div 100000000 = 0, x, -x))"
+            ).alias("embedding"),
+        )
+        buck = pert.select(
+            "vec_id",
+            "embedding",
+            F.posexplode(lsh_buckets(F.col("embedding"))).alias("table_id", "bucket"),
+        )
+        return (
+            buck.groupBy("table_id", "bucket")
+            .applyInPandas(bucket_nn, "vec_id long, nb_id long, cos_sim double")
+            .groupBy("vec_id")
+            .agg(F.max(F.struct("cos_sim", "nb_id")).alias("best"))
+            .select("vec_id", "best.cos_sim", "best.nb_id")
+        )
+
     def kmv_theta(k: int):
         """m_theta_intersect / m_kmv_distinct's physical shape
         (VERDICT r09 stretch item 8): per-lang bottom-64 KMV sketch
@@ -591,6 +681,7 @@ def main() -> None:
         "ranged_rank_skew": ranged_rank_skew,
         "subseq_scan": subseq_scan,
         "blocked_cosine": blocked_cosine,
+        "ann_query": ann_query,
         "kmv_theta": kmv_theta,
         "hash_walks": hash_walks,
         "bottom_k": bottom_k,

@@ -211,19 +211,30 @@ _REFLOAT_MIN_ROUND = {
     "m_jm_interp_lm": 10,
     "m_kneser_ney_lm": 10,
     "m_witten_bell_lm": 10,
+    # round-10 re-plans (ADVICE r10): q_agg_percentile moved to the
+    # shared array-form percentile buffer (one agg buffer, new output
+    # projection) with no post-refactor driver row (latest r03) — it
+    # must refloat; g_dbscan_classify's re-plan DOES have an r10 row,
+    # the entry self-documents that the row post-dates the refactor.
+    "q_agg_percentile": 10,
+    "g_dbscan_classify": 10,
 }
 
 
-def _driver_green(root: str | None = None) -> set[str]:
-    """IDs whose LATEST driver CORRECTNESS row satisfies their current
-    check level: hash-green for oracle-checked queries, a clean
+def _driver_evidence(root: str | None = None) -> tuple[set[str], dict[str, int]]:
+    """(green IDs, round of each ID's latest satisfying row).
+
+    Green = the LATEST driver CORRECTNESS row satisfies the query's
+    current check level: hash-green for oracle-checked queries, a clean
     rows-only row (``err == 'no_oracle'`` with a row count) for queries
     that have no oracle by design. An ID upgraded rows-only->oracle
     after its last driver window is NOT green (its old row is weaker
     than its current contract) and floats back into the head-50; an ID
     in ``_REFLOAT_MIN_ROUND`` is green only if its satisfying row comes
     from that round or later (pre-refactor rows tested a different
-    physical plan)."""
+    physical plan). Files are ordered by PARSED round number, never by
+    filename sort — an unpadded CORRECTNESS_r10.json must not lose to
+    r9 lexicographically (ADVICE r10)."""
     import glob
     import json
     import os
@@ -231,11 +242,13 @@ def _driver_green(root: str | None = None) -> set[str]:
 
     if root is None:
         root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    parsed: list[tuple[int, str]] = []
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", os.path.basename(path))
+        parsed.append((int(m.group(1)) if m else 0, path))
     latest: dict[str, dict] = {}
     latest_round: dict[str, int] = {}
-    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
-        m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", os.path.basename(path))
-        rnd = int(m.group(1)) if m else 0
+    for rnd, path in sorted(parsed):
         try:
             with open(path) as fh:
                 rows = json.load(fh)
@@ -258,20 +271,40 @@ def _driver_green(root: str | None = None) -> set[str]:
             and row.get("spark_rows") is not None
         ):
             green.add(name)
-    return green
+    return green, latest_round
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Full registry, never-driver-green IDs first (in ``_QUEUE``
-    order) so each round's head-50 driver window drains fresh IDs —
-    see ``_driver_green``. Falls back to pure queue order if no
-    CORRECTNESS files exist (fresh clone)."""
+def _driver_green(root: str | None = None) -> set[str]:
+    """Back-compat wrapper: just the green set from _driver_evidence."""
+    return _driver_evidence(root)[0]
+
+
+def _ordered_names(root: str | None = None) -> list[str]:
+    """Registry order for ``queries()``: never-driver-green IDs first
+    (in ``_QUEUE`` order), then the green tail by OLDEST satisfying
+    driver round first (queue order breaking ties). Once the backlog
+    drains below 50, window slots become re-confirmations — re-checking
+    the newest rows first is zero marginal information, so each round
+    refreshes the oldest-evidence third of the registry instead
+    (VERDICT r10 item 3)."""
     queue = list(dict.fromkeys(
         [n for n in _QUEUE if n in QUERIES] + list(QUERIES)
     ))
-    green = _driver_green()
-    ordered = [n for n in queue if n not in green] + [n for n in queue if n in green]
-    return {n: QUERIES[n] for n in ordered}
+    green, rounds = _driver_evidence(root)
+    pos = {n: i for i, n in enumerate(queue)}
+    fresh = [n for n in queue if n not in green]
+    stale_first = sorted(
+        (n for n in queue if n in green),
+        key=lambda n: (rounds.get(n, 0), pos[n]),
+    )
+    return fresh + stale_first
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Full registry, never-driver-green IDs first, green tail ordered
+    oldest-evidence-first — see ``_ordered_names``. Falls back to pure
+    queue order if no CORRECTNESS files exist (fresh clone)."""
+    return {n: QUERIES[n] for n in _ordered_names()}
 
 
 def oracle_sql() -> dict[str, str]:

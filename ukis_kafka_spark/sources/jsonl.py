@@ -1712,6 +1712,15 @@ def _tar_decode_batches(file_iter):
                         flush(cur_key, parts)
                         parts = {}
                     cur_key = key
+                    if dot + suffix in parts:
+                        # strict sample contract (ADVICE r10): a shard
+                        # with two same-suffix members for one key is
+                        # malformed — a dict overwrite would decode it
+                        # silently and still pass the set(parts) check
+                        raise ValueError(
+                            f"sample {key!r} has duplicate member suffix "
+                            f"{dot + suffix!r}"
+                        )
                     parts[dot + suffix] = t.extractfile(m).read()
                 if cur_key is not None:
                     flush(cur_key, parts)
