@@ -48,6 +48,12 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # missed — this mechanism makes a stale window structurally impossible
 # (tests/test_registry_contract.py pins it).
 _QUEUE = [
+    # round-11 leads: this round's 5 additions — float them for driver
+    # confirmation; the 20-ID backlog (19 tail + the q_agg_percentile
+    # refloat) fits the window with ~25 slots left for the
+    # oldest-evidence refresh (VERDICT r10 items 2-3)
+    "m_facility_select", "m_grad_accum_plan", "m_ngram_gini",
+    "src_delta_log", "m_bandit_ucb",
     # round-10 leads: this round's 7 additions — float them for driver
     # confirmation; the remaining 43 window slots drain the 58-ID
     # backlog to a ~15-ID tail for r11 (VERDICT r09 item 2's arithmetic)

@@ -660,3 +660,73 @@ def m_curriculum_pacing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("frontier_doc"),
         F.col("n_tok").cast("bigint").alias("frontier_ntok"),
     )
+
+
+_ACCUM_TOKENS = 512
+
+
+@query(
+    "m_grad_accum_plan",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents
+), r AS (
+  SELECT doc_id, n_tok,
+         CAST(SUM(n_tok) OVER (ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tok
+           AS cum_before
+  FROM t
+)
+SELECT cum_before // {_ACCUM_TOKENS} AS step_id,
+       count(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS step_tokens,
+       (CAST(SUM(n_tok) AS BIGINT) * 1000000) // {_ACCUM_TOKENS} AS fill_ppm,
+       min(doc_id) AS first_doc,
+       max(doc_id) AS last_doc
+FROM r
+GROUP BY 1
+""",
+)
+def m_grad_accum_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gradient-accumulation step plan: documents stream in doc_id
+    order and each optimizer step closes once the RUNNING token total
+    crosses the next B=512-token boundary (step_id = pre-doc cumulative
+    mass div B — a doc spanning a boundary belongs wholly to the step
+    it starts in, the greedy data-loader rule). Emits per step the doc
+    count, exact token mass, fill ratio in ppm (can exceed 1e6 on
+    boundary-spanning docs; the tail step runs short), and the
+    first/last doc — what a trainer needs to size accumulation so
+    every global batch carries ~B tokens regardless of document
+    length skew.
+
+    The corpus-growing global cumsum rides
+    functions.ranks.with_global_order (range shuffle + offset
+    recombination, never a partition-less window); the per-step
+    aggregate is one hash shuffle on the derived step key. Everything
+    is exact BIGINT — counts, masses, integer div — no rounding
+    surface at all. Scale: one ranged shuffle + one hash aggregate,
+    both linear."""
+    from ..functions.ranks import with_global_order
+
+    t = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    r = with_global_order(
+        t, [F.col("doc_id").asc()], cumsum={"cum": F.col("n_tok")}
+    ).select(
+        "doc_id",
+        "n_tok",
+        (F.col("cum").cast("bigint") - F.col("n_tok")).alias("cum_before"),
+    )
+    return (
+        r.groupBy(F.expr(f"cum_before div {_ACCUM_TOKENS}").alias("step_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("step_tokens"),
+            F.expr(
+                f"(CAST(SUM(n_tok) AS BIGINT) * 1000000) div {_ACCUM_TOKENS}"
+            ).alias("fill_ppm"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )

@@ -6343,3 +6343,82 @@ def m_ldp_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("k_true * 1000000 div n").alias("true_ppm"),
         F.expr(f"{est} - k_true * 1000000 div n").alias("err_ppm"),
     )
+
+
+@query(
+    "m_ngram_gini",
+    oracle="""
+WITH t AS (SELECT lang, string_split(text, ' ') AS tk FROM documents),
+b AS (
+  SELECT lang, tk[i] || ' ' || tk[i + 1] AS bg
+  FROM t, LATERAL (SELECT unnest(generate_series(1, len(tk) - 1)) AS i)
+), f AS (
+  SELECT lang, bg, CAST(count(*) AS BIGINT) AS cnt FROM b GROUP BY lang, bg
+), r AS (
+  SELECT lang, cnt,
+         CAST(row_number() OVER (PARTITION BY lang ORDER BY cnt, bg)
+              AS BIGINT) AS rk
+  FROM f
+)
+SELECT lang,
+       count(*) AS n_types,
+       CAST(SUM(cnt) AS BIGINT) AS ngram_total,
+       ((2 * CAST(SUM(rk * cnt) AS BIGINT)
+         - (count(*) + 1) * CAST(SUM(cnt) AS BIGINT)) * 1000000)
+         // (count(*) * CAST(SUM(cnt) AS BIGINT)) AS gini_ppm
+FROM r
+GROUP BY lang
+""",
+)
+def m_ngram_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language Gini coefficient of the token-BIGRAM frequency
+    distribution — the inequality summary corpus-QA dashboards track
+    (near 1: a few n-grams dominate; near 0: a flat distribution):
+    with per-lang bigram frequencies sorted ascending (f_1..f_n,
+    bigram tiebreak), G = (2*sum(i*f_i) - (n+1)*sum(f)) / (n*sum(f)),
+    emitted in exact ppm via one integer division — the numerator is
+    non-negative by the Chebyshev sum inequality, so Spark's
+    truncating div and DuckDB's floor // agree.
+
+    Bigram scope is load-bearing for non-vacuity: the synthetic
+    vocabulary is 31 fixed words, so UNIGRAM type counts saturate at
+    31 in every lang (the first cut's n_types was a constant column —
+    the KMV round-8 class, caught by the dead-column audit); bigram
+    type counts genuinely vary (measured 886-931 across langs at
+    every scale) and the distribution is skewed enough for distinct
+    per-lang Ginis.
+
+    The rank window is PARTITIONED by lang (bounded domain) and its
+    input is the per-(lang, bigram) aggregate — n-gram-type-sized
+    rows (Heaps-law sublinear), never the token stream. The bigram
+    derivation guards the empty-sequence trap (sequence(1, 0) is
+    DESCENDING in Spark). Everything else is one explode + two hash
+    aggregates, all-BIGINT."""
+    d = load_table(spark, sf_dir, "documents")
+    tk = d.select("lang", F.split("text", " ").alias("tk"))
+    b = tk.select(
+        "lang",
+        F.explode(
+            F.when(
+                F.size("tk") >= 2,
+                F.expr(
+                    "transform(sequence(1, size(tk) - 1),"
+                    " i -> array_join(slice(tk, i, 2), ' '))"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("bg"),
+    )
+    f = b.groupBy("lang", "bg").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    w = Window.partitionBy("lang").orderBy("cnt", "bg")
+    r = f.select(
+        "lang", "cnt", F.row_number().over(w).cast("bigint").alias("rk")
+    )
+    return r.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum("cnt").cast("bigint").alias("ngram_total"),
+        F.expr(
+            "((2 * CAST(SUM(rk * cnt) AS BIGINT)"
+            " - (count(1) + 1) * CAST(SUM(cnt) AS BIGINT)) * 1000000)"
+            " div (count(1) * CAST(SUM(cnt) AS BIGINT))"
+        ).alias("gini_ppm"),
+    )

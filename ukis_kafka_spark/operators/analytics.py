@@ -3465,3 +3465,64 @@ def m_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
             " END AS BIGINT)"
         ).alias("y_adj_micro"),
     )
+
+
+@query(
+    "m_bandit_ucb",
+    oracle="""
+WITH a AS (
+  SELECT lang, count(*) AS n_docs,
+         count(CASE WHEN len(string_split(text, ' ')) >= 60 THEN 1 END)
+           AS n_pass
+  FROM documents GROUP BY lang
+), s AS (
+  SELECT lang, n_docs, n_pass,
+         CAST(n_pass AS DOUBLE) / CAST(n_docs AS DOUBLE)
+           + 2e0 / sqrt(CAST(n_docs AS DOUBLE)) AS ucb_score
+  FROM a
+)
+SELECT lang, n_docs, n_pass, ucb_score,
+       CAST(ucb_score = (SELECT max(ucb_score) FROM s) AS BIGINT) AS is_next
+FROM s
+""",
+)
+def m_bandit_ucb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UCB1-style explore/exploit allocation over data sources — the
+    acquisition loop of an adaptive curation pipeline (which pool do
+    we sample next?): each language arm scores
+    mean_quality + 2/sqrt(n) where quality is the measured pass rate
+    of a 60-token length gate (fires partially in EVERY lang at every
+    scale — measured 26-99/64-218 at sf0.01) and n is the arm's pull
+    count; the arm flagged ``is_next`` gets the next batch. The
+    constant 2 (not 1.96) and the inverse-sqrt bonus (not a log/cos
+    form) are deliberate: mean (one division of exact integer counts),
+    sqrt, divide and one add are ALL correctly-rounded IEEE ops, so
+    both engines produce bit-identical doubles and the score column
+    is hash-shareable verbatim with no rounding grid (the round-8
+    Wilson rule). Lang pull counts are SKEWED (en ~3x the rest), so
+    the exploration bonus genuinely varies per arm.
+
+    Scale: one hash aggregate over a bounded-domain key + a scalar-max
+    broadcast back — no window, no Python."""
+    d = load_table(spark, sf_dir, "documents")
+    a = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(F.size(F.split("text", " ")) >= 60, 1)).alias("n_pass"),
+    )
+    s = a.select(
+        "lang",
+        "n_docs",
+        "n_pass",
+        (
+            F.col("n_pass").cast("double") / F.col("n_docs").cast("double")
+            + F.lit(2.0) / F.sqrt(F.col("n_docs").cast("double"))
+        ).alias("ucb_score"),
+    )
+    mx = s.agg(F.max("ucb_score").alias("mx"))
+    return s.crossJoin(F.broadcast(mx)).select(
+        "lang",
+        "n_docs",
+        "n_pass",
+        "ucb_score",
+        (F.col("ucb_score") == F.col("mx")).cast("bigint").alias("is_next"),
+    )

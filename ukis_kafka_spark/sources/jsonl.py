@@ -1952,3 +1952,101 @@ def src_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_toks").cast("bigint").alias("toks_total"),
         F.sum("doc_id").cast("bigint").alias("id_mass"),
     )
+
+
+@query(
+    "src_delta_log",
+    oracle="""
+SELECT v.version, lang,
+       count(*) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS id_mass,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tok_mass
+FROM documents d
+JOIN (VALUES (0), (1), (2)) v(version)
+  ON (v.version = 0 AND d.doc_id % 4 IN (0, 1))
+  OR (v.version = 1 AND d.doc_id % 4 IN (0, 2))
+  OR (v.version = 2 AND d.doc_id % 4 IN (0, 2, 3))
+GROUP BY v.version, lang
+""",
+)
+def src_delta_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lakehouse transaction-log snapshot reader (the Delta-style
+    ``_delta_log`` protocol: ordered JSON commit files of add/remove
+    file actions; a snapshot at version v = replay of commits 0..v).
+    The cache builds a table with three commits — commit 0 adds file
+    slices A (doc_id%4=0) and B (%4=1); commit 1 adds C (%4=2) and
+    REMOVES B (a compaction/delete); commit 2 adds D (%4=3) — and the
+    reader reconstructs the live file set AT EVERY VERSION (time
+    travel), reads each snapshot's parquet, and aggregates per
+    (version, lang). The remove action is load-bearing: version 1+
+    must NOT see slice B, so a reader that only unions adds fails the
+    hash.
+
+    Log replay is a bounded driver-side metadata read (ordered
+    listing + line-JSON parse — exactly what real Delta clients do);
+    the DATA path stays fully distributed (plain parquet scans of the
+    live files, one union per version). Unknown actions (metaData,
+    protocol) are skipped, matching the protocol's
+    ignore-what-you-don't-know rule. Scale: the log is
+    O(commits) metadata; each snapshot read is a parquet scan."""
+    import json as _json
+
+    def build(into: str) -> None:
+        d = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "text"
+        )
+        for name, residue in (("A", 0), ("B", 1), ("C", 2), ("D", 3)):
+            (
+                d.where(F.col("doc_id") % 4 == residue)
+                .repartition(1)
+                .write.mode("overwrite")
+                .parquet(os.path.join(into, name))
+            )
+        log_dir = os.path.join(into, "_delta_log")
+        os.makedirs(log_dir, exist_ok=True)
+        commits = [
+            [
+                {"metaData": {"id": "ukis-demo", "format": "parquet"}},
+                {"add": {"path": "A"}},
+                {"add": {"path": "B"}},
+            ],
+            [{"add": {"path": "C"}}, {"remove": {"path": "B"}}],
+            [{"add": {"path": "D"}}],
+        ]
+        for v, actions in enumerate(commits):
+            with open(os.path.join(log_dir, f"{v:020d}.json"), "w") as fh:
+                fh.write("\n".join(_json.dumps(a) for a in actions))
+
+    base = _cache_publish(
+        build, ("deltalog", 1, _table_fingerprint(sf_dir, "documents"))
+    )
+    log_dir = os.path.join(base, "_delta_log")
+    versions = sorted(
+        int(f.split(".")[0]) for f in os.listdir(log_dir) if f.endswith(".json")
+    )
+    live: set[str] = set()
+    out = None
+    for v in versions:
+        with open(os.path.join(log_dir, f"{v:020d}.json")) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                action = _json.loads(line)
+                if "add" in action:
+                    live.add(action["add"]["path"])
+                elif "remove" in action:
+                    live.discard(action["remove"]["path"])
+        snap = spark.read.parquet(*[os.path.join(base, p) for p in sorted(live)])
+        agg = (
+            snap.groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("doc_id").cast("bigint").alias("id_mass"),
+                F.sum(F.size(F.split("text", " ")))
+                .cast("bigint")
+                .alias("tok_mass"),
+            )
+            .select(F.lit(v).cast("int").alias("version"), "*")
+        )
+        out = agg if out is None else out.unionByName(agg)
+    return out
