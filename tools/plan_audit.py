@@ -185,22 +185,86 @@ _FP_STRIP: list[tuple] = [
     (_re.compile(r"rdd_\d+_\d+"), "rdd_"),
     (_re.compile(r"Statistics\([^)]*\)"), "Statistics()"),
     (_re.compile(r"(sizeInBytes|size|rowCount|numFiles)=\d+(\.\d+)?\s?\w*"), r"\1="),
-    # build-once cache + tmp staging paths carry run-unique fingerprint
-    # directories; the LOGICAL identity is "reads the cache", not which
-    # incarnation of it
+    # build-once cache + tmp staging paths carry corpus-fingerprint
+    # digest directories (testdata regeneration re-keys them); the
+    # LOGICAL identity is "reads the cache", not which incarnation
+    (_re.compile(r"replay_cache/[0-9a-f]{16}"), "replay_cache/_"),
     (_re.compile(r"/tmp/[^\s,\]\)]+"), "/tmp/_"),
-    (_re.compile(r"Location [A-Za-z]*FileIndex\([^)]*\)\[[^\]]*\]"), "Location[]"),
+    (_re.compile(r"Location:? [A-Za-z]*FileIndex\([^)]*\)\[[^\]]*\]"), "Location[]"),
 ]
+
+
+def _sort_bracket_groups(line: str, parens: bool = False) -> str:
+    """Sort top-level comma-separated items inside every [...] group
+    (and, with ``parens``, every (...) group too). Spark's
+    RewriteDistinctAggregates (count(DISTINCT a), count(DISTINCT b) →
+    Expand + gid) emits its grouping keys in HASH-SET order — in
+    aggregate key lists, Expand projections AND hashpartitioning
+    argument lists — which varies call to call (measured on
+    q_multi_distinct / q_profile_cardinality / m_corpus_stats, the
+    only 3/466 unstable fingerprints). Sorting makes the hash
+    order-insensitive while keeping expression content; paren sorting
+    is only applied on gid-rewrite lines, where every paren group is
+    a key list or a deterministic expression."""
+    opens = "[(" if parens else "["
+    close_of = {"[": "]", "(": ")"}
+    out = []
+    i = 0
+    while i < len(line):
+        ch = line[i]
+        if ch not in opens:
+            out.append(ch)
+            i += 1
+            continue
+        closer = close_of[ch]
+        depth, j = 1, i + 1
+        while j < len(line) and depth:
+            depth += line[j] == ch
+            depth -= line[j] == closer
+            j += 1
+        inner = line[i + 1 : j - 1]
+        parts, d, cur = [], 0, ""
+        for c in inner:
+            if c == "," and d == 0:
+                parts.append(cur)
+                cur = ""
+            else:
+                d += c in "([<"
+                d -= c in ")]>"
+                cur += c
+        parts.append(cur)
+        # strip() before sorting: ", "-separated lists leave every
+        # item but the first space-prefixed, so which item lacks the
+        # space would otherwise leak the original order into the sort
+        out.append(
+            ch
+            + ",".join(sorted(_sort_bracket_groups(p, parens).strip() for p in parts))
+            + closer
+        )
+        i = j
+    return "".join(out)
 
 
 def plan_fingerprint(plan: str) -> str:
     """16-hex canonical hash of a physical-plan string: expression
-    IDs, RDD numbers, statistics, and staging paths stripped so the
-    hash is stable across sessions and data incarnations but changes
-    whenever the OPERATOR TREE changes."""
+    IDs, RDD numbers, statistics, and staging paths stripped, and
+    bracket-group item order canonicalized, so the hash is stable
+    across sessions and data incarnations but changes whenever the
+    OPERATOR TREE changes."""
     for rx, rep in _FP_STRIP:
         plan = rx.sub(rep, plan)
-    return hashlib.sha256(plan.encode()).hexdigest()[:16]
+    lines = []
+    for ln in plan.splitlines():
+        if "gid#" in ln:
+            # the distinct-rewrite's group-id LITERALS (FILTER gid=N,
+            # Expand row tags) are assigned in the same hash-set order
+            # as the keys — strip digits on those lines entirely and
+            # sort paren groups too (hashpartitioning key lists)
+            ln = _re.sub(r"\d+", "", ln)
+            lines.append(_sort_bracket_groups(ln, parens=True))
+            continue
+        lines.append(_sort_bracket_groups(ln))
+    return hashlib.sha256("\n".join(lines).encode()).hexdigest()[:16]
 
 
 def _node_col(line: str) -> int:

@@ -53,7 +53,7 @@ _QUEUE = [
     # refloat) fits the window with ~25 slots left for the
     # oldest-evidence refresh (VERDICT r10 items 2-3)
     "m_facility_select", "m_grad_accum_plan", "m_ngram_gini",
-    "src_delta_log", "m_bandit_ucb",
+    "src_delta_log", "m_bandit_ucb", "m_ams_f2", "s_grad_accum_stream",
     # round-10 leads: this round's 7 additions — float them for driver
     # confirmation; the remaining 43 window slots drain the 58-ID
     # backlog to a ~15-ID tail for r11 (VERDICT r09 item 2's arithmetic)

@@ -656,3 +656,82 @@ def m_theta_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+_AMS_ROWS = 8
+
+
+@query(
+    "m_ams_f2",
+    oracle=f"""
+WITH f AS (
+  SELECT lang, tok, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY lang, tok
+), ex AS (
+  SELECT lang, CAST(SUM(cnt * cnt) AS BIGINT) AS f2_exact FROM f GROUP BY lang
+), s AS (
+  SELECT lang, r,
+         CAST(SUM(CASE WHEN substring(md5(tok || ':' || CAST(r AS VARCHAR)), 1, 1)
+                         IN ('1','3','5','7','9','b','d','f')
+                  THEN cnt ELSE -cnt END) AS BIGINT) AS s_signed
+  FROM f, (SELECT unnest(generate_series(0, {_AMS_ROWS - 1})) AS r)
+  GROUP BY lang, r
+)
+SELECT s.lang, s.r, s.s_signed,
+       s.s_signed * s.s_signed AS f2_est,
+       ex.f2_exact,
+       abs(s.s_signed * s.s_signed - ex.f2_exact)
+         // GREATEST(ex.f2_exact // 1000000, 1) AS err_ppm
+FROM s JOIN ex ON ex.lang = s.lang
+""",
+)
+def m_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS (Alon-Matias-Szegedy) second-moment sketch over per-lang
+    token frequencies: 8 sketch rows each fold the whole frequency
+    vector into ONE signed counter S_r = sum(sign_r(token) * f) whose
+    square is an unbiased F2 estimate — the constant-state way to
+    monitor repetitiveness / collision mass on a stream too large to
+    hold frequencies for. Signs come from md5 hex-digit parity
+    (engine-portable — xxhash64/crc32 are engine-specific, the one
+    true oracle blocker class), so the whole sketch is
+    deterministic and hash-checked against the exact F2 computed
+    alongside; err_ppm divides FIRST (the HITS divide-first rule) so
+    the |est - exact| * 1e6 product can never overflow int64 at any
+    corpus scale.
+
+    Scale: sketch state is 8 counters per lang regardless of corpus
+    size; the build is one map-side-combined aggregate over the
+    (lang, token) frequency table (Heaps-sublinear rows). The exact
+    F2 twin is the verification baseline, not the scale path."""
+    d = load_table(spark, sf_dir, "documents")
+    f = (
+        d.select("lang", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    ex = f.groupBy("lang").agg(
+        F.sum(F.col("cnt") * F.col("cnt")).cast("bigint").alias("f2_exact")
+    )
+    sign = F.when(
+        F.substring(F.md5(F.concat_ws(":", "tok", "r")), 1, 1).isin(
+            "1", "3", "5", "7", "9", "b", "d", "f"
+        ),
+        F.col("cnt"),
+    ).otherwise(-F.col("cnt"))
+    s = (
+        f.select("lang", "cnt", "tok", F.explode(F.expr(f"sequence(0, {_AMS_ROWS - 1})")).alias("r"))
+        .groupBy("lang", "r")
+        .agg(F.sum(sign).cast("bigint").alias("s_signed"))
+    )
+    return s.join(ex, "lang").select(
+        "lang",
+        F.col("r").cast("bigint").alias("r"),
+        "s_signed",
+        (F.col("s_signed") * F.col("s_signed")).alias("f2_est"),
+        "f2_exact",
+        F.expr(
+            "abs(s_signed * s_signed - f2_exact)"
+            " div GREATEST(f2_exact div 1000000, 1)"
+        ).alias("err_ppm"),
+    )
