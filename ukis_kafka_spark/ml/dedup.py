@@ -35,15 +35,55 @@ _AS = [(2 * i * 0x9E3779B1 + 1) % _P for i in range(1, _N_HASH + 1)]
 _BS = [(i * 0x85EBCA77 + 7) % _P for i in range(1, _N_HASH + 1)]
 
 
-def _shingles(text_col: F.Column, k: int = 3) -> F.Column:
-    """Distinct k-token shingles of a space-tokenized text, via
-    higher-order functions only (no explode → no row blow-up)."""
-    toks = F.split(text_col, " ")
-    n = F.size(toks)
+def _shingles(toks_col: F.Column, k: int = 3) -> F.Column:
+    """Distinct k-token shingles of a pre-split token ARRAY column, via
+    higher-order functions only (no explode → no row blow-up).
+
+    Takes the token array, NOT the raw text: an inline ``split(text)``
+    referenced inside a ``transform`` lambda is re-evaluated once per
+    array ELEMENT (measured 3.4 s vs 0.35 s for the corpus bigram
+    table at sf0.1 — r11 finding; lambda bodies defeat subexpression
+    reuse the same way when() branches do).  Callers stage the split
+    with a projection first."""
+    n = F.size(toks_col)
     idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
     return F.array_distinct(
-        F.transform(idx, lambda i: F.array_join(F.slice(toks, i, k), " "))
+        F.transform(idx, lambda i: F.array_join(F.slice(toks_col, i, k), " "))
     )
+
+
+def _minhash_sig_udf():
+    """All 12 minhashes per doc in one numpy kernel (12 JVM array folds
+    per doc are interpreted and ~15-100x slower; hashlib.md5 is C-speed
+    and deterministic).  Shared by m_near_dedup / m_lsh_sweep /
+    m_incremental_dedup — one hash family, one kernel (r11: the two SQL
+    twins used to recompute the identical signatures via a 6x-inlined
+    md5 CTE; see each docstring)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    a_vec = np.array(_AS, dtype=np.int64)
+    b_vec = np.array(_BS, dtype=np.int64)
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def minhash_sig(sh_col: pd.Series) -> pd.Series:
+        import hashlib
+
+        out = []
+        for shingles in sh_col:
+            # big-endian value of the first 15 md5 hex digits (60 bits,
+            # sign-safe) — same engine-neutral hash family as m_simhash,
+            # which is what lets the SQL oracle recompute the signatures
+            hs = np.fromiter(
+                (int(hashlib.md5(s.encode()).hexdigest()[:15], 16) for s in shingles),
+                dtype=np.int64,
+                count=len(shingles),
+            )
+            sigs = ((hs[:, None] % _P) * a_vec + b_vec) % _P
+            out.append(sigs.min(axis=0))
+        return pd.Series(out)
+
+    return minhash_sig
 
 
 @query(
@@ -128,34 +168,12 @@ def m_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     this operator is fully oracle-hash-checked on top of its
     planted-duplicate unit test + hypothesis Jaccard-estimate bound.
     """
-    import numpy as np
-    from pyspark.sql.functions import pandas_udf
-
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    sh = d.select("doc_id", _shingles(F.col("text")).alias("sh"))
+    sh = d.select("doc_id", F.split("text", " ").alias("toks")).select(
+        "doc_id", _shingles(F.col("toks")).alias("sh")
+    )
 
-    # all 12 minhashes per doc in one numpy kernel (12 JVM array folds
-    # per doc are interpreted; crc32 is C-speed and deterministic)
-    a_vec = np.array(_AS, dtype=np.int64)
-    b_vec = np.array(_BS, dtype=np.int64)
-
-    @pandas_udf(T.ArrayType(T.LongType()))
-    def minhash_sig(sh_col: pd.Series) -> pd.Series:
-        import hashlib
-
-        out = []
-        for shingles in sh_col:
-            # big-endian value of the first 15 md5 hex digits (60 bits,
-            # sign-safe) — same engine-neutral hash family as m_simhash,
-            # which is what lets the SQL oracle recompute the signatures
-            hs = np.fromiter(
-                (int(hashlib.md5(s.encode()).hexdigest()[:15], 16) for s in shingles),
-                dtype=np.int64,
-                count=len(shingles),
-            )
-            sigs = ((hs[:, None] % _P) * a_vec + b_vec) % _P
-            out.append(sigs.min(axis=0))
-        return pd.Series(out)
+    minhash_sig = _minhash_sig_udf()
 
     # (doc_id, sh, sig) is materialized ONCE — the signature table is
     # the pipeline's working table (at 100 TB: a persisted dataset).
@@ -366,13 +384,26 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
-        .transform(checkpoint_df)  # materialize once: every iteration re-reads the edges
+        # pin once (lazy: the init-mass probe below materializes it in
+        # the same job) — every iteration re-reads the edges
+        .transform(lambda df: checkpoint_df(df, eager=False))
     )
     labels = (
         sym.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
+        .transform(lambda df: checkpoint_df(df, eager=False))
     )
+    # r11 cost discipline (the connected_components_jump probe, back-
+    # ported): labels are elementwise NON-INCREASING — new = least(own,
+    # min neighbor) — so equal consecutive label-mass sums ⟺ no label
+    # changed, and the scalar probe doubles as the round's single
+    # materializing action on the LAZY checkpoint (was: eager
+    # checkpoint job + a self-join change probe = 2 jobs/round).
+    # DECIMAL(38,0): Σ of int64 ids passes 2^63 at corpus scale.
+    prev_mass = labels.agg(
+        F.sum(F.col("component").cast("decimal(38,0)")).alias("m")
+    ).collect()[0][0]
     converged = False
     for _ in range(max_iter):
         # each node's candidate label: min over its own and neighbors'
@@ -389,23 +420,16 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
                     F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
                 ).alias("component"),
             )
+            .transform(lambda df: checkpoint_df(df, eager=False))
         )
-        # checkpoint FIRST (truncates the iterative lineage), then run
-        # the convergence probe against the materialized result — the
-        # probe-then-checkpoint order would execute the whole join
-        # pipeline twice per iteration
-        new_labels = new_labels.transform(checkpoint_df)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
+        mass = new_labels.agg(
+            F.sum(F.col("component").cast("decimal(38,0)")).alias("m")
+        ).collect()[0][0]
         labels = new_labels
-        if changed == 0:
+        if mass == prev_mass:
             converged = True
             break
+        prev_mass = mass
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} iterations "
@@ -1317,9 +1341,75 @@ def m_lsh_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     m_near_dedup, so the sweep's (4, 3) row reproduces exactly the
     candidate set production runs.  Scale: one signature build, three
     band self-joins on 8-byte keys — candidate counting never touches
-    document text."""
-    load_table(spark, sf_dir, "documents").createOrReplaceTempView("docs_lsh")
-    return spark.sql(_lsh_sweep_sql("spark"))
+    document text.
+
+    r11 re-plan (guide §2.4 + §4.2, the round-7 CTE-inlining trap):
+    the shared SQL's ``sig`` CTE is referenced six times (two band
+    sides × three settings) and Spark inlines CTEs, so the
+    shingle+MinHash build — the expensive md5-per-3-gram pass —
+    executed 6× (27 Exchanges in the old plan).  The signature table
+    is now built ONCE through the same Arrow/numpy kernel
+    m_near_dedup uses (identical hash family, bit-identical
+    signatures) and pinned with a lazy localCheckpoint; the six band
+    scans read the one pinned RDD.  Results identical; the DuckDB
+    oracle (whose MATERIALIZED CTEs never had the blowup) is
+    unchanged."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = d.select("doc_id", F.split("text", " ").alias("toks")).select(
+        "doc_id", _shingles(F.col("toks")).alias("sh")
+    )
+    sig_arr = checkpoint_df(
+        sh.select("doc_id", _minhash_sig_udf()(F.col("sh")).alias("sig")),
+        eager=False,
+    )
+    settings = []
+    for rows_per_band in (3, 2, 1):
+        n_bands = _N_HASH // rows_per_band
+        # band keys straight from the pinned signature array (the SQL
+        # twin's GROUP BY doc_id, band re-aggregation is a no-op here:
+        # j-order == array order, concat_ws == the oracle's string_agg)
+        bands = sig_arr.select(
+            "doc_id",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.concat_ws(
+                            "_",
+                            *[
+                                F.element_at(
+                                    F.col("sig"), b * rows_per_band + r + 1
+                                ).cast("string")
+                                for r in range(rows_per_band)
+                            ],
+                        )
+                        for b in range(n_bands)
+                    ]
+                )
+            ).alias("band_idx", "bs"),
+        )
+        a = bands.alias("a")
+        b = bands.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.band_idx") == F.col("b.band_idx"))
+                & (F.col("a.bs") == F.col("b.bs"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        settings.append(
+            cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_candidate_pairs")).select(
+                F.lit(n_bands).cast("bigint").alias("n_bands"),
+                F.lit(rows_per_band).cast("bigint").alias("rows_per_band"),
+                "n_candidate_pairs",
+            )
+        )
+    out = settings[0]
+    for s in settings[1:]:
+        out = out.unionByName(s)
+    return out
 
 
 @query(
@@ -1536,9 +1626,72 @@ def m_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     band probe.  Same hash family/banding as m_near_dedup, verified
     Jaccard >= 0.5 on the candidates, emitted as exact integer
     permille.  Non-vacuous by the planted-duplicate structure the
-    corpus carries (verified non-empty at both gate scales)."""
-    load_table(spark, sf_dir, "documents").createOrReplaceTempView("docs_incr")
-    return spark.sql(_incr_dedup_sql("spark"))
+    corpus carries (verified non-empty at both gate scales).
+
+    r11 re-plan (guide §2.4 + §4.2, CTE-inlining trap): the shared
+    SQL's ``shl`` CTE (per-doc shingle arrays) is referenced four
+    times (both band sides via sh_h→sig, plus the two verify-join
+    sides) and ``sig`` twice, so the tokenize+md5+MinHash pipeline
+    executed up to 4×.  The signature table is now built ONCE through
+    m_near_dedup's Arrow/numpy kernel (identical hash family,
+    bit-identical signatures) and pinned; bands come straight off the
+    pinned signature array, and the two verify joins read the same
+    pin.  Results identical; oracle (MATERIALIZED CTEs) unchanged."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = d.select("doc_id", F.split("text", " ").alias("toks")).select(
+        "doc_id", _shingles(F.col("toks")).alias("shl")
+    )
+    sig = checkpoint_df(
+        sh.select("doc_id", "shl", _minhash_sig_udf()(F.col("shl")).alias("sig")),
+        eager=False,
+    )
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "_",
+                        *[
+                            F.element_at(F.col("sig"), b * _ROWS + r + 1).cast(
+                                "string"
+                            )
+                            for r in range(_ROWS)
+                        ],
+                    )
+                    for b in range(_BANDS)
+                ]
+            )
+        ).alias("band_idx", "bs"),
+    )
+    n = bands.where(F.col("doc_id") % 7 == 0).alias("n")
+    o = bands.where(F.col("doc_id") % 7 != 0).alias("o")
+    cand = (
+        n.join(
+            o,
+            (F.col("n.band_idx") == F.col("o.band_idx"))
+            & (F.col("n.bs") == F.col("o.bs")),
+        )
+        .select(F.col("n.doc_id").alias("id_new"), F.col("o.doc_id").alias("id_old"))
+        .dropDuplicates(["id_new", "id_old"])
+    )
+    shl_tbl = sig.select("doc_id", "shl")
+    verif = cand.join(
+        shl_tbl.select(F.col("doc_id").alias("id_new"), F.col("shl").alias("shl_a")),
+        "id_new",
+    ).join(
+        shl_tbl.select(F.col("doc_id").alias("id_old"), F.col("shl").alias("shl_b")),
+        "id_old",
+    )
+    jacc = F.expr(
+        "CAST(size(array_intersect(shl_a, shl_b)) * 1000"
+        " div size(array_distinct(concat(shl_a, shl_b))) AS BIGINT)"
+    )
+    return (
+        verif.withColumn("jacc_permille", jacc)
+        .where(F.col("jacc_permille") >= 500)
+        .select("id_new", "id_old", "jacc_permille")
+    )
 
 
 @query(
@@ -1592,22 +1745,46 @@ def m_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprints above a document-frequency bound, they are
     boilerplate by definition) bounds the quadratic corner exactly the
     way the LSH band join does."""
+    # r11 re-plan (guide §4.2): the JVM higher-order pipeline —
+    # md5 per 5-gram slice, then array_min over every width-4 window
+    # slice — is interpreted per element (measured 2.5 s of the old
+    # 4.5 s at sf0.1).  One Arrow/numpy kernel now computes k-gram
+    # digests + the winnowing sliding min per doc (hashlib.md5 is
+    # C-speed, identical hex), the same trade as _minhash_sig_udf.
+    # Selected fingerprints are identical; dedup order is immaterial
+    # (fps are exploded into an order-insensitive join/count).
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(T.ArrayType(T.StringType()))
+    def winnow_fps(toks_col: pd.Series) -> pd.Series:
+        import hashlib
+
+        import numpy as np
+
+        out = []
+        for toks in toks_col:
+            n = len(toks)
+            gs = np.array(
+                [
+                    hashlib.md5(" ".join(toks[s : s + 5]).encode()).hexdigest()
+                    for s in range(n - 4)
+                ],
+                dtype=object,
+            )
+            m = gs[: len(gs) - 3]
+            for k in (1, 2, 3):
+                m = np.minimum(m, gs[k : len(gs) - 3 + k])
+            out.append(list(dict.fromkeys(m.tolist())))
+        return pd.Series(out)
+
     d = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    kg = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 4),
-        lambda s: F.md5(F.array_join(F.slice(toks, s, 5), " ")),
-    )
-    g = d.where(F.size(toks) >= 5).select("doc_id", kg.alias("g"))
-    fps = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size(F.col("g")) - 3),
-            lambda j: F.array_min(F.slice(F.col("g"), j, 4)),
-        )
+    # size(toks) >= 8 == the old two-step filter (>=5 tokens to have
+    # 5-grams, then >=4 grams to have a window)
+    toked = d.select("doc_id", F.split(F.col("text"), " ").alias("toks")).where(
+        F.size("toks") >= 8
     )
     fp = (
-        g.where(F.size(F.col("g")) >= 4)
-        .select("doc_id", F.explode(fps).alias("f"))
+        toked.select("doc_id", F.explode(winnow_fps(F.col("toks"))).alias("f"))
         .transform(checkpoint_df)  # reused: counts + both sides of the pair join
     )
     cnt = fp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nf"))

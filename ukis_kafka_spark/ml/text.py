@@ -4285,17 +4285,78 @@ def m_set_cover_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiebroken by doc_id, marginal gains exact integers.  Scale: each
     round is one aggregate over the (doc, token) incidence table with
     the (tiny, broadcast) covered-set anti-joined away — coverage
-    state never exceeds |bigram vocab|."""
-    load_table(spark, sf_dir, "documents").createOrReplaceTempView("docs_sc")
-    return spark.sql(
-        _set_cover_sql().format(
-            incidence="""SELECT DISTINCT doc_id, g AS tok
-  FROM (SELECT doc_id, split(text, ' ') AS ts FROM docs_sc)
-  LATERAL VIEW explode(transform(sequence(1, size(ts) - 1),
-                       i -> concat_ws(' ', ts[i - 1], ts[i]))) AS g
-  WHERE size(ts) >= 2"""
+    state never exceeds |bigram vocab|.
+
+    r11 re-plan (guide §2.4, CTE-inlining trap): the unrolled SQL
+    referenced the ``dt`` incidence CTE five times and each round's
+    winner subtree re-inlined every earlier round's (52 Exchanges
+    measured) — the m_epoch_cap_mix plan-blowup class.  Now a
+    checkpointed DataFrame loop: the incidence table is built once and
+    pinned, each round is one aggregate + TakeOrdered over the pin
+    with the covered set / chosen winners anti-joined away (tiny,
+    broadcast), and each round's 1-row winner and ≤|vocab|² covered
+    set are eagerly checkpointed so lineage stays O(1).  The unrolled
+    SQL remains the DuckDB oracle; results identical."""
+    d = load_table(spark, sf_dir, "documents")
+    # split staged as a column BEFORE the lambda references it (an
+    # inline split inside transform re-evaluates per element - 10x)
+    toked = d.select("doc_id", F.split(F.col("text"), " ").alias("ts"))
+    ts = F.col("ts")
+    dt = checkpoint_df(
+        toked.where(F.size(ts) >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(ts) - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at(ts, i), F.element_at(ts, i + 1)
+                    ),
+                )
+            ).alias("tok"),
         )
+        .distinct(),
+        eager=False,
     )
+    covered = None  # (tok) — bounded by the bigram vocabulary
+    chosen = None  # (wd) — one row per completed round
+    outs = []
+    for rnd in (1, 2, 3):
+        g = dt
+        if covered is not None:
+            g = g.join(F.broadcast(covered), "tok", "left_anti")
+        if chosen is not None:
+            g = g.join(
+                F.broadcast(chosen), g.doc_id == chosen.wd, "left_anti"
+            )
+        w = checkpoint_df(
+            g.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("gain"))
+            .orderBy(F.col("gain").desc(), F.col("doc_id").asc())
+            .limit(1)
+            .select(F.col("doc_id").alias("wd"), F.col("gain")),
+            eager=False,
+        )
+        outs.append(
+            w.select(
+                F.lit(rnd).cast("bigint").alias("round"),
+                F.col("wd").cast("bigint").alias("doc_id"),
+                F.col("gain").cast("bigint").alias("gain"),
+            )
+        )
+        new_cov = (
+            dt.join(F.broadcast(w.select("wd")), dt.doc_id == F.col("wd"))
+            .select("tok")
+            .distinct()
+        )
+        covered = checkpoint_df(
+            new_cov if covered is None else covered.unionByName(new_cov).distinct(),
+            eager=False,
+        )
+        chosen = (
+            w.select("wd") if chosen is None else chosen.unionByName(w.select("wd"))
+        )
+    return outs[0].unionByName(outs[1]).unionByName(outs[2])
 
 
 @query(
