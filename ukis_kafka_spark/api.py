@@ -224,6 +224,25 @@ _REFLOAT_MIN_ROUND = {
     # the entry self-documents that the row post-dates the refactor.
     "q_agg_percentile": 10,
     "g_dbscan_classify": 10,
+    # round-11 optimization re-plans: every operator whose EXECUTED
+    # computation changed this round (CTE-inlining fixes, shared
+    # MinHash/winnowing numpy kernels, the connected_components loop
+    # discipline, graph-kernel task-count + HITS/closeness re-plans)
+    # must earn a post-refactor driver row — old green rows tested the
+    # old plans.  The m_dedup_clusters consumers (survivorship/apply)
+    # inherit the re-plan through QUERIES["m_dedup_clusters"].
+    "m_near_dedup": 11,
+    "m_lsh_sweep": 11,
+    "m_incremental_dedup": 11,
+    "m_winnowing": 11,
+    "m_set_cover_greedy": 11,
+    "m_dedup_clusters": 11,
+    "m_dedup_survivorship": 11,
+    "m_apply_dedup": 11,
+    "m_graph_bfs": 11,
+    "m_graph_pagerank": 11,
+    "m_graph_hits": 11,
+    "m_graph_closeness": 11,
 }
 
 

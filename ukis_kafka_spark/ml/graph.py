@@ -286,8 +286,13 @@ def _pagerank_kernel(spark: SparkSession, edges_path: str) -> DataFrame:
             live = ids[d[ids] > 0]  # the JVM node set = deg table rows
             yield pd.DataFrame({"node": live, "rank_u": rank[live]})
 
+    # 4 tasks, not 16: every task holds the full broadcast CSR and the
+    # kernel is redundant-compute/zero-shuffle, so task count only buys
+    # output-slice parallelism (trivial) while each extra task pays a
+    # full Python-side broadcast deserialization (~20 MB/array;
+    # measured 3.3 s at 16 tasks vs 0.4 s at 4 for the BFS twin)
     return (
-        spark.range(0, max_id + 1, numPartitions=16)
+        spark.range(0, max_id + 1, numPartitions=4)
         .mapInPandas(kernel, "node long, rank_u long")
         .orderBy(F.col("rank_u").desc(), F.col("node").asc())
         .limit(50)
@@ -932,7 +937,9 @@ def _bfs_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
             live = ids[dist[ids] >= 0]
             yield pd.DataFrame({"node": live, "dist": dist[live]})
 
-    return spark.range(0, size, numPartitions=16).mapInPandas(
+    # 4 tasks, not 16 — same broadcast-deserialization trade as
+    # _pagerank_kernel (measured 3.3 s -> 0.4 s first run at sf0.1)
+    return spark.range(0, size, numPartitions=4).mapInPandas(
         kernel, "node long, dist int"
     )
 
@@ -1402,51 +1409,56 @@ def m_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast (the scalar crossJoins are bounded by scalar aggs)."""
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    # r11: distinct (order, supplier) BEFORE the join — the edge weight
+    # is countDistinct(o_orderkey) per (c, s) and an orderkey maps to
+    # one customer, so pre-deduping lineitem shrinks the join input and
+    # turns the aggregate into a plain count (guide §2.3, aggregate
+    # before you shuffle)
     edges = (
-        o.join(l, o.o_orderkey == l.l_orderkey)
-        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"), "o_orderkey")
+        o.join(l.distinct(), o.o_orderkey == l.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
         .groupBy("c", "s")
-        .agg(F.countDistinct("o_orderkey").cast("bigint").alias("w"))
-        .transform(checkpoint_df)  # reused by all 2*ITERS joins
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+        .transform(lambda df: checkpoint_df(df, eager=False))
     )
-    dims = edges.agg(
-        F.countDistinct("c").cast("bigint").alias("nc"),
-        F.countDistinct("s").cast("bigint").alias("ns"),
-    )
+    # bounded scalar probe (2 ints): the bipartite dimensions, needed
+    # as normalization constants every round — collected once instead
+    # of a re-planned countDistinct broadcast per round (×6).  This
+    # probe's job also materializes the lazily pinned edge list.
+    nc, ns = edges.agg(
+        F.countDistinct("c").cast("bigint"), F.countDistinct("s").cast("bigint")
+    ).first()
     h = edges.select("c").distinct().select(
         "c", F.lit(_UNIT).cast("bigint").alias("h")
     )
     a = None
     for _ in range(_HITS_ITERS):
-        # checkpoint the PRE-normalization sums: the scalar-total branch
-        # and the main branch both read the pinned RDD, so each round
-        # pays its two edge-sized joins exactly once (checkpointing the
-        # normalized frame instead would re-execute ar/hr in the scalar
-        # broadcast build — measured ~2x the round cost)
+        # lazily pin the PRE-normalization sums; the 1-row total probe
+        # below is the round's single materializing job and the
+        # normalized frame is then a pure projection over the pin with
+        # LITERAL divisors (was: eager checkpoint job + two broadcast
+        # crossJoins per half-round — measured ~2 jobs/round saved)
         ar = (
             edges.join(h, "c")
             .groupBy("s")
             .agg(F.sum(F.col("w") * F.col("h")).cast("bigint").alias("raw"))
-            .transform(checkpoint_df)
+            .transform(lambda df: checkpoint_df(df, eager=False))
         )
-        sa = ar.agg(F.sum("raw").cast("bigint").alias("tot"))
-        a = (
-            ar.crossJoin(F.broadcast(sa))
-            .crossJoin(F.broadcast(dims))
-            .select("s", F.expr(f"raw div greatest(tot div (ns * {_UNIT}), 1)").alias("a"))
-        )
+        tot_a = ar.agg(F.sum("raw").cast("bigint")).first()[0]
+        # divisor folded in Python (raw sums are nonnegative, so // ==
+        # SQL div; inlining the product as SQL literals would type them
+        # INT and overflow under ANSI constant folding)
+        div_a = max(int(tot_a) // (int(ns) * _UNIT), 1)
+        a = ar.select("s", F.expr(f"raw div {div_a}").alias("a"))
         hr = (
             edges.join(a, "s")
             .groupBy("c")
             .agg(F.sum(F.col("w") * F.col("a")).cast("bigint").alias("raw"))
-            .transform(checkpoint_df)
+            .transform(lambda df: checkpoint_df(df, eager=False))
         )
-        sh = hr.agg(F.sum("raw").cast("bigint").alias("tot"))
-        h = (
-            hr.crossJoin(F.broadcast(sh))
-            .crossJoin(F.broadcast(dims))
-            .select("c", F.expr(f"raw div greatest(tot div (nc * {_UNIT}), 1)").alias("h"))
-        )
+        tot_h = hr.agg(F.sum("raw").cast("bigint")).first()[0]
+        div_h = max(int(tot_h) // (int(nc) * _UNIT), 1)
+        h = hr.select("c", F.expr(f"raw div {div_h}").alias("h"))
     top_auth = (
         a.select(F.lit("auth").alias("role"), F.col("s").alias("node"), F.col("a").alias("score_u"))
         .orderBy(F.col("score_u").desc(), F.col("node").asc())
@@ -1537,9 +1549,15 @@ def m_graph_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the inlining blowup hits DuckDB scalar-subquery re-evaluation
     otherwise, measured 120 s -> 0.7 s on m_graph_hits)."""
     edges = coorder_edges(spark, sf_dir)
+    # r11: every pin in this fixed-hop expansion is LAZY — the hop
+    # count is data-independent, so nothing needs to materialize until
+    # the final counts job, which then computes each pinned hop exactly
+    # once in one cascade (was: one eager checkpoint job per hop).
+    # Plans stay O(1): each checkpoint_df compiles its subtree once and
+    # downstream hops read the pinned RDD.
     sym = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).transform(checkpoint_df)
+    ).transform(lambda df: checkpoint_df(df, eager=False))
     deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("d")).withColumnRenamed(
         "src", "node"
     )
@@ -1547,7 +1565,7 @@ def m_graph_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         deg.orderBy(F.col("d").desc(), F.col("node").asc())
         .limit(_CLOSE_SEEDS)
         .select(F.col("node").alias("seed"), F.col("d").alias("degree"))
-        .transform(checkpoint_df)
+        .transform(lambda df: checkpoint_df(df, eager=False))
     )
     reach = seeds.select("seed", F.col("seed").alias("node"), F.lit(0).alias("dist"))
     delta = reach
@@ -1560,7 +1578,9 @@ def m_graph_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         new = cand.join(reach, ["seed", "node"], "left_anti").select(
             "seed", "node", F.lit(k).alias("dist")
         )
-        reach = reach.unionByName(new).transform(checkpoint_df)
+        reach = reach.unionByName(new).transform(
+            lambda df: checkpoint_df(df, eager=False)
+        )
         delta = reach.where(F.col("dist") == k)
     counts = reach.groupBy("seed").agg(
         F.count(F.when(F.col("dist") == 1, 1)).alias("n1"),
