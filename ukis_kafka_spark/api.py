@@ -243,6 +243,26 @@ _REFLOAT_MIN_ROUND = {
     "m_graph_pagerank": 11,
     "m_graph_hits": 11,
     "m_graph_closeness": 11,
+    # round-11 batch 3: type-level MoE routing; _km_fit/_pq_encode/
+    # _bpe_train session memos + pins (all consumers re-planned);
+    # single-execution pins for simhash/entity-match/naive-bayes/DSIR;
+    # Arrow UDTFs; sink_py_stream explicit read-back schema.
+    "m_moe_balance": 11,
+    "m_kmeans_step": 11,
+    "m_cluster_purity": 11,
+    "m_coreset_sample": 11,
+    "m_pq_quantize": 11,
+    "m_ann_pq": 11,
+    "m_bpe_merges": 11,
+    "m_bpe_apply": 11,
+    "m_naive_bayes": 11,
+    "m_importance_resample": 11,
+    "m_simhash": 11,
+    "m_entity_match": 11,
+    "u_udtf": 11,
+    "u_udtf_polymorphic": 11,
+    "u_udtf_table": 11,
+    "sink_py_stream": 11,
 }
 
 

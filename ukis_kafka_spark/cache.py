@@ -20,6 +20,33 @@ import tempfile
 _SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".tmp")
 
 
+def fast_scratch_root() -> str:
+    """Root for EPHEMERAL per-query scratch (stream checkpoints, sink
+    output dirs) — distinct from the persistent build-once cache above.
+
+    These directories live only for the duration of one query and their
+    contents are never a result, so they belong on the fastest local
+    volume available: stream-checkpoint commits are dozens of small
+    fsync'd files per micro-batch and sink round-trips are
+    write-then-read-back, both dominated by local-FS metadata latency
+    on the repo volume. Override with ``SPARK_GRAFT_SCRATCH``; a real
+    deployment points streaming checkpoints at durable cluster storage
+    instead (the checkpointLocation would be a config there — this
+    harness's checkpoints are torn down with the query, so durability
+    buys nothing)."""
+    env = os.environ.get("SPARK_GRAFT_SCRATCH")
+    if env:
+        os.makedirs(env, exist_ok=True)
+        return env
+    shm = "/dev/shm"
+    if os.path.isdir(shm) and os.access(shm, os.W_OK):
+        root = os.path.join(shm, "ukis_scratch")
+        os.makedirs(root, exist_ok=True)
+        return root
+    os.makedirs(_SCRATCH, exist_ok=True)
+    return _SCRATCH
+
+
 def cache_publish(build_fn, digest_key: tuple) -> str:
     """Run ``build_fn(into_dir)`` once per ``digest_key`` and return the
     published cache directory (existing entries return immediately)."""

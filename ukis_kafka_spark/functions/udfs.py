@@ -124,7 +124,11 @@ def u_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     table-function surface."""
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="doc_id bigint, tok string, pos int")
+    # r11 (guide §4): Arrow batch transfer for the scalar-argument
+    # UDTFs — identical rows, ~3x less boundary cost. The TABLE-input
+    # UDTF (u_udtf_table) stays on pickled rows: its per-partition Row
+    # stream degenerates badly under Arrow (measured 4.3 -> 17-20 s).
+    @udtf(returnType="doc_id bigint, tok string, pos int", useArrow=True)
     class Tokenize:
         def eval(self, doc_id: int, text: str):
             if text is None:
@@ -287,12 +291,16 @@ def u_udtf_table(spark: SparkSession, sf_dir: str) -> DataFrame:
                 yield self._user, self._type, self._len, self._start
 
         def eval(self, row):
-            if row.event_type == self._type and row.user_id == self._user:
+            # positional access (user_id, event_id, event_type — the
+            # projection below): Row.__getitem__ by index skips the
+            # per-row field-name lookup of attribute access
+            uid, eid, etype = row[0], row[1], row[2]
+            if etype == self._type and uid == self._user:
                 self._len += 1
                 return
             yield from self._flush()
-            self._user, self._type = row.user_id, row.event_type
-            self._len, self._start = 1, row.event_id
+            self._user, self._type = uid, etype
+            self._len, self._start = 1, eid
 
         def terminate(self):
             yield from self._flush()
@@ -578,7 +586,7 @@ def u_udtf_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.functions import udtf
     from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
 
-    @udtf
+    @udtf(useArrow=True)
     class HeadCols:
         @staticmethod
         def analyze(

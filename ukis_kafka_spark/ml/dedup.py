@@ -299,7 +299,12 @@ def m_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         return pd.Series(out)
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    sims = d.select("doc_id", simhash60(F.col("text")).alias("simhash"))
+    # r11: pin the fingerprints — the band self-join reads this frame
+    # on BOTH sides, so without the pin the Arrow kernel (and the doc
+    # scan) executes twice (guide §2.4 reuse; measured ~2x the UDF cost)
+    sims = d.select("doc_id", simhash60(F.col("text")).alias("simhash")).transform(
+        lambda df: checkpoint_df(df, eager=False)
+    )
     banded = sims.select(
         "doc_id",
         "simhash",
@@ -1013,12 +1018,14 @@ def m_entity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         " i -> xxhash64(concat(substring(c_name, 1, i - 1),"
         "                      substring(c_name, i + 1, length(c_name)))))"
     )
+    # r11: pinned — both sides of the blocking self-join read this
+    # frame, so without the pin the deletion-explode runs twice
     keys = c.select(
         "c_custkey",
         F.explode(
             F.array_union(F.array(F.xxhash64(F.col("c_name"))), dels)
         ).alias("hk"),
-    )
+    ).transform(lambda df: checkpoint_df(df, eager=False))
     a = keys.select(F.col("c_custkey").alias("id_a"), "hk")
     b = keys.select(F.col("c_custkey").alias("id_b"), "hk")
     cand = (

@@ -808,16 +808,31 @@ def _km_fit(spark: SparkSession, sf_dir: str):
     (vec_id, d, v) table, the final-round assignment, and the final
     centroid table — the shared scaffold for every kmeans-derived
     operator (step summary, purity, coreset)."""
+    # r11: session memo + lazy pins, same rationale as _pq_encode — the
+    # three fit consumers (m_kmeans_step, m_cluster_purity,
+    # m_coreset_sample) share one fit per run, and the quantized
+    # expansion is pinned before the rounds so each round reads one
+    # compiled subtree. In-session only, never persisted.
+    memo = getattr(spark, "_ukis_km_memo", None)
+    if memo is None:
+        memo = {}
+        spark._ukis_km_memo = memo
+    if sf_dir in memo:
+        return memo[sf_dir]
     e = load_table(spark, sf_dir, "embeddings")
-    q = e.select(
-        "vec_id",
-        F.posexplode(
-            F.transform(
-                "embedding",
-                lambda x: (F.floor(x.cast("double") * 1_000_000)).cast("long") + _KM_OFF,
-            )
-        ).alias("d0", "v"),
-    ).select("vec_id", (F.col("d0") + 1).alias("d"), "v")
+    q = (
+        e.select(
+            "vec_id",
+            F.posexplode(
+                F.transform(
+                    "embedding",
+                    lambda x: (F.floor(x.cast("double") * 1_000_000)).cast("long") + _KM_OFF,
+                )
+            ).alias("d0", "v"),
+        )
+        .select("vec_id", (F.col("d0") + 1).alias("d"), "v")
+        .transform(lambda df: checkpoint_df(df, eager=False))
+    )
     cent = q.where(F.col("vec_id") < _KM_K).select(
         F.col("vec_id").alias("cluster"), "d", F.col("v").alias("c")
     )
@@ -838,7 +853,9 @@ def _km_fit(spark: SparkSession, sf_dir: str):
             .groupBy("cluster", "d")
             .agg(F.expr("sum(v) div count(1)").alias("c"))
         )
-    return q, assign, cent
+    lazy = lambda df: checkpoint_df(df, eager=False)  # noqa: E731
+    memo[sf_dir] = (q, assign.transform(lazy), cent.transform(lazy))
+    return memo[sf_dir]
 
 
 @query("m_kmeans_step", oracle=_km_oracle())
@@ -1003,6 +1020,17 @@ def _pq_encode(spark: SparkSession, sf_dir: str):
     the refined (cl, d, c) table, and ``assignment`` the per-(vec,
     block) codeword with its squared distance. See m_pq_quantize for
     the determinism argument."""
+    # r11: session memo + lazy pins — both PQ consumers (m_pq_quantize,
+    # m_ann_pq) share one fit within a run, and each consumer's own
+    # multi-branch reads of q/assign execute the Lloyd lineage once
+    # instead of once per branch. In-session only (never persisted):
+    # every bench/oracle invocation recomputes from the parquet inputs.
+    memo = getattr(spark, "_ukis_pq_memo", None)
+    if memo is None:
+        memo = {}
+        spark._ukis_pq_memo = memo
+    if sf_dir in memo:
+        return memo[sf_dir]
     e = load_table(spark, sf_dir, "embeddings")
     q = (
         e.select(
@@ -1020,6 +1048,9 @@ def _pq_encode(spark: SparkSession, sf_dir: str):
             (F.col("d0") / 8).cast("long").alias("b"),
             "v",
         )
+        # pin the expansion BEFORE the Lloyd rounds so every round (and
+        # every downstream branch) reads the one compiled subtree
+        .transform(lambda df: checkpoint_df(df, eager=False))
     )
     cb = q.where(F.col("vec_id") < _PQ_K).select(F.col("vec_id").alias("cl"), "d", F.col("v").alias("c"))
     assign = None
@@ -1041,7 +1072,9 @@ def _pq_encode(spark: SparkSession, sf_dir: str):
                 .groupBy("cl", "d")
                 .agg(F.expr("sum(v) div count(1)").alias("c"))
             )
-    return q, cb, assign
+    lazy = lambda df: checkpoint_df(df, eager=False)  # noqa: E731
+    memo[sf_dir] = (q, cb.transform(lazy), assign.transform(lazy))
+    return memo[sf_dir]
 
 
 @query("m_pq_quantize", oracle=_pq_oracle())

@@ -2964,6 +2964,10 @@ def m_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_tok = (
         toks.groupBy("doc_id", F.col("lang").alias("true_lang"), "tok")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        # r11: pinned — the three broadcast model builds (lang_tok,
+        # lang_tot, vocab) and the scoring branch all read this frame;
+        # unpinned, each broadcast build re-executed the explode+agg
+        .transform(lambda df: checkpoint_df(df, eager=False))
     )
     # model tables derive from doc_tok, not from fresh tokenizations:
     # sum-of-doc-counts == direct token counts, and one explode subtree
@@ -3128,7 +3132,22 @@ def _bpe_oracle() -> str:
 
 def _bpe_train(spark: SparkSession, sf_dir: str):
     """Shared BPE training loop: returns (final words DF after
-    _BPE_ROUNDS merges, list of per-round summary DFs)."""
+    _BPE_ROUNDS merges, list of per-round summary DFs).
+
+    r11: session-memoized (both consumers — m_bpe_merges and
+    m_bpe_apply — train once per run) and checkpoint-disciplined: each
+    round's ``words`` and 1-row ``best`` are lazily pinned, so the
+    round-r lineage reads round r-1's pin instead of re-planning its
+    whole subtree through BOTH the argmax branch and the merge branch
+    (the m_epoch_cap_mix CTE-inlining blowup — this loop carried 84
+    Exchanges before). In-session only, never persisted."""
+    memo = getattr(spark, "_ukis_bpe_memo", None)
+    if memo is None:
+        memo = {}
+        spark._ukis_bpe_memo = memo
+    if sf_dir in memo:
+        return memo[sf_dir]
+    lazy = lambda df: checkpoint_df(df, eager=False)  # noqa: E731
     d = load_table(spark, sf_dir, "documents")
     words = (
         d.select(F.explode(F.split("text", " ")).alias("tok"))
@@ -3139,6 +3158,7 @@ def _bpe_train(spark: SparkSession, sf_dir: str):
             F.trim(F.regexp_replace("tok", "(.)", "$1 ")).alias("s"),
             "c",
         )
+        .transform(lazy)
     )
     out_rows = []
     for r in range(_BPE_ROUNDS):
@@ -3152,10 +3172,13 @@ def _bpe_train(spark: SparkSession, sf_dir: str):
             .groupBy("a", "b")
             .agg(F.sum("c").alias("cnt"))
         )
-        best = pairs.orderBy(
-            F.col("cnt").desc(), F.col("a").asc(), F.col("b").asc()
-        ).limit(1).select(
-            F.col("a").alias("ba"), F.col("b").alias("bb"), F.col("cnt").alias("bcnt")
+        best = (
+            pairs.orderBy(F.col("cnt").desc(), F.col("a").asc(), F.col("b").asc())
+            .limit(1)
+            .select(
+                F.col("a").alias("ba"), F.col("b").alias("bb"), F.col("cnt").alias("bcnt")
+            )
+            .transform(lazy)
         )
         pat = F.concat(F.lit(" "), F.col("ba"), F.lit(" "), F.col("bb"), F.lit(" "))
         rep = F.concat(F.lit(" "), F.col("ba"), F.col("bb"), F.lit(" "))
@@ -3165,8 +3188,10 @@ def _bpe_train(spark: SparkSession, sf_dir: str):
                 "replace", F.call_function("replace", padded, pat, rep), pat, rep
             )
         )
-        words = words.crossJoin(F.broadcast(best)).select(
-            "w", "c", merged_s.alias("s"), "ba", "bb", "bcnt"
+        words = (
+            words.crossJoin(F.broadcast(best))
+            .select("w", "c", merged_s.alias("s"), "ba", "bb", "bcnt")
+            .transform(lazy)
         )
         nsym = (
             words.select(F.explode(F.split("s", " ")).alias("sym"))
@@ -3184,7 +3209,8 @@ def _bpe_train(spark: SparkSession, sf_dir: str):
             )
         )
         words = words.select("w", "c", "s")
-    return words, out_rows
+    memo[sf_dir] = (words, out_rows)
+    return memo[sf_dir]
 
 
 @query("m_bpe_merges", oracle=_bpe_oracle())
@@ -3408,7 +3434,12 @@ def m_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.conv(F.substring(h, 1, 1), 16, 10).cast("bigint") * 16
         + F.conv(F.substring(h, 2, 1), 16, 10).cast("bigint")
     ) % _DSIR_BUCKETS
-    b = toks.select("doc_id", "lang", bucket.alias("bucket"))
+    # r11: pinned — tgt/raw (and their nt/nr totals, each a separate
+    # broadcast build) plus the per-doc scoring branch all read this
+    # tokenized frame; unpinned, the explode+md5 ran ~5x
+    b = toks.select("doc_id", "lang", bucket.alias("bucket")).transform(
+        lambda df: checkpoint_df(df, eager=False)
+    )
     tgt = b.where(F.col("lang") == "en").groupBy("bucket").agg(
         F.count(F.lit(1)).alias("ct")
     )
@@ -5592,17 +5623,29 @@ def m_moe_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.pmod(F.element_at(arr, -2), F.lit(4)).cast("long").alias("e2"),
         )
 
+    # r11 re-plan: the router is token-TYPE-level (the hash reads only
+    # the token string), so the 4 md5 'logits' + array_sort need to run
+    # once per DISTINCT token (31 rows), not once per token INSTANCE
+    # (~350k at sf0.1) inside an interpreted transform() lambda — count
+    # instances per type first (map-side partial agg on a scalar
+    # explode), then route the 31 types and sum the counts. Same exact
+    # outputs: per-expert counts are sums of per-type counts.
+    cnt = (
+        d.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
     picks = (
-        d.select(F.explode(F.transform(F.split("text", " "), picks_struct)).alias("p"))
-        .select("p.e1", "p.e2")
+        cnt.select("n", picks_struct(F.col("tok")).alias("p"))
+        .select("n", "p.e1", "p.e2")
         .transform(checkpoint_df)  # read by both count branches + total
     )
-    tot = picks.agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+    tot = picks.agg(F.sum("n").cast("bigint").alias("t"))
     n1 = picks.groupBy(F.col("e1").alias("expert")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n1")
+        F.sum("n").cast("bigint").alias("n1")
     )
     n2 = picks.groupBy(F.col("e2").alias("expert")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n2")
+        F.sum("n").cast("bigint").alias("n2")
     )
     grid = spark.range(_MOE_EXPERTS).select(F.col("id").cast("bigint").alias("expert"))
     return (

@@ -27,8 +27,9 @@ _SCRATCH = os.path.join(
 
 
 def _scratch_dir() -> str:
-    os.makedirs(_SCRATCH, exist_ok=True)
-    return tempfile.mkdtemp(prefix="sink_", dir=_SCRATCH)
+    from ..cache import fast_scratch_root
+
+    return tempfile.mkdtemp(prefix="sink_", dir=fast_scratch_root())
 
 
 def upsert_parquet(

@@ -425,7 +425,8 @@ def sink_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _ensure_registered(spark)
     _ensure_sink_registered(spark)
-    out = _tempfile.mkdtemp(prefix="avro_sink_", dir="/tmp")
+    from ..cache import fast_scratch_root
+    out = _tempfile.mkdtemp(prefix="avro_sink_", dir=fast_scratch_root())
     try:
         (
             load_table(spark, sf_dir, "events")

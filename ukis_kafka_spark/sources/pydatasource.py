@@ -192,7 +192,8 @@ def sink_py_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     from . import load_table
 
     _ensure_sink_registered(spark)
-    out = _tempfile.mkdtemp(prefix="pyds_sink_", dir="/tmp")
+    from ..cache import fast_scratch_root
+    out = _tempfile.mkdtemp(prefix="pyds_sink_", dir=fast_scratch_root())
     try:
         (
             load_table(spark, sf_dir, "events")
@@ -295,7 +296,8 @@ def src_py_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid as _uuid
 
     _ensure_stream_registered(spark)
-    work = _tempfile.mkdtemp(prefix="pyds_stream_", dir="/tmp")
+    from ..cache import fast_scratch_root
+    work = _tempfile.mkdtemp(prefix="pyds_stream_", dir=fast_scratch_root())
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
@@ -427,8 +429,10 @@ def sink_py_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..streaming.jobs import replay_events_as_stream
 
+    from ..cache import fast_scratch_root
+
     _ensure_stream_sink_registered(spark)
-    work = _tempfile.mkdtemp(prefix="pyds_streamsink_", dir="/tmp")
+    work = _tempfile.mkdtemp(prefix="pyds_streamsink_", dir=fast_scratch_root())
     out = _os.path.join(work, "out")
     _os.makedirs(out, exist_ok=True)
     try:
@@ -448,7 +452,12 @@ def sink_py_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination(180)
-        back = spark.read.json(_os.path.join(out, "batch-*.jsonl"))
+        # explicit schema: inference would scan every committed file a
+        # second time (guide §6); the declared types match what
+        # inference produced, so the parsed values are identical
+        back = spark.read.schema("event_id long, event_type string, value double").json(
+            _os.path.join(out, "batch-*.jsonl")
+        )
         return (
             back.groupBy("event_type")
             .agg(

@@ -40,8 +40,9 @@ _EVENT_SCHEMA = (
 
 
 def _scratch_dir() -> str:
-    os.makedirs(_SCRATCH, exist_ok=True)
-    return tempfile.mkdtemp(prefix="stream_", dir=_SCRATCH)
+    from ..cache import fast_scratch_root
+
+    return tempfile.mkdtemp(prefix="stream_", dir=fast_scratch_root())
 
 
 # Build-once input caching lives in ukis_kafka_spark.cache (shared by
