@@ -223,7 +223,7 @@ _REFLOAT_MIN_ROUND = {
     # must refloat; g_dbscan_classify's re-plan DOES have an r10 row,
     # the entry self-documents that the row post-dates the refactor.
     "q_agg_percentile": 10,
-    "g_dbscan_classify": 10,
+    "g_dbscan_classify": 11,  # r10 row, re-planned again in r11 (semi-join border probe)
     # round-11 optimization re-plans: every operator whose EXECUTED
     # computation changed this round (CTE-inlining fixes, shared
     # MinHash/winnowing numpy kernels, the connected_components loop
@@ -263,6 +263,10 @@ _REFLOAT_MIN_ROUND = {
     "u_udtf_polymorphic": 11,
     "u_udtf_table": 11,
     "sink_py_stream": 11,
+    # round-11 batch 4: bradley-terry loop pins; dbscan semi-join
+    # border probe; cdc kernel spread + digest-byte boundary test.
+    "m_bradley_terry": 11,
+    "m_cdc_chunks": 11,
 }
 
 

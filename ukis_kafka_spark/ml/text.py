@@ -5131,16 +5131,25 @@ def m_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("l"),
         )
     )
-    wins = norm.groupBy(F.col("w").alias("s")).agg(F.count(F.lit(1)).alias("wins"))
+    # r11: lazy pins end to end — the duel scan (norm) is read by
+    # three aggregates and the bounded wins/games/players tables are
+    # re-read by every round's broadcast builds; unpinned, each
+    # broadcast build re-executed the corpus-level duel join (59
+    # Exchanges in the before-plan). Per-round rating pins stop the
+    # round-over-round lineage nesting (m_epoch_cap_mix rule).
+    lazy = lambda df: checkpoint_df(df, eager=False)  # noqa: E731
+    norm = norm.transform(lazy)
+    wins = norm.groupBy(F.col("w").alias("s")).agg(F.count(F.lit(1)).alias("wins")).transform(lazy)
     games = (
         norm.select(F.col("w").alias("s1"), F.col("l").alias("s2"))
         .unionAll(norm.select(F.col("l").alias("s1"), F.col("w").alias("s2")))
         .groupBy("s1", "s2")
         .agg(F.count(F.lit(1)).alias("n"))
+        .transform(lazy)
     )
     players = games.groupBy(F.col("s1").alias("s")).agg(
         F.sum("n").cast("bigint").alias("games_tot")
-    )
+    ).transform(lazy)
     rating = players.select("s", F.lit(1_000_000).cast("bigint").alias("p"))
     for _ in range(2):
         t = (
@@ -5170,6 +5179,7 @@ def m_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .cast("bigint")
                 .alias("p"),
             )
+            .transform(lazy)
         )
     return (
         players.join(F.broadcast(wins), "s", "left")

@@ -1404,8 +1404,23 @@ def g_dbscan_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Border probe: second grid join, probe side pruned to non-core
     # points BEFORE the explode (6.6% at sf0.1; the fraction falls as
     # density rises, so this join shrinks relative to job 1 at scale).
+    # r11 shave (VERDICT r10 item 6): LEFT SEMI with the eps predicate
+    # IN the join condition — the hash join emits each probe row at
+    # most once (first core match wins) instead of materializing every
+    # (non-core, core) neighbor pair and distinct-ing them; the
+    # follow-up distinct only folds the <=9 grid cells per point.
+    probe = grid_probes(noncore_pts).alias("p")
+    build = core_pts.hint("shuffle_hash").alias("c")
     border = (
-        eps_join(grid_probes(noncore_pts), core_pts)
+        probe.join(
+            build,
+            (F.col("p.kx") == F.col("c.kx"))
+            & (F.col("p.ky") == F.col("c.ky"))
+            & (F.abs(F.col("p.lon") - F.col("c.b_lon")) <= 2.0)
+            & (F.abs(F.col("p.lat") - F.col("c.b_lat")) <= 2.0)
+            & (F.col("p.event_id") != F.col("c.b_id")),
+            "left_semi",
+        )
         .select("event_id")
         .distinct()
     )
