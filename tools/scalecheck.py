@@ -21,6 +21,10 @@ import os
 import sys
 import time
 
+import pandas  # module-level: pandas_udf type hints must resolve in
+# function __globals__ (a locally-imported alias breaks infer_eval_type
+# under `from __future__ import annotations` — CLAUDE.md PySpark-4 trap)
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
@@ -446,7 +450,7 @@ def main() -> None:
         pow2 = 1 << _np.arange(n_bits, dtype=_np.int64)
 
         @_pudf(_T.ArrayType(_T.LongType()))
-        def lsh_buckets(emb: _pd.Series) -> _pd.Series:
+        def lsh_buckets(emb: pandas.Series) -> pandas.Series:
             M = _np.floor(
                 _np.stack(emb.to_numpy()).astype(_np.float64) * 10000
             ).astype(_np.int64)
