@@ -267,6 +267,16 @@ _REFLOAT_MIN_ROUND = {
     # border probe; cdc kernel spread + digest-byte boundary test.
     "m_bradley_terry": 11,
     "m_cdc_chunks": 11,
+    # round-11 batch 5 (session 2): q20 per-part total re-aggregated
+    # from the pinned per-(supplier, part) sums; q21 flags pin;
+    # link-predict neighbor-list wedges + pinned degrees;
+    # dup-ngram-frac transform-built grams + pinned gram table;
+    # textrank lazy round pins.
+    "q_sql_q20": 11,
+    "q_sql_q21": 11,
+    "m_link_predict": 11,
+    "m_dup_ngram_frac": 11,
+    "m_textrank_keywords": 11,
 }
 
 

@@ -994,21 +994,45 @@ def m_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     1/log d), and the cap bounds per-center fan-out at C(64,2) so the
     wedge stage scales linearly in nodes instead of quadratically in
     hub degree.  Degrees for the union term still come from the FULL
-    graph.  Shapes: the light-center filter broadcasts, the wedge
-    group-by is the only heavy shuffle, the adjacency anti-join and
-    the two degree joins run on the ~|candidate| output, and the
-    global top-20 is a TakeOrderedAndProject."""
+    graph.  Shapes: `deg` is pinned once (it feeds the light filter
+    AND both union-term joins), the light-center filter broadcasts,
+    the wedge pairs expand map-side from bounded neighbor lists, the
+    adjacency anti-join and the two degree joins run on the
+    ~|candidate| output, and the global top-20 is a
+    TakeOrderedAndProject."""
     edges = coorder_edges(spark, sf_dir)
     sym = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    deg = sym.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    deg = (
+        sym.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("d"))
+        .transform(checkpoint_df)  # read 3x: light filter + both union-term joins
+    )
     light = deg.where(F.col("d") <= _LINK_CENTER_CAP).select("node")
-    s1 = sym.join(F.broadcast(light), sym.src == light.node).select("src", F.col("dst").alias("a"))
-    s2 = sym.select("src", F.col("dst").alias("b"))
+    # r11 re-plan: wedges enumerate from per-center sorted neighbor
+    # LISTS (collect_list over the light-filtered sym, <=cap elements
+    # each, pairs expanded map-side with partial counts) instead of the
+    # former sym⋈sym self-join — the full 2|E| table is never shuffled,
+    # only the light-center slice (bounded by cap·|light|).  Neighbor
+    # lists sort ascending, so (i, j>i) pairs satisfy a < b by
+    # construction — the same pair multiset as the self-join form.
+    adj = (
+        sym.join(F.broadcast(light), sym.src == light.node)
+        .groupBy("src")
+        .agg(F.sort_array(F.collect_list("dst")).alias("nbrs"))
+    )
     wedge = (
-        s1.join(s2, "src")
-        .where(F.col("a") < F.col("b"))
+        adj.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(nbrs, (x, i) ->"
+                    " transform(slice(nbrs, i + 2, size(nbrs)),"
+                    " y -> struct(x AS a, y AS b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("common"))
     )

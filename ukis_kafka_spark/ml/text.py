@@ -840,31 +840,36 @@ def m_dup_ngram_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct token 5-grams that also appear in at least one other
     document — the standard memorization/boilerplate risk signal used
     to rank documents for near-dup removal (complements m_near_dedup,
-    which finds pairs; this scores each doc standalone). Shape: lead()
-    window builds positioned 5-grams, one hash agg computes corpus
+    which finds pairs; this scores each doc standalone). Shape (r11
+    re-plan): 5-grams are built INSIDE the row via transform over the
+    split array BEFORE the explode (explode hygiene — the former
+    per-doc lead() window shuffled the whole positioned token stream
+    just to see 4 tokens ahead), the distinct gram table is pinned
+    once (it feeds BOTH the document-frequency agg and the re-join —
+    unpinned, the build ran twice), one hash agg computes corpus
     document frequency, one re-join + agg scores docs. At 100 TB the
-    df table is the big intermediate — it shuffles 8-byte-hashable
-    gram keys only, and the final ratio is a ratio of exact integers
-    (hash-safe double)."""
+    df table is the big intermediate — it shuffles gram keys only,
+    and the final ratio is a ratio of exact integers (hash-safe
+    double)."""
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok"))
-    w = Window.partitionBy("doc_id").orderBy("pos")
+    # stage the split as a column: an inline split() referenced inside
+    # a transform() lambda re-evaluates once per array element
+    split_docs = d.select("doc_id", F.split("text", " ").alias("tk"))
     grams = (
-        toks.select(
+        split_docs.select(
             "doc_id",
-            F.concat_ws(
-                " ",
-                F.col("tok"),
-                F.lead("tok", 1).over(w),
-                F.lead("tok", 2).over(w),
-                F.lead("tok", 3).over(w),
-                F.lead("tok", 4).over(w),
+            F.explode(
+                F.when(
+                    F.size("tk") >= 5,
+                    F.expr(
+                        "transform(sequence(1, size(tk) - 4),"
+                        " i -> array_join(slice(tk, i, 5), ' '))"
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
             ).alias("gram"),
-            F.lead("tok", 4).over(w).alias("_g4"),
         )
-        .where(F.col("_g4").isNotNull())
-        .select("doc_id", "gram")
         .distinct()
+        .transform(checkpoint_df)  # read twice: df agg + the scoring join
     )
     df_tbl = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("n_docs"))
     dup = F.count(F.when(F.col("n_docs") > 1, F.lit(1)))
@@ -5768,10 +5773,15 @@ def m_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     wsum = sym.groupBy("src").agg(F.sum("w").cast("bigint").alias("ws")).withColumnRenamed(
         "src", "node"
     )
+    # r11: all pins LAZY — the iteration count is data-independent (no
+    # convergence probe ever reads a round), so nothing needs to
+    # materialize before the final top-20 job; one cascade replaces the
+    # former 4 staging jobs (the m_graph_closeness fixed-hop rule).
+    lazy = lambda df: checkpoint_df(df, eager=False)  # noqa: E731
     sym_w = (
         sym.join(wsum.withColumnRenamed("node", "src"), "src")
         .select("src", "dst", "w", "ws")
-        .transform(checkpoint_df)  # reused every iteration
+        .transform(lazy)  # reused every iteration
     )
     ranks = wsum.select("node", F.lit(_TR_UNIT).cast("long").alias("rank_u"))
     for _ in range(_TR_ITERS):
@@ -5787,7 +5797,7 @@ def m_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("rank_u")
             )
             .withColumnRenamed("dst", "node")
-            .transform(checkpoint_df)  # O(1) lineage per round
+            .transform(lazy)  # O(1) lineage per round
         )
     return (
         ranks.join(wsum, "node")

@@ -1421,18 +1421,22 @@ def q_sql_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     partsupp.availqty), nations are NATION_0..24, and the share
     threshold is retuned to this corpus's supplier fan-out (~100
     suppliers/part makes the original 50% vacuous); the share is
-    cross-multiplied in exact DECIMAL. Plan: two aggregates over the same scan join on partkey
-    (co-partitioned — one shuffle each, the join itself reuses the
-    partitioning), dims broadcast."""
+    cross-multiplied in exact DECIMAL. Plan (r11 re-plan): ONE
+    lineitem aggregate — the per-part total is the re-aggregation of
+    the per-(supplier, part) sums (exact: DECIMAL addition is
+    associative), so the scan+first shuffle run once and the pinned
+    (sk, pk) table feeds both the total and the join; dims broadcast."""
+    from ..registry import checkpoint_df
+
     l = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_3")
-    pt = l.groupBy(F.col("l_partkey").alias("pk")).agg(
-        F.sum(F.col("l_quantity").cast(DEC)).alias("total_qty")
+    sp = (
+        l.groupBy(F.col("l_suppkey").alias("sk"), F.col("l_partkey").alias("pk"))
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("supp_qty"))
+        .transform(checkpoint_df)  # read twice: per-part total + the join
     )
-    sp = l.groupBy(F.col("l_suppkey").alias("sk"), F.col("l_partkey").alias("pk")).agg(
-        F.sum(F.col("l_quantity").cast(DEC)).alias("supp_qty")
-    )
+    pt = sp.groupBy("pk").agg(F.sum("supp_qty").alias("total_qty"))
     fr = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
     return (
         sp.join(pt, "pk")
@@ -1474,7 +1478,14 @@ def q_sql_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair. Adaptation: no commit/receipt dates exist, so \"late\" is
     shipped more than a year after the order date (this corpus's
     ship/order dates are uncorrelated; one year sits near the upper
-    quartile of the lag distribution)."""
+    quartile of the lag distribution).
+
+    r11 re-plan: `flags` feeds BOTH the per-order rollup and the final
+    join — unpinned, Spark re-executes the lineitem⋈orders join+agg
+    subtree once per consumer (CTE-inlining trap); the localCheckpoint
+    pin runs it once."""
+    from ..registry import checkpoint_df
+
     l = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     s = load_table(spark, sf_dir, "supplier")
@@ -1485,6 +1496,7 @@ def q_sql_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(o, o.o_orderkey == l.l_orderkey)
         .groupBy("l_orderkey", "l_suppkey")
         .agg(F.max(late).alias("was_late"))
+        .transform(checkpoint_df)  # read twice: per-order rollup + final join
     )
     per_order = flags.groupBy("l_orderkey").agg(
         F.count(F.lit(1)).alias("n_supp"), F.sum("was_late").alias("n_late")
