@@ -277,6 +277,16 @@ _REFLOAT_MIN_ROUND = {
     "m_link_predict": 11,
     "m_dup_ngram_frac": 11,
     "m_textrank_keywords": 11,
+    # round-11 batch 6 (session 2): overlap-matrix transform-built
+    # trigrams + pinned gram table; CC/LPA/hash-walks lazy round pins
+    # (fixed iteration counts — one materializing cascade); KMV
+    # distinct-before-hash with the distinct-key table doubling as the
+    # true-count input.
+    "m_overlap_matrix": 11,
+    "m_graph_cc": 11,
+    "m_graph_lpa": 11,
+    "m_hash_walks": 11,
+    "m_kmv_distinct": 11,
 }
 
 

@@ -590,7 +590,12 @@ def m_graph_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     deg = sym_raw.groupBy("dst").agg(F.count(F.lit(1)).alias("d")).withColumnRenamed("dst", "node")
     hubs = deg.where(F.col("d") >= _HUB_MIN_DEG).select("node")
-    sym = _salt_edges(sym_raw, "dst", "src", hubs).transform(checkpoint_df)  # reused every round
+    # r11: all pins LAZY — the iteration count is fixed (no convergence
+    # probe reads a round), so the final component agg is the run's one
+    # materializing job instead of one staging job per round; the lazy
+    # pins still truncate lineage (one compiled RDD per round).
+    lazy = lambda df: checkpoint_df(df, eager=False)  # noqa: E731
+    sym = _salt_edges(sym_raw, "dst", "src", hubs).transform(lazy)  # reused every round
     labels = sym.select(F.col("src").alias("node")).distinct().withColumn(
         "lbl", F.col("node")
     )
@@ -603,7 +608,7 @@ def m_graph_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         labels = labels.join(nbr_min, "node").select(
             "node", F.least(F.col("lbl"), F.col("nbr_lbl")).alias("lbl")
-        ).transform(checkpoint_df)  # truncate iterative lineage (see pagerank)
+        ).transform(lazy)  # truncate iterative lineage (see pagerank)
     return labels.groupBy(F.col("lbl").alias("component")).agg(
         F.count(F.lit(1)).alias("n_nodes"),
         F.min("node").alias("min_node"),
@@ -675,7 +680,11 @@ def m_graph_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     hubs = deg.where(F.col("d") >= _HUB_MIN_DEG).select("node")
     from pyspark.sql import Window
 
-    sym = _salt_edges(sym_raw, "dst", "src", hubs).transform(checkpoint_df)
+    # r11: lazy pins — fixed round count, no probe reads a round, so
+    # the final community agg is the one materializing job (see
+    # m_graph_cc).
+    lazy = lambda df: checkpoint_df(df, eager=False)  # noqa: E731
+    sym = _salt_edges(sym_raw, "dst", "src", hubs).transform(lazy)
     labels = sym.select(F.col("src").alias("node")).distinct().withColumn(
         "lbl", F.col("node")
     )
@@ -690,7 +699,7 @@ def m_graph_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("rn", F.row_number().over(w_mode))
             .where(F.col("rn") == 1)
             .select(F.col("src").alias("node"), "lbl")
-            .transform(checkpoint_df)  # truncate iterative lineage
+            .transform(lazy)  # truncate iterative lineage
         )
     return labels.groupBy(F.col("lbl").alias("community")).agg(
         F.count(F.lit(1)).alias("n_nodes"),
@@ -758,9 +767,12 @@ def m_hash_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side combined, no window over anything unbounded; the frontier
     stays exactly |V| rows; ``{3}`` steps = 3 shuffles."""
     edges = coorder_edges(spark, sf_dir, variant="q45")
+    # lazy pin (r11): the walk loop has no probe — the final select is
+    # the one materializing job, and the pin still compiles sym once
+    # for all three step joins.
     sym = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).transform(checkpoint_df)
+    ).transform(lambda df: checkpoint_df(df, eager=False))
     walks = sym.select(F.col("src").alias("start_node")).distinct().withColumn(
         "cur", F.col("start_node")
     )

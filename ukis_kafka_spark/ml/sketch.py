@@ -384,22 +384,34 @@ def m_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..registry import checkpoint_df
 
     li = load_table(spark, sf_dir, "lineitem")
-    hv = F.expr(_h60("spark", "CAST(l_partkey AS STRING)"))
-    h = (
-        li.select((F.col("l_partkey") % 2).alias("half"), hv.alias("hv"))
+    # r11 re-plan: distinct the RAW keys first, hash after — the 60-bit
+    # md5 ran per lineitem ROW (|rows| evaluations) and the corpus then
+    # shuffled hv values only to throw most away; distinct (half, pk)
+    # is the same shuffle width, feeds the hash at |distinct| cost, AND
+    # doubles as the exact per-shard true-count input (the former
+    # second lineitem scan). Same for the tiny scope: distinct
+    # l_linenumber (7 rows) feeds both its sketch and its true count.
+    dk = (
+        li.select((F.col("l_partkey") % 2).alias("half"), F.col("l_partkey").alias("pk"))
         .distinct()
+        .transform(checkpoint_df)  # one scan: hashes AND true counts
+    )
+    h = (
+        dk.select("half", F.expr(_h60("spark", "CAST(pk AS STRING)")).alias("hv"))
+        .distinct()  # exact twin of distinct-on-(half, hv): collapses hv collisions
         .transform(checkpoint_df)  # read by all three top-k branches
     )
-    tru = li.groupBy((F.col("l_partkey") % 2).alias("half")).agg(
-        F.countDistinct("l_partkey").cast("bigint").alias("tru")
+    tru = dk.groupBy("half").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tru")
     ).transform(checkpoint_df)  # 2 rows
 
     s0 = h.where(F.col("half") == 0).orderBy("hv").limit(_KMV_K)
     s1 = h.where(F.col("half") == 1).orderBy("hv").limit(_KMV_K)
     sm = s0.select("hv").unionByName(s1.select("hv")).orderBy("hv").limit(_KMV_K)
+    ln = li.select("l_linenumber").distinct().transform(checkpoint_df)  # 7 rows
     hv_tiny = F.expr(_h60("spark", "CAST(l_linenumber AS STRING)"))
-    st = li.select(hv_tiny.alias("hv")).distinct().orderBy("hv").limit(_KMV_K)
-    tt = li.agg(F.countDistinct("l_linenumber").cast("bigint").alias("true_distinct"))
+    st = ln.select(hv_tiny.alias("hv")).distinct().orderBy("hv").limit(_KMV_K)
+    tt = ln.agg(F.count(F.lit(1)).cast("bigint").alias("true_distinct"))
 
     def sketch_row(s: DataFrame, scope: str, true_df: DataFrame) -> DataFrame:
         agg = s.agg(

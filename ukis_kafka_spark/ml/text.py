@@ -1192,23 +1192,30 @@ def m_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-pair Jaccard as a ratio of exact integers (safe in double).
     At 100 TB the gram sets would first collapse to minhash
     signatures (m_near_dedup's machinery) — the pair dataflow here is
-    unchanged."""
+    unchanged.
+
+    r11 re-plan: trigrams are built INSIDE the row via transform over
+    the staged split array BEFORE the explode (the former per-doc
+    lead() window shuffled the whole positioned token stream), and the
+    distinct gram table is pinned once — it feeds the sizes agg AND
+    both sides of the pair self-join (three executions before)."""
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id", "source", F.posexplode(F.split("text", " ")).alias("pos", "tok")
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos")
+    split_docs = d.select("source", F.split("text", " ").alias("tk"))
     grams = (
-        toks.select(
+        split_docs.select(
             "source",
-            F.concat_ws(
-                " ", F.col("tok"), F.lead("tok", 1).over(w), F.lead("tok", 2).over(w)
+            F.explode(
+                F.when(
+                    F.size("tk") >= 3,
+                    F.expr(
+                        "transform(sequence(1, size(tk) - 2),"
+                        " i -> array_join(slice(tk, i, 3), ' '))"
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
             ).alias("gram"),
-            F.lead("tok", 2).over(w).alias("_g2"),
         )
-        .where(F.col("_g2").isNotNull())
-        .select("source", "gram")
         .distinct()
+        .transform(checkpoint_df)  # read 3x: sizes + both join sides
     )
     sizes = grams.groupBy("source").agg(F.count(F.lit(1)).alias("n_grams"))
     a = grams.alias("a")
