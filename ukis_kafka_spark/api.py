@@ -287,6 +287,14 @@ _REFLOAT_MIN_ROUND = {
     "m_graph_lpa": 11,
     "m_hash_walks": 11,
     "m_kmv_distinct": 11,
+    # round-11 batch 7 (session 2): q2 min(struct) argmin; calibration
+    # winner/runner-up conditional aggregate; span-corruption staged
+    # split/index columns; PCA Arrow moment kernel; theta lazy pins.
+    "q_sql_q2": 11,
+    "m_calibration_curve": 11,
+    "m_span_corruption": 11,
+    "m_pca_power": 11,
+    "m_theta_intersect": 11,
 }
 
 

@@ -382,8 +382,16 @@ def m_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline swaps the position rule for a seeded hash of
     (doc_id, pos) with the same dataflow."""
     d = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    idx = F.sequence(F.lit(1), F.size(toks))
+    # r11: stage the split array AND the index sequence as columns —
+    # inline expressions referenced inside transform()/filter() lambdas
+    # re-evaluate once PER ARRAY ELEMENT (the m_near_dedup measurement:
+    # ~10x on the split alone), and three lambdas each touched them.
+    staged = d.select(
+        "doc_id",
+        F.split(F.col("text"), " ").alias("tk"),
+    ).select("doc_id", "tk", F.sequence(F.lit(1), F.size("tk")).alias("idx"))
+    toks = F.col("tk")
+    idx = F.col("idx")
     sentinel = lambda i: F.concat(  # noqa: E731
         F.lit("<X"), (((i - 1) / 7).cast("long")).cast("string"), F.lit(">")
     )
@@ -402,7 +410,7 @@ def m_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when((i - 1) % 7 == 1, F.element_at(toks, i))
         .otherwise(F.lit(None)),
     )
-    return d.select(
+    return staged.select(
         "doc_id",
         F.array_join(input_arr, " ").alias("input_text"),
         F.array_join(target_arr, " ").alias("target_text"),

@@ -1401,22 +1401,49 @@ def m_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     the PageRank/k-means iterations; at 100 TB the O(n·d²) moment pass
     is the only data-sized stage and it is one map-side-combined
     aggregate.""".format(it=_PCA_ITERS)
-    e = load_table(spark, sf_dir, "embeddings")
-    q = e.select(
-        "vec_id",
-        F.posexplode(
-            F.transform("embedding", lambda x: F.floor(x.cast("double") * 10_000).cast("long"))
-        ).alias("d0", "v"),
-    ).select("vec_id", (F.col("d0") + 1).alias("d"), "v")
-    n = q.agg(F.countDistinct("vec_id").alias("n"))
-    marg = q.groupBy("d").agg(F.sum("v").alias("s"))
-    b = q.select(F.col("vec_id").alias("bvid"), F.col("d").alias("dj"), F.col("v").alias("bv"))
-    cmass = (
-        q.alias("a")
-        .join(b, F.col("bvid") == F.col("a.vec_id"))
-        .groupBy(F.col("a.d").alias("di"), "dj")
-        .agg(F.sum(F.col("a.v") * F.col("bv")).alias("sxy"))
+    # r11 re-plan: the O(n·d²) moment pass is GEMM-class work — the
+    # former posexplode + vec_id self-join shuffled n·d² (~8M at sf0.1)
+    # product rows into the (di, dj) aggregate; one Arrow kernel emits
+    # per-task PARTIAL moments (MᵀM + column sums + row count, all
+    # exact int64: |v| ≤ 1e4 grid, products ≤ 1e8, sums ≤ 2e11 at
+    # 100×) and only d²+d+1 rows per task reach the combine.  vec_id
+    # is the table key, so the row count equals the old
+    # countDistinct(vec_id).
+    e = load_table(spark, sf_dir, "embeddings").select("embedding")
+
+    def _moments(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            M = np.floor(
+                np.stack(pdf["embedding"].to_numpy()).astype(np.float64) * 10_000
+            ).astype(np.int64)
+            C = M.T @ M
+            s = M.sum(axis=0)
+            d = C.shape[0]
+            di = np.repeat(np.arange(1, d + 1), d)
+            dj = np.tile(np.arange(1, d + 1), d)
+            yield pd.concat(
+                [
+                    pd.DataFrame({"di": di, "dj": dj, "sxy": C.ravel()}),
+                    pd.DataFrame(
+                        {"di": np.arange(1, d + 1), "dj": np.zeros(d, dtype=np.int64), "sxy": s}
+                    ),
+                    pd.DataFrame({"di": [0], "dj": [0], "sxy": [len(M)]}),
+                ]
+            )
+
+    mom = (
+        e.mapInPandas(_moments, "di int, dj int, sxy long")
+        .groupBy("di", "dj")
+        .agg(F.sum("sxy").alias("sxy"))
+        .transform(checkpoint_df)  # read by n / marg / cmass below
     )
+    n = mom.where((F.col("di") == 0) & (F.col("dj") == 0)).select(F.col("sxy").alias("n"))
+    marg = mom.where((F.col("di") > 0) & (F.col("dj") == 0)).select(
+        F.col("di").alias("d"), F.col("sxy").alias("s")
+    )
+    cmass = mom.where(F.col("dj") > 0).select("di", "dj", "sxy")
     raw = F.col("n") * F.col("sxy") - F.col("si") * F.col("sj")
     sign = F.when(raw < 0, F.lit(-1)).otherwise(F.lit(1))
     c = (
@@ -2222,16 +2249,22 @@ def m_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     dist = _centroid_dist(spark, sf_dir)
     w = Window.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("c_label").asc())
     ranked = dist.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 2)
-    r1 = ranked.where(F.col("rn") == 1).select(
-        "vec_id",
-        F.when(F.col("true_label") == F.col("c_label"), 1).otherwise(0).alias("correct"),
-        F.col("d2").alias("d2_best"),
-    )
-    r2 = ranked.where(F.col("rn") == 2).select(
-        F.col("vec_id").alias("vid2"), F.col("d2").alias("d2_runner")
-    )
-    margins = r1.join(r2, r1.vec_id == r2.vid2).select(
-        "vec_id", "correct", (F.col("d2_runner") - F.col("d2_best")).alias("margin")
+    # r11 re-plan: winner and runner-up fold in ONE conditional
+    # aggregate over the ranked rows — the former rn=1/rn=2 branch
+    # pair re-executed the whole centroid-distance + window subtree
+    # twice and self-joined the halves back (every vector sees the
+    # full centroid set, so both ranks always exist).
+    margins = ranked.groupBy("vec_id").agg(
+        F.max(
+            F.when(
+                F.col("rn") == 1,
+                F.when(F.col("true_label") == F.col("c_label"), 1).otherwise(0),
+            )
+        ).alias("correct"),
+        (
+            F.max(F.when(F.col("rn") == 2, F.col("d2")))
+            - F.max(F.when(F.col("rn") == 1, F.col("d2")))
+        ).alias("margin"),
     )
     from ..functions.ranks import with_global_order
 

@@ -553,6 +553,12 @@ def m_theta_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     detector-green by construction)."""
     from ..registry import checkpoint_df
 
+    # r11: every pin LAZY — no probe reads an intermediate (the whole
+    # query is one declarative assembly), so the final 3-row job is the
+    # only materializing action; lazy pins still compile each shared
+    # frame once (dk feeds h + the truth bitmap, h feeds 3 sketches,
+    # each sketch 3-4 consumers).
+    lazy = lambda df: checkpoint_df(df, eager=False)  # noqa: E731
     d = load_table(spark, sf_dir, "documents").select(
         "lang", F.split("text", " ").alias("tk")
     )
@@ -570,11 +576,9 @@ def m_theta_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("g3"),
         )
         .distinct()
-        .transform(checkpoint_df)
+        .transform(lazy)
     )
-    h = dk.select("lang", F.expr(_h60("spark", "g3")).alias("hv")).transform(
-        checkpoint_df
-    )
+    h = dk.select("lang", F.expr(_h60("spark", "g3")).alias("hv")).transform(lazy)
     fl = dk.groupBy("g3").agg(
         *[
             F.max(F.when(F.col("lang") == l, 1).otherwise(0)).alias("f_" + l)
@@ -594,13 +598,13 @@ def m_theta_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias(f"u_{f1}{f2}"),
             )
         ]
-    ).transform(checkpoint_df)
+    ).transform(lazy)
     sk = {
         l: h.where(F.col("lang") == l)
         .select("hv")
         .orderBy("hv")
         .limit(_KMV_K)
-        .transform(checkpoint_df)
+        .transform(lazy)
         for l in ("en", "fr", "de")
     }
     out = None

@@ -1261,8 +1261,16 @@ def q_sql_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk"))
         .agg(F.sum(F.col("l_extendedprice").cast(DEC)).alias("supply_value"))
     )
-    w = Window.partitionBy("pk").orderBy(F.col("supply_value").asc(), F.col("sk").asc())
-    best = cost.withColumn("rk", F.row_number().over(w)).where(F.col("rk") == 1)
+    # r11 re-plan: the per-part minimum is an argmin, not a rank — a
+    # min(struct(value, sk)) aggregate partial-aggregates map-side
+    # (struct ordering = the window's (supply_value ASC, sk ASC)),
+    # where the former row_number window shuffled and SORTED every
+    # (pk, sk) row just to keep rank 1.
+    best = (
+        cost.groupBy("pk")
+        .agg(F.min(F.struct("supply_value", "sk")).alias("pick"))
+        .select("pk", F.col("pick.supply_value").alias("supply_value"), F.col("pick.sk").alias("sk"))
+    )
     return (
         best.join(p, F.col("pk") == p.p_partkey)
         .join(eu, F.col("sk") == F.col("s_suppkey"))
