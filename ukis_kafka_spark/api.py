@@ -295,6 +295,9 @@ _REFLOAT_MIN_ROUND = {
     "m_span_corruption": 11,
     "m_pca_power": 11,
     "m_theta_intersect": 11,
+    # round-11 batch 8 (session 2): kNN-join rank window folded into a
+    # bounded per-point aggregate (array_sort rank-4 + count).
+    "g_knn_join": 11,
 }
 
 
