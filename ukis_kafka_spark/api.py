@@ -298,6 +298,14 @@ _REFLOAT_MIN_ROUND = {
     # round-11 batch 8 (session 2): kNN-join rank window folded into a
     # bounded per-point aggregate (array_sort rank-4 + count).
     "g_knn_join": 11,
+    # round-11 batch 9 (session 2): recall-eval lazy pins (qv/ranked/
+    # exact each fed 2-4 consumers); novelty gram-table lazy pin;
+    # boilerplate + passage-dedup staged split columns (the
+    # per-element lambda re-evaluation trap).
+    "m_ann_recall_eval": 11,
+    "m_ngram_novelty": 11,
+    "m_boilerplate": 11,
+    "m_passage_dedup": 11,
 }
 
 

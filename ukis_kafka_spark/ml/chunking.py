@@ -278,14 +278,16 @@ def m_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle).
     """
     d = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    n = F.size(toks)
+    # r11: split staged as a column — the inline split referenced
+    # inside the transform lambda re-evaluated once per passage slot
+    staged = d.select("doc_id", F.split(F.col("text"), " ").alias("tk"))
+    toks = F.col("tk")
     hashes = F.transform(
-        F.sequence(F.lit(0), n - 1, F.lit(PASSAGE)),
+        F.sequence(F.lit(0), F.size(toks) - 1, F.lit(PASSAGE)),
         lambda s: F.md5(F.array_join(F.slice(toks, s + 1, PASSAGE), " ")),
     )
     return (
-        d.select("doc_id", F.explode(hashes).alias("passage_hash"))
+        staged.select("doc_id", F.explode(hashes).alias("passage_hash"))
         .groupBy("passage_hash")
         .agg(
             F.count(F.lit(1)).alias("n_occurrences"),
@@ -328,14 +330,16 @@ def m_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     digest-sized shuffle + a bounded top-k, then the list broadcasts
     back to the rewrite pass."""
     d = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    n = F.size(toks)
+    # r11: split staged as a column — the inline split referenced
+    # inside the transform lambda re-evaluated once per passage slot
+    staged = d.select("doc_id", F.split(F.col("text"), " ").alias("tk"))
+    toks = F.col("tk")
     passages = F.transform(
-        F.sequence(F.lit(0), n - 1, F.lit(PASSAGE)),
+        F.sequence(F.lit(0), F.size(toks) - 1, F.lit(PASSAGE)),
         lambda s: F.array_join(F.slice(toks, s + 1, PASSAGE), " "),
     )
     return (
-        d.select("doc_id", F.explode(passages).alias("passage"))
+        staged.select("doc_id", F.explode(passages).alias("passage"))
         .groupBy("passage")
         .agg(
             F.count(F.lit(1)).alias("n_occurrences"),

@@ -2367,12 +2367,18 @@ def m_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     extra bounded GEMM, not a second full index pass.
     """
     e = load_table(spark, sf_dir, "embeddings")
+    # r11: lazy pins on the three multi-consumer frames — qv fed four
+    # independent executions of the grid explode (centroid vectors,
+    # centroid distances, the probe block, and ground truth), the
+    # ranked list table two (assignment + probes), and the exact
+    # distance table two (truth + the approx re-rank).
+    lazy = lambda df: checkpoint_df(df, eager=False)  # noqa: E731
     qv = e.select(
         "vec_id",
         F.posexplode(
             F.transform("embedding", lambda x: F.floor(x.cast("double") * 10_000).cast("long"))
         ).alias("d0", "v"),
-    ).select("vec_id", (F.col("d0") + 1).alias("d"), "v")
+    ).select("vec_id", (F.col("d0") + 1).alias("d"), "v").transform(lazy)
     cents = (
         e.select(
             F.col("vec_id").alias("cid"),
@@ -2394,7 +2400,7 @@ def m_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum((F.col("v") - F.col("cv")) * (F.col("v") - F.col("cv"))).alias("dist"))
     )
     wl = Window.partitionBy("vec_id").orderBy(F.col("dist").asc(), F.col("list_id").asc())
-    ranked_lists = cdist.withColumn("rn", F.row_number().over(wl))
+    ranked_lists = cdist.withColumn("rn", F.row_number().over(wl)).transform(lazy)
     assign = ranked_lists.where(F.col("rn") == 1).select(
         F.col("vec_id").alias("s_vid"), F.col("list_id").alias("s_list")
     )
@@ -2409,6 +2415,7 @@ def m_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("vec_id") != F.col("qid"))
         .groupBy("qid", F.col("vec_id").alias("nid"))
         .agg(F.sum((F.col("qv") - F.col("v")) * (F.col("qv") - F.col("v"))).alias("d2"))
+        .transform(lazy)  # read twice: ground truth + the approx re-rank
     )
     wq = Window.partitionBy("qid").orderBy(F.col("d2").asc(), F.col("nid").asc())
     truth = exact.withColumn("rn", F.row_number().over(wq)).where(

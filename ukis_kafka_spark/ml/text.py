@@ -869,7 +869,7 @@ def m_dup_ngram_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("gram"),
         )
         .distinct()
-        .transform(checkpoint_df)  # read twice: df agg + the scoring join
+        .transform(lambda df: checkpoint_df(df, eager=False))  # read twice: df agg + the scoring join
     )
     df_tbl = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("n_docs"))
     dup = F.count(F.when(F.col("n_docs") > 1, F.lit(1)))
@@ -1215,7 +1215,7 @@ def m_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("gram"),
         )
         .distinct()
-        .transform(checkpoint_df)  # read 3x: sizes + both join sides
+        .transform(lambda df: checkpoint_df(df, eager=False))  # read 3x: sizes + both join sides
     )
     sizes = grams.groupBy("source").agg(F.count(F.lit(1)).alias("n_grams"))
     a = grams.alias("a")
@@ -4235,7 +4235,11 @@ def m_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("g"),
     )
-    dedup = tri.distinct()
+    # r11: lazy pin — dedup feeds the first-owner agg AND the join
+    # back; the pin compiles the explode+distinct once (lazy: the
+    # final job materializes it, A/B showed eager's staging barrier
+    # costs ~0.3 s here for nothing)
+    dedup = tri.distinct().transform(lambda df: checkpoint_df(df, eager=False))
     firsts = dedup.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
     return (
         dedup.join(firsts, "g")
