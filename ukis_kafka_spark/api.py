@@ -306,6 +306,16 @@ _REFLOAT_MIN_ROUND = {
     "m_ngram_novelty": 11,
     "m_boilerplate": 11,
     "m_passage_dedup": 11,
+    # round-11 batch 10 (session 2): _centroid_dist session memo +
+    # lazy pin (seven consumers each rebuilt the explode + centroid
+    # fit + distance aggregate); m_centroid_eval argmin + pinned
+    # confusion table.
+    "m_centroid_eval": 11,
+    "m_active_learning_margin": 11,
+    "m_confusion_matrix": 11,
+    "m_active_learning_select": 11,
+    "m_decile_lift": 11,
+    "m_mcc": 11,
 }
 
 

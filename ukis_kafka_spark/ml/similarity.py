@@ -1819,7 +1819,21 @@ def m_perceptron_step(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _centroid_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared nearest-centroid distance table: every vector's exact
-    integer L2 to every label centroid (see m_centroid_eval)."""
+    integer L2 to every label centroid (see m_centroid_eval).
+
+    r11: session memo + lazy pin (the _km_fit/_pq_encode pattern) —
+    SIX registry operators read this table and each rebuilt the
+    explode + centroid fit + distance aggregate; now the first
+    consumer's job materializes the pinned table once per
+    (session, corpus) and the rest read it. In-session only, never
+    persisted — every bench/oracle invocation recomputes from parquet.
+    """
+    memo = getattr(spark, "_ukis_centroid_memo", None)
+    if memo is None:
+        memo = {}
+        spark._ukis_centroid_memo = memo
+    if sf_dir in memo:
+        return memo[sf_dir]
     e = load_table(spark, sf_dir, "embeddings")
     q = e.select(
         "vec_id",
@@ -1841,11 +1855,14 @@ def _centroid_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     diff = F.col("v") * 1000 - F.col("c_milli")
-    return (
+    dist = (
         q.join(F.broadcast(cent), "d")
         .groupBy("vec_id", F.col("label").alias("true_label"), "c_label")
         .agg(F.sum(diff * diff).alias("d2"))
+        .transform(lambda df: checkpoint_df(df, eager=False))
     )
+    memo[sf_dir] = dist
+    return dist
 
 
 _CENTROID_CTE = """
@@ -1975,13 +1992,24 @@ def m_centroid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-combines map-side — one linear scan, one shuffle.
     """
     dist = _centroid_dist(spark, sf_dir)
-    w = Window.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("c_label").asc())
+    # r11 re-plan: the per-vector winner is an argmin — min(struct) with
+    # map-side partial aggregation replaces the rank-1 window's full
+    # shuffle+sort ((d2, c_label) is unique per vector, so true_label
+    # as a trailing struct field never decides the minimum); the tiny
+    # confusion table is pinned — three marginals read it.
     pred = (
-        dist.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("true_label", F.col("c_label").alias("pred_label"))
+        dist.groupBy("vec_id")
+        .agg(F.min(F.struct("d2", "c_label", "true_label")).alias("pick"))
+        .select(
+            F.col("pick.true_label").alias("true_label"),
+            F.col("pick.c_label").alias("pred_label"),
+        )
     )
-    conf = pred.groupBy("true_label", "pred_label").agg(F.count(F.lit(1)).alias("n"))
+    conf = (
+        pred.groupBy("true_label", "pred_label")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .transform(lambda df: checkpoint_df(df, eager=False))
+    )
     per_true = conf.groupBy("true_label").agg(F.sum("n").alias("n_true"))
     per_pred = conf.groupBy(F.col("pred_label").alias("pp_label")).agg(
         F.sum("n").alias("n_pred")
