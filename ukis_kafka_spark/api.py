@@ -316,6 +316,9 @@ _REFLOAT_MIN_ROUND = {
     "m_active_learning_select": 11,
     "m_decile_lift": 11,
     "m_mcc": 11,
+    # _subseq_windows session memo + lazy pin (both consumers).
+    "q_subseq_search": 11,
+    "q_subseq_znorm": 11,
 }
 
 

@@ -3088,8 +3088,20 @@ win AS (
 def _subseq_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user 8-wide sliding windows (``wv``) with the broadcast
     query pattern (``p``) attached — the Spark twin of
-    SUBSEQ_ORACLE_PREFIX."""
+    SUBSEQ_ORACLE_PREFIX.
+
+    r11: session memo + lazy pin (the _centroid_dist pattern) — both
+    subsequence operators rebuilt the scan + per-user window;
+    in-session only, never persisted."""
+    from ..registry import checkpoint_df as _ck
     from ..sources import load_table as _lt
+
+    memo = getattr(spark, "_ukis_subseq_memo", None)
+    if memo is None:
+        memo = {}
+        spark._ukis_subseq_memo = memo
+    if sf_dir in memo:
+        return memo[sf_dir]
 
     ev = _lt(spark, sf_dir, "events").select(
         "user_id",
@@ -3105,11 +3117,14 @@ def _subseq_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy("event_id").rowsBetween(
         Window.currentRow, 7
     )
-    return (
+    out = (
         ev.withColumn("wv", F.collect_list("v").over(w))
         .where(F.size("wv") == 8)
         .crossJoin(F.broadcast(pat))
+        .transform(lambda df: _ck(df, eager=False))
     )
+    memo[sf_dir] = out
+    return out
 
 
 @query(
