@@ -295,9 +295,11 @@ _REFLOAT_MIN_ROUND = {
     "m_span_corruption": 11,
     "m_pca_power": 11,
     "m_theta_intersect": 11,
-    # round-11 batch 8 (session 2): kNN-join rank window folded into a
-    # bounded per-point aggregate (array_sort rank-4 + count).
-    "g_knn_join": 11,
+    # round-12: the r11 batch-8 collect_list aggregate REVERTED to the
+    # r10 count/row_number window — ObjectHashAggregate's sort-based
+    # fallback (>128 groups) made it 5.06 s in-pass / 11.38 s isolated
+    # in the driver's r11 pass (the round's one budget violation).
+    "g_knn_join": 12,
     # round-11 batch 9 (session 2): recall-eval lazy pins (qv/ranked/
     # exact each fed 2-4 consumers); novelty gram-table lazy pin;
     # boilerplate + passage-dedup staged split columns (the

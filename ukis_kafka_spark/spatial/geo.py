@@ -1534,26 +1534,28 @@ def g_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("d2"),
         )
     )
-    # r11 re-plan: per-point count + 4th-nearest fold into ONE hash
-    # aggregate — the former count/row_number window shuffled AND
-    # sorted every candidate pair; sorting the eps-ball-bounded
-    # candidate list inside the aggregate does the same rank with
-    # map-side partial aggregation.  array_sort on struct(d2, b_id) is
-    # exactly the window's (d2 ASC, b_id ASC); only rank-4 is ever
-    # emitted (ranks < 4 of the least(4, n) rule surface as NULLs in
-    # the output, so they need no row).
-    agg = pairs.groupBy("a_id").agg(
-        F.count(F.lit(1)).alias("n_within"),
-        F.slice(F.array_sort(F.collect_list(F.struct("d2", "b_id"))), 4, 1).alias("p4"),
-    )
-    picked = agg.select(
+    # r12 REVERT of the r11 collect_list aggregate: collect_list plans
+    # as ObjectHashAggregate, which falls back to SORT-based object
+    # aggregation once the hash map passes 128 distinct keys
+    # (spark.sql.execution.objectHashAggregate.sortBased.fallbackThreshold)
+    # — with ~1M a_id groups it ALWAYS fell back, so the "aggregate"
+    # sorted the full pair stream twice (map+reduce) while serializing
+    # a per-group UnsafeArrayData buffer. Under the driver's loaded
+    # session that read 5.06 s in-pass / 11.38 s isolated (BENCH_r11
+    # budget violation, REPRODUCES); the window form below sorts the
+    # pairs ONCE in whole-stage-codegen WindowExec and never built an
+    # object buffer (3.06 s in the r10 driver pass, never flagged).
+    # Candidate sets are eps-ball bounded, so the per-point partition
+    # is bounded (GLOBAL_WINDOW_ALLOWLIST rationale unchanged).
+    wp = Window.partitionBy("a_id")
+    ranked = pairs.select(
         "a_id",
-        "n_within",
-        # try_element_at: NULL (not an ANSI error) when n_within < 4
-        # leaves p4 empty
-        F.try_element_at("p4", F.lit(1)).getField("b_id").alias("b_id"),
-        F.try_element_at("p4", F.lit(1)).getField("d2").alias("d2"),
+        "b_id",
+        "d2",
+        F.count(F.lit(1)).over(wp).alias("n_within"),
+        F.row_number().over(wp.orderBy("d2", "b_id")).alias("rn"),
     )
+    picked = ranked.where(F.col("rn") == F.least(F.lit(4), F.col("n_within")))
     return (
         pts.select("event_id")
         .join(picked, pts.event_id == picked.a_id, "left")
